@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{ExtQueries, Oracles, RefQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 (names carry
+  * the op number) plus the ext training-data operators to a DataFrame query
+  * over the driver's parquet tables; `oracleSql` holds the DuckDB-equivalent
+  * SQL for each SQL-expressible entry.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RefQueries.tpch1(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // headline analytics
+    "q_tpch1" -> RefQueries.tpch1,
+    "q_tpch3" -> RefQueries.tpch3,
+    "q_tpch18" -> RefQueries.tpch18,
+    // §2.1 scans / semi-structured
+    "q02_json_flatten" -> RefQueries.q02JsonFlatten,
+    "q03_scan_prune" -> RefQueries.q03ScanPrune,
+    // §2.2 incremental
+    "q09_checksum" -> RefQueries.q09Checksum,
+    "q11_cache_diff" -> RefQueries.q11CacheDiff,
+    "q12_cache_retain" -> RefQueries.q12CacheRetain,
+    "q13_work_limit" -> RefQueries.q13WorkLimit,
+    "q14_cache_merge" -> RefQueries.q14CacheMerge,
+    "q15_backfill_sample" -> RefQueries.q15Backfill,
+    // §2.3 scalar canonicalisation
+    "q16_zeropad" -> RefQueries.q16Zeropad,
+    "q17_enum_bool" -> RefQueries.q17EnumBool,
+    "q18_parse_iso" -> RefQueries.q18ParseIso,
+    "q19_expiry" -> RefQueries.q19Expiry,
+    "q20_duration" -> RefQueries.q20Duration,
+    "q21_dirty_time" -> RefQueries.q21DirtyTime,
+    "q22_guarded_parse" -> RefQueries.q22GuardedParse,
+    "q23_combine_datetime" -> RefQueries.q23Combine,
+    "q24_rollover" -> RefQueries.q24Rollover,
+    "q25_prefix_coalesce" -> RefQueries.q25PrefixCoalesce,
+    "q26_rename_project" -> RefQueries.q26RenameProject,
+    "q27_nulldrop" -> RefQueries.q27NullDrop,
+    // §2.4 joins
+    "q28_lookup_join" -> RefQueries.q28LookupJoin,
+    "q29_keep_last" -> RefQueries.q29KeepLast,
+    "q30_cdc_antijoin" -> RefQueries.q30CdcAntijoin,
+    "q31_sent_registry" -> RefQueries.q31SentRegistry,
+    "q32_map_lookup" -> RefQueries.q32MapLookup,
+    "q35_fuzzy_match" -> RefQueries.q35FuzzyMatch,
+    // §2.5 aggregations
+    "q36_global_min" -> RefQueries.q36GlobalMin,
+    "q37_group_collect" -> RefQueries.q37GroupCollect,
+    "q39_null_scan" -> RefQueries.q39NullScan,
+    "q40_uniques" -> RefQueries.q40Uniques,
+    // §2.6 sorts / limits / sampling
+    "q41_sort_desc" -> RefQueries.q41SortDesc,
+    "q43_sample" -> RefQueries.q43Sample,
+    // §2.7 serving layer
+    "q44_serve_current" -> RefQueries.q44ServeCurrent,
+    "q45_serve_7days" -> RefQueries.q45Serve7Days,
+    "q46_versioned_projection" -> RefQueries.q46Versioned,
+    "q48_predicate_string" -> RefQueries.q48PredicateString,
+    "q49_array_filter" -> RefQueries.q49ArrayFilter,
+    "q51_doc_render" -> RefQueries.q51DocRender,
+    "q52_hashing" -> RefQueries.q52Hashing,
+    // §2.9 change stream (batch form; streaming form under graft.streaming)
+    "q61_change_stream" -> RefQueries.q61ChangeStream,
+    // ext: text analysis
+    "x_tokens" -> ExtQueries.xTokens,
+    "x_quality" -> ExtQueries.xQuality,
+    "x_langid" -> ExtQueries.xLangId,
+    "x_fingerprint" -> ExtQueries.xFingerprint,
+    // ext: dedup
+    "x_dedup_exact" -> ExtQueries.xDedupExact,
+    "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
+    "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
+    "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
+    "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
+    // ext: embedding similarity
+    "x_embed_topk" -> ExtQueries.xEmbedTopk,
+    "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
+    "x_ann_lsh" -> ExtQueries.xAnnLsh,
+    // ext: multimodal plumbing
+    "x_mm_decode" -> ExtQueries.xMmDecode,
+    "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,
+    // ext: event-time windows
+    "x_win_tumble" -> ExtQueries.xWinTumble,
+    "x_win_slide" -> ExtQueries.xWinSlide,
+    "x_win_session" -> ExtQueries.xWinSession
+  )
+
+  /** DuckDB equivalents; queries absent here get the driver's rows-only
+    * check (x_ann_lsh: LSH bucketing is not expressible in portable SQL). */
+  def oracleSql: Map[String, String] = Oracles.all
+
+  /** The heavier queries Bench runs (scans, shuffles, joins, the dedup
+    * pipelines, similarity search, windows). */
+  val benchNames: Seq[String] = Seq(
+    "q_tpch1", "q_tpch3", "q_tpch18", "q20_duration", "q28_lookup_join",
+    "q29_keep_last", "q37_group_collect", "x_dedup_exact", "x_dedup_minhash",
+    "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_embed_neardup",
+    "x_win_tumble", "x_win_session", "x_fingerprint")
 }

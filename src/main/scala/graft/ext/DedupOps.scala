@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale notes (the whole point of these algorithms):
+  *  - Exact dedup is one hash-groupBy — a single shuffle on the content hash.
+  *  - MinHash+LSH avoids the O(n²) pair explosion: signatures are one
+  *    explode+groupBy per document (shuffle keyed by doc), banding groups
+  *    docs into tiny buckets, and only same-bucket docs are joined. At 100 TB
+  *    the bucket join shuffles by (band, key) with near-uniform load; skew
+  *    (a giant bucket of boilerplate docs) is bounded because band keys
+  *    include all rows of the band signature.
+  *  - All hashing is md5-based and engine-portable (deterministic, no JVM
+  *    hashCode), so results reproduce bit-for-bit anywhere.
+  */
+object DedupOps {
+
+  /** Exact dedup: canonical content hash, keep the smallest key per group.
+    * One shuffle; at scale add a `.repartition(hash)` only if AQE's skew
+    * handling is off. */
+  def exact(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val hashed = df.select(key.as("doc_id"), md5(text).as("content_hash"))
+    hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min md5 over the document's shingle set. Returned long-form
+    * (doc_id, seed, mh) — one groupBy, partial-aggregated map-side. */
+  def minhashSignature(shingleDf: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = shingleDf.sparkSession.range(numHashes).toDF("seed")
+    shingleDf.join(broadcast(seeds))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("shingle"), lit(":"), col("seed").cast("string"))))
+        .as("mh"))
+  }
+
+  /** LSH banding: group the signature into `numBands` bands and hash each
+    * band's row-concatenation into a bucket key. Docs sharing any
+    * (band, key) are candidate near-duplicates. */
+  def lshBands(sig: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    sig.withColumn("band", (col("seed") / rowsPerBand).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh")))),
+        s => s.getField("mh")), ",")).as("bkey"))
+  }
+
+  /** Candidate pairs from LSH buckets (doc_a < doc_b, distinct). The
+    * self-join shuffles on (band, bkey); bucket sizes are small by
+    * construction so the join output stays near-linear. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: join each side to its shingle
+    * set, count the intersection, derive |A∪B| from precomputed set sizes.
+    * Only candidate pairs pay the verification cost — never all n² pairs. */
+  def jaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
+    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shA = shingleDf.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = shingleDf.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** 32-bit SimHash over the distinct token set. Bits come from md5 hex
+    * digits (4 bits per digit, 8 digits), so the computation is portable to
+    * any engine with md5 — no JVM-specific hashing. Per bit: sum(+1/-1) over
+    * tokens, bit set iff the sum is positive. */
+  def simhash(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val toks = df.select(key.as("doc_id"),
+      explode(array_distinct(TextOps.tokens(text))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitCols = (0 until 32).map { j =>
+      val digit = j / 4
+      val p = 1 << (j % 4)
+      val d = instr(lit("0123456789abcdef"),
+        substring(col("h"), digit + 1, 1)) - 1
+      // bit p of nibble d, written with %/>= only so any engine reproduces it
+      val bitVal = when(d % (2 * p) >= p, lit(1)).otherwise(lit(0))
+      sum(bitVal * 2 - 1).cast("long").as(s"s_$j")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: LSH on the two 16-bit halves (a pair within
+    * Hamming distance d differs in at most d bits, so for d ≤ 16 at least one
+    * half matches... exactly guaranteed for d where bits fit one half; the
+    * standard pigeonhole trick), verified with an exact popcount. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val withHalves = sig
+      .withColumn("h0", col("simhash") % 65536)
+      .withColumn("h1", floor(col("simhash") / 65536).cast("long"))
+    val pairsOn = (half: String) => {
+      val a = withHalves.select(col(half), col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a"))
+      val b = withHalves.select(col(half), col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b"))
+      a.join(b, half).where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+    }
+    pairsOn("h0").unionByName(pairsOn("h1")).distinct()
+      .withColumn("hamming",
+        expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct alongside. The Spark-side
+  * mechanics — schema, batching, partition sizing, the enrichment stage
+  * shape — are real; the actual codec is STUBBED (no image/audio libraries
+  * in this environment) behind [[MediaDecoder]], with a deterministic fake
+  * used in tests and queries.
+  *
+  * At scale: payload bytes dominate row size, so stages that only need
+  * metadata must select away the binary column BEFORE any shuffle
+  * (Catalyst cannot prune through the typed mapPartitions boundary), and
+  * `spark.sql.files.maxPartitionBytes` bounds scan partitions so a partition
+  * of blobs fits in executor memory.
+  */
+object MultimodalOps {
+
+  /** Decoded-media metadata contract. */
+  case class MediaMeta(width: Int, height: Int, format: String, nBytes: Long)
+
+  /** The pluggable codec boundary. A real deployment wires an actual decoder
+    * (e.g. via JNI/ffmpeg); this environment ships only the deterministic
+    * fake. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake decoder: derives metadata purely from the bytes so
+    * tests and cross-engine oracles can reproduce it. A real decoder would
+    * parse the container header here. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(p: Array[Byte]): MediaMeta = {
+      val n = p.length.toLong
+      MediaMeta((n % 640).toInt, (n % 480).toInt,
+        if (n % 2 == 0) "png" else "jpg", n)
+    }
+  }
+
+  /** Unimplemented real decoder — marker for the environment-missing codec.
+    * Wire ffmpeg/libvips here in a real deployment. */
+  object RealDecoder extends MediaDecoder {
+    def decode(p: Array[Byte]): MediaMeta = ???
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("format", StringType), StructField("nBytes", LongType)))
+
+  /** Enrichment stage: decode each payload partition-wise (connection/codec
+    * reuse per partition, the same shape as the reference's LLM stages —
+    * SURVEY.md §2.8). Input df must carry (`idCol`: long, `payloadCol`:
+    * binary); output is (id, width, height, format, nBytes). */
+  def decodeStage(df: DataFrame, idCol: String, payloadCol: String,
+                  decoder: MediaDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (codec contexts are
+        // expensive; amortise across the partition's rows)
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(bytes)
+          (id, m.width, m.height, m.format, m.nBytes)
+        }
+      }
+      .toDF(idCol, "width", "height", "format", "n_bytes")
+  }
+
+  /** Pure-expression variant of the fake decode (codegen'd, oracle-friendly):
+    * identical output to decodeStage(FakeDecoder). */
+  def fakeDecodeColumns(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val n = length(col(payloadCol)).cast("long")
+    df.select(col(idCol),
+      (n % 640).cast("int").as("width"),
+      (n % 480).cast("int").as("height"),
+      when(n % 2 === 0, "png").otherwise("jpg").as("format"),
+      n.as("n_bytes"))
+  }
+
+  /** Deterministic frame-sampling plan for video-ish payloads: pick
+    * `frames` offsets evenly spaced in [0, nBytes) — the partition/batch
+    * shape of real frame extraction without the codec. */
+  def frameSamplePlan(df: DataFrame, idCol: String, payloadCol: String,
+                      frames: Int): DataFrame = {
+    val n = length(col(payloadCol)).cast("long")
+    df.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(frames - 1)),
+        i => (n * i / frames))).as(Seq("frame_idx", "byte_offset")))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * All arithmetic is done in double precision after an explicit element cast
+  * (float math is not associative and not portable across engines), and all
+  * scores are rounded before any ordering decision so top-k membership is
+  * deterministic and engine-portable.
+  *
+  * Scale path: brute force is one broadcast of the query vector(s) and a
+  * single codegen'd pass — fine for one query over any corpus size. For
+  * many-query / corpus×corpus workloads use the LSH variant: sign-random-
+  * projection signatures bucket the corpus so only same-bucket vectors are
+  * compared (the classic sim-hash ANN trick), turning O(n·m) into a bucket
+  * join with near-uniform shuffle keys.
+  */
+object SimilarityOps {
+
+  /** Sum(a_i * b_i) in double precision, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector (given as a one-row
+    * DataFrame with column `q`). Scores rounded to 6 dp BEFORE ranking;
+    * ties broken by id so the result set is unique. */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * md5-derived uniform in [-1, 1). Portable: no RNG state, any engine with
+    * md5 reproduces the same planes. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(math.pow(2, 32)) * 2.0 - 1.0)
+
+  /** Sign-random-projection LSH signature (`numPlanes` bits) for each vector:
+    * bit p = sign(v · plane_p). Vectors land in 2^numPlanes buckets; near
+    * neighbours collide with high probability. */
+  def srpSignature(df: DataFrame, idCol: String, vecCol: String,
+                   numPlanes: Int): DataFrame = {
+    val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
+    val dots = (0 until numPlanes).map { p =>
+      sum(col("v").cast("double") * planeComponent(p, col("d"))).as(s"dot_$p")
+    }
+    val agg = expl.groupBy(idCol).agg(dots.head, dots.tail: _*)
+    val sig = (0 until numPlanes).map { p =>
+      when(col(s"dot_$p") > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sig.as("bucket"))
+  }
+
+  /** Bucketed ANN: candidate pairs share an SRP bucket; exact cosine is
+    * computed only inside buckets. `threshold` filters the verified pairs. */
+  def annPairs(df: DataFrame, idCol: String, vecCol: String,
+               numPlanes: Int, threshold: Double): DataFrame = {
+    val sig = srpSignature(df, idCol, vecCol, numPlanes)
+    val withVec = df.select(col(idCol), col(vecCol)).join(sig, idCol)
+    val a = withVec.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = withVec.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, "bucket").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
+    * baseline the LSH variant approximates). O(n²/2) — use only to validate
+    * LSH recall at small n, or within pre-partitioned shards at scale. */
+  def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

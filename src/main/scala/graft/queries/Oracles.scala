@@ -1,0 +1,389 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[RefQueries]] /
+  * [[ExtQueries]]. The driver runs these against the same parquet tables and
+  * hash-compares with the Spark results, so every computed column is (a)
+  * aliased identically on both sides, (b) explicitly cast where the engines'
+  * natural types diverge (DuckDB sum(int)→HUGEINT vs Spark long, len()→BIGINT
+  * vs size()→int), and (c) rounded before any ordering decision when floats
+  * are involved.
+  */
+object Oracles {
+
+  /** Canonical tokeniser, shared by all text oracles (mirrors TextOps.tokens). */
+  private val TOK =
+    "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')"
+
+  private val EN_STOPS = "['the','and','of','to','in','is','that','with']"
+
+  // shingle CTEs shared by minhash/jaccard (k=3, 12 hashes, 4 bands)
+  private val SHINGLE_CTES =
+    s"""toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM
+       |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
+       |     i -> array_to_string(tk[i:i+2], ' '))) AS shingle FROM toks)),
+       |sig AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed//3 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bkey
+       |  FROM sig GROUP BY doc_id, seed//3),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |""".stripMargin
+
+  // simhash CTEs: 32-bit signature from md5 hex nibbles (mirrors DedupOps.simhash)
+  private val SIMHASH_SQL: String = {
+    val terms = (0 until 32).map { j =>
+      val digit = j / 4
+      val p = 1 << (j % 4)
+      s"CAST(sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${digit + 1}, 1)) - 1) % ${2 * p}) >= $p THEN 1 ELSE -1 END) AS BIGINT) AS s_$j"
+    }.mkString(", ")
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT DISTINCT doc_id, unnest(tk) AS tkn FROM toks),
+       |h AS (SELECT doc_id, md5(tkn) AS h FROM tok),
+       |s AS (SELECT doc_id, $terms FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)
+       |""".stripMargin
+  }
+
+  private val COS =
+    "round(list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6)"
+
+  val all: Map[String, String] = Map(
+    "q_tpch1" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(avg(l_quantity),4) AS avg_qty, CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch3" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch18" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
+        |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+        |GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b ON o_orderkey=b.l_orderkey""".stripMargin,
+
+    "q02_json_flatten" ->
+      "SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k FROM events",
+
+    "q03_scan_prune" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-06-01 00:00:00'",
+
+    "q09_checksum" ->
+      """SELECT n_nationkey, md5(concat_ws('', n_name, CAST(n_nationkey AS VARCHAR),
+        |CAST(n_regionkey AS VARCHAR), 'g')) AS "InputChecksum" FROM nation""".stripMargin,
+
+    "q11_cache_diff" ->
+      """WITH data AS (SELECT o_orderkey, md5(concat_ws('', o_orderstatus, o_orderpriority)) AS ck FROM orders),
+        |cache AS (SELECT o_orderkey, md5(concat_ws('', CASE WHEN o_orderkey%7=0 THEN 'X' ELSE o_orderstatus END, o_orderpriority)) AS ck FROM orders)
+        |SELECT d.o_orderkey FROM data d WHERE NOT EXISTS
+        |(SELECT 1 FROM cache c WHERE c.o_orderkey=d.o_orderkey AND c.ck=d.ck)""".stripMargin,
+
+    "q12_cache_retain" ->
+      """WITH data AS (SELECT o_orderkey, md5(concat_ws('', o_orderstatus, o_orderpriority)) AS ck FROM orders),
+        |cache AS (SELECT o_orderkey, md5(concat_ws('', CASE WHEN o_orderkey%7=0 THEN 'X' ELSE o_orderstatus END, o_orderpriority)) AS ck FROM orders)
+        |SELECT d.o_orderkey FROM data d WHERE EXISTS
+        |(SELECT 1 FROM cache c WHERE c.o_orderkey=d.o_orderkey AND c.ck=d.ck)""".stripMargin,
+
+    "q13_work_limit" ->
+      "SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20",
+
+    "q14_cache_merge" ->
+      """WITH u AS (SELECT o_orderkey, 'fresh' AS src FROM orders WHERE o_orderkey%100=0
+        |UNION ALL SELECT o_orderkey, 'kept' FROM orders WHERE o_orderkey%100<>0 AND o_orderkey%3=0)
+        |SELECT src, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY src""".stripMargin,
+
+    "q15_backfill_sample" ->
+      """SELECT o_orderkey FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus='F'
+        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 20)
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 10""".stripMargin,
+
+    "q16_zeropad" ->
+      """WITH r AS (SELECT o_orderkey AS id,
+        |CASE WHEN o_orderkey%3=0 THEN lpad(CAST(o_orderkey AS VARCHAR),10,'0')
+        |WHEN o_orderkey%3=1 THEN CAST(o_orderkey AS VARCHAR) END AS nn_raw FROM orders)
+        |SELECT id, nn_raw, CASE WHEN regexp_matches(nn_raw,'^[0-9]{10}$')
+        |THEN lpad(nn_raw,12,'0') END AS notification_number FROM r""".stripMargin,
+
+    "q17_enum_bool" ->
+      """SELECT o_orderkey, CAST(CASE WHEN s='Planned' THEN true WHEN s='Unplanned' THEN false END AS VARCHAR) AS planned
+        |FROM (SELECT o_orderkey, CASE WHEN o_orderstatus='O' THEN 'Planned'
+        |WHEN o_orderstatus='F' THEN 'Unplanned' ELSE 'Unknown' END AS s FROM orders)""".stripMargin,
+
+    "q18_parse_iso" ->
+      """SELECT o_orderkey, iso, strptime(iso,'%Y-%m-%dT%H:%M:%S') AS parsed,
+        |strptime(iso,'%Y-%m-%dT%H:%M:%S') + INTERVAL 2 HOUR AS sast_wall
+        |FROM (SELECT o_orderkey, strftime(o_orderdate,'%Y-%m-%dT%H:%M:%S') AS iso FROM orders)""".stripMargin,
+
+    "q19_expiry" ->
+      "SELECT o_orderkey, o_orderdate + INTERVAL 1 DAY AS expiry FROM orders",
+
+    "q20_duration" ->
+      """SELECT l_orderkey, CAST(floor(epoch(max(l_shipdate))) AS BIGINT) -
+        |CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS duration_sec
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q21_dirty_time" ->
+      """WITH r AS (SELECT event_id, CASE WHEN event_id%13=0 THEN 'Select...'
+        |WHEN event_id%7=0 THEN lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR),2,'0') || ':60'
+        |ELSE lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR),2,'0') || ':' || lpad(CAST(EXTRACT(minute FROM ts) AS VARCHAR),2,'0') END AS raw FROM events),
+        |c AS (SELECT event_id, raw, replace(replace(raw,'60','59'),'Select...','00:00') AS cleaned FROM r)
+        |SELECT event_id, raw, cleaned, CASE WHEN regexp_matches(cleaned,'^[0-9]{2}:[0-9]{2}$')
+        |AND CAST(substr(cleaned,1,2) AS INT) <= 23 AND CAST(substr(cleaned,4,2) AS INT) <= 59
+        |THEN CAST(substr(cleaned,1,2) AS BIGINT)*60 + CAST(substr(cleaned,4,2) AS BIGINT) END AS minutes FROM c""".stripMargin,
+
+    "q22_guarded_parse" ->
+      """WITH r AS (SELECT event_id, CASE WHEN event_id%5=0 THEN NULL WHEN event_id%5=1 THEN 'junk'
+        |WHEN event_id%5=2 THEN '7:30' WHEN event_id%5=3 THEN '25:99'
+        |ELSE lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR),2,'0') || ':' || lpad(CAST(EXTRACT(minute FROM ts) AS VARCHAR),2,'0') END AS raw FROM events)
+        |SELECT event_id, raw, CASE WHEN regexp_matches(raw,'^[0-9]{2}:[0-9]{2}$')
+        |AND CAST(substr(raw,1,2) AS INT) <= 23 AND CAST(substr(raw,4,2) AS INT) <= 59
+        |THEN CAST(substr(raw,1,2) AS BIGINT)*60 + CAST(substr(raw,4,2) AS BIGINT) END AS minutes FROM r""".stripMargin,
+
+    "q23_combine_datetime" ->
+      """SELECT o_orderkey, strptime(strftime(o_orderdate,'%Y-%m-%d') || ' ' ||
+        |lpad(CAST(o_orderkey%24 AS VARCHAR),2,'0') || ':' || lpad(CAST(o_custkey%60 AS VARCHAR),2,'0'),
+        |'%Y-%m-%d %H:%M') AS start_ts FROM orders""".stripMargin,
+
+    "q24_rollover" ->
+      """WITH r AS (SELECT o_orderkey,
+        |strptime(strftime(o_orderdate,'%Y-%m-%d') || ' ' || lpad(CAST(o_orderkey%24 AS VARCHAR),2,'0') || ':' || lpad(CAST(o_custkey%60 AS VARCHAR),2,'0'), '%Y-%m-%d %H:%M') AS s,
+        |strptime(strftime(o_orderdate,'%Y-%m-%d') || ' ' || lpad(CAST(o_custkey%24 AS VARCHAR),2,'0') || ':' || lpad(CAST(o_orderkey%60 AS VARCHAR),2,'0'), '%Y-%m-%d %H:%M') AS e FROM orders)
+        |SELECT o_orderkey, s AS start_ts, CASE WHEN e <= s THEN e + INTERVAL 1 DAY ELSE e END AS end_fixed FROM r""".stripMargin,
+
+    "q25_prefix_coalesce" ->
+      """WITH r AS (SELECT doc_id, text AS des,
+        |CASE WHEN doc_id%4=0 THEN substr(text,1,30) WHEN doc_id%4=1 THEN 'somewhere else' END AS loc,
+        |'area-' || lang AS fb FROM documents)
+        |SELECT doc_id, CASE WHEN loc IS NOT NULL AND des IS NOT NULL
+        |AND substr(loc,1,length(des)) <> substr(des,1,length(loc)) THEN loc
+        |WHEN loc IS NOT NULL AND des IS NULL THEN loc ELSE fb END AS location FROM r""".stripMargin,
+
+    "q26_rename_project" ->
+      "SELECT l_orderkey AS alert_id, l_returnflag AS status, l_shipdate AS publish_date FROM lineitem WHERE l_linenumber=1",
+
+    "q27_nulldrop" ->
+      """SELECT prio, CAST(count(*) AS BIGINT) AS n FROM
+        |(SELECT nullif(o_orderpriority,'1-URGENT') AS prio FROM orders)
+        |WHERE prio IS NOT NULL GROUP BY prio""".stripMargin,
+
+    "q28_lookup_join" ->
+      "SELECT o_orderkey, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey=c_custkey",
+
+    "q29_keep_last" ->
+      """WITH u AS (SELECT o_orderkey AS id, o_orderstatus AS status, 0 AS pri FROM orders
+        |UNION ALL SELECT o_orderkey, 'X', 1 FROM orders WHERE o_orderkey%5=0),
+        |r AS (SELECT id, status, row_number() OVER (PARTITION BY id ORDER BY pri DESC, id DESC) AS rn FROM u)
+        |SELECT id, status FROM r WHERE rn=1""".stripMargin,
+
+    "q30_cdc_antijoin" ->
+      """WITH c AS (SELECT min(ts) + INTERVAL 7 DAY AS cutoff FROM events),
+        |prev AS (SELECT DISTINCT user_id, event_type FROM events, c WHERE ts < cutoff),
+        |cur AS (SELECT user_id, event_type FROM events, c WHERE ts >= cutoff)
+        |SELECT cur.user_id, cur.event_type, CAST(count(*) AS BIGINT) AS n FROM cur
+        |WHERE NOT EXISTS (SELECT 1 FROM prev WHERE prev.user_id=cur.user_id AND prev.event_type=cur.event_type)
+        |GROUP BY cur.user_id, cur.event_type""".stripMargin,
+
+    "q31_sent_registry" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM
+        |(SELECT DISTINCT md5(concat_ws(':', CAST(user_id AS VARCHAR), event_type)) AS rkey
+        |FROM events WHERE user_id%3=0) r
+        |WHERE r.rkey = md5(concat_ws(':', CAST(e.user_id AS VARCHAR), e.event_type)))
+        |GROUP BY event_type""".stripMargin,
+
+    "q32_map_lookup" ->
+      """SELECT n_name, r_name, CASE r_name WHEN 'AFRICA' THEN '#africa' WHEN 'AMERICA' THEN '#americas'
+        |WHEN 'ASIA' THEN '#asia' WHEN 'EUROPE' THEN '#europe' WHEN 'MIDDLE EAST' THEN '#mideast' END AS hashtag
+        |FROM nation JOIN region ON n_regionkey=r_regionkey""".stripMargin,
+
+    "q35_fuzzy_match" ->
+      """WITH cand(cand) AS (VALUES ('Brand#1'),('Brand#23'),('Brnd#32'),('Brand#55x'),('Nomatch#9')),
+        |b AS (SELECT DISTINCT p_brand FROM part),
+        |j AS (SELECT cand, p_brand, CAST(levenshtein(cand, p_brand) AS BIGINT) AS dist
+        |FROM cand CROSS JOIN b WHERE levenshtein(cand, p_brand) <= 2),
+        |r AS (SELECT cand, p_brand, dist, row_number() OVER (PARTITION BY cand ORDER BY dist, p_brand) AS rn FROM j)
+        |SELECT cand, p_brand AS best_brand, dist FROM r WHERE rn=1""".stripMargin,
+
+    "q36_global_min" ->
+      "SELECT min(o_orderdate) - INTERVAL 1 DAY AS cutoff FROM orders",
+
+    "q37_group_collect" ->
+      """SELECT l_orderkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts
+        |FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey""".stripMargin,
+
+    "q39_null_scan" ->
+      """WITH v AS (SELECT CASE WHEN event_id%5=0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_null,
+        |count(CASE WHEN v IS NULL THEN 1 END) > 0 AS any_null,
+        |count(CASE WHEN v IS NULL THEN 1 END) = count(*) AS all_null FROM v""".stripMargin,
+
+    "q40_uniques" -> "SELECT DISTINCT event_type FROM events",
+
+    "q41_sort_desc" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+
+    "q43_sample" ->
+      "SELECT o_orderkey FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 50",
+
+    "q44_serve_current" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1999-01-01 00:00:00' AND o_orderkey%2=0
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q45_serve_7days" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status FROM orders
+        |WHERE o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1999-01-01 00:00:00' - INTERVAL 7 DAY
+        |AND o_orderkey%2<>0""".stripMargin,
+
+    "q46_versioned_projection" ->
+      """SELECT o_orderkey AS id, o_orderpriority AS title,
+        |'Alert ' || CAST(o_orderkey AS VARCHAR) AS tweet_text,
+        |'Alert ' || CAST(o_orderkey AS VARCHAR) || ' #CapeTown' AS toot_text,
+        |CASE WHEN o_orderkey%3=0 THEN 'Citywide' ELSE 'Suburb' END AS area_type,
+        |CAST(NULL AS VARCHAR) AS geospatial_footprint, o_orderstatus AS status
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
+
+    "q48_predicate_string" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (regexp_matches(lower(text),'stream') OR strpos(text,'spark') > 0) AND lang <> 'fr'""".stripMargin,
+
+    "q49_array_filter" ->
+      s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM
+         |(SELECT doc_id, lang, $TOK AS tk FROM documents)
+         |WHERE list_contains(tk, 'spark') AND lang <> 'de'""".stripMargin,
+
+    "q51_doc_render" ->
+      s"""SELECT doc_id, concat_ws(' | ', 'id=' || CAST(doc_id AS VARCHAR), 'lang=' || lang,
+         |CASE WHEN n_chars > 100 THEN 'long' END,
+         |'head=' || array_to_string(tk[1:3], ' ')) AS rendered
+         |FROM (SELECT doc_id, lang, n_chars, $TOK AS tk FROM documents)""".stripMargin,
+
+    "q52_hashing" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha,
+        |base64(CAST(substr(text,1,48) AS BLOB)) AS h_b64 FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "q61_change_stream" ->
+      """WITH c AS (SELECT min(ts) + INTERVAL 7 DAY AS cutoff FROM events),
+        |p AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, first_seen FROM p, c WHERE first_seen >= cutoff""".stripMargin,
+
+    // ---- ext ----
+
+    "x_tokens" ->
+      s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |CAST(coalesce(list_sum(list_transform(tk, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
+         |FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "x_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |round(CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS DOUBLE) / greatest(len(tk), 1), 4) AS mean_tok_len,
+         |round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+         |round(CAST(len(list_filter(tk, x -> list_contains($EN_STOPS, x))) AS DOUBLE) / greatest(len(tk), 1), 4) AS stop_ratio
+         |FROM (SELECT doc_id, text, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "x_langid" -> {
+      val profiles = ExtQueries.langProfiles
+      val scoreCols = profiles.map { case (l, stops) =>
+        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+      }.mkString(", ")
+      val maxExpr = profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+      val caseExpr = profiles.map { case (l, _) =>
+        s"WHEN score_$l = m AND m > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val selectScores = profiles.map(p => s"score_${p._1}").mkString(", ")
+      s"""SELECT doc_id, $selectScores, $caseExpr AS pred_lang FROM
+         |(SELECT doc_id, $selectScores, $maxExpr AS m FROM
+         |(SELECT doc_id, $scoreCols FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)))""".stripMargin
+    },
+
+    "x_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+         |FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents WHERE text IS NOT NULL GROUP BY md5(text)""".stripMargin,
+
+    "x_dedup_minhash" ->
+      s"WITH $SHINGLE_CTES SELECT doc_a, doc_b FROM pairs",
+
+    "x_dedup_jaccard" ->
+      s"""WITH $SHINGLE_CTES,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a, p.doc_b,
+         |round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 4) AS jaccard
+         |FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b""".stripMargin,
+
+    "x_dedup_simhash" ->
+      s"$SIMHASH_SQL SELECT doc_id, simhash FROM sims",
+
+    "x_simhash_pairs" ->
+      s"""$SIMHASH_SQL,
+         |w AS (SELECT doc_id, simhash, simhash % 65536 AS h0, simhash // 65536 AS h1 FROM sims),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM w a JOIN w b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM w a JOIN w b ON a.h1 = b.h1 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
+
+    "x_embed_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, $COS AS cos_sim FROM
+         |(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id <> 0), q)
+         |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "x_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT id_a, id_b, cos_sim FROM
+         |(SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+         |FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.99""".stripMargin,
+
+    "x_mm_decode" ->
+      """SELECT doc_id, CAST(n % 640 AS INT) AS width, CAST(n % 480 AS INT) AS height,
+        |CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, CAST(n AS BIGINT) AS n_bytes
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "x_mm_decode_stage" ->
+      """SELECT doc_id, CAST(n % 640 AS INT) AS width, CAST(n % 480 AS INT) AS height,
+        |CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, CAST(n AS BIGINT) AS n_bytes
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "x_win_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x_win_slide" ->
+      """SELECT ws AS window_start, event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS ws, event_type, value FROM events)
+        |GROUP BY ws, event_type""".stripMargin,
+
+    "x_win_session" ->
+      """WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
+        |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |CAST(count(*) AS BIGINT) AS n FROM y GROUP BY user_id, sid""".stripMargin
+  )
+}

@@ -1,0 +1,455 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Checksum, FixerColumns}
+import graft.incremental.Incremental
+import graft.operators.Dedup
+import graft.serve.Broadcaster
+
+/** Reference-parity operators (SURVEY.md §2) expressed as queries over the
+  * driver's synthetic tables, each with a DuckDB oracle in [[Oracles]].
+  * Query names carry the §2 op number they exercise.
+  */
+object RefQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's vector
+    * reader rejects; read nanos as long and convert to microsecond
+    * timestamps (the driver data is µs-resolution, so this is lossless). */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast("long")))
+  }
+
+  // ---- headline analytics (bench workload; scans+aggs+joins at scale) ----
+
+  /** TPC-H Q1 shape: one scan, map-side partial agg, tiny shuffle. */
+  val tpch1: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: two joins (dimension sides broadcast), top-k. */
+  val tpch3: Q = (s, dir) => {
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q18 shape: group-having on the fact table, then join back. */
+  val tpch18: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 150)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+  }
+
+  // ---- §2.1 scans / semi-structured ----
+
+  /** Op-2: semi-structured projection — JSON props flattened to columns. */
+  val q02JsonFlatten: Q = (s, dir) =>
+    events(s, dir).select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+
+  /** Op-3/Op-4: pruned+pushed scan — only 2 columns read, predicate reaches
+    * the parquet reader (verify with .explain: PushedFilters, ReadSchema). */
+  val q03ScanPrune: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("2000-06-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_linenumber"))
+
+  // ---- §2.2 incremental / cache ----
+
+  /** Op-9: engine-portable row checksum (md5 over column-name-sorted values). */
+  val q09Checksum: Q = (s, dir) =>
+    Checksum.withChecksum(t(s, dir, "nation"), salt = "g")
+      .select(col("n_nationkey"), col("InputChecksum"))
+
+  private def ordersCk(s: SparkSession, dir: String, mutate: Boolean): DataFrame = {
+    val o = t(s, dir, "orders")
+    val status = if (mutate)
+      when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus"))
+    else col("o_orderstatus")
+    o.select(col("o_orderkey"),
+      md5(concat_ws("", status, col("o_orderpriority"))).as("ck"))
+  }
+
+  /** Op-11: cache diff — only rows whose checksum changed are reprocessed. */
+  val q11CacheDiff: Q = (s, dir) =>
+    Incremental.cacheDiff(
+      ordersCk(s, dir, mutate = false), ordersCk(s, dir, mutate = true),
+      Seq("o_orderkey", "ck")).select(col("o_orderkey"))
+
+  /** Op-12: cache retain — cached rows whose input is unchanged. */
+  val q12CacheRetain: Q = (s, dir) =>
+    Incremental.cacheRetain(
+      ordersCk(s, dir, mutate = false), ordersCk(s, dir, mutate = true),
+      Seq("o_orderkey", "ck")).select(col("o_orderkey"))
+
+  /** Op-13: deterministic bounded work per run. */
+  val q13WorkLimit: Q = (s, dir) =>
+    Incremental.workLimit(t(s, dir, "orders"),
+      Seq(col("o_orderdate"), col("o_orderkey")), 20)
+      .select(col("o_orderkey"), col("o_orderdate"))
+
+  /** Op-14: merge fresh results with retained cache. */
+  val q14CacheMerge: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val fresh = o.where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit("fresh").as("src"))
+    val kept = o.where(col("o_orderkey") % 100 =!= 0 && col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("kept").as("src"))
+    Incremental.mergeOrSkip(fresh, kept).get
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Op-15: deterministic backfill sampling of incomplete cached rows. */
+  val q15Backfill: Q = (s, dir) =>
+    Incremental.backfillSample(t(s, dir, "orders"),
+      missing = col("o_orderstatus") === "F",
+      orderCol = col("o_orderdate"), keyCol = col("o_orderkey"), want = 10)
+      .select(col("o_orderkey"))
+
+  // ---- §2.3 scalar canonicalisation (the Fixer) ----
+
+  /** Op-16: regex-validated zero-pad of notification numbers. */
+  val q16Zeropad: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val raw = when(col("o_orderkey") % 3 === 0,
+        lpad(col("o_orderkey").cast("string"), 10, "0"))
+      .when(col("o_orderkey") % 3 === 1, col("o_orderkey").cast("string"))
+    o.select(col("o_orderkey").as("id"), raw.as("nn_raw"),
+      FixerColumns.zeroPadNotification(raw).as("notification_number"))
+  }
+
+  /** Op-17: enum string → nullable boolean. */
+  val q17EnumBool: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val raw = when(col("o_orderstatus") === "O", lit("Planned"))
+      .when(col("o_orderstatus") === "F", lit("Unplanned"))
+      .otherwise(lit("Unknown"))
+    o.select(col("o_orderkey"), FixerColumns.plannedFlag(raw).cast("string").as("planned"))
+  }
+
+  /** Op-18: ISO parse round-trip + SAST wall-clock view. */
+  val q18ParseIso: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+    o.select(col("o_orderkey"), iso.as("iso"),
+      FixerColumns.parseIso(iso).as("parsed"),
+      FixerColumns.sastWallClock(FixerColumns.parseIso(iso)).as("sast_wall"))
+  }
+
+  /** Op-19: expiry = day after the recorded date. */
+  val q19Expiry: Q = (s, dir) =>
+    t(s, dir, "orders").select(col("o_orderkey"),
+      FixerColumns.expiryDate(col("o_orderdate")).as("expiry"))
+
+  /** Op-20: duration between two timestamps, in whole seconds. */
+  val q20Duration: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg((unix_timestamp(max(col("l_shipdate"))) -
+        unix_timestamp(min(col("l_shipdate")))).as("duration_sec"))
+
+  private def hhmm(h: Column, m: Column): Column =
+    concat(lpad(h.cast("string"), 2, "0"), lit(":"), lpad(m.cast("string"), 2, "0"))
+
+  /** Op-21: dirty time munging — substring-global "60"→"59" then
+    * placeholder→"00:00", preserving the reference's Python replace quirks. */
+  val q21DirtyTime: Q = (s, dir) => {
+    val e = events(s, dir)
+    val raw = when(col("event_id") % 13 === 0, lit("Select..."))
+      .when(col("event_id") % 7 === 0,
+        concat(lpad(hour(col("ts")).cast("string"), 2, "0"), lit(":60")))
+      .otherwise(hhmm(hour(col("ts")), minute(col("ts"))))
+    val cleaned = FixerColumns.cleanTimeString(raw)
+    val parsed = FixerColumns.guardedTimeParse(cleaned)
+    e.select(col("event_id"), raw.as("raw"), cleaned.as("cleaned"),
+      (hour(parsed) * 60 + minute(parsed)).cast("long").as("minutes"))
+  }
+
+  /** Op-22: guarded parse — junk shapes and invalid clock values → NULL. */
+  val q22GuardedParse: Q = (s, dir) => {
+    val e = events(s, dir)
+    val raw = when(col("event_id") % 5 === 0, lit(null).cast("string"))
+      .when(col("event_id") % 5 === 1, lit("junk"))
+      .when(col("event_id") % 5 === 2, lit("7:30"))
+      .when(col("event_id") % 5 === 3, lit("25:99"))
+      .otherwise(hhmm(hour(col("ts")), minute(col("ts"))))
+    val parsed = FixerColumns.guardedTimeParse(raw)
+    e.select(col("event_id"), raw.as("raw"),
+      (hour(parsed) * 60 + minute(parsed)).cast("long").as("minutes"))
+  }
+
+  /** Op-23: combine a date's day with an HH:MM time-of-day string. */
+  val q23Combine: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val tstr = hhmm(col("o_orderkey") % 24, col("o_custkey") % 60)
+    o.select(col("o_orderkey"),
+      FixerColumns.combineDateTime(col("o_orderdate"), tstr).as("start_ts"))
+  }
+
+  /** Op-24: overnight rollover — end ≤ start means next day. */
+  val q24Rollover: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val startTs = FixerColumns.combineDateTime(col("o_orderdate"),
+      hhmm(col("o_orderkey") % 24, col("o_custkey") % 60))
+    val endTs = FixerColumns.combineDateTime(col("o_orderdate"),
+      hhmm(col("o_custkey") % 24, col("o_orderkey") % 60))
+    o.select(col("o_orderkey"), startTs.as("start_ts"),
+      FixerColumns.rolloverEnd(startTs, endTs).as("end_fixed"))
+  }
+
+  /** Op-25: location kept only when not a prefix-overlap dup of description. */
+  val q25PrefixCoalesce: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val locRaw = when(col("doc_id") % 4 === 0, substring(col("text"), 1, 30))
+      .when(col("doc_id") % 4 === 1, lit("somewhere else"))
+    val fallback = concat(lit("area-"), col("lang"))
+    d.select(col("doc_id"),
+      FixerColumns.locationCoalesce(locRaw, col("text"), fallback).as("location"))
+  }
+
+  /** Op-26: rename + canonical projection. */
+  val q26RenameProject: Q = (s, dir) =>
+    t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("alert_id"),
+        col("l_returnflag").as("status"),
+        col("l_shipdate").as("publish_date"))
+
+  /** Op-27: null-drop filter (dropna on a required column). */
+  val q27NullDrop: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .withColumn("prio",
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+    o.na.drop(Seq("prio")).groupBy(col("prio")).agg(count(lit(1)).as("n"))
+  }
+
+  // ---- §2.4 joins ----
+
+  /** Op-28: m:1 broadcast lookup join. */
+  val q28LookupJoin: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Op-29: keep-last dedup with explicit precedence (new overrides old). */
+  val q29KeepLast: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val old = o.select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"))
+    val fresh = o.where(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("id"), lit("X").as("status"))
+    Dedup.keepLast(old, fresh, Seq("id"), col("id")).select(col("id"), col("status"))
+  }
+
+  /** Op-30: CDC anti-join — (key,state) pairs unseen in the prior snapshot. */
+  val q30CdcAntijoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val cutoff = e.agg((min(col("ts")) + expr("INTERVAL 7 DAYS")).as("cutoff"))
+    val withCut = e.crossJoin(broadcast(cutoff))
+    val prev = withCut.where(col("ts") < col("cutoff"))
+      .select(col("user_id"), col("event_type")).distinct()
+    val cur = withCut.where(col("ts") >= col("cutoff"))
+      .select(col("user_id"), col("event_type"))
+    Dedup.changedSince(cur, prev, Seq("user_id", "event_type"))
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Op-31: idempotent side-effect registry anti-join. */
+  val q31SentRegistry: Q = (s, dir) => {
+    val e = events(s, dir)
+    val wkey = md5(concat_ws(":", col("user_id").cast("string"), col("event_type")))
+    val registry = e.where(col("user_id") % 3 === 0)
+      .select(md5(concat_ws(":", col("user_id").cast("string"), col("event_type"))).as("rkey"))
+      .distinct()
+    Dedup.notYetDone(e, registry, wkey, col("rkey"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Op-32: broadcast map/dict lookup as a column expression. */
+  val q32MapLookup: Q = (s, dir) => {
+    val hashtags = typedlit(Map(
+      "AFRICA" -> "#africa", "AMERICA" -> "#americas", "ASIA" -> "#asia",
+      "EUROPE" -> "#europe", "MIDDLE EAST" -> "#mideast"))
+    t(s, dir, "nation").join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"),
+        try_element_at(hashtags, col("r_name")).as("hashtag"))
+  }
+
+  /** Op-35: fuzzy (Levenshtein ≤ 2) top-1 lookup match. */
+  val q35FuzzyMatch: Q = (s, dir) => {
+    import s.implicits._
+    val cands = Seq("Brand#1", "Brand#23", "Brnd#32", "Brand#55x", "Nomatch#9")
+      .toDF("cand")
+    val brands = t(s, dir, "part").select(col("p_brand")).distinct()
+    val scored = cands.crossJoin(brands)
+      .withColumn("dist", levenshtein(col("cand"), col("p_brand")).cast("long"))
+      .where(col("dist") <= 2)
+    val w = Window.partitionBy(col("cand")).orderBy(col("dist"), col("p_brand"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cand"), col("p_brand").as("best_brand"), col("dist"))
+  }
+
+  // ---- §2.5 aggregations ----
+
+  /** Op-36: global min driving the "all" window cutoff. */
+  val q36GlobalMin: Q = (s, dir) =>
+    t(s, dir, "orders").agg(
+      (min(col("o_orderdate")) - expr("INTERVAL 1 DAY")).as("cutoff"))
+
+  /** Op-37: group-collect to a deterministic joined list. */
+  val q37GroupCollect: Q = (s, dir) =>
+    t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(transform(array_sort(collect_list(col("l_partkey"))),
+        x => x.cast("string")), ",").as("parts"))
+
+  /** Op-39: any/all-null scans as one aggregate pass. */
+  val q39NullScan: Q = (s, dir) => {
+    val e = events(s, dir)
+    val v = when(col("event_id") % 5 === 0, lit(null).cast("double"))
+      .otherwise(col("value"))
+    e.select(v.as("v")).agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("v").isNull, 1)).as("n_null"))
+      .select(col("n_total"), col("n_null"),
+        (col("n_null") > 0).as("any_null"),
+        (col("n_null") === col("n_total")).as("all_null"))
+  }
+
+  /** Op-40: distinct scan driving per-layer work. */
+  val q40Uniques: Q = (s, dir) =>
+    events(s, dir).select(col("event_type")).distinct()
+
+  // ---- §2.6 sorts / limits / sampling ----
+
+  /** Op-41/42: deterministic sort-desc + limit. */
+  val q41SortDesc: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(100)
+
+  /** Op-43: deterministic pseudo-random sample via md5 ordering (portable
+    * replacement for the reference's impure DataFrame.sample). */
+  val q43Sample: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      .select(col("o_orderkey"))
+      .limit(50)
+
+  // ---- §2.7 serving layer ----
+
+  private val nowLit = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+
+  private def alertsView(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("expiry_date"),
+      (col("o_orderkey") % 2 === 0).as("planned"),
+      col("o_orderstatus").as("status"))
+
+  /** Op-44/45/46: the "current + planned" serving query. */
+  val q44ServeCurrent: Q = (s, dir) =>
+    Broadcaster.serve(alertsView(s, dir), Broadcaster.Current, planned = true,
+        cols = Seq("id", "status"), now = nowLit)
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Op-44/45: the "7-day window + unplanned" serving query. */
+  val q45Serve7Days: Q = (s, dir) =>
+    Broadcaster.serve(alertsView(s, dir), Broadcaster.Last7Days, planned = false,
+      cols = Seq("id", "status"), now = nowLit)
+
+  /** Op-46/47: versioned projection (v1.2 superset columns). */
+  val q46Versioned: Q = (s, dir) => {
+    val o = t(s, dir, "orders").where(col("o_orderkey") <= 5000)
+    val tweet = concat(lit("Alert "), col("o_orderkey").cast("string"))
+    val av = o.select(
+      col("o_orderkey").as("id"),
+      col("o_orderpriority").as("title"),
+      tweet.as("tweet_text"),
+      concat(tweet, lit(" #CapeTown")).as("toot_text"),
+      when(col("o_orderkey") % 3 === 0, lit("Citywide")).otherwise(lit("Suburb")).as("area_type"),
+      lit(null).cast("string").as("geospatial_footprint"),
+      col("o_orderstatus").as("status"))
+    av.select(Broadcaster.versionColumns(Seq("id", "title"), "v1.2").map(col): _*)
+  }
+
+  /** Op-48: the SQL-string predicate surface (pandas query-string parity). */
+  val q48PredicateString: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter("(lower(text) rlike 'stream' or instr(text, 'spark') > 0) and lang <> 'fr'")
+      .select(col("doc_id"), col("lang"))
+
+  /** Op-49: array-membership filter (ward membership parity). */
+  val q49ArrayFilter: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = graft.ext.TextOps.tokens(col("text"))
+    d.where(array_contains(toks, "spark") && col("lang") =!= "de")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+  }
+
+  /** Op-51: row→document rendering with null-field pruning. */
+  val q51DocRender: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = graft.ext.TextOps.tokens(col("text"))
+    d.select(col("doc_id"), concat_ws(" | ",
+      concat(lit("id="), col("doc_id").cast("string")),
+      concat(lit("lang="), col("lang")),
+      when(col("n_chars") > 100, lit("long")),
+      concat(lit("head="), array_join(slice(toks, 1, 3), " "))).as("rendered"))
+  }
+
+  /** Op-52: config hashing — md5 / sha256 / base64 as column expressions.
+    * base64 input kept < 57 bytes to stay clear of MIME line-wrapping
+    * differences between engines. */
+  val q52Hashing: Q = (s, dir) =>
+    t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha"),
+        base64(substring(col("text"), 1, 48).cast("binary")).as("h_b64"))
+
+  // ---- §2.9 change stream (batch-equivalent; streaming form in stream/) ----
+
+  /** Op-61: first-seen detection — (user,type) pairs new after the cutoff. */
+  val q61ChangeStream: Q = (s, dir) => {
+    val e = events(s, dir)
+    val cutoff = e.agg((min(col("ts")) + expr("INTERVAL 7 DAYS")).as("cutoff"))
+    e.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_seen"))
+      .join(broadcast(cutoff))
+      .where(col("first_seen") >= col("cutoff"))
+      .select(col("user_id"), col("event_type"), col("first_seen"))
+  }
+}

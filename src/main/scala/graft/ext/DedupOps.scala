@@ -29,39 +29,49 @@ object DedupOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min md5 over the document's shingle set. Returned long-form
-    * (doc_id, seed, mh) — one groupBy, partial-aggregated map-side. */
+  /** MinHash signature, wide form: ONE groupBy(doc_id) computing all
+    * `numHashes` min-hashes as columns mh_0..mh_{n-1}. (The long-form
+    * alternative — explode a seed dimension then groupBy (doc, seed) —
+    * multiplies the shuffled rows by numHashes and costs a second shuffle;
+    * the wide aggregate is partial-aggregated map-side and shuffles each doc
+    * exactly once.) */
   def minhashSignature(shingleDf: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = shingleDf.sparkSession.range(numHashes).toDF("seed")
-    shingleDf.join(broadcast(seeds))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("shingle"), lit(":"), col("seed").cast("string"))))
-        .as("mh"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(col("shingle"), lit(":" + i)))).as(s"mh_$i"))
+    shingleDf.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: group the signature into `numBands` bands and hash each
-    * band's row-concatenation into a bucket key. Docs sharing any
-    * (band, key) are candidate near-duplicates. */
+  /** LSH banding over the wide signature: band b's bucket key is the md5 of
+    * its rows' concatenation — computed map-side with zero extra shuffles,
+    * then exploded to (doc_id, band, bkey). */
   def lshBands(sig: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
-    val rowsPerBand = numHashes / numBands
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    sig.withColumn("band", (col("seed") / rowsPerBand).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("mh")))),
-        s => s.getField("mh")), ",")).as("bkey"))
+    val rowsPerBand = numHashes / numBands
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand)
+          .map(r => col(s"mh_${rowsPerBand * b + r}")): _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** Candidate pairs from LSH buckets (doc_a < doc_b, distinct). The
-    * self-join shuffles on (band, bkey); bucket sizes are small by
-    * construction so the join output stays near-linear. */
+  /** Candidate pairs from LSH buckets (doc_a < doc_b, distinct). Buckets are
+    * collected per (band, bkey) — one shuffle — and pairs generated from the
+    * sorted member array in-place, avoiding a bands×bands self-join that
+    * would recompute the whole upstream DAG twice. Bucket membership lists
+    * are tiny by construction (that is the point of banding), so the nested
+    * pair expansion is O(bucket²) with bucket ≈ a handful. */
   def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bkey"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val buckets = bands.groupBy("band", "bkey")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val pairsExpr = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
+      j => transform(sequence(lit(0), j - 1),
+        i => struct(col("ids")(i).as("doc_a"), col("ids")(j).as("doc_b")))))
+    buckets.select(explode(pairsExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: join each side to its shingle

@@ -20,25 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sum(a_i * b_i) in double precision, left-to-right fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  import graft.functions.VectorFunctions.dot_d
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** Sum(a_i * b_i) in double precision, left-to-right fold (native
+    * expression — see [[graft.functions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column = dot_d(a, b)
+
+  def norm(a: Column): Column = sqrt(dot_d(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one query vector (given as a one-row
-    * DataFrame with column `q`). Scores rounded to 6 dp BEFORE ranking;
-    * ties broken by id so the result set is unique. */
+    * DataFrame with column `q`). Norms are precomputed per side — never per
+    * pair — and scores rounded to 6 dp BEFORE ranking; ties broken by id so
+    * the result set is unique. */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                  query: DataFrame, k: Int): DataFrame =
-    corpus.crossJoin(broadcast(query))
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
+      .crossJoin(broadcast(query.select(col("q"), norm(col("q")).as("__nrm_q"))))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("q")), 6).as("cos_sim"))
+        round(dot(col(vecCol), col("q")) / (col("__nrm") * col("__nrm_q")), 6)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
@@ -70,14 +72,16 @@ object SimilarityOps {
   def annPairs(df: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, threshold: Double): DataFrame = {
     val sig = srpSignature(df, idCol, vecCol, numPlanes)
-    val withVec = df.select(col(idCol), col(vecCol)).join(sig, idCol)
+    val withVec = df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__nrm")).join(sig, idCol)
     val a = withVec.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
+      col(vecCol).as("vec_a"), col("__nrm").as("nrm_a"))
     val b = withVec.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
+      col(vecCol).as("vec_b"), col("__nrm").as("nrm_b"))
     a.join(b, "bucket").where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .distinct()
   }
@@ -87,11 +91,14 @@ object SimilarityOps {
     * LSH recall at small n, or within pre-partitioned shards at scale. */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("nrm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("nrm_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

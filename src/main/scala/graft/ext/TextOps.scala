@@ -15,34 +15,45 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Lowercase, strip non-alphanumerics, split on whitespace, drop empties.
-    * The canonical token stream every downstream op shares. */
-  def tokens(text: Column): Column =
-    filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), " +"),
-      t => t =!= "")
+    * The canonical token stream every downstream op shares.
+    *
+    * Deliberately lambda-free: higher-order filter() runs interpreted
+    * per-element (~ms/row); collapsing separators with one regex and
+    * splitting on a single space keeps the whole thing inside codegen. */
+  def tokens(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    when(norm === "", array().cast("array<string>")).otherwise(split(norm, " "))
+  }
 
-  /** Word k-shingles ("n-grams of tokens") as space-joined strings.
-    * Documents shorter than k yield an empty array, not an error. */
+  /** Word k-shingles ("n-grams of tokens") as space-joined strings, built by
+    * direct element indexing over a pre-materialised token array (a slice()
+    * over an inlined tokens expression re-tokenises the text once per
+    * position — O(n²) per row). Documents shorter than k yield []. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+        i => concat_ws(" ", (0 until k).map(o => toks(i + (o - 1))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc key, shingle) pairs, distinct per document. */
+  /** (doc key, shingle) pairs, distinct per document. The token array is
+    * materialised in its own projection so Catalyst does not inline (and
+    * thus re-evaluate) the tokeniser at every shingle position. */
   def explodeShingles(df: DataFrame, key: Column, text: Column, k: Int): DataFrame =
-    df.select(key.as("doc_id"),
-        explode(array_distinct(shingles(tokens(text), k))).as("shingle"))
+    df.select(key.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("__toks"), k))).as("shingle"))
 
   /** Whitespace token count plus a BPE-ish subword estimate
     * (ceil(len/4) pieces per token — the usual ~4-chars-per-token rule). */
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame = {
-    val toks = tokens(text)
-    df.select(
-      key.as("doc_id"),
-      size(toks).as("n_tokens"),
-      aggregate(toks, lit(0L),
-        (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
-        .as("n_subwords"))
+    val toks = col("__toks")
+    df.select(key.as("doc_id"), tokens(text).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+          .as("n_subwords"))
   }
 
   /** Quality heuristics: char length, token count, mean token length,
@@ -50,18 +61,19 @@ object TextOps {
     * pre-training pipeline applies before anything expensive. */
   def qualityScore(df: DataFrame, key: Column, text: Column,
                    stopwords: Seq[String]): DataFrame = {
-    val toks = tokens(text)
-    val nChars = length(text)
-    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    val toks = col("__toks")
+    val nChars = length(col("__text"))
+    val punct = nChars - length(regexp_replace(col("__text"), "[^a-zA-Z0-9 ]", ""))
     val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-    df.select(
-      key.as("doc_id"),
-      nChars.as("n_chars"),
-      size(toks).as("n_tokens"),
-      round(aggregate(toks, lit(0L), (a, t) => a + length(t)) /
-        greatest(size(toks), lit(1)).cast("double"), 4).as("mean_tok_len"),
-      round(punct / greatest(nChars, lit(1)).cast("double"), 4).as("punct_ratio"),
-      round(stopHits / greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"))
+    df.select(key.as("doc_id"), text.as("__text"), tokens(text).as("__toks"))
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        size(toks).as("n_tokens"),
+        round((length(array_join(toks, "")).cast("long")) /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("mean_tok_len"),
+        round(punct / greatest(nChars, lit(1)).cast("double"), 4).as("punct_ratio"),
+        round(stopHits / greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"))
   }
 
   /** Tiny n-gram/stopword language-ID heuristic: score each candidate
@@ -76,9 +88,9 @@ object TextOps {
 
   def languageId(df: DataFrame, key: Column, text: Column,
                  profiles: Seq[(String, Seq[String])] = defaultProfiles): DataFrame = {
-    val toks = tokens(text)
-    val scored = df.select(
-      (key.as("doc_id") +:
+    val toks = col("__toks")
+    val scored = df.select(key.as("doc_id"), tokens(text).as("__toks")).select(
+      (col("doc_id") +:
         profiles.map { case (lang, stops) =>
           size(filter(toks, t => t.isin(stops.map(lit): _*))).as(s"score_$lang")
         }): _*)
@@ -94,7 +106,8 @@ object TextOps {
   /** Document fingerprint: md5 over the sorted distinct token set — a cheap
     * canonical-form hash that survives token reordering and duplication. */
   def fingerprint(df: DataFrame, key: Column, text: Column): DataFrame =
-    df.select(key.as("doc_id"),
-      md5(array_join(array_sort(array_distinct(tokens(text))), " "))
-        .as("fingerprint"))
+    df.select(key.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(col("__toks"))), " "))
+          .as("fingerprint"))
 }

@@ -90,6 +90,6 @@ object MultimodalOps {
     val n = length(col(payloadCol)).cast("long")
     df.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(frames - 1)),
-        i => (n * i / frames))).as(Seq("frame_idx", "byte_offset")))
+        i => (n * i / frames).cast("long"))).as(Seq("frame_idx", "byte_offset")))
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{DedupOps, TextOps}
+
+/** Ext text/dedup operator semantics on crafted documents. */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens: lowercases, strips punctuation, never yields empties") {
+    val df = Seq("Hello, World!  x2", "...", "", "a").toDF("text")
+    val got = df.select(TextOps.tokens($"text").as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("hello", "world", "x2"), Seq(), Seq(), Seq("a")))
+  }
+
+  test("shingles: k=3 over short and exact-length docs") {
+    val df = Seq("a b c d", "a b c", "a b").toDF("text")
+      .select(TextOps.tokens($"text").as("toks"))
+    val got = df.select(TextOps.shingles($"toks", 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq("a b c"), Seq()))
+  }
+
+  test("fingerprint: invariant to token order and duplication") {
+    val df = Seq(1L -> "alpha beta gamma", 2L -> "gamma alpha beta alpha")
+      .toDF("id", "text")
+    val fps = TextOps.fingerprint(df, $"id", $"text")
+      .select("fingerprint").as[String].collect().toSeq
+    assert(fps.distinct.size == 1)
+  }
+
+  test("exact dedup groups identical content") {
+    val df = Seq(1L -> "same text", 2L -> "same text", 3L -> "other")
+      .toDF("doc_id", "text")
+    val got = DedupOps.exact(df, $"doc_id", $"text")
+      .orderBy("keep_id").as[(String, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._2, g._3)) == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH: identical docs collide, disjoint docs do not") {
+    val df = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog tonight",
+      20L -> "the quick brown fox jumps over the lazy dog tonight",
+      30L -> "completely different words appear in this unrelated sentence here")
+      .toDF("doc_id", "text")
+    val sh = TextOps.explodeShingles(df, $"doc_id", $"text", 3)
+    val sig = DedupOps.minhashSignature(sh, 12)
+    val pairs = DedupOps.lshCandidates(DedupOps.lshBands(sig, 12, 4))
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((10L, 20L)))
+  }
+
+  test("jaccard: identical docs score 1.0") {
+    val df = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog tonight",
+      20L -> "the quick brown fox jumps over the lazy dog tonight")
+      .toDF("doc_id", "text")
+    val sh = TextOps.explodeShingles(df, $"doc_id", $"text", 3)
+    val sig = DedupOps.minhashSignature(sh, 12)
+    val pairs = DedupOps.lshCandidates(DedupOps.lshBands(sig, 12, 4))
+    val j = DedupOps.jaccard(pairs, sh).as[(Long, Long, Double)].collect().toSeq
+    assert(j == Seq((10L, 20L, 1.0)))
+  }
+
+  test("simhash: identical docs equal, near-identical docs within hamming 3") {
+    val df = Seq(
+      1L -> "spark catalyst optimizer rewrites logical plans into physical plans",
+      2L -> "spark catalyst optimizer rewrites logical plans into physical plans",
+      3L -> "spark catalyst optimizer rewrites logical plans into physical stages")
+      .toDF("doc_id", "text")
+    val sig = DedupOps.simhash(df, $"doc_id", $"text")
+    val m = sig.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val pairs = DedupOps.simhashPairs(sig, 32)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
+  test("languageId: stopword-dominant doc classified, empty doc und") {
+    val df = Seq(1L -> "the cat and the dog of the house",
+      2L -> "zzz qqq").toDF("id", "text")
+    val got = TextOps.languageId(df, $"id", $"text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "und")
+  }
+}

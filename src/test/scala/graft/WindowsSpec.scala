@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{EventWindows, MultimodalOps}
+
+class WindowsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, Double)*) =
+    rows.toSeq.toDF("user_id", "t", "event_type", "value")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+
+  test("tumbling windows align to the hour") {
+    val df = ev((1L, "2024-01-01 00:10:00", "a", 1.0),
+      (1L, "2024-01-01 00:50:00", "a", 2.0),
+      (1L, "2024-01-01 01:10:00", "a", 4.0))
+    val got = EventWindows.tumbling(df, $"ts", "1 hour", Seq($"event_type"),
+        Seq(sum($"value").as("v")))
+      .select($"window_start".cast("string"), $"v")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("2024-01-01 00:00:00" -> 3.0, "2024-01-01 01:00:00" -> 4.0))
+  }
+
+  test("sliding windows: each event lands in width/slide windows") {
+    val df = ev((1L, "2024-01-01 00:40:00", "a", 1.0))
+    val got = EventWindows.sliding(df, $"ts", "1 hour", "30 minutes",
+        Seq($"event_type"), Seq(count(lit(1)).as("n")))
+      .select($"window_start".cast("string")).as[String].collect().sorted.toSeq
+    assert(got == Seq("2024-01-01 00:00:00", "2024-01-01 00:30:00"))
+  }
+
+  test("session windows: gap >= 30min splits, < 30min merges") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "a", 1.0),
+      (1L, "2024-01-01 00:20:00", "a", 1.0),  // merges (20min gap)
+      (1L, "2024-01-01 01:00:00", "a", 1.0),  // splits (40min gap)
+      (2L, "2024-01-01 00:00:00", "a", 1.0))
+    val got = EventWindows.session(df, $"ts", "30 minutes", Seq($"user_id"),
+        Seq(count(lit(1)).as("n")))
+      .select($"user_id", $"n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) == Seq(1L, 2L))
+    assert(got(2L) == Seq(1L))
+  }
+
+  test("multimodal: typed mapPartitions stage matches expression fake-decode") {
+    val df = Seq((1L, "abcd"), (2L, "xyz")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val a = MultimodalOps.decodeStage(df, "doc_id", "payload", MultimodalOps.FakeDecoder)
+      .orderBy("doc_id").collect().toSeq
+    val b = MultimodalOps.fakeDecodeColumns(df, "doc_id", "payload")
+      .orderBy("doc_id").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("multimodal: frame-sample plan emits evenly spaced offsets") {
+    val df = Seq((1L, "0123456789")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val got = MultimodalOps.frameSamplePlan(df, "doc_id", "payload", 5)
+      .select("frame_idx", "byte_offset").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((0, 0L), (1, 2L), (2, 4L), (3, 6L), (4, 8L)))
+  }
+}

@@ -68,6 +68,9 @@ object SparkEntry {
     "q49_array_filter" -> RefQueries.q49ArrayFilter,
     "q51_doc_render" -> RefQueries.q51DocRender,
     "q52_hashing" -> RefQueries.q52Hashing,
+    // §2.8 enrichment stages (stub services, real mapPartitions plumbing)
+    "q53_llm_draft" -> RefQueries.q53LlmDraft,
+    "q54_toot" -> RefQueries.q54Toot,
     // §2.9 change stream (batch form; streaming form under graft.streaming)
     "q61_change_stream" -> RefQueries.q61ChangeStream,
     // ext: text analysis

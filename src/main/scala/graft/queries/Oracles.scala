@@ -273,6 +273,17 @@ object Oracles {
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha,
         |base64(CAST(substr(text,1,48) AS BLOB)) AS h_b64 FROM documents WHERE doc_id < 100""".stripMargin,
 
+    "q53_llm_draft" ->
+      """SELECT doc_id AS id, CASE WHEN length(trim(lang || ': ' || text)) < 2 THEN NULL
+        |ELSE substr(lang || ': ' || text, 1, 280) END AS tweet_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    "q54_toot" ->
+      """SELECT doc_id AS id, substr(lang || ': ' || text, 1, 280) || chr(10) ||
+        |coalesce(CASE lang WHEN 'en' THEN '#water' WHEN 'es' THEN '#energia' WHEN 'fr' THEN '#eau'
+        |WHEN 'de' THEN '#wasser' WHEN 'zh' THEN '#shui' END, '#CityAlert') || ' #CapeTown' AS toot_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
     "q61_change_stream" ->
       """WITH c AS (SELECT min(ts) + INTERVAL 7 DAY AS cutoff FROM events),
         |p AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events GROUP BY user_id, event_type)

@@ -440,6 +440,32 @@ object RefQueries {
         sha2(col("text"), 256).as("h_sha"),
         base64(substring(col("text"), 1, 48).cast("binary")).as("h_b64"))
 
+  // ---- §2.8 enrichment (deterministic stub services; real plumbing) ----
+
+  /** Op-53: LLM draft stage — mapPartitions over (id, title, description)
+    * behind the Drafter interface, joined back by id. The stub drafter's
+    * contract (≤280 chars, None on empty) is SQL-expressible, so this stage
+    * gets a full oracle despite being a typed enrichment. */
+  val q53LlmDraft: Q = (s, dir) => {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id").as("id"), col("lang").as("title"),
+        col("text").as("description"))
+    graft.enrich.Enrichment.draftStage(d, graft.enrich.Enrichment.StubDrafter)
+      .select(col("id"), col("tweet_text"))
+  }
+
+  /** Op-54: toot derivation — tweet + hashtag map + suffix, pure columns. */
+  val q54Toot: Q = (s, dir) => {
+    val hashtags = typedlit(Map(
+      "en" -> "#water", "es" -> "#energia", "fr" -> "#eau",
+      "de" -> "#wasser", "zh" -> "#shui"))
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    val tweet = substring(concat(col("lang"), lit(": "), col("text")), 1, 280)
+    d.select(col("doc_id").as("id"),
+      graft.enrich.Enrichment.tootColumn(tweet,
+        try_element_at(hashtags, col("lang"))).as("toot_text"))
+  }
+
   // ---- §2.9 change stream (batch-equivalent; streaming form in stream/) ----
 
   /** Op-61: first-seen detection — (user,type) pairs new after the cutoff. */

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.ChangeStream
+import graft.streaming.ChangeStream.{AlertState, StatusChange}
+
+/** Ops 61-63: the change stream under Structured Streaming (MemoryStream). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("Op-61 stateless: (Id,status) pairs emitted once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("Id", "status", "ts")
+    val q = ChangeStream.newStatusPairs(df, "Id", "status", "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cdc_out").start()
+    in.addData((1L, "Open", ts("2024-01-01 00:00:00")),
+      (2L, "Open", ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    in.addData((1L, "Open", ts("2024-01-01 00:10:00")),   // dup pair -> dropped
+      (1L, "Closed", ts("2024-01-01 00:11:00")))          // new status -> kept
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cdc_out").select("Id", "status")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "Closed"), (1L, "Open"), (2L, "Open")))
+  }
+
+  test("Op-61 stateful: status transitions with previous state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AlertState]
+    val q = ChangeStream.statusTransitions(in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("trans_out").start()
+    in.addData(AlertState(1L, "Open", ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    in.addData(AlertState(1L, "Open", ts("2024-01-01 00:05:00")),  // no change
+      AlertState(1L, "Closed", ts("2024-01-01 00:06:00")))         // transition
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_out").as[StatusChange].collect().toSeq
+    assert(got == Seq(StatusChange(1L, None, "Open"),
+      StatusChange(1L, Some("Open"), "Closed")))
+  }
+
+  test("Op-62 versioned fan-out drops version-appropriate columns") {
+    val batch = Seq((1L, "Open", "Suburb", "POINT (0 0)"))
+      .toDF("Id", "status", "area_type", "geospatial_footprint")
+    val out = ChangeStream.versionedFanOut(batch)
+    assert(out("v1").columns.toSeq == Seq("Id"))
+    assert(out("v1.1").columns.toSeq == Seq("Id", "area_type", "geospatial_footprint"))
+    assert(out("v1.2").columns.toSeq == Seq("Id", "status", "area_type", "geospatial_footprint"))
+  }
+
+  test("Op-63 notify fires only for non-empty batches") {
+    var notified: Seq[Long] = null
+    ChangeStream.notifyIfAny(Seq(7L, 8L).toDF("Id"), "Id")(ids => notified = ids)
+    assert(notified.sorted == Seq(7L, 8L))
+    var called = false
+    ChangeStream.notifyIfAny(Seq.empty[Long].toDF("Id"), "Id")(_ => called = true)
+    assert(!called)
+  }
+}

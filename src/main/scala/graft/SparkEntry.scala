@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, Oracles, RefQueries}
+import graft.queries.{ExtQueries, GeoQueries, Oracles, RefQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,11 @@ object SparkEntry {
     "q54_toot" -> RefQueries.q54Toot,
     // §2.9 change stream (batch form; streaming form under graft.streaming)
     "q61_change_stream" -> RefQueries.q61ChangeStream,
+    // §2.4/§2.5/§2.8 geospatial (rows-only checks; semantics locked by GeoSpec)
+    "g33_overlay_join" -> GeoQueries.g33Overlay,
+    "g34_spatial_semijoin" -> GeoQueries.g34SemiJoin,
+    "g38_union_agg" -> GeoQueries.g38UnionAgg,
+    "g56_geocode_cascade" -> GeoQueries.g56GeocodeCascade,
     // ext: text analysis
     "x_tokens" -> ExtQueries.xTokens,
     "x_quality" -> ExtQueries.xQuality,

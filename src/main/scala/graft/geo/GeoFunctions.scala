@@ -1,0 +1,74 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udf
+
+import Geometry._
+
+/** Column-level geometry functions over WKT strings.
+  *
+  * Geometries travel as WKT (the reference's at-rest format,
+  * api.yaml:307-310); each function parses on the fly. Registered as Scala
+  * UDFs — the kernel's per-row cost dwarfs expression-dispatch overhead, and
+  * the GIS layers joined against are broadcast-tiny, so codegen'd
+  * expressions would buy nothing here (SURVEY.md §4). Null/garbage WKT
+  * yields null/false/0 rather than errors (the reference's defensive
+  * guards).
+  */
+object GeoFunctions {
+
+  val stArea = udf((wkt: String) => parseWkt(wkt).map(area))
+
+  val stIntersects = udf((a: String, b: String) =>
+    (for { ga <- parseWkt(a); gb <- parseWkt(b) } yield intersects(ga, gb))
+      .getOrElse(false))
+
+  /** Area of a∩b (clip side must be convex — grid cells/suburb extents). */
+  val stIntersectionArea = udf((a: String, b: String) =>
+    for { ga <- parseWkt(a); gb <- parseWkt(b) } yield intersectionArea(ga, gb))
+
+  val stBufferEnv = udf((wkt: String, d: Double) =>
+    parseWkt(wkt).map(g => toWkt(bufferEnv(g, d))))
+
+  val stPoint = udf((x: Double, y: Double) => toWkt(GPoint(Pt(x, y))))
+
+  val stBox = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
+    toWkt(box(x0, y0, x1, y1)))
+
+  val stMakeValid = udf((wkt: String) => parseWkt(wkt).map(g => toWkt(makeValid(g))))
+
+  /** Op-38: geometry union aggregate (shapely unary_union analogue, with
+    * the collection-union semantics documented on Geometry.unionAll). */
+  object UnionAgg extends Aggregator[String, List[String], String] {
+    def zero: List[String] = Nil
+    def reduce(b: List[String], a: String): List[String] =
+      if (a == null) b else a :: b
+    def merge(b1: List[String], b2: List[String]): List[String] = b1 ::: b2
+    def finish(r: List[String]): String = {
+      // sort for deterministic part order regardless of partitioning
+      val gs = r.sorted.flatMap(parseWkt)
+      toWkt(unionAll(gs))
+    }
+    def bufferEncoder: Encoder[List[String]] = Encoders.kryo[List[String]]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  def stUnionAgg: Column = org.apache.spark.sql.functions.udaf(UnionAgg)
+    .apply(org.apache.spark.sql.functions.col("wkt"))
+
+  def stUnionAggOn(c: Column): Column =
+    org.apache.spark.sql.functions.udaf(UnionAgg).apply(c)
+
+  /** Register everything for the SQL-string surface. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("st_area", stArea)
+    spark.udf.register("st_intersects", stIntersects)
+    spark.udf.register("st_intersection_area", stIntersectionArea)
+    spark.udf.register("st_buffer_env", stBufferEnv)
+    spark.udf.register("st_point", stPoint)
+    spark.udf.register("st_box", stBox)
+    spark.udf.register("st_make_valid", stMakeValid)
+    spark.udf.register("st_union_agg", org.apache.spark.sql.functions.udaf(UnionAgg))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial overlay join (reference Op-33/34).
+  *
+  * The reference overlays alert footprints against GIS layer polygons and
+  * keeps pairs where the intersection covers > 5% of either side
+  * (`ServiceAlertAugmenter.py:649-681`). The layer side is always tiny
+  * (suburbs/wards of one city), so the physical strategy is a broadcast
+  * nested-loop join with the geometry predicate as the join filter — no
+  * shuffle of the big side at any scale; the big side streams through
+  * codegen with the broadcast layer in memory.
+  *
+  * A grid-partitioned spatial join (bucketing both sides by cell id and
+  * shuffling on it) is the 100-TB-scale upgrade path when BOTH sides are
+  * large; tracked in SURVEY.md §4 as the stretch strategy.
+  */
+object SpatialJoin {
+
+  /** Pairs (left row, layer row) where the footprints intersect AND the
+    * intersection/area ratio of either side exceeds `minRatio`. The layer
+    * polygons must be convex (grid/suburb cells) for the clip-based area. */
+  def overlayRatio(big: DataFrame, layer: DataFrame,
+                   bigWkt: Column, layerWkt: Column,
+                   minRatio: Double): DataFrame = {
+    val inter = GeoFunctions.stIntersectionArea(bigWkt, layerWkt)
+    big.join(broadcast(layer), GeoFunctions.stIntersects(bigWkt, layerWkt))
+      .withColumn("__inter", inter)
+      .withColumn("__ratio_layer", col("__inter") / GeoFunctions.stArea(layerWkt))
+      .withColumn("__ratio_big", col("__inter") / GeoFunctions.stArea(bigWkt))
+      .where(col("__ratio_layer") > minRatio || col("__ratio_big") > minRatio)
+      .drop("__inter")
+  }
+
+  /** Op-34: semi-join form — left rows whose footprint intersects any layer
+    * polygon. */
+  def intersectsAny(big: DataFrame, layer: DataFrame,
+                    bigWkt: Column, layerWkt: Column): DataFrame =
+    big.join(broadcast(layer), GeoFunctions.stIntersects(bigWkt, layerWkt),
+      "left_semi")
+}

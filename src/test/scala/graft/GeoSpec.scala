@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.Geometry._
+import graft.geo.{GeoFunctions, SpatialJoin}
+
+/** Kernel + column-function semantics for the geospatial operators. */
+class GeoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("WKT round-trip at 6 dp for all shapes") {
+    val cases = Seq(
+      "POINT (1.5 -2.25)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    cases.foreach { w => assert(parseWkt(w).map(toWkt).contains(w)) }
+    // 6-dp quantisation
+    assert(toWkt(GPoint(Pt(1.23456789, 0.0000004))) == "POINT (1.234568 0)")
+    assert(parseWkt("garbage").isEmpty && parseWkt(null).isEmpty)
+  }
+
+  test("shoelace area: square, triangle, multipolygon sum") {
+    assert(area(box(0, 0, 2, 3)) == 6.0)
+    assert(area(GPolygon(Vector(Pt(0, 0), Pt(4, 0), Pt(0, 3)))) == 6.0)
+    assert(area(GMulti(Vector(box(0, 0, 1, 1), box(5, 5, 7, 7)))) == 5.0)
+  }
+
+  test("intersects: disjoint, overlapping, containment, touching, point/line") {
+    val a = box(0, 0, 2, 2)
+    assert(!intersects(a, box(3, 3, 4, 4)))
+    assert(intersects(a, box(1, 1, 3, 3)))
+    assert(intersects(a, box(0.5, 0.5, 1.5, 1.5)))   // contained
+    assert(intersects(box(0.5, 0.5, 1.5, 1.5), a))   // contains
+    assert(intersects(a, box(2, 0, 3, 2)))           // edge-touching
+    assert(intersects(GPoint(Pt(1, 1)), a))
+    assert(!intersects(GPoint(Pt(9, 9)), a))
+    assert(intersects(GLine(Vector(Pt(-1, 1), Pt(3, 1))), a))  // crossing line
+    assert(!intersects(GLine(Vector(Pt(-1, 5), Pt(3, 5))), a))
+  }
+
+  test("intersection area via convex clipping") {
+    assert(intersectionArea(box(0, 0, 2, 2), box(1, 1, 3, 3)) == 1.0)
+    assert(intersectionArea(box(0, 0, 2, 2), box(0.5, 0.5, 1.5, 1.5)) == 1.0)
+    assert(intersectionArea(box(0, 0, 2, 2), box(5, 5, 6, 6)) == 0.0)
+    // triangle {x>=1, y>=1, x+y<=6} clipped by [0,3]^2 -> the square [1,3]^2
+    val tri = GPolygon(Vector(Pt(1, 1), Pt(5, 1), Pt(1, 5)))
+    assert(math.abs(intersectionArea(tri, box(0, 0, 3, 3)) - 4.0) < 1e-9)
+  }
+
+  test("buffer envelope and makeValid") {
+    assert(toWkt(bufferEnv(GPoint(Pt(1, 1)), 0.5)) ==
+      "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    val dirty = GPolygon(Vector(Pt(0, 0), Pt(0, 0), Pt(1, 0), Pt(1, 1)))
+    assert(makeValid(dirty) == GPolygon(Vector(Pt(0, 0), Pt(1, 0), Pt(1, 1))))
+  }
+
+  test("union aggregate: deterministic multipolygon, summed area") {
+    val df = Seq("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))").toDF("wkt")
+    val u = df.agg(GeoFunctions.stUnionAggOn($"wkt").as("u"))
+      .select("u").as[String].head()
+    assert(u.startsWith("MULTIPOLYGON"))
+    assert(parseWkt(u).map(area).contains(5.0))
+  }
+
+  test("overlay join: ratio filter keeps only meaningful overlaps") {
+    val bigs = Seq(
+      (1L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),      // inside cell A
+      (2L, "POLYGON ((1.9 0, 2.9 0, 2.9 1, 1.9 1, 1.9 0))"), // straddles A|B
+      (3L, "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))")) // nowhere
+      .toDF("id", "fp")
+    val layer = Seq(("A", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      ("B", "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")).toDF("name", "cell")
+    // id2∩A is 0.1 wide -> ratio_big = 0.1: kept at 5%, dropped at 15%
+    val at5 = SpatialJoin.overlayRatio(bigs, layer, $"fp", $"cell", 0.05)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(at5 == Set((1L, "A"), (2L, "A"), (2L, "B")))
+    val at15 = SpatialJoin.overlayRatio(bigs, layer, $"fp", $"cell", 0.15)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(at15 == Set((1L, "A"), (2L, "B")))
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+// Dumps physical-plan evidence for the scale-critical queries.
+object PlanAudit {
+  def main(a: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled","false")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.ansi.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String): Unit = {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("PushedFilters: -")
+      val schema = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq.take(2)
+      val bcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin")) +
+        plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning")) +
+        plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+      val wsc = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      println(s"== $name: broadcastJoins=$bcasts shuffles=$shuffles codegenSpans=$wsc")
+      println(s"   $pushed")
+      schema.foreach(s => println(s"   ${s.take(150)}"))
+    }
+    Seq("q03_scan_prune","q_tpch1","q_tpch3","q28_lookup_join","q29_keep_last",
+        "x_dedup_minhash","x_dedup_exact","x_embed_topk","x_win_tumble",
+        "q11_cache_diff","q13_work_limit").foreach(audit)
+    spark.stop()
+  }
+}

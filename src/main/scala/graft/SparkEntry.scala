@@ -64,6 +64,8 @@ object SparkEntry {
     "q44_serve_current" -> RefQueries.q44ServeCurrent,
     "q45_serve_7days" -> RefQueries.q45Serve7Days,
     "q46_versioned_projection" -> RefQueries.q46Versioned,
+    "q47_bok_fanout" -> RefQueries.q47BokFanout,
+    "q59_image_filename" -> RefQueries.q59ImageFilename,
     "q48_predicate_string" -> RefQueries.q48PredicateString,
     "q49_array_filter" -> RefQueries.q49ArrayFilter,
     "q51_doc_render" -> RefQueries.q51DocRender,
@@ -93,6 +95,7 @@ object SparkEntry {
     "x_embed_topk" -> ExtQueries.xEmbedTopk,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_ann_lsh" -> ExtQueries.xAnnLsh,
+    "x_ann_ivf" -> ExtQueries.xAnnIvf,
     // ext: multimodal plumbing
     "x_mm_decode" -> ExtQueries.xMmDecode,
     "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,

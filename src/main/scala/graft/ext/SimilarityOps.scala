@@ -86,6 +86,55 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
+    * nearest centroid, then answer queries by brute-forcing only the
+    * `nprobe` cells nearest the query — the classic coarse-quantizer
+    * trade-off. Centroids are a deterministic md5-ordered sample of the
+    * corpus (portable, no RNG/k-means iterations; a k-means refinement
+    * drops in without changing the query path). At scale the assignment is
+    * one broadcast pass and cells are a partitioning key — queries touch
+    * nprobe/nlist of the data. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist)
+      .orderBy(col(idCol))
+      .select(row_number().over(Window.orderBy(col(idCol))).as("centroid_id"),
+        col(vecCol).as("centroid"))
+
+  /** Assign each vector to its nearest centroid (cosine). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("__nrm"))
+      .crossJoin(broadcast(centroids
+        .withColumn("__cnrm", norm(col("centroid")))))
+      .withColumn("__sim",
+        dot(col(vecCol), col("centroid")) / (col("__nrm") * col("__cnrm")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF top-k for one query vector (one-row DataFrame with column `q`). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val probeCells = query.crossJoin(broadcast(centroids))
+      .select(col("centroid_id"),
+        (dot(col("q"), col("centroid")) /
+          (norm(col("q")) * norm(col("centroid")))).as("__sim"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    cosineTopK(
+      assigned.join(broadcast(probeCells), "centroid_id"),
+      idCol, vecCol, query, k)
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
     * baseline the LSH variant approximates). O(n²/2) — use only to validate
     * LSH recall at small n, or within pre-partitioned shards at scale. */

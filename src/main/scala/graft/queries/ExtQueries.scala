@@ -96,6 +96,15 @@ object ExtQueries {
     SimilarityOps.annPairs(t(s, dir, "embeddings"),
       "vec_id", "embedding", numPlanes = 8, threshold = 0.8)
 
+  /** IVF ANN top-k (coarse quantizer; rows-only check — recall vs the
+    * brute-force oracle path is asserted in SimilaritySpec). */
+  val xAnnIvf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    SimilarityOps.ivfTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+      q, k = 20, nlist = 16, nprobe = 4)
+  }
+
   // ---- multimodal plumbing ----
 
   val xMmDecode: Q = (s, dir) =>

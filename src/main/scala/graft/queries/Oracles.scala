@@ -254,6 +254,25 @@ object Oracles {
         |CAST(NULL AS VARCHAR) AS geospatial_footprint, o_orderstatus AS status
         |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
 
+    "q47_bok_fanout" ->
+      """WITH base AS (SELECT o_orderdate + INTERVAL 30 DAY AS expiry, o_orderkey%2=0 AS planned FROM orders),
+        |wins(w) AS (VALUES ('all'),('7days'),('current')),
+        |pls(p) AS (VALUES (true),(false)),
+        |vers(v, nc) AS (VALUES ('v0', 2),('v1', 4),('v1.1', 6),('v1.2', 7)),
+        |cnt AS (SELECT w, p, CAST(count(*) AS BIGINT) AS n FROM base, wins, pls
+        |  WHERE planned = p AND ((w = 'all')
+        |    OR (w = '7days' AND expiry > TIMESTAMP '1999-01-01 00:00:00' - INTERVAL 7 DAY)
+        |    OR (w = 'current' AND expiry > TIMESTAMP '1999-01-01 00:00:00'))
+        |  GROUP BY w, p)
+        |SELECT w AS "window", p AS planned, v AS version, n AS n_rows, CAST(nc AS BIGINT) AS n_cols
+        |FROM cnt, vers""".stripMargin,
+
+    "q59_image_filename" ->
+      """WITH k AS (SELECT o_orderkey, concat_ws('_', o_orderstatus, o_orderpriority,
+        |CAST(o_orderkey AS VARCHAR)) AS key FROM orders),
+        |b AS (SELECT o_orderkey, key, base64(CAST(substr(key,1,48) AS BLOB)) AS b64 FROM k)
+        |SELECT o_orderkey, CASE WHEN length(b64) > 22 THEN sha256(key) ELSE b64 END AS image_filename FROM b""".stripMargin,
+
     "q48_predicate_string" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (regexp_matches(lower(text),'stream') OR strpos(text,'spark') > 0) AND lang <> 'fr'""".stripMargin,

@@ -405,6 +405,40 @@ object RefQueries {
     av.select(Broadcaster.versionColumns(Seq("id", "title"), "v1.2").map(col): _*)
   }
 
+  /** Op-47 + Ops 44-46 composed: the full 24-document Broadcaster fan-out,
+    * summarised as one row per (window, planned, version) with its row and
+    * column counts — proves the whole serving surface in one query. */
+  val q47BokFanout: Q = (s, dir) => {
+    import s.implicits._
+    val av = alertsView(s, dir).withColumn("title", col("status"))
+      .withColumn("tweet_text", lit("t")).withColumn("toot_text", lit("t"))
+      .withColumn("area_type", lit("Suburb"))
+      .withColumn("geospatial_footprint", lit(null).cast("string"))
+    val out = Broadcaster.fanOut(av, Seq("id", "title"), nowLit)
+    val rows = out.toSeq.map { case ((w, p, v), df) =>
+      val wName = w match {
+        case Broadcaster.All => "all"; case Broadcaster.Last7Days => "7days"
+        case Broadcaster.Current => "current"
+      }
+      (wName, p, v, df.count(), df.columns.length.toLong)
+    }
+    // counts are computed per-combo (24 cheap jobs over one cached view);
+    // the result itself is a tiny summary frame
+    rows.toDF("window", "planned", "version", "n_rows", "n_cols")
+      .orderBy("window", "planned", "version")
+  }
+
+  /** Op-59: map-image filename logic (the pure-column part of the image
+    * render stage): base64 of the identity triple, sha256 when too long. */
+  val q59ImageFilename: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val key = concat_ws("_", col("o_orderstatus"), col("o_orderpriority"),
+      col("o_orderkey").cast("string"))
+    val b64 = base64(substring(key, 1, 48).cast("binary"))
+    o.select(col("o_orderkey"),
+      when(length(b64) > 22, sha2(key, 256)).otherwise(b64).as("image_filename"))
+  }
+
   /** Op-48: the SQL-string predicate surface (pandas query-string parity). */
   val q48PredicateString: Q = (s, dir) =>
     t(s, dir, "documents")

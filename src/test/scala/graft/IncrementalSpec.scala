@@ -53,6 +53,18 @@ class IncrementalSpec extends SparkTestBase {
     assert(got == Seq(2L -> "Closed", 3L -> "Open"))
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    import graft.operators.SkewJoin
+    val big = (1L to 200L).map(i => (i, if (i <= 190) "HOT" else s"k$i"))
+      .toDF("row_id", "key")
+    val small = Seq(("HOT", "hotval"), ("k195", "v195")).toDF("key", "v")
+    val salted = SkewJoin.saltedJoin(big, small, Seq("key"), col("row_id"), 8)
+      .select("row_id", "v").as[(Long, String)].collect().toSet
+    val plain = big.join(small, Seq("key"))
+      .select("row_id", "v").as[(Long, String)].collect().toSet
+    assert(salted == plain && salted.size == 191)
+  }
+
   test("Op-31 registry gate: done work is dropped") {
     val work = Seq(1L, 2L, 3L).toDF("id")
     val registry = Seq("k1", "k3").toDF("done")

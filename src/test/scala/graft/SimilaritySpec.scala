@@ -42,4 +42,12 @@ class SimilaritySpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(got.contains((0L, 1L)))
   }
+
+  test("IVF top-k finds the identical vector with nprobe < nlist") {
+    val q = vecs.where($"vec_id" === 0).select($"embedding".as("q"))
+    val got = SimilarityOps.ivfTopK(vecs.where($"vec_id" =!= 0),
+      "vec_id", "embedding", q, k = 2, nlist = 3, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.head._1 == 1L && got.head._2 == 1.0)
+  }
 }

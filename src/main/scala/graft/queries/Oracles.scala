@@ -16,16 +16,27 @@ object Oracles {
 
   private val EN_STOPS = "['the','and','of','to','in','is','that','with']"
 
-  // shingle CTEs shared by minhash/jaccard (k=3, 12 hashes, 4 bands)
+  // hex[k..k+7] of an md5 digest as a 32-bit integer (no conv() in DuckDB)
+  private def hex32(col: String, start: Int): String =
+    (0 until 8).map { k =>
+      val coef = math.pow(16, 7 - k).toLong
+      s"(strpos('0123456789abcdef', substr($col, ${start + k}, 1)) - 1) * $coef"
+    }.mkString("(", " + ", ")")
+
+  // shingle CTEs shared by minhash/jaccard (k=3, 12 hashes via
+  // Kirsch–Mitzenmacher double hashing, 4 bands) — mirrors DedupOps
   private val SHINGLE_CTES =
     s"""toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM
        |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
        |     i -> array_to_string(tk[i:i+2], ' '))) AS shingle FROM toks)),
-       |sig AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS mh
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) seeds
+       |hv AS (SELECT doc_id, ${hex32("h", 1)} AS h1, ${hex32("h", 9)} AS h2
+       |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+       |sig AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967296) AS mh
+       |  FROM hv CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) seeds
        |  GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, seed//3 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bkey
+       |bands AS (SELECT doc_id, seed//3 AS band,
+       |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
        |  FROM sig GROUP BY doc_id, seed//3),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)

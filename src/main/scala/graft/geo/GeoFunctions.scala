@@ -24,9 +24,14 @@ object GeoFunctions {
     (for { ga <- parseWkt(a); gb <- parseWkt(b) } yield intersects(ga, gb))
       .getOrElse(false))
 
-  /** Area of a∩b (clip side must be convex — grid cells/suburb extents). */
+  /** Area of a∩b — exact for arbitrary polygons (convex clip side takes the
+    * O(n) Sutherland–Hodgman path, everything else the arrangement sweep). */
   val stIntersectionArea = udf((a: String, b: String) =>
     for { ga <- parseWkt(a); gb <- parseWkt(b) } yield intersectionArea(ga, gb))
+
+  /** Exact union area of a WKT array — overlaps counted once. */
+  val stUnionArea = udf((wkts: Seq[String]) =>
+    unionArea(Option(wkts).getOrElse(Seq.empty).flatMap(w => parseWkt(w))))
 
   val stBufferEnv = udf((wkt: String, d: Double) =>
     parseWkt(wkt).map(g => toWkt(bufferEnv(g, d))))
@@ -38,8 +43,10 @@ object GeoFunctions {
 
   val stMakeValid = udf((wkt: String) => parseWkt(wkt).map(g => toWkt(makeValid(g))))
 
-  /** Op-38: geometry union aggregate (shapely unary_union analogue, with
-    * the collection-union semantics documented on Geometry.unionAll). */
+  /** Op-38: geometry union aggregate — a true `shapely.unary_union`
+    * analogue (ServiceAlertAugmenter.py:759-765): overlapping polygons
+    * dissolve into one boundary, shared edges vanish, enclosed voids become
+    * holes, and point/line parts pass through as a GEOMETRYCOLLECTION. */
   object UnionAgg extends Aggregator[String, List[String], String] {
     def zero: List[String] = Nil
     def reduce(b: List[String], a: String): List[String] =
@@ -48,7 +55,7 @@ object GeoFunctions {
     def finish(r: List[String]): String = {
       // sort for deterministic part order regardless of partitioning
       val gs = r.sorted.flatMap(parseWkt)
-      toWkt(unionAll(gs))
+      toWkt(unionDissolve(gs))
     }
     def bufferEncoder: Encoder[List[String]] = Encoders.kryo[List[String]]
     def outputEncoder: Encoder[String] = Encoders.STRING
@@ -69,6 +76,7 @@ object GeoFunctions {
     spark.udf.register("st_point", stPoint)
     spark.udf.register("st_box", stBox)
     spark.udf.register("st_make_valid", stMakeValid)
+    spark.udf.register("st_union_area", stUnionArea)
     spark.udf.register("st_union_agg", org.apache.spark.sql.functions.udaf(UnionAgg))
   }
 }

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
 object SpatialJoin {
 
   /** Pairs (left row, layer row) where the footprints intersect AND the
-    * intersection/area ratio of either side exceeds `minRatio`. The layer
-    * polygons must be convex (grid/suburb cells) for the clip-based area. */
+    * intersection/area ratio of either side exceeds `minRatio`. Convex
+    * layer cells take the O(n) clip path; non-convex ones the exact
+    * arrangement sweep (Geometry.intersectionArea dispatches). */
   def overlayRatio(big: DataFrame, layer: DataFrame,
                    bigWkt: Column, layerWkt: Column,
                    minRatio: Double): DataFrame = {

@@ -126,23 +126,33 @@ object DedupOps {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: LSH on the two 16-bit halves (a pair within
-    * Hamming distance d differs in at most d bits, so for d ≤ 16 at least one
-    * half matches... exactly guaranteed for d where bits fit one half; the
-    * standard pigeonhole trick), verified with an exact popcount. */
+  /** Near-dup pairs by SimHash, pigeonhole-complete: the 32-bit signature is
+    * split into `maxHamming + 1` equal bit-blocks, so any pair within Hamming
+    * distance `maxHamming` has at least one block with zero differing bits
+    * (d differences cannot touch all d+1 blocks) and is guaranteed to become
+    * a candidate; candidates are then verified with an exact popcount.
+    * Physically: one shuffle per block on (block key), bucket sizes bounded
+    * by the key entropy — all map-side expressible, no all-pairs join. */
   def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
-    val withHalves = sig
-      .withColumn("h0", col("simhash") % 65536)
-      .withColumn("h1", floor(col("simhash") / 65536).cast("long"))
-    val pairsOn = (half: String) => {
-      val a = withHalves.select(col(half), col("doc_id").as("doc_a"),
+    val numBlocks = maxHamming + 1
+    require(32 % numBlocks == 0,
+      s"maxHamming + 1 = $numBlocks must divide the 32 signature bits")
+    val bitsPerBlock = 32 / numBlocks
+    val blockKey = (b: Int) =>
+      expr(s"(simhash div ${1L << (bitsPerBlock * b)}) % ${1L << bitsPerBlock}")
+    val withBlocks = (0 until numBlocks).foldLeft(sig) { (d, b) =>
+      d.withColumn(s"h$b", blockKey(b))
+    }
+    val pairsOn = (block: String) => {
+      val a = withBlocks.select(col(block), col("doc_id").as("doc_a"),
         col("simhash").as("sim_a"))
-      val b = withHalves.select(col(half), col("doc_id").as("doc_b"),
+      val b = withBlocks.select(col(block), col("doc_id").as("doc_b"),
         col("simhash").as("sim_b"))
-      a.join(b, half).where(col("doc_a") < col("doc_b"))
+      a.join(b, block).where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
     }
-    pairsOn("h0").unionByName(pairsOn("h1")).distinct()
+    (0 until numBlocks).map(b => pairsOn(s"h$b")).reduce(_ unionByName _)
+      .distinct()
       .withColumn("hamming",
         expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .where(col("hamming") <= maxHamming)

@@ -374,16 +374,21 @@ object Oracles {
     "x_dedup_simhash" ->
       s"$SIMHASH_SQL SELECT doc_id, simhash FROM sims",
 
-    "x_simhash_pairs" ->
+    "x_simhash_pairs" -> {
+      // pigeonhole-complete banding for maxHamming=3: 4 blocks of 8 bits
+      // (mirrors DedupOps.simhashPairs)
+      val blocks = (0 until 4).map(b =>
+        s"(simhash // ${1L << (8 * b)}) % 256 AS h$b").mkString(", ")
+      val branches = (0 until 4).map(b =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+           |  FROM w a JOIN w b ON a.h$b = b.h$b AND a.doc_id < b.doc_id""".stripMargin)
+        .mkString("\n  UNION\n  ")
       s"""$SIMHASH_SQL,
-         |w AS (SELECT doc_id, simhash, simhash % 65536 AS h0, simhash // 65536 AS h1 FROM sims),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
-         |  FROM w a JOIN w b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-         |  FROM w a JOIN w b ON a.h1 = b.h1 AND a.doc_id < b.doc_id)
+         |w AS (SELECT doc_id, simhash, $blocks FROM sims),
+         |p AS ($branches)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-         |FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
+         |FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+    },
 
     "x_embed_topk" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id = 0),

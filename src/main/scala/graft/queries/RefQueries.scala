@@ -407,24 +407,33 @@ object RefQueries {
 
   /** Op-47 + Ops 44-46 composed: the full 24-document Broadcaster fan-out,
     * summarised as one row per (window, planned, version) with its row and
-    * column counts — proves the whole serving surface in one query. */
+    * column counts — proves the whole serving surface in one query.
+    *
+    * ONE aggregation pass: each alert is exploded into the windows it
+    * belongs to (≤3 rows, map-side), counted by (window, planned) in a
+    * single shuffle, and the 4 API versions — which only change the
+    * projection, never the row set — are attached as a tiny broadcast
+    * cross-join with their column counts derived from
+    * [[Broadcaster.versionColumns]]. No per-combo jobs, no driver loop. */
   val q47BokFanout: Q = (s, dir) => {
     import s.implicits._
-    val av = alertsView(s, dir).withColumn("title", col("status"))
-      .withColumn("tweet_text", lit("t")).withColumn("toot_text", lit("t"))
-      .withColumn("area_type", lit("Suburb"))
-      .withColumn("geospatial_footprint", lit(null).cast("string"))
-    val out = Broadcaster.fanOut(av, Seq("id", "title"), nowLit)
-    val rows = out.toSeq.map { case ((w, p, v), df) =>
-      val wName = w match {
-        case Broadcaster.All => "all"; case Broadcaster.Last7Days => "7days"
-        case Broadcaster.Current => "current"
-      }
-      (wName, p, v, df.count(), df.columns.length.toLong)
-    }
-    // counts are computed per-combo (24 cheap jobs over one cached view);
-    // the result itself is a tiny summary frame
-    rows.toDF("window", "planned", "version", "n_rows", "n_cols")
+    val av = alertsView(s, dir)
+    val in7Days = Broadcaster.windowPredicate(col("expiry_date"), Broadcaster.Last7Days, nowLit)
+    val inCurrent = Broadcaster.windowPredicate(col("expiry_date"), Broadcaster.Current, nowLit)
+    val windowsHit = array_compact(array(
+      lit("all"),
+      when(in7Days, lit("7days")),
+      when(inCurrent, lit("current"))))
+    val counts = av
+      .select(col("planned"), explode(windowsHit).as("window"))
+      .groupBy(col("window"), col("planned"))
+      .agg(count(lit(1)).as("n_rows"))
+    val versions = Seq("v0", "v1", "v1.1", "v1.2")
+      .map(v => (v, Broadcaster.versionColumns(Seq("id", "title"), v).length.toLong))
+      .toDF("version", "n_cols")
+    counts.crossJoin(broadcast(versions))
+      .select(col("window"), col("planned"), col("version"),
+        col("n_rows"), col("n_cols"))
       .orderBy("window", "planned", "version")
   }
 

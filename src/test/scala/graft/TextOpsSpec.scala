@@ -72,9 +72,23 @@ class TextOpsSpec extends SparkTestBase {
     val sig = DedupOps.simhash(df, $"doc_id", $"text")
     val m = sig.as[(Long, Long)].collect().toMap
     assert(m(1L) == m(2L))
-    val pairs = DedupOps.simhashPairs(sig, 32)
+    val pairs = DedupOps.simhashPairs(sig, 31)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs((1L, 2L)) == 0L)
+  }
+
+  test("simhashPairs finds pairs whose differing bits straddle both 16-bit halves") {
+    // bits 3, 17, 29 differ: both halves dirty (the old 2-half split missed
+    // this), but blocks of 8 bits leave block 1 (bits 8-15) clean
+    val sig = Seq(1L -> 0L, 2L -> ((1L << 3) | (1L << 17) | (1L << 29)))
+      .toDF("doc_id", "simhash")
+    val pairs = DedupOps.simhashPairs(sig, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 3L)))
+    // and a distance-4 pair with all four blocks dirty is correctly excluded
+    val sig4 = Seq(1L -> 0L, 2L -> ((1L << 3) | (1L << 9) | (1L << 17) | (1L << 29)))
+      .toDF("doc_id", "simhash")
+    assert(DedupOps.simhashPairs(sig4, maxHamming = 3).count() == 0)
   }
 
   test("languageId: stopword-dominant doc classified, empty doc und") {

@@ -9,11 +9,14 @@ import graft.geo.{GeoFunctions, SpatialJoin}
 /** Geospatial operators (SURVEY.md Ops 33-35, 38, 56-58) over footprints
   * synthesised deterministically from the driver tables (the testdata has no
   * geometry columns; geometry is derived from keys, so results are stable).
-  * Not SQL-expressible in stock DuckDB → rows-only driver checks; exact
-  * semantics are locked by GeoSpec instead.
   *
   * World model: nations are 2×2 grid cells tiling [0,10]²; customers are
-  * unit squares at positions derived from c_custkey.
+  * unit squares at positions derived from c_custkey. Because every edge lies
+  * on the 0.1 coordinate grid, the queries ARE oracle-checkable in plain
+  * SQL: intersection areas are closed-form box overlaps, and union areas
+  * rasterise exactly onto 0.1×0.1 cells (an independent check of the
+  * dissolve kernel, not a mirror of it). Exact geometry semantics (holes,
+  * non-convex clips, collections) are additionally locked by GeoSpec.
   */
 object GeoQueries {
 
@@ -40,13 +43,18 @@ object GeoQueries {
         GeoFunctions.stBox(px, py, px + 1.0, py + 1.0).as("fp_wkt"))
   }
 
-  /** Op-33 + Op-37: overlay join with 5% area-ratio filter, then group-
+  /** Op-33 + Op-37: overlay join with a ~5% area-ratio filter, then group-
     * collect intersecting cell names per customer (the suburbs/wards
-    * inference). */
+    * inference). minRatio is 0.045, NOT 0.05: intersection areas on this
+    * 0.1-grid world are multiples of 0.01, and 0.05 is itself a reachable
+    * product (0.1×0.5) — a threshold equal to a reachable value would make
+    * the keep/drop decision depend on last-ulp float differences between
+    * engines. 0.045 sits 0.005 from the nearest reachable area, so the
+    * decision is robust on both sides of the oracle compare. */
   val g33Overlay: Q = (s, dir) =>
     SpatialJoin.overlayRatio(
         customerSquares(s, dir, 500), nationCells(s, dir),
-        col("fp_wkt"), col("cell_wkt"), minRatio = 0.05)
+        col("fp_wkt"), col("cell_wkt"), minRatio = 0.045)
       .groupBy(col("c_custkey"))
       .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
         .as("inferred_cells"))

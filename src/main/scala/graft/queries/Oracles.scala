@@ -63,6 +63,20 @@ object Oracles {
   private val COS =
     "round(list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6)"
 
+  // geo world model (mirrors GeoQueries): customers are unit squares at
+  // ((7k mod 100)/10, (13k mod 100)/10); nations are 2×2 cells tiling
+  // [0,10]². Same IEEE arithmetic as the Spark side (integer mod, cast,
+  // divide by 10.0), so box bounds are bit-identical doubles.
+  private val GEO_CTES =
+    """cust AS (SELECT c_custkey,
+      |  CAST((c_custkey*7)%100 AS DOUBLE)/10.0 AS px,
+      |  CAST((c_custkey*13)%100 AS DOUBLE)/10.0 AS py
+      |  FROM customer WHERE c_custkey <= 500),
+      |cells AS (SELECT n_nationkey, n_name,
+      |  CAST(n_nationkey%5 AS DOUBLE)*2.0 AS cx,
+      |  CAST(n_nationkey//5 AS DOUBLE)*2.0 AS cy FROM nation)
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_tpch1" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -277,6 +291,42 @@ object Oracles {
         |  GROUP BY w, p)
         |SELECT w AS "window", p AS planned, v AS version, n AS n_rows, CAST(nc AS BIGINT) AS n_cols
         |FROM cnt, vers""".stripMargin,
+
+    // ---- geo (box world model; closed-interval intersects like the kernel:
+    // boundary touch counts, hence >= 0 on the overlap widths) ----
+
+    "g33_overlay_join" ->
+      s"""WITH $GEO_CTES,
+         |pairs AS (SELECT c.c_custkey, l.n_name,
+         |  greatest(least(c.px+1.0,l.cx+2.0)-greatest(c.px,l.cx),0)
+         |    * greatest(least(c.py+1.0,l.cy+2.0)-greatest(c.py,l.cy),0) AS inter
+         |  FROM cust c JOIN cells l
+         |  ON least(c.px+1.0,l.cx+2.0)-greatest(c.px,l.cx) >= 0
+         |  AND least(c.py+1.0,l.cy+2.0)-greatest(c.py,l.cy) >= 0)
+         |SELECT c_custkey, string_agg(n_name, ',' ORDER BY n_name) AS inferred_cells
+         |FROM pairs WHERE inter/4.0 > 0.045 OR inter/1.0 > 0.045
+         |GROUP BY c_custkey""".stripMargin,
+
+    "g34_spatial_semijoin" ->
+      s"""WITH $GEO_CTES
+         |SELECT c_custkey FROM cust c WHERE EXISTS (SELECT 1 FROM cells l
+         |  WHERE l.n_nationkey%2=0
+         |  AND least(c.px+1.0,l.cx+2.0)-greatest(c.px,l.cx) >= 0
+         |  AND least(c.py+1.0,l.cy+2.0)-greatest(c.py,l.cy) >= 0)""".stripMargin,
+
+    // union area by exact 0.1-cell rasterisation (all box edges lie on the
+    // 0.1 grid) — an independent integer-arithmetic check of the dissolve
+    // kernel's sweep, not a mirror of it
+    "g38_union_agg" ->
+      s"""WITH $GEO_CTES,
+         |boxes AS (SELECT c_custkey % 25 AS cell,
+         |  CAST(round(px*10) AS INT) AS ix0, CAST(round(py*10) AS INT) AS iy0 FROM cust),
+         |cov AS (SELECT DISTINCT cell, ix0+i.i AS ix, iy0+j.j AS iy
+         |  FROM boxes, (SELECT unnest(range(0,10)) AS i) i, (SELECT unnest(range(0,10)) AS j) j),
+         |u AS (SELECT cell, count(*) AS nc FROM cov GROUP BY cell),
+         |np AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_parts FROM boxes GROUP BY cell)
+         |SELECT np.cell, np.n_parts, round(u.nc/100.0, 4) AS union_area
+         |FROM np JOIN u ON u.cell = np.cell""".stripMargin,
 
     "q59_image_filename" ->
       """WITH k AS (SELECT o_orderkey, concat_ws('_', o_orderstatus, o_orderpriority,

@@ -96,6 +96,7 @@ object SparkEntry {
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_ann_lsh" -> ExtQueries.xAnnLsh,
     "x_ann_ivf" -> ExtQueries.xAnnIvf,
+    "x_ann_recall" -> ExtQueries.xAnnRecall,
     // ext: multimodal plumbing
     "x_mm_decode" -> ExtQueries.xMmDecode,
     "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,
@@ -105,15 +106,17 @@ object SparkEntry {
     "x_win_session" -> ExtQueries.xWinSession
   )
 
-  /** DuckDB equivalents; queries absent here get the driver's rows-only
-    * check (x_ann_lsh: LSH bucketing is not expressible in portable SQL). */
+  /** DuckDB equivalents — every query in `queries` has one. */
   def oracleSql: Map[String, String] = Oracles.all
 
   /** The heavier queries Bench runs (scans, shuffles, joins, the dedup
-    * pipelines, similarity search, windows). */
+    * pipelines, similarity search, windows). The benched near-dup paths are
+    * the scalable ones (banded SRP-LSH pairs, IVF top-k); the O(n²)
+    * brute-force baseline is deliberately NOT benched — it exists to
+    * validate LSH/IVF recall at small n, not as a headline plan. */
   val benchNames: Seq[String] = Seq(
     "q_tpch1", "q_tpch3", "q_tpch18", "q20_duration", "q28_lookup_join",
     "q29_keep_last", "q37_group_collect", "x_dedup_exact", "x_dedup_minhash",
-    "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_embed_neardup",
-    "x_win_tumble", "x_win_session", "x_fingerprint")
+    "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
+    "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint")
 }

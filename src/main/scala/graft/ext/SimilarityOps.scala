@@ -51,39 +51,60 @@ object SimilarityOps {
     (conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 8),
       16, 10).cast("double") / lit(math.pow(2, 32)) * 2.0 - 1.0)
 
-  /** Sign-random-projection LSH signature (`numPlanes` bits) for each vector:
-    * bit p = sign(v · plane_p). Vectors land in 2^numPlanes buckets; near
-    * neighbours collide with high probability. */
-  def srpSignature(df: DataFrame, idCol: String, vecCol: String,
-                   numPlanes: Int): DataFrame = {
+  /** Banded sign-random-projection signatures: `numPlanes` sign bits split
+    * into `numBands` bands of r = numPlanes/numBands bits each, emitted as
+    * (id, band, bkey). Two vectors are LSH candidates when ANY band key
+    * matches (OR-amplification): for near-duplicates with per-plane flip
+    * probability p this lifts recall from (1-p)^numPlanes — the single-
+    * bucket form, which measurably drops ~30% of 0.99-cosine pairs at
+    * 16 planes — to 1-(1-(1-p)^r)^numBands ≈ 1. One explode + one wide
+    * aggregate, so each corpus row is shuffled exactly once. */
+  def srpBands(df: DataFrame, idCol: String, vecCol: String,
+               numPlanes: Int, numBands: Int): DataFrame = {
+    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
+    val r = numPlanes / numBands
     val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
     val dots = (0 until numPlanes).map { p =>
       sum(col("v").cast("double") * planeComponent(p, col("d"))).as(s"dot_$p")
     }
     val agg = expl.groupBy(idCol).agg(dots.head, dots.tail: _*)
-    val sig = (0 until numPlanes).map { p =>
-      when(col(s"dot_$p") > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col(idCol), sig.as("bucket"))
+    val bandCols = (0 until numBands).map { b =>
+      val key = (0 until r).map { j =>
+        when(col(s"dot_${b * r + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b.toLong).as("band"), key.as("bkey"))
+    }
+    agg.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** Bucketed ANN: candidate pairs share an SRP bucket; exact cosine is
-    * computed only inside buckets. `threshold` filters the verified pairs. */
+  /** Banded ANN near-dup pairs: candidates share any SRP band key; exact
+    * cosine is computed only for candidates. Pairs are generated inside
+    * collected buckets (same pattern as [[DedupOps.lshCandidates]]) — one
+    * shuffle on (band, bkey), no self-join recomputing the signature DAG,
+    * bucket lists tiny by construction. `threshold` filters verified pairs. */
   def annPairs(df: DataFrame, idCol: String, vecCol: String,
-               numPlanes: Int, threshold: Double): DataFrame = {
-    val sig = srpSignature(df, idCol, vecCol, numPlanes)
-    val withVec = df.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("__nrm")).join(sig, idCol)
-    val a = withVec.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("__nrm").as("nrm_a"))
-    val b = withVec.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("__nrm").as("nrm_b"))
-    a.join(b, "bucket").where(col("id_a") < col("id_b"))
+               numPlanes: Int, numBands: Int, threshold: Double): DataFrame = {
+    val bands = srpBands(df, idCol, vecCol, numPlanes, numBands)
+    val buckets = bands.groupBy("band", "bkey")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val pairsExpr = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
+      j => transform(sequence(lit(0), j - 1),
+        i => struct(col("ids")(i).as("id_a"), col("ids")(j).as("id_b")))))
+    val cand = buckets.select(explode(pairsExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val withVec = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
+    cand
+      .join(withVec.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("__nrm").as("nrm_a")), "id_a")
+      .join(withVec.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("__nrm").as("nrm_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
-      .distinct()
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
@@ -103,30 +124,62 @@ object SimilarityOps {
       .select(row_number().over(Window.orderBy(col(idCol))).as("centroid_id"),
         col(vecCol).as("centroid"))
 
-  /** Assign each vector to its nearest centroid (cosine). */
+  /** Assign each vector to its nearest centroid (cosine). Similarities are
+    * rounded to 6 dp BEFORE the argmax (ties to the smallest centroid id) so
+    * cell membership is engine-portable. The argmax is max(struct(sim,
+    * -cid)) in a plain groupBy — partial-aggregated map-side, unlike a
+    * row_number window which would shuffle every scored row. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val scored = df.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("__nrm"))
       .crossJoin(broadcast(centroids
         .withColumn("__cnrm", norm(col("centroid")))))
-      .withColumn("__sim",
-        dot(col(vecCol), col("centroid")) / (col("__nrm") * col("__cnrm")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("centroid_id"))
-    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .select(col(idCol), col(vecCol),
+        round(dot(col(vecCol), col("centroid")) / (col("__nrm") * col("__cnrm")), 6)
+          .as("__sim"),
+        col("centroid_id"))
+    scored.groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), // constant within the group
+        max(struct(col("__sim"), (-col("centroid_id")).as("__ncid"))).as("__best"))
+      .select(col(idCol), col(vecCol), (-col("__best.__ncid")).as("centroid_id"))
   }
 
-  /** IVF top-k for one query vector (one-row DataFrame with column `q`). */
+  /** Lloyd refinement of the coarse centroids: `iters` rounds of assign-to-
+    * nearest + per-dimension mean, each mean rounded to 6 dp so the refined
+    * centroids are engine-portable. Cells that lose all members keep their
+    * previous centroid. Each round is one broadcast assignment pass plus one
+    * aggregation — no window, no all-pairs work. */
+  def ivfRefine(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(centroids) { (ctr, _) =>
+      val asg = ivfAssign(df, idCol, vecCol, ctr)
+      val upd = asg.select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("__cnew"))
+      ctr.join(upd, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__cnew"), col("centroid")).as("centroid"))
+    }
+
+  /** IVF top-k for one query vector (one-row DataFrame with column `q`).
+    * `kmeansIters` > 0 refines the sampled centroids with that many Lloyd
+    * rounds before assignment. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+              query: DataFrame, k: Int, nlist: Int, nprobe: Int,
+              kmeansIters: Int = 0): DataFrame = {
+    val centroids0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val centroids =
+      if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
+      else centroids0
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
     val probeCells = query.crossJoin(broadcast(centroids))
       .select(col("centroid_id"),
-        (dot(col("q"), col("centroid")) /
-          (norm(col("q")) * norm(col("centroid")))).as("__sim"))
+        round(dot(col("q"), col("centroid")) /
+          (norm(col("q")) * norm(col("centroid"))), 6).as("__sim"))
       .orderBy(col("__sim").desc, col("centroid_id"))
       .limit(nprobe)
       .select("centroid_id")

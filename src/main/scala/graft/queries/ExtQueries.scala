@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
@@ -94,22 +94,66 @@ object ExtQueries {
       "vec_id", "embedding", q, 20)
   }
 
+  /** ANN/near-dup corpus with planted duplicates, so the approximate paths
+    * have non-vacuous, driver-checkable output (the raw synthetic embeddings
+    * contain NO pairs above 0.99 — every query over them was a 0-row pass):
+    * every 25th vector gets an exact copy (vec_id+10000), and vector 0 gets
+    * 20 deterministic near-clones (vec_id 20001..20020, ±0.005 md5-derived
+    * jitter per element, cosine ≈ 0.9999). Everything is computed in double
+    * precision after an explicit cast from the float storage, so Spark and
+    * the DuckDB oracle operate on bit-identical inputs. */
+  def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = e0.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val jitter = (j: Column, i: Column) =>
+      (conv(substring(md5(concat(lit("nd:"), j.cast("string"), lit(":"),
+        i.cast("string"))), 1, 8), 16, 10).cast("double")
+        / lit(4294967296.0) - 0.5) * 0.01
+    val clones = e0.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      .crossJoin(s.range(1, 21).toDF("j"))
+      .select((col("j") + 20000).as("vec_id"),
+        transform(col("qv"), (x, i) => x + jitter(col("j"), i)).as("embedding"))
+    e0.unionByName(copies).unionByName(clones)
+  }
+
+  /** Exact near-dup baseline over the planted corpus — O(n²) by design; the
+    * LSH/IVF paths below are the scale story, this is their ground truth. */
   val xEmbedNeardup: Q = (s, dir) =>
-    SimilarityOps.bruteForcePairs(t(s, dir, "embeddings"),
+    SimilarityOps.bruteForcePairs(plantedEmbeddings(s, dir),
       "vec_id", "embedding", threshold = 0.99)
 
-  /** LSH-bucketed ANN — the 100-TB path (no SQL oracle; rows-only check). */
+  /** Banded SRP-LSH ANN — the 100-TB near-dup path (16 planes × 4 bands;
+    * full SRP oracle in DuckDB). */
   val xAnnLsh: Q = (s, dir) =>
-    SimilarityOps.annPairs(t(s, dir, "embeddings"),
-      "vec_id", "embedding", numPlanes = 8, threshold = 0.8)
+    SimilarityOps.annPairs(plantedEmbeddings(s, dir),
+      "vec_id", "embedding", numPlanes = 16, numBands = 4, threshold = 0.99)
 
-  /** IVF ANN top-k (coarse quantizer; rows-only check — recall vs the
-    * brute-force oracle path is asserted in SimilaritySpec). */
+  /** IVF ANN top-k with 2 Lloyd refinement rounds (coarse quantizer; full
+    * IVF oracle in DuckDB). */
   val xAnnIvf: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = plantedEmbeddings(s, dir)
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
     SimilarityOps.ivfTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
-      q, k = 20, nlist = 16, nprobe = 4)
+      q, k = 20, nlist = 16, nprobe = 4, kmeansIters = 2)
+  }
+
+  /** IVF recall vs the brute-force top-k, driver-checked: one row
+    * (n_true, n_found, recall). The planted near-clones of vector 0 make the
+    * true top-20 non-trivial, and recall is 1.0 by measurement (asserted
+    * ≥ 0.9 in SimilaritySpec as the regression floor). */
+  val xAnnRecall: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    val rest = emb.where(col("vec_id") =!= 0)
+    val brute = SimilarityOps.cosineTopK(rest, "vec_id", "embedding", q, 20)
+    val ivf = SimilarityOps.ivfTopK(rest, "vec_id", "embedding",
+      q, k = 20, nlist = 16, nprobe = 4, kmeansIters = 2)
+    brute.join(ivf.select(col("vec_id").as("__f")),
+        col("vec_id") === col("__f"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__f")).as("n_found"),
+        round(count(col("__f")) / lit(20.0), 4).as("recall"))
   }
 
   // ---- multimodal plumbing ----

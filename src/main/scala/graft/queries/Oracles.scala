@@ -63,6 +63,63 @@ object Oracles {
   private val COS =
     "round(list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6)"
 
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)"
+
+  // planted ANN corpus (mirrors ExtQueries.plantedEmbeddings): exact copies
+  // of every 25th vector, 20 md5-jittered near-clones of vector 0
+  private val PLANTED_CTES =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |clones AS (SELECT 20000 + j AS vec_id,
+       |  list_transform(range(0, len(q.v)), i -> q.v[i+1] +
+       |    (${hex32("md5('nd:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR))", 1)} / 4294967296.0 - 0.5) * 0.01) AS v
+       |  FROM (SELECT v FROM e0 WHERE vec_id = 0) q, (SELECT unnest(range(1, 21)) AS j)),
+       |corpus AS (SELECT vec_id, v FROM e0
+       |  UNION ALL SELECT vec_id + 10000, v FROM e0 WHERE vec_id % 25 = 0
+       |  UNION ALL SELECT vec_id, v FROM clones)
+       |""".stripMargin
+
+  /** IVF CTE chain (mirrors SimilarityOps.ivfTopK with kmeansIters Lloyd
+    * rounds): md5-sampled centroids, per-round rounded-mean updates, rounded
+    * argmax assignment (ties to the smallest centroid id), probe LIMIT
+    * nprobe, top-k LIMIT k. Appends CTEs `rest`, `qv`, `asgF`, `probe`,
+    * `ivf` to PLANTED_CTES. */
+  private def ivfCtes(kmeansIters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
+         |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
+         |ctr0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS c FROM
+         |  (SELECT vec_id, v FROM rest ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)),
+         |""".stripMargin)
+    for (it <- 1 to kmeansIters) {
+      val prev = s"ctr${it - 1}"
+      sb.append(
+        s"""asg$it AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT r.vec_id, r.v, k.centroid_id, row_number() OVER (PARTITION BY r.vec_id
+           |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM rest r, $prev k) WHERE rn = 1),
+           |upd$it AS (SELECT centroid_id, list(m ORDER BY i) AS c FROM
+           |  (SELECT centroid_id, i, round(avg(v[i+1]), 6) AS m FROM
+           |   (SELECT centroid_id, v, unnest(range(0, len(v))) AS i FROM asg$it) GROUP BY centroid_id, i)
+           |  GROUP BY centroid_id),
+           |ctr$it AS (SELECT k.centroid_id, coalesce(u.c, k.c) AS c
+           |  FROM $prev k LEFT JOIN upd$it u ON u.centroid_id = k.centroid_id),
+           |""".stripMargin)
+    }
+    val fin = s"ctr$kmeansIters"
+    sb.append(
+      s"""asgF AS (SELECT vec_id, v, centroid_id FROM (
+         |  SELECT r.vec_id, r.v, k.centroid_id, row_number() OVER (PARTITION BY r.vec_id
+         |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM rest r, $fin k) WHERE rn = 1),
+         |probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+         |  FROM qv q, $fin k) ORDER BY s DESC, centroid_id LIMIT $nprobe),
+         |ivf AS (SELECT a.vec_id, ${cosSql("a.v", "q.v")} AS cos_sim
+         |  FROM asgF a JOIN probe p ON p.centroid_id = a.centroid_id, qv q
+         |  ORDER BY cos_sim DESC, a.vec_id LIMIT $k)
+         |""".stripMargin)
+    sb.toString
+  }
+
   // geo world model (mirrors GeoQueries): customers are unit squares at
   // ((7k mod 100)/10, (13k mod 100)/10); nations are 2×2 cells tiling
   // [0,10]². Same IEEE arithmetic as the Spark side (integer mod, cast,
@@ -447,12 +504,46 @@ object Oracles {
          |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "x_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""WITH $PLANTED_CTES
          |SELECT id_a, id_b, cos_sim FROM
-         |(SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-         |FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |(SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos_sim
+         |FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.99""".stripMargin,
+
+    // full SRP mirror: 16 planes from the same md5 derivation, 4 bands of 4
+    // sign bits, candidates share any band key, then exact cosine verify
+    "x_ann_lsh" -> {
+      val planes = 16
+      s"""WITH $PLANTED_CTES,
+         |planes AS (SELECT p.p, d.d,
+         |  ${hex32("md5('plane' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))", 1)} / 4294967296.0 * 2.0 - 1.0 AS comp
+         |  FROM (SELECT unnest(range(0, $planes)) AS p) p,
+         |       (SELECT unnest(range(0, (SELECT max(len(v)) FROM corpus))) AS d) d),
+         |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
+         |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
+         |dots AS (SELECT vec_id, p, sum(x * comp) AS dt FROM expl JOIN planes ON planes.d = expl.d GROUP BY vec_id, p),
+         |bands AS (SELECT vec_id, p // 4 AS band,
+         |  sum(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bkey
+         |  FROM dots GROUP BY vec_id, p // 4),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM
+         |  (SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos_sim
+         |   FROM cand JOIN corpus a ON a.vec_id = id_a JOIN corpus b ON b.vec_id = id_b)
+         |WHERE cos_sim >= 0.99""".stripMargin
+    },
+
+    "x_ann_ivf" ->
+      s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
+         |SELECT vec_id, cos_sim FROM ivf""".stripMargin,
+
+    "x_ann_recall" ->
+      s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)},
+         |brute AS (SELECT a.vec_id, ${cosSql("a.v", "q.v")} AS cos_sim
+         |  FROM rest a, qv q ORDER BY cos_sim DESC, a.vec_id LIMIT 20)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(count(i.vec_id) AS BIGINT) AS n_found,
+         |round(count(i.vec_id) / 20.0, 4) AS recall
+         |FROM brute b LEFT JOIN ivf i ON i.vec_id = b.vec_id""".stripMargin,
 
     "x_mm_decode" ->
       """SELECT doc_id, CAST(n % 640 AS INT) AS width, CAST(n % 480 AS INT) AS height,

@@ -37,8 +37,9 @@ class SimilaritySpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("annPairs recall: identical vectors share every SRP bucket") {
-    val got = SimilarityOps.annPairs(vecs, "vec_id", "embedding", 4, 0.99)
+  test("annPairs recall: identical vectors share every SRP band") {
+    val got = SimilarityOps.annPairs(vecs, "vec_id", "embedding",
+        numPlanes = 4, numBands = 2, threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(got.contains((0L, 1L)))
   }
@@ -49,5 +50,46 @@ class SimilaritySpec extends SparkTestBase {
       "vec_id", "embedding", q, k = 2, nlist = 3, nprobe = 2)
       .as[(Long, Double)].collect().toSeq
     assert(got.nonEmpty && got.head._1 == 1L && got.head._2 == 1.0)
+  }
+
+  // clustered fixture: 3 tight clusters around orthogonal axes, 8 members
+  // each — what IVF's coarse quantizer is built for
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    (for {
+      c <- 0 until 3
+      m <- 0 until 8
+    } yield {
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      val v = base.zipWithIndex.map { case (x, i) =>
+        x + (rnd.nextFloat() - 0.5f) * 0.1f }
+      (c * 100L + m, v.toSeq)
+    }).toDF("vec_id", "embedding")
+  }
+
+  test("ivfRefine (Lloyd) recovers cluster centroids: recall 1.0 on clustered data") {
+    val corpus = clustered
+    val q = corpus.where($"vec_id" === 0).select($"embedding".as("q"))
+    val rest = corpus.where($"vec_id" =!= 0)
+    val brute = SimilarityOps.cosineTopK(rest, "vec_id", "embedding", q, 7)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(rest, "vec_id", "embedding", q,
+        k = 7, nlist = 3, nprobe = 1, kmeansIters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall: ivf=$ivf brute=$brute")
+  }
+
+  test("driver recall query: planted near-dups give IVF recall >= 0.9 at sf0.001") {
+    val row = graft.queries.ExtQueries.xAnnRecall(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].head()
+    assert(row._1 == 20L)
+    assert(row._3 >= 0.9, s"recall ${row._3}")
+  }
+
+  test("planted corpus makes the LSH pair query non-vacuous at sf0.001") {
+    val n = graft.queries.ExtQueries.xAnnLsh(spark, "/root/testdata/sf0.001").count()
+    assert(n > 0)
   }
 }

@@ -25,7 +25,8 @@ object PlanAudit {
     }
     Seq("q03_scan_prune","q_tpch1","q_tpch3","q28_lookup_join","q29_keep_last",
         "x_dedup_minhash","x_dedup_exact","x_embed_topk","x_win_tumble",
-        "q11_cache_diff","q13_work_limit").foreach(audit)
+        "q11_cache_diff","q13_work_limit","q47_bok_fanout","x_ann_lsh",
+        "x_ann_ivf","g63_grid_join","q51b_html_render").foreach(audit)
     spark.stop()
   }
 }

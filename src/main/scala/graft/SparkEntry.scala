@@ -69,17 +69,20 @@ object SparkEntry {
     "q48_predicate_string" -> RefQueries.q48PredicateString,
     "q49_array_filter" -> RefQueries.q49ArrayFilter,
     "q51_doc_render" -> RefQueries.q51DocRender,
+    "q51b_html_render" -> RefQueries.q51HtmlRender,
     "q52_hashing" -> RefQueries.q52Hashing,
     // §2.8 enrichment stages (stub services, real mapPartitions plumbing)
     "q53_llm_draft" -> RefQueries.q53LlmDraft,
     "q54_toot" -> RefQueries.q54Toot,
     // §2.9 change stream (batch form; streaming form under graft.streaming)
     "q61_change_stream" -> RefQueries.q61ChangeStream,
-    // §2.4/§2.5/§2.8 geospatial (rows-only checks; semantics locked by GeoSpec)
+    // §2.4/§2.5/§2.8 geospatial (box-SQL oracles; exact geometry semantics
+    // additionally locked by GeoSpec)
     "g33_overlay_join" -> GeoQueries.g33Overlay,
     "g34_spatial_semijoin" -> GeoQueries.g34SemiJoin,
     "g38_union_agg" -> GeoQueries.g38UnionAgg,
     "g56_geocode_cascade" -> GeoQueries.g56GeocodeCascade,
+    "g63_grid_join" -> GeoQueries.g63GridJoin,
     // ext: text analysis
     "x_tokens" -> ExtQueries.xTokens,
     "x_quality" -> ExtQueries.xQuality,
@@ -118,5 +121,6 @@ object SparkEntry {
     "q_tpch1", "q_tpch3", "q_tpch18", "q20_duration", "q28_lookup_join",
     "q29_keep_last", "q37_group_collect", "x_dedup_exact", "x_dedup_minhash",
     "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
-    "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint")
+    "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
+    "g63_grid_join")
 }

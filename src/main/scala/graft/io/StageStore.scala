@@ -3,46 +3,63 @@ package graft.io
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Versioned parquet stage store with retention and a "latest" pointer.
+/** Versioned parquet stage store with retention and an atomic latest pointer.
   *
   * Reference: `ServiceAlertBase.py:170-202` writes each run under a
   * timestamped key, prunes to the newest 5, and refreshes a `current/`
-  * convenience copy (SURVEY.md Op-5). Spark-native form: one parquet write
-  * per version directory + filesystem-level retention; the latest pointer is
-  * a re-write (object stores have no atomic rename, so serving readers list
-  * `latest/` — same contract as the reference's copy).
+  * convenience copy (SURVEY.md Op-5).
+  *
+  * Publishing protocol: each version directory is written exactly ONCE, then
+  * committed by creating a tiny empty marker file `_committed-v=<id>`. A
+  * single-file create is atomic on posix/HDFS and on object stores (a key
+  * either exists or it doesn't), so readers resolve "latest" to the highest
+  * COMMITTED version — an immutable, fully-written directory. No reader can
+  * ever observe a half-written "latest", and there is no second data copy
+  * (the previous design wrote every version twice and let readers race the
+  * `latest/` overwrite). Retention deletes the marker before its directory,
+  * so a version disappears from resolution before its bytes go away.
   */
 class StageStore(spark: SparkSession, root: String, retain: Int = 5) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(v: Long) = new Path(s"$root/_committed-v=$v")
 
   /** Write one version; returns its path. `versionId` must be monotonically
     * increasing (the caller injects the clock — deterministic in tests). */
   def write(df: DataFrame, versionId: Long): String = {
     val dir = s"$root/v=$versionId"
     df.write.mode("overwrite").parquet(dir)
-    df.write.mode("overwrite").parquet(s"$root/latest")
+    fs.create(markerPath(versionId), true).close() // atomic publish
     prune()
     dir
   }
 
-  /** Newest-first version ids present. */
+  /** Newest-first COMMITTED version ids (uncommitted/partial directories are
+    * invisible by construction). */
   def versions(): Seq[Long] = {
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
+      .filter(_.startsWith("_committed-v="))
+      .map(_.stripPrefix("_committed-v=").toLong)
       .sorted(Ordering[Long].reverse)
   }
 
-  /** Op-5 retention: drop all but the newest `retain` versions. */
+  /** Op-5 retention: drop all but the newest `retain` versions — marker
+    * first (removes the version from resolution), then the data. */
   def prune(): Unit =
     versions().drop(retain).foreach { v =>
+      fs.delete(markerPath(v), false)
       fs.delete(new Path(s"$root/v=$v"), true)
     }
 
-  def readLatest(): DataFrame = spark.read.parquet(s"$root/latest")
+  /** Resolve and read the newest committed version. */
+  def readLatest(): DataFrame = {
+    val vs = versions()
+    require(vs.nonEmpty, s"no committed versions under $root")
+    read(vs.head)
+  }
 
   def read(versionId: Long): DataFrame = spark.read.parquet(s"$root/v=$versionId")
 }

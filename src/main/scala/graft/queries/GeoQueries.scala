@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.geo.{GeoFunctions, SpatialJoin}
+import graft.geo.{GeocodeStage, GeoFunctions, GridJoin, KeyedStubGeocoder, SpatialJoin}
 
 /** Geospatial operators (SURVEY.md Ops 33-35, 38, 56-58) over footprints
   * synthesised deterministically from the driver tables (the testdata has no
@@ -78,39 +78,87 @@ object GeoQueries {
       .select(col("cell"), col("n_parts"),
         round(GeoFunctions.stArea(col("union_wkt")), 4).as("union_area"))
 
+  /** Grid-partitioned spatial join (SURVEY §4 stretch): customer squares ×
+    * order boxes, BOTH sides too large to broadcast at scale — bucketed by
+    * 2×2 grid cell, shuffled on the cell id, pair-deduped by the
+    * first-common-cell trick inside [[graft.geo.GridJoin]]. Output is the
+    * per-customer overlap count, which the box-SQL oracle reproduces with a
+    * plain (gridless) overlap join — so the cell bucketing + dedup logic is
+    * what's actually under test. */
+  val g63GridJoin: Q = (s, dir) => {
+    val px = ((col("c_custkey") * 7) % 100).cast("double") / 10.0
+    val py = ((col("c_custkey") * 13) % 100).cast("double") / 10.0
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      px.as("ax0"), py.as("ay0"), (px + 1.0).as("ax1"), (py + 1.0).as("ay1"))
+    val qx = ((col("o_orderkey") * 11) % 200).cast("double") / 20.0
+    val qy = ((col("o_orderkey") * 17) % 200).cast("double") / 20.0
+    val ord = t(s, dir, "orders").where(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"),
+        qx.as("bx0"), qy.as("by0"), (qx + 0.5).as("bx1"), (qy + 0.5).as("by1"))
+    GridJoin.join(cust, ord, cellSize = 2.0)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** Op-56/57/58 cascade: per alert (customer), resolve a footprint —
     * (1) exact "suburb" lookup by derived name, (2) fuzzy (levenshtein ≤ 2)
-    * match against the layer names, (3) fallback: buffered point. The final
-    * footprint is WKT at 6 dp, the reference's output contract. */
+    * match against the layer names, (3) the external geocoder behind the
+    * rate-limited [[graft.geo.GeocodeStage]] service boundary (reference
+    * ServiceAlertAugmenter.py:179-197), (4) fallback: buffered point.
+    * Each step only sees what the previous steps could not resolve.
+    *
+    * Output is a numeric digest (resolution kind + footprint area at 6 dp)
+    * rather than raw WKT: the kind and area are closed-form per step, so the
+    * whole cascade is oracle-checkable without re-implementing the WKT
+    * formatter in SQL. Full WKT-producing behaviour is locked by GeoSpec. */
   val g56GeocodeCascade: Q = (s, dir) => {
     val cells = nationCells(s, dir)
     val cust = t(s, dir, "customer").where(col("c_custkey") <= 500)
       .select(col("c_custkey"),
         // derived "location text": exact cell name for 1/3, corrupted (fuzzy)
-        // for 1/3, unresolvable for 1/3
+        // for 1/3, free text (goes to the geocoder) for 1/3
         when(col("c_custkey") % 3 === 0,
             concat(lit("NATION#"), (col("c_custkey") % 25).cast("string")))
           .when(col("c_custkey") % 3 === 1,
             concat(lit("NATIN#"), (col("c_custkey") % 25).cast("string")))
-          .otherwise(lit("unknown place")).as("loc_text"))
+          .otherwise(concat(lit("unknown place "), col("c_custkey").cast("string")))
+          .as("loc_text"))
     val layer = cells.select(
       concat(lit("NATION#"), col("n_nationkey").cast("string")).as("layer_name"),
       col("cell_wkt"))
-    // (1)+(2) one fuzzy join covers exact (dist 0) and near (dist <= 2)
-    val joined = cust.join(broadcast(layer),
+    // (1) exact name match
+    val ex = cust.join(broadcast(layer), col("loc_text") === col("layer_name"), "left")
+    val exactHit = ex.where(col("layer_name").isNotNull)
+      .select(col("c_custkey"), col("cell_wkt"), lit("exact").as("resolution"))
+    val rest1 = ex.where(col("layer_name").isNull).select("c_custkey", "loc_text")
+    // (2) fuzzy match, best by (distance, name)
+    val fj = rest1.join(broadcast(layer),
       levenshtein(col("loc_text"), col("layer_name")) <= 2, "left")
     val w = Window.partitionBy(col("c_custkey"))
       .orderBy(levenshtein(col("loc_text"), col("layer_name")), col("layer_name"))
-    val best = joined.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-    // (3) fallback: envelope-buffered deterministic point
+    val f1 = fj.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val fuzzyHit = f1.where(col("layer_name").isNotNull)
+      .select(col("c_custkey"), col("cell_wkt"), lit("fuzzy").as("resolution"))
+    val rest2 = f1.where(col("layer_name").isNull).select("c_custkey", "loc_text")
+    // (3) rate-limited external geocoder (deterministic stub; the qps bound
+    // is the service contract, set loose here so the query is instant)
+    val geo = GeocodeStage.geocode(rest2, "c_custkey", "loc_text",
+      KeyedStubGeocoder, qps = 1e6)
+    val geoHit = geo.where(col("gx").isNotNull)
+      .select(col("c_custkey"),
+        GeoFunctions.stBufferEnv(
+          GeoFunctions.stPoint(col("gx"), col("gy")), lit(0.02)).as("cell_wkt"),
+        lit("geocoded").as("resolution"))
+    // (4) fallback: envelope-buffered deterministic point
     val px = ((col("c_custkey") * 7) % 100).cast("double") / 10.0
     val py = ((col("c_custkey") * 13) % 100).cast("double") / 10.0
-    best.select(col("c_custkey"),
-      coalesce(col("cell_wkt"),
-        GeoFunctions.stBufferEnv(GeoFunctions.stPoint(px, py), lit(0.01)))
-        .as("geospatial_footprint"),
-      when(col("cell_wkt").isNotNull, lit("layer")).otherwise(lit("fallback"))
-        .as("resolution"))
+    val fallback = geo.where(col("gx").isNull)
+      .select(col("c_custkey"),
+        GeoFunctions.stBufferEnv(
+          GeoFunctions.stPoint(px, py), lit(0.01)).as("cell_wkt"),
+        lit("fallback").as("resolution"))
+    exactHit.unionByName(fuzzyHit).unionByName(geoHit).unionByName(fallback)
+      .select(col("c_custkey"), col("resolution"),
+        round(GeoFunctions.stArea(col("cell_wkt")), 6).as("fp_area"))
   }
 }

@@ -385,6 +385,44 @@ object Oracles {
          |SELECT np.cell, np.n_parts, round(u.nc/100.0, 4) AS union_area
          |FROM np JOIN u ON u.cell = np.cell""".stripMargin,
 
+    // gridless overlap join — independently validates GridJoin's cell
+    // bucketing + first-common-cell dedup (closed intervals, touch counts)
+    "g63_grid_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST((c_custkey*7)%100 AS DOUBLE)/10.0 AS x0,
+        |  CAST((c_custkey*13)%100 AS DOUBLE)/10.0 AS y0 FROM customer),
+        |o AS (SELECT o_orderkey,
+        |  CAST((o_orderkey*11)%200 AS DOUBLE)/20.0 AS x0,
+        |  CAST((o_orderkey*17)%200 AS DOUBLE)/20.0 AS y0
+        |  FROM orders WHERE o_orderkey <= 5000)
+        |SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM c JOIN o ON c.x0 <= o.x0+0.5 AND o.x0 <= c.x0+1.0
+        |              AND c.y0 <= o.y0+0.5 AND o.y0 <= c.y0+1.0
+        |GROUP BY c_custkey""".stripMargin,
+
+    // cascade mirror: per step the footprint area is closed-form (cell 4.0,
+    // geocoded buffer (2·0.02)², fallback buffer (2·0.01)²), so the oracle
+    // checks step routing + area without a WKT formatter
+    "g56_geocode_cascade" ->
+      """WITH cust AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey%3=0 THEN 'NATION#' || CAST(c_custkey%25 AS VARCHAR)
+        |       WHEN c_custkey%3=1 THEN 'NATIN#' || CAST(c_custkey%25 AS VARCHAR)
+        |       ELSE 'unknown place ' || CAST(c_custkey AS VARCHAR) END AS loc_text
+        |  FROM customer WHERE c_custkey <= 500),
+        |layer AS (SELECT 'NATION#' || CAST(n_nationkey AS VARCHAR) AS layer_name FROM nation),
+        |ex AS (SELECT c.c_custkey, c.loc_text, l.layer_name FROM cust c
+        |  LEFT JOIN layer l ON c.loc_text = l.layer_name),
+        |fz AS (SELECT c_custkey, loc_text, layer_name AS fname FROM (
+        |  SELECT e.c_custkey, e.loc_text, l.layer_name,
+        |    row_number() OVER (PARTITION BY e.c_custkey
+        |      ORDER BY levenshtein(e.loc_text, l.layer_name), l.layer_name) AS rn
+        |  FROM (SELECT * FROM ex WHERE layer_name IS NULL) e
+        |  LEFT JOIN layer l ON levenshtein(e.loc_text, l.layer_name) <= 2) WHERE rn = 1)
+        |SELECT c_custkey, 'exact' AS resolution, 4.0 AS fp_area FROM ex WHERE layer_name IS NOT NULL
+        |UNION ALL SELECT c_custkey, 'fuzzy', 4.0 FROM fz WHERE fname IS NOT NULL
+        |UNION ALL SELECT c_custkey, 'geocoded', 0.0016 FROM fz WHERE fname IS NULL AND c_custkey%2=0
+        |UNION ALL SELECT c_custkey, 'fallback', 0.0004 FROM fz WHERE fname IS NULL AND c_custkey%2<>0""".stripMargin,
+
     "q59_image_filename" ->
       """WITH k AS (SELECT o_orderkey, concat_ws('_', o_orderstatus, o_orderpriority,
         |CAST(o_orderkey AS VARCHAR)) AS key FROM orders),
@@ -405,6 +443,34 @@ object Oracles {
          |CASE WHEN n_chars > 100 THEN 'long' END,
          |'head=' || array_to_string(tk[1:3], ' ')) AS rendered
          |FROM (SELECT doc_id, lang, n_chars, $TOK AS tk FROM documents)""".stripMargin,
+
+    "q51b_html_render" ->
+      """WITH r AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey%3=0 THEN 'Open' WHEN o_orderkey%3=1 THEN 'Closed' ELSE 'In Progress' END AS status,
+        |  o_orderpriority AS title,
+        |  'Area-' || CAST(o_custkey%10 AS VARCHAR) AS area,
+        |  CASE WHEN o_orderkey%4=0 THEN 'Suburb' WHEN o_orderkey%4=1 THEN 'Official Planning Suburb'
+        |       WHEN o_orderkey%4=2 THEN 'Citywide' END AS area_type,
+        |  CASE WHEN o_orderkey%5<>0 THEN ['sub-' || CAST(o_orderkey%7 AS VARCHAR), 'sub-' || CAST(o_custkey%7 AS VARCHAR)] END AS suburbs,
+        |  ['ward ' || CAST(o_orderkey%11 AS VARCHAR)] AS wards,
+        |  CASE WHEN o_orderkey%6<>0 THEN 'Alert ' || CAST(o_orderkey AS VARCHAR) END AS post
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |x AS (SELECT o_orderkey, status, area, post,
+        |  CASE WHEN status='Open' THEN 'Service Alert - ' ELSE 'Updated Service Alert - ' END || title || ' in ' || area AS subject,
+        |  CASE WHEN area_type IS NULL OR area_type NOT IN ('Official Planning Suburb','Citywide')
+        |    THEN array_to_string(suburbs, ', ') END AS subv,
+        |  CASE WHEN area_type IS NULL OR area_type <> 'Citywide' THEN array_to_string(wards, ', ') END AS wardv
+        |  FROM r)
+        |SELECT o_orderkey,
+        |  concat_ws('_', sha256('a@x|render-test'), replace(lower(status),' ','-'),
+        |    CAST(o_orderkey AS VARCHAR)) || '.html' AS email_filename,
+        |  concat_ws('', '<html><body><h2>', subject, '</h2><table>',
+        |    CASE WHEN status IS NOT NULL THEN '<tr><td>status</td><td>' || status || '</td></tr>' END,
+        |    CASE WHEN area IS NOT NULL THEN '<tr><td>area</td><td>' || area || '</td></tr>' END,
+        |    CASE WHEN subv IS NOT NULL THEN '<tr><td>suburbs</td><td>' || subv || '</td></tr>' END,
+        |    CASE WHEN wardv IS NOT NULL THEN '<tr><td>wards</td><td>' || wardv || '</td></tr>' END,
+        |    '</table><p>', coalesce(post, ''), '</p></body></html>') AS html
+        |FROM x""".stripMargin,
 
     "q52_hashing" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Checksum, FixerColumns}
 import graft.incremental.Incremental
 import graft.operators.Dedup
-import graft.serve.Broadcaster
+import graft.serve.{Broadcaster, Emailer}
 
 /** Reference-parity operators (SURVEY.md §2) expressed as queries over the
   * driver's synthetic tables, each with a DuckDB oracle in [[Oracles]].
@@ -254,11 +254,13 @@ object RefQueries {
 
   // ---- §2.4 joins ----
 
-  /** Op-28: m:1 broadcast lookup join. */
+  /** Op-28: m:1 broadcast lookup join, cardinality-validated (reference
+    * `validate="many_to_one"` — a duplicated lookup key fails fast instead
+    * of silently fanning out fact rows). */
   val q28LookupJoin: Q = (s, dir) => {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+    graft.operators.LookupJoin.manyToOne(o, c, col("o_custkey"), col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
   }
 
@@ -471,6 +473,34 @@ object RefQueries {
       concat(lit("lang="), col("lang")),
       when(col("n_chars") > 100, lit("long")),
       concat(lit("head="), array_join(slice(toks, 1, 3), " "))).as("rendered"))
+  }
+
+  /** Op-51 full form + Op-7 naming: the reference's Jinja email — subject
+    * line, null-pruned field table, area_type-conditional row drops, array
+    * joining — as ONE codegen'd column expression, plus the blob filename
+    * (`{config_hash}_{status}_{id}.html`). The physical blob write is
+    * [[graft.io.BlobSink]] (spec-covered; a sink has no oracle). */
+  val q51HtmlRender: Q = (s, dir) => {
+    val o = t(s, dir, "orders").where(col("o_orderkey") <= 2000)
+    val status = when(col("o_orderkey") % 3 === 0, lit("Open"))
+      .when(col("o_orderkey") % 3 === 1, lit("Closed"))
+      .otherwise(lit("In Progress"))
+    val title = col("o_orderpriority")
+    val area = concat(lit("Area-"), (col("o_custkey") % 10).cast("string"))
+    val areaType = when(col("o_orderkey") % 4 === 0, lit("Suburb"))
+      .when(col("o_orderkey") % 4 === 1, lit("Official Planning Suburb"))
+      .when(col("o_orderkey") % 4 === 2, lit("Citywide"))
+    val suburbs = when(col("o_orderkey") % 5 =!= 0, array(
+      concat(lit("sub-"), (col("o_orderkey") % 7).cast("string")),
+      concat(lit("sub-"), (col("o_custkey") % 7).cast("string"))))
+    val wards = array(concat(lit("ward "), (col("o_orderkey") % 11).cast("string")))
+    val post = when(col("o_orderkey") % 6 =!= 0,
+      concat(lit("Alert "), col("o_orderkey").cast("string")))
+    val cfgKey = Emailer.configKey(Emailer.EmailConfig("render-test", Seq("a@x")))
+    o.select(col("o_orderkey"),
+      Emailer.emailFilename(cfgKey, status, col("o_orderkey")).as("email_filename"),
+      Emailer.renderHtml(status, title, area, areaType, suburbs, wards, post)
+        .as("html"))
   }
 
   /** Op-52: config hashing — md5 / sha256 / base64 as column expressions.

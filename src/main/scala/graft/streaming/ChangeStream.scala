@@ -58,9 +58,17 @@ object ChangeStream {
     "v1.2" -> batch)
 
   /** Op-63: conditional notify — invoke `notify` with the new ids only when
-    * the batch is non-empty (SNS publish analogue). */
-  def notifyIfAny(batch: DataFrame, idCol: String)(notify: Seq[Long] => Unit): Unit = {
-    val ids = batch.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSeq
+    * the batch is non-empty (SNS publish analogue). A notification payload
+    * is inherently driver-side, but the collect is DEFENSIVELY CAPPED: a
+    * malformed upstream emitting millions of "changes" must degrade to a
+    * truncated notification, not a driver OOM. `maxIds` bounds the payload
+    * (the reference's SNS message has the same practical cap). */
+  def notifyIfAny(batch: DataFrame, idCol: String, maxIds: Int = 10000)
+                 (notify: Seq[Long] => Unit): Unit = {
+    val ids = batch.select(col(idCol).cast("long"))
+      .orderBy(col(idCol)) // deterministic truncation
+      .limit(maxIds)
+      .collect().map(_.getLong(0)).toSeq
     if (ids.nonEmpty) notify(ids)
   }
 

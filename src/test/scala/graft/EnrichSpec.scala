@@ -54,11 +54,11 @@ class EnrichSpec extends SparkTestBase {
       (3L, "Closed", "Water", "Suburb", Seq("ward 12")))
       .toDF("id", "status", "service_area", "area_type", "inferred_wards")
     val cfg = EmailConfig("ward57", Seq("a@x"),
-      predicateSql = Some(Emailer.wardPredicate("ward 57")))
+      predicate = Some(Emailer.wardPredicate("ward 57")))
     val matched = Emailer.filterFor(alerts, cfg).select("id").as[Long].collect().toSeq
     assert(matched == Seq(1L))  // id 2 excluded: Citywide
     val cfgArea = EmailConfig("water", Seq("a@x"),
-      predicateSql = Some(Emailer.serviceAreaPredicate("Water")))
+      predicate = Some(Emailer.serviceAreaPredicate("Water")))
     assert(Emailer.filterFor(alerts, cfgArea).count() == 2)
     // registry: mark id 1 as sent for cfg, expect empty
     val sentKey = Emailer.filterFor(alerts, cfg)
@@ -67,6 +67,19 @@ class EnrichSpec extends SparkTestBase {
     assert(Emailer.unsent(Emailer.filterFor(alerts, cfg), cfg, sentKey).count() == 0)
     val emptyReg = Seq.empty[String].toDF("sent_key")
     assert(Emailer.unsent(Emailer.filterFor(alerts, cfg), cfg, emptyReg).count() == 1)
+  }
+
+  test("Op-49/50 predicates treat quotes in names as data, not SQL") {
+    val alerts = Seq(
+      (1L, "Open", "D'Urbanvale", "Suburb", Seq("O'Brien's ward")),
+      (2L, "Open", "Water", "Suburb", Seq("ward 1")))
+      .toDF("id", "status", "service_area", "area_type", "inferred_wards")
+    val byWard = Emailer.filterFor(alerts, EmailConfig("q", Seq("a@x"),
+      predicate = Some(Emailer.wardPredicate("O'Brien's ward"))))
+    assert(byWard.select("id").as[Long].collect().toSeq == Seq(1L))
+    val byArea = Emailer.filterFor(alerts, EmailConfig("q2", Seq("a@x"),
+      predicate = Some(Emailer.serviceAreaPredicate("D'Urbanvale"))))
+    assert(byArea.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("Op-51 render column prunes null fields") {

@@ -20,6 +20,23 @@ class IoSpec extends SparkTestBase {
     assert(store.read(200L).as[Long].head() == 2L)
   }
 
+  test("Op-5 atomic publish: data written once; partial versions invisible") {
+    val root = Files.createTempDirectory("graft-store2").toString
+    val store = new StageStore(spark, root, retain = 5)
+    store.write(Seq(1L).toDF("v"), 100L)
+    // exactly one copy of the data on disk: the version dir, no latest/ copy
+    val entries = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(entries.count(_.startsWith("v=")) == 1)
+    assert(!entries.contains("latest"))
+    // a version dir without its commit marker (a writer that died mid-write)
+    // must be invisible to readers
+    val partial = Paths.get(root, "v=200")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(store.versions() == Seq(100L))
+    assert(store.readLatest().as[Long].head() == 1L)
+  }
+
   test("Op-6 JSON document sink: records orient + filename contract") {
     val root = Files.createTempDirectory("graft-json").toString
     val df = Seq((1L, "a"), (2L, null: String)).toDF("id", "title")
@@ -31,6 +48,36 @@ class IoSpec extends SparkTestBase {
     assert(body.startsWith("[") && body.endsWith("]"))
     assert(body.contains("\"id\":1") && body.contains("\"title\":\"a\""))
     assert(!body.contains("\"title\":null"))  // null fields pruned (toJSON drops)
+  }
+
+  test("Op-7 blob sink: one object per row, overwrite-idempotent, no collect") {
+    val root = Files.createTempDirectory("graft-blobs").toString
+    val df = Seq(("a.html", "<p>A</p>"), ("b.html", "<p>B</p>"))
+      .toDF("name", "body")
+    assert(graft.io.BlobSink.write(df, root, "name", "body") == 2L)
+    assert(new String(Files.readAllBytes(Paths.get(root, "a.html"))) == "<p>A</p>")
+    // replay: same names overwrite, no duplicates
+    assert(graft.io.BlobSink.write(df, root, "name", "body") == 2L)
+    assert(Paths.get(root).toFile.listFiles().count(!_.getName.startsWith(".")) == 2)
+  }
+
+  test("Op-51 html render: area_type gates suburb/ward rows like the reference") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "Open", "Burst", "CBD", "Suburb", Seq("s1", "s2"), Seq("w1")),
+      (2L, "Closed", "Burst", "CBD", "Official Planning Suburb", Seq("s1"), Seq("w1")),
+      (3L, "Open", "Burst", "CBD", "Citywide", Seq("s1"), Seq("w1")))
+      .toDF("id", "status", "title", "area", "area_type", "suburbs", "wards")
+    val htmls = df.select(col("id"), graft.serve.Emailer.renderHtml(
+        col("status"), col("title"), col("area"), col("area_type"),
+        col("suburbs"), col("wards"), lit(null).cast("string")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(htmls(1L).contains("suburbs") && htmls(1L).contains("s1, s2")
+      && htmls(1L).contains("wards"))
+    assert(htmls(1L).contains("<h2>Service Alert - Burst in CBD</h2>"))
+    assert(htmls(2L).contains("<h2>Updated Service Alert - Burst in CBD</h2>"))
+    assert(!htmls(2L).contains("suburbs") && htmls(2L).contains("wards"))
+    assert(!htmls(3L).contains("suburbs") && !htmls(3L).contains("wards"))
   }
 
   test("Op-1/2 REST source: pagination + record flattening") {

@@ -46,10 +46,21 @@ object SimilarityOps {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived uniform in [-1, 1). Portable: no RNG state, any engine with
-    * md5 reproduces the same planes. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 8),
-      16, 10).cast("double") / lit(math.pow(2, 32)) * 2.0 - 1.0)
+    * md5 reproduces the same planes. Computed ONCE on the driver — the
+    * matrix is numPlanes×dim model constants, so evaluating md5 per corpus
+    * row (2M+ digests at even modest scale) would be pure waste; the
+    * literal matrix broadcasts with the task binary and signatures index
+    * into it. The DuckDB oracle derives the identical values from the same
+    * md5 formula. */
+  private[ext] def planeComponent(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$d".getBytes("UTF-8"))
+    val hex8 = digest.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex8, 16).toDouble / math.pow(2, 32) * 2.0 - 1.0
+  }
+
+  private def planeMatrix(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (0 until dim).map(d => planeComponent(p, d)))
 
   /** Banded sign-random-projection signatures: `numPlanes` sign bits split
     * into `numBands` bands of r = numPlanes/numBands bits each, emitted as
@@ -60,12 +71,14 @@ object SimilarityOps {
     * 16 planes — to 1-(1-(1-p)^r)^numBands ≈ 1. One explode + one wide
     * aggregate, so each corpus row is shuffled exactly once. */
   def srpBands(df: DataFrame, idCol: String, vecCol: String,
-               numPlanes: Int, numBands: Int): DataFrame = {
+               numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
     val r = numPlanes / numBands
+    val planes = typedlit(planeMatrix(numPlanes, dim))
     val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
     val dots = (0 until numPlanes).map { p =>
-      sum(col("v").cast("double") * planeComponent(p, col("d"))).as(s"dot_$p")
+      sum(col("v").cast("double")
+        * element_at(element_at(planes, p + 1), col("d") + 1)).as(s"dot_$p")
     }
     val agg = expl.groupBy(idCol).agg(dots.head, dots.tail: _*)
     val bandCols = (0 until numBands).map { b =>
@@ -84,8 +97,9 @@ object SimilarityOps {
     * shuffle on (band, bkey), no self-join recomputing the signature DAG,
     * bucket lists tiny by construction. `threshold` filters verified pairs. */
   def annPairs(df: DataFrame, idCol: String, vecCol: String,
-               numPlanes: Int, numBands: Int, threshold: Double): DataFrame = {
-    val bands = srpBands(df, idCol, vecCol, numPlanes, numBands)
+               numPlanes: Int, numBands: Int, dim: Int,
+               threshold: Double): DataFrame = {
+    val bands = srpBands(df, idCol, vecCol, numPlanes, numBands, dim)
     val buckets = bands.groupBy("band", "bkey")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -145,14 +159,31 @@ object SimilarityOps {
       .select(col(idCol), col(vecCol), (-col("__best.__ncid")).as("centroid_id"))
   }
 
+  /** Materialise the (tiny, nlist-row) centroid table as a LOCAL DataFrame.
+    * The centroid side of IVF is broadcast into every assignment pass; left
+    * lazy, each Lloyd round would re-run the whole upstream lineage (corpus
+    * scan + previous rounds) once per downstream branch. Collecting
+    * nlist×dim doubles to the driver and re-creating them as literals is
+    * the standard k-means-on-Spark move (MLlib does the same) and keeps
+    * every round's plan shallow. */
+  private def localize(centroids: DataFrame): DataFrame = {
+    val s = centroids.sparkSession
+    import s.implicits._
+    centroids.select(col("centroid_id").cast("int"),
+        col("centroid").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().toSeq
+      .toDF("centroid_id", "centroid")
+  }
+
   /** Lloyd refinement of the coarse centroids: `iters` rounds of assign-to-
     * nearest + per-dimension mean, each mean rounded to 6 dp so the refined
     * centroids are engine-portable. Cells that lose all members keep their
     * previous centroid. Each round is one broadcast assignment pass plus one
-    * aggregation — no window, no all-pairs work. */
+    * aggregation — no window, no all-pairs work — and ends by localizing
+    * the new centroids (see [[localize]]). */
   def ivfRefine(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, iters: Int): DataFrame =
-    (1 to iters).foldLeft(centroids) { (ctr, _) =>
+    (1 to iters).foldLeft(localize(centroids)) { (ctr, _) =>
       val asg = ivfAssign(df, idCol, vecCol, ctr)
       val upd = asg.select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
         .groupBy(col("centroid_id"), col("i"))
@@ -160,9 +191,9 @@ object SimilarityOps {
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s.getField("m")).as("__cnew"))
-      ctr.join(upd, Seq("centroid_id"), "left")
+      localize(ctr.join(upd, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
-          coalesce(col("__cnew"), col("centroid")).as("centroid"))
+          coalesce(col("__cnew"), col("centroid")).as("centroid")))
     }
 
   /** IVF top-k for one query vector (one-row DataFrame with column `q`).
@@ -171,7 +202,7 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, k: Int, nlist: Int, nprobe: Int,
               kmeansIters: Int = 0): DataFrame = {
-    val centroids0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val centroids0 = localize(ivfCentroids(corpus, idCol, vecCol, nlist))
     val centroids =
       if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
       else centroids0

@@ -115,7 +115,10 @@ object ExtQueries {
       .crossJoin(s.range(1, 21).toDF("j"))
       .select((col("j") + 20000).as("vec_id"),
         transform(col("qv"), (x, i) => x + jitter(col("j"), i)).as("embedding"))
-    e0.unionByName(copies).unionByName(clones)
+    // persisted: the corpus feeds several passes per query (signature +
+    // verification joins; every Lloyd assignment round) and several queries
+    // per run — CacheManager dedups by plan, so all of them share one copy
+    e0.unionByName(copies).unionByName(clones).persist()
   }
 
   /** Exact near-dup baseline over the planted corpus — O(n²) by design; the
@@ -128,7 +131,8 @@ object ExtQueries {
     * full SRP oracle in DuckDB). */
   val xAnnLsh: Q = (s, dir) =>
     SimilarityOps.annPairs(plantedEmbeddings(s, dir),
-      "vec_id", "embedding", numPlanes = 16, numBands = 4, threshold = 0.99)
+      "vec_id", "embedding", numPlanes = 16, numBands = 4, dim = 64,
+      threshold = 0.99)
 
   /** IVF ANN top-k with 2 Lloyd refinement rounds (coarse quantizer; full
     * IVF oracle in DuckDB). */

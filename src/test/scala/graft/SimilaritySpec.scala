@@ -39,7 +39,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("annPairs recall: identical vectors share every SRP band") {
     val got = SimilarityOps.annPairs(vecs, "vec_id", "embedding",
-        numPlanes = 4, numBands = 2, threshold = 0.99)
+        numPlanes = 4, numBands = 2, dim = 3, threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(got.contains((0L, 1L)))
   }

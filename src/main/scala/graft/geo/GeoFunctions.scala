@@ -36,6 +36,10 @@ object GeoFunctions {
   val stBufferEnv = udf((wkt: String, d: Double) =>
     parseWkt(wkt).map(g => toWkt(bufferEnv(g, d))))
 
+  /** True Minkowski buffer (32-gon discs); see [[Geometry.buffer]]. */
+  val stBuffer = udf((wkt: String, d: Double) =>
+    parseWkt(wkt).map(g => toWkt(buffer(g, d))))
+
   val stPoint = udf((x: Double, y: Double) => toWkt(GPoint(Pt(x, y))))
 
   val stBox = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
@@ -73,6 +77,7 @@ object GeoFunctions {
     spark.udf.register("st_intersects", stIntersects)
     spark.udf.register("st_intersection_area", stIntersectionArea)
     spark.udf.register("st_buffer_env", stBufferEnv)
+    spark.udf.register("st_buffer", stBuffer)
     spark.udf.register("st_point", stPoint)
     spark.udf.register("st_box", stBox)
     spark.udf.register("st_make_valid", stMakeValid)

@@ -678,12 +678,57 @@ object Geometry {
   def box(x0: Double, y0: Double, x1: Double, y1: Double): GPolygon =
     GPolygon(Vector(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1)))
 
-  /** Envelope buffer: bbox expanded by d (the engine's buffering
-    * approximation — the reference buffers street segments by 1e-4 degrees,
-    * where an envelope is within quantisation error of a true offset). */
+  /** Envelope buffer: bbox expanded by d (the cheap approximation — the
+    * reference buffers street segments by 1e-4 degrees, where an envelope
+    * is within quantisation error of a true offset; [[buffer]] below is the
+    * exact-edges form for any larger distance). */
   def bufferEnv(g: Geom, d: Double): GPolygon = {
     val (lo, hi) = bbox(g)
     box(lo.x - d, lo.y - d, hi.x + d, hi.y + d)
+  }
+
+  /** True positive buffer: the Minkowski sum of the geometry with a disc of
+    * radius d, the disc discretised as a 4·quadSegs-gon (JTS's quadrant-
+    * segments convention). Built as the dissolve-union of the geometry
+    * itself, one rectangle swept along every edge, and one disc at every
+    * vertex — the existing arrangement sweep does the dissolving, so round
+    * joins, shared edges, and HOLE EROSION all fall out: a hole's boundary
+    * rectangles eat d into the hole, and holes narrower than 2d close
+    * entirely, exactly as a true buffer must. Negative distances are not
+    * supported (the reference never erodes). */
+  def buffer(g: Geom, d: Double, quadSegs: Int = 8): Geom = {
+    require(d >= 0, "negative buffer distances are not supported")
+    if (d == 0) return g
+    val n = math.max(4, 4 * quadSegs)
+    def disc(c: Pt): GPolygon = GPolygon(
+      (0 until n).map { i =>
+        val a = 2 * math.Pi * i / n
+        Pt(c.x + d * math.cos(a), c.y + d * math.sin(a))
+      }.toVector)
+    def rect(a: Pt, b: Pt): Option[GPolygon] = {
+      val dx = b.x - a.x; val dy = b.y - a.y
+      val len = math.hypot(dx, dy)
+      if (len < 1e-12) None
+      else {
+        val ux = -dy / len * d; val uy = dx / len * d
+        Some(GPolygon(Vector(Pt(a.x + ux, a.y + uy), Pt(b.x + ux, b.y + uy),
+          Pt(b.x - ux, b.y - uy), Pt(a.x - ux, a.y - uy))))
+      }
+    }
+    def ringParts(ring: IndexedSeq[Pt], closed: Boolean): Seq[Geom] = {
+      val edges =
+        if (closed) ring.indices.map(i => (ring(i), ring((i + 1) % ring.length)))
+        else ring.indices.dropRight(1).map(i => (ring(i), ring(i + 1)))
+      edges.flatMap { case (a, b) => rect(a, b) } ++ ring.map(disc)
+    }
+    def partsOf(g: Geom): Seq[Geom] = g match {
+      case GPoint(p)       => Seq(disc(p))
+      case GLine(pts)      => ringParts(pts, closed = false)
+      case p: GPolygon     => p +: (p.ring +: p.holes).flatMap(r => ringParts(r, closed = true))
+      case GMulti(ps)      => ps.flatMap(partsOf)
+      case GCollection(gs) => gs.flatMap(partsOf)
+    }
+    unionDissolve(partsOf(g))
   }
 
   /** Drop consecutive duplicate points; degenerate rings become empty. */

@@ -1,0 +1,149 @@
+package graft.io
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 form of the paginated REST source (SURVEY.md Op-1; the
+  * driver-side iterator in [[RestSource]] remains the simple path).
+  *
+  * What V2 buys over `createDataFrame`: the HTTP fetch runs inside an
+  * EXECUTOR's `PartitionReader`, pages stream through `next()/get()` one at
+  * a time (driver memory no longer bounds ingest), and the scan composes
+  * with Catalyst like any table (column pruning reaches `ReadSchema`;
+  * downstream stages pipeline instead of waiting for a full driver
+  * materialisation). Cursor pagination is inherently sequential, so the
+  * scan is ONE input partition by design — same reasoning as
+  * [[GeocodeStage]]'s single token bucket: the remote API is the
+  * bottleneck, not the cluster, and correctness of the continuation chain
+  * needs a single walker.
+  *
+  * Usage:
+  * {{{
+  *   RestSourceV2.register("alerts", fetcher)         // same-JVM/local mode
+  *   spark.read.format(classOf[RestSourceV2].getName)
+  *     .schema(schema).option("fetcher", "alerts").load()
+  *   // cluster deployment: .option("fetcherClass", "com.x.MyFetcher")
+  * }}}
+  */
+class RestSourceV2 extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "RestSourceV2 is schema-on-read: supply .schema(...) explicitly " +
+        "(the raw stage's dynamic-schema contract)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RestSourceV2.RestTable(schema,
+      properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+}
+
+object RestSourceV2 {
+
+  /** Executor-resolvable fetcher registry for tests/local mode (executors
+    * share the JVM). On a real cluster pass `fetcherClass` instead — a
+    * no-arg class instantiated reflectively inside the reader. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, RestSource.PageFetcher]()
+
+  def register(key: String, fetcher: RestSource.PageFetcher): Unit =
+    registry.put(key, fetcher)
+
+  private def resolveFetcher(opts: Map[String, String]): RestSource.PageFetcher =
+    opts.get("fetcher").map { key =>
+      Option(registry.get(key)).getOrElse(
+        throw new IllegalArgumentException(s"no fetcher registered under '$key'"))
+    }.orElse(opts.get("fetcherclass").map { cn =>
+      Class.forName(cn).getDeclaredConstructor().newInstance()
+        .asInstanceOf[RestSource.PageFetcher]
+    }).getOrElse(throw new IllegalArgumentException(
+      "option 'fetcher' (registry key) or 'fetcherClass' required"))
+
+  private class RestTable(tableSchema: StructType, props: Map[String, String])
+      extends Table with SupportsRead {
+    override def name(): String = "graft_rest"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val merged = props ++
+        options.asScala.map { case (k, v) => k.toLowerCase -> v }
+      new ScanBuilder { def build(): Scan = new RestScan(tableSchema, merged) }
+    }
+  }
+
+  private class RestScan(schema: StructType, opts: Map[String, String])
+      extends Scan with Batch {
+    override def readSchema(): StructType = schema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(new InputPartition {}) // cursor chain = exactly one walker
+    override def createReaderFactory(): PartitionReaderFactory =
+      new RestReaderFactory(schema, opts)
+  }
+
+  private class RestReaderFactory(schema: StructType, opts: Map[String, String])
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new RestPartitionReader(schema, resolveFetcher(opts),
+        opts.get("maxpages").map(_.toInt).getOrElse(10000))
+  }
+
+  /** Pulls one page per upstream `fetch`, streaming rows out — page at a
+    * time in memory, never the whole result. */
+  private class RestPartitionReader(schema: StructType,
+                                    fetcher: RestSource.PageFetcher,
+                                    maxPages: Int)
+      extends PartitionReader[InternalRow] {
+    private var token: Option[String] = None
+    private var started = false
+    private var pages = 0
+    private var rows: Iterator[Map[String, Any]] = Iterator.empty
+
+    override def next(): Boolean = {
+      while (!rows.hasNext && (!started || token.nonEmpty) && pages < maxPages) {
+        val (page, nxt) = fetcher.fetch(token)
+        rows = page.iterator
+        token = nxt
+        started = true
+        pages += 1
+      }
+      rows.hasNext
+    }
+
+    override def get(): InternalRow = {
+      val rec = RestSource.cleanRecord(rows.next())
+      val vals = schema.fields.map { f =>
+        rec.get(f.name).map(v => toCatalyst(v, f.dataType)).orNull
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    }
+
+    // scalar-only conversion on purpose: cleanRecord has already dropped
+    // nested values (the Op-2 flatten), so the raw-stage schema is scalars
+    private def toCatalyst(v: Any, dt: DataType): Any = dt match {
+      case StringType  => UTF8String.fromString(v.toString)
+      case LongType    => v.asInstanceOf[Number].longValue()
+      case IntegerType => v.asInstanceOf[Number].intValue()
+      case DoubleType  => v.asInstanceOf[Number].doubleValue()
+      case FloatType   => v.asInstanceOf[Number].floatValue()
+      case BooleanType => v.asInstanceOf[Boolean]
+      case other => throw new IllegalArgumentException(
+        s"RestSourceV2 raw stage carries scalars only, got $other")
+    }
+
+    override def close(): Unit = ()
+  }
+}

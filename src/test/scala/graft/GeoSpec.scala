@@ -65,6 +65,30 @@ class GeoSpec extends SparkTestBase {
     assert(parseWkt(u).map(area).contains(5.0))
   }
 
+  test("true buffer: disc area, square growth, hole erosion, line sweep") {
+    import graft.geo.Geometry._
+    val d = 2.0
+    val n = 32 // 4 * quadSegs(8)
+    val discArea = 0.5 * n * d * d * math.sin(2 * math.Pi / n)
+    // point -> inscribed 32-gon of the disc
+    val p = buffer(GPoint(Pt(5, 5)), d)
+    assert(math.abs(area(p) - discArea) < 1e-9)
+    // square side s grown by d: s^2 + 4sd + (32-gon corner quadrants)
+    val s = 10.0
+    val sq = buffer(box(0, 0, s, s), d)
+    assert(math.abs(area(sq) - (s * s + 4 * s * d + discArea)) < 1e-6)
+    // a 10x10 ring with a 2x2 hole: buffering by 2 must CLOSE the hole
+    // (narrower than 2d) — the envelope approximation can't do this
+    val holed = GPolygon(box(0, 0, 10, 10).ring, Vector(box(4, 4, 6, 6).ring))
+    val bh = buffer(holed, d)
+    assert(math.abs(area(bh) - (100.0 + 4 * 10 * d + discArea)) < 1e-6)
+    // line of length L -> capsule: 2*L*d + disc
+    val ln = buffer(GLine(Vector(Pt(0, 0), Pt(7, 0))), d)
+    assert(math.abs(area(ln) - (2 * 7 * d + discArea)) < 1e-6)
+    // envelope stays the cheap over-approximation
+    assert(area(bufferEnv(GPoint(Pt(0, 0)), d)) == 16.0)
+  }
+
   test("overlay join: ratio filter keeps only meaningful overlaps") {
     val bigs = Seq(
       (1L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),      // inside cell A

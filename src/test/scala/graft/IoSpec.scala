@@ -80,21 +80,39 @@ class IoSpec extends SparkTestBase {
     assert(!htmls(3L).contains("suburbs") && !htmls(3L).contains("wards"))
   }
 
+  private def pagesFixture = Map(
+    None -> (Seq(
+      Map[String, Any]("Id" -> 1L, "Title" -> "t1", "__metadata" -> Map("x" -> 1),
+        "Nested" -> Map("a" -> "b"), "NullCol" -> null),
+      Map[String, Any]("Id" -> 2L, "Title" -> "t2")), Some("p2")),
+    Some("p2") -> (Seq(Map[String, Any]("Id" -> 3L)), None))
+
+  private def restSchema = StructType(Seq(StructField("Id", LongType),
+    StructField("Title", StringType)))
+
   test("Op-1/2 REST source: pagination + record flattening") {
-    val pages = Map(
-      None -> (Seq(
-        Map[String, Any]("Id" -> 1L, "Title" -> "t1", "__metadata" -> Map("x" -> 1),
-          "Nested" -> Map("a" -> "b"), "NullCol" -> null),
-        Map[String, Any]("Id" -> 2L, "Title" -> "t2")), Some("p2")),
-      Some("p2") -> (Seq(Map[String, Any]("Id" -> 3L)), None))
+    val pages = pagesFixture
     val fetcher = new RestSource.PageFetcher {
       def fetch(token: Option[String]) = pages(token)
     }
-    val schema = StructType(Seq(StructField("Id", LongType),
-      StructField("Title", StringType)))
-    val got = RestSource.load(spark, fetcher, schema)
+    val got = RestSource.load(spark, fetcher, restSchema)
       .as[(Option[Long], Option[String])].collect().toSeq.sortBy(_._1)
     assert(got == Seq((Some(1L), Some("t1")), (Some(2L), Some("t2")),
       (Some(3L), None)))
+  }
+
+  test("Op-1 DataSourceV2 REST source: executor-side paging, same contract") {
+    val pages = pagesFixture
+    graft.io.RestSourceV2.register("iospec", new RestSource.PageFetcher {
+      def fetch(token: Option[String]) = pages(token)
+    })
+    val df = spark.read.format(classOf[graft.io.RestSourceV2].getName)
+      .schema(restSchema).option("fetcher", "iospec").load()
+    assert(df.rdd.getNumPartitions == 1) // cursor chain = one walker
+    val got = df.as[(Option[Long], Option[String])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((Some(1L), Some("t1")), (Some(2L), Some("t2")),
+      (Some(3L), None)))
+    // column pruning reaches the V2 scan: projecting one column still works
+    assert(df.select("Title").where($"Title".isNotNull).count() == 2)
   }
 }

@@ -6,6 +6,9 @@ object PlanAudit {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled","false")
       .config("spark.sql.shuffle.partitions","4")
+      // audit-only: AQE's AdaptiveSparkPlan wrapper hides WholeStageCodegen
+      // spans in the pre-execution plan text; prod runs keep AQE on
+      .config("spark.sql.adaptive.enabled","false")
       .config("spark.sql.ansi.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
@@ -18,7 +21,10 @@ object PlanAudit {
         plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
       val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning")) +
         plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
-      val wsc = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      // codegen spans render as "*(n) Op" prefixes in the simple plan text;
+      // count distinct span ids, not lines
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       println(s"== $name: broadcastJoins=$bcasts shuffles=$shuffles codegenSpans=$wsc")
       println(s"   $pushed")
       schema.foreach(s => println(s"   ${s.take(150)}"))

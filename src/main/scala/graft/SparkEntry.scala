@@ -92,6 +92,7 @@ object SparkEntry {
     "x_dedup_exact" -> ExtQueries.xDedupExact,
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
+    "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
     // ext: embedding similarity

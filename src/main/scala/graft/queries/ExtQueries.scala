@@ -78,6 +78,16 @@ object ExtQueries {
     DedupOps.jaccard(pairs, sh)
   }
 
+  /** Dup-cluster resolution over the LSH candidate graph: every doc gets
+    * the canonical keep-id of its connected component (min member). The
+    * oracle computes the same clusters via a recursive-CTE transitive
+    * closure — a deliberately different algorithm, so agreement checks the
+    * propagation, not a mirror of it. */
+  val xDedupClusters: Q = (s, dir) =>
+    DedupOps.dupClusters(
+      docs(s, dir).select(col("doc_id")),
+      candidates(s, dir))
+
   val xDedupSimhash: Q = (s, dir) =>
     DedupOps.simhash(docs(s, dir), col("doc_id"), col("text"))
 

@@ -533,6 +533,20 @@ object Oracles {
     "x_dedup_minhash" ->
       s"WITH $SHINGLE_CTES SELECT doc_a, doc_b FROM pairs",
 
+    // transitive closure (WITH RECURSIVE) — an independent algorithm for
+    // the same clusters the Spark side derives by min-label propagation
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $SHINGLE_CTES,
+         |docs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM docs d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id FROM lab""".stripMargin,
+
     "x_dedup_jaccard" ->
       s"""WITH $SHINGLE_CTES,
          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),

@@ -63,6 +63,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(j == Seq((10L, 20L, 1.0)))
   }
 
+  test("dupClusters: multi-hop chains collapse to one keep-id, singletons keep their own") {
+    // components: {1,2,3,4} via a CHAIN (multi-hop propagation, which a
+    // clique wouldn't exercise), {7,8}, and singleton {9}
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("dupClusters: maxIters bounds a pathological path graph") {
+    val n = 8 // diameter 7: converges within the default bound
+    val docs = (1L to n.toLong).toDF("doc_id")
+    val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val full = DedupOps.dupClusters(docs, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(1L)) // converged: all reach label 1
+    val truncated = DedupOps.dupClusters(docs, chain, maxIters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated(n.toLong) != 1L) // bounded: far end not yet relabelled
+  }
+
   test("simhash: identical docs equal, near-identical docs within hamming 3") {
     val df = Seq(
       1L -> "spark catalyst optimizer rewrites logical plans into physical plans",

@@ -68,6 +68,7 @@ object SparkEntry {
     "q59_image_filename" -> RefQueries.q59ImageFilename,
     "q48_predicate_string" -> RefQueries.q48PredicateString,
     "q49_array_filter" -> RefQueries.q49ArrayFilter,
+    "q50_service_area" -> RefQueries.q50ServiceArea,
     "q51_doc_render" -> RefQueries.q51DocRender,
     "q51b_html_render" -> RefQueries.q51HtmlRender,
     "q52_hashing" -> RefQueries.q52Hashing,
@@ -104,6 +105,10 @@ object SparkEntry {
     // ext: multimodal plumbing
     "x_mm_decode" -> ExtQueries.xMmDecode,
     "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,
+    "x_mm_frames" -> ExtQueries.xMmFrames,
+    // ext: skew + composed pipeline
+    "x_skew_join" -> ExtQueries.xSkewJoin,
+    "x_pipeline" -> ExtQueries.xPipeline,
     // ext: event-time windows
     "x_win_tumble" -> ExtQueries.xWinTumble,
     "x_win_slide" -> ExtQueries.xWinSlide,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
+import graft.operators.SkewJoin
 
 /** Beyond-reference operators: the training-data-pipeline capability set
   * (dedup, similarity search, text analysis, multimodal plumbing, event-time
@@ -183,6 +184,46 @@ object ExtQueries {
     MultimodalOps.decodeStage(
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", MultimodalOps.FakeDecoder)
+
+  /** Frame-sampling plan as a driver-checked query (was spec-only): 4
+    * evenly-spaced byte offsets per payload. */
+  val xMmFrames: Q = (s, dir) =>
+    MultimodalOps.frameSamplePlan(
+      docs(s, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", frames = 4)
+
+  /** Salted skew join as a driver-checked query (was a spec-only utility):
+    * events' event_type is a genuinely hot key (a handful of values over
+    * the whole table), the dimension side is tiny — the exact shape AQE
+    * can't always save (aggregation feeding the join). The salt must be
+    * invisible in the result: the oracle is a PLAIN join. */
+  val xSkewJoin: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir).select(col("event_id"), col("event_type"))
+    val dim = e.select(col("event_type")).distinct()
+      .withColumn("tag", concat(lit("#"), col("event_type")))
+    SkewJoin.saltedJoin(e, dim, Seq("event_type"),
+        saltSource = col("event_id"), saltFactor = 8)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Composed end-to-end training-data pipeline — the library's operators
+    * chained the way a real corpus-prep job chains them: token-count
+    * filter → language ID → exact-dedup keep-one. Predicates are
+    * integer/string only (no float thresholds), so the composition is
+    * byte-exact against the composed SQL oracle. */
+  val xPipeline: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val toks = TextOps.tokenCounts(d, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    val lang = TextOps.languageId(d, col("doc_id"), col("text"), langProfiles)
+      .select(col("doc_id"), col("pred_lang"))
+    val keeps = DedupOps.exact(d, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    d.select("doc_id")
+      .join(toks, "doc_id").join(lang, "doc_id")
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .where(col("n_tokens") >= 5 && col("pred_lang") === "en")
+  }
 
   // ---- event-time windows ----
 

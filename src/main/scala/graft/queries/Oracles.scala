@@ -63,6 +63,25 @@ object Oracles {
   private val COS =
     "round(list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6)"
 
+  // language-ID scoring SQL, shared by x_langid and x_pipeline (mirrors
+  // TextOps.languageId over ExtQueries.langProfiles)
+  private val LANG_SELECT_SCORES =
+    ExtQueries.langProfiles.map(p => s"score_${p._1}").mkString(", ")
+  private val LANG_PRED = ExtQueries.langProfiles.map { case (l, _) =>
+    s"WHEN score_$l = m AND m > 0 THEN '$l'"
+  }.mkString("CASE ", " ", " ELSE 'und' END")
+  /** doc_id, score_*, m (max score) per document. */
+  private val LANG_SCORED: String = {
+    val scoreCols = ExtQueries.langProfiles.map { case (l, stops) =>
+      val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+    }.mkString(", ")
+    val maxExpr = ExtQueries.langProfiles.map(p => s"score_${p._1}")
+      .mkString("greatest(", ", ", ")")
+    s"""SELECT doc_id, $LANG_SELECT_SCORES, $maxExpr AS m FROM
+       |(SELECT doc_id, $scoreCols FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL))""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)"
 
@@ -444,6 +463,11 @@ object Oracles {
          |'head=' || array_to_string(tk[1:3], ' ')) AS rendered
          |FROM (SELECT doc_id, lang, n_chars, $TOK AS tk FROM documents)""".stripMargin,
 
+    "q50_service_area" ->
+      """SELECT doc_id, service_area FROM (SELECT doc_id,
+        |CASE WHEN lang='en' THEN 'Water' WHEN lang='es' THEN 'Energy' ELSE 'Roads' END AS service_area
+        |FROM documents) WHERE service_area = 'Water'""".stripMargin,
+
     "q51b_html_render" ->
       """WITH r AS (SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey%3=0 THEN 'Open' WHEN o_orderkey%3=1 THEN 'Closed' ELSE 'In Progress' END AS status,
@@ -506,21 +530,8 @@ object Oracles {
          |round(CAST(len(list_filter(tk, x -> list_contains($EN_STOPS, x))) AS DOUBLE) / greatest(len(tk), 1), 4) AS stop_ratio
          |FROM (SELECT doc_id, text, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
-    "x_langid" -> {
-      val profiles = ExtQueries.langProfiles
-      val scoreCols = profiles.map { case (l, stops) =>
-        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(", ")
-      val maxExpr = profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
-      val caseExpr = profiles.map { case (l, _) =>
-        s"WHEN score_$l = m AND m > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
-      val selectScores = profiles.map(p => s"score_${p._1}").mkString(", ")
-      s"""SELECT doc_id, $selectScores, $caseExpr AS pred_lang FROM
-         |(SELECT doc_id, $selectScores, $maxExpr AS m FROM
-         |(SELECT doc_id, $scoreCols FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)))""".stripMargin
-    },
+    "x_langid" ->
+      s"""SELECT doc_id, $LANG_SELECT_SCORES, $LANG_PRED AS pred_lang FROM ($LANG_SCORED)""",
 
     "x_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
@@ -634,6 +645,29 @@ object Oracles {
       """SELECT doc_id, CAST(n % 640 AS INT) AS width, CAST(n % 480 AS INT) AS height,
         |CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, CAST(n AS BIGINT) AS n_bytes
         |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "x_mm_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |CAST(floor(n * i / 4.0) AS BIGINT) AS byte_offset
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents WHERE text IS NOT NULL),
+        |(SELECT unnest(range(0, 4)) AS i)""".stripMargin,
+
+    // plain join — the salt must be invisible in the result
+    "x_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type, '#' || event_type AS tag FROM events)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN dim d ON d.event_type = e.event_type
+        |GROUP BY tag""".stripMargin,
+
+    "x_pipeline" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |cnt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |lang AS (SELECT doc_id, $LANG_PRED AS pred_lang FROM ($LANG_SCORED)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL GROUP BY md5(text))
+         |SELECT c.doc_id, c.n_tokens, l.pred_lang
+         |FROM cnt c JOIN lang l ON l.doc_id = c.doc_id
+         |WHERE c.n_tokens >= 5 AND l.pred_lang = 'en'
+         |AND EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = c.doc_id)""".stripMargin,
 
     "x_win_tumble" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -464,6 +464,18 @@ object RefQueries {
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Op-50: dedicated service-area config filter — the literal-bound
+    * Column predicate builder over a derived area column (Op-49's array
+    * form is q49; this is the equality form the reference's ~120 configs
+    * use most). */
+  val q50ServiceArea: Q = (s, dir) => {
+    val alerts = t(s, dir, "documents").select(col("doc_id"),
+      when(col("lang") === "en", lit("Water"))
+        .when(col("lang") === "es", lit("Energy"))
+        .otherwise(lit("Roads")).as("service_area"))
+    alerts.where(Emailer.serviceAreaPredicate("Water"))
+  }
+
   /** Op-51: row→document rendering with null-field pruning. */
   val q51DocRender: Q = (s, dir) => {
     val d = t(s, dir, "documents")

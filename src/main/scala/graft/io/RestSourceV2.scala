@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,7 +77,7 @@ object RestSourceV2 {
     override def name(): String = "graft_rest"
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val merged = props ++
         options.asScala.map { case (k, v) => k.toLowerCase -> v }
@@ -92,6 +93,121 @@ object RestSourceV2 {
       Array(new InputPartition {}) // cursor chain = exactly one walker
     override def createReaderFactory(): PartitionReaderFactory =
       new RestReaderFactory(schema, opts)
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new RestMicroBatchStream(schema, opts)
+  }
+
+  /** Streaming form (the reference's poll-every-10-minutes cadence as a
+    * Structured Streaming source): the OFFSET is the count of pages walked
+    * down the continuation chain. `latestOffset()` advances the cursor —
+    * up to `maxPagesPerTrigger` pages per micro-batch — buffering each
+    * page's rows driver-side until `commit()` releases them; partitions
+    * carry one page each, so a multi-page batch decodes in parallel.
+    *
+    * Replay contract, stated honestly: a continuation-token API cannot
+    * re-serve old pages, so uncommitted batches replay from the in-memory
+    * buffer WITHIN a run (crash-free micro-batch retries are exact), but a
+    * cold restart re-walks the chain from the head — at-least-once across
+    * restarts. The reference has the same property (it re-lists and diffs);
+    * exactly-once across runs is ChangeStream's job (checkpointed
+    * first-seen state downstream of this source), not the transport's. */
+  private class RestMicroBatchStream(schema: StructType, opts: Map[String, String])
+      extends MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+    private val fetcher = resolveFetcher(opts)
+    private val maxPagesPerTrigger =
+      opts.get("maxpagespertrigger").map(_.toLong).getOrElse(100L)
+    // page index -> that page's rows, pre-converted to schema-aligned values
+    private val pages = new java.util.TreeMap[Long, Array[Array[Any]]]()
+    private var nextToken: Option[String] = None
+    private var walked = 0L
+    private var exhausted = false
+    private var availableNowEnd: Option[Long] = None
+
+    private def toValues(rec: Map[String, Any]): Array[Any] = {
+      val clean = RestSource.cleanRecord(rec)
+      schema.fields.map(f => clean.get(f.name).orNull)
+    }
+
+    /** Walk the continuation chain until `target` pages are buffered or the
+      * chain ends. */
+    private def walk(target: Long): Unit =
+      while (!exhausted && walked < target) {
+        val (rows, nxt) = fetcher.fetch(nextToken)
+        pages.put(walked, rows.map(toValues).toArray)
+        walked += 1
+        nextToken = nxt
+        exhausted = nxt.isEmpty
+      }
+
+    override def initialOffset(): Offset = RestOffset(0L)
+
+    /** Trigger.AvailableNow (the Kafka pattern): snapshot "everything the
+      * chain serves right now" up front, then drain to it in
+      * maxPagesPerTrigger-sized micro-batches. */
+    override def prepareForTriggerAvailableNow(): Unit = synchronized {
+      walk(Long.MaxValue)
+      availableNowEnd = Some(walked)
+    }
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def reportLatestOffset(): Offset = synchronized { RestOffset(walked) }
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+      val s = start.asInstanceOf[RestOffset].page
+      val target = s + maxPagesPerTrigger
+      availableNowEnd match {
+        case Some(end) => RestOffset(math.min(end, target))
+        case None      => walk(target); RestOffset(math.min(walked, target))
+      }
+    }
+
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+      synchronized {
+        val s = start.asInstanceOf[RestOffset].page
+        val e = end.asInstanceOf[RestOffset].page
+        (s until e).map(p => RestPagePartition(pages.get(p)): InputPartition).toArray
+      }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new RestPageReaderFactory(schema)
+
+    override def commit(end: Offset): Unit = synchronized {
+      // committed pages can never be re-requested: free the buffer
+      pages.headMap(end.asInstanceOf[RestOffset].page).clear()
+    }
+
+    override def deserializeOffset(json: String): Offset = RestOffset(json.toLong)
+    override def stop(): Unit = ()
+  }
+
+  private case class RestOffset(page: Long) extends Offset {
+    override def json(): String = page.toString
+  }
+
+  private case class RestPagePartition(rows: Array[Array[Any]]) extends InputPartition
+
+  private class RestPageReaderFactory(schema: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val rows = partition.asInstanceOf[RestPagePartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = {
+          val vals = schema.fields.zip(rows(i)).map { case (f, v) =>
+            if (v == null) null else toCatalyst(v, f.dataType)
+          }
+          new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        }
+        override def close(): Unit = ()
+      }
+    }
   }
 
   private class RestReaderFactory(schema: StructType, opts: Map[String, String])
@@ -131,19 +247,19 @@ object RestSourceV2 {
       new GenericInternalRow(vals.asInstanceOf[Array[Any]])
     }
 
-    // scalar-only conversion on purpose: cleanRecord has already dropped
-    // nested values (the Op-2 flatten), so the raw-stage schema is scalars
-    private def toCatalyst(v: Any, dt: DataType): Any = dt match {
-      case StringType  => UTF8String.fromString(v.toString)
-      case LongType    => v.asInstanceOf[Number].longValue()
-      case IntegerType => v.asInstanceOf[Number].intValue()
-      case DoubleType  => v.asInstanceOf[Number].doubleValue()
-      case FloatType   => v.asInstanceOf[Number].floatValue()
-      case BooleanType => v.asInstanceOf[Boolean]
-      case other => throw new IllegalArgumentException(
-        s"RestSourceV2 raw stage carries scalars only, got $other")
-    }
-
     override def close(): Unit = ()
+  }
+
+  // scalar-only conversion on purpose: cleanRecord has already dropped
+  // nested values (the Op-2 flatten), so the raw-stage schema is scalars
+  private def toCatalyst(v: Any, dt: DataType): Any = dt match {
+    case StringType  => UTF8String.fromString(v.toString)
+    case LongType    => v.asInstanceOf[Number].longValue()
+    case IntegerType => v.asInstanceOf[Number].intValue()
+    case DoubleType  => v.asInstanceOf[Number].doubleValue()
+    case FloatType   => v.asInstanceOf[Number].floatValue()
+    case BooleanType => v.asInstanceOf[Boolean]
+    case other => throw new IllegalArgumentException(
+      s"RestSourceV2 raw stage carries scalars only, got $other")
   }
 }

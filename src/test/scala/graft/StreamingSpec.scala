@@ -15,6 +15,30 @@ class StreamingSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("Op-1/8 micro-batch REST source: pages drain as offsets, rows land once") {
+    import org.apache.spark.sql.types._
+    val pages = Map[Option[String], (Seq[Map[String, Any]], Option[String])](
+      None -> (Seq(Map[String, Any]("Id" -> 1L), Map[String, Any]("Id" -> 2L)), Some("p2")),
+      Some("p2") -> (Seq(Map[String, Any]("Id" -> 3L)), Some("p3")),
+      Some("p3") -> (Seq(Map[String, Any]("Id" -> 4L)), None))
+    graft.io.RestSourceV2.register("streamspec", new graft.io.RestSource.PageFetcher {
+      def fetch(token: Option[String]) = pages(token)
+    })
+    val schema = StructType(Seq(StructField("Id", LongType)))
+    val q = spark.readStream.format(classOf[graft.io.RestSourceV2].getName)
+      .schema(schema).option("fetcher", "streamspec")
+      .option("maxPagesPerTrigger", "2") // forces >1 micro-batch
+      .load()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rest_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT Id FROM rest_stream_out")
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("Op-61 stateless: (Id,status) pairs emitted once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]

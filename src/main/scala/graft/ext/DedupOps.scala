@@ -98,7 +98,8 @@ object DedupOps {
     * quadratic work at any point, which is what makes this the 100-TB form
     * (a transitive-closure join would explode; the oracle uses exactly that
     * closure, in SQL, at oracle scale). */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10,
+                  strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -120,6 +121,15 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // partially-propagated labels are WRONG labels; by default refuse to
+    // return them (a pathological path component deeper than maxIters).
+    // strict=false is for callers that explicitly want the bounded
+    // approximation and know labels may be non-minimal.
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within maxIters=$maxIters " +
+          "(a component's diameter exceeds the bound); raise maxIters or " +
+          "pass strict=false to accept partially-propagated labels")
     labels
   }
 
@@ -174,9 +184,13 @@ object DedupOps {
     * Physically: one shuffle per block on (block key), bucket sizes bounded
     * by the key entropy — all map-side expressible, no all-pairs join. */
   def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
-    val numBlocks = maxHamming + 1
-    require(32 % numBlocks == 0,
-      s"maxHamming + 1 = $numBlocks must divide the 32 signature bits")
+    // pigeonhole needs AT LEAST maxHamming+1 blocks (extra blocks only add
+    // candidates, never lose them) — round up to the next divisor of 32 so
+    // every maxHamming in [0, 31] is servable, not just the divisor-aligned
+    // ones
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val numBlocks = Seq(1, 2, 4, 8, 16, 32).find(_ >= maxHamming + 1).get
     val bitsPerBlock = 32 / numBlocks
     val blockKey = (b: Int) =>
       expr(s"(simhash div ${1L << (bitsPerBlock * b)}) % ${1L << bitsPerBlock}")

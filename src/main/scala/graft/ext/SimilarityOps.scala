@@ -74,6 +74,13 @@ object SimilarityOps {
                numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
     val r = numPlanes / numBands
+    // guard the dim contract with one cheap limit-1 job: a vector longer
+    // than the plane matrix would silently drop its tail from the dot sums
+    // (element_at past the end is null and sum() skips nulls)
+    df.select(size(col(vecCol)).as("__d")).limit(1).collect().headOption.foreach {
+      row => require(row.getInt(0) == dim,
+        s"srpBands dim=$dim but vectors have ${row.getInt(0)} elements")
+    }
     val planes = typedlit(planeMatrix(numPlanes, dim))
     val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
     val dots = (0 until numPlanes).map { p =>
@@ -83,7 +90,9 @@ object SimilarityOps {
     val agg = expl.groupBy(idCol).agg(dots.head, dots.tail: _*)
     val bandCols = (0 until numBands).map { b =>
       val key = (0 until r).map { j =>
-        when(col(s"dot_${b * r + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+        // house rule: round before ANY float-driven decision — a dot within
+        // last-ulp of 0 must pick the same sign bit in Spark and the oracle
+        when(round(col(s"dot_${b * r + j}"), 6) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b.toLong).as("band"), key.as("bkey"))
     }
@@ -98,11 +107,24 @@ object SimilarityOps {
     * bucket lists tiny by construction. `threshold` filters verified pairs. */
   def annPairs(df: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, numBands: Int, dim: Int,
-               threshold: Double): DataFrame = {
+               threshold: Double, maxBucket: Int = 100000): DataFrame = {
     val bands = srpBands(df, idCol, vecCol, numPlanes, numBands, dim)
+    // Bucket population is n / 2^(numPlanes/numBands) per band ON AVERAGE:
+    // with too few planes for the corpus size, buckets grow O(n) and the
+    // in-row pair expansion is O(n²) — an executor OOM, not an LSH. Fail
+    // fast with sizing guidance instead: planes-per-band should be around
+    // log2(n / desired_bucket_size).
+    // the guard lives INSIDE the consumed column (a dropped side-column
+    // would be pruned away, assertion and all)
     val buckets = bands.groupBy("band", "bkey")
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(array_sort(collect_list(col(idCol))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(col("band"), col("bkey"),
+        when(size(col("__ids")) <= maxBucket, col("__ids"))
+          .otherwise(raise_error(concat(
+            lit(s"LSH bucket exceeds maxBucket=$maxBucket — raise numPlanes " +
+              "(planes per band ≈ log2(n/bucket)); bucket size = "),
+            size(col("__ids")).cast("string")))).as("ids"))
     val pairsExpr = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
       j => transform(sequence(lit(0), j - 1),
         i => struct(col("ids")(i).as("id_a"), col("ids")(j).as("id_b")))))

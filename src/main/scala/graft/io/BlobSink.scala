@@ -31,7 +31,15 @@ object BlobSink {
           val fs = new Path(root).getFileSystem(
             new org.apache.hadoop.conf.Configuration())
           it.foreach { row =>
-            val out = fs.create(new Path(root, row.getString(0)), true)
+            val name = row.getString(0)
+            // fail deterministically with the offending name, BEFORE any
+            // bytes of this row are written: a null would NPE mid-partition,
+            // and '..'/absolute names would escape the sink root
+            require(name != null && name.nonEmpty,
+              "BlobSink: null/empty object name")
+            require(!name.startsWith("/") && !name.split("/").contains(".."),
+              s"BlobSink: object name escapes the sink root: '$name'")
+            val out = fs.create(new Path(root, name), true)
             try out.write(row.getString(1).getBytes(StandardCharsets.UTF_8))
             finally out.close()
             counter.add(1L)

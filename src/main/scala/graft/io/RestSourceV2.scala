@@ -171,7 +171,17 @@ object RestSourceV2 {
       synchronized {
         val s = start.asInstanceOf[RestOffset].page
         val e = end.asInstanceOf[RestOffset].page
-        (s until e).map(p => RestPagePartition(pages.get(p)): InputPartition).toArray
+        // recovered batch after a restart: the offset log replays [s, e) but
+        // this fresh instance has an empty buffer — re-walk the chain from
+        // the head up to e (a cursor API can only re-serve from the start;
+        // this is the documented at-least-once restart path made real)
+        if ((s until e).exists(p => pages.get(p) == null)) walk(e)
+        (s until e).map { p =>
+          val rows = pages.get(p)
+          require(rows != null,
+            s"page $p not recoverable (chain now shorter than the offset log?)")
+          RestPagePartition(rows): InputPartition
+        }.toArray
       }
 
     override def createReaderFactory(): PartitionReaderFactory =

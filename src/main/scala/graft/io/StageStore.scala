@@ -36,14 +36,23 @@ class StageStore(spark: SparkSession, root: String, retain: Int = 5) {
   }
 
   /** Newest-first COMMITTED version ids (uncommitted/partial directories are
-    * invisible by construction). */
+    * invisible by construction). Upgrade path: a store written before the
+    * commit-marker scheme has version dirs but NO markers at all — those
+    * dirs were fully written by the old double-write code, so treat them as
+    * committed rather than stranding the data (they re-enter retention and
+    * readLatest immediately; the next write() publishes markers as usual).
+    * Once any marker exists, markers are authoritative: an unmarked dir
+    * alongside markers is a dead partial write. */
   def versions(): Seq[Long] = {
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_committed-v="))
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val marked = names.filter(_.startsWith("_committed-v="))
       .map(_.stripPrefix("_committed-v=").toLong)
-      .sorted(Ordering[Long].reverse)
+    val ids =
+      if (marked.nonEmpty) marked
+      else names.filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    ids.sorted(Ordering[Long].reverse)
   }
 
   /** Op-5 retention: drop all but the newest `retain` versions — marker

@@ -614,7 +614,7 @@ object Oracles {
          |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
          |dots AS (SELECT vec_id, p, sum(x * comp) AS dt FROM expl JOIN planes ON planes.d = expl.d GROUP BY vec_id, p),
          |bands AS (SELECT vec_id, p // 4 AS band,
-         |  sum(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bkey
+         |  sum(CASE WHEN round(dt, 6) > 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bkey
          |  FROM dots GROUP BY vec_id, p // 4),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)

@@ -50,6 +50,19 @@ class IoSpec extends SparkTestBase {
     assert(!body.contains("\"title\":null"))  // null fields pruned (toJSON drops)
   }
 
+  test("Op-5 legacy stores (no markers) stay readable; markers win once present") {
+    val root = Files.createTempDirectory("graft-store3").toString
+    val store = new StageStore(spark, root, retain = 5)
+    // simulate the pre-marker layout: a version dir, no marker
+    Seq(7L).toDF("v").write.parquet(s"$root/v=100")
+    assert(store.versions() == Seq(100L))
+    assert(store.readLatest().as[Long].head() == 7L)
+    // the next write publishes a marker — markers become authoritative
+    store.write(Seq(8L).toDF("v"), 200L)
+    assert(store.versions() == Seq(200L)) // unmarked legacy dir now invisible
+    assert(store.readLatest().as[Long].head() == 8L)
+  }
+
   test("Op-7 blob sink: one object per row, overwrite-idempotent, no collect") {
     val root = Files.createTempDirectory("graft-blobs").toString
     val df = Seq(("a.html", "<p>A</p>"), ("b.html", "<p>B</p>"))

@@ -63,6 +63,14 @@ class TextOpsSpec extends SparkTestBase {
     assert(j == Seq((10L, 20L, 1.0)))
   }
 
+  test("simhashPairs serves every maxHamming in [0,31] via next-divisor blocks") {
+    val sig = Seq((1L, 0L), (2L, 3L), (3L, 0xF0F0F0FL)).toDF("doc_id", "simhash")
+    // maxHamming=2 needs >=3 blocks -> rounds up to 4; previously threw
+    val got = DedupOps.simhashPairs(sig, maxHamming = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L))) // hamming(0,3)=2 kept; others exceed 2
+  }
+
   test("dupClusters: multi-hop chains collapse to one keep-id, singletons keep their own") {
     // components: {1,2,3,4} via a CHAIN (multi-hop propagation, which a
     // clique wouldn't exercise), {7,8}, and singleton {9}
@@ -81,9 +89,14 @@ class TextOpsSpec extends SparkTestBase {
     val full = DedupOps.dupClusters(docs, chain)
       .as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(1L)) // converged: all reach label 1
-    val truncated = DedupOps.dupClusters(docs, chain, maxIters = 2)
+    // strict (default): refuses to return partially-propagated labels
+    intercept[IllegalStateException] {
+      DedupOps.dupClusters(docs, chain, maxIters = 2).collect()
+    }
+    // explicit opt-out: bounded approximation, far end not yet relabelled
+    val truncated = DedupOps.dupClusters(docs, chain, maxIters = 2, strict = false)
       .as[(Long, Long)].collect().toMap
-    assert(truncated(n.toLong) != 1L) // bounded: far end not yet relabelled
+    assert(truncated(n.toLong) != 1L)
   }
 
   test("simhash: identical docs equal, near-identical docs within hamming 3") {

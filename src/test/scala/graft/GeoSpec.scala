@@ -89,6 +89,19 @@ class GeoSpec extends SparkTestBase {
     assert(area(bufferEnv(GPoint(Pt(0, 0)), d)) == 16.0)
   }
 
+  test("SQL-string surface: registered st_* functions compose in spark.sql") {
+    graft.geo.GeoFunctions.register(spark)
+    val area = spark.sql(
+      """SELECT round(st_area(st_buffer(st_point(0D, 0D), 2D)), 4) AS a,
+        |       st_intersects(st_box(0D,0D,2D,2D), st_box(2D,0D,4D,2D)) AS touches,
+        |       round(st_intersection_area(st_box(0D,0D,2D,2D), st_box(1D,0D,3D,2D)), 4) AS inter
+        |""".stripMargin).head()
+    val discArea = 0.5 * 32 * 4.0 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(area.getDouble(0) - math.rint(discArea * 1e4) / 1e4) < 1e-9)
+    assert(area.getBoolean(1))              // closed-interval touch
+    assert(area.getDouble(2) == 2.0)        // 1x2 overlap
+  }
+
   test("overlay join: ratio filter keeps only meaningful overlaps") {
     val bigs = Seq(
       (1L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),      // inside cell A

@@ -39,6 +39,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("EventWindows.tumbling runs under Structured Streaming with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value").withWatermark("ts", "2 hours")
+    val q = graft.ext.EventWindows.tumbling(df, col("ts"), "1 hour",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_stream_out").start()
+    in.addData(
+      (ts("2024-01-01 00:10:00"), "a", 1.0),
+      (ts("2024-01-01 00:40:00"), "a", 2.0),
+      (ts("2024-01-01 01:10:00"), "b", 3.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first windows
+    in.addData((ts("2024-01-01 08:00:00"), "a", 9.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_type, n FROM win_stream_out")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 2L), ("b", 1L))) // closed windows only
+    q.stop()
+  }
+
   test("Op-61 stateless: (Id,status) pairs emitted once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]

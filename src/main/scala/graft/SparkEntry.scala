@@ -106,6 +106,8 @@ object SparkEntry {
     "x_mm_decode" -> ExtQueries.xMmDecode,
     "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,
     "x_mm_frames" -> ExtQueries.xMmFrames,
+    "x_mm_resize" -> ExtQueries.xMmResize,
+    "x_mm_features" -> ExtQueries.xMmFeatures,
     // ext: skew + composed pipeline
     "x_skew_join" -> ExtQueries.xSkewJoin,
     "x_pipeline" -> ExtQueries.xPipeline,

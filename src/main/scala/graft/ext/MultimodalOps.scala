@@ -82,6 +82,45 @@ object MultimodalOps {
       n.as("n_bytes"))
   }
 
+  /** Resize plan: fit the (fake-)decoded dimensions into a maxW×maxH box
+    * preserving aspect ratio. All arithmetic is integer products + one
+    * floored division, so the plan is engine-exact and oracle-checkable;
+    * a real deployment feeds the true decoded w/h through the same
+    * arithmetic. Degenerate (zero) dimensions pass through as nulls. */
+  def resizePlan(df: DataFrame, idCol: String, payloadCol: String,
+                 maxW: Int, maxH: Int): DataFrame = {
+    val n = length(col(payloadCol)).cast("long")
+    val w = (n % 640).cast("int")
+    val h = (n % 480).cast("int")
+    val fits = w <= maxW && h <= maxH
+    val heightBound = w * maxH <= h * maxW // limiting side
+    val outW = when(w === 0 || h === 0, lit(null))
+      .when(fits, w)
+      .when(heightBound, greatest(lit(1), floor(w * maxH / h).cast("int")))
+      .otherwise(lit(maxW))
+    val outH = when(w === 0 || h === 0, lit(null))
+      .when(fits, h)
+      .when(heightBound, lit(maxH))
+      .otherwise(greatest(lit(1), floor(h * maxW / w).cast("int")))
+    df.select(col(idCol), w.as("width"), h.as("height"),
+      outW.as("out_width"), outH.as("out_height"))
+  }
+
+  /** Deterministic fake feature vector: component i is md5-derived from
+    * (content digest, i), rounded to 6 dp — engine-exact, so the full
+    * payload→embedding→ANN chain is testable end-to-end without a model.
+    * A real extractor slots in behind the same (id, payload) →
+    * (id, array<double>) contract via a decodeStage-style mapPartitions. */
+  def fakeFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                   dim: Int): DataFrame = {
+    val digest = md5(col(payloadCol))
+    val comp = (i: Column) => round(
+      (conv(substring(md5(concat(digest, lit(":"), i.cast("string"))), 1, 8),
+        16, 10).cast("double") / lit(4294967296.0) * 2.0 - 1.0), 6)
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(dim - 1)), comp).as("features"))
+  }
+
   /** Deterministic frame-sampling plan for video-ish payloads: pick
     * `frames` offsets evenly spaced in [0, nBytes) — the partition/batch
     * shape of real frame extraction without the codec. */

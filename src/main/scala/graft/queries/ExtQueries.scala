@@ -192,6 +192,18 @@ object ExtQueries {
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", frames = 4)
 
+  /** Aspect-preserving resize plan over the fake-decoded dimensions. */
+  val xMmResize: Q = (s, dir) =>
+    MultimodalOps.resizePlan(
+      docs(s, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", maxW = 256, maxH = 256)
+
+  /** Deterministic payload→feature-vector extraction (dim 8). */
+  val xMmFeatures: Q = (s, dir) =>
+    MultimodalOps.fakeFeatures(
+      docs(s, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", dim = 8)
+
   /** Salted skew join as a driver-checked query (was a spec-only utility):
     * events' event_type is a genuinely hot key (a handful of values over
     * the whole table), the dimension side is tiny — the exact shape AQE

@@ -646,6 +646,29 @@ object Oracles {
         |CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, CAST(n AS BIGINT) AS n_bytes
         |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
+    "x_mm_resize" ->
+      """WITH d AS (SELECT doc_id, CAST(n % 640 AS INT) AS w, CAST(n % 480 AS INT) AS h
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents WHERE text IS NOT NULL))
+        |SELECT doc_id, w AS width, h AS height,
+        |CASE WHEN w = 0 OR h = 0 THEN NULL
+        |     WHEN w <= 256 AND h <= 256 THEN w
+        |     WHEN w * 256 <= h * 256 THEN greatest(1, CAST(floor(w * 256 / CAST(h AS DOUBLE)) AS INT))
+        |     ELSE 256 END AS out_width,
+        |CASE WHEN w = 0 OR h = 0 THEN NULL
+        |     WHEN w <= 256 AND h <= 256 THEN h
+        |     WHEN w * 256 <= h * 256 THEN 256
+        |     ELSE greatest(1, CAST(floor(h * 256 / CAST(w AS DOUBLE)) AS INT)) END AS out_height
+        |FROM d""".stripMargin,
+
+    "x_mm_features" -> {
+      // DuckDB md5 takes VARCHAR only; the payload is the UTF-8 bytes of
+      // text, so md5(text) is byte-identical to Spark's md5(binary payload)
+      val comp = hex32("md5(md5(text) || ':' || CAST(i AS VARCHAR))", 1)
+      s"""SELECT doc_id, list_transform(range(0, 8),
+         |  i -> round($comp / 4294967296.0 * 2.0 - 1.0, 6)) AS features
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
+
     "x_mm_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |CAST(floor(n * i / 4.0) AS BIGINT) AS byte_offset

@@ -130,5 +130,5 @@ object SparkEntry {
     "q29_keep_last", "q37_group_collect", "x_dedup_exact", "x_dedup_minhash",
     "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
-    "g63_grid_join", "q51b_html_render")
+    "g63_grid_join", "q51b_html_render", "x_pipeline")
 }

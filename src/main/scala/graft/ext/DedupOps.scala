@@ -103,7 +103,16 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // the propagation universe must cover every node the PAIRS mention, not
+    // just `docs`: an edge through a doc absent from `docs` still connects
+    // its endpoints, and a universe smaller than the message set would let
+    // the convergence check miss freshly-introduced nodes (declaring
+    // converged while labels are still moving). Output is filtered back to
+    // `docs` at the end.
+    val universe = docs.select(col("doc_id"))
+      .unionByName(edges.select(col("src").as("doc_id")))
+      .distinct()
+    var labels = universe.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -130,7 +139,7 @@ object DedupOps {
         s"dupClusters did not converge within maxIters=$maxIters " +
           "(a component's diameter exceeds the bound); raise maxIters or " +
           "pass strict=false to accept partially-propagated labels")
-    labels
+    labels.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
   /** Exact n-gram Jaccard for candidate pairs: join each side to its shingle

@@ -74,15 +74,17 @@ object SimilarityOps {
                numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
     val r = numPlanes / numBands
-    // guard the dim contract with one cheap limit-1 job: a vector longer
-    // than the plane matrix would silently drop its tail from the dot sums
-    // (element_at past the end is null and sum() skips nulls)
-    df.select(size(col(vecCol)).as("__d")).limit(1).collect().headOption.foreach {
-      row => require(row.getInt(0) == dim,
-        s"srpBands dim=$dim but vectors have ${row.getInt(0)} elements")
-    }
+    // per-ROW dim guard, inside the consumed column (a sampled check misses
+    // ragged corpora; a side-column would be pruned): a vector longer than
+    // the plane matrix would otherwise silently drop its tail from the dot
+    // sums — element_at past the end is null and sum() skips nulls
     val planes = typedlit(planeMatrix(numPlanes, dim))
-    val expl = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
+    val checked = df.select(col(idCol),
+      when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"srpBands: vector length "), size(col(vecCol)).cast("string"),
+          lit(s" != dim=$dim")))).as(vecCol))
+    val expl = checked.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
     val dots = (0 until numPlanes).map { p =>
       sum(col("v").cast("double")
         * element_at(element_at(planes, p + 1), col("d") + 1)).as(s"dot_$p")

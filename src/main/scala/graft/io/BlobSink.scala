@@ -32,15 +32,19 @@ object BlobSink {
             new org.apache.hadoop.conf.Configuration())
           it.foreach { row =>
             val name = row.getString(0)
-            // fail deterministically with the offending name, BEFORE any
-            // bytes of this row are written: a null would NPE mid-partition,
-            // and '..'/absolute names would escape the sink root
+            val body = row.getString(1)
+            // fail deterministically with the offending row BEFORE touching
+            // the filesystem: fs.create(overwrite) truncates first, so any
+            // late failure (null body) would destroy a previously-good blob
             require(name != null && name.nonEmpty,
               "BlobSink: null/empty object name")
-            require(!name.startsWith("/") && !name.split("/").contains(".."),
+            val child = new Path(name)
+            require(!child.isAbsolute && child.toUri.getScheme == null &&
+              !name.split("/").contains(".."),
               s"BlobSink: object name escapes the sink root: '$name'")
+            require(body != null, s"BlobSink: null body for object '$name'")
             val out = fs.create(new Path(root, name), true)
-            try out.write(row.getString(1).getBytes(StandardCharsets.UTF_8))
+            try out.write(body.getBytes(StandardCharsets.UTF_8))
             finally out.close()
             counter.add(1L)
           }

@@ -81,7 +81,15 @@ object RestSourceV2 {
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val merged = props ++
         options.asScala.map { case (k, v) => k.toLowerCase -> v }
-      new ScanBuilder { def build(): Scan = new RestScan(tableSchema, merged) }
+      // column pruning: Catalyst hands us the required subset; the reader
+      // then converts only those fields of each record (wide raw-stage
+      // schemas don't pay full-width decode for narrow projections)
+      new ScanBuilder with SupportsPushDownRequiredColumns {
+        private var required: StructType = tableSchema
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+        override def build(): Scan = new RestScan(required, merged)
+      }
     }
   }
 

@@ -28,11 +28,26 @@ class StageStore(spark: SparkSession, root: String, retain: Int = 5) {
   /** Write one version; returns its path. `versionId` must be monotonically
     * increasing (the caller injects the clock — deterministic in tests). */
   def write(df: DataFrame, versionId: Long): String = {
+    backfillLegacyMarkers()
     val dir = s"$root/v=$versionId"
     df.write.mode("overwrite").parquet(dir)
     fs.create(markerPath(versionId), true).close() // atomic publish
     prune()
     dir
+  }
+
+  /** Upgrade path, part 2: the FIRST marker written into a legacy store
+    * would otherwise strand every pre-marker version dir (markers become
+    * authoritative, the unmarked dirs drop out of versions() and are never
+    * pruned). Before our own marker lands, promote the legacy dirs to
+    * committed — they were fully written by the old double-write code. */
+  private def backfillLegacyMarkers(): Unit = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    if (names.exists(_.startsWith("_committed-v="))) return
+    names.filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .foreach(v => fs.create(markerPath(v), true).close())
   }
 
   /** Newest-first COMMITTED version ids (uncommitted/partial directories are

@@ -136,14 +136,19 @@ object GeoQueries {
       levenshtein(col("loc_text"), col("layer_name")) <= 2, "left")
     val w = Window.partitionBy(col("c_custkey"))
       .orderBy(levenshtein(col("loc_text"), col("layer_name")), col("layer_name"))
+    // persisted: fuzzyHit and BOTH geocoder branches embed this lineage —
+    // left lazy, the levenshtein join would run three times and, worse, the
+    // rate-limited geocode stage TWICE (every unresolved row geocoded 2×
+    // against a sub-1-QPS external service)
     val f1 = fj.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .persist()
     val fuzzyHit = f1.where(col("layer_name").isNotNull)
       .select(col("c_custkey"), col("cell_wkt"), lit("fuzzy").as("resolution"))
     val rest2 = f1.where(col("layer_name").isNull).select("c_custkey", "loc_text")
     // (3) rate-limited external geocoder (deterministic stub; the qps bound
     // is the service contract, set loose here so the query is instant)
     val geo = GeocodeStage.geocode(rest2, "c_custkey", "loc_text",
-      KeyedStubGeocoder, qps = 1e6)
+      KeyedStubGeocoder, qps = 1e6).persist()
     val geoHit = geo.where(col("gx").isNotNull)
       .select(col("c_custkey"),
         GeoFunctions.stBufferEnv(

@@ -469,6 +469,9 @@ object Oracles {
         |FROM documents) WHERE service_area = 'Water'""".stripMargin,
 
     "q51b_html_render" ->
+      // esc() mirrors Emailer.htmlEscape (&, <, > — & first); the synthetic
+      // fields here contain none of them, so esc is semantically inert for
+      // this data but keeps the mirror faithful to the expression
       """WITH r AS (SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey%3=0 THEN 'Open' WHEN o_orderkey%3=1 THEN 'Closed' ELSE 'In Progress' END AS status,
         |  o_orderpriority AS title,

@@ -92,11 +92,20 @@ object Emailer {
     * drops null pieces), array fields join with ", ", and area_type gates
     * rows — 'Official Planning Suburb' drops inferred suburbs, 'Citywide'
     * drops suburbs AND wards. */
+  /** Minimal HTML entity escape for data interpolated into markup (&, <, >
+    * — & first). The Jinja template this mirrors escapes by default; raw
+    * interpolation would let a title like "Pressure < 2 bar" (or hostile
+    * free text) break or inject into the emailed document. */
+  def htmlEscape(c: Column): Column =
+    replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
   def renderHtml(statusCol: Column, titleCol: Column, areaCol: Column,
                  areaTypeCol: Column, suburbsCol: Column, wardsCol: Column,
                  postCol: Column): Column = {
     def tr(name: String, v: Column): Column =
-      when(v.isNotNull, concat(lit(s"<tr><td>$name</td><td>"), v, lit("</td></tr>")))
+      when(v.isNotNull, concat(lit(s"<tr><td>$name</td><td>"), htmlEscape(v),
+        lit("</td></tr>")))
     val suburbs = when(
       areaTypeCol.isNull ||
         !areaTypeCol.isin("Official Planning Suburb", "Citywide"),
@@ -105,13 +114,13 @@ object Emailer {
       array_join(wardsCol, ", "))
     concat_ws("",
       lit("<html><body><h2>"),
-      emailSubject(statusCol, titleCol, areaCol),
+      htmlEscape(emailSubject(statusCol, titleCol, areaCol)),
       lit("</h2><table>"),
       tr("status", statusCol),
       tr("area", areaCol),
       tr("suburbs", suburbs),
       tr("wards", wards),
-      lit("</table><p>"), coalesce(postCol, lit("")),
+      lit("</table><p>"), coalesce(htmlEscape(postCol), lit("")),
       lit("</p></body></html>"))
   }
 

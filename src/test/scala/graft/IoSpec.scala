@@ -57,10 +57,13 @@ class IoSpec extends SparkTestBase {
     Seq(7L).toDF("v").write.parquet(s"$root/v=100")
     assert(store.versions() == Seq(100L))
     assert(store.readLatest().as[Long].head() == 7L)
-    // the next write publishes a marker — markers become authoritative
+    // the next write backfills markers for legacy dirs BEFORE publishing
+    // its own, so upgrade never strands old versions (they stay readable
+    // and re-enter retention)
     store.write(Seq(8L).toDF("v"), 200L)
-    assert(store.versions() == Seq(200L)) // unmarked legacy dir now invisible
+    assert(store.versions() == Seq(200L, 100L))
     assert(store.readLatest().as[Long].head() == 8L)
+    assert(store.read(100L).as[Long].head() == 7L)
   }
 
   test("Op-7 blob sink: one object per row, overwrite-idempotent, no collect") {
@@ -91,6 +94,19 @@ class IoSpec extends SparkTestBase {
     assert(htmls(2L).contains("<h2>Updated Service Alert - Burst in CBD</h2>"))
     assert(!htmls(2L).contains("suburbs") && htmls(2L).contains("wards"))
     assert(!htmls(3L).contains("suburbs") && !htmls(3L).contains("wards"))
+  }
+
+  test("Op-51 html render escapes markup in data fields (Jinja-default parity)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "Open", "Pressure < 2 bar & <script>x</script>", "CBD",
+        "Suburb", Seq("s1"), Seq("w1")))
+      .toDF("id", "status", "title", "area", "area_type", "suburbs", "wards")
+    val html = df.select(graft.serve.Emailer.renderHtml(
+        col("status"), col("title"), col("area"), col("area_type"),
+        col("suburbs"), col("wards"), lit(null).cast("string")))
+      .as[String].head()
+    assert(html.contains("Pressure &lt; 2 bar &amp; &lt;script&gt;"))
+    assert(!html.contains("<script>"))
   }
 
   private def pagesFixture = Map(

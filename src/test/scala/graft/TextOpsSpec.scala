@@ -82,6 +82,16 @@ class TextOpsSpec extends SparkTestBase {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("dupClusters: pairs through docs absent from the universe still connect, output stays scoped") {
+    // node 3 is only in the pair graph: 2-3-4 is one component, labels must
+    // flow THROUGH it, but it must not appear in the output
+    val docs = Seq(1L, 2L, 4L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
+  }
+
   test("dupClusters: maxIters bounds a pathological path graph") {
     val n = 8 // diameter 7: converges within the default bound
     val docs = (1L to n.toLong).toDF("doc_id")

@@ -102,6 +102,7 @@ object SparkEntry {
     "x_ann_lsh" -> ExtQueries.xAnnLsh,
     "x_ann_ivf" -> ExtQueries.xAnnIvf,
     "x_ann_recall" -> ExtQueries.xAnnRecall,
+    "x_ann_ivf_batch" -> ExtQueries.xAnnIvfBatch,
     // ext: multimodal plumbing
     "x_mm_decode" -> ExtQueries.xMmDecode,
     "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,

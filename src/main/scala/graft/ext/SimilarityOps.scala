@@ -243,6 +243,47 @@ object SimilarityOps {
       idCol, vecCol, query, k)
   }
 
+  /** IVF top-k for a SET of query vectors (`queries`: qid, q) — the
+    * many-query workload the coarse quantizer exists for. Per-query probe
+    * selection is a window over queries×nlist rows (tiny: the centroid side
+    * is nlist), then each query joins ONLY its probed cells' vectors on the
+    * centroid id — per-query work is nprobe/nlist of the corpus, and the
+    * whole batch shares one assignment pass and one k-means refinement.
+    * Self-matches (a query that is itself a corpus row) are excluded. */
+  def ivfTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                   kmeansIters: Int = 0): DataFrame = {
+    val centroids0 = localize(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val centroids =
+      if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
+      else centroids0
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val qn = queries.select(col("qid"), col("q"), norm(col("q")).as("__qnrm"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = qn.crossJoin(broadcast(centroids
+        .withColumn("__cnrm", norm(col("centroid")))))
+      .select(col("qid"),
+        round(dot(col("q"), col("centroid")) / (col("__qnrm") * col("__cnrm")), 6)
+          .as("__sim"),
+        col("centroid_id"))
+      .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
+      .select(col("qid"), col("centroid_id"))
+    val cand = assigned
+      .select(col("centroid_id"), col(idCol), col(vecCol),
+        norm(col(vecCol)).as("__nrm"))
+      .join(probes, "centroid_id")
+      .join(qn, "qid")
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dot(col(vecCol), col("q")) / (col("__nrm") * col("__qnrm")), 6)
+          .as("cos_sim"))
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    cand.withColumn("__rn", row_number().over(topW)).where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("cos_sim"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
     * baseline the LSH variant approximates). O(n²/2) — use only to validate
     * LSH recall at small n, or within pre-partitioned shards at scale. */

@@ -154,6 +154,17 @@ object ExtQueries {
       q, k = 20, nlist = 16, nprobe = 4, kmeansIters = 2)
   }
 
+  /** Batch IVF: top-10 neighbours for EVERY vec_id%100==1 query vector in
+    * one pass — one shared assignment + refinement, per-query work bounded
+    * by the probed cells. */
+  val xAnnIvfBatch: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    SimilarityOps.ivfTopKBatch(emb, "vec_id", "embedding", queries,
+      k = 10, nlist = 16, nprobe = 4, kmeansIters = 2)
+  }
+
   /** IVF recall vs the brute-force top-k, driver-checked: one row
     * (n_true, n_found, recall). The planted near-clones of vector 0 make the
     * true top-20 non-trivial, and recall is 1.0 by measurement (asserted

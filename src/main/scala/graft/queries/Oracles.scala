@@ -103,20 +103,21 @@ object Oracles {
     * argmax assignment (ties to the smallest centroid id), probe LIMIT
     * nprobe, top-k LIMIT k. Appends CTEs `rest`, `qv`, `asgF`, `probe`,
     * `ivf` to PLANTED_CTES. */
-  private def ivfCtes(kmeansIters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+  /** Centroid-sample + Lloyd-round + final-assignment CTE chain over the
+    * CTE named `src`; leaves `ctr<iters>` (final centroids) and `asgF`
+    * (final assignment) defined. */
+  private def ivfChainCtes(src: String, kmeansIters: Int, nlist: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
-         |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
-         |ctr0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS c FROM
-         |  (SELECT vec_id, v FROM rest ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)),
+      s"""ctr0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS c FROM
+         |  (SELECT vec_id, v FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)),
          |""".stripMargin)
     for (it <- 1 to kmeansIters) {
       val prev = s"ctr${it - 1}"
       sb.append(
         s"""asg$it AS (SELECT vec_id, v, centroid_id FROM (
            |  SELECT r.vec_id, r.v, k.centroid_id, row_number() OVER (PARTITION BY r.vec_id
-           |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM rest r, $prev k) WHERE rn = 1),
+           |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM $src r, $prev k) WHERE rn = 1),
            |upd$it AS (SELECT centroid_id, list(m ORDER BY i) AS c FROM
            |  (SELECT centroid_id, i, round(avg(v[i+1]), 6) AS m FROM
            |   (SELECT centroid_id, v, unnest(range(0, len(v))) AS i FROM asg$it) GROUP BY centroid_id, i)
@@ -129,14 +130,36 @@ object Oracles {
     sb.append(
       s"""asgF AS (SELECT vec_id, v, centroid_id FROM (
          |  SELECT r.vec_id, r.v, k.centroid_id, row_number() OVER (PARTITION BY r.vec_id
-         |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM rest r, $fin k) WHERE rn = 1),
-         |probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
-         |  FROM qv q, $fin k) ORDER BY s DESC, centroid_id LIMIT $nprobe),
-         |ivf AS (SELECT a.vec_id, ${cosSql("a.v", "q.v")} AS cos_sim
-         |  FROM asgF a JOIN probe p ON p.centroid_id = a.centroid_id, qv q
-         |  ORDER BY cos_sim DESC, a.vec_id LIMIT $k)
+         |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM $src r, $fin k) WHERE rn = 1),
          |""".stripMargin)
     sb.toString
+  }
+
+  private def ivfCtes(kmeansIters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+    val fin = s"ctr$kmeansIters"
+    s"""rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
+       |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
+       |${ivfChainCtes("rest", kmeansIters, nlist)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+       |  FROM qv q, $fin k) ORDER BY s DESC, centroid_id LIMIT $nprobe),
+       |ivf AS (SELECT a.vec_id, ${cosSql("a.v", "q.v")} AS cos_sim
+       |  FROM asgF a JOIN probe p ON p.centroid_id = a.centroid_id, qv q
+       |  ORDER BY cos_sim DESC, a.vec_id LIMIT $k)
+       |""".stripMargin
+  }
+
+  private def ivfBatchCtes(kmeansIters: Int, nlist: Int, nprobe: Int, k: Int): String = {
+    val fin = s"ctr$kmeansIters"
+    s"""${ivfChainCtes("corpus", kmeansIters, nlist)}qset AS (SELECT vec_id AS qid, v AS q FROM corpus WHERE vec_id % 100 = 1),
+       |probes AS (SELECT qid, centroid_id FROM (
+       |  SELECT q.qid, k.centroid_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${cosSql("q.q", "k.c")} DESC, k.centroid_id) AS rn FROM qset q, $fin k) WHERE rn <= $nprobe),
+       |cand AS (SELECT q.qid, a.vec_id, ${cosSql("a.v", "q.q")} AS cos_sim
+       |  FROM asgF a JOIN probes p ON p.centroid_id = a.centroid_id
+       |  JOIN qset q ON q.qid = p.qid WHERE a.vec_id <> q.qid),
+       |topk AS (SELECT qid, vec_id, cos_sim FROM (
+       |  SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand) WHERE rn <= $k)
+       |""".stripMargin
   }
 
   // geo world model (mirrors GeoQueries): customers are unit squares at
@@ -630,6 +653,10 @@ object Oracles {
     "x_ann_ivf" ->
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
          |SELECT vec_id, cos_sim FROM ivf""".stripMargin,
+
+    "x_ann_ivf_batch" ->
+      s"""WITH $PLANTED_CTES, ${ivfBatchCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 10)}
+         |SELECT qid, vec_id, cos_sim FROM topk""".stripMargin,
 
     "x_ann_recall" ->
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)},

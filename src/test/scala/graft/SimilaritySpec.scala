@@ -81,6 +81,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall: ivf=$ivf brute=$brute")
   }
 
+  test("batch IVF: each query's neighbours match, self-matches excluded") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id".isin(0L, 100L, 200L))
+      .select($"vec_id".as("qid"), $"embedding".as("q"))
+    val got = SimilarityOps.ivfTopKBatch(corpus, "vec_id", "embedding",
+        queries, k = 5, nlist = 3, nprobe = 1, kmeansIters = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(0L, 100L, 200L))
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    assert(!got.exists(r => r._1 == r._2)) // no self-matches
+    // with converged centroids and nprobe=1, every neighbour of a cluster-0
+    // query comes from cluster 0
+    assert(got.filter(_._1 == 0L).forall(_._2 < 100L))
+  }
+
   test("driver recall query: planted near-dups give IVF recall >= 0.9 at sf0.001") {
     val row = graft.queries.ExtQueries.xAnnRecall(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Double)].head()

@@ -89,6 +89,7 @@ object SparkEntry {
     "x_quality" -> ExtQueries.xQuality,
     "x_langid" -> ExtQueries.xLangId,
     "x_fingerprint" -> ExtQueries.xFingerprint,
+    "x_winnow" -> ExtQueries.xWinnow,
     // ext: dedup
     "x_dedup_exact" -> ExtQueries.xDedupExact,
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators for large-scale training-data curation:
@@ -42,6 +43,45 @@ object TextOps {
     df.select(key.as("doc_id"), tokens(text).as("__toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("__toks"), k))).as("shingle"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003): hash every
+    * k-shingle, slide a window of `w` consecutive hashes, and keep each
+    * window's rightmost-minimal hash. Guarantees that any shared token run
+    * of length ≥ w + k - 1 yields at least one shared fingerprint — the
+    * standard document-fingerprint scheme for plagiarism/near-dup detection,
+    * here as one explode + one window + one aggregation (the "rolling" part
+    * of the classic rolling hash is an O(1)-update trick for sequential
+    * CPUs; in a columnar engine every shingle hashes independently).
+    *
+    * Portability: the window minimum is taken over an INTEGER encoding
+    * `hash * 2^17 + (2^17-1 - pos)` — smallest hash wins, ties to the
+    * rightmost position — so engines agree bit-for-bit without float or
+    * struct ordering. Positions must stay below 2^17 (131k tokens/doc). */
+  /** The selected winnowing hashes as (doc_id, fph) rows — the join-able
+    * form (two documents near-duplicate when their selected sets overlap
+    * heavily; the guarantee tests use this directly). */
+  def winnowSelected(df: DataFrame, key: Column, text: Column,
+                     k: Int, w: Int): DataFrame = {
+    val M = 1L << 17
+    val sh = df.select(key.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"), posexplode(shingles(col("__toks"), k)).as(Seq("pos", "sh")))
+    val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val enc = h * M + (lit(M - 1) - col("pos"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.select(col("doc_id"), col("pos"), enc.as("__enc"))
+      .withColumn("__n", count(lit(1)).over(frame))   // complete windows only
+      .withColumn("__min", min(col("__enc")).over(frame))
+      .where(col("__n") === w)
+      .select(col("doc_id"), expr(s"__min div $M").as("fph"))
+      .distinct()
+  }
+
+  def winnow(df: DataFrame, key: Column, text: Column,
+             k: Int, w: Int): DataFrame =
+    winnowSelected(df, key, text, k, w).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fp"),
+      md5(concat_ws(",", array_sort(collect_list(col("fph"))))).as("fp_digest"))
 
   /** Whitespace token count plus a BPE-ish subword estimate
     * (ceil(len/4) pieces per token — the usual ~4-chars-per-token rule). */

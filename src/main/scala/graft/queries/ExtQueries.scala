@@ -54,6 +54,10 @@ object ExtQueries {
   val xFingerprint: Q = (s, dir) =>
     TextOps.fingerprint(docs(s, dir), col("doc_id"), col("text"))
 
+  /** Winnowing fingerprints (k=3 shingles, window 4). */
+  val xWinnow: Q = (s, dir) =>
+    TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 3, w = 4)
+
   // ---- dedup ----
 
   val xDedupExact: Q = (s, dir) =>

@@ -563,6 +563,22 @@ object Oracles {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
          |FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
+    // winnowing (k=3, w=4): integer-encoded window minima mirror
+    // TextOps.winnow's hash*2^17 + (2^17-1-pos) rightmost-tie encoding
+    "x_winnow" -> {
+      val h32 = hex32("md5(u.sh)", 1)
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, u.pos AS pos, $h32 * 131072 + (131071 - u.pos) AS enc FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
+         |    i -> struct_pack(pos := i-1, sh := array_to_string(tk[i:i+2], ' ')))) AS u FROM toks)),
+         |win AS (SELECT doc_id, count(*) OVER fr AS n, min(enc) OVER fr AS mn
+         |  FROM sh WINDOW fr AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         |sel AS (SELECT DISTINCT doc_id, mn // 131072 AS fph FROM win WHERE n = 4)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |md5(string_agg(CAST(fph AS VARCHAR), ',' ORDER BY fph)) AS fp_digest
+         |FROM sel GROUP BY doc_id""".stripMargin
+    },
+
     "x_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents WHERE text IS NOT NULL GROUP BY md5(text)""".stripMargin,

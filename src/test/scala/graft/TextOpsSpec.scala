@@ -63,6 +63,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(j == Seq((10L, 20L, 1.0)))
   }
 
+  test("winnowing: shared token runs >= w+k-1 share a fingerprint; short docs drop out") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight nine $run ten eleven"),
+      (3L, "completely different words here entirely now today"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs, col("doc_id"), col("text"), k = 3, w = 4)
+    val rows = fp.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(4L)) // fewer shingles than one window
+    // the guarantee: docs 1 and 2 share an 8-token run (>= w+k-1 = 6), so
+    // their SELECTED sets must intersect; doc 3 shares nothing with doc 1
+    val sel = TextOps.winnowSelected(docs, col("doc_id"), col("text"), 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((sel(1L) & sel(2L)).nonEmpty)
+    assert((sel(1L) & sel(3L)).isEmpty)
+  }
+
   test("simhashPairs serves every maxHamming in [0,31] via next-divisor blocks") {
     val sig = Seq((1L, 0L), (2L, 3L), (3L, 0xF0F0F0FL)).toDF("doc_id", "simhash")
     // maxHamming=2 needs >=3 blocks -> rounds up to 4; previously threw

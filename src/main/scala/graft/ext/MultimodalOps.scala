@@ -113,12 +113,16 @@ object MultimodalOps {
     * (id, array<double>) contract via a decodeStage-style mapPartitions. */
   def fakeFeatures(df: DataFrame, idCol: String, payloadCol: String,
                    dim: Int): DataFrame = {
-    val digest = md5(col(payloadCol))
-    val comp = (i: Column) => round(
-      (conv(substring(md5(concat(digest, lit(":"), i.cast("string"))), 1, 8),
+    require(dim > 0, s"dim must be positive, got $dim")
+    // the content digest is projected ONCE, then the components unroll as a
+    // plain array() of codegen'd expressions over it — a transform() lambda
+    // would both re-hash the full payload per element and run interpreted
+    // (the documented HOF gotcha)
+    val comp = (i: Int) => round(
+      (conv(substring(md5(concat(col("__digest"), lit(s":$i"))), 1, 8),
         16, 10).cast("double") / lit(4294967296.0) * 2.0 - 1.0), 6)
-    df.select(col(idCol),
-      transform(sequence(lit(0), lit(dim - 1)), comp).as("features"))
+    df.select(col(idCol), md5(col(payloadCol)).as("__digest"))
+      .select(col(idCol), array((0 until dim).map(comp): _*).as("features"))
   }
 
   /** Deterministic frame-sampling plan for video-ish payloads: pick

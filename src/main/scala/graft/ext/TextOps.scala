@@ -66,7 +66,15 @@ object TextOps {
     val sh = df.select(key.as("doc_id"), tokens(text).as("__toks"))
       .select(col("doc_id"), posexplode(shingles(col("__toks"), k)).as(Seq("pos", "sh")))
     val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-    val enc = h * M + (lit(M - 1) - col("pos"))
+    // the position term must stay below M or the encoding borrows from the
+    // hash bits (fingerprints silently decode to hash-1 — and the oracle,
+    // sharing the formula, would AGREE with the corruption); guard inside
+    // the consumed column so pruning can't drop it
+    val enc = when(col("pos") < M, h * M + (lit(M - 1) - col("pos")))
+      .otherwise(raise_error(concat(
+        lit(s"winnow: shingle position exceeds ${M - 1} (doc too long for " +
+          "the 17-bit position encoding); split the document or widen M: pos="),
+        col("pos").cast("string"))))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     sh.select(col("doc_id"), col("pos"), enc.as("__enc"))

@@ -125,6 +125,11 @@ object RestSourceV2 {
     private val fetcher = resolveFetcher(opts)
     private val maxPagesPerTrigger =
       opts.get("maxpagespertrigger").map(_.toLong).getOrElse(100L)
+    // overall page bound: the AvailableNow snapshot (and any re-walk)
+    // buffers pages driver-side until commit() frees them, so an unbounded
+    // chain must degrade to an explicit cap, not a driver OOM
+    private val maxPagesTotal =
+      opts.get("maxpages").map(_.toLong).getOrElse(100000L)
     // page index -> that page's rows, pre-converted to schema-aligned values
     private val pages = new java.util.TreeMap[Long, Array[Array[Any]]]()
     private var nextToken: Option[String] = None
@@ -137,10 +142,10 @@ object RestSourceV2 {
       schema.fields.map(f => clean.get(f.name).orNull)
     }
 
-    /** Walk the continuation chain until `target` pages are buffered or the
-      * chain ends. */
+    /** Walk the continuation chain until `target` pages are buffered, the
+      * chain ends, or the overall page cap is reached. */
     private def walk(target: Long): Unit =
-      while (!exhausted && walked < target) {
+      while (!exhausted && walked < math.min(target, maxPagesTotal)) {
         val (rows, nxt) = fetcher.fetch(nextToken)
         pages.put(walked, rows.map(toValues).toArray)
         walked += 1
@@ -167,7 +172,22 @@ object RestSourceV2 {
       val target = s + maxPagesPerTrigger
       availableNowEnd match {
         case Some(end) => RestOffset(math.min(end, target))
-        case None      => walk(target); RestOffset(math.min(walked, target))
+        case None =>
+          // continuous polling: a finished chain is a SNAPSHOT, not the end
+          // of the stream — the reference re-lists every cadence tick and
+          // diffs downstream. Re-walk from the head as fresh offsets;
+          // ChangeStream's first-seen state is the documented dedup layer.
+          if (exhausted && walked < target) {
+            nextToken = None
+            exhausted = false
+          }
+          walk(target)
+          // a chain SHORTER than the restored offset can't regress the
+          // offset log (Spark would plan end<start); fail loudly instead
+          require(walked >= s,
+            s"continuation chain now serves $walked pages but the offset " +
+              s"log is at $s — source data was truncated; clear the checkpoint")
+          RestOffset(math.min(walked, target))
       }
     }
 

@@ -45,8 +45,8 @@ class StageStore(spark: SparkSession, root: String, retain: Int = 5) {
     val p = new Path(root)
     if (!fs.exists(p)) return
     val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-    if (names.exists(_.startsWith("_committed-v="))) return
-    names.filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    if (names.exists(_.matches("_committed-v=\\d+"))) return
+    legacyCompleteVersions(names)
       .foreach(v => fs.create(markerPath(v), true).close())
   }
 
@@ -62,13 +62,23 @@ class StageStore(spark: SparkSession, root: String, retain: Int = 5) {
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
     val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-    val marked = names.filter(_.startsWith("_committed-v="))
+    val marked = names.filter(_.matches("_committed-v=\\d+"))
       .map(_.stripPrefix("_committed-v=").toLong)
     val ids =
       if (marked.nonEmpty) marked
-      else names.filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      else legacyCompleteVersions(names)
     ids.sorted(Ordering[Long].reverse)
   }
+
+  /** Zero-marker fallback, restricted to dirs the OLD writer finished: a
+    * legacy-complete dir carries parquet's _SUCCESS commit file, a write
+    * that died mid-flight does not — so new-scheme partial first writes are
+    * NOT promoted (that would make the corruption permanent). Non-numeric
+    * sibling dirs (v=backup etc.) are ignored, not parsed. */
+  private def legacyCompleteVersions(names: Seq[String]): Seq[Long] =
+    names.filter(_.matches("v=\\d+"))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(v => fs.exists(new Path(s"$root/v=$v/_SUCCESS")))
 
   /** Op-5 retention: drop all but the newest `retain` versions — marker
     * first (removes the version from resolution), then the data. */

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geometry._
+
+/** Property checks for the hand-written geometry kernel against independent
+  * closed forms — deterministic seeded sampling (fixed seed, many cases)
+  * rather than framework randomness, per the repo's reproducibility rule.
+  * Pure kernel: no Spark session, so hundreds of cases cost milliseconds.
+  */
+class GeometryPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812)
+
+  private def randBox(maxC: Int): (GPolygon, Int, Int, Int, Int) = {
+    val x0 = rnd.nextInt(maxC); val y0 = rnd.nextInt(maxC)
+    val w = 1 + rnd.nextInt(maxC / 2); val h = 1 + rnd.nextInt(maxC / 2)
+    (box(x0, y0, x0 + w, y0 + h), x0, y0, x0 + w, y0 + h)
+  }
+
+  test("box intersection matches the closed form; intersects matches closed intervals") {
+    for (_ <- 1 to 300) {
+      val (a, ax0, ay0, ax1, ay1) = randBox(20)
+      val (b, bx0, by0, bx1, by1) = randBox(20)
+      val w = math.min(ax1, bx1) - math.max(ax0, bx0)
+      val h = math.min(ay1, by1) - math.max(ay0, by0)
+      val expected = math.max(w, 0).toDouble * math.max(h, 0).toDouble
+      assert(math.abs(intersectionArea(a, b) - expected) < 1e-9,
+        s"inter($ax0,$ay0,$ax1,$ay1 × $bx0,$by0,$bx1,$by1)")
+      assert(intersects(a, b) == (w >= 0 && h >= 0))
+      // symmetry + bound
+      assert(math.abs(intersectionArea(a, b) - intersectionArea(b, a)) < 1e-9)
+      assert(intersectionArea(a, b) <= math.min(area(a), area(b)) + 1e-9)
+    }
+  }
+
+  test("dissolve union area equals exact unit-cell rasterisation for grid boxes") {
+    for (_ <- 1 to 120) {
+      val n = 2 + rnd.nextInt(6)
+      val boxes = Seq.fill(n)(randBox(12))
+      val gs = boxes.map(_._1)
+      val covered = (for {
+        (_, x0, y0, x1, y1) <- boxes
+        ix <- x0 until x1
+        iy <- y0 until y1
+      } yield (ix, iy)).toSet
+      val expected = covered.size.toDouble
+      assert(math.abs(unionArea(gs) - expected) < 1e-9, s"boxes=$boxes")
+      assert(math.abs(area(unionDissolve(gs)) - expected) < 1e-9)
+      // bounds: at least the largest part, at most the sum
+      assert(unionArea(gs) >= gs.map(area).max - 1e-9)
+      assert(unionArea(gs) <= gs.map(area).sum + 1e-9)
+    }
+  }
+
+  test("buffer of a box matches area + perimeter·d + disc; bounded by the envelope") {
+    val n = 32
+    for (_ <- 1 to 60) {
+      val (g, x0, y0, x1, y1) = randBox(15)
+      val d = 0.5 + rnd.nextInt(3)
+      val discArea = 0.5 * n * d * d * math.sin(2 * math.Pi / n)
+      val w = (x1 - x0).toDouble; val h = (y1 - y0).toDouble
+      val expected = w * h + 2 * (w + h) * d + discArea
+      val got = area(buffer(g, d))
+      assert(math.abs(got - expected) < 1e-6, s"box($x0,$y0,$x1,$y1) d=$d")
+      assert(got >= area(g))
+      assert(got <= area(bufferEnv(g, d)) + 1e-9) // rounded corners < square
+    }
+  }
+
+  test("WKT round-trips losslessly for 6-dp grid geometries") {
+    for (_ <- 1 to 200) {
+      val (g, _, _, _, _) = randBox(100)
+      // shift onto the 0.1 grid to exercise fractional formatting
+      val shifted = GPolygon(g.ring.map(p => Pt(p.x / 10.0, p.y / 10.0)))
+      val back = parseWkt(toWkt(shifted))
+      assert(back.contains(shifted), s"wkt=${toWkt(shifted)}")
+      val multi = GMulti(Vector(shifted, g))
+      assert(parseWkt(toWkt(multi)).contains(multi))
+    }
+  }
+
+  test("intersection of nested and disjoint boxes: containment and zero cases") {
+    for (_ <- 1 to 100) {
+      val (outer, x0, y0, x1, y1) = randBox(20)
+      if (x1 - x0 > 2 && y1 - y0 > 2) {
+        val inner = box(x0 + 1, y0 + 1, x1 - 1, y1 - 1)
+        assert(math.abs(intersectionArea(outer, inner) - area(inner)) < 1e-9)
+        assert(intersects(outer, inner))
+      }
+      val far = box(x1 + 1, y1 + 1, x1 + 3, y1 + 3)
+      assert(intersectionArea(outer, far) == 0.0)
+      assert(!intersects(outer, far))
+    }
+  }
+}

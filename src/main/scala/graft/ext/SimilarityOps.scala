@@ -154,13 +154,23 @@ object SimilarityOps {
     * one broadcast pass and cells are a partitioning key — queries touch
     * nprobe/nlist of the data. */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int): DataFrame =
-    df.select(col(idCol), col(vecCol))
+                   nlist: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // The sample is nlist rows by construction and every consumer broadcasts
+    // it, so number the centroids on the driver: a row_number() over a
+    // global Window here would shuffle to a single partition (the WindowExec
+    // warning) for a table that is about to be collected anyway.
+    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nlist)
       .orderBy(col(idCol))
-      .select(row_number().over(Window.orderBy(col(idCol))).as("centroid_id"),
-        col(vecCol).as("centroid"))
+      .select(col(vecCol))
+      .as[Seq[Double]].collect()
+    sample.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+      .toSeq.toDF("centroid_id", "centroid")
+  }
 
   /** Assign each vector to its nearest centroid (cosine). Similarities are
     * rounded to 6 dp BEFORE the argmax (ties to the smallest centroid id) so
@@ -226,7 +236,7 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, k: Int, nlist: Int, nprobe: Int,
               kmeansIters: Int = 0): DataFrame = {
-    val centroids0 = localize(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val centroids0 = ivfCentroids(corpus, idCol, vecCol, nlist) // already local
     val centroids =
       if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
       else centroids0
@@ -253,7 +263,7 @@ object SimilarityOps {
   def ivfTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
                    kmeansIters: Int = 0): DataFrame = {
-    val centroids0 = localize(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val centroids0 = ivfCentroids(corpus, idCol, vecCol, nlist) // already local
     val centroids =
       if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
       else centroids0

@@ -213,11 +213,15 @@ object ExtQueries {
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", maxW = 256, maxH = 256)
 
-  /** Deterministic payload→feature-vector extraction (dim 8). */
+  /** Deterministic payload→feature-vector extraction (dim 8), exploded to
+    * one (doc_id, feat_idx, feature) row per component: the driver's
+    * hash-compare sorts result columns pandas-side and an array-typed
+    * column is unsortable there, so the checked surface must be scalar. */
   val xMmFeatures: Q = (s, dir) =>
     MultimodalOps.fakeFeatures(
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", dim = 8)
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feature")))
 
   /** Salted skew join as a driver-checked query (was a spec-only utility):
     * events' event_type is a genuinely hot key (a handful of values over

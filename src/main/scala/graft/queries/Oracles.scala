@@ -708,11 +708,14 @@ object Oracles {
 
     "x_mm_features" -> {
       // DuckDB md5 takes VARCHAR only; the payload is the UTF-8 bytes of
-      // text, so md5(text) is byte-identical to Spark's md5(binary payload)
+      // text, so md5(text) is byte-identical to Spark's md5(binary payload).
+      // One row per component (scalar columns only — the driver compare
+      // cannot sort an array column).
       val comp = hex32("md5(md5(text) || ':' || CAST(i AS VARCHAR))", 1)
-      s"""SELECT doc_id, list_transform(range(0, 8),
-         |  i -> round($comp / 4294967296.0 * 2.0 - 1.0, 6)) AS features
-         |FROM documents WHERE text IS NOT NULL""".stripMargin
+      s"""SELECT doc_id, CAST(i AS INT) AS feat_idx,
+         |  round($comp / 4294967296.0 * 2.0 - 1.0, 6) AS feature
+         |FROM documents, (SELECT unnest(range(0, 8)) AS i)
+         |WHERE text IS NOT NULL""".stripMargin
     },
 
     "x_mm_frames" ->

@@ -116,7 +116,14 @@ object SparkEntry {
     // ext: event-time windows
     "x_win_tumble" -> ExtQueries.xWinTumble,
     "x_win_slide" -> ExtQueries.xWinSlide,
-    "x_win_session" -> ExtQueries.xWinSession
+    "x_win_session" -> ExtQueries.xWinSession,
+    // ext: as-of join + corpus curation
+    "x_asof_join" -> ExtQueries.xAsofJoin,
+    "x_quality_gopher" -> ExtQueries.xQualityGopher,
+    "x_top_token" -> ExtQueries.xTopToken,
+    "x_pii_scrub" -> ExtQueries.xPiiScrub,
+    "x_boilerplate" -> ExtQueries.xBoilerplate,
+    "x_strat_sample" -> ExtQueries.xStratSample
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */
@@ -132,5 +139,6 @@ object SparkEntry {
     "q29_keep_last", "q37_group_collect", "x_dedup_exact", "x_dedup_minhash",
     "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
-    "g63_grid_join", "q51b_html_render", "x_pipeline")
+    "g63_grid_join", "q51b_html_render", "x_pipeline",
+    "x_asof_join", "x_boilerplate")
 }

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators: cross-document boilerplate detection and
+  * deterministic stratified sampling — the two ops that act on the corpus
+  * distribution rather than on a document in isolation.
+  */
+object CorpusOps {
+
+  /** Flag boilerplate: a k-shingle appearing in ≥ `minDocs` distinct
+    * documents is "boilerplate" (navigation chrome, license headers, shared
+    * templates); each document reports how much of it is made of such
+    * shingles.
+    *
+    * Plan shape — the same as document-frequency/IDF computation, which is
+    * what this is: one shingle explode, one groupBy(shingle) count (partial-
+    * aggregated map-side, so a hot shingle is a map-side sum, not a skewed
+    * reduce), one hash semi-join back on shingle, one groupBy(doc).
+    * Documents shorter than k tokens have no shingles and are absent from
+    * the output (nothing to measure). The exploded shingles feed all three
+    * branches, so they are persisted (CacheManager dedups by plan across
+    * repeated calls). */
+  def boilerplate(df: DataFrame, key: Column, text: Column,
+                  k: Int, minDocs: Int): DataFrame = {
+    val sh = TextOps.explodeShingles(df, key, text, k).persist() // distinct per doc
+    val common = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("__df")) // rows are distinct per doc ⇒ doc freq
+      .where(col("__df") >= minDocs)
+      .select("shingle")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(common, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler") / col("n_shingles").cast("double"), 4)
+          .as("boiler_frac"))
+  }
+
+  /** Deterministic per-stratum sampling: row kept iff its md5-derived
+    * uniform < the stratum's rate. Pure map-side filter — no shuffle, no RNG
+    * state, reproducible on any engine with md5 (the house sampling idiom —
+    * see the backfill sampler, SURVEY.md §2.2 Op-15). Rates land on values
+    * an md5 uniform cannot exactly equal (k/2³² boundaries are hit with
+    * probability 2⁻³²; rates like 0.3 are not representable as such a
+    * boundary anyway), so keep/drop never depends on last-ulp behaviour. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val rateCol = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.where(u < rateCol)
+  }
+}

@@ -142,19 +142,27 @@ object DedupOps {
     labels.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
-  /** Exact n-gram Jaccard for candidate pairs: join each side to its shingle
-    * set, count the intersection, derive |A∪B| from precomputed set sizes.
-    * Only candidate pairs pay the verification cost — never all n² pairs. */
+  /** Exact n-gram Jaccard for candidate pairs: aggregate each doc's shingle
+    * set ONCE (shingleDf rows are distinct per doc), join the two per-doc
+    * arrays onto each pair, and count the intersection map-side with
+    * `array_intersect`. Only candidate pairs pay the verification cost —
+    * never all n² pairs — and unlike the exploded-row formulation (which
+    * shuffles the FULL shingle table into both join branches and pays an
+    * extra (doc_a, doc_b) re-key aggregation) each doc's set is shuffled
+    * exactly once. Per-doc arrays are bounded by document length, so the
+    * row width stays executor-safe at 100-TB corpus scale. */
   def jaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
-    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shA = shingleDf.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = shingleDf.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    val sets = shingleDf.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sh"), count(lit(1)).as("sz"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      // n_inter materialised in its own projection so the intersection is
+      // computed once, not re-inlined per use site
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4)

@@ -158,4 +158,30 @@ object TextOps {
       .select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(col("__toks"))), " "))
           .as("fingerprint"))
+
+  // PII patterns kept deliberately simple and RE2-compatible (no lookaround,
+  // no \b) so the same pattern strings run identically under Java regex
+  // (Spark) and RE2-family engines — and in the DuckDB oracle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{9,14}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing: count then redact emails, international phone numbers
+    * and IPv4 literals. Counts are taken on the ORIGINAL text; redaction is
+    * applied email → phone → IP (the patterns are disjoint by construction:
+    * a phone starts with '+', an IP has no '@'). Pure regexp expressions —
+    * codegen'd, no shuffle, linear per row. */
+  def scrubPii(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val t = col("__text")
+    df.select(key.as("doc_id"), text.as("__text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("scrubbed"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: each probe row picks up the build row with the
+  * greatest build timestamp ≤ the probe timestamp (inclusive), per key —
+  * the standard "latest version at event time" lookup of feature stores and
+  * slowly-changing dimensions.
+  *
+  * Implementation is the union-merge form, not a join: tag both sides, union
+  * them, and run one running `last(ignoreNulls)` window per key ordered by
+  * (ts, side). That costs exactly ONE shuffle per side (the window's hash
+  * partitioning on the key) and a per-partition sort — no range-join pair
+  * explosion, no per-probe scan of the build side. This is the shape that
+  * survives 100 TB: a naive `probe JOIN build ON key AND b.ts <= p.ts` +
+  * argmax materialises O(|probe| × versions-per-key) rows before pruning;
+  * the merge form materialises O(|probe| + |build|).
+  *
+  * Contract: build must be unique per (key, ts) — pre-aggregate versions if
+  * not (equal-ts build rows would make "the" latest version ambiguous; see
+  * [[graft.operators.LookupJoin.manyToOne]] for the validating helper).
+  * Probe rows with no build row at or before their ts null-extend (left
+  * as-of semantics). Null probe timestamps are the caller's to filter.
+  */
+object AsOfJoin {
+
+  /** @param valueCols build columns to carry onto each probe row (must not
+    *                  collide with probe column names; rename first). */
+  def asOf(probe: DataFrame, build: DataFrame, keyCol: String, tsCol: String,
+           valueCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    require(valueCols.nonEmpty, "asOf: valueCols must be non-empty")
+    require(valueCols.forall(build.columns.contains),
+      s"asOf: valueCols ${valueCols.filterNot(build.columns.contains)} absent from build side")
+    require(valueCols.forall(c => !probeCols.contains(c)),
+      s"asOf: valueCols ${valueCols.filter(probeCols.contains)} collide with probe columns; rename first")
+    val b = build.select(col(keyCol), col(tsCol), lit(0).as("__side"),
+      struct(valueCols.map(col): _*).as("__v"))
+    val p = probe.withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(b.schema("__v").dataType))
+    // build rows sort BEFORE probe rows at equal ts (side 0 < 1), so a
+    // version effective exactly at the probe instant is visible — the
+    // inclusive (≤) as-of convention, matching e.g. DuckDB's ASOF JOIN
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

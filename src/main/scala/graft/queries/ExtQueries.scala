@@ -275,4 +275,65 @@ object ExtQueries {
         Seq(col("user_id")),
         Seq(count(lit(1)).as("n")))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+
+  // ---- as-of join ----
+
+  /** As-of join: every purchase picks up the user's latest signup version at
+    * or before the purchase instant (left semantics — purchases before any
+    * signup null-extend). The build side is pre-aggregated unique per
+    * (user_id, ts) as the [[graft.operators.AsOfJoin]] contract requires;
+    * the oracle is DuckDB's native ASOF LEFT JOIN — a genuinely independent
+    * implementation of the same semantics. */
+  val xAsofJoin: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+    val build = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("v_value"))
+      .withColumn("v_ts", col("ts"))
+    val probe = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts",
+      Seq("v_ts", "v_value"))
+  }
+
+  // ---- corpus curation ----
+
+  /** Gopher-style quality-rule battery; thresholds sit inside the corpus's
+    * observed ranges (n∈[10,99], meanLen∈[3.7,5.3], dupPct∈[0,72] at sf0.01)
+    * so keep genuinely splits. */
+  val xQualityGopher: Q = (s, dir) =>
+    QualityRules.gopherRules(docs(s, dir), col("doc_id"), col("text"),
+      minTokens = 15, maxTokens = 1000,
+      minMeanLenTenths = 40, maxMeanLenTenths = 50, maxDupPct = 55)
+
+  /** Most-frequent token per document (Gopher top-n-gram family, n=1). */
+  val xTopToken: Q = (s, dir) =>
+    QualityRules.topToken(docs(s, dir), col("doc_id"), col("text"))
+
+  /** PII scrubbing over deterministically planted PII (the synthetic corpus
+    * contains none): each doc gains one email, one E.164-ish phone and one
+    * IPv4, derived from doc_id, so counts and redaction are non-vacuous and
+    * byte-identical across engines. */
+  val xPiiScrub: Q = (s, dir) => {
+    val withPii = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +2721400"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 192.168."), (col("doc_id") % 256).cast("string"), lit(".17"))
+        .as("pii_text"))
+    TextOps.scrubPii(withPii, col("doc_id"), col("pii_text"))
+  }
+
+  /** Cross-document boilerplate: 3-shingles appearing in ≥3 docs (2275 such
+    * shingles at sf0.01, max doc-freq 7 — a real split). */
+  val xBoilerplate: Q = (s, dir) =>
+    CorpusOps.boilerplate(docs(s, dir), col("doc_id"), col("text"),
+      k = 3, minDocs = 3)
+
+  /** Deterministic stratified sample over `source` with per-stratum rates. */
+  val xStratSample: Q = (s, dir) =>
+    CorpusOps.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
+        col("source"),
+        Map("src0" -> 0.8, "src1" -> 0.2, "src2" -> 0.5), defaultRate = 0.3)
+      .select(col("doc_id"), col("source"))
 }

@@ -757,6 +757,75 @@ object Oracles {
         |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
         |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
         |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |CAST(count(*) AS BIGINT) AS n FROM y GROUP BY user_id, sid""".stripMargin
+        |CAST(count(*) AS BIGINT) AS n FROM y GROUP BY user_id, sid""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of the
+    // inclusive greatest-ts-≤ semantics the union-merge window computes
+    "x_asof_join" ->
+      """WITH b AS (SELECT user_id, ts, max(value) AS v_value, ts AS v_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, b.v_ts, b.v_value
+        |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
+
+    // keep is decided in INTEGER arithmetic on both sides (chars*10 vs
+    // n*tenths, (n-nd)*100 vs n*pct) — never float-vs-threshold
+    "x_quality_gopher" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+         |  len(array_to_string(tk, '')) AS nc FROM toks)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+         |  round(nc / CAST(greatest(n, 1) AS DOUBLE), 4) AS mean_tok_len,
+         |  round((n - nd) / CAST(greatest(n, 1) AS DOUBLE), 4) AS dup_tok_frac,
+         |  (n >= 15 AND n <= 1000 AND nc * 10 >= n * 40 AND nc * 10 <= n * 50
+         |   AND (n - nd) * 100 <= n * 55 AND n > 0) AS keep
+         |FROM m""".stripMargin,
+
+    "x_top_token" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+         |r AS (SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn FROM cnt)
+         |SELECT doc_id, tok AS top_tok, CAST(c AS BIGINT) AS top_cnt,
+         |  round(c / CAST(n AS DOUBLE), 4) AS top_frac
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "x_pii_scrub" -> {
+      val email = graft.ext.TextOps.EmailRe
+      val phone = graft.ext.TextOps.PhoneRe
+      val ip = graft.ext.TextOps.Ipv4Re
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +2721400'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.17' AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
+         |FROM p""".stripMargin
+    },
+
+    "x_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
+         |     i -> array_to_string(tk[i:i+2], ' '))) AS shingle FROM toks)),
+         |common AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle) WHERE c >= 3),
+         |perdoc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |hits AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN common USING (shingle) GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(p.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  round(coalesce(h.n_boiler, 0) / CAST(p.n_shingles AS DOUBLE), 4) AS boiler_frac
+         |FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id""".stripMargin,
+
+    "x_strat_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 <
+         |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
+         |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin
   )
 }

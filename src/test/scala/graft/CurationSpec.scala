@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{CorpusOps, QualityRules, TextOps}
+import graft.operators.AsOfJoin
+
+/** As-of join + corpus-curation operators (quality rules, PII scrub,
+  * boilerplate, stratified sampling). */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- AsOfJoin ----
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest build row at or before each probe ts, per key") {
+    val build = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1"),
+      (1L, ts("2024-01-01 02:00:00"), "v2"),
+      (2L, ts("2024-01-01 01:00:00"), "w1"))
+      .toDF("k", "t", "v").withColumn("v_t", col("t"))
+    val probe = Seq(
+      (10L, 1L, ts("2024-01-01 01:00:00")), // between v1 and v2 -> v1
+      (11L, 1L, ts("2024-01-01 02:00:00")), // exactly at v2 -> v2 (inclusive)
+      (12L, 1L, ts("2024-01-01 03:00:00")), // after v2 -> v2
+      (13L, 2L, ts("2024-01-01 00:30:00")), // before w1 -> null
+      (14L, 2L, ts("2024-01-01 01:30:00"))) // after w1 -> w1
+      .toDF("id", "k", "t")
+    val got = AsOfJoin.asOf(probe, build, "k", "t", Seq("v_t", "v"))
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(10L -> Some("v1"), 11L -> Some("v2"),
+      12L -> Some("v2"), 13L -> None, 14L -> Some("w1")))
+  }
+
+  test("asOf carries the matched build timestamp and never mixes keys") {
+    val build = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "t", "x").withColumn("v_t", col("t"))
+    val probe = Seq((10L, 7L, ts("2024-06-01 00:00:00")))
+      .toDF("id", "k", "t") // key 7 has no build rows at all
+    val got = AsOfJoin.asOf(probe, build, "k", "t", Seq("v_t", "x")).collect()
+    assert(got.length === 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
+  }
+
+  test("asOf rejects colliding and missing value columns") {
+    val b = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("k", "t", "v")
+    val p = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(p, b, "k", "t", Seq("v")) // collides with probe's v
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(p.drop("v"), b, "k", "t", Seq("nope"))
+    }
+  }
+
+  // ---- QualityRules ----
+
+  test("gopherRules: integer-exact thresholds, keep splits correctly") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta etaa theta iota kappa " +
+        "lambda muuu nuuu xiii omicron"), // 15 distinct 4-6 char tokens: keep
+      (2L, "a b c d e f g h i j k l m n o"), // mean len 1.0 < 4.0: drop
+      (3L, "the the the the the the the the the the the the the the the"), // dup frac 14/15: drop
+      (4L, "tiny doc")) // 2 tokens < 15: drop
+      .toDF("id", "txt")
+    val got = QualityRules.gopherRules(df, col("id"), col("txt"),
+        minTokens = 15, maxTokens = 1000,
+        minMeanLenTenths = 40, maxMeanLenTenths = 60, maxDupPct = 55)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("gopherRules: a mean length landing exactly on the threshold keeps " +
+    "deterministically (integer comparison, no float)") {
+    // 15 tokens of exactly 4 chars: chars*10 == n*40 — the >= includes it
+    val txt = (1 to 15).map(i => f"tk$i%02d").mkString(" ")
+    val got = QualityRules.gopherRules(Seq((1L, txt)).toDF("id", "txt"),
+        col("id"), col("txt"), minTokens = 15, maxTokens = 1000,
+        minMeanLenTenths = 40, maxMeanLenTenths = 60, maxDupPct = 55)
+      .select("keep").as[Boolean].head()
+    assert(got)
+  }
+
+  test("topToken: argmax with ties to the lexicographically smallest token") {
+    val df = Seq(
+      (1L, "bb aa bb aa cc"), // aa and bb tie at 2 -> aa
+      (2L, "zz zz yy")) // zz wins at 2
+      .toDF("id", "txt")
+    val got = QualityRules.topToken(df, col("id"), col("txt"))
+      .select("doc_id", "top_tok", "top_cnt", "top_frac")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === (("aa", 2L, 0.4)))
+    assert(got(2L) === (("zz", 2L, 0.6667)))
+  }
+
+  // ---- PII scrub ----
+
+  test("scrubPii counts and redacts emails, phones and IPv4s") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@test.org or +27821234567 from 10.0.0.1 ok"),
+      (2L, "no pii here at all"))
+      .toDF("id", "txt")
+    val got = TextOps.scrubPii(df, col("id"), col("txt"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 1L,
+      "mail me at <EMAIL> or <PHONE> from <IP> ok")))
+    assert(got(2L) === ((2L, 0L, 0L, 0L, "no pii here at all")))
+  }
+
+  // ---- boilerplate ----
+
+  test("boilerplate flags shingles shared by >= minDocs documents") {
+    // "one two three" appears in all 3 docs; each doc also has unique tail
+    val df = Seq(
+      (1L, "one two three apple banana cherry"),
+      (2L, "one two three dog elephant fox"),
+      (3L, "one two three red green blue"))
+      .toDF("id", "txt")
+    val got = CorpusOps.boilerplate(df, col("id"), col("txt"), k = 3, minDocs = 3)
+      .select("doc_id", "n_shingles", "n_boiler")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 6 tokens -> 4 shingles each; only the leading "one two three" is shared
+    assert(got === Map(1L -> ((4L, 1L)), 2L -> ((4L, 1L)), 3L -> ((4L, 1L))))
+  }
+
+  test("boilerplate: docs shorter than k are absent; no common shingles -> 0") {
+    val df = Seq((1L, "unique words entirely here"),
+      (2L, "different content altogether now"), (3L, "ab")).toDF("id", "txt")
+    val got = CorpusOps.boilerplate(df, col("id"), col("txt"), k = 3, minDocs = 2)
+      .select("doc_id", "n_boiler").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L)) // doc 3 has < 3 tokens
+  }
+
+  // ---- stratified sample ----
+
+  test("stratifiedSample applies per-stratum rates deterministically") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "grp")
+    val sampled = CorpusOps.stratifiedSample(df, col("id"), col("grp"),
+      Map("s0" -> 0.9, "s1" -> 0.1), defaultRate = 0.5)
+    val counts = sampled.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // 1000 per stratum; md5 uniforms give binomial(1000, rate) — 5 sigma
+    assert(counts("s0") > 850 && counts("s0") < 950, s"s0=${counts("s0")}")
+    assert(counts("s1") > 55 && counts("s1") < 145, s"s1=${counts("s1")}")
+    // deterministic: the same call returns the identical id set
+    val again = CorpusOps.stratifiedSample(df, col("id"), col("grp"),
+      Map("s0" -> 0.9, "s1" -> 0.1), defaultRate = 0.5)
+    assert(sampled.select("id").except(again.select("id")).isEmpty)
+    assert(again.select("id").except(sampled.select("id")).isEmpty)
+  }
+}

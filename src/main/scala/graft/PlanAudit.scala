@@ -32,7 +32,9 @@ object PlanAudit {
     Seq("q03_scan_prune","q_tpch1","q_tpch3","q28_lookup_join","q29_keep_last",
         "x_dedup_minhash","x_dedup_exact","x_embed_topk","x_win_tumble",
         "q11_cache_diff","q13_work_limit","q47_bok_fanout","x_ann_lsh",
-        "x_ann_ivf","g63_grid_join","q51b_html_render").foreach(audit)
+        "x_ann_ivf","g63_grid_join","q51b_html_render","x_asof_join",
+        "x_dedup_jaccard","x_boilerplate","x_quality_gopher","x_pii_scrub",
+        "x_top_token","x_strat_sample").foreach(audit)
     spark.stop()
   }
 }

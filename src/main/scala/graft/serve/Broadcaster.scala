@@ -51,18 +51,22 @@ object Broadcaster {
       .where(col(plannedCol) === lit(planned))
       .select(cols.map(col): _*)
 
-  /** The full fan-out. The input is analysed once; Catalyst reuses the
-    * cached/exchanged scan across all 24 filtered projections, and each
-    * result is written as one JSON document (Op-6). At scale this is a
-    * single pass: cache the filtered superset, then 24 cheap projections. */
+  /** The full fan-out: cache the input once, then 24 cheap filtered
+    * projections over the cached scan — each result is written as one JSON
+    * document (Op-6). Without the persist every returned frame would re-read
+    * the source when its consumer materialises it (24 full scans at serving
+    * time); with it the scan happens once, on first use. Callers that own a
+    * longer-lived cache of `alerts` pay nothing extra (CacheManager dedups
+    * by plan). */
   def fanOut(alerts: DataFrame, baseCols: Seq[String], now: Timestamp,
              windows: Seq[TimeWindow] = Seq(All, Last7Days, Current),
              planneds: Seq[Boolean] = Seq(true, false),
              versions: Seq[String] = Seq("v0", "v1", "v1.1", "v1.2"))
   : Map[(TimeWindow, Boolean, String), DataFrame] = {
+    val cached = alerts.persist()
     val combos = for { w <- windows; p <- planneds; v <- versions } yield (w, p, v)
     combos.map { case (w, p, v) =>
-      (w, p, v) -> serve(alerts, w, p, versionColumns(baseCols, v), now)
+      (w, p, v) -> serve(cached, w, p, versionColumns(baseCols, v), now)
     }.toMap
   }
 }

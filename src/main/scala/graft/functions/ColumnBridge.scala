@@ -12,3 +12,14 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** Registers [[graft.functions.GraftExtensions]]' SQL functions on an
+  * ALREADY-BUILT session (the extensions hook only runs at session build
+  * time; `sessionState` is `private[sql]`, hence this bridge). Same builder
+  * triples as the extensions path — one definition, two wire-ups. */
+object FunctionInstaller {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftExtensions.functions.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+}

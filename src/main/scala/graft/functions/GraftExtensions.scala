@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** The engine's SQL surface for its native Catalyst expressions, exposed
+  * through the standard `SparkSessionExtensions` hook:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *   // or programmatically:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * registers `vec_dot`, `vec_norm` and `vec_cosine` so SQL users get the
+  * same tight-loop [[DotProduct]] primitive the DataFrame API uses (the
+  * higher-order-function phrasing runs interpreted per element — the
+  * documented ~100× trap). Arguments are cast to `array<double>` at the
+  * boundary so float corpora promote exactly once.
+  *
+  * The builder triples live in [[GraftExtensions.functions]] so the same
+  * definitions serve both the extensions path and
+  * [[org.apache.spark.sql.graftbridge.FunctionInstaller]] (registration on
+  * an already-built session, e.g. the shared test session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def asVec(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  private def dot(a: Expression, b: Expression): Expression =
+    DotProduct(asVec(a), asVec(b))
+
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+      b(args)
+    }
+
+  /** (identifier, info, builder) triples in the exact shape
+    * `SparkSessionExtensions.injectFunction` consumes. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      arity("vec_dot", 2)(a => dot(a(0), a(1)))),
+    (FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_norm"),
+      arity("vec_norm", 1)(a => Sqrt(dot(a(0), a(0))))),
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_cosine"),
+      arity("vec_cosine", 2)(a => Divide(dot(a(0), a(1)),
+        Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1))))))))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.graftbridge.FunctionInstaller
+
+/** The SparkSessionExtensions SQL surface: vec_dot / vec_norm / vec_cosine
+  * resolve in plain SQL and produce the native-expression results. The shared
+  * test session is built `.withExtensions(new GraftExtensions)` (the
+  * injection path); FunctionInstaller re-registration (the already-built-
+  * session path) must be idempotent on top of it. */
+class SqlExtensionSpec extends SparkTestBase {
+
+  test("vec_dot / vec_norm / vec_cosine resolve via the extensions hook") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_norm(array(3.0D, 4.0D)) AS n,
+        |       round(vec_cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)), 6) AS c
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === math.round(math.sqrt(0.5) * 1e6) / 1e6)
+  }
+
+  test("float input promotes through the array<double> boundary cast") {
+    val d = spark.sql(
+      "SELECT vec_dot(CAST(array(1.5, 2.5) AS ARRAY<FLOAT>), array(2.0D, 2.0D)) AS d")
+      .head().getDouble(0)
+    assert(d === 8.0)
+  }
+
+  test("FunctionInstaller registration on a built session is idempotent") {
+    FunctionInstaller.install(spark)
+    FunctionInstaller.install(spark)
+    val d = spark.sql("SELECT vec_dot(array(2.0D), array(3.0D)) AS d").head().getDouble(0)
+    assert(d === 6.0)
+  }
+
+  test("wrong arity fails analysis with the arity message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D))").head()
+    }
+    assert(e.getMessage.contains("vec_dot expects 2 arguments"))
+  }
+}

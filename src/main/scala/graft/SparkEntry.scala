@@ -123,7 +123,8 @@ object SparkEntry {
     "x_top_token" -> ExtQueries.xTopToken,
     "x_pii_scrub" -> ExtQueries.xPiiScrub,
     "x_boilerplate" -> ExtQueries.xBoilerplate,
-    "x_strat_sample" -> ExtQueries.xStratSample
+    "x_strat_sample" -> ExtQueries.xStratSample,
+    "x_group_stats" -> ExtQueries.xGroupStats
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -39,6 +39,29 @@ object CorpusOps {
           .as("boiler_frac"))
   }
 
+  /** Per-stratum distribution stats: count, mean, and interpolated
+    * percentiles of a numeric column — the profiling pass that precedes
+    * threshold-picking for quality filters.
+    *
+    * `exact = true` uses `percentile` (true interpolated quantiles, the
+    * same index ⋅ (n−1) linear interpolation DuckDB's quantile_cont uses, so
+    * it is oracle-checkable) — it buffers each group's values, so reserve it
+    * for bounded-cardinality strata × bounded group sizes. `exact = false`
+    * switches to `approx_percentile` (t-digest, constant memory per group) —
+    * the 100-TB default; its results are engine-specific, so the correctness
+    * contract there is the spec's exact-vs-approx tolerance assertion, not a
+    * byte-compare. */
+  def groupStats(df: DataFrame, stratum: Column, value: Column,
+                 percentiles: Seq[Double], exact: Boolean): DataFrame = {
+    val v = value.cast("double")
+    val pcts = percentiles.map { p =>
+      val c = if (exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(10000))
+      round(c, 4).as(s"p${(p * 100).round}")
+    }
+    val aggs = count(lit(1)).as("n") +: round(avg(v), 4).as("mean") +: pcts
+    df.groupBy(stratum.as("stratum")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic per-stratum sampling: row kept iff its md5-derived
     * uniform < the stratum's rate. Pure map-side filter — no shuffle, no RNG
     * state, reproducible on any engine with md5 (the house sampling idiom —

@@ -336,4 +336,11 @@ object ExtQueries {
         col("source"),
         Map("src0" -> 0.8, "src1" -> 0.2, "src2" -> 0.5), defaultRate = 0.3)
       .select(col("doc_id"), col("source"))
+
+  /** Per-source length distribution (exact interpolated percentiles — the
+    * oracle-checkable form; the approx_percentile scale path is locked by
+    * CurationSpec's tolerance assertion instead). */
+  val xGroupStats: Q = (s, dir) =>
+    CorpusOps.groupStats(docs(s, dir), col("source"), col("n_chars"),
+      Seq(0.5, 0.9), exact = true)
 }

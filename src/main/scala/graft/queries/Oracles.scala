@@ -826,6 +826,15 @@ object Oracles {
       s"""SELECT doc_id, source FROM documents
          |WHERE ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 <
          |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
-         |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin
+         |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin,
+
+    // quantile_cont is the same index·(n−1) linear interpolation Spark's
+    // exact percentile uses
+    "x_group_stats" ->
+      """SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90
+        |FROM documents WHERE text IS NOT NULL GROUP BY source""".stripMargin
   )
 }

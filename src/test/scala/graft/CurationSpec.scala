@@ -136,6 +136,27 @@ class CurationSpec extends SparkTestBase {
     assert(got === Map(1L -> 0L, 2L -> 0L)) // doc 3 has < 3 tokens
   }
 
+  // ---- group stats ----
+
+  test("groupStats exact percentiles interpolate; approx lands within 5%") {
+    // values 1..101 in one stratum: p50 = 51 exactly, p90 = 91 exactly
+    val df = (1 to 101).map(i => ("a", i.toLong)).toDF("g", "v")
+    val ex = CorpusOps.groupStats(df, col("g"), col("v"), Seq(0.5, 0.9), exact = true)
+      .select("n", "mean", "p50", "p90").as[(Long, Double, Double, Double)].head()
+    assert(ex === ((101L, 51.0, 51.0, 91.0)))
+    val ap = CorpusOps.groupStats(df, col("g"), col("v"), Seq(0.5, 0.9), exact = false)
+      .select("p50", "p90").as[(Double, Double)].head()
+    assert(math.abs(ap._1 - 51.0) / 51.0 < 0.05 && math.abs(ap._2 - 91.0) / 91.0 < 0.05,
+      s"approx drifted: $ap")
+  }
+
+  test("groupStats interpolates between order statistics (p50 of 4 values)") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 10L)).toDF("g", "v")
+    val p50 = CorpusOps.groupStats(df, col("g"), col("v"), Seq(0.5), exact = true)
+      .select("p50").as[Double].head()
+    assert(p50 === 2.5) // (n-1)*0.5 = 1.5 -> midpoint of 2 and 3
+  }
+
   // ---- stratified sample ----
 
   test("stratifiedSample applies per-stratum rates deterministically") {

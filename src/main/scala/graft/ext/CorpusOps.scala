@@ -17,23 +17,30 @@ object CorpusOps {
     * Plan shape — the same as document-frequency/IDF computation, which is
     * what this is: one shingle explode, one groupBy(shingle) count (partial-
     * aggregated map-side, so a hot shingle is a map-side sum, not a skewed
-    * reduce), one hash semi-join back on shingle, one groupBy(doc).
-    * Documents shorter than k tokens have no shingles and are absent from
-    * the output (nothing to measure). The exploded shingles feed all three
-    * branches, so they are persisted (CacheManager dedups by plan across
-    * repeated calls). */
+    * reduce), one hash left-join back on shingle, one groupBy(doc) counting
+    * rows and hits together. Documents shorter than k tokens have no
+    * shingles and are absent from the output (nothing to measure).
+    *
+    * The shingle table feeds both the doc-frequency aggregate and the
+    * join-back; this op deliberately does NOT persist it — an operator
+    * cannot unpersist what its lazy result still needs, so cache lifecycle
+    * belongs to the caller (pass a persisted frame to
+    * [[boilerplateFromShingles]], as x_dedup_jaccard does for its
+    * shingles). */
   def boilerplate(df: DataFrame, key: Column, text: Column,
-                  k: Int, minDocs: Int): DataFrame = {
-    val sh = TextOps.explodeShingles(df, key, text, k).persist() // distinct per doc
+                  k: Int, minDocs: Int): DataFrame =
+    boilerplateFromShingles(TextOps.explodeShingles(df, key, text, k), minDocs)
+
+  /** The shingle-table form: `sh` must be (doc_id, shingle) rows, distinct
+    * per document (what [[TextOps.explodeShingles]] emits). */
+  def boilerplateFromShingles(sh: DataFrame, minDocs: Int): DataFrame = {
     val common = sh.groupBy("shingle")
       .agg(count(lit(1)).as("__df")) // rows are distinct per doc ⇒ doc freq
       .where(col("__df") >= minDocs)
-      .select("shingle")
-    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = sh.join(common, "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    perDoc.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_boiler"))
+      .select(col("shingle"), lit(1).as("__hit"))
+    sh.join(common, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_boiler"))
       .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
         round(col("n_boiler") / col("n_shingles").cast("double"), 4)
           .as("boiler_frac"))

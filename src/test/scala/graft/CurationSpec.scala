@@ -44,6 +44,21 @@ class CurationSpec extends SparkTestBase {
     assert(got.length === 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
   }
 
+  test("asOf: null build keys/timestamps never match (SQL join-key semantics)") {
+    val build = Seq(
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:00")), "leak"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "leak2"),
+      (Option(1L), Option(ts("2024-01-01 00:00:00")), "ok"))
+      .toDF("k", "t", "v").withColumn("v_t", col("t"))
+    val probe = Seq(
+      (10L, Option.empty[Long], ts("2024-01-01 01:00:00")), // null key -> null-extend
+      (11L, Option(1L), ts("2024-01-01 01:00:00")))         // real match
+      .toDF("id", "k", "t")
+    val got = AsOfJoin.asOf(probe, build, "k", "t", Seq("v_t", "v"))
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(10L -> None, 11L -> Some("ok")))
+  }
+
   test("asOf rejects colliding and missing value columns") {
     val b = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("k", "t", "v")
     val p = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("k", "t", "v")

@@ -124,7 +124,9 @@ object SparkEntry {
     "x_pii_scrub" -> ExtQueries.xPiiScrub,
     "x_boilerplate" -> ExtQueries.xBoilerplate,
     "x_strat_sample" -> ExtQueries.xStratSample,
-    "x_group_stats" -> ExtQueries.xGroupStats
+    "x_group_stats" -> ExtQueries.xGroupStats,
+    "x_contamination" -> ExtQueries.xContamination,
+    "x_pack_sequences" -> ExtQueries.xPackSequences
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -69,6 +69,52 @@ object CorpusOps {
     df.groupBy(stratum.as("stratum")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
+    * k-shingles with an evaluation set — the pre-training hygiene pass that
+    * keeps test data out of the training corpus (n-gram-overlap
+    * decontamination as practiced since GPT-3's appendix C; public method).
+    *
+    * Inputs are (doc_id, shingle) tables from [[TextOps.explodeShingles]].
+    * The eval side is distinct-ed and broadcast — eval suites are tiny
+    * relative to a 100-TB corpus, so the corpus-side shingles never shuffle:
+    * one broadcast hash join + one groupBy(doc). */
+  def contamination(corpusSh: DataFrame, evalSh: DataFrame,
+                    minShared: Int): DataFrame = {
+    val ev = broadcast(evalSh.select("shingle").distinct())
+    corpusSh.join(ev, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Deterministic next-fit sequence packing: assign documents to
+    * fixed-token-budget bins (training-sequence packing). Documents are
+    * md5-shuffled into `numBuckets` independent buckets; within a bucket
+    * they pack in md5 order by running token sum, a document landing in the
+    * bin where its FIRST token falls. That is next-fit semantics: a bin can
+    * overflow by at most one document's tokens (exact first-fit-decreasing
+    * is inherently sequential; this form is one window per bucket, fully
+    * parallel across buckets, and reproducible on any engine with md5 —
+    * size numBuckets ≈ cluster cores × a few so each bucket's window sorts
+    * a manageable slice). */
+  def packSequences(df: DataFrame, key: Column, nTokens: Column,
+                    maxTokens: Int, numBuckets: Int): DataFrame = {
+    require(maxTokens > 0 && numBuckets > 0, "maxTokens and numBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(key.as("doc_id"), nTokens.cast("long").as("n_tokens"),
+        md5(key.cast("string")).as("__ord"))
+      .withColumn("__bucket",
+        pmod(conv(substring(col("__ord"), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("__bucket").cast("long").as("bucket"),
+        floor((col("__cum") - col("n_tokens")) / maxTokens).cast("long").as("bin"),
+        col("n_tokens"))
+  }
+
   /** Deterministic per-stratum sampling: row kept iff its md5-derived
     * uniform < the stratum's rate. Pure map-side filter — no shuffle, no RNG
     * state, reproducible on any engine with md5 (the house sampling idiom —

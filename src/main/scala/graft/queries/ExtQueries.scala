@@ -347,4 +347,24 @@ object ExtQueries {
   val xGroupStats: Q = (s, dir) =>
     CorpusOps.groupStats(docs(s, dir), col("source"), col("n_chars"),
       Seq(0.5, 0.9), exact = true)
+
+  /** Decontamination: docs sharing ≥2 3-shingles with the "eval suite"
+    * (docs with doc_id % 100 == 7 stand in for it; the corpus's planted
+    * near-duplicates guarantee non-vacuous overlap). */
+  val xContamination: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val isEval = col("doc_id") % 100 === 7
+    CorpusOps.contamination(
+      TextOps.explodeShingles(d.where(!isEval), col("doc_id"), col("text"), k = 3),
+      TextOps.explodeShingles(d.where(isEval), col("doc_id"), col("text"), k = 3),
+      minShared = 2)
+  }
+
+  /** Next-fit sequence packing of token counts into 256-token bins across
+    * 8 md5 buckets. */
+  val xPackSequences: Q = (s, dir) => {
+    val toks = TextOps.tokenCounts(docs(s, dir), col("doc_id"), col("text"))
+    CorpusOps.packSequences(toks, col("doc_id"), col("n_tokens"),
+      maxTokens = 256, numBuckets = 8)
+  }
 }

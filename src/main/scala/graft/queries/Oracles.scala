@@ -828,6 +828,32 @@ object Oracles {
          |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
          |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin,
 
+    "x_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
+         |     i -> array_to_string(tk[i:i+2], ' '))) AS shingle FROM toks)),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 7)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh JOIN ev USING (shingle)
+         |WHERE doc_id % 100 <> 7
+         |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+
+    // same md5 ordering, same ROWS-frame running sum, same start-offset
+    // bin assignment
+    "x_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR)) AS ord_key FROM toks),
+         |b AS (SELECT doc_id, n_tokens, ord_key,
+         |  ${hex32("ord_key", 1)} % 8 AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ord_key, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin, n_tokens
+         |FROM c""".stripMargin,
+
     // quantile_cont is the same index·(n−1) linear interpolation Spark's
     // exact percentile uses
     "x_group_stats" ->

@@ -151,6 +151,55 @@ class CurationSpec extends SparkTestBase {
     assert(got === Map(1L -> 0L, 2L -> 0L)) // doc 3 has < 3 tokens
   }
 
+  // ---- contamination ----
+
+  test("contamination flags docs sharing >= minShared shingles with eval") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 2 shingles with eval
+      (2L, "alpha beta gamma nothing else"),  // shares 1 -> below threshold
+      (3L, "totally different words here now"))
+      .toDF("id", "txt")
+    val eval_ = Seq((100L, "alpha beta gamma delta zeta")).toDF("id", "txt")
+    val sh = (d: org.apache.spark.sql.DataFrame) =>
+      TextOps.explodeShingles(d, col("id"), col("txt"), k = 3)
+    val got = CorpusOps.contamination(sh(corpus), sh(eval_), minShared = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L))
+  }
+
+  // ---- sequence packing ----
+
+  test("packSequences: bins respect running order; overflow bounded by one doc") {
+    val docs = (1 to 200).map(i => (i.toLong, 10L + i % 23)).toDF("id", "nt")
+    val packed = CorpusOps.packSequences(docs, col("id"), col("nt"),
+      maxTokens = 64, numBuckets = 4).cache()
+    // every doc appears exactly once
+    assert(packed.count() === 200)
+    // a doc's bin start-offset is within the bin => bin tokens exceed the
+    // budget by strictly less than that doc's own tokens (next-fit bound)
+    val binTotals = packed.groupBy("bucket", "bin")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+      .as[(Long, Long, Long, Long)].collect()
+    binTotals.foreach { case (bk, bin, tot, mx) =>
+      assert(tot < 64 + mx, s"bucket=$bk bin=$bin tot=$tot mx=$mx")
+    }
+    // deterministic across invocations
+    val again = CorpusOps.packSequences(docs, col("id"), col("nt"), 64, 4)
+    assert(packed.select("doc_id", "bucket", "bin")
+      .except(again.select("doc_id", "bucket", "bin")).isEmpty)
+    packed.unpersist()
+  }
+
+  test("packSequences: a doc larger than the budget gets its own bin slot") {
+    val docs = Seq((1L, 500L), (2L, 10L), (3L, 10L)).toDF("id", "nt")
+    val packed = CorpusOps.packSequences(docs, col("id"), col("nt"),
+      maxTokens = 64, numBuckets = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // all three docs assigned; the oversized doc occupies a bin span but
+    // every doc still has exactly one (bucket, bin)
+    assert(packed.keySet === Set(1L, 2L, 3L))
+  }
+
   // ---- group stats ----
 
   test("groupStats exact percentiles interpolate; approx lands within 5%") {

@@ -1,0 +1,37 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table layout for shuffle-free co-located joins — the storage-side
+  * half of the 100-TB join story. Writing both sides of a recurring join
+  * bucketed (and sorted) by the join key means every subsequent join of the
+  * two tables is planned WITHOUT an Exchange on either side: each task
+  * merge-joins bucket i of A against bucket i of B straight off the scan.
+  * One shuffle is paid once at write time instead of on every query.
+  *
+  * Uses Spark-native datasource bucketing (works on the in-memory catalog —
+  * no Hive metastore needed; the bucket spec lives in the table catalog
+  * entry). Bucket counts of the two sides must match, and at scale should be
+  * sized so one bucket of the larger table fits an executor core's working
+  * memory (buckets are not further split by maxPartitionBytes).
+  */
+object BucketedStore {
+
+  /** Save `df` as a bucketed, per-bucket-sorted parquet table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int, path: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucket-count tables on their bucket key. The returned
+    * plan contains no Exchange under the join (verified by BucketedSpec) —
+    * the join is executed bucket-aligned off the scans. */
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.BucketedStore
+
+/** Bucketed-write co-location: the join of two tables bucketed on the same
+  * key with the same bucket count plans WITHOUT a shuffle on either side. */
+class BucketedSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("co-located join of bucketed tables plans with zero Exchanges") {
+    val dir = Files.createTempDirectory("bucketed").toFile.getAbsolutePath
+    val facts = (1L to 1000L).map(i => (i % 100, i, i * 2.0))
+      .toDF("k", "id", "v")
+    val dims = (0L until 100L).map(i => (i, s"dim$i")).toDF("k", "name")
+    BucketedStore.writeBucketed(facts, "bspec_facts", "k", 8, s"$dir/facts")
+    BucketedStore.writeBucketed(dims, "bspec_dims", "k", 8, s"$dir/dims")
+    try {
+      val joined = BucketedStore.colocatedJoin(spark, "bspec_facts", "bspec_dims", "k")
+      // AQE wraps the plan; the pre-execution sparkPlan shows the static shape
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free bucket-aligned join, got:\n$plan")
+      assert(joined.count() === 1000)
+      // values survive the bucketed round-trip
+      val row = joined.where($"id" === 42L).select("name").as[String].head()
+      assert(row === "dim42")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_facts")
+      spark.sql("DROP TABLE IF EXISTS bspec_dims")
+    }
+  }
+
+  test("mismatched bucket counts fall back to a shuffle on one side only") {
+    val dir = Files.createTempDirectory("bucketed2").toFile.getAbsolutePath
+    val a = (1L to 100L).map(i => (i % 10, i)).toDF("k", "id")
+    val b = (0L until 10L).map(i => (i, s"x$i")).toDF("k", "name")
+    BucketedStore.writeBucketed(a, "bspec_a8", "k", 8, s"$dir/a8")
+    BucketedStore.writeBucketed(b, "bspec_b4", "k", 4, s"$dir/b4")
+    try {
+      val plan = BucketedStore.colocatedJoin(spark, "bspec_a8", "bspec_b4", "k")
+        .queryExecution.sparkPlan.toString
+      // one side re-shuffles (or coalesces) to the other's bucketing; the
+      // 8-bucket side must not shuffle
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"expected at most one Exchange:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_a8")
+      spark.sql("DROP TABLE IF EXISTS bspec_b4")
+    }
+  }
+}

@@ -39,6 +39,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("stream-stream interval join: right rows match within the lag window, " +
+    "state bounded by watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, Timestamp)]
+    val r = MemoryStream[(Long, Timestamp, String)]
+    val left = l.toDF().toDF("k", "lts").withWatermark("lts", "2 hours")
+    val right = r.toDF().toDF("rk", "rts", "v").withWatermark("rts", "2 hours")
+    // inner interval join: rts in [lts - 1h, lts] — both sides keep state
+    // only while their watermark allows a future match (the condition bounds
+    // the event-time range, which is what lets Spark evict)
+    val joined = left.join(right,
+      expr("k = rk AND rts BETWEEN lts - INTERVAL 1 HOUR AND lts"))
+    val q = joined.select("k", "lts", "v")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin_out").start()
+    r.addData((1L, ts("2024-01-01 00:30:00"), "inwin"),
+      (1L, ts("2024-01-01 02:30:00"), "late"),
+      (2L, ts("2024-01-01 00:45:00"), "otherkey"))
+    l.addData((1L, ts("2024-01-01 01:00:00"))) // matches "inwin" only
+    q.processAllAvailable()
+    val got = spark.sql("SELECT k, v FROM ssjoin_out")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "inwin")))
+    q.stop()
+  }
+
   test("EventWindows.tumbling runs under Structured Streaming with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]

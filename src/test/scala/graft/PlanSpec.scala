@@ -1,0 +1,70 @@
+package graft
+
+/** Plan-shape regression locks for the scale-critical properties PlanAudit
+  * reports: pushdown reaching the scan, explicit broadcasts staying
+  * broadcast, map-only batteries staying shuffle-free, and no accidental
+  * cartesian/nested-loop blowups. These are the properties that make the
+  * queries survive a 100× scale-up; a refactor that silently loses one
+  * should fail here, not in production.
+  *
+  * Assertions use the pre-execution sparkPlan (AQE re-plans at runtime but
+  * starts from this shape) and only lock properties that are explicit in
+  * the query definitions (broadcast() hints, map-only expression batteries),
+  * never size-based planner choices that legitimately change with scale. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  private def countIn(p: String, needle: String): Int =
+    p.linesIterator.count(_.contains(needle))
+
+  test("q03: filter and projection reach the parquet scan") {
+    val p = plan("q03_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    // 2-column projection: the scan must not read the full lineitem schema
+    assert(read.count(_ == ',') <= 2, read)
+  }
+
+  test("q28 lookup join keeps its explicit broadcast") {
+    assert(countIn(plan("q28_lookup_join"), "BroadcastHashJoin") >= 1)
+  }
+
+  test("per-row batteries are map-only (no Exchange at all)") {
+    Seq("x_quality_gopher", "x_pii_scrub", "x_strat_sample", "x_mm_features")
+      .foreach { q =>
+        val p = plan(q)
+        assert(countIn(p, "Exchange") === 0, s"$q grew a shuffle:\n$p")
+      }
+  }
+
+  test("as-of join: bounded shuffles, no nested-loop/cartesian fallback") {
+    val p = plan("x_asof_join")
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    // two sides re-key to the window partitioning; the build-side
+    // pre-aggregation reuses that exchange
+    assert(countIn(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
+  test("embedding top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("x_embed_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countIn(p, "Exchange rangepartitioning") === 0, p)
+  }
+
+  test("minhash signature is one wide aggregate: no seed-explosion shuffles") {
+    // scan -> shingle explode -> ONE hashpartitioning on doc_id for the
+    // signature, ONE on (band, bkey) for buckets, + the distinct of pairs
+    assert(countIn(plan("x_dedup_minhash"), "Exchange hashpartitioning") <= 3)
+  }
+
+  test("stratified sample pushes the doc_id read down to two columns") {
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan("x_strat_sample")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("source") &&
+      !read.contains("text"), read)
+  }
+}

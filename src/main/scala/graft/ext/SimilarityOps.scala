@@ -68,38 +68,23 @@ object SimilarityOps {
     * matches (OR-amplification): for near-duplicates with per-plane flip
     * probability p this lifts recall from (1-p)^numPlanes — the single-
     * bucket form, which measurably drops ~30% of 0.99-cosine pairs at
-    * 16 planes — to 1-(1-(1-p)^r)^numBands ≈ 1. One explode + one wide
-    * aggregate, so each corpus row is shuffled exactly once. */
+    * 16 planes — to 1-(1-(1-p)^r)^numBands ≈ 1.
+    *
+    * The signature stage is fully MAP-SIDE: the native [[graft.functions
+    * .SrpBandKeys]] expression computes every band key in one pass over the
+    * vector (plane matrix shipped as expression constants), then one
+    * posexplode emits the numBands rows. The earlier formulation exploded
+    * each vector to dim rows and re-aggregated per-plane dots — dim× the
+    * shuffled rows and a whole extra shuffle, for arithmetic that never
+    * needed to leave the row. Dim mismatches throw inside the expression
+    * (silently dropping a tail would corrupt signatures). */
   def srpBands(df: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
-    val r = numPlanes / numBands
-    // per-ROW dim guard, inside the consumed column (a sampled check misses
-    // ragged corpora; a side-column would be pruned): a vector longer than
-    // the plane matrix would otherwise silently drop its tail from the dot
-    // sums — element_at past the end is null and sum() skips nulls
-    val planes = typedlit(planeMatrix(numPlanes, dim))
-    val checked = df.select(col(idCol),
-      when(size(col(vecCol)) === dim, col(vecCol))
-        .otherwise(raise_error(concat(
-          lit(s"srpBands: vector length "), size(col(vecCol)).cast("string"),
-          lit(s" != dim=$dim")))).as(vecCol))
-    val expl = checked.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "v")))
-    val dots = (0 until numPlanes).map { p =>
-      sum(col("v").cast("double")
-        * element_at(element_at(planes, p + 1), col("d") + 1)).as(s"dot_$p")
-    }
-    val agg = expl.groupBy(idCol).agg(dots.head, dots.tail: _*)
-    val bandCols = (0 until numBands).map { b =>
-      val key = (0 until r).map { j =>
-        // house rule: round before ANY float-driven decision — a dot within
-        // last-ulp of 0 must pick the same sign bit in Spark and the oracle
-        when(round(col(s"dot_${b * r + j}"), 6) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b.toLong).as("band"), key.as("bkey"))
-    }
-    agg.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val keys = graft.functions.VectorFunctions.srp_band_keys(
+      col(vecCol), planeMatrix(numPlanes, dim), numBands)
+    df.select(col(idCol), posexplode(keys).as(Seq("band", "bkey")))
+      .select(col(idCol), col("band").cast("long").as("band"), col("bkey"))
   }
 
   /** Banded ANN near-dup pairs: candidates share any SRP band key; exact

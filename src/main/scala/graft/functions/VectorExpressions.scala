@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -39,6 +39,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All banded sign-random-projection bucket keys of one vector in a single
+  * pass: returns `array<long>` of length `numBands`, element b holding the
+  * r-bit key (r = planes/numBands) whose bit j is set iff
+  * round(dot(v, plane_{b·r+j}), 6) > 0 — the house round-before-any-float-
+  * decision rule, computed with the same BigDecimal HALF_UP semantics as
+  * Catalyst's round so the DuckDB oracle agrees.
+  *
+  * The composable alternative (explode the vector to dim rows, join the
+  * plane matrix, groupBy-sum per plane, re-derive keys) shuffles dim× the
+  * corpus row count to reassemble what is pure per-row arithmetic; this
+  * expression keeps the whole signature stage map-side, and producing the
+  * FINAL band keys (not intermediate dots) means no aliased-projection
+  * re-evaluation (CollapseProject would inline a dots column into every
+  * band-key use site). Dots accumulate in strict index order. Throws on a
+  * vector whose length differs from the plane dimension — silently dropping
+  * the tail would corrupt signatures. */
+case class SrpBandKeys(child: Expression, planes: Array[Array[Double]],
+                       numBands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numBands > 0 && planes.length % numBands == 0,
+    "numBands must divide the plane count")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  private val r = planes.length / numBands
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (x.length != dim)
+      throw new IllegalArgumentException(
+        s"srpBands: vector length ${x.length} != dim=$dim")
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 0L
+      var j = 0
+      while (j < r) {
+        val pl = planes(b * r + j)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += x(i) * pl(i); i += 1 }
+        // Catalyst round(_, 6): BigDecimal.valueOf + HALF_UP
+        val rounded = java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (rounded > 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -48,4 +108,10 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** All banded SRP bucket keys of `v` as array<long> (see [[SrpBandKeys]]). */
+  def srp_band_keys(v: Column, planes: Seq[Seq[Double]], numBands: Int): Column =
+    ColumnBridge.column(SrpBandKeys(
+      ColumnBridge.expression(v.cast("array<double>")),
+      planes.map(_.toArray).toArray, numBands))
 }

@@ -159,23 +159,22 @@ object SimilarityOps {
 
   /** Assign each vector to its nearest centroid (cosine). Similarities are
     * rounded to 6 dp BEFORE the argmax (ties to the smallest centroid id) so
-    * cell membership is engine-portable. The argmax is max(struct(sim,
-    * -cid)) in a plain groupBy — partial-aggregated map-side, unlike a
-    * row_number window which would shuffle every scored row. */
+    * cell membership is engine-portable. The argmax runs INSIDE the native
+    * [[graft.functions.NearestCentroid]] expression (centroid matrix as
+    * expression constants — it is nlist×dim doubles and already localized),
+    * so assignment is a pure map: no nlist× row materialisation, no
+    * re-keying groupBy, no shuffle at all. `centroids` must be a local
+    * centroid table ([[ivfCentroids]]/[[localize]] output). */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    val scored = df.select(col(idCol), col(vecCol),
-        norm(col(vecCol)).as("__nrm"))
-      .crossJoin(broadcast(centroids
-        .withColumn("__cnrm", norm(col("centroid")))))
-      .select(col(idCol), col(vecCol),
-        round(dot(col(vecCol), col("centroid")) / (col("__nrm") * col("__cnrm")), 6)
-          .as("__sim"),
-        col("centroid_id"))
-    scored.groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol), // constant within the group
-        max(struct(col("__sim"), (-col("centroid_id")).as("__ncid"))).as("__best"))
-      .select(col(idCol), col(vecCol), (-col("__best.__ncid")).as("centroid_id"))
+    val s = centroids.sparkSession
+    import s.implicits._
+    val ctr = centroids
+      .select(col("centroid_id").cast("int"), col("centroid").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val nearest = graft.functions.VectorFunctions.nearest_centroid(
+      col(vecCol), ctr.map(_._1).toSeq, ctr.map(_._2).toSeq)
+    df.select(col(idCol), col(vecCol), nearest.as("centroid_id"))
   }
 
   /** Materialise the (tiny, nlist-row) centroid table as a LOCAL DataFrame.

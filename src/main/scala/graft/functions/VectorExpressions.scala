@@ -99,6 +99,62 @@ case class SrpBandKeys(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment in one pass: returns the centroid_id (from
+  * `ids`) whose cosine similarity to the vector is highest, similarities
+  * rounded to 6 dp with Catalyst-identical HALF_UP semantics BEFORE the
+  * argmax and ties resolved to the smallest centroid id (ids are scanned in
+  * ascending order and only a strictly greater rounded similarity moves the
+  * winner) — byte-for-byte the same cell membership as the crossJoin +
+  * max(struct(sim, -cid)) formulation it replaces, without materialising
+  * nlist× corpus rows or re-keying the corpus through a groupBy. NaN
+  * similarities (zero-norm inputs) rank above any number, matching Spark's
+  * ordering in the aggregate form. */
+case class NearestCentroid(child: Expression, ids: Array[Int],
+                           centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "ids and centroids must align and be non-empty")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private val cnorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    var xs = 0.0
+    var i = 0
+    while (i < x.length) { xs += x(i) * x(i); i += 1 }
+    val xn = math.sqrt(xs)
+    var bestId = ids(0)
+    var best = Double.NegativeInfinity
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      val n = math.min(x.length, c.length)
+      var s = 0.0
+      i = 0
+      while (i < n) { s += x(i) * c(i); i += 1 }
+      val sim = round6(s / (xn * cnorms(k)))
+      if (java.lang.Double.compare(sim, best) > 0) { best = sim; bestId = ids(k) }
+      k += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -114,4 +170,11 @@ object VectorFunctions {
     ColumnBridge.column(SrpBandKeys(
       ColumnBridge.expression(v.cast("array<double>")),
       planes.map(_.toArray).toArray, numBands))
+
+  /** Nearest centroid id of `v` by rounded cosine (see [[NearestCentroid]]). */
+  def nearest_centroid(v: Column, ids: Seq[Int],
+                       centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(v.cast("array<double>")),
+      ids.toArray, centroids.map(_.toArray).toArray))
 }

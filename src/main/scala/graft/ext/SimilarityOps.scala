@@ -77,13 +77,19 @@ object SimilarityOps {
     * each vector to dim rows and re-aggregated per-plane dots — dim× the
     * shuffled rows and a whole extra shuffle, for arithmetic that never
     * needed to leave the row. Dim mismatches throw inside the expression
-    * (silently dropping a tail would corrupt signatures). */
+    * (silently dropping a tail would corrupt signatures), and a NULL vector
+    * fails loudly below — posexplode of the expression's null result would
+    * otherwise silently DROP the document from candidate generation, which
+    * is a recall hole, not an error signal. */
   def srpBands(df: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
     val keys = graft.functions.VectorFunctions.srp_band_keys(
       col(vecCol), planeMatrix(numPlanes, dim), numBands)
-    df.select(col(idCol), posexplode(keys).as(Seq("band", "bkey")))
+    val guarded = when(col(vecCol).isNotNull, keys)
+      .otherwise(raise_error(concat(
+        lit("srpBands: null vector for id "), col(idCol).cast("string"))))
+    df.select(col(idCol), posexplode(guarded).as(Seq("band", "bkey")))
       .select(col(idCol), col("band").cast("long").as("band"), col("bkey"))
   }
 

@@ -55,7 +55,7 @@ case class DotProduct(left: Expression, right: Expression)
   * band-key use site). Dots accumulate in strict index order. Throws on a
   * vector whose length differs from the plane dimension — silently dropping
   * the tail would corrupt signatures. */
-case class SrpBandKeys(child: Expression, planes: Array[Array[Double]],
+case class SrpBandKeys(child: Expression, planes: IndexedSeq[IndexedSeq[Double]],
                        numBands: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -66,10 +66,15 @@ case class SrpBandKeys(child: Expression, planes: Array[Array[Double]],
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
   private val r = planes.length / numBands
+  // Seq params keep case-class structural equality (plan identity — cache
+  // dedup, ReuseExchange, sameResult — breaks on Array's reference equals);
+  // the hot loop runs over this private primitive copy.
+  private lazy val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData].toDoubleArray()
-    val dim = if (planes.isEmpty) 0 else planes(0).length
+    val pl0 = planesArr
+    val dim = if (pl0.isEmpty) 0 else pl0(0).length
     if (x.length != dim)
       throw new IllegalArgumentException(
         s"srpBands: vector length ${x.length} != dim=$dim")
@@ -79,14 +84,19 @@ case class SrpBandKeys(child: Expression, planes: Array[Array[Double]],
       var key = 0L
       var j = 0
       while (j < r) {
-        val pl = planes(b * r + j)
+        val pl = pl0(b * r + j)
         var s = 0.0
         var i = 0
         while (i < dim) { s += x(i) * pl(i); i += 1 }
-        // Catalyst round(_, 6): BigDecimal.valueOf + HALF_UP
-        val rounded = java.math.BigDecimal.valueOf(s)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (rounded > 0) key |= (1L << j)
+        // Catalyst round(_, 6) semantics INCLUDING non-finite passthrough
+        // (BigDecimal.valueOf(NaN) throws; Catalyst round(NaN)=NaN and
+        // NaN > 0 is true in Spark SQL ordering)
+        val rounded =
+          if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
+          else java.math.BigDecimal.valueOf(s)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // NaN > 0 mirrors Spark's GreaterThan on double (NaN sorts greatest)
+        if (java.lang.Double.compare(rounded, 0.0) > 0) key |= (1L << j)
         j += 1
       }
       out(b) = key
@@ -109,8 +119,8 @@ case class SrpBandKeys(child: Expression, planes: Array[Array[Double]],
   * nlist× corpus rows or re-keying the corpus through a groupBy. NaN
   * similarities (zero-norm inputs) rank above any number, matching Spark's
   * ordering in the aggregate form. */
-case class NearestCentroid(child: Expression, ids: Array[Int],
-                           centroids: Array[Array[Double]])
+case class NearestCentroid(child: Expression, ids: IndexedSeq[Int],
+                           centroids: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression with CodegenFallback {
 
   require(ids.length == centroids.length && ids.nonEmpty,
@@ -118,7 +128,10 @@ case class NearestCentroid(child: Expression, ids: Array[Int],
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
-  private val cnorms: Array[Double] = centroids.map { c =>
+  // Seq params for structural plan equality; primitive copies for the loop
+  private lazy val idsArr: Array[Int] = ids.toArray
+  private lazy val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private lazy val cnorms: Array[Double] = centroidsArr.map { c =>
     var s = 0.0; var i = 0
     while (i < c.length) { s += c(i) * c(i); i += 1 }
     math.sqrt(s)
@@ -135,17 +148,17 @@ case class NearestCentroid(child: Expression, ids: Array[Int],
     var i = 0
     while (i < x.length) { xs += x(i) * x(i); i += 1 }
     val xn = math.sqrt(xs)
-    var bestId = ids(0)
+    var bestId = idsArr(0)
     var best = Double.NegativeInfinity
     var k = 0
-    while (k < centroids.length) {
-      val c = centroids(k)
+    while (k < centroidsArr.length) {
+      val c = centroidsArr(k)
       val n = math.min(x.length, c.length)
       var s = 0.0
       i = 0
       while (i < n) { s += x(i) * c(i); i += 1 }
       val sim = round6(s / (xn * cnorms(k)))
-      if (java.lang.Double.compare(sim, best) > 0) { best = sim; bestId = ids(k) }
+      if (java.lang.Double.compare(sim, best) > 0) { best = sim; bestId = idsArr(k) }
       k += 1
     }
     bestId
@@ -169,12 +182,12 @@ object VectorFunctions {
   def srp_band_keys(v: Column, planes: Seq[Seq[Double]], numBands: Int): Column =
     ColumnBridge.column(SrpBandKeys(
       ColumnBridge.expression(v.cast("array<double>")),
-      planes.map(_.toArray).toArray, numBands))
+      planes.map(_.toIndexedSeq).toIndexedSeq, numBands))
 
   /** Nearest centroid id of `v` by rounded cosine (see [[NearestCentroid]]). */
   def nearest_centroid(v: Column, ids: Seq[Int],
                        centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v.cast("array<double>")),
-      ids.toArray, centroids.map(_.toArray).toArray))
+      ids.toIndexedSeq, centroids.map(_.toIndexedSeq).toIndexedSeq))
 }

@@ -28,10 +28,18 @@ object BucketedStore {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Join two same-bucket-count tables on their bucket key. The returned
-    * plan contains no Exchange under the join (verified by BucketedSpec) —
-    * the join is executed bucket-aligned off the scans. */
+  /** Join two same-bucket-count tables on their bucket key as a merge join.
+    * The merge hint pins the join strategy the bucket layout exists for:
+    * left to size-based planning, a small side would flip to broadcast and
+    * the planner then DISABLES the bucketed read entirely ("Bucketed: false
+    * (disabled by query planner)"), silently discarding the layout. With
+    * the hint the plan contains no Exchange under the join (asserted by
+    * BucketedSpec, with a shuffling negative control) — each task
+    * merge-joins bucket i of A against bucket i of B straight off the
+    * scans; at most a per-bucket Sort appears when a bucket spans multiple
+    * files. */
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                     key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), key)
 }

@@ -21,10 +21,19 @@ class BucketedSpec extends SparkTestBase {
     BucketedStore.writeBucketed(dims, "bspec_dims", "k", 8, s"$dir/dims")
     try {
       val joined = BucketedStore.colocatedJoin(spark, "bspec_facts", "bspec_dims", "k")
-      // AQE wraps the plan; the pre-execution sparkPlan shows the static shape
-      val plan = joined.queryExecution.sparkPlan.toString
+      // executedPlan, not sparkPlan: Exchanges are inserted by
+      // EnsureRequirements after sparkPlan, so the pre-requirements tree is
+      // Exchange-free for ANY join and proves nothing
+      val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"expected a shuffle-free bucket-aligned join, got:\n$plan")
+      // negative control: the same data joined as plain (non-bucketed)
+      // frames MUST show shuffles, or the assertion above is vacuous
+      val unbucketed = spark.table("bspec_facts").repartition(7)
+        .join(spark.table("bspec_dims").repartition(7).hint("shuffle_merge"), "k")
+        .queryExecution.executedPlan.toString
+      assert(unbucketed.contains("Exchange"),
+        s"negative control lost its shuffles:\n$unbucketed")
       assert(joined.count() === 1000)
       // values survive the bucketed round-trip
       val row = joined.where($"id" === 42L).select("name").as[String].head()
@@ -43,10 +52,11 @@ class BucketedSpec extends SparkTestBase {
     BucketedStore.writeBucketed(b, "bspec_b4", "k", 4, s"$dir/b4")
     try {
       val plan = BucketedStore.colocatedJoin(spark, "bspec_a8", "bspec_b4", "k")
-        .queryExecution.sparkPlan.toString
+        .queryExecution.executedPlan.toString
       // one side re-shuffles (or coalesces) to the other's bucketing; the
-      // 8-bucket side must not shuffle
-      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+      // 8-bucket side must not shuffle. Tree lines render as "+- Exchange
+      // ..." so match by contains, never startsWith
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= 1, s"expected at most one Exchange:\n$plan")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bspec_a8")

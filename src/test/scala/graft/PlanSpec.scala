@@ -7,16 +7,20 @@ package graft
   * queries survive a 100× scale-up; a refactor that silently loses one
   * should fail here, not in production.
   *
-  * Assertions use the pre-execution sparkPlan (AQE re-plans at runtime but
-  * starts from this shape) and only lock properties that are explicit in
-  * the query definitions (broadcast() hints, map-only expression batteries),
-  * never size-based planner choices that legitimately change with scale. */
+  * Assertions use executedPlan — Exchange/Sort nodes are inserted by
+  * EnsureRequirements AFTER sparkPlan, so counting them on sparkPlan is
+  * vacuously zero (verified: a two-shuffle join shows no Exchange there).
+  * Under AQE this is the AdaptiveSparkPlan initial plan, which carries the
+  * static Exchange placement. Only properties explicit in the query
+  * definitions are locked (broadcast() hints, map-only expression
+  * batteries), never size-based planner choices that legitimately change
+  * with scale. */
 class PlanSpec extends SparkTestBase {
 
   private val dir = sf("sf0.001")
 
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   private def countIn(p: String, needle: String): Int =
     p.linesIterator.count(_.contains(needle))

@@ -44,6 +44,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.contains((0L, 1L)))
   }
 
+  test("srpBands: NaN components produce a signature, never a crash " +
+    "(Catalyst round-NaN passthrough, NaN > 0 ordering)") {
+    val bad = Seq((1L, Seq(Double.NaN, 1.0, 2.0)), (2L, Seq(1.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.srpBands(bad, "vec_id", "embedding",
+      numPlanes = 4, numBands = 2, dim = 3).collect()
+    assert(got.length === 4) // 2 rows × 2 bands, no exception
+  }
+
+  test("srpBands: a NULL vector fails loudly instead of silently dropping") {
+    val bad = Seq((1L, Some(Seq(1.0, 2.0, 3.0))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.srpBands(bad, "vec_id", "embedding",
+        numPlanes = 4, numBands = 2, dim = 3).collect()
+    }
+    assert(e.getMessage.contains("null vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("null vector")))
+  }
+
+  test("srpBands: dim mismatch fails loudly instead of truncating") {
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.srpBands(bad, "vec_id", "embedding",
+        numPlanes = 4, numBands = 2, dim = 3).collect()
+    }
+    assert(e.getMessage.contains("!= dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("!= dim")))
+  }
+
+  test("native expressions are structurally equal across separate builds " +
+    "(plan identity: cache dedup / reuse depend on it)") {
+    import graft.functions.{NearestCentroid, SrpBandKeys}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val c = ColumnBridge.expression($"v".cast("array<double>"))
+    val planes = IndexedSeq(IndexedSeq(1.0, 2.0), IndexedSeq(3.0, 4.0))
+    assert(SrpBandKeys(c, planes.map(_.toIndexedSeq), 2) ===
+      SrpBandKeys(c, IndexedSeq(IndexedSeq(1.0, 2.0), IndexedSeq(3.0, 4.0)), 2))
+    assert(NearestCentroid(c, IndexedSeq(1), IndexedSeq(IndexedSeq(1.0))) ===
+      NearestCentroid(c, IndexedSeq(1), IndexedSeq(IndexedSeq(1.0))))
+  }
+
   test("IVF top-k finds the identical vector with nprobe < nlist") {
     val q = vecs.where($"vec_id" === 0).select($"embedding".as("q"))
     val got = SimilarityOps.ivfTopK(vecs.where($"vec_id" =!= 0),

@@ -126,7 +126,8 @@ object SparkEntry {
     "x_strat_sample" -> ExtQueries.xStratSample,
     "x_group_stats" -> ExtQueries.xGroupStats,
     "x_contamination" -> ExtQueries.xContamination,
-    "x_pack_sequences" -> ExtQueries.xPackSequences
+    "x_pack_sequences" -> ExtQueries.xPackSequences,
+    "x_count_min" -> ExtQueries.xCountMin
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

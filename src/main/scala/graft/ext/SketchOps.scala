@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic count-min sketch over a token/key stream — the fixed-size
+  * frequency summary for heavy-hitter detection at corpus scale (Cormode &
+  * Muthukrishnan 2005). The sketch is depth×width counters regardless of
+  * input size; estimates are upper bounds (collisions only ever inflate),
+  * with error ≤ 2n/width at ~1-(1/2)^depth confidence.
+  *
+  * Hashing is md5-derived (row r's bucket for key k = first 8 hex digits of
+  * md5(k ":" r) mod width), so the ENTIRE sketch is reproducible on any
+  * engine with md5 — the DuckDB oracle builds the identical counters, which
+  * turns a normally engine-specific sketch into a hash-comparable one.
+  *
+  * Plan shape: one explode to depth× rows, one groupBy(row, bucket) — the
+  * aggregate is partial map-side and its result is bounded by depth×width
+  * rows however large the input. Estimation joins the (tiny, broadcast)
+  * sketch and takes min over rows. */
+object SketchOps {
+
+  private def bucket(key: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat(key, lit(":"), r.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Build the sketch from a stream of keys (one row per OCCURRENCE).
+    * Returns (r, bucket, cnt) — at most depth×width rows. */
+  def countMin(keys: DataFrame, keyCol: String,
+               depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    keys.select(col(keyCol),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .select(col("r"), bucket(col(keyCol), col("r"), width).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries` (distinct keys in `keyCol`): min over
+    * the depth rows of each key's bucket counter. The sketch side is
+    * broadcast (≤ depth×width rows by construction). A key hashing to an
+    * untouched bucket estimates 0 via the left join. */
+  def estimate(queries: DataFrame, keyCol: String, sketch: DataFrame,
+               depth: Int, width: Int): DataFrame =
+    queries.select(col(keyCol),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .select(col(keyCol), col("r"), bucket(col(keyCol), col("r"), width).as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+}

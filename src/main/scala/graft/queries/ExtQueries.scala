@@ -367,4 +367,19 @@ object ExtQueries {
     CorpusOps.packSequences(toks, col("doc_id"), col("n_tokens"),
       maxTokens = 256, numBuckets = 8)
   }
+
+  /** Count-min heavy hitters: the 20 most frequent corpus tokens (exact
+    * count, strict (cnt desc, tok) total order) with their sketch estimates
+    * — estimates are md5-deterministic, so the DuckDB oracle rebuilds the
+    * identical depth×width counters and the whole sketch is hash-compared,
+    * not just bounded. */
+  val xCountMin: Q = (s, dir) => {
+    val tok = docs(s, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(explode(col("__toks")).as("tok"))
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val sketch = SketchOps.countMin(tok, "tok", depth = 4, width = 256)
+    exact.join(SketchOps.estimate(exact.select("tok"), "tok", sketch, 4, 256), "tok")
+      .select(col("tok"), col("exact_cnt"), col("cm_est"))
+  }
 }

@@ -828,6 +828,26 @@ object Oracles {
          |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
          |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin,
 
+    // the sketch is md5-deterministic: rebuild the identical depth×width
+    // counters and min over rows — estimates hash-compare exactly
+    "x_count_min" -> {
+      val bkt = (k: String, r: String) =>
+        s"${hex32(s"md5($k || ':' || CAST($r AS VARCHAR))", 1)} % 256"
+      s"""WITH tok AS (SELECT unnest($TOK) AS tok FROM documents WHERE text IS NOT NULL),
+         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+         |  GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+         |sk AS (SELECT r, ${bkt("tok", "r")} AS bucket, count(*) AS cnt
+         |  FROM tok, rows_ GROUP BY r, ${bkt("tok", "r")}),
+         |qb AS (SELECT e.tok, rows_.r, ${bkt("e.tok", "rows_.r")} AS bucket
+         |  FROM exact e, rows_),
+         |est AS (SELECT qb.tok, min(coalesce(sk.cnt, 0)) AS cm_est
+         |  FROM qb LEFT JOIN sk ON sk.r = qb.r AND sk.bucket = qb.bucket
+         |  GROUP BY qb.tok)
+         |SELECT e.tok, e.exact_cnt, CAST(est.cm_est AS BIGINT) AS cm_est
+         |FROM exact e JOIN est ON est.tok = e.tok""".stripMargin
+    },
+
     "x_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
          |sh AS (SELECT DISTINCT doc_id, shingle FROM

@@ -200,6 +200,31 @@ class CurationSpec extends SparkTestBase {
     assert(packed.keySet === Set(1L, 2L, 3L))
   }
 
+  // ---- count-min sketch ----
+
+  test("countMin estimates are upper bounds and exact without collisions") {
+    import graft.ext.SketchOps
+    val keys = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val sketch = SketchOps.countMin(keys, "k", depth = 4, width = 1024)
+    val est = SketchOps.estimate(keys.distinct(), "k", sketch, 4, 1024)
+      .as[(String, Long)].collect().toMap
+    // 3 keys in 1024 buckets × 4 rows: collision probability negligible,
+    // and the estimate can never undercount
+    assert(est === Map("hot" -> 50L, "warm" -> 7L, "cold" -> 1L))
+    // absent key estimates 0 via the left join
+    val absent = SketchOps.estimate(Seq("nope").toDF("k"), "k", sketch, 4, 1024)
+      .as[(String, Long)].collect()
+    assert(absent === Array(("nope", 0L)))
+  }
+
+  test("countMin sketch size is bounded by depth*width regardless of input") {
+    import graft.ext.SketchOps
+    val keys = (1 to 5000).map(i => s"k$i").toDF("k")
+    val n = SketchOps.countMin(keys, "k", depth = 2, width = 16).count()
+    assert(n <= 32)
+  }
+
   // ---- group stats ----
 
   test("groupStats exact percentiles interpolate; approx lands within 5%") {

@@ -127,7 +127,8 @@ object SparkEntry {
     "x_group_stats" -> ExtQueries.xGroupStats,
     "x_contamination" -> ExtQueries.xContamination,
     "x_pack_sequences" -> ExtQueries.xPackSequences,
-    "x_count_min" -> ExtQueries.xCountMin
+    "x_count_min" -> ExtQueries.xCountMin,
+    "x_tfidf" -> ExtQueries.xTfidf
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -69,6 +69,32 @@ object CorpusOps {
     df.groupBy(stratum.as("stratum")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Top-k terms per document by tf-idf (tf · ln(N/df)) — the classic
+    * keyword/summary extraction over a corpus. Shape: one token explode,
+    * one (doc, tok) count, one doc-frequency aggregate joined back on the
+    * token (broadcast-size: the vocabulary), the corpus size as a broadcast
+    * one-row frame (a count() action or an unpartitioned window would both
+    * be wrong here), and one per-document ranking window. Scores are
+    * rounded to 4 dp BEFORE ranking (house rule) with ties to the
+    * lexicographically smallest token, so the top-k set is engine-exact. */
+  def tfidfTopTerms(df: DataFrame, key: Column, text: Column,
+                    k: Int): DataFrame = {
+    val tok = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_cnt"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val n = df.select(key.as("doc_id")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf_cnt"),
+        round(col("tf_cnt") * log(col("__n").cast("double") / col("__df")), 4)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("doc_id"), col("tok"), col("tf_cnt"), col("score"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
     * k-shingles with an evaluation set — the pre-training hygiene pass that
     * keeps test data out of the training corpus (n-gram-overlap

@@ -368,6 +368,10 @@ object ExtQueries {
       maxTokens = 256, numBuckets = 8)
   }
 
+  /** Top-5 tf-idf terms per document. */
+  val xTfidf: Q = (s, dir) =>
+    CorpusOps.tfidfTopTerms(docs(s, dir), col("doc_id"), col("text"), k = 5)
+
   /** Count-min heavy hitters: the 20 most frequent corpus tokens (exact
     * count, strict (cnt desc, tok) total order) with their sketch estimates
     * — estimates are md5-deterministic, so the DuckDB oracle rebuilds the

@@ -828,6 +828,21 @@ object Oracles {
          |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
          |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin,
 
+    // round BEFORE ranking (house rule); ln agrees to well under 4 dp
+    // across libm implementations
+    "x_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf_cnt FROM tok GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM toks),
+         |r AS (SELECT tf.doc_id, tf.tok, tf.tf_cnt,
+         |  round(tf.tf_cnt * ln(CAST(n.n AS DOUBLE) / dfq), 4) AS score
+         |  FROM tf JOIN dfreq ON dfreq.tok = tf.tok, n),
+         |rk AS (SELECT doc_id, tok, CAST(tf_cnt AS BIGINT) AS tf_cnt, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM r)
+         |SELECT doc_id, tok, tf_cnt, score FROM rk WHERE rn <= 5""".stripMargin,
+
     // the sketch is md5-deterministic: rebuild the identical depth×width
     // counters and min over rows — estimates hash-compare exactly
     "x_count_min" -> {

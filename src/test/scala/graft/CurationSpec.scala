@@ -200,6 +200,22 @@ class CurationSpec extends SparkTestBase {
     assert(packed.keySet === Set(1L, 2L, 3L))
   }
 
+  // ---- tf-idf ----
+
+  test("tfidfTopTerms ranks rare discriminative terms above common ones") {
+    val df = Seq(
+      (1L, "common common common rare"),
+      (2L, "common other words here"),
+      (3L, "common more words again"))
+      .toDF("id", "txt")
+    val got = CorpusOps.tfidfTopTerms(df, col("id"), col("txt"), k = 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // "common" appears in every doc -> idf = ln(1) = 0; "rare" wins doc 1
+    // even at tf 1 vs 3
+    assert(got(1L) === "rare")
+    assert(got(2L) != "common" && got(3L) != "common")
+  }
+
   // ---- count-min sketch ----
 
   test("countMin estimates are upper bounds and exact without collisions") {

@@ -34,7 +34,8 @@ object PlanAudit {
         "q11_cache_diff","q13_work_limit","q47_bok_fanout","x_ann_lsh",
         "x_ann_ivf","g63_grid_join","q51b_html_render","x_asof_join",
         "x_dedup_jaccard","x_boilerplate","x_quality_gopher","x_pii_scrub",
-        "x_top_token","x_strat_sample").foreach(audit)
+        "x_top_token","x_strat_sample","x_count_min","x_tfidf",
+        "x_contamination","x_pack_sequences").foreach(audit)
     spark.stop()
   }
 }

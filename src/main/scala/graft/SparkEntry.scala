@@ -145,5 +145,6 @@ object SparkEntry {
     "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
     "g63_grid_join", "q51b_html_render", "x_pipeline",
-    "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences")
+    "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
+    "x_tfidf", "x_count_min")
 }

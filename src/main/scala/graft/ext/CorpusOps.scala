@@ -85,7 +85,7 @@ object CorpusOps {
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
     val n = df.select(key.as("doc_id")).distinct()
       .agg(count(lit(1)).as("__n"))
-    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf_cnt"),
         round(col("tf_cnt") * log(col("__n").cast("double") / col("__df")), 4)
           .as("score"))

@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
   * sketch and takes min over rows. */
 object SketchOps {
 
-  private def bucket(key: Column, r: Column, width: Int): Column =
-    conv(substring(md5(concat(key, lit(":"), r.cast("string"))), 1, 8), 16, 10)
+  // NULL keys fail loudly: md5(concat(null, ...)) is null, so a null key
+  // would land its whole mass in an unjoinable (r, NULL) bucket row —
+  // breaking both the depth×width size bound and the never-undercounts
+  // contract (estimate()'s join can never match NULL = NULL). The guard
+  // lives inside the consumed column so pruning cannot drop it.
+  private def bucket(key: Column, r: Column, width: Int): Column = {
+    val k = when(key.isNotNull, key)
+      .otherwise(raise_error(lit("countMin: null key")))
+    conv(substring(md5(concat(k, lit(":"), r.cast("string"))), 1, 8), 16, 10)
       .cast("long") % width
+  }
 
   /** Build the sketch from a stream of keys (one row per OCCURRENCE).
     * Returns (r, bucket, cnt) — at most depth×width rows. */

@@ -378,8 +378,12 @@ object ExtQueries {
     * identical depth×width counters and the whole sketch is hash-compared,
     * not just bounded. */
   val xCountMin: Q = (s, dir) => {
+    // the token stream feeds both the exact-count branch and the sketch
+    // branch, which diverge before any Exchange — persist it (run-scoped,
+    // CacheManager dedups by plan) so documents scan + tokenize once
     val tok = docs(s, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
       .select(explode(col("__toks")).as("tok"))
+      .persist()
     val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
     val sketch = SketchOps.countMin(tok, "tok", depth = 4, width = 256)

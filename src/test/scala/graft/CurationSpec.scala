@@ -234,6 +234,17 @@ class CurationSpec extends SparkTestBase {
     assert(absent === Array(("nope", 0L)))
   }
 
+  test("countMin: a NULL key fails loudly (its mass would otherwise vanish " +
+    "into an unjoinable NULL bucket)") {
+    import graft.ext.SketchOps
+    val keys = Seq(Some("a"), None, Some("b")).toDF("k")
+    val e = intercept[Exception] {
+      SketchOps.countMin(keys, "k", depth = 2, width = 16).collect()
+    }
+    assert(e.getMessage.contains("null key") ||
+      Option(e.getCause).exists(_.getMessage.contains("null key")))
+  }
+
   test("countMin sketch size is bounded by depth*width regardless of input") {
     import graft.ext.SketchOps
     val keys = (1 to 5000).map(i => s"k$i").toDF("k")

@@ -39,6 +39,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming exact-dedup: dropDuplicatesWithinWatermark holds bounded " +
+    "state and emits each key once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = in.toDF().toDF("content_hash", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sdedup_out").start()
+    in.addData(("h1", ts("2024-01-01 00:00:00")), ("h2", ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    in.addData(("h1", ts("2024-01-01 00:30:00"))) // dup within watermark -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup_out").select("content_hash")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("h1", "h2"))
+  }
+
   test("stream-stream interval join: right rows match within the lag window, " +
     "state bounded by watermarks") {
     implicit val sqlCtx = spark.sqlContext

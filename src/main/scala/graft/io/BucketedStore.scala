@@ -42,4 +42,26 @@ object BucketedStore {
                     key: String): DataFrame =
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable), key)
+
+  /** Compact a parquet directory into ~`targetFileRows`-row files, sorted
+    * and range-partitioned by `sortKey` — the small-files remediation every
+    * long-running ingest needs (a streaming or incremental writer leaves
+    * thousands of KB-scale files; scans then pay a task per file and the
+    * driver pays listing + footer reads for each).
+    *
+    * repartitionByRange keeps the global sort order across files (min/max
+    * footer stats stay disjoint ⇒ downstream range predicates prune whole
+    * files), and maxRecordsPerFile bounds each task's output. Writes to
+    * `outPath` — publish-by-rename/pointer is the caller's move (see
+    * [[StageStore]] for the atomic-pointer pattern); compacting in place
+    * would destroy the source on failure. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              sortKey: String, targetFileRows: Long,
+              numFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortKey))
+      .sortWithinPartitions(sortKey)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetFileRows)
+      .parquet(outPath)
 }

@@ -44,6 +44,26 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("compact merges many small files into few sorted ones, data intact") {
+    val dir = Files.createTempDirectory("compact").toFile.getAbsolutePath
+    // 64 tiny files
+    (1L to 1024L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(64).write.parquet(s"$dir/in")
+    val before = new java.io.File(s"$dir/in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected many input files, got $before")
+    BucketedStore.compact(spark, s"$dir/in", s"$dir/out",
+      sortKey = "id", targetFileRows = 512, numFiles = 2)
+    val after = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 4, s"expected few output files, got $after")
+    // identical data survives the rewrite
+    val in = spark.read.parquet(s"$dir/in")
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 1024)
+    assert(in.except(out).isEmpty && out.except(in).isEmpty)
+  }
+
   test("mismatched bucket counts fall back to a shuffle on one side only") {
     val dir = Files.createTempDirectory("bucketed2").toFile.getAbsolutePath
     val a = (1L to 100L).map(i => (i % 10, i)).toDF("k", "id")

@@ -13,8 +13,6 @@ class CurationPropertySpec extends SparkTestBase {
 
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(20260812)
-
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -29,10 +27,14 @@ class CurationPropertySpec extends SparkTestBase {
   private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
     "zeta", "eta", "theta", "x1", "y22", "zz", "longishword", "w")
 
-  private def randDoc(): String =
+  // each test owns its Random with a fixed seed: a shared sequential stream
+  // would make every test's data depend on the draw count of every earlier
+  // test (reorder/subset runs would silently change inputs)
+  private def randDoc(rnd: scala.util.Random): String =
     Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
 
   test("packSequences matches the next-fit reference on 500 random docs") {
+    val rnd = new scala.util.Random(20260812)
     val docs = (1 to 500).map(i => (i.toLong, 1L + rnd.nextInt(300)))
     val got = CorpusOps.packSequences(docs.toDF("id", "nt"), col("id"),
         col("nt"), maxTokens = 128, numBuckets = 4)
@@ -71,7 +73,8 @@ class CurationPropertySpec extends SparkTestBase {
 
   test("gopherRules keep agrees with a direct Scala recomputation on 300 " +
     "random docs") {
-    val docs = (1 to 300).map(i => (i.toLong, randDoc()))
+    val rnd = new scala.util.Random(31337)
+    val docs = (1 to 300).map(i => (i.toLong, randDoc(rnd)))
     val got = QualityRules.gopherRules(docs.toDF("id", "txt"), col("id"),
         col("txt"), minTokens = 8, maxTokens = 25,
         minMeanLenTenths = 30, maxMeanLenTenths = 60, maxDupPct = 65)
@@ -89,10 +92,14 @@ class CurationPropertySpec extends SparkTestBase {
   }
 
   test("jaccard values match direct set computation for every emitted pair") {
-    val docs = (1 to 60).map { i =>
-      // force near-duplicates so LSH emits pairs
+    val rnd = new scala.util.Random(4242)
+    // genuinely planted near-duplicates: docs (2p-1, 2p) SHARE a base (the
+    // base must be drawn once per pair — regenerating it per doc would
+    // leave only chance collisions and the property would ride on luck)
+    val docs = (1 to 30).flatMap { p =>
       val base = Seq.fill(8)(vocab(rnd.nextInt(5))).mkString(" ")
-      (i.toLong, if (i % 2 == 0) base else base + " " + vocab(rnd.nextInt(vocab.size)))
+      Seq((2L * p - 1, base),
+        (2L * p, base + " " + vocab(rnd.nextInt(vocab.size))))
     }
     val df = docs.toDF("id", "txt")
     val sh = TextOps.explodeShingles(df, col("id"), col("txt"), k = 3)
@@ -101,7 +108,9 @@ class CurationPropertySpec extends SparkTestBase {
       graft.ext.DedupOps.lshBands(sig, 12, 4))
     val got = graft.ext.DedupOps.jaccard(pairs, sh)
       .as[(Long, Long, Double)].collect()
-    assert(got.nonEmpty, "planted near-dups must produce candidate pairs")
+    // ~86% shingle overlap per planted pair ⇒ band-collision ≈ 0.98 each;
+    // 30 pairs must yield a rich sample, not a lucky one or two
+    assert(got.length >= 20, s"expected >=20 candidate pairs, got ${got.length}")
     val shingleSets: Map[Long, Set[String]] = docs.map { case (id, txt) =>
       val t = tokensOf(txt)
       id -> t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
@@ -116,7 +125,8 @@ class CurationPropertySpec extends SparkTestBase {
   }
 
   test("contamination n_shared matches brute-force overlap counts") {
-    val docs = (1 to 80).map(i => (i.toLong, randDoc()))
+    val rnd = new scala.util.Random(998877)
+    val docs = (1 to 80).map(i => (i.toLong, randDoc(rnd)))
     val df = docs.toDF("id", "txt")
     val isEval = (id: Long) => id % 10 == 0
     val sh = (d: org.apache.spark.sql.DataFrame) =>

@@ -39,8 +39,8 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L, 4L))
   }
 
-  test("streaming exact-dedup: dropDuplicatesWithinWatermark holds bounded " +
-    "state and emits each key once") {
+  test("streaming exact-dedup: dropDuplicatesWithinWatermark dedups within " +
+    "the window and EVICTS state after it (re-emission proves boundedness)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
     val q = in.toDF().toDF("content_hash", "ts")
@@ -52,10 +52,16 @@ class StreamingSpec extends SparkTestBase {
     q.processAllAvailable()
     in.addData(("h1", ts("2024-01-01 00:30:00"))) // dup within watermark -> dropped
     q.processAllAvailable()
+    in.addData(("adv", ts("2024-01-01 05:00:00"))) // watermark -> 04:00
+    q.processAllAvailable()
+    // h1's state was evicted once the watermark passed its window, so a
+    // later h1 re-emits — the observable proof state does NOT grow forever
+    in.addData(("h1", ts("2024-01-01 04:30:00")))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table("sdedup_out").select("content_hash")
       .as[String].collect().sorted.toSeq
-    assert(got == Seq("h1", "h2"))
+    assert(got == Seq("adv", "h1", "h1", "h2"))
   }
 
   test("stream-stream interval join: right rows match within the lag window, " +

@@ -72,20 +72,30 @@ object CorpusOps {
   /** Top-k terms per document by tf-idf (tf · ln(N/df)) — the classic
     * keyword/summary extraction over a corpus. Shape: one token explode,
     * one (doc, tok) count, one doc-frequency aggregate joined back on the
-    * token (broadcast-size: the vocabulary), the corpus size as a broadcast
-    * one-row frame (a count() action or an unpartitioned window would both
-    * be wrong here), and one per-document ranking window. Scores are
-    * rounded to 4 dp BEFORE ranking (house rule) with ties to the
-    * lexicographically smallest token, so the top-k set is engine-exact. */
+    * token, the corpus size as a broadcast one-row frame (a count() action
+    * or an unpartitioned window would both be wrong here), and one
+    * per-document ranking window. Scores are rounded to 4 dp BEFORE ranking
+    * (house rule) with ties to the lexicographically smallest token, so the
+    * top-k set is engine-exact.
+    *
+    * Vocabulary-size contract: the df join on `tok` is a SHUFFLE join by
+    * default. A web-scale corpus's distinct-token table (URLs, typos,
+    * numerals) runs to billions of rows, so a forced broadcast there is a
+    * driver OOM at 100 TB, not a plan choice AQE can undo; partial
+    * aggregation already bounds the dfreq shuffle at one row per distinct
+    * token per map task. Pass `broadcastVocab = true` ONLY when the
+    * vocabulary is known-bounded (a fixed lexicon, a pre-pruned token set);
+    * otherwise leave size-based planning to pick the strategy. */
   def tfidfTopTerms(df: DataFrame, key: Column, text: Column,
-                    k: Int): DataFrame = {
+                    k: Int, broadcastVocab: Boolean = false): DataFrame = {
     val tok = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_cnt"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val dfreq0 = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
     val n = df.select(key.as("doc_id")).distinct()
       .agg(count(lit(1)).as("__n"))
-    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf_cnt"),
         round(col("tf_cnt") * log(col("__n").cast("double") / col("__df")), 4)
           .as("score"))

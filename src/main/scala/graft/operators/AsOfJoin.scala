@@ -39,13 +39,23 @@ object AsOfJoin {
     // SQL join-key semantics: a NULL key matches nothing (the window would
     // otherwise group all null-key rows into one partition and happily match
     // them to each other), and a null-ts version is never "the latest at t".
-    // Null-key/null-ts PROBE rows survive and null-extend, as in a left join.
+    // Null-key/null-ts PROBE rows survive and null-extend, as in a left join
+    // — but they are routed AROUND the window: hashing every orphan row into
+    // the single null partition just to compute a __m that is null by
+    // construction is a straggler task at scale. The bypass is a map-side
+    // filter + union; semantics are identical.
     val b = build
       .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol), lit(0).as("__side"),
         struct(valueCols.map(col): _*).as("__v"))
-    val p = probe.withColumn("__side", lit(1))
+    val p = probe
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__side", lit(1))
       .withColumn("__v", lit(null).cast(b.schema("__v").dataType))
+    val orphans = probe
+      .where(col(keyCol).isNull || col(tsCol).isNull)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => lit(null).cast(build.schema(c).dataType).as(c)): _*)
     // build rows sort BEFORE probe rows at equal ts (side 0 < 1), so a
     // version effective exactly at the probe instant is visible — the
     // inclusive (≤) as-of convention, matching e.g. DuckDB's ASOF JOIN
@@ -57,5 +67,6 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select(probeCols.map(col) ++
         valueCols.map(c => col("__m").getField(c).as(c)): _*)
+      .unionByName(orphans)
   }
 }

@@ -59,6 +59,28 @@ class CurationSpec extends SparkTestBase {
     assert(got === Map(10L -> None, 11L -> Some("ok")))
   }
 
+  test("asOf: null-key/null-ts probe rows bypass the window (skew guard) " +
+    "with identical left-join semantics") {
+    val build = Seq((1L, ts("2024-01-01 00:00:00"), "v1"))
+      .toDF("k", "t", "v").withColumn("v_t", col("t"))
+    val probe = Seq(
+      (10L, Option(1L), Option(ts("2024-01-01 01:00:00"))), // real match
+      (11L, Option.empty[Long], Option(ts("2024-01-01 01:00:00"))), // null key
+      (12L, Option(1L), Option.empty[java.sql.Timestamp]),  // null ts
+      (13L, Option.empty[Long], Option.empty[java.sql.Timestamp])) // both
+      .toDF("id", "k", "t")
+    val out = AsOfJoin.asOf(probe, build, "k", "t", Seq("v_t", "v"))
+    val got = out.select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(10L -> Some("v1"), 11L -> None, 12L -> None, 13L -> None))
+    // the orphan rows are routed around the window: the plan is a Union of
+    // the windowed path and a window-free null-extend branch
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), p)
+    // value-column types survive the null-extend (struct cast, not string)
+    assert(out.schema("v_t").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("asOf rejects colliding and missing value columns") {
     val b = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("k", "t", "v")
     val p = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("k", "t", "v")

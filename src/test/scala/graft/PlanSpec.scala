@@ -54,6 +54,32 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "Exchange hashpartitioning") <= 3, p)
   }
 
+  test("tfidf vocabulary join carries no forced broadcast hint; the gate " +
+    "restores it") {
+    // At sf0.001 size-based planning legitimately broadcasts the tiny
+    // vocabulary, so the lock is behavioral: with the auto-broadcast
+    // threshold disabled, the DEFAULT form must fall back to a shuffle join
+    // (no hint forcing a 100-TB vocabulary onto the driver), while the
+    // explicitly gated form must stay broadcast (hints ignore the
+    // threshold). The one-row corpus-size frame remains a
+    // BroadcastNestedLoopJoin in both — that broadcast is bounded at 1 row.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    def tfidfPlan(gate: Boolean): String = graft.ext.CorpusOps
+      .tfidfTopTerms(docs, col("doc_id"), col("text"), k = 3, broadcastVocab = gate)
+      .queryExecution.executedPlan.toString
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val dflt = tfidfPlan(gate = false)
+      assert(countIn(dflt, "BroadcastHashJoin") === 0, dflt)
+      assert(countIn(dflt, "SortMergeJoin") + countIn(dflt, "ShuffledHashJoin") >= 1, dflt)
+      val gated = tfidfPlan(gate = true)
+      assert(countIn(gated, "BroadcastHashJoin") >= 1, gated)
+    } finally spark.conf.set(key, old)
+  }
+
   test("embedding top-k plans as TakeOrderedAndProject, not global sort") {
     val p = plan("x_embed_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -77,6 +77,8 @@ object SparkEntry {
     "q54_toot" -> RefQueries.q54Toot,
     // §2.9 change stream (batch form; streaming form under graft.streaming)
     "q61_change_stream" -> RefQueries.q61ChangeStream,
+    // EP-2 end-to-end composition (Ops 16-27 → 28 → 29 → 44-46)
+    "q_ep2_pipeline" -> RefQueries.qEp2Pipeline,
     // §2.4/§2.5/§2.8 geospatial (box-SQL oracles; exact geometry semantics
     // additionally locked by GeoSpec)
     "g33_overlay_join" -> GeoQueries.g33Overlay,
@@ -146,5 +148,5 @@ object SparkEntry {
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
     "g63_grid_join", "q51b_html_render", "x_pipeline",
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
-    "x_tfidf", "x_count_min")
+    "x_tfidf", "x_count_min", "q_ep2_pipeline")
 }

@@ -542,6 +542,57 @@ object Oracles {
         |p AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events GROUP BY user_id, event_type)
         |SELECT user_id, event_type, first_seen FROM p, c WHERE first_seen >= cutoff""".stripMargin,
 
+    // EP-2 composed pipeline: the per-op oracle fragments of q16-q27, q28,
+    // q29 and q44-46 chained through CTEs in the same order the Spark query
+    // chains the operators — so a pass here is evidence the COMPOSITION is
+    // right, not just each stage.
+    "q_ep2_pipeline" ->
+      """WITH raw AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus, o_orderdate,
+        |  CASE WHEN o_orderkey%3=0 THEN lpad(CAST(o_orderkey AS VARCHAR),10,'0')
+        |       WHEN o_orderkey%3=1 THEN CAST(o_orderkey AS VARCHAR) END AS nn_raw,
+        |  CASE WHEN o_orderstatus='O' THEN 'Planned' WHEN o_orderstatus='F' THEN 'Unplanned'
+        |       ELSE 'Unknown' END AS planned_raw,
+        |  strftime(o_orderdate,'%Y-%m-%dT%H:%M:%S') AS iso,
+        |  CASE WHEN o_orderkey%13=0 THEN 'Select...'
+        |       WHEN o_orderkey%7=0 THEN lpad(CAST(o_custkey%24 AS VARCHAR),2,'0') || ':60'
+        |       ELSE lpad(CAST(o_custkey%24 AS VARCHAR),2,'0') || ':' || lpad(CAST(o_orderkey%60 AS VARCHAR),2,'0') END AS start_raw,
+        |  lpad(CAST(o_orderkey%24 AS VARCHAR),2,'0') || ':' || lpad(CAST(o_custkey%60 AS VARCHAR),2,'0') AS end_raw,
+        |  CASE WHEN o_orderkey%4=0 THEN substr(o_orderpriority,1,8)
+        |       WHEN o_orderkey%4=1 THEN 'somewhere else' END AS loc_raw
+        |  FROM orders),
+        |f1 AS (SELECT o_orderkey AS id, o_custkey, o_orderpriority AS title, o_orderstatus AS status,
+        |  CASE WHEN regexp_matches(nn_raw,'^[0-9]{10}$') THEN lpad(nn_raw,12,'0') END AS notification_number,
+        |  CASE WHEN planned_raw='Planned' THEN true WHEN planned_raw='Unplanned' THEN false END AS planned,
+        |  strptime(iso,'%Y-%m-%dT%H:%M:%S') + INTERVAL 1 DAY AS expiry_date,
+        |  replace(replace(start_raw,'60','59'),'Select...','00:00') AS start_clean,
+        |  end_raw, loc_raw, o_orderdate
+        |  FROM raw),
+        |f2 AS (SELECT *,
+        |  CASE WHEN regexp_matches(start_clean,'^[0-9]{2}:[0-9]{2}$')
+        |    AND CAST(substr(start_clean,1,2) AS INT) <= 23 AND CAST(substr(start_clean,4,2) AS INT) <= 59
+        |    THEN CAST(substr(start_clean,1,2) AS BIGINT)*60 + CAST(substr(start_clean,4,2) AS BIGINT) END AS start_minutes,
+        |  strptime(strftime(o_orderdate,'%Y-%m-%d') || ' ' || start_clean, '%Y-%m-%d %H:%M') AS start_ts,
+        |  strptime(strftime(o_orderdate,'%Y-%m-%d') || ' ' || end_raw, '%Y-%m-%d %H:%M') AS end_ts
+        |  FROM f1),
+        |f3 AS (SELECT id, o_custkey, title, status, notification_number, planned, expiry_date,
+        |  start_minutes, start_ts,
+        |  CASE WHEN end_ts <= start_ts THEN end_ts + INTERVAL 1 DAY ELSE end_ts END AS end_fixed,
+        |  CASE WHEN loc_raw IS NOT NULL AND substr(loc_raw,1,length(title)) <> substr(title,1,length(loc_raw))
+        |       THEN loc_raw ELSE 'area-' || CAST(o_custkey%10 AS VARCHAR) END AS location
+        |  FROM f2 WHERE planned IS NOT NULL),
+        |j AS (SELECT f3.*, CAST(floor(epoch(end_fixed)) AS BIGINT) - CAST(floor(epoch(start_ts)) AS BIGINT) AS duration_sec,
+        |  c_name, c_mktsegment
+        |  FROM f3 LEFT JOIN customer ON o_custkey=c_custkey),
+        |u AS (SELECT id, title, status, notification_number, planned, expiry_date, start_minutes,
+        |    start_ts, end_fixed, duration_sec, location, c_name, c_mktsegment, 0 AS pri FROM j
+        |  UNION ALL
+        |  SELECT id, 'UPDATED', status, notification_number, planned, expiry_date, start_minutes,
+        |    start_ts, end_fixed, duration_sec, location, c_name, c_mktsegment, 1 FROM j WHERE id%5=0),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY pri DESC, id DESC) AS rn FROM u)
+        |SELECT id, title, status, notification_number, start_minutes, start_ts, end_fixed,
+        |  duration_sec, location, c_name, c_mktsegment
+        |FROM m WHERE rn=1 AND expiry_date > TIMESTAMP '1995-06-01 00:00:00' AND planned = true""".stripMargin,
+
     // ---- ext ----
 
     "x_tokens" ->

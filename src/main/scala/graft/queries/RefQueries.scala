@@ -551,6 +551,80 @@ object RefQueries {
         try_element_at(hashtags, col("lang"))).as("toot_text"))
   }
 
+  // ---- EP-2 end-to-end (composed pipeline) ----
+
+  /** The reference's full nightly pipeline as ONE composed query — raw
+    * scrape shapes → the entire Fixer battery (Ops 16-27) → validated m:1
+    * lookup join (Op-28) → keep-last upsert against tonight's scrape
+    * (Op-29) → the serving filter + canonical projection (Ops 44-46).
+    * Mirrors the stage DAG (reference
+    * `src/dags/service-alerts-pipeline.py:17-45`), the fixer chain
+    * (`ServiceAlertFixer.py:162-181`) and the serve step
+    * (`ServiceAlertBroadcaster.py:78-95`). Each stage is verified in
+    * isolation by its own q-query; this composition catches the class those
+    * can't — column collisions, null propagation across stages, and
+    * filter/rename interplay — against one composed DuckDB oracle. */
+  val qEp2Pipeline: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    // raw scrape shapes (the same planted dirt as the per-op queries)
+    val nnRaw = when(col("o_orderkey") % 3 === 0,
+        lpad(col("o_orderkey").cast("string"), 10, "0"))
+      .when(col("o_orderkey") % 3 === 1, col("o_orderkey").cast("string"))
+    val plannedRaw = when(col("o_orderstatus") === "O", lit("Planned"))
+      .when(col("o_orderstatus") === "F", lit("Unplanned"))
+      .otherwise(lit("Unknown"))
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+    val startRaw = when(col("o_orderkey") % 13 === 0, lit("Select..."))
+      .when(col("o_orderkey") % 7 === 0,
+        concat(lpad((col("o_custkey") % 24).cast("string"), 2, "0"), lit(":60")))
+      .otherwise(hhmm(col("o_custkey") % 24, col("o_orderkey") % 60))
+    val endRaw = hhmm(col("o_orderkey") % 24, col("o_custkey") % 60)
+    val locRaw = when(col("o_orderkey") % 4 === 0,
+        substring(col("o_orderpriority"), 1, 8))
+      .when(col("o_orderkey") % 4 === 1, lit("somewhere else"))
+
+    // Ops 16-25: the fixer battery, one projection (all pure columns)
+    val publishTs = FixerColumns.parseIso(iso)
+    val startClean = FixerColumns.cleanTimeString(startRaw)
+    val startTod = FixerColumns.guardedTimeParse(startClean)
+    val startTs = FixerColumns.combineDateTime(col("o_orderdate"), startClean)
+    val endTs = FixerColumns.combineDateTime(col("o_orderdate"), endRaw)
+    val endFixed = FixerColumns.rolloverEnd(startTs, endTs)
+    val fixed = o.select(
+      col("o_orderkey").as("id"),                     // Op-26 rename+project
+      col("o_custkey"),
+      col("o_orderpriority").as("title"),
+      col("o_orderstatus").as("status"),
+      FixerColumns.zeroPadNotification(nnRaw).as("notification_number"), // 16
+      FixerColumns.plannedFlag(plannedRaw).as("planned"),                // 17
+      FixerColumns.expiryDate(publishTs).as("expiry_date"),           // 18+19
+      (hour(startTod) * 60 + minute(startTod)).cast("long")
+        .as("start_minutes"),                                         // 21+22
+      startTs.as("start_ts"),                                            // 23
+      endFixed.as("end_fixed"),                                          // 24
+      (unix_timestamp(endFixed) - unix_timestamp(startTs)).as("duration_sec"), // 20
+      FixerColumns.locationCoalesce(locRaw, col("o_orderpriority"),
+        concat(lit("area-"), (col("o_custkey") % 10).cast("string")))
+        .as("location"))                                                 // 25
+      .na.drop(Seq("planned"))                                        // Op-27
+    // Op-28: validated m:1 broadcast lookup
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val joined = graft.operators.LookupJoin
+      .manyToOne(fixed, c, col("o_custkey"), col("c_custkey"))
+      .drop("o_custkey", "c_custkey")
+    // Op-29: keep-last upsert — tonight's re-scrape overrides the cache
+    val freshScrape = joined.where(col("id") % 5 === 0)
+      .withColumn("title", lit("UPDATED"))
+    val merged = Dedup.keepLast(joined, freshScrape, Seq("id"), col("id"))
+    // Ops 44-46: serve "current + planned", canonical projection
+    Broadcaster.serve(merged, Broadcaster.Current, planned = true,
+      cols = Seq("id", "title", "status", "notification_number",
+        "start_minutes", "start_ts", "end_fixed", "duration_sec",
+        "location", "c_name", "c_mktsegment"),
+      now = java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+  }
+
   // ---- §2.9 change stream (batch-equivalent; streaming form in stream/) ----
 
   /** Op-61: first-seen detection — (user,type) pairs new after the cutoff. */

@@ -80,6 +80,20 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("ep2 composed pipeline: broadcast lookup, one keep-last shuffle, " +
+    "no fallback joins") {
+    val p = plan("q_ep2_pipeline")
+    // the m:1 customer lookup stays broadcast (explicit hint) — twice in the
+    // plan text because the keep-last union references the joined frame on
+    // both branches
+    assert(countIn(p, "BroadcastHashJoin") >= 1, p)
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    // the whole 4-stage composition shuffles ONLY for the keep-last window
+    // (hash on id); the fixer battery and serve filter are map-side
+    assert(countIn(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("embedding top-k plans as TakeOrderedAndProject, not global sort") {
     val p = plan("x_embed_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

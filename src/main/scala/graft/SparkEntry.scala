@@ -86,6 +86,7 @@ object SparkEntry {
     "g38_union_agg" -> GeoQueries.g38UnionAgg,
     "g56_geocode_cascade" -> GeoQueries.g56GeocodeCascade,
     "g63_grid_join" -> GeoQueries.g63GridJoin,
+    "g_diff_erode" -> GeoQueries.gDiffErode,
     // ext: text analysis
     "x_tokens" -> ExtQueries.xTokens,
     "x_quality" -> ExtQueries.xQuality,

@@ -36,9 +36,18 @@ object GeoFunctions {
   val stBufferEnv = udf((wkt: String, d: Double) =>
     parseWkt(wkt).map(g => toWkt(bufferEnv(g, d))))
 
-  /** True Minkowski buffer (32-gon discs); see [[Geometry.buffer]]. */
+  /** True Minkowski buffer (32-gon discs); d < 0 erodes — see
+    * [[Geometry.buffer]]. */
   val stBuffer = udf((wkt: String, d: Double) =>
     parseWkt(wkt).map(g => toWkt(buffer(g, d))))
+
+  /** Dissolved a \ b with holes (`overlay(how="difference")` analogue). */
+  val stDifference = udf((a: String, b: String) =>
+    for { ga <- parseWkt(a); gb <- parseWkt(b) } yield toWkt(difference(ga, gb)))
+
+  /** Exact area of a \ b — the measure-only fast path. */
+  val stDifferenceArea = udf((a: String, b: String) =>
+    for { ga <- parseWkt(a); gb <- parseWkt(b) } yield differenceArea(ga, gb))
 
   val stPoint = udf((x: Double, y: Double) => toWkt(GPoint(Pt(x, y))))
 
@@ -81,6 +90,8 @@ object GeoFunctions {
     spark.udf.register("st_point", stPoint)
     spark.udf.register("st_box", stBox)
     spark.udf.register("st_make_valid", stMakeValid)
+    spark.udf.register("st_difference", stDifference)
+    spark.udf.register("st_difference_area", stDifferenceArea)
     spark.udf.register("st_union_area", stUnionArea)
     spark.udf.register("st_union_agg", org.apache.spark.sql.functions.udaf(UnionAgg))
   }

@@ -493,6 +493,33 @@ object Geometry {
     else sweepArea(ua ++ ub, (x, y) => x > 0 && y > 0)
   }
 
+  /** Exact area of a \ b for arbitrary polygons. */
+  def differenceArea(a: Geom, b: Geom): Double = {
+    val ua = ringSetsOf(a).map(rs => mkUnit(0, rs))
+    if (ua.isEmpty) return 0.0
+    val ub = ringSetsOf(b).map(rs => mkUnit(1, rs))
+    sweepArea(ua ++ ub, (x, y) => x > 0 && y == 0)
+  }
+
+  /** Dissolved difference a \ b (geopandas `overlay(how="difference")` /
+    * shapely `difference` analogue): the region covered by a's polygonal
+    * parts and by none of b's, traced with holes — subtracting a polygon
+    * strictly inside `a` creates a hole; subtracting a band through it
+    * splits it into a MULTIPOLYGON. Same arrangement sweep as
+    * [[unionDissolve]], different region predicate. Point/line parts of
+    * either input are ignored (they carry no area to subtract from or
+    * with). */
+  def difference(a: Geom, b: Geom): Geom = {
+    val ua = ringSetsOf(a).map(rs => mkUnit(0, rs))
+    if (ua.isEmpty || ua.forall(_.edges.isEmpty)) return GMulti(Vector.empty)
+    val ub = ringSetsOf(b).map(rs => mkUnit(1, rs))
+    val parts = stitchRegion(ua ++ ub, (x, y) => x > 0 && y == 0)
+    val sortedParts = parts.sortBy(p => (bbox(p)._1.x, bbox(p)._1.y, -area(p)))
+    if (sortedParts.isEmpty) GMulti(Vector.empty)
+    else if (sortedParts.length == 1) sortedParts.head
+    else GMulti(sortedParts)
+  }
+
   // ---- dissolved union geometry (trapezoid stitching) ----
 
   /** True dissolved union (`shapely.unary_union` analogue): overlapping
@@ -504,7 +531,7 @@ object Geometry {
     val units = gs.flatMap(ringSetsOf).map(rs => mkUnit(0, rs))
     val parts: IndexedSeq[GPolygon] =
       if (units.isEmpty || units.forall(_.edges.isEmpty)) Vector.empty
-      else stitchUnion(units)
+      else stitchRegion(units, (a, _) => a > 0)
     val sortedParts = parts.sortBy(p => (bbox(p)._1.x, bbox(p)._1.y, -area(p)))
     val extras = gs.flatMap(flattenNonArea).distinct.filterNot {
       case GPoint(p)  => sortedParts.exists(poly => covers(poly, p))
@@ -529,10 +556,13 @@ object Geometry {
     case _               => Seq.empty
   }
 
-  private def stitchUnion(units: Seq[SweepUnit]): IndexedSeq[GPolygon] = {
+  /** Trace the boundary of an arbitrary coverage-predicate region of the
+    * arrangement (union: `a > 0`; difference: `a > 0 && b == 0`; any other
+    * boolean overlay works the same way) into simple rings with holes. */
+  private def stitchRegion(units: Seq[SweepUnit],
+                           pred: (Int, Int) => Boolean): IndexedSeq[GPolygon] = {
     val xs = slabBoundaries(units)
     if (xs.length < 2) return Vector.empty
-    val pred = (a: Int, _: Int) => a > 0
     val slabs: Array[Vector[Trap]] = Array.tabulate(xs.length - 1) { k =>
       if (xs(k + 1) > xs(k)) slabRuns(units, xs(k), xs(k + 1), pred) else Vector.empty
     }
@@ -687,30 +717,38 @@ object Geometry {
     box(lo.x - d, lo.y - d, hi.x + d, hi.y + d)
   }
 
-  /** True positive buffer: the Minkowski sum of the geometry with a disc of
-    * radius d, the disc discretised as a 4·quadSegs-gon (JTS's quadrant-
+  /** True buffer: for d > 0, the Minkowski sum of the geometry with a disc
+    * of radius d, the disc discretised as a 4·quadSegs-gon (JTS's quadrant-
     * segments convention). Built as the dissolve-union of the geometry
     * itself, one rectangle swept along every edge, and one disc at every
     * vertex — the existing arrangement sweep does the dissolving, so round
     * joins, shared edges, and HOLE EROSION all fall out: a hole's boundary
     * rectangles eat d into the hole, and holes narrower than 2d close
-    * entirely, exactly as a true buffer must. Negative distances are not
-    * supported (the reference never erodes). */
+    * entirely, exactly as a true buffer must.
+    *
+    * For d < 0, EROSION (the geopandas negative-buffer convention): the
+    * result is the polygon minus the |d|-band around its own boundary —
+    * `A ⊖ d = A \ dilate(∂A, |d|)`, computed with the same rect+disc band
+    * and the exact [[difference]] sweep. Parts narrower than 2|d| vanish,
+    * holes grow by |d|, and a dumbbell eroded past its neck splits into a
+    * MULTIPOLYGON. Point/line inputs erode to empty (no interior). The disc
+    * discretisation makes both directions conservative the same way JTS is:
+    * inscribed 4·quadSegs-gons, error vanishing as quadSegs grows. */
   def buffer(g: Geom, d: Double, quadSegs: Int = 8): Geom = {
-    require(d >= 0, "negative buffer distances are not supported")
     if (d == 0) return g
+    val r = math.abs(d)
     val n = math.max(4, 4 * quadSegs)
     def disc(c: Pt): GPolygon = GPolygon(
       (0 until n).map { i =>
         val a = 2 * math.Pi * i / n
-        Pt(c.x + d * math.cos(a), c.y + d * math.sin(a))
+        Pt(c.x + r * math.cos(a), c.y + r * math.sin(a))
       }.toVector)
     def rect(a: Pt, b: Pt): Option[GPolygon] = {
       val dx = b.x - a.x; val dy = b.y - a.y
       val len = math.hypot(dx, dy)
       if (len < 1e-12) None
       else {
-        val ux = -dy / len * d; val uy = dx / len * d
+        val ux = -dy / len * r; val uy = dx / len * r
         Some(GPolygon(Vector(Pt(a.x + ux, a.y + uy), Pt(b.x + ux, b.y + uy),
           Pt(b.x - ux, b.y - uy), Pt(a.x - ux, a.y - uy))))
       }
@@ -721,14 +759,27 @@ object Geometry {
         else ring.indices.dropRight(1).map(i => (ring(i), ring(i + 1)))
       edges.flatMap { case (a, b) => rect(a, b) } ++ ring.map(disc)
     }
-    def partsOf(g: Geom): Seq[Geom] = g match {
-      case GPoint(p)       => Seq(disc(p))
-      case GLine(pts)      => ringParts(pts, closed = false)
-      case p: GPolygon     => p +: (p.ring +: p.holes).flatMap(r => ringParts(r, closed = true))
-      case GMulti(ps)      => ps.flatMap(partsOf)
-      case GCollection(gs) => gs.flatMap(partsOf)
+    if (d > 0) {
+      def partsOf(g: Geom): Seq[Geom] = g match {
+        case GPoint(p)       => Seq(disc(p))
+        case GLine(pts)      => ringParts(pts, closed = false)
+        case p: GPolygon     => p +: (p.ring +: p.holes).flatMap(r => ringParts(r, closed = true))
+        case GMulti(ps)      => ps.flatMap(partsOf)
+        case GCollection(gs) => gs.flatMap(partsOf)
+      }
+      unionDissolve(partsOf(g))
+    } else {
+      def boundaryBand(g: Geom): Seq[GPolygon] = g match {
+        case p: GPolygon     =>
+          (p.ring +: p.holes).flatMap(rg => ringParts(rg, closed = true))
+            .collect { case poly: GPolygon => poly }
+        case GMulti(ps)      => ps.flatMap(boundaryBand)
+        case GCollection(gs) => gs.flatMap(boundaryBand)
+        case _               => Seq.empty // points/lines have no interior
+      }
+      val band = boundaryBand(g)
+      difference(g, GCollection(band.toIndexedSeq))
     }
-    unionDissolve(partsOf(g))
   }
 
   /** Drop consecutive duplicate points; degenerate rings become empty. */

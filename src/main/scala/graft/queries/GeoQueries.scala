@@ -100,6 +100,33 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_overlaps"))
   }
 
+  /** Polygon difference + erosion (the overlay modes the reference's
+    * geopandas `overlay` tool offers beyond intersection,
+    * ServiceAlertAugmenter.py:649-681): each customer square minus the
+    * dissolved even-keyed "ward" checkerboard (A \ B with genuinely
+    * multi-part, edge-sharing B), and the square eroded by a key-derived
+    * negative buffer distance. Both are closed-form on the box world —
+    * difference area = 1 − Σ cell overlaps (cells disjoint), erosion of a
+    * w×h box by d = (w−2d)(h−2d) — so the SQL oracle is independent of the
+    * sweep kernel. `diff_area` exercises the geometry TRACE (rings stitched,
+    * then shoelace-measured); `diff_area_fast` the measure-only sweep; they
+    * must agree with the closed form and each other. */
+  val gDiffErode: Q = (s, dir) => {
+    import graft.geo.Geometry
+    val wards = Geometry.GMulti((0 until 25 by 2).map(n => Geometry.box(
+      (n % 5) * 2.0, (n / 5) * 2.0,
+      (n % 5) * 2.0 + 2.0, (n / 5) * 2.0 + 2.0)).toIndexedSeq)
+    val wardWkt = Geometry.toWkt(wards)
+    val d = ((col("c_custkey") % 3).cast("double") + 1.0) / 10.0
+    customerSquares(s, dir, 500).select(col("c_custkey"),
+      round(GeoFunctions.stArea(
+        GeoFunctions.stDifference(col("fp_wkt"), lit(wardWkt))), 4).as("diff_area"),
+      round(GeoFunctions.stDifferenceArea(col("fp_wkt"), lit(wardWkt)), 4)
+        .as("diff_area_fast"),
+      round(GeoFunctions.stArea(GeoFunctions.stBuffer(col("fp_wkt"), -d)), 4)
+        .as("erode_area"))
+  }
+
   /** Op-56/57/58 cascade: per alert (customer), resolve a footprint —
     * (1) exact "suburb" lookup by derived name, (2) fuzzy (levenshtein ≤ 2)
     * match against the layer names, (3) the external geocoder behind the

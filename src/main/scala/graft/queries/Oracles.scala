@@ -542,6 +542,21 @@ object Oracles {
         |p AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events GROUP BY user_id, event_type)
         |SELECT user_id, event_type, first_seen FROM p, c WHERE first_seen >= cutoff""".stripMargin,
 
+    // closed-form box difference/erosion: ward cells are disjoint, so the
+    // area of square \ (dissolved wards) is 1 − Σ per-cell overlaps; the
+    // erosion of a unit box by d is (1−2d)² (zero when 2d ≥ 1)
+    "g_diff_erode" ->
+      s"""WITH $GEO_CTES,
+         |ov AS (SELECT c.c_custkey,
+         |  sum(greatest(0, least(c.px+1, l.cx+2) - greatest(c.px, l.cx)) *
+         |      greatest(0, least(c.py+1, l.cy+2) - greatest(c.py, l.cy))) AS cov
+         |  FROM cust c, cells l WHERE l.n_nationkey%2=0 GROUP BY c.c_custkey)
+         |SELECT c.c_custkey,
+         |  round(1.0 - o.cov, 4) AS diff_area,
+         |  round(1.0 - o.cov, 4) AS diff_area_fast,
+         |  round(power(greatest(0.0, 1.0 - 2*(CAST(c.c_custkey%3 AS DOUBLE)+1.0)/10.0), 2), 4) AS erode_area
+         |FROM cust c JOIN ov o ON o.c_custkey = c.c_custkey""".stripMargin,
+
     // EP-2 composed pipeline: the per-op oracle fragments of q16-q27, q28,
     // q29 and q44-46 chained through CTEs in the same order the Spark query
     // chains the operators — so a pass here is evidence the COMPOSITION is

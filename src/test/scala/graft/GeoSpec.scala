@@ -89,17 +89,77 @@ class GeoSpec extends SparkTestBase {
     assert(area(bufferEnv(GPoint(Pt(0, 0)), d)) == 16.0)
   }
 
+  test("difference: hole creation, split into multipolygon, hole-aware inputs") {
+    // subtracting a polygon strictly inside creates a HOLE
+    val holed = difference(box(0, 0, 10, 10), box(4, 4, 6, 6))
+    assert(math.abs(area(holed) - 96.0) < 1e-9)
+    holed match {
+      case GPolygon(_, hs) => assert(hs.length == 1 && math.abs(ringArea(hs.head) - 4.0) < 1e-9)
+      case other => fail(s"expected a single holed polygon, got ${toWkt(other)}")
+    }
+    // subtracting a band through the middle SPLITS it
+    val split = difference(box(0, 0, 10, 4), box(4, -1, 6, 5))
+    assert(math.abs(area(split) - 32.0) < 1e-9)
+    split match {
+      case GMulti(ps) => assert(ps.length == 2)
+      case other => fail(s"expected a 2-part multipolygon, got ${toWkt(other)}")
+    }
+    // subtracting FROM a holed polygon: both the hole and the cut survive
+    val donut = GPolygon(box(0, 0, 10, 10).ring, Vector(box(4, 4, 6, 6).ring))
+    val cut = difference(donut, box(-1, -1, 2, 11))
+    assert(math.abs(area(cut) - (96.0 - 20.0)) < 1e-9)
+    // a \ b leaves b's own holes behind: subtracting a donut keeps its hole
+    val keepHole = difference(box(0, 0, 10, 10), donut)
+    assert(math.abs(area(keepHole) - 4.0) < 1e-9)
+  }
+
+  test("negative buffer: erosion grows holes, splits necks, empties points") {
+    // donut eroded by 1: outer shrinks to the exact 8×8 (convex corners),
+    // the hole grows into its own DILATION — a rounded-corner square
+    // (erosion excludes every point within d of the hole, and the set
+    // within d of a square has quarter-disc corners): 2×2 + perimeter·d
+    // + 32-gon disc
+    val donut = GPolygon(box(0, 0, 10, 10).ring, Vector(box(4, 4, 6, 6).ring))
+    val er = buffer(donut, -1.0)
+    val disc1 = 0.5 * 32 * math.sin(2 * math.Pi / 32) // 32-gon disc, r=1
+    assert(math.abs(area(er) - (64.0 - (4.0 + 8.0 + disc1))) < 1e-6, toWkt(er))
+    // dumbbell: two 4x4 plates joined by a 0.5-wide neck — eroding by 0.5
+    // severs the neck into two parts
+    val dumbbell = unionDissolve(Seq(
+      box(0, 0, 4, 4), box(6, 0, 10, 4), box(4, 1.75, 6, 2.25)))
+    val severed = buffer(dumbbell, -0.5)
+    severed match {
+      case GMulti(ps) => assert(ps.length == 2, toWkt(severed))
+      case other => fail(s"expected 2 parts, got ${toWkt(other)}")
+    }
+    // each plate erodes to ~3×3 plus a small bump at the severed neck mouth
+    // (the boundary there is the neck walls, not the plate edge)
+    assert(area(severed) >= 18.0 && area(severed) < 18.1, area(severed))
+    // opening (erode-then-dilate) stays within the original box
+    val opened = buffer(buffer(box(0, 0, 6, 6), -1.0), 1.0)
+    assert(area(opened) <= 36.0 + 1e-9 && area(opened) > 34.0)
+    // zero-interior inputs erode to empty
+    assert(area(buffer(GPoint(Pt(1, 1)), -0.5)) == 0.0)
+    assert(area(buffer(GLine(Vector(Pt(0, 0), Pt(5, 0))), -0.5)) == 0.0)
+  }
+
   test("SQL-string surface: registered st_* functions compose in spark.sql") {
     graft.geo.GeoFunctions.register(spark)
     val area = spark.sql(
       """SELECT round(st_area(st_buffer(st_point(0D, 0D), 2D)), 4) AS a,
         |       st_intersects(st_box(0D,0D,2D,2D), st_box(2D,0D,4D,2D)) AS touches,
-        |       round(st_intersection_area(st_box(0D,0D,2D,2D), st_box(1D,0D,3D,2D)), 4) AS inter
+        |       round(st_intersection_area(st_box(0D,0D,2D,2D), st_box(1D,0D,3D,2D)), 4) AS inter,
+        |       round(st_difference_area(st_box(0D,0D,2D,2D), st_box(1D,0D,3D,2D)), 4) AS diff,
+        |       round(st_area(st_difference(st_box(0D,0D,2D,2D), st_box(1D,0D,3D,2D))), 4) AS diff2,
+        |       round(st_area(st_buffer(st_box(0D,0D,4D,4D), -1D)), 4) AS eroded
         |""".stripMargin).head()
     val discArea = 0.5 * 32 * 4.0 * math.sin(2 * math.Pi / 32)
     assert(math.abs(area.getDouble(0) - math.rint(discArea * 1e4) / 1e4) < 1e-9)
     assert(area.getBoolean(1))              // closed-interval touch
     assert(area.getDouble(2) == 2.0)        // 1x2 overlap
+    assert(area.getDouble(3) == 2.0)        // the other half of the 2x2 box
+    assert(area.getDouble(4) == 2.0)        // traced form agrees
+    assert(area.getDouble(5) == 4.0)        // (4-2)² inner box
   }
 
   test("overlay join: ratio filter keeps only meaningful overlaps") {

@@ -81,6 +81,57 @@ class GeometryPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("difference area equals unit-cell rasterisation; trace agrees with sweep") {
+    for (_ <- 1 to 120) {
+      val (a, ax0, ay0, ax1, ay1) = randBox(12)
+      val n = 1 + rnd.nextInt(4)
+      val bs = Seq.fill(n)(randBox(12))
+      val bMulti = GMulti(bs.map(_._1).toVector)
+      val bCells = (for {
+        (_, x0, y0, x1, y1) <- bs
+        ix <- x0 until x1; iy <- y0 until y1
+      } yield (ix, iy)).toSet
+      val expected = (for {
+        ix <- ax0 until ax1; iy <- ay0 until ay1
+        if !bCells.contains((ix, iy))
+      } yield 1).size.toDouble
+      assert(math.abs(differenceArea(a, bMulti) - expected) < 1e-9,
+        s"a=($ax0,$ay0,$ax1,$ay1) bs=$bs")
+      // the traced geometry measures the same as the measure-only sweep
+      assert(math.abs(area(difference(a, bMulti)) - expected) < 1e-9,
+        s"trace: a=($ax0,$ay0,$ax1,$ay1) bs=$bs")
+      // inclusion–exclusion vs the intersection kernel
+      assert(math.abs(differenceArea(a, bMulti) +
+        intersectionAreaExact(a, bMulti) - area(a)) < 1e-9)
+    }
+  }
+
+  test("difference identities: self, disjoint, containment") {
+    for (_ <- 1 to 80) {
+      val (a, x0, y0, x1, y1) = randBox(15)
+      assert(differenceArea(a, a) < 1e-9)
+      assert(area(difference(a, a)) < 1e-9)
+      val far = box(x1 + 1, y1 + 1, x1 + 2, y1 + 2)
+      assert(math.abs(differenceArea(a, far) - area(a)) < 1e-9)
+      val cover = box(x0 - 1, y0 - 1, x1 + 1, y1 + 1)
+      assert(differenceArea(a, cover) < 1e-9)
+    }
+  }
+
+  test("erosion of a box is the exact inner box; over-erosion vanishes") {
+    for (_ <- 1 to 60) {
+      val (g, x0, y0, x1, y1) = randBox(15)
+      val w = (x1 - x0).toDouble; val h = (y1 - y0).toDouble
+      val d = 0.25 + 0.25 * rnd.nextInt(3) // 0.25 / 0.5 / 0.75
+      val expected = math.max(w - 2 * d, 0) * math.max(h - 2 * d, 0)
+      val got = area(buffer(g, -d))
+      assert(math.abs(got - expected) < 1e-6, s"box($x0,$y0,$x1,$y1) d=$d")
+      // over-erode: any d ≥ min(w,h)/2 must vanish entirely
+      val big = math.min(w, h) / 2 + 0.1
+      assert(area(buffer(g, -big)) < 1e-9, s"box($x0,$y0,$x1,$y1) big=$big")
+    }
+  }
+
   test("intersection of nested and disjoint boxes: containment and zero cases") {
     for (_ <- 1 to 100) {
       val (outer, x0, y0, x1, y1) = randBox(20)

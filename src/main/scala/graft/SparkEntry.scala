@@ -107,6 +107,8 @@ object SparkEntry {
     "x_ann_ivf" -> ExtQueries.xAnnIvf,
     "x_ann_recall" -> ExtQueries.xAnnRecall,
     "x_ann_ivf_batch" -> ExtQueries.xAnnIvfBatch,
+    "x_ann_lsh_batch" -> ExtQueries.xAnnLshBatch,
+    "x_ann_lsh_recall" -> ExtQueries.xAnnLshRecall,
     // ext: multimodal plumbing
     "x_mm_decode" -> ExtQueries.xMmDecode,
     "x_mm_decode_stage" -> ExtQueries.xMmDecodeStage,
@@ -131,7 +133,8 @@ object SparkEntry {
     "x_contamination" -> ExtQueries.xContamination,
     "x_pack_sequences" -> ExtQueries.xPackSequences,
     "x_count_min" -> ExtQueries.xCountMin,
-    "x_tfidf" -> ExtQueries.xTfidf
+    "x_tfidf" -> ExtQueries.xTfidf,
+    "x_distinct" -> ExtQueries.xDistinct
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -136,6 +136,58 @@ object SimilarityOps {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** SRP-LSH top-k for a SET of query vectors (`queries`: qid, q) — the
+    * banded-probe analogue of [[ivfTopKBatch]] and the query-workload form
+    * of [[annPairs]]. Queries compute the SAME banded signatures as the
+    * corpus (one map-side pass per side); a query's candidates are the
+    * corpus vectors sharing ANY band key — ONE shuffle join on (band, bkey),
+    * never a corpus scan per query — and exact cosine is computed for
+    * candidates only, then one per-query ranking window. Self-matches
+    * (qid = corpus id) are excluded.
+    *
+    * Scale contract: per-query candidate count ≈ numBands × bucket size,
+    * bucket size ≈ n / 2^(numPlanes/numBands) — the same sizing guidance as
+    * [[annPairs]] (planes-per-band ≈ log2(n/desired_bucket)). Unlike IVF
+    * there is no centroid table to maintain; the trade is that recall is
+    * governed by the band/plane geometry, not nprobe — vectors merely
+    * similar (not near-duplicate) to the query may share no bucket, so
+    * measure recall against [[cosineTopKBatch]] on a planted sample. */
+  def annTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, k: Int,
+                   numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
+    val cb = srpBands(corpus, idCol, vecCol, numPlanes, numBands, dim)
+    val qb = srpBands(queries, "qid", "q", numPlanes, numBands, dim)
+    val cand = qb.join(cb, Seq("band", "bkey"))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol)).distinct()
+    val qn = queries.select(col("qid"), col("q"), norm(col("q")).as("__qnrm"))
+    val cn = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
+    val scored = cand.join(cn, idCol).join(qn, "qid")
+      .select(col("qid"), col(idCol),
+        round(dot(col(vecCol), col("q")) / (col("__nrm") * col("__qnrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("cos_sim"))
+  }
+
+  /** Brute-force per-query top-k for a batch of queries — the ground truth
+    * [[annTopKBatch]]/[[ivfTopKBatch]] approximate. O(n·nq): the query side
+    * is broadcast, so use only for validation samples or small batches. */
+  def cosineTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, k: Int): DataFrame = {
+    val qn = queries.select(col("qid"), col("q"), norm(col("q")).as("__qnrm"))
+    val cn = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
+    val scored = cn.crossJoin(broadcast(qn))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dot(col(vecCol), col("q")) / (col("__nrm") * col("__qnrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("cos_sim"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
     * nearest centroid, then answer queries by brute-forcing only the
     * `nprobe` cells nearest the query — the classic coarse-quantizer

@@ -55,4 +55,22 @@ object SketchOps {
       .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  /** Per-stratum distinct counts — the cardinality half of corpus profiling
+    * (count-min above is the frequency half).
+    *
+    * `exact = true` uses `count(distinct key)`, which shuffles the full
+    * distinct key set per stratum — correct at any size but O(distinct)
+    * state; it is the oracle-checkable form. `exact = false` switches to
+    * `approx_count_distinct` (HyperLogLog++, Heule et al. 2013): constant
+    * ~kilobytes of state per group however many distinct keys, merged
+    * map-side — the 100-TB default. Its estimates are engine-specific, so
+    * its correctness contract is the spec's exact-vs-approx tolerance
+    * assertion, not a byte-compare (the groupStats convention). */
+  def distinctCount(df: DataFrame, stratum: Column, key: Column,
+                    exact: Boolean, rsd: Double = 0.05): DataFrame = {
+    val dc = if (exact) count_distinct(key) else approx_count_distinct(key, rsd)
+    df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"), dc.as("n_distinct"))
+  }
 }

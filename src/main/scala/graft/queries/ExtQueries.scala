@@ -169,6 +169,37 @@ object ExtQueries {
       k = 10, nlist = 16, nprobe = 4, kmeansIters = 2)
   }
 
+  /** Batch SRP-LSH: top-10 neighbours for every vec_id%100==1 query via the
+    * banded probe (one shuffle join on (band, bkey); corpus signatures
+    * shared across the whole batch) — the LSH analogue of x_ann_ivf_batch.
+    * The query set includes planted near-clone 20001, whose family is what
+    * LSH recall is about. */
+  val xAnnLshBatch: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    SimilarityOps.annTopKBatch(emb, "vec_id", "embedding", queries,
+      k = 10, numPlanes = 16, numBands = 4, dim = 64)
+  }
+
+  /** Batch-LSH recall@10 vs the brute-force per-query top-10, one row.
+    * Unlike IVF (x_ann_recall = 1.0), banded LSH only surfaces bucket-
+    * colliding neighbours — merely-similar vectors can legitimately miss —
+    * so this is an honest measurement of the band geometry; the planted
+    * near-dup floor is asserted separately in SimilaritySpec. */
+  val xAnnLshRecall: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val brute = SimilarityOps.cosineTopKBatch(emb, "vec_id", "embedding", queries, 10)
+    val lsh = SimilarityOps.annTopKBatch(emb, "vec_id", "embedding", queries,
+        k = 10, numPlanes = 16, numBands = 4, dim = 64)
+      .select(col("qid"), col("vec_id").as("__f"))
+    brute.join(lsh, brute("qid") === lsh("qid") && col("vec_id") === col("__f"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__f")).as("n_found"),
+        round(count(col("__f")) / count(lit(1)).cast("double"), 4).as("recall"))
+  }
+
   /** IVF recall vs the brute-force top-k, driver-checked: one row
     * (n_true, n_found, recall). The planted near-clones of vector 0 make the
     * true top-20 non-trivial, and recall is 1.0 by measurement (asserted
@@ -371,6 +402,17 @@ object ExtQueries {
   /** Top-5 tf-idf terms per document. */
   val xTfidf: Q = (s, dir) =>
     CorpusOps.tfidfTopTerms(docs(s, dir), col("doc_id"), col("text"), k = 5)
+
+  /** Per-language distinct-token cardinality, exact form (count(distinct)
+    * — the oracle-checkable shape). The HLL (`approx_count_distinct`) form
+    * is the 100-TB path; its engine-specific estimates are locked by
+    * CurationSpec's exact-vs-approx tolerance case instead (the groupStats
+    * convention). */
+  val xDistinct: Q = (s, dir) => {
+    val tok = docs(s, dir).select(col("lang"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    SketchOps.distinctCount(tok, col("lang"), col("tok"), exact = true)
+  }
 
   /** Count-min heavy hitters: the 20 most frequent corpus tokens (exact
     * count, strict (cnt desc, tok) total order) with their sketch estimates

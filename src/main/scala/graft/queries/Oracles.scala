@@ -98,6 +98,34 @@ object Oracles {
        |  UNION ALL SELECT vec_id, v FROM clones)
        |""".stripMargin
 
+  /** Banded SRP signature CTEs (planes/expl/dots/bands over the CTE named
+    * `corpus`) — mirrors SimilarityOps.srpBands: md5-derived plane matrix,
+    * 4-bit bands, 6-dp-rounded sign decision. Shared by the pair and
+    * batch-probe oracle forms. */
+  private def srpCtes(planes: Int): String =
+    s"""planes AS (SELECT p.p, d.d,
+       |  ${hex32("md5('plane' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))", 1)} / 4294967296.0 * 2.0 - 1.0 AS comp
+       |  FROM (SELECT unnest(range(0, $planes)) AS p) p,
+       |       (SELECT unnest(range(0, (SELECT max(len(v)) FROM corpus))) AS d) d),
+       |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
+       |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
+       |dots AS (SELECT vec_id, p, sum(x * comp) AS dt FROM expl JOIN planes ON planes.d = expl.d GROUP BY vec_id, p),
+       |bands AS (SELECT vec_id, p // 4 AS band,
+       |  sum(CASE WHEN round(dt, 6) > 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bkey
+       |  FROM dots GROUP BY vec_id, p // 4)""".stripMargin
+
+  /** Query set, banded-probe candidates, scored + ranked top-k CTEs
+    * (mirrors ExtQueries.xAnnLshBatch: queries are vec_id%100==1). */
+  private val LSH_BATCH_CTES =
+    s"""qids AS (SELECT vec_id AS qid FROM corpus WHERE vec_id % 100 = 1),
+       |cand AS (SELECT DISTINCT q.qid, b.vec_id FROM qids q
+       |  JOIN bands a ON a.vec_id = q.qid
+       |  JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND b.vec_id <> q.qid),
+       |scored AS (SELECT c.qid, c.vec_id, ${cosSql("a.v", "b.v")} AS cos_sim
+       |  FROM cand c JOIN corpus a ON a.vec_id = c.qid JOIN corpus b ON b.vec_id = c.vec_id),
+       |topk AS (SELECT qid, vec_id, cos_sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)""".stripMargin
+
   /** IVF CTE chain (mirrors SimilarityOps.ivfTopK with kmeansIters Lloyd
     * rounds): md5-sampled centroids, per-round rounded-mean updates, rounded
     * argmax assignment (ties to the smallest centroid id), probe LIMIT
@@ -711,26 +739,32 @@ object Oracles {
 
     // full SRP mirror: 16 planes from the same md5 derivation, 4 bands of 4
     // sign bits, candidates share any band key, then exact cosine verify
-    "x_ann_lsh" -> {
-      val planes = 16
-      s"""WITH $PLANTED_CTES,
-         |planes AS (SELECT p.p, d.d,
-         |  ${hex32("md5('plane' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))", 1)} / 4294967296.0 * 2.0 - 1.0 AS comp
-         |  FROM (SELECT unnest(range(0, $planes)) AS p) p,
-         |       (SELECT unnest(range(0, (SELECT max(len(v)) FROM corpus))) AS d) d),
-         |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
-         |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
-         |dots AS (SELECT vec_id, p, sum(x * comp) AS dt FROM expl JOIN planes ON planes.d = expl.d GROUP BY vec_id, p),
-         |bands AS (SELECT vec_id, p // 4 AS band,
-         |  sum(CASE WHEN round(dt, 6) > 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bkey
-         |  FROM dots GROUP BY vec_id, p // 4),
+    "x_ann_lsh" ->
+      s"""WITH $PLANTED_CTES, ${srpCtes(16)},
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM
          |  (SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos_sim
          |   FROM cand JOIN corpus a ON a.vec_id = id_a JOIN corpus b ON b.vec_id = id_b)
-         |WHERE cos_sim >= 0.99""".stripMargin
-    },
+         |WHERE cos_sim >= 0.99""".stripMargin,
+
+    // banded probe: a query's candidates share any band key with it
+    "x_ann_lsh_batch" ->
+      s"""WITH $PLANTED_CTES, ${srpCtes(16)}, $LSH_BATCH_CTES
+         |SELECT qid, vec_id, cos_sim FROM topk WHERE rn <= 10""".stripMargin,
+
+    "x_ann_lsh_recall" ->
+      s"""WITH $PLANTED_CTES, ${srpCtes(16)}, $LSH_BATCH_CTES,
+         |lsh AS (SELECT qid, vec_id FROM topk WHERE rn <= 10),
+         |bscored AS (SELECT q.qid, b.vec_id, ${cosSql("a.v", "b.v")} AS cos_sim
+         |  FROM qids q JOIN corpus a ON a.vec_id = q.qid, corpus b
+         |  WHERE b.vec_id <> q.qid),
+         |brute AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM bscored) WHERE rn <= 10)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(count(l.vec_id) AS BIGINT) AS n_found,
+         |round(count(l.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id""".stripMargin,
 
     "x_ann_ivf" ->
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
@@ -911,6 +945,14 @@ object Oracles {
 
     // the sketch is md5-deterministic: rebuild the identical depth×width
     // counters and min over rows — estimates hash-compare exactly
+    // exact form of the distinct-count profiler; the HLL approx form is
+    // engine-specific and locked by the spec's tolerance case instead
+    "x_distinct" ->
+      s"""WITH tok AS (SELECT lang, unnest($TOK) AS tok FROM documents WHERE text IS NOT NULL)
+         |SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n,
+         |CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+         |FROM tok GROUP BY lang""".stripMargin,
+
     "x_count_min" -> {
       val bkt = (k: String, r: String) =>
         s"${hex32(s"md5($k || ':' || CAST($r AS VARCHAR))", 1)} % 256"

@@ -267,6 +267,26 @@ class CurationSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("null key")))
   }
 
+  test("distinctCount: exact matches a reference set count; HLL approx " +
+    "lands within tolerance of exact") {
+    import graft.ext.SketchOps
+    // two strata with known cardinalities, plus repeated keys
+    val rows = (1 to 4000).map(i => ("a", s"k${i % 700}")) ++
+      (1 to 3000).map(i => ("b", s"k${i % 150}"))
+    val df = rows.toDF("g", "k")
+    val exact = SketchOps.distinctCount(df, col("g"), col("k"), exact = true)
+      .select("stratum", "n", "n_distinct")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(exact("a") === (("a", 4000L, 700L)))
+    assert(exact("b") === (("b", 3000L, 150L)))
+    // HLL++ rsd 0.05: assert within 3·rsd of exact (engine-specific value,
+    // tolerance contract — the groupStats convention)
+    val approx = SketchOps.distinctCount(df, col("g"), col("k"), exact = false)
+      .select("stratum", "n_distinct").as[(String, Long)].collect().toMap
+    assert(math.abs(approx("a") - 700.0) / 700.0 < 0.15, s"a=${approx("a")}")
+    assert(math.abs(approx("b") - 150.0) / 150.0 < 0.15, s"b=${approx("b")}")
+  }
+
   test("countMin sketch size is bounded by depth*width regardless of input") {
     import graft.ext.SketchOps
     val keys = (1 to 5000).map(i => s"k$i").toDF("k")

@@ -44,6 +44,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.contains((0L, 1L)))
   }
 
+  test("annTopKBatch: banded probe finds near-duplicates per query; " +
+    "agrees with brute force on the planted family") {
+    // corpus: 3 tight clusters of 5 jittered copies each + noise axes;
+    // queries drawn from two clusters must retrieve their own family
+    val rnd = new scala.util.Random(42)
+    val base = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val corpus = (for {
+      (b, c) <- base.zipWithIndex
+      j <- 0 until 5
+    } yield (c * 100L + j, b.map(_ + (rnd.nextDouble() - 0.5) * 0.01)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L || $"vec_id" === 100L)
+      .select($"vec_id".as("qid"), $"embedding".as("q"))
+    val lsh = SimilarityOps.annTopKBatch(corpus, "vec_id", "embedding",
+        queries, k = 4, numPlanes = 16, numBands = 4, dim = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // every query's own cluster-mates (cos ≈ 1) are all retrieved
+    assert(lsh(0L) === Set(1L, 2L, 3L, 4L), lsh(0L).toString)
+    assert(lsh(100L) === Set(101L, 102L, 103L, 104L), lsh(100L).toString)
+    // and that equals brute-force top-4 exactly here
+    val brute = SimilarityOps.cosineTopKBatch(corpus, "vec_id", "embedding",
+        queries, k = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(lsh === brute)
+  }
+
   test("srpBands: NaN components produce a signature, never a crash " +
     "(Catalyst round-NaN passthrough, NaN > 0 ordering)") {
     val bad = Seq((1L, Seq(Double.NaN, 1.0, 2.0)), (2L, Seq(1.0, 1.0, 1.0)))

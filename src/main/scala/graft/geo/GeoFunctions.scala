@@ -59,12 +59,27 @@ object GeoFunctions {
   /** Op-38: geometry union aggregate — a true `shapely.unary_union`
     * analogue (ServiceAlertAugmenter.py:759-765): overlapping polygons
     * dissolve into one boundary, shared edges vanish, enclosed voids become
-    * holes, and point/line parts pass through as a GEOMETRYCOLLECTION. */
-  object UnionAgg extends Aggregator[String, List[String], String] {
+    * holes, and point/line parts pass through as a GEOMETRYCOLLECTION.
+    *
+    * Buffer bound: a hot group would otherwise hold every member WKT until
+    * `finish` — unbounded aggregation state. Past `maxPending` pending
+    * members the buffer pre-dissolves into ONE WKT (in both `reduce` and
+    * `merge`), keeping state O(dissolved boundary), not O(members).
+    * Dissolve is idempotent and region-associative — the union region, and
+    * therefore its canonical traced boundary, is identical however the
+    * members are batched — so tripping the threshold never changes the
+    * result (locked by GeometryPropertySpec's batching property). */
+  class UnionAggBounded(maxPending: Int)
+    extends Aggregator[String, List[String], String] {
     def zero: List[String] = Nil
     def reduce(b: List[String], a: String): List[String] =
-      if (a == null) b else a :: b
-    def merge(b1: List[String], b2: List[String]): List[String] = b1 ::: b2
+      if (a == null) b else compact(a :: b)
+    def merge(b1: List[String], b2: List[String]): List[String] =
+      compact(b1 ::: b2)
+    private def compact(l: List[String]): List[String] =
+      // length is O(pending) with pending ≤ maxPending+1 — cheap
+      if (l.lengthCompare(maxPending) <= 0) l
+      else List(toWkt(unionDissolve(l.sorted.flatMap(parseWkt))))
     def finish(r: List[String]): String = {
       // sort for deterministic part order regardless of partitioning
       val gs = r.sorted.flatMap(parseWkt)
@@ -73,6 +88,8 @@ object GeoFunctions {
     def bufferEncoder: Encoder[List[String]] = Encoders.kryo[List[String]]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  object UnionAgg extends UnionAggBounded(64)
 
   def stUnionAgg: Column = org.apache.spark.sql.functions.udaf(UnionAgg)
     .apply(org.apache.spark.sql.functions.col("wkt"))

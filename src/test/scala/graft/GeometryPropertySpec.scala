@@ -132,6 +132,30 @@ class GeometryPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("UnionAgg pre-dissolve compaction never changes the result") {
+    // drive the Aggregator's reduce/merge/finish directly: a threshold of 2
+    // trips compaction constantly; the result must equal the untripped
+    // aggregator's and the direct kernel dissolve, for any batching
+    import graft.geo.GeoFunctions.UnionAggBounded
+    val tight = new UnionAggBounded(2)
+    val loose = new UnionAggBounded(1000000)
+    for (_ <- 1 to 60) {
+      val n = 3 + rnd.nextInt(8)
+      val wkts = Seq.fill(n)(randBox(12)._1).map(toWkt) ++
+        Seq("POINT (50 50)", "LINESTRING (60 60, 61 61)") // pass-through parts
+      // random split into merge batches
+      val cut = 1 + rnd.nextInt(wkts.length - 1)
+      val (b1, b2) = wkts.splitAt(cut)
+      def run(agg: UnionAggBounded): String = agg.finish(agg.merge(
+        b1.foldLeft(agg.zero)(agg.reduce), b2.foldLeft(agg.zero)(agg.reduce)))
+      val got = run(tight)
+      assert(got == run(loose), s"wkts=$wkts")
+      assert(got == toWkt(unionDissolve(wkts.sorted.flatMap(parseWkt))))
+      // compaction actually bounds the buffer
+      assert(b1.foldLeft(tight.zero)(tight.reduce).length <= 3)
+    }
+  }
+
   test("intersection of nested and disjoint boxes: containment and zero cases") {
     for (_ <- 1 to 100) {
       val (outer, x0, y0, x1, y1) = randBox(20)

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming performance evidence for the two stateful paths that claim
+  * scale-readiness: watermarked exact dedup (dropDuplicatesWithinWatermark)
+  * and the watermarked stream-stream interval join.
+  *
+  * MemoryStream driver feeding fixed-size micro-batches into the noop sink;
+  * the first `warm` batches pay codegen/state-store setup and are excluded,
+  * rows/s is measured over the remaining batches. State-store size comes
+  * from the query's own StreamingQueryProgress (stateOperators
+  * .numRowsTotal) — with event time advancing 30 min per batch under a 1-2 h
+  * watermark, a bounded number proves eviction works while data flows (the
+  * semantics of that eviction are locked by StreamingSpec's re-emission
+  * tests; this main is the throughput/state-size companion).
+  *
+  * Prints one JSON line; results are recorded in STREAMBENCH.md.
+  */
+object StreamingBench {
+
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).sum
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streaming-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val batchRows = 50000
+    val warm = 3
+    val total = 15
+
+    // ---- watermarked exact dedup ----
+    // keys advance 70% per batch (30% are duplicates of the previous batch,
+    // inside the watermark); event time advances 30 min/batch under a 1 h
+    // watermark, so keys older than ~2 batches evict
+    val in = MemoryStream[(String, Timestamp)]
+    val dedup = in.toDF().toDF("content_hash", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q1 = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("noop").start()
+    def dedupBatch(b: Int): Seq[(String, Timestamp)] = {
+      val start = (b.toLong * 7 * batchRows) / 10
+      (0 until batchRows).map { i =>
+        ("k" + (start + i), new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+      }
+    }
+    (0 until warm).foreach { b => in.addData(dedupBatch(b)); q1.processAllAvailable() }
+    val t1 = System.nanoTime()
+    (warm until total).foreach { b => in.addData(dedupBatch(b)); q1.processAllAvailable() }
+    val dSec = (System.nanoTime() - t1) / 1e9
+    val dRows = (total - warm).toLong * batchRows
+    val dState = stateRows(q1)
+    q1.stop()
+
+    // ---- watermarked stream-stream interval join ----
+    // both sides share the key sequence, so each left row matches ~1 right
+    // row inside [lts - 1h, lts]; 2 h watermarks + 30 min/batch advance
+    // bound both state stores
+    val ls = MemoryStream[(Long, Timestamp)]
+    val rs = MemoryStream[(Long, Timestamp, Double)]
+    val left = ls.toDF().toDF("k", "lts").withWatermark("lts", "2 hours")
+    val right = rs.toDF().toDF("rk", "rts", "v").withWatermark("rts", "2 hours")
+    val joined = left.join(right,
+      expr("k = rk AND rts BETWEEN lts - INTERVAL 1 HOUR AND lts"))
+    val q2 = joined.select("k", "lts", "v").writeStream
+      .outputMode(OutputMode.Append()).format("noop").start()
+    val half = batchRows / 2
+    def sideBatch(b: Int): (Seq[(Long, Timestamp)], Seq[(Long, Timestamp, Double)]) = {
+      val t0 = base + b * 30L * 60000
+      val ks = (0 until half).map(i => (b.toLong * half + i) % 1000000L)
+      (ks.map(k => (k, new Timestamp(t0 + (k % 1800) * 1000L))),
+        ks.map(k => (k, new Timestamp(t0 + (k % 1800) * 1000L), k.toDouble)))
+    }
+    (0 until warm).foreach { b =>
+      val (l, r) = sideBatch(b); ls.addData(l); rs.addData(r); q2.processAllAvailable()
+    }
+    val t2 = System.nanoTime()
+    (warm until total).foreach { b =>
+      val (l, r) = sideBatch(b); ls.addData(l); rs.addData(r); q2.processAllAvailable()
+    }
+    val jSec = (System.nanoTime() - t2) / 1e9
+    val jRows = (total - warm).toLong * batchRows // input rows across both sides
+    val jState = stateRows(q2)
+    q2.stop()
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    spark.stop()
+  }
+}

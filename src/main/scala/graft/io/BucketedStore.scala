@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed table layout for shuffle-free co-located joins — the storage-side
   * half of the 100-TB join story. Writing both sides of a recurring join
@@ -64,4 +65,54 @@ object BucketedStore {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetFileRows)
       .parquet(outPath)
+
+  /** Morton z-value of the per-column ranks: bit i of rank c lands at
+    * position i·numCols + c, so files sorted by the value are locality-
+    * clustered in EVERY rank dimension at once. */
+  private def zOrderValue(ranks: Seq[Column], bits: Int): Column = {
+    val n = ranks.length
+    val terms = for { i <- 0 until bits; (r, c) <- ranks.zipWithIndex }
+      yield shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + c)
+    terms.reduce(_ + _)
+  }
+
+  /** Z-order (multi-column) clustered layout: a single-key sorted layout
+    * prunes parquet files only on its LEADING key — every file's min/max
+    * range on a second column spans the whole domain. Z-ordering interleaves
+    * the bits of each column's rank into one Morton value and range-
+    * partitions + sorts by it, so each file covers a small hyper-rectangle:
+    * min/max footer stats become selective on EVERY z-column and a range
+    * predicate on any of them prunes most files (the layout trick Delta's
+    * OPTIMIZE ZORDER popularised; public technique).
+    *
+    * Ranks are linear min/max buckets (2^bits per column) — one tiny stats
+    * aggregate broadcast into a pure map, no global sort or ntile window, so
+    * the whole write costs one pass + one range shuffle at any scale. Linear
+    * bucketing is rank-faithful for roughly uniform columns; feed a
+    * pre-quantised rank column for heavily skewed ones. `bits × cols` must
+    * fit a long (≤ 62). */
+  def writeZOrdered(df: DataFrame, zCols: Seq[String], bits: Int,
+                    numFiles: Int, outPath: String): Unit = {
+    require(zCols.nonEmpty && bits > 0 && bits * zCols.length <= 62,
+      "need 1+ columns and bits*cols <= 62")
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val buckets = (1L << bits) - 1
+    val ranks = zCols.map { c =>
+      val mn = col(s"__mn_$c"); val mx = col(s"__mx_$c")
+      val scaled = (col(c).cast("double") - mn) /
+        when(mx > mn, mx - mn).otherwise(lit(1.0))
+      least(floor(scaled * (buckets + 1)), lit(buckets)).cast("long")
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zOrderValue(ranks, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .drop(zCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outPath)
+  }
 }

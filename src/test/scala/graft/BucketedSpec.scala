@@ -64,6 +64,44 @@ class BucketedSpec extends SparkTestBase {
     assert(in.except(out).isEmpty && out.except(in).isEmpty)
   }
 
+  test("z-order layout clusters file stats on BOTH columns; a linear sort " +
+    "only on its leading key (pruning selectivity, measured)") {
+    val dir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+    // 16k points on a 128×128 grid, in hash order (no accidental locality)
+    val pts = (0 until 16384)
+      .map { i => val h = i * 2654435761L % 16384; (h % 128, h / 128, i) }
+      .toDF("x", "y", "payload")
+    BucketedStore.writeZOrdered(pts, Seq("x", "y"), bits = 7,
+      numFiles = 16, outPath = s"$dir/z")
+    pts.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    def spans(path: String): Seq[(Long, Long)] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      assert(files.length >= 12, s"expected ~16 files, got ${files.length}")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max($"x") - min($"x"), max($"y") - min($"y"))
+          .as[(Long, Long)].head()
+        r
+      }
+    }
+    val z = spans(s"$dir/z")
+    val lin = spans(s"$dir/linear")
+    def avg(s: Seq[Long]): Double = s.sum.toDouble / s.length
+    // z-order: every file covers a small rectangle — BOTH dims tight
+    assert(avg(z.map(_._1)) < 0.45 * 127 && avg(z.map(_._2)) < 0.45 * 127,
+      s"z spans: x=${avg(z.map(_._1))} y=${avg(z.map(_._2))}")
+    // linear: leading key tight, second column spans ~the whole domain —
+    // the negative control that makes the assertion above non-vacuous
+    assert(avg(lin.map(_._1)) < 0.25 * 127, s"lin x=${avg(lin.map(_._1))}")
+    assert(avg(lin.map(_._2)) > 0.8 * 127, s"lin y=${avg(lin.map(_._2))}")
+    // round-trip intact
+    assert(spark.read.parquet(s"$dir/z").count() === 16384)
+    assert(spark.read.parquet(s"$dir/z").agg(sum($"payload")).as[Long].head()
+      === (0 until 16384).map(_.toLong).sum)
+  }
+
   test("mismatched bucket counts fall back to a shuffle on one side only") {
     val dir = Files.createTempDirectory("bucketed2").toFile.getAbsolutePath
     val a = (1L to 100L).map(i => (i % 10, i)).toDF("k", "id")

@@ -68,7 +68,18 @@ object GeoFunctions {
     * Dissolve is idempotent and region-associative — the union region, and
     * therefore its canonical traced boundary, is identical however the
     * members are batched — so tripping the threshold never changes the
-    * result (locked by GeometryPropertySpec's batching property). */
+    * result (locked by GeometryPropertySpec's batching property).
+    *
+    * Determinism fine print: a compacted intermediate is re-emitted as
+    * 6-dp-quantised WKT, so for geometry whose arrangement vertices lie on
+    * the 1e-6 grid (axis-aligned layers, quantised footprints — the
+    * reference's domain) compaction is EXACT under any partitioning. For
+    * slanted overlapping rings, crossing vertices are computed in floats
+    * and re-quantised per compaction, so output can drift within 1e-6 of
+    * the uncompacted result depending on how Spark batched the rows; a
+    * byte-compare consumer feeding such geometry should raise `maxPending`
+    * above its hot-group size (restoring the old single-dissolve path)
+    * rather than rely on sub-quantum float agreement. */
   class UnionAggBounded(maxPending: Int)
     extends Aggregator[String, List[String], String] {
     def zero: List[String] = Nil

@@ -104,7 +104,12 @@ object BucketedStore {
       val mn = col(s"__mn_$c"); val mx = col(s"__mx_$c")
       val scaled = (col(c).cast("double") - mn) /
         when(mx > mn, mx - mn).otherwise(lit(1.0))
-      least(floor(scaled * (buckets + 1)), lit(buckets)).cast("long")
+      // NULLs rank 0 EXPLICITLY: least() skips nulls, so a null value would
+      // otherwise silently land in the TOP bucket and smear that corner's
+      // file stats. Rank 0 clusters all-null rows at the z-origin — files
+      // there carry them, every other file's min/max stays tight.
+      when(col(c).isNull, lit(0L))
+        .otherwise(least(floor(scaled * (buckets + 1)), lit(buckets)).cast("long"))
     }
     df.crossJoin(broadcast(stats))
       .withColumn("__z", zOrderValue(ranks, bits))

@@ -100,9 +100,12 @@ object Oracles {
 
   /** Banded SRP signature CTEs (planes/expl/dots/bands over the CTE named
     * `corpus`) — mirrors SimilarityOps.srpBands: md5-derived plane matrix,
-    * 4-bit bands, 6-dp-rounded sign decision. Shared by the pair and
-    * batch-probe oracle forms. */
-  private def srpCtes(planes: Int): String =
+    * `bandBits`-bit bands (= numPlanes/numBands on the Spark side; pass it
+    * explicitly — a hardcoded width would silently diverge from any query
+    * using a different plane/band geometry), 6-dp-rounded sign decision.
+    * Shared by the pair and batch-probe oracle forms. */
+  private def srpCtes(planes: Int, bandBits: Int = 4): String = {
+    require(planes % bandBits == 0, "bandBits must divide planes")
     s"""planes AS (SELECT p.p, d.d,
        |  ${hex32("md5('plane' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))", 1)} / 4294967296.0 * 2.0 - 1.0 AS comp
        |  FROM (SELECT unnest(range(0, $planes)) AS p) p,
@@ -110,9 +113,10 @@ object Oracles {
        |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
        |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
        |dots AS (SELECT vec_id, p, sum(x * comp) AS dt FROM expl JOIN planes ON planes.d = expl.d GROUP BY vec_id, p),
-       |bands AS (SELECT vec_id, p // 4 AS band,
-       |  sum(CASE WHEN round(dt, 6) > 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bkey
-       |  FROM dots GROUP BY vec_id, p // 4)""".stripMargin
+       |bands AS (SELECT vec_id, p // $bandBits AS band,
+       |  sum(CASE WHEN round(dt, 6) > 0 THEN CAST(1 AS BIGINT) << (p % $bandBits) ELSE 0 END) AS bkey
+       |  FROM dots GROUP BY vec_id, p // $bandBits)""".stripMargin
+  }
 
   /** Query set, banded-probe candidates, scored + ranked top-k CTEs
     * (mirrors ExtQueries.xAnnLshBatch: queries are vec_id%100==1). */

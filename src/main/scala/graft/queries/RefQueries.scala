@@ -602,7 +602,7 @@ object RefQueries {
         .as("start_minutes"),                                         // 21+22
       startTs.as("start_ts"),                                            // 23
       endFixed.as("end_fixed"),                                          // 24
-      (unix_timestamp(endFixed) - unix_timestamp(startTs)).as("duration_sec"), // 20
+      FixerColumns.durationSeconds(endFixed, startTs),                   // 20
       FixerColumns.locationCoalesce(locRaw, col("o_orderpriority"),
         concat(lit("area-"), (col("o_custkey") % 10).cast("string")))
         .as("location"))                                                 // 25

@@ -132,6 +132,32 @@ class GeometryPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("difference + intersection partition the subject for slanted " +
+    "triangles (trace agrees with sweep off the grid)") {
+    def randTriangle(): GPolygon = {
+      def pt() = Pt(rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+      var t = Vector(pt(), pt(), pt())
+      while (ringArea(t) < 0.5) t = Vector(pt(), pt(), pt()) // non-degenerate
+      GPolygon(t)
+    }
+    for (_ <- 1 to 120) {
+      val a = randTriangle(); val b = randTriangle()
+      // inclusion–exclusion: A\B and A∩B partition A (independent kernels:
+      // the difference predicate vs the intersection predicate)
+      val dSweep = differenceArea(a, b)
+      assert(math.abs(dSweep + intersectionAreaExact(a, b) - area(a)) < 1e-9,
+        s"a=${toWkt(a)} b=${toWkt(b)}")
+      // the traced geometry measures what the measure-only sweep measures,
+      // including slanted crossing vertices (not on any grid)
+      assert(math.abs(area(difference(a, b)) - dSweep) < 1e-9,
+        s"trace: a=${toWkt(a)} b=${toWkt(b)}")
+      // erosion stays inside the original: (A ⊖ d) \ A is empty
+      val er = buffer(a, -0.3)
+      assert(differenceArea(er, a) < 1e-9, s"erode escaped: a=${toWkt(a)}")
+      assert(area(er) <= area(a) + 1e-9)
+    }
+  }
+
   test("UnionAgg pre-dissolve compaction never changes the result") {
     // drive the Aggregator's reduce/merge/finish directly: a threshold of 2
     // trips compaction constantly; the result must equal the untripped

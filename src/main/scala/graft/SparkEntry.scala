@@ -152,5 +152,5 @@ object SparkEntry {
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
     "g63_grid_join", "q51b_html_render", "x_pipeline",
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
-    "x_tfidf", "x_count_min", "q_ep2_pipeline")
+    "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode")
 }

@@ -49,6 +49,15 @@ object GeoFunctions {
   val stDifferenceArea = udf((a: String, b: String) =>
     for { ga <- parseWkt(a); gb <- parseWkt(b) } yield differenceArea(ga, gb))
 
+  /** a \ union(bs): subtract a whole WKT set in ONE sweep (per-cell
+    * subtraction would re-trace the boundary once per cell). */
+  val stDifferenceAll = udf((a: String, bs: Seq[String]) =>
+    parseWkt(a).map { ga =>
+      val cells = Option(bs).getOrElse(Seq.empty)
+        .filter(_ != null).flatMap(w => parseWkt(w))
+      toWkt(difference(ga, GCollection(cells.toIndexedSeq)))
+    })
+
   val stPoint = udf((x: Double, y: Double) => toWkt(GPoint(Pt(x, y))))
 
   val stBox = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
@@ -120,6 +129,7 @@ object GeoFunctions {
     spark.udf.register("st_make_valid", stMakeValid)
     spark.udf.register("st_difference", stDifference)
     spark.udf.register("st_difference_area", stDifferenceArea)
+    spark.udf.register("st_difference_all", stDifferenceAll)
     spark.udf.register("st_union_area", stUnionArea)
     spark.udf.register("st_union_agg", org.apache.spark.sql.functions.udaf(UnionAgg))
   }

@@ -41,4 +41,28 @@ object SpatialJoin {
                     bigWkt: Column, layerWkt: Column): DataFrame =
     big.join(broadcast(layer), GeoFunctions.stIntersects(bigWkt, layerWkt),
       "left_semi")
+
+  /** Difference overlay (geopandas `overlay(how="difference")` analogue):
+    * each left footprint minus EVERY layer polygon it intersects — the
+    * "outside the wards" complement of [[overlayRatio]].
+    *
+    * Shape: the broadcast intersects join finds each row's (tiny) matched
+    * cell set, one groupBy on the row id collects it, and ONE scalar
+    * [[Geometry.difference]] per row subtracts the whole set in a single
+    * sweep (subtracting cells one at a time would re-trace the boundary per
+    * cell). Rows intersecting nothing keep their ORIGINAL WKT verbatim —
+    * no re-trace, byte-stable pass-through. Output: (id, diff_wkt,
+    * diff_area). */
+  def overlayDifference(big: DataFrame, layer: DataFrame, idCol: Column,
+                        bigWkt: Column, layerWkt: Column): DataFrame =
+    big.select(idCol.as("id"), bigWkt.as("__fp"))
+      .join(broadcast(layer.select(layerWkt.as("__cell"))),
+        GeoFunctions.stIntersects(col("__fp"), col("__cell")), "left")
+      .groupBy(col("id"), col("__fp"))
+      .agg(sort_array(collect_list(col("__cell"))).as("__cells"))
+      .select(col("id"),
+        when(size(col("__cells")) === 0, col("__fp"))
+          .otherwise(GeoFunctions.stDifferenceAll(col("__fp"), col("__cells")))
+          .as("diff_wkt"))
+      .withColumn("diff_area", GeoFunctions.stArea(col("diff_wkt")))
 }

@@ -162,6 +162,28 @@ class GeoSpec extends SparkTestBase {
     assert(area.getDouble(5) == 4.0)        // (4-2)² inner box
   }
 
+  test("overlayDifference: subtracts every intersecting cell, passes " +
+    "non-intersecting footprints through verbatim") {
+    val bigs = Seq(
+      (1L, "POLYGON ((1.5 0.5, 2.5 0.5, 2.5 1.5, 1.5 1.5, 1.5 0.5))"), // straddles A|B
+      (2L, "POLYGON ((0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))"), // inside A
+      (3L, "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))"))           // nowhere
+      .toDF("fid", "fp")
+    val layer = Seq(("A", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      ("B", "POLYGON ((2 0, 4 0, 4 1, 2 1, 2 0))")).toDF("name", "cell")
+    val got = SpatialJoin.overlayDifference(bigs, layer, $"fid", $"fp", $"cell")
+      .select("id", "diff_wkt", "diff_area")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    // footprint 1: cell A eats x<2, cell B eats y<1 of the x>2 half —
+    // remaining is the (2,1)-(2.5,1.5) quarter = 0.25
+    assert(math.abs(got(1L)._3 - 0.25) < 1e-9, got(1L).toString)
+    // footprint 2 is swallowed whole
+    assert(got(2L)._3 == 0.0 && got(2L)._2 == "MULTIPOLYGON EMPTY")
+    // footprint 3 intersects nothing: verbatim pass-through, no re-trace
+    assert(got(3L)._2 == "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))")
+    assert(got(3L)._3 == 1.0)
+  }
+
   test("overlay join: ratio filter keeps only meaningful overlaps") {
     val bigs = Seq(
       (1L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),      // inside cell A

@@ -35,7 +35,8 @@ object PlanAudit {
         "x_ann_ivf","g63_grid_join","q51b_html_render","x_asof_join",
         "x_dedup_jaccard","x_boilerplate","x_quality_gopher","x_pii_scrub",
         "x_top_token","x_strat_sample","x_count_min","x_tfidf",
-        "x_contamination","x_pack_sequences").foreach(audit)
+        "x_contamination","x_pack_sequences","q_ep2_pipeline","g_diff_erode",
+        "x_ann_lsh_batch","x_distinct").foreach(audit)
     spark.stop()
   }
 }

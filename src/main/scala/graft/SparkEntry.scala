@@ -134,7 +134,14 @@ object SparkEntry {
     "x_pack_sequences" -> ExtQueries.xPackSequences,
     "x_count_min" -> ExtQueries.xCountMin,
     "x_tfidf" -> ExtQueries.xTfidf,
-    "x_distinct" -> ExtQueries.xDistinct
+    "x_distinct" -> ExtQueries.xDistinct,
+    // ext: repetition / rebalancing / pruning
+    "x_chunk_dedup" -> ExtQueries.xChunkDedup,
+    "x_repetition" -> ExtQueries.xRepetition,
+    "x_bloom_prune" -> ExtQueries.xBloomPrune,
+    "x_rebalance" -> ExtQueries.xRebalance,
+    "x_tok_hist" -> ExtQueries.xTokHist,
+    "x_semdedup" -> ExtQueries.xSemDedup
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */
@@ -152,5 +159,6 @@ object SparkEntry {
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
     "g63_grid_join", "q51b_html_render", "x_pipeline",
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
-    "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode")
+    "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode",
+    "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup")
 }

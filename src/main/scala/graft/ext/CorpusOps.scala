@@ -168,4 +168,40 @@ object CorpusOps {
     }
     df.where(u < rateCol)
   }
+
+  /** Domain-mix rebalancing: cap every stratum (source/domain) at `cap`
+    * rows, chosen deterministically by md5 order of the key — the
+    * "downweight over-represented domains" step of a corpus mix. Unlike
+    * [[stratifiedSample]] (a rate, map-only) this is an exact COUNT cap, so
+    * it needs per-stratum ordering: one shuffle on the stratum plus a
+    * per-partition top-`cap`.
+    *
+    * Skew note for 100 TB: a hot domain funnels into one window partition.
+    * The md5 rank is uniform, so the mitigation is a two-phase prune —
+    * pre-filter each stratum to rows with md5-uniform below
+    * ~cap·fudge/count(stratum) (a map-side cut using a broadcast count
+    * table), then run the exact window on the survivors. That prune is an
+    * optimisation of this same operator; the semantics live here. */
+  def domainRebalance(df: DataFrame, key: Column, stratum: Column,
+                      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** Token-count histogram: bin documents by `binWidth` tokens and count.
+    * One partial-aggregated shuffle on the bin id (at most a few hundred
+    * distinct bins), with per-bin min/max as the bin-edge sanity columns. */
+  def tokenHistogram(df: DataFrame, text: Column, binWidth: Int): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val n = size(TextOps.tokens(text))
+    df.select(n.as("__n"))
+      .select(floor(col("__n") / lit(binWidth)).cast("long").as("bin"), col("__n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__n")).cast("long").as("min_tokens"),
+        max(col("__n")).cast("long").as("max_tokens"))
+  }
 }

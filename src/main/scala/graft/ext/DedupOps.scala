@@ -112,7 +112,18 @@ object DedupOps {
     val universe = docs.select(col("doc_id"))
       .unionByName(edges.select(col("src").as("doc_id")))
       .distinct()
-    var labels = universe.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // Per-round lineage TRUNCATION, not just caching: a persist() keeps the
+    // optimizer plan nested (each round's union + convergence join embed the
+    // previous round's InMemoryRelation TWICE, and AQE regenerates the plan
+    // description per query stage — plan-string work grows ~2^rounds and
+    // shows up as driver CPU burn long before memory dies). localCheckpoint
+    // rewrites the round's result as a LogicalRDD, so every round plans
+    // against a flat scan — constant plan size however many rounds run. On a
+    // cluster, swap for reliable checkpoint() (a checkpoint dir) if
+    // executor loss mid-propagation must be survivable; the blocks here are
+    // one (id, label) row per node.
+    var labels = universe.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -121,10 +132,12 @@ object DedupOps {
         .select(col("dst").as("doc_id"), col("cluster_id"))
       val next = labels.unionByName(msgs)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "__old"), "doc_id")
         .where(col("cluster_id") =!= col("__old")).limit(1).count()
-      labels.unpersist()
+      // previous round's checkpoint blocks are dropped by the ContextCleaner
+      // once this reference goes out of scope (Dataset.unpersist only talks
+      // to the CacheManager, which never saw a checkpointed RDD)
       labels = next
       converged = changed == 0
       iter += 1

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition-oriented curation operators: cross-document span (chunk)
+  * deduplication in the C4 style, and Gopher-style intra-document
+  * repetition metrics.
+  *
+  * Both operate on the canonical [[TextOps.tokens]] stream, so they share
+  * normalisation with every other text operator. The corpus here has no
+  * newline structure, so the C4 "line" unit is a fixed-width non-overlapping
+  * token chunk — the same algorithm shape (segment → global count → drop
+  * non-first occurrences → reassemble), with the segmenter swapped.
+  */
+object RepetitionOps {
+
+  /** (doc_id, chunk_idx, chunk) rows: non-overlapping `c`-token chunks in
+    * document order, trailing partial chunk kept. Documents with no tokens
+    * yield no rows. Pure map + explode — no shuffle. */
+  def explodeChunks(df: DataFrame, key: Column, text: Column, c: Int): DataFrame = {
+    require(c > 0, "chunk size must be positive")
+    val base = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val nChunks = floor((size(col("__toks")) + lit(c - 1)) / lit(c)).cast("int")
+    base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(col("__toks"), j * c + 1, lit(c)))))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** Cross-document chunk dedup (C4-style duplicated-span removal): every
+    * distinct chunk string survives only at its globally-first occurrence
+    * (minimal (doc_id, chunk_idx)); all other occurrences are dropped and
+    * each document is reassembled from its surviving chunks in order.
+    *
+    * Output: (doc_id, n_chunks, n_kept, clean_text). Documents with no
+    * tokens are absent (they have no chunks).
+    *
+    * Scale shape: one shuffle on the chunk string for the winner aggregate
+    * (partial-aggregated map-side — duplicated chunks collapse before the
+    * exchange), one shuffle join back on chunk (both sides already hashed
+    * on it; AQE can co-locate), one shuffle on doc_id for reassembly. No
+    * per-document state beyond its own chunk list, so the reassembly buffer
+    * is bounded by document length — nothing global is collected.
+    *
+    * The first-occurrence winner is encoded as `doc_id * 2^20 + chunk_idx`
+    * so both engines order identically with a single BIGINT min; documents
+    * must stay under 2^20 chunks (≈ 8M tokens at c=8 — far above any
+    * training document; the guard column raises on violation). */
+  def chunkDedup(df: DataFrame, key: Column, text: Column, c: Int = 8): DataFrame = {
+    val ch = explodeChunks(df, key, text, c)
+    val enc = col("doc_id") * lit(1048576L) +
+      when(col("chunk_idx") < 1048576, col("chunk_idx"))
+        .otherwise(raise_error(lit("chunkDedup: document exceeds 2^20 chunks")))
+    val winners = ch.groupBy("chunk").agg(min(enc).as("__w"))
+    ch.join(winners, "chunk")
+      .withColumn("__kept", enc === col("__w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("chunk_idx"),
+              when(col("__kept"), 1).otherwise(0).as("k"), col("chunk")))),
+            x => x.getField("k") === 1),
+          x => x.getField("chunk"))).as("clean_text"))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models", §A1.1 repetition filters), per document:
+    *
+    *   - `tot_chars`: characters in the normalised token stream
+    *     (space-joined tokens).
+    *   - `top_ngram_cov`: max over `topN`-grams of (occurrences × ngram
+    *     chars) / tot_chars — the character coverage of the most repeated
+    *     n-gram (the paper's "fraction of characters in the most frequent
+    *     n-gram", counting every occurrence).
+    *   - `dup_ngram_frac`: sum over duplicated `dupN`-grams of
+    *     (occurrences − 1) × ngram chars / tot_chars — characters spent
+    *     repeating n-grams beyond their first occurrence. (The paper
+    *     unions character positions; this is the standard occurrence-count
+    *     form, which needs no interval arithmetic and is monotone in the
+    *     same repetition.)
+    *
+    * N-grams are OVERLAPPING token shingles ([[TextOps.shingles]], counted
+    * with multiplicity). Documents with no tokens are absent; documents
+    * shorter than an n have 0 for that metric.
+    *
+    * Scale shape: two explode→partial-agg shuffles keyed on (doc_id, ngram)
+    * then (doc_id) — repetitive documents collapse map-side, and no state
+    * exceeds one document's distinct-ngram set. */
+  def repetitionMetrics(df: DataFrame, key: Column, text: Column,
+                        topN: Int = 2, dupN: Int = 5): DataFrame = {
+    val base = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        length(array_join(col("__toks"), " ")).as("__tot"))
+
+    def ngramCounts(n: Int): DataFrame = base
+      .select(col("doc_id"), explode(TextOps.shingles(col("__toks"), n)).as("ng"))
+      .groupBy(col("doc_id"), col("ng"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val top = ngramCounts(topN).groupBy("doc_id")
+      .agg(max((col("cnt") * length(col("ng"))).cast("long")).as("__topchars"))
+    val dup = ngramCounts(dupN).groupBy("doc_id")
+      .agg(sum(when(col("cnt") > 1, (col("cnt") - 1) * length(col("ng")))
+        .otherwise(0L)).as("__dupchars"))
+
+    base.select(col("doc_id"), col("__tot"))
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__tot").cast("long").as("tot_chars"),
+        round(coalesce(col("__topchars"), lit(0L)) / col("__tot"), 6).as("top_ngram_cov"),
+        round(coalesce(col("__dupchars"), lit(0L)) / col("__tot"), 6).as("dup_ngram_frac"))
+  }
+}

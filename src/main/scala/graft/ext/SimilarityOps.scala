@@ -351,4 +351,53 @@ object SimilarityOps {
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means cluster the
+    * embedding space, then within each cluster drop every vector that has a
+    * smaller-id near-duplicate (cosine ≥ `tau`, rounded to 6 dp like every
+    * portable similarity here). The cluster structure turns the O(n²)
+    * near-dup sweep into Σ cluster², and the keep-smallest-id rule makes
+    * the survivor set deterministic.
+    *
+    * Output: (idCol, centroid_id) of the SURVIVORS.
+    *
+    * Scale shape: assignment is a pure map (native [[graft.functions
+    * .NearestCentroid]], broadcast centroids); the pairwise stage is one
+    * shuffle join on centroid_id. Cluster sizes are guarded like LSH
+    * buckets: a cluster above `maxCluster` means nlist is too small for the
+    * corpus (cluster ≈ n/nlist on average) and the in-cluster self-join
+    * would be quadratic — fail fast with sizing guidance instead of OOMing
+    * an executor. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, kmeansIters: Int, tau: Double,
+               maxCluster: Int = 100000): DataFrame = {
+    val ctr0 = ivfCentroids(df, idCol, vecCol, nlist)
+    val ctr =
+      if (kmeansIters > 0) ivfRefine(df, idCol, vecCol, ctr0, kmeansIters)
+      else ctr0
+    // assignment feeds both sides of the pair join and the final anti-join
+    val asg = ivfAssign(df, idCol, vecCol, ctr).persist()
+    val sizes = asg.groupBy("centroid_id").agg(count(lit(1)).as("__csz"))
+    // the guard lives inside a consumed column (see annPairs): id_a flows
+    // into the pair predicate, so the assertion cannot be pruned away
+    val a = asg.join(sizes, "centroid_id")
+      .select(col("centroid_id"),
+        when(col("__csz") <= maxCluster, col(idCol))
+          .otherwise(raise_error(concat(
+            lit(s"SemDeDup cluster exceeds maxCluster=$maxCluster — raise " +
+              "nlist (cluster ≈ n/nlist); cluster size = "),
+            col("__csz").cast("string")))).as("id_a"),
+        col(vecCol).as("__va"), norm(col(vecCol)).as("__na"))
+    val b = asg.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), norm(col(vecCol)).as("__nb"))
+    val dups = a.join(b, "centroid_id")
+      .where(col("id_b") < col("id_a"))
+      .where(round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
+        >= tau)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    asg.join(dups, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
+  }
 }

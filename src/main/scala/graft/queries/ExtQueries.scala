@@ -432,4 +432,49 @@ object ExtQueries {
     exact.join(SketchOps.estimate(exact.select("tok"), "tok", sketch, 4, 256), "tok")
       .select(col("tok"), col("exact_cnt"), col("cm_est"))
   }
+
+  // ---- repetition / rebalancing / pruning (round 4) ----
+
+  /** Cross-document chunk dedup (C4-style duplicated-span removal) over
+    * 8-token chunks: first global occurrence survives, documents are
+    * reassembled from surviving chunks. */
+  val xChunkDedup: Q = (s, dir) =>
+    RepetitionOps.chunkDedup(docs(s, dir), col("doc_id"), col("text"), c = 8)
+
+  /** Gopher repetition metrics per document: top-2-gram character coverage
+    * and duplicated-5-gram character fraction. */
+  val xRepetition: Q = (s, dir) =>
+    RepetitionOps.repetitionMetrics(docs(s, dir), col("doc_id"), col("text"),
+      topN = 2, dupN = 5)
+
+  /** Bloom-pruned semi-join: lineitems of high-value orders, aggregated per
+    * return flag. Oracle is the plain semi-join (Bloom pruning is
+    * result-invariant — no false negatives + exact post-join). */
+  val xBloomPrune: Q = (s, dir) => {
+    val orders = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+    val pruned = graft.operators.BloomPrune.prunedSemiJoin(
+      t(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey",
+      expectedItems = 100000)
+    pruned.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
+  /** Domain-mix rebalancing: every source capped at 10 documents by md5
+    * order. */
+  val xRebalance: Q = (s, dir) =>
+    CorpusOps.domainRebalance(docs(s, dir), col("doc_id"), col("source"), cap = 10)
+      .select(col("doc_id"), col("source"))
+
+  /** Token-count histogram in 10-token bins. */
+  val xTokHist: Q = (s, dir) =>
+    CorpusOps.tokenHistogram(docs(s, dir), col("text"), binWidth = 10)
+
+  /** SemDeDup over the planted embedding corpus: 16 clusters, 2 Lloyd
+    * rounds, tau=0.99 — the planted exact copies and near-clones are
+    * exactly what it must collapse (survivor = smallest id per duplicate
+    * family within a cluster). */
+  val xSemDedup: Q = (s, dir) =>
+    SimilarityOps.semDedup(plantedEmbeddings(s, dir), "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, tau = 0.99)
 }

@@ -1008,6 +1008,73 @@ object Oracles {
         |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean,
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90
-        |FROM documents WHERE text IS NOT NULL GROUP BY source""".stripMargin
+        |FROM documents WHERE text IS NOT NULL GROUP BY source""".stripMargin,
+
+    // same 8-token non-overlapping chunks, same doc_id*2^20+idx winner
+    // encoding, same space-joined reassembly of surviving chunks
+    "x_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL AND len($TOK) > 0),
+         |ix AS (SELECT doc_id, tk, unnest(range(0, (len(tk)+7)//8)) AS chunk_idx FROM toks),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |  array_to_string(tk[chunk_idx*8+1:(chunk_idx+1)*8], ' ') AS chunk FROM ix),
+         |win AS (SELECT chunk, min(doc_id*1048576 + chunk_idx) AS w FROM ch GROUP BY chunk)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN doc_id*1048576 + chunk_idx = w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |    FILTER (WHERE doc_id*1048576 + chunk_idx = w), '') AS clean_text
+         |FROM ch JOIN win USING (chunk) GROUP BY doc_id""".stripMargin,
+
+    // overlapping token shingles counted WITH multiplicity (no DISTINCT —
+    // unlike SHINGLE_CTES); char base = space-joined token stream
+    "x_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL AND len($TOK) > 0),
+         |base AS (SELECT doc_id, tk, len(array_to_string(tk, ' ')) AS tot FROM toks),
+         |ng2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM base),
+         |c2 AS (SELECT doc_id, ng, count(*) AS cnt FROM ng2 GROUP BY doc_id, ng),
+         |t2 AS (SELECT doc_id, max(cnt*len(ng)) AS topchars FROM c2 GROUP BY doc_id),
+         |ng5 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-4, 0)+1),
+         |  i -> array_to_string(tk[i:i+4], ' '))) AS ng FROM base),
+         |c5 AS (SELECT doc_id, ng, count(*) AS cnt FROM ng5 GROUP BY doc_id, ng),
+         |d5 AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN (cnt-1)*len(ng) ELSE 0 END) AS dupchars
+         |  FROM c5 GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(tot AS BIGINT) AS tot_chars,
+         |  round(coalesce(topchars, 0) / tot, 6) AS top_ngram_cov,
+         |  round(coalesce(dupchars, 0) / tot, 6) AS dup_ngram_frac
+         |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""".stripMargin,
+
+    // the Bloom prune is result-invariant (no false negatives + exact
+    // post-join), so the oracle is the plain semi-join
+    "x_bloom_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // same md5-of-key rank within each source
+    "x_rebalance" ->
+      """SELECT doc_id, source FROM documents WHERE text IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10""".stripMargin,
+
+    "x_tok_hist" ->
+      s"""WITH t AS (SELECT len($TOK) AS n FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(n // 10 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // SemDeDup: same centroid chain as x_ann_ivf but over the FULL planted
+    // corpus; in-cluster smaller-id near-dup (rounded cosine ≥ 0.99) drops
+    // the row
+    "x_semdedup" ->
+      s"""WITH $PLANTED_CTES, ${ivfChainCtes("corpus", kmeansIters = 2, nlist = 16)}dup AS (
+         |  SELECT DISTINCT a.vec_id FROM asgF a JOIN asgF b
+         |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.99)
+         |SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id
+         |FROM asgF s WHERE s.vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
   )
 }

@@ -111,4 +111,23 @@ class PlanSpec extends SparkTestBase {
     assert(read.contains("doc_id") && read.contains("source") &&
       !read.contains("text"), read)
   }
+
+  test("chunk dedup: bounded shuffles (winner agg, join-back, reassembly), " +
+    "no cartesian") {
+    val p = plan("x_chunk_dedup")
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    // chunk winner groupBy, join-back re-key, doc_id reassembly (+ at most
+    // one planner-inserted re-key); anything more means the chunk explode
+    // started shuffling per-chunk rows it should aggregate map-side
+    assert(countIn(p, "Exchange hashpartitioning") <= 4, p)
+  }
+
+  test("bloom prune: probe-side filter survives below the exact semi-join") {
+    val p = plan("x_bloom_prune")
+    // the Bloom probe is the one UDF in this plan; losing it means the
+    // operator degraded to a plain semi-join (correct but unpruned)
+    assert(countIn(p, "UDF") >= 1, p)
+    assert(countIn(p, "CartesianProduct") === 0, p)
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{CorpusOps, RepetitionOps, SimilarityOps}
+import graft.operators.BloomPrune
+
+/** Round-4 curation additions: chunk-level cross-document dedup, Gopher
+  * repetition metrics, Bloom-pruned semi-join, domain rebalancing, token
+  * histograms and SemDeDup. */
+class RepetitionSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- explodeChunks / chunkDedup ----
+
+  test("explodeChunks: non-overlapping chunks with trailing partial kept") {
+    val df = Seq((1L, "a b c d e"), (2L, "x"), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.explodeChunks(df, col("doc_id"), col("text"), c = 2)
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set((1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e"), (2L, 0, "x")))
+  }
+
+  test("chunkDedup: first global occurrence survives, documents reassemble in order") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5"),  // chunks: "t1 t2 t3", "t4 t5"
+      (2L, "t1 t2 t3 zz"),     // loses its first chunk to doc 1
+      (3L, "t1 t2 t3"))        // loses everything
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.chunkDedup(df, col("doc_id"), col("text"), c = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 2L, "t1 t2 t3 t4 t5"),
+      (2L, 2L, 1L, "zz"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("chunkDedup: within one document a repeated chunk keeps only its first copy") {
+    val df = Seq((7L, "p q r p q r p q")).toDF("doc_id", "text")
+    // c=3 -> chunks "p q r" (idx0), "p q r" (idx1), "p q" (idx2)
+    val got = RepetitionOps.chunkDedup(df, col("doc_id"), col("text"), c = 3)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got === ((7L, 3L, 2L, "p q r p q")))
+  }
+
+  // ---- repetitionMetrics ----
+
+  test("repetitionMetrics: exact fractions on a crafted repetitive document") {
+    val df = Seq(
+      (1L, "a b a b c"),
+      // "x y z w v" repeated 3x: every 5-gram duplicated, top 2-gram cnt=3
+      (2L, "x y z w v x y z w v x y z w v"),
+      (3L, "q"))  // shorter than both n -> zeros
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.repetitionMetrics(df, col("doc_id"), col("text"),
+        topN = 2, dupN = 5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // doc 1: tot=9; top 2-gram "a b" cnt=2, chars 3 -> 6/9; no dup 5-grams
+    // doc 2: tot=29; top 2-gram cnt=3 × 3 chars -> 9/29; dup 5-gram chars =
+    //        (3-1)*9 + 4*(2-1)*9 = 54 -> 54/29 (occurrence-count form may
+    //        exceed 1 by design)
+    assert(got === Set(
+      (1L, 9L, math.rint(6.0 / 9 * 1e6) / 1e6, 0.0),
+      (2L, 29L, math.rint(9.0 / 29 * 1e6) / 1e6, math.rint(54.0 / 29 * 1e6) / 1e6),
+      (3L, 1L, 0.0, 0.0)))
+  }
+
+  // ---- BloomPrune ----
+
+  test("prunedSemiJoin equals the plain left-semi join (no false negatives)") {
+    val probe = spark.range(0, 1000).toDF("k")
+      .withColumn("payload", col("k") * 2)
+    val build = spark.range(0, 1000).toDF("b").where(col("b") % 7 === 0)
+    val got = BloomPrune.prunedSemiJoin(probe, "k", build, "b",
+      expectedItems = 1000, fpp = 0.03)
+      .select("k").as[Long].collect().sorted
+    val want = probe.join(build.withColumnRenamed("b", "k"), Seq("k"), "left_semi")
+      .select("k").as[Long].collect().sorted
+    assert(got.sameElements(want) && got.length === 143)
+  }
+
+  test("prunedSemiJoin drops null probe keys (semi-join semantics)") {
+    val probe = Seq(Option(1L), Option(2L), None).toDF("k")
+    val build = Seq(1L, 3L).toDF("b")
+    val got = BloomPrune.prunedSemiJoin(probe, "k", build, "b", expectedItems = 10)
+      .as[Option[Long]].collect().toSet
+    assert(got === Set(Option(1L)))
+  }
+
+  // ---- domainRebalance / tokenHistogram ----
+
+  test("domainRebalance caps each stratum deterministically; small strata intact") {
+    val df = (1 to 30).map(i => (i.toLong, if (i <= 25) "big" else "small"))
+      .toDF("doc_id", "source")
+    val r1 = CorpusOps.domainRebalance(df, col("doc_id"), col("source"), cap = 10)
+      .as[(Long, String)].collect().toSet
+    val r2 = CorpusOps.domainRebalance(df, col("doc_id"), col("source"), cap = 10)
+      .as[(Long, String)].collect().toSet
+    assert(r1 === r2)
+    assert(r1.count(_._2 == "big") === 10 && r1.count(_._2 == "small") === 5)
+    assert(r1.forall { case (id, s) => (s == "big") == (id <= 25) })
+  }
+
+  test("tokenHistogram bins by width with per-bin edges") {
+    val df = Seq.fill(3)("a b c").map(Tuple1(_))
+      .toDF("text")
+      .union(Seq(Tuple1(((1 to 12).map(i => s"t$i")).mkString(" "))).toDF("text"))
+    val got = CorpusOps.tokenHistogram(df, col("text"), binWidth = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 3L, 3L, 3L), (1L, 1L, 12L, 12L)))
+  }
+
+  // ---- SemDeDup ----
+
+  /** Pairwise-dissimilar base vectors: identical copies are the only pairs
+    * above any high tau, so the survivor set is clustering-invariant. */
+  private def semBase = Seq(
+    1L -> Seq(1.0, 0.0, 0.0, 0.0),
+    2L -> Seq(0.0, 1.0, 0.0, 0.0),
+    3L -> Seq(0.0, 0.0, 1.0, 0.0),
+    4L -> Seq(0.0, 0.0, 0.0, 1.0),
+    5L -> Seq(0.7, -0.7, 0.0, 0.0),
+    6L -> Seq(0.0, 0.0, 0.7, -0.7))
+
+  test("semDedup keeps the smallest id of each identical family, all singletons") {
+    val corpus = (semBase ++ Seq(
+        10L -> semBase(0)._2, // copy of 1
+        11L -> semBase(1)._2) // copy of 2
+      ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semDedup(corpus, "vec_id", "embedding",
+        nlist = 3, kmeansIters = 2, tau = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("semDedup fails fast when a cluster exceeds maxCluster") {
+    val corpus = semBase.toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      SimilarityOps.semDedup(corpus, "vec_id", "embedding",
+        nlist = 1, kmeansIters = 0, tau = 0.99, maxCluster = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxCluster") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("maxCluster"))
+  }
+}

@@ -141,7 +141,10 @@ object SparkEntry {
     "x_bloom_prune" -> ExtQueries.xBloomPrune,
     "x_rebalance" -> ExtQueries.xRebalance,
     "x_tok_hist" -> ExtQueries.xTokHist,
-    "x_semdedup" -> ExtQueries.xSemDedup
+    "x_semdedup" -> ExtQueries.xSemDedup,
+    // ext: LM-based quality scoring
+    "x_lm_score" -> ExtQueries.xLmScore,
+    "x_dsir" -> ExtQueries.xDsir
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language-model-based corpus quality scoring:
+  *
+  *   - CCNet-style unigram perplexity (Wenzek et al. 2020, "CCNet:
+  *     Extracting high quality monolingual datasets from web crawl data"):
+  *     score every document by an add-alpha unigram LM trained on a
+  *     reference slice; low perplexity ≈ reference-like text. The real
+  *     CCNet uses a 5-gram KenLM — the operator shape (train counts on a
+  *     reference, shuffle-join them onto the corpus token stream, aggregate
+  *     per document) is identical, and the unigram form keeps the oracle
+  *     exact.
+  *   - DSIR importance weights (Xie et al. 2023, "Data Selection for
+  *     Language Models via Importance Resampling"): hashed n-gram bag
+  *     features; per-document weight = sum of feature log-ratios between a
+  *     target and a raw distribution.
+  *
+  * Both reuse the canonical [[TextOps.tokens]] stream.
+  */
+object LmOps {
+
+  /** (tok, cnt) unigram occurrence counts over the reference slice. One
+    * partial-aggregated shuffle on the token — the map side collapses
+    * repeats before the exchange. */
+  def unigramCounts(ref: DataFrame, text: Column): DataFrame =
+    ref.select(explode(TextOps.tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document add-alpha unigram LM score against `refCounts`
+    * (from [[unigramCounts]]). Output: (doc_id, n_tokens, avg_logp, ppl);
+    * documents with zero tokens are absent.
+    *
+    * logp(tok) = ln((cnt + alpha) / (T + alpha * (V + 1))) with cnt = 0 for
+    * out-of-vocabulary tokens; T = total reference occurrences, V = distinct
+    * reference vocabulary (the +1 reserves one smoothing slot for the OOV
+    * class, so probabilities stay sub-stochastic rather than leaking mass).
+    * ppl = exp(-avg logp), computed from the ROUNDED average so both engines
+    * exponentiate the identical input.
+    *
+    * Scale shape: the corpus token stream joins `refCounts` by SHUFFLE on
+    * `tok` — the vocabulary of a web-scale reference is unbounded, so it is
+    * never broadcast (the tfidfTopTerms lesson); AQE may still downgrade to
+    * broadcast when the reference is genuinely small. The (T, V) totals are
+    * a one-row aggregate, broadcast-cross-joined. */
+  def lmScore(docs: DataFrame, key: Column, text: Column,
+              refCounts: DataFrame, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
+    val toks = docs.select(key.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+    val totals = refCounts.agg(sum("cnt").cast("double").as("__T"),
+      count(lit(1)).cast("double").as("__V"))
+    toks.join(refCounts, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("__T") + lit(alpha) * (col("__V") + lit(1.0)))).as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("__lp"), 6).as("avg_logp"),
+        round(exp(-round(avg("__lp"), 6)), 4).as("ppl"))
+  }
+
+  /** Hashed n-gram feature counts (the DSIR feature space): token n-grams
+    * hashed into `buckets` cells via the first 8 md5 hex digits. Returns
+    * (bucket, cnt) — AT MOST `buckets` rows by construction, so unlike a
+    * vocabulary table this is safely broadcast-able regardless of corpus
+    * size: the bound is a parameter, not a property of the data. */
+  def hashedNgramCounts(ref: DataFrame, text: Column, n: Int, buckets: Int): DataFrame = {
+    require(n > 0 && buckets > 0, "n and buckets must be positive")
+    ref.select(explode(TextOps.shingles(TextOps.tokens(text), n)).as("ng"))
+      .select((conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
+        % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance weight per document:
+    * weight = sum over the doc's n-grams of ln(p_target(b) / p_raw(b)),
+    * where p(b) = (cnt_b + alpha) / (T + alpha * buckets) under each
+    * distribution. Output: (doc_id, n_ngrams, dsir_logw); documents with
+    * fewer than n tokens are absent (they have no features).
+    *
+    * Scale shape: both count tables are bounded at `buckets` rows (see
+    * [[hashedNgramCounts]]) so the per-bucket log-ratio table is built
+    * driver-free and broadcast onto the corpus n-gram stream — the whole
+    * scoring pass is map-side after the explode, with one final shuffle on
+    * doc_id for the per-document sum. */
+  def dsirWeights(docs: DataFrame, key: Column, text: Column,
+                  target: DataFrame, raw: DataFrame, targetText: Column, rawText: Column,
+                  n: Int = 2, buckets: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val tc = hashedNgramCounts(target, targetText, n, buckets)
+    val rc = hashedNgramCounts(raw, rawText, n, buckets)
+    val tTot = tc.agg(sum("cnt").cast("double").as("__Tt"))
+    val rTot = rc.agg(sum("cnt").cast("double").as("__Tr"))
+    // every bucket gets a ratio row (an unseen bucket's ratio is the
+    // smoothed constant ln((Tr+aB)/(Tt+aB)), NOT zero), so the scoring
+    // join below is total
+    val ratios = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(tc.withColumnRenamed("cnt", "__ct"), Seq("bucket"), "left")
+      .join(rc.withColumnRenamed("cnt", "__cr"), Seq("bucket"), "left")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("bucket"),
+        (log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(alpha)) /
+             (col("__Tt") + lit(alpha) * buckets)) -
+         log((coalesce(col("__cr"), lit(0L)).cast("double") + lit(alpha)) /
+             (col("__Tr") + lit(alpha) * buckets))).as("__lr"))
+    val feats = docs.select(key.as("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(text), n)).as("ng"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+    feats.join(broadcast(ratios), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(sum(col("__lr")), 6).as("dsir_logw"))
+  }
+}

@@ -477,4 +477,24 @@ object ExtQueries {
   val xSemDedup: Q = (s, dir) =>
     SimilarityOps.semDedup(plantedEmbeddings(s, dir), "vec_id", "embedding",
       nlist = 16, kmeansIters = 2, tau = 0.99)
+
+  // ---- LM-based quality scoring (round 4) ----
+
+  /** CCNet-style unigram perplexity: add-0.1 LM trained on the English
+    * slice, scored over the whole corpus. English documents should land low,
+    * which is exactly the CCNet head/tail separation. */
+  val xLmScore: Q = (s, dir) => {
+    val d = docs(s, dir)
+    LmOps.lmScore(d, col("doc_id"), col("text"),
+      LmOps.unigramCounts(d.where(col("lang") === "en"), col("text")))
+  }
+
+  /** DSIR importance weights: hashed-bigram log-ratio of the English slice
+    * (target) vs the whole corpus (raw), 1024 buckets. */
+  val xDsir: Q = (s, dir) => {
+    val d = docs(s, dir)
+    LmOps.dsirWeights(d, col("doc_id"), col("text"),
+      target = d.where(col("lang") === "en"), raw = d,
+      targetText = col("text"), rawText = col("text"))
+  }
 }

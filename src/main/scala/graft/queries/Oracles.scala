@@ -1069,6 +1069,46 @@ object Oracles {
     // SemDeDup: same centroid chain as x_ann_ivf but over the FULL planted
     // corpus; in-cluster smaller-id near-dup (rounded cosine ≥ 0.99) drops
     // the row
+    // add-0.1 unigram LM trained on the English slice (CCNet shape);
+    // ppl exponentiates the ROUNDED avg so both engines agree bit-for-bit
+    "x_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |cnts AS (SELECT tok, count(*) AS cnt FROM
+         |  (SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en') GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T,
+         |  CAST(count(*) AS DOUBLE) AS V FROM cnts),
+         |lp AS (SELECT doc_id, ln((coalesce(cnt, 0) + 0.1) / (T + 0.1 * (V + 1))) AS lp
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) dtok
+         |  LEFT JOIN cnts USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(lp), 6) AS avg_logp,
+         |  round(exp(-round(avg(lp), 6)), 4) AS ppl
+         |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // hashed-bigram DSIR: same md5-hex32 % 1024 bucketing; every bucket has
+    // a ratio row (unseen buckets carry the smoothed constant, not zero)
+    "x_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |ng AS (SELECT doc_id, lang, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM toks),
+         |hb AS (SELECT doc_id, lang, ${hex32("h", 1)} % 1024 AS bucket
+         |  FROM (SELECT doc_id, lang, md5(ng) AS h FROM ng)),
+         |tc AS (SELECT bucket, count(*) AS ct FROM hb WHERE lang = 'en' GROUP BY bucket),
+         |rc AS (SELECT bucket, count(*) AS cr FROM hb GROUP BY bucket),
+         |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS Tt FROM tc),
+         |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS Tr FROM rc),
+         |ratios AS (SELECT b.bucket,
+         |  ln((coalesce(ct, 0) + 0.5) / (Tt + 0.5 * 1024)) -
+         |  ln((coalesce(cr, 0) + 0.5) / (Tr + 0.5 * 1024)) AS lr
+         |  FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+         |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+         |  CROSS JOIN tt CROSS JOIN rt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  round(sum(lr), 6) AS dsir_logw
+         |FROM hb JOIN ratios USING (bucket) GROUP BY doc_id""".stripMargin,
+
     "x_semdedup" ->
       s"""WITH $PLANTED_CTES, ${ivfChainCtes("corpus", kmeansIters = 2, nlist = 16)}dup AS (
          |  SELECT DISTINCT a.vec_id FROM asgF a JOIN asgF b

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.LmOps
+
+/** CCNet-style unigram LM perplexity and DSIR importance weights. */
+class LmSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- lmScore ----
+
+  test("lmScore: hand-computed add-alpha probabilities, OOV smoothed not dropped") {
+    // reference: "a a b" -> cnt(a)=2, cnt(b)=1, T=3, V=2
+    val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val cnts = LmOps.unigramCounts(ref, col("text"))
+    assert(cnts.as[(String, Long)].collect().toSet === Set(("a", 2L), ("b", 1L)))
+
+    // alpha=0.1: denom = 3 + 0.1*3 = 3.3; p(a)=2.1/3.3, p(b)=1.1/3.3, p(oov)=0.1/3.3
+    val docs = Seq((1L, "a b"), (2L, "zz")).toDF("doc_id", "text")
+    val got = LmOps.lmScore(docs, col("doc_id"), col("text"), cnts, alpha = 0.1)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val lpA = math.log(2.1 / 3.3); val lpB = math.log(1.1 / 3.3)
+    val avg1 = BigDecimal((lpA + lpB) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 === 2L)
+    assert(math.abs(got(1L)._3 - avg1) < 1e-9)
+    val lpOov = math.log(0.1 / 3.3)
+    assert(math.abs(got(2L)._3 -
+      BigDecimal(lpOov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // ppl = exp(-rounded avg)
+    assert(math.abs(got(1L)._4 - BigDecimal(math.exp(-got(1L)._3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("lmScore: reference-like text scores lower perplexity than noise") {
+    val ref = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = Seq((100L, "the cat sat"), (101L, "qwfp zxcv mlkj"))
+      .toDF("doc_id", "text")
+    val got = LmOps.lmScore(docs, col("doc_id"), col("text"),
+        LmOps.unigramCounts(ref, col("text")))
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(got(100L) < got(101L))
+  }
+
+  test("lmScore: zero-token documents are absent") {
+    val ref = Seq((0L, "a")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a"), (2L, ""), (3L, "!!!")).toDF("doc_id", "text")
+    val ids = LmOps.lmScore(docs, col("doc_id"), col("text"),
+        LmOps.unigramCounts(ref, col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L))
+  }
+
+  // ---- dsirWeights ----
+
+  test("dsirWeights: target-like documents outweigh raw-typical ones") {
+    // target: heavy "good text" bigrams; raw: mostly "bad noise" bigrams
+    val target = Seq.tabulate(10)(i => (i.toLong, "good text good text"))
+      .toDF("doc_id", "text")
+    val raw = (Seq.tabulate(20)(i => (i.toLong, "bad noise bad noise")) ++
+      Seq.tabulate(2)(i => (100L + i, "good text good text")))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "good text good"), (2L, "bad noise bad")).toDF("doc_id", "text")
+    val got = LmOps.dsirWeights(docs, col("doc_id"), col("text"),
+        target, raw, col("text"), col("text"))
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L))
+    assert(got(1L) > 0 && got(2L) < 0)
+  }
+
+  test("dsirWeights: a bucket unseen in both corpora contributes the smoothed " +
+    "constant ln((Tr+aB)/(Tt+aB)), not zero") {
+    val target = Seq((0L, "t t")).toDF("doc_id", "text")   // 1 bigram, Tt=1
+    val raw = Seq((0L, "r r r")).toDF("doc_id", "text")    // 2 bigrams, Tr=2
+    val docs = Seq((1L, "u1 u2")).toDF("doc_id", "text")   // bigram unseen in both
+    val B = 64
+    val got = LmOps.dsirWeights(docs, col("doc_id"), col("text"),
+        target, raw, col("text"), col("text"), n = 2, buckets = B, alpha = 0.5)
+      .select("dsir_logw").as[Double].head()
+    val expect = math.log(0.5 / (1 + 0.5 * B)) - math.log(0.5 / (2 + 0.5 * B))
+    assert(math.abs(got -
+      BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("dsirWeights: documents with fewer than n tokens are absent") {
+    val d = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "solo"), (2L, "two toks")).toDF("doc_id", "text")
+    val ids = LmOps.dsirWeights(docs, col("doc_id"), col("text"),
+        d, d, col("text"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L))
+  }
+}

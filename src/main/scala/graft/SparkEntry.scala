@@ -144,7 +144,10 @@ object SparkEntry {
     "x_semdedup" -> ExtQueries.xSemDedup,
     // ext: LM-based quality scoring
     "x_lm_score" -> ExtQueries.xLmScore,
-    "x_dsir" -> ExtQueries.xDsir
+    "x_dsir" -> ExtQueries.xDsir,
+    // ext: product quantization
+    "x_pq_topk" -> ExtQueries.xPqTopk,
+    "x_pq_recall" -> ExtQueries.xPqRecall
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
+  * for Nearest Neighbor Search"): split each vector into `m` subvectors,
+  * k-means each subspace into `ksub` codewords, and represent every vector
+  * by its `m` nearest-codeword ids (log2(ksub)·m bits instead of 8·d·4 —
+  * the memory side of IVF-PQ, complementing [[SimilarityOps.ivfTopK]]'s
+  * cell-pruning side). Queries score against codes with an asymmetric
+  * distance table (ADC): per subspace, the exact distance from the query
+  * subvector to each codeword; a vector's approximate distance is the sum
+  * of its codes' table entries.
+  *
+  * Portability discipline (shared with the IVF/SRP stack): every distance
+  * is round(|a|² + |b|² − 2a·b, 6) via the house [[graft.functions
+  * .DotProduct]] (bit-compatible with DuckDB's list_dot_product), argmins
+  * break ties toward the smaller code id via a lexicographic struct min,
+  * and Lloyd means are rounded to 6 dp — so codebooks, codes, and ADC
+  * scores are engine-identical.
+  *
+  * Scale shape: training touches the corpus once per Lloyd round (one map
+  * assignment + one partial-aggregated shuffle on (sub, code, dim)); the
+  * codebook is m×ksub rows and lives as expression literals. Encoding and
+  * ADC scoring are PURE MAP passes — no shuffle, no join — and top-k is a
+  * TakeOrderedAndProject. At 100 TB the whole query path is a scan.
+  * The m×ksub argmin expression tree is the [[graft.functions
+  * .NearestCentroid]] upgrade path if expression size ever dominates.
+  */
+object PqOps {
+
+  import SimilarityOps.dot
+
+  /** round(squared L2, 6) from three portable dot products. */
+  private def sqDist(a: Column, b: Column): Column =
+    round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
+
+  /** A trained codebook: (sub, code, codeword) with code 1..ksub per
+    * subspace, codeword length d/m. */
+  final case class Codebook(m: Int, dsub: Int, ksub: Int,
+                            words: Map[(Int, Int), Seq[Double]])
+
+  private def subvec(vec: Column, s: Int, dsub: Int): Column =
+    slice(vec, s * dsub + 1, dsub)
+
+  /** Nearest-codeword id (1-based) for subspace `s`: lexicographic min over
+    * (rounded distance, code) structs — smallest distance, ties to the
+    * smaller code. */
+  private def codeExpr(vec: Column, cb: Codebook, s: Int): Column =
+    array_min(array((1 to cb.ksub).map { k =>
+      val w = cb.words((s, k))
+      struct(sqDist(subvec(vec, s, cb.dsub), typedLit(w)).as("d"),
+        lit(k).as("c"))
+    }: _*)).getField("c")
+
+  /** Train per-subspace codebooks: the first `ksub` corpus rows in md5-of-id
+    * order seed every subspace (sliced), then `iters` Lloyd rounds of
+    * assign + rounded per-dimension mean. Cells that lose all members keep
+    * their previous codeword. Each round is one map pass + one aggregation;
+    * the codebook itself is m×ksub×dsub doubles on the driver. */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            m: Int, ksub: Int, iters: Int): Codebook = {
+    val s0 = df.sparkSession
+    import s0.implicits._
+    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub)
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .as[Seq[Double]].collect()
+    require(sample.length == ksub, s"corpus has fewer than ksub=$ksub rows")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val init = Codebook(m, dsub, ksub,
+      (for (s <- 0 until m; k <- 1 to ksub)
+        yield (s, k) -> sample(k - 1).slice(s * dsub, (s + 1) * dsub)).toMap)
+    (1 to iters).foldLeft(init) { (cb, _) =>
+      val vec = col(vecCol).cast("array<double>")
+      val means = df.select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), codeExpr(vec, cb, s).as("code"),
+            subvec(vec, s, dsub).as("sv"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i")
+        .agg(round(avg(col("x").cast("double")), 6).as("mv"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mv")))),
+          t => t.getField("mv")).as("w"))
+        .as[(Int, Int, Seq[Double])].collect()
+        .map { case (s, k, w) => (s, k) -> w }.toMap
+      cb.copy(words = cb.words.map { case (sk, w) => sk -> means.getOrElse(sk, w) })
+    }
+  }
+
+  /** (idCol, codes array<int>) — the compressed representation. Pure map. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+      array((0 until cb.m).map(s => codeExpr(vec, cb, s).cast("int")): _*).as("codes"))
+  }
+
+  /** ADC top-k for one query vector (one-row DataFrame with column `q`)
+    * against a trained codebook: build the m×ksub distance table IN Spark
+    * (so rounding is the engine's own), then score = sum of per-subspace
+    * table lookups — a pure map over the corpus, top-k smallest via
+    * TakeOrderedAndProject. Output: (vec_id, adc_dist). */
+  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, cb: Codebook): DataFrame = {
+    val s0 = corpus.sparkSession
+    import s0.implicits._
+    val cbDf = cb.words.toSeq.map { case ((s, c), w) => (s, c, w) }
+      .toDF("sub", "code", "w")
+    // the query subvector is sliced by the row's own sub column, so one
+    // crossJoin computes the whole m×ksub table; collected — it is the
+    // size of the codebook, not the data
+    val dtab = query.crossJoin(cbDf)
+      .select(col("sub"), col("code"),
+        sqDist(slice(col("q").cast("array<double>"),
+          col("sub") * cb.dsub + 1, lit(cb.dsub)), col("w")).as("d2"))
+      .as[(Int, Int, Double)].collect()
+      .map { case (s, c, d2) => (s, c) -> d2 }.toMap
+    val vec = col(vecCol).cast("array<double>")
+    val adc = round((0 until cb.m).map { s =>
+      element_at(typedLit((1 to cb.ksub).map(c => dtab((s, c)))), codeExpr(vec, cb, s))
+    }.reduce(_ + _), 6)
+    corpus.select(col(idCol).as("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -497,4 +497,49 @@ object ExtQueries {
       target = d.where(col("lang") === "en"), raw = d,
       targetText = col("text"), rawText = col("text"))
   }
+
+  // ---- product quantization (round 4) ----
+
+  private def pqParts(s: SparkSession, dir: String) = {
+    val all = plantedEmbeddings(s, dir)
+    val corpus = all.where(col("vec_id") =!= 0)
+    val query = all.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("q"))
+    (corpus, query)
+  }
+
+  /** PQ/ADC top-10 for vector 0 against the planted corpus: 4 subspaces ×
+    * 16 codewords, one Lloyd round. The 20 planted near-clones of vector 0
+    * are what ADC must surface. */
+  val xPqTopk: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    val cb = PqOps.train(corpus, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
+    PqOps.adcTopK(corpus, "vec_id", "embedding", query, k = 10, cb)
+  }
+
+  /** Recall of the PQ top-10 against the exact squared-L2 top-10 — the
+    * honesty row for the compressed representation. On the planted corpus
+    * this is 0.5 BY CONSTRUCTION, and that is the interesting part: vector
+    * 0's exact copy and all 20 near-clones quantize to the SAME codes, so
+    * ADC ties them at one distance and the id tie-break picks a different
+    * ten than the exact ranking does. PQ collapses a near-duplicate family
+    * into one code signature — exactly the resolution/compression trade
+    * the operator exists to make (and why SemDeDup-style pipelines dedup
+    * on codes first). */
+  val xPqRecall: Q = (s, dir) => {
+    import SimilarityOps.dot
+    val (corpus, query) = pqParts(s, dir)
+    val cb = PqOps.train(corpus, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
+    val pq = PqOps.adcTopK(corpus, "vec_id", "embedding", query, k = 10, cb)
+      .select("vec_id")
+    val v = col("embedding").cast("array<double>")
+    val exact = corpus.crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(dot(v, v) + dot(col("q"), col("q")) - lit(2.0) * dot(v, col("q")), 6)
+          .as("d2"))
+      .orderBy(col("d2").asc, col("vec_id")).limit(10).select("vec_id")
+    pq.join(exact, "vec_id").agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), col("n_overlap"),
+        round(col("n_overlap") / lit(10.0), 4).as("recall"))
+  }
 }

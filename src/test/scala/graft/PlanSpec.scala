@@ -123,6 +123,18 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "Exchange hashpartitioning") <= 4, p)
   }
 
+  test("pq adc scoring: pure map over the corpus + TakeOrderedAndProject, " +
+    "no shuffle, no join") {
+    val p = plan("x_pq_topk")
+    // the scoring path is everything above the cached corpus boundary; the
+    // InMemoryRelation's stored build plan (clone planting crossJoin) is
+    // not part of the per-query work
+    val scoring = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(scoring.contains("TakeOrderedAndProject"), p.take(500))
+    assert(countIn(scoring, "Exchange") === 0, scoring)
+    assert(countIn(scoring, "Join") === 0, scoring)
+  }
+
   test("bloom prune: probe-side filter survives below the exact semi-join") {
     val p = plan("x_bloom_prune")
     // the Bloom probe is the one UDF in this plan; losing it means the

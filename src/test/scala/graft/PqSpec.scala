@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.PqOps
+
+/** Product quantization: codebook training, encoding, ADC scoring. */
+class PqSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // deterministic 8-dim vectors (m=2 subspaces of 4)
+  private def vec(seed: Long): Seq[Double] =
+    Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13).toDouble / 13.0)
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  test("train: codebook has m×ksub codewords of dsub dims; seeds are the " +
+    "md5-ordered sample") {
+    val cb = PqOps.train(corpus(12), "vec_id", "embedding", m = 2, ksub = 4, iters = 0)
+    assert(cb.m === 2 && cb.dsub === 4 && cb.ksub === 4)
+    assert(cb.words.size === 8)
+    assert(cb.words.values.forall(_.length === 4))
+    // iters=0: codewords are slices of sampled corpus rows
+    val allSubvecs = (0 until 12).flatMap(i =>
+      Seq(vec(i).slice(0, 4), vec(i).slice(4, 8)))
+    assert(cb.words.values.forall(w => allSubvecs.contains(w)))
+  }
+
+  test("encode: codes are 1..ksub, deterministic across invocations") {
+    val df = corpus(20)
+    val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val a = PqOps.encode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = PqOps.encode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(c => c.length == 2 && c.forall(k => k >= 1 && k <= 4)))
+  }
+
+  test("adc: when every corpus vector is a codeword, ADC equals the exact " +
+    "squared distance") {
+    // ksub = n: the sample is the whole corpus, iters=0 keeps it verbatim,
+    // so each vector quantizes to itself and ADC is exact
+    val df = corpus(4)
+    val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 0)
+    val q = Seq(Tuple1(vec(99))).toDF("q")
+    val got = PqOps.adcTopK(df, "vec_id", "embedding", q, k = 4, cb)
+      .as[(Long, Double)].collect().toMap
+    val qv = vec(99)
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // per-subspace rounded distances, then rounded sum — the ADC contract
+      r6((0 until 2).map(s => r6(dot(a.slice(s * 4, s * 4 + 4), a.slice(s * 4, s * 4 + 4))
+        + dot(b.slice(s * 4, s * 4 + 4), b.slice(s * 4, s * 4 + 4))
+        - 2 * dot(a.slice(s * 4, s * 4 + 4), b.slice(s * 4, s * 4 + 4)))).sum)
+    }
+    (0 until 4).foreach { i =>
+      assert(math.abs(got(i.toLong) - sq(vec(i), qv)) < 1e-9, s"vec $i")
+    }
+  }
+
+  test("adcTopK: exact nearest neighbour ranks first when it is a codeword") {
+    val base = corpus(16)
+    // plant an exact copy of the query far id away
+    val q = vec(3)
+    val df = base.union(Seq((100L, q)).toDF("vec_id", "embedding"))
+    val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 16, iters = 1)
+    val top = PqOps.adcTopK(df, "vec_id", "embedding",
+        Seq(Tuple1(q)).toDF("q"), k = 3, cb)
+      .as[(Long, Double)].collect()
+    // vec 3 and its copy 100 share the same codes, distance 0 to the query cell
+    assert(top.take(2).map(_._1).toSet === Set(3L, 100L), top.mkString(","))
+    assert(top.head._2 <= top.last._2)
+  }
+
+  test("train: a Lloyd round does not increase total quantization error") {
+    val df = corpus(40)
+    def err(iters: Int): Double = {
+      val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = iters)
+      val data = df.as[(Long, Seq[Double])].collect()
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      data.map { case (_, v) =>
+        (0 until 2).map { s =>
+          val sv = v.slice(s * 4, s * 4 + 4)
+          (1 to 4).map { k =>
+            val w = cb.words((s, k))
+            dot(sv, sv) + dot(w, w) - 2 * dot(sv, w)
+          }.min
+        }.sum
+      }.sum
+    }
+    assert(err(1) <= err(0) + 1e-6)
+    assert(err(2) <= err(1) + 1e-6)
+  }
+}

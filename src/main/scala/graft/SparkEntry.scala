@@ -147,7 +147,10 @@ object SparkEntry {
     "x_dsir" -> ExtQueries.xDsir,
     // ext: product quantization
     "x_pq_topk" -> ExtQueries.xPqTopk,
-    "x_pq_recall" -> ExtQueries.xPqRecall
+    "x_pq_recall" -> ExtQueries.xPqRecall,
+    // ext: mixture sampling + composed CCNet bucketing
+    "x_temp_sample" -> ExtQueries.xTempSample,
+    "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */
@@ -166,5 +169,6 @@ object SparkEntry {
     "g63_grid_join", "q51b_html_render", "x_pipeline",
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode",
-    "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup")
+    "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
+    "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets")
 }

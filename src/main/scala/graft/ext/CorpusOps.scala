@@ -191,6 +191,35 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual/Gopher mixing
+    * rule: sampling share per stratum ∝ n_s^tau, tau<1 upweights rare
+    * strata): each stratum's keep-rate is
+    * least(1, round(n_s^tau / Σ_t n_t^tau · targetTotal / n_s, 6)), applied
+    * as the house deterministic md5-uniform filter. tau=1 reduces to plain
+    * proportional downsampling; tau=0 gives every stratum an equal share.
+    *
+    * Scale shape: one partial-aggregated count per stratum; the rate table
+    * (one row per stratum) joins back on the stratum WITHOUT a broadcast
+    * hint — at web scale the "stratum" may be a domain column with millions
+    * of distinct values (the tfidf vocabulary lesson), and AQE still picks
+    * broadcast when the table is genuinely small. The Σ n^tau normaliser is
+    * a one-row broadcast. The filter itself is per-row arithmetic. */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+                        tau: Double, targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    val z = counts.agg(sum(pow(col("__n").cast("double"), tau)).as("__Z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("__s"),
+        least(lit(1.0), round(pow(col("__n").cast("double"), tau) / col("__Z")
+          * lit(targetTotal.toDouble) / col("__n").cast("double"), 6)).as("__rate"))
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.join(rates, stratum === col("__s"))
+      .where(u < col("__rate"))
+      .drop("__s", "__rate")
+  }
+
   /** Token-count histogram: bin documents by `binWidth` tokens and count.
     * One partial-aggregated shuffle on the bin id (at most a few hundred
     * distinct bins), with per-bin min/max as the bin-edge sanity columns. */

@@ -498,6 +498,34 @@ object ExtQueries {
       targetText = col("text"), rawText = col("text"))
   }
 
+  /** Temperature-scaled mixture sampling: tau=0.5 upweights rare sources,
+    * 300-document target. */
+  val xTempSample: Q = (s, dir) =>
+    CorpusOps.temperatureSample(docs(s, dir), col("doc_id"), col("source"),
+        tau = 0.5, targetTotal = 300)
+      .select(col("doc_id"), col("source"))
+
+  /** CCNet-style head/middle/tail bucketing: per-language ntile(3) over the
+    * English-reference perplexity, aggregated per (lang, bucket). The exact
+    * per-language window is the reference semantics; at 100 TB the same
+    * split comes from approx_percentile thresholds + a map-side bucket
+    * (the groupStats pattern) — the window form here IS the oracle for
+    * that approximation. */
+  val xCcnetBuckets: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val scored = LmOps.lmScore(d, col("doc_id"), col("text"),
+      LmOps.unigramCounts(d.where(col("lang") === "en"), col("text")))
+    scored.join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ppl")), 4).as("avg_ppl"),
+        round(min(col("ppl")), 4).as("min_ppl"),
+        round(max(col("ppl")), 4).as("max_ppl"))
+  }
+
   // ---- product quantization (round 4) ----
 
   private def pqParts(s: SparkSession, dir: String) = {

@@ -1104,6 +1104,40 @@ object Oracles {
     // SemDeDup: same centroid chain as x_ann_ivf but over the FULL planted
     // corpus; in-cluster smaller-id near-dup (rounded cosine ≥ 0.99) drops
     // the row
+    // temperature mixing: share per source ∝ sqrt(n); rate rounded 6 dp on
+    // both engines before the md5-uniform compare
+    "x_temp_sample" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents
+         |  WHERE text IS NOT NULL GROUP BY source),
+         |z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS Z FROM c),
+         |r AS (SELECT source, least(1.0, round(pow(CAST(n AS DOUBLE), 0.5) / Z
+         |  * 300.0 / CAST(n AS DOUBLE), 6)) AS rate FROM c, z)
+         |SELECT doc_id, source FROM documents d JOIN r USING (source)
+         |WHERE d.text IS NOT NULL
+         |  AND ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 < rate""".stripMargin,
+
+    // per-language ntile(3) over the x_lm_score perplexity (ties broken by
+    // doc_id on both engines)
+    "x_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |cnts AS (SELECT tok, count(*) AS cnt FROM
+         |  (SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en') GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T,
+         |  CAST(count(*) AS DOUBLE) AS V FROM cnts),
+         |lp AS (SELECT doc_id, ln((coalesce(cnt, 0) + 0.1) / (T + 0.1 * (V + 1))) AS lp
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) dtok
+         |  LEFT JOIN cnts USING (tok) CROSS JOIN tot),
+         |ppl AS (SELECT doc_id, round(exp(-round(avg(lp), 6)), 4) AS ppl
+         |  FROM lp GROUP BY doc_id),
+         |b AS (SELECT d.lang, p.ppl,
+         |  ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS bucket
+         |  FROM ppl p JOIN documents d USING (doc_id))
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(ppl), 4) AS avg_ppl,
+         |  round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+         |FROM b GROUP BY lang, bucket""".stripMargin,
+
     "x_pq_topk" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES
          |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,

@@ -92,4 +92,43 @@ class LmSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(ids === Set(2L))
   }
+
+  // ---- temperatureSample ----
+
+  private def skewedCorpus = {
+    // 100 rows of "big", 10 of "small"
+    val rows = (0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small"))
+    rows.toDF("doc_id", "source")
+  }
+
+  test("temperatureSample: a target above the corpus size keeps everything") {
+    val got = graft.ext.CorpusOps.temperatureSample(skewedCorpus,
+      col("doc_id"), col("source"), tau = 0.5, targetTotal = 10000)
+    assert(got.count() === 110)
+    assert(got.columns.toSeq === Seq("doc_id", "source"))
+  }
+
+  test("temperatureSample: tau < 1 keeps a larger fraction of the rare stratum") {
+    def fracs(tau: Double): Map[String, Double] = {
+      val kept = graft.ext.CorpusOps.temperatureSample(skewedCorpus,
+          col("doc_id"), col("source"), tau, targetTotal = 40)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      Map("big" -> kept.getOrElse("big", 0L) / 100.0,
+        "small" -> kept.getOrElse("small", 0L) / 10.0)
+    }
+    val t1 = fracs(1.0)   // proportional: same rate for both strata
+    val t0 = fracs(0.0)   // equal share: small stratum rate 20/10 -> capped 1.0
+    assert(t0("small") > t1("small"))
+    assert(t0("small") === 1.0) // 40/2 = 20 wanted from a 10-row stratum
+    assert(t0("big") < t1("big"))
+  }
+
+  test("temperatureSample: deterministic across invocations") {
+    def ids = graft.ext.CorpusOps.temperatureSample(skewedCorpus,
+        col("doc_id"), col("source"), tau = 0.5, targetTotal = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === ids)
+    assert(ids.nonEmpty)
+  }
 }

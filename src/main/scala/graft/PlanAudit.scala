@@ -36,7 +36,10 @@ object PlanAudit {
         "x_dedup_jaccard","x_boilerplate","x_quality_gopher","x_pii_scrub",
         "x_top_token","x_strat_sample","x_count_min","x_tfidf",
         "x_contamination","x_pack_sequences","q_ep2_pipeline","g_diff_erode",
-        "x_ann_lsh_batch","x_distinct").foreach(audit)
+        "x_ann_lsh_batch","x_distinct",
+        "x_chunk_dedup","x_repetition","x_bloom_prune","x_rebalance",
+        "x_semdedup","x_lm_score","x_dsir","x_pq_topk","x_temp_sample",
+        "x_ccnet_buckets").foreach(audit)
     spark.stop()
   }
 }

@@ -150,7 +150,10 @@ object SparkEntry {
     "x_pq_recall" -> ExtQueries.xPqRecall,
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
-    "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets
+    "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
+    // ext: split + shuffled export
+    "x_split" -> ExtQueries.xSplit,
+    "x_shuffle_export" -> ExtQueries.xShuffleExport
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

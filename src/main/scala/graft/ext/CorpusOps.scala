@@ -220,6 +220,42 @@ object CorpusOps {
       .drop("__s", "__rate")
   }
 
+  /** Deterministic train/val/test assignment: the md5 uniform of the key
+    * against cumulative fraction boundaries. Adds a `split` column; the
+    * last split absorbs any rounding remainder. Pure map — the standard
+    * "split must survive reprocessing and engine changes" requirement is
+    * exactly what the md5 idiom provides. */
+  def assignSplit(df: DataFrame, key: Column,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+    val split = fractions.init.zip(bounds.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), b), acc) =>
+      when(u < b, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic corpus shuffle for training export: md5-bucket the key
+    * into `numBuckets`, rank within each bucket by a second md5 order —
+    * the "globally shuffled shards" step before sequence packing. One
+    * shuffle on the bucket; the in-bucket window is bounded by
+    * corpus/numBuckets rows, so numBuckets is the straggler knob. */
+  def shuffleExport(df: DataFrame, key: Column, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numBuckets > 0, "numBuckets must be positive")
+    val bucket = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % numBuckets).as("bucket")
+    df.withColumn("bucket", bucket)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(md5(concat(lit("shuf:"), key.cast("string"))), key)))
+  }
+
   /** Token-count histogram: bin documents by `binWidth` tokens and count.
     * One partial-aggregated shuffle on the bin id (at most a few hundred
     * distinct bins), with per-bin min/max as the bin-edge sanity columns. */

@@ -526,6 +526,17 @@ object ExtQueries {
         round(max(col("ppl")), 4).as("max_ppl"))
   }
 
+  /** Deterministic 80/10/10 split, aggregated to per-split counts. */
+  val xSplit: Q = (s, dir) =>
+    CorpusOps.assignSplit(docs(s, dir), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+
+  /** Deterministic shuffled-shard assignment: 8 buckets, in-bucket rank. */
+  val xShuffleExport: Q = (s, dir) =>
+    CorpusOps.shuffleExport(docs(s, dir), col("doc_id"), numBuckets = 8)
+      .select(col("doc_id"), col("bucket"), col("rank"))
+
   // ---- product quantization (round 4) ----
 
   private def pqParts(s: SparkSession, dir: String) = {

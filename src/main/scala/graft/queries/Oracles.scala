@@ -1104,6 +1104,24 @@ object Oracles {
     // SemDeDup: same centroid chain as x_ann_ivf but over the FULL planted
     // corpus; in-cluster smaller-id near-dup (rounded cosine ≥ 0.99) drops
     // the row
+    // cumulative md5-uniform boundaries: [0,0.8) train, [0.8,0.9) val,
+    // remainder test (the Spark side folds the same bounds into a CASE)
+    "x_split" ->
+      s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |  SELECT CASE
+         |    WHEN ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 < 0.8 THEN 'train'
+         |    WHEN ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 < 0.9000000000000001 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM documents WHERE text IS NOT NULL) GROUP BY split""".stripMargin,
+
+    "x_shuffle_export" ->
+      s"""SELECT doc_id, bucket,
+         |  CAST(row_number() OVER (PARTITION BY bucket
+         |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+         |FROM (SELECT doc_id,
+         |    ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} % 8 AS bucket
+         |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
     // temperature mixing: share per source ∝ sqrt(n); rate rounded 6 dp on
     // both engines before the md5-uniform compare
     "x_temp_sample" ->

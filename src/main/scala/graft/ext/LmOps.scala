@@ -69,7 +69,12 @@ object LmOps {
     * size: the bound is a parameter, not a property of the data. */
   def hashedNgramCounts(ref: DataFrame, text: Column, n: Int, buckets: Int): DataFrame = {
     require(n > 0 && buckets > 0, "n and buckets must be positive")
-    ref.select(explode(TextOps.shingles(TextOps.tokens(text), n)).as("ng"))
+    // tokens materialised in their own projection — shingles() indexes the
+    // array per position, and an INLINED tokens expression would be
+    // re-evaluated at every index (the O(n²)-per-row CollapseProject trap;
+    // see TextOps.explodeShingles)
+    ref.select(TextOps.tokens(text).as("__toks"))
+      .select(explode(TextOps.shingles(col("__toks"), n)).as("ng"))
       .select((conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
         % buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
@@ -106,8 +111,9 @@ object LmOps {
              (col("__Tt") + lit(alpha) * buckets)) -
          log((coalesce(col("__cr"), lit(0L)).cast("double") + lit(alpha)) /
              (col("__Tr") + lit(alpha) * buckets))).as("__lr"))
-    val feats = docs.select(key.as("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(text), n)).as("ng"))
+    val feats = docs.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("__toks"), n)).as("ng"))
       .select(col("doc_id"),
         (conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
           % buckets).as("bucket"))

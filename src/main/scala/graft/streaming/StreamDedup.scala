@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.DedupOps
+
+/** Streaming near-duplicate suppression: signature-exact SimHash dedup
+  * under a watermark.
+  *
+  * The batch near-dup path (simhash → pigeonhole blocks → verified pairs)
+  * needs a self-join, which streaming cannot express without a second
+  * stateful operator per block. The streaming form trades recall for a
+  * single stateful op: documents whose 32-bit SimHash signatures are EQUAL
+  * are deduplicated within the watermark horizon. Token-set-identical
+  * variants (re-crawls with different whitespace/punctuation/casing — the
+  * dominant near-dup class in a streaming ingest) collapse to the same
+  * signature and are caught; a pair at Hamming distance ≥ 1 is not. Batch
+  * [[graft.ext.DedupOps.simhashPairs]] over the accumulated corpus remains
+  * the full-recall sweep; this operator is the cheap in-flight filter in
+  * front of it.
+  *
+  * State is bounded by the watermark exactly as the exact-dedup path:
+  * one state row per distinct signature seen within the horizon
+  * (dropDuplicatesWithinWatermark semantics — eviction proven by
+  * re-emission in StreamDedupSpec).
+  */
+object StreamDedup {
+
+  /** Append a `simhash` column and drop signature-duplicates within the
+    * watermark. The signature is [[DedupOps.simhashCol]] — bit-identical to
+    * the batch [[DedupOps.simhash]] aggregate, so in-flight survivors can
+    * be joined/compared against batch signatures directly. */
+  def nearDupDedup(docs: DataFrame, textCol: String, tsCol: String,
+                   watermark: String): DataFrame =
+    docs.withColumn("simhash", DedupOps.simhashCol(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+}

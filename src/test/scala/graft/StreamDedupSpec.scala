@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ext.DedupOps
+import graft.streaming.StreamDedup
+
+/** Row-local SimHash + streaming near-dup suppression. */
+class StreamDedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("simhashCol equals the batch simhash aggregate on every document") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox! jumps over THE lazy dog."), // same token set as 1
+      (4L, "sphinx of black quartz judge my vow"),
+      (5L, "a b c d e f g"),
+      (6L, "one"))
+      .toDF("doc_id", "text")
+    val batch = DedupOps.simhash(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val local = docs.select(col("doc_id"), DedupOps.simhashCol(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(local.view.filterKeys(batch.contains).toMap === batch)
+    // punctuation/case variants share the signature
+    assert(local(1L) === local(3L))
+  }
+
+  test("streaming near-dup dedup: signature-equal variants collapse, state " +
+    "evicts past the watermark (re-emission)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamDedup.nearDupDedup(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sndd_out").start()
+    in.addData((1L, "the quick brown fox", ts("2024-01-01 00:00:00")),
+      (2L, "an entirely different document", ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    // punctuation variant of doc 1 within the watermark -> suppressed
+    in.addData((3L, "The quick... brown FOX!", ts("2024-01-01 00:30:00")))
+    q.processAllAvailable()
+    // advance the watermark past doc 1's horizon
+    in.addData((4L, "watermark advancer text", ts("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    // same signature again after eviction -> re-emits (state is bounded)
+    in.addData((5L, "the quick brown fox", ts("2024-01-01 04:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sndd_out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 4L, 5L))
+  }
+}

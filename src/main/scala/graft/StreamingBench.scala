@@ -102,7 +102,37 @@ object StreamingBench {
     val jState = stateRows(q2)
     q2.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    // ---- streaming near-dup dedup (simhashCol + watermarked drop) ----
+    // short synthetic documents; 30% of each batch are punctuation variants
+    // of the previous batch's docs (same token set -> same signature).
+    // Throughput is dominated by the 32 interpreted filter() passes of
+    // simhashCol — this number is exactly the honesty row for that cost.
+    val nin = MemoryStream[(Long, String, Timestamp)]
+    val ndd = graft.streaming.StreamDedup.nearDupDedup(
+      nin.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+    val q3 = ndd.writeStream.outputMode(OutputMode.Append())
+      .format("noop").start()
+    val nddRowsPerBatch = 5000 // simhashCol is ~20× heavier per row than a hash key
+    def nddBatch(b: Int): Seq[(Long, String, Timestamp)] = {
+      val start = (b.toLong * 7 * nddRowsPerBatch) / 10
+      (0 until nddRowsPerBatch).map { i =>
+        val k = start + i
+        // "u<k>" keeps every key's token set (and thus signature) unique, so
+        // state follows the q1 shape: the 30% key overlap between batches is
+        // the duplicate load, everything else is a fresh signature
+        val words = s"u$k" +: (0 until 11).map(w => s"w${(k * 17 + w * 31) % 5000}")
+        (k, words.mkString(" "), new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+      }
+    }
+    (0 until warm).foreach { b => nin.addData(nddBatch(b)); q3.processAllAvailable() }
+    val t3 = System.nanoTime()
+    (warm until total).foreach { b => nin.addData(nddBatch(b)); q3.processAllAvailable() }
+    val nSec = (System.nanoTime() - t3) / 1e9
+    val nRows = (total - warm).toLong * nddRowsPerBatch
+    val nState = stateRows(q3)
+    q3.stop()
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

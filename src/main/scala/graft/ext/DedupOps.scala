@@ -209,29 +209,12 @@ object DedupOps {
   /** Row-local SimHash: the SAME 32-bit signature as [[simhash]] (identical
     * md5-nibble bits, identical ±1 vote rule over the distinct token set —
     * equality is locked by StreamDedupSpec) computed entirely within one
-    * row, no explode, no groupBy. This is the form pure-map contexts need:
-    * streaming stages (where an aggregate would be a second stateful
-    * operator) and encode-style projections.
-    *
-    * Cost note: 32 higher-order filter() passes over the token-hash array —
-    * interpreted lambdas, ~32·n_tokens evals per row. Acceptable where it
-    * is the only option; batch paths should keep using [[simhash]] (codegen
-    * aggregate), and a native Expression is the upgrade if a hot streaming
-    * path ever needs it. */
-  def simhashCol(text: Column): Column = {
-    val hs = transform(array_distinct(TextOps.tokens(text)), t => md5(t))
-    val n = size(hs)
-    (0 until 32).map { j =>
-      val digit = j / 4
-      val p = 1 << (j % 4)
-      val matches = size(filter(hs, h => {
-        val d = instr(lit("0123456789abcdef"), substring(h, digit + 1, 1)) - 1
-        d % (2 * p) >= p
-      }))
-      // votes = matches - (n - matches); bit set iff positive
-      when(matches * 2 - n > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * row, no explode, no groupBy — the native
+    * [[graft.functions.SimHash32]] expression. This is the form pure-map
+    * contexts need: streaming stages (where an aggregate would be a second
+    * stateful operator) and encode-style projections. */
+  def simhashCol(text: Column): Column =
+    graft.functions.TextFunctions.simhash32(TextOps.tokens(text))
 
   /** Near-dup pairs by SimHash, pigeonhole-complete: the 32-bit signature is
     * split into `maxHamming + 1` equal bit-blocks, so any pair within Hamming

@@ -153,7 +153,9 @@ object SparkEntry {
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
     // ext: split + shuffled export
     "x_split" -> ExtQueries.xSplit,
-    "x_shuffle_export" -> ExtQueries.xShuffleExport
+    "x_shuffle_export" -> ExtQueries.xShuffleExport,
+    // ext: drift monitoring
+    "x_psi_drift" -> ExtQueries.xPsiDrift
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */

@@ -220,6 +220,51 @@ object CorpusOps {
       .drop("__s", "__rate")
   }
 
+  /** Population-stability-index drift between two corpus snapshots over a
+    * categorical (or pre-binned) column: per bin,
+    * contrib = (p_cur − p_ref) · ln(p_cur / p_ref), with add-`alpha`
+    * smoothing over the UNION of bins so a bin present on only one side
+    * contributes a large-but-finite term instead of ±∞. Total PSI is the
+    * sum of `psi_contrib` (< 0.1 stable, > 0.25 drifted by the usual
+    * reading); per-bin rows are returned because the actionable output is
+    * WHICH bins moved.
+    *
+    * Scale shape: one partial-aggregated count per side keyed on the bin,
+    * a full outer join of two bin-count tables (bin cardinality ≪ rows),
+    * and two one-row totals broadcast in. Nothing touches row-level data
+    * after the first aggregates. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, refBin: Column, curBin: Column,
+               alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive (zero re-introduces infinities)")
+    val rc = ref.groupBy(refBin.as("__rbin")).agg(count(lit(1)).as("__nr"))
+    val cc = cur.groupBy(curBin.as("__cbin")).agg(count(lit(1)).as("__nc"))
+    // explicit join condition, not USING: a full-outer USING join carries
+    // hidden original-column metadata that makes later references ambiguous
+    // once the join is crossJoined with plans sharing its lineage
+    val joined = rc.join(cc, col("__rbin") === col("__cbin"), "full_outer")
+      .select(coalesce(col("__rbin"), col("__cbin")).as("bin"),
+        col("__nr"), col("__nc"))
+    // totals from independent aggregates, NOT from `joined` (no aggregate-
+    // of-self crossJoin)
+    val totals = ref.agg(count(lit(1)).cast("double").as("__tot_r"))
+      .crossJoin(cur.agg(count(lit(1)).cast("double").as("__tot_c")))
+      .crossJoin(ref.select(refBin.as("bin"))
+        .unionByName(cur.select(curBin.as("bin")))
+        .distinct().agg(count(lit(1)).cast("double").as("__nbins")))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"),
+        round(((coalesce(col("__nc"), lit(0L)).cast("double") + lit(alpha)) /
+               (col("__tot_c") + lit(alpha) * col("__nbins")) -
+               (coalesce(col("__nr"), lit(0L)).cast("double") + lit(alpha)) /
+               (col("__tot_r") + lit(alpha) * col("__nbins"))) *
+          log(((coalesce(col("__nc"), lit(0L)).cast("double") + lit(alpha)) /
+               (col("__tot_c") + lit(alpha) * col("__nbins"))) /
+              ((coalesce(col("__nr"), lit(0L)).cast("double") + lit(alpha)) /
+               (col("__tot_r") + lit(alpha) * col("__nbins")))), 6).as("psi_contrib"))
+  }
+
   /** Deterministic train/val/test assignment: the md5 uniform of the key
     * against cumulative fraction boundaries. Adds a `split` column; the
     * last split absorbs any rounding remainder. Pure map — the standard

@@ -537,6 +537,15 @@ object ExtQueries {
     CorpusOps.shuffleExport(docs(s, dir), col("doc_id"), numBuckets = 8)
       .select(col("doc_id"), col("bucket"), col("rank"))
 
+  /** PSI drift between the even-id and odd-id halves of the corpus over the
+    * source distribution — the snapshot-to-snapshot mix-shift monitor. */
+  val xPsiDrift: Q = (s, dir) => {
+    val d = docs(s, dir)
+    CorpusOps.psiDrift(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+      col("source"), col("source"))
+  }
+
   // ---- product quantization (round 4) ----
 
   private def pqParts(s: SparkSession, dir: String) = {

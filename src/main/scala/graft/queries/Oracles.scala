@@ -1104,6 +1104,23 @@ object Oracles {
     // SemDeDup: same centroid chain as x_ann_ivf but over the FULL planted
     // corpus; in-cluster smaller-id near-dup (rounded cosine ≥ 0.99) drops
     // the row
+    // PSI over the union of bins with add-0.5 smoothing; B = union bin count
+    "x_psi_drift" ->
+      """WITH rc AS (SELECT source AS bin, count(*) AS nr FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 2 = 0 GROUP BY source),
+        |cc AS (SELECT source AS bin, count(*) AS nc FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 2 = 1 GROUP BY source),
+        |j AS (SELECT coalesce(rc.bin, cc.bin) AS bin,
+        |  coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+        |  FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+        |t AS (SELECT CAST(sum(nr) AS DOUBLE) AS Tr, CAST(sum(nc) AS DOUBLE) AS Tc,
+        |  CAST(count(*) AS DOUBLE) AS B FROM j)
+        |SELECT bin, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  round(((nc + 0.5) / (Tc + 0.5 * B) - (nr + 0.5) / (Tr + 0.5 * B)) *
+        |    ln(((nc + 0.5) / (Tc + 0.5 * B)) / ((nr + 0.5) / (Tr + 0.5 * B))), 6)
+        |    AS psi_contrib
+        |FROM j, t""".stripMargin,
+
     // cumulative md5-uniform boundaries: [0,0.8) train, [0.8,0.9) val,
     // remainder test (the Spark side folds the same bounds into a CASE)
     "x_split" ->

@@ -124,6 +124,36 @@ class LmSpec extends SparkTestBase {
     assert(t0("big") < t1("big"))
   }
 
+  // ---- psiDrift ----
+
+  test("psiDrift: identical snapshots give zero contribution per bin") {
+    val snap = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val got = graft.ext.CorpusOps.psiDrift(snap, snap, col("src"), col("src"))
+      .select("bin", "psi_contrib").as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 0.0, "b" -> 0.0))
+  }
+
+  test("psiDrift: hand-computed contributions, one-sided bin stays finite") {
+    // ref: a×3, b×1; cur: a×1, b×2, c×1 (c unseen in ref)
+    val ref = Seq("a", "a", "a", "b").zipWithIndex.map(_.swap).toDF("id", "src")
+    val cur = Seq("a", "b", "b", "c").zipWithIndex.map(_.swap).toDF("id", "src")
+    val got = graft.ext.CorpusOps.psiDrift(ref, cur, col("src"), col("src"),
+        alpha = 0.5)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def p(n: Long, t: Double) = (n + 0.5) / (t + 0.5 * 3)
+    def contrib(nr: Long, nc: Long) = {
+      val x = (p(nc, 4) - p(nr, 4)) * math.log(p(nc, 4) / p(nr, 4))
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("a")._2 === 3L && got("a")._3 === 1L)
+    assert(math.abs(got("a")._4 - contrib(3, 1)) < 1e-9)
+    assert(math.abs(got("c")._4 - contrib(0, 1)) < 1e-9)
+    assert(got("c")._4 > 0 && !got("c")._4.isInfinite)
+    // every contribution is non-negative ((p-q) and ln(p/q) share sign)
+    assert(got.values.forall(_._4 >= 0))
+  }
+
   test("temperatureSample: deterministic across invocations") {
     def ids = graft.ext.CorpusOps.temperatureSample(skewedCorpus,
         col("doc_id"), col("source"), tau = 0.5, targetTotal = 30)

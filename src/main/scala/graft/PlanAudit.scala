@@ -38,8 +38,9 @@ object PlanAudit {
         "x_contamination","x_pack_sequences","q_ep2_pipeline","g_diff_erode",
         "x_ann_lsh_batch","x_distinct",
         "x_chunk_dedup","x_repetition","x_bloom_prune","x_rebalance",
-        "x_semdedup","x_lm_score","x_dsir","x_pq_topk","x_temp_sample",
-        "x_ccnet_buckets").foreach(audit)
+        "x_semdedup","x_lm_score","x_dsir","x_pq_topk","x_pq_recall",
+        "x_temp_sample","x_ccnet_buckets","x_split","x_shuffle_export",
+        "x_psi_drift").foreach(audit)
     spark.stop()
   }
 }

@@ -132,7 +132,7 @@ object StreamingBench {
     val nState = stateRows(q3)
     q3.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

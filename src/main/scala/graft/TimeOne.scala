@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * headline sweep. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // session config mirrors Bench exactly — a regression chased here must
+    // reproduce under the same timezone/extensions/AQE settings Bench uses
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", false)
       .config("spark.sql.adaptive.enabled", true)
       .config("spark.ui.enabled", false)
-      .config("spark.sql.ansi.enabled", false)
-      .config("spark.sql.legacy.parquet.nanosAsLong", true)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>

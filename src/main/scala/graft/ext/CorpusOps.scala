@@ -215,7 +215,9 @@ object CorpusOps {
           * lit(targetTotal.toDouble) / col("__n").cast("double"), 6)).as("__rate"))
     val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
-    df.join(rates, stratum === col("__s"))
+    // null-safe join: a NULL stratum is a legitimate group (groupBy keeps
+    // it), and a plain === would silently delete every such row
+    df.join(rates, stratum <=> col("__s"))
       .where(u < col("__rate"))
       .drop("__s", "__rate")
   }
@@ -229,27 +231,30 @@ object CorpusOps {
     * reading); per-bin rows are returned because the actionable output is
     * WHICH bins moved.
     *
-    * Scale shape: one partial-aggregated count per side keyed on the bin,
-    * a full outer join of two bin-count tables (bin cardinality ≪ rows),
-    * and two one-row totals broadcast in. Nothing touches row-level data
-    * after the first aggregates. */
+    * Scale shape: one partial-aggregated count per side keyed on the bin
+    * (the only row-level pass over each snapshot); everything after — the
+    * full outer join, the three totals, the contribution arithmetic — runs
+    * on bin-cardinality tables. */
   def psiDrift(ref: DataFrame, cur: DataFrame, refBin: Column, curBin: Column,
                alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "alpha must be positive (zero re-introduces infinities)")
     val rc = ref.groupBy(refBin.as("__rbin")).agg(count(lit(1)).as("__nr"))
     val cc = cur.groupBy(curBin.as("__cbin")).agg(count(lit(1)).as("__nc"))
-    // explicit join condition, not USING: a full-outer USING join carries
-    // hidden original-column metadata that makes later references ambiguous
-    // once the join is crossJoined with plans sharing its lineage
-    val joined = rc.join(cc, col("__rbin") === col("__cbin"), "full_outer")
+    // explicit NULL-SAFE join condition, not USING: a full-outer USING join
+    // carries hidden original-column metadata that makes later references
+    // ambiguous once the join is crossJoined with plans sharing its
+    // lineage, and a plain === would split a null bin present on both
+    // sides into two spurious one-sided drift rows
+    val joined = rc.join(cc, col("__rbin") <=> col("__cbin"), "full_outer")
       .select(coalesce(col("__rbin"), col("__cbin")).as("bin"),
         col("__nr"), col("__nc"))
-    // totals from independent aggregates, NOT from `joined` (no aggregate-
-    // of-self crossJoin)
-    val totals = ref.agg(count(lit(1)).cast("double").as("__tot_r"))
-      .crossJoin(cur.agg(count(lit(1)).cast("double").as("__tot_c")))
-      .crossJoin(ref.select(refBin.as("bin"))
-        .unionByName(cur.select(curBin.as("bin")))
+    // totals from the tiny bin-count aggregates (bin cardinality, never a
+    // second row-level pass over the snapshots), and NOT from `joined`
+    // (crossJoining a plan with an aggregate of itself is ambiguous)
+    val totals = rc.agg(sum(col("__nr")).cast("double").as("__tot_r"))
+      .crossJoin(cc.agg(sum(col("__nc")).cast("double").as("__tot_c")))
+      .crossJoin(rc.select(col("__rbin").as("bin"))
+        .unionByName(cc.select(col("__cbin").as("bin")))
         .distinct().agg(count(lit(1)).cast("double").as("__nbins")))
     joined.crossJoin(broadcast(totals))
       .select(col("bin"),

@@ -101,14 +101,17 @@ object PqOps {
       array((0 until cb.m).map(s => codeExpr(vec, cb, s).cast("int")): _*).as("codes"))
   }
 
-  /** ADC top-k for one query vector (one-row DataFrame with column `q`)
-    * against a trained codebook: build the m×ksub distance table IN Spark
-    * (so rounding is the engine's own), then score = sum of per-subspace
-    * table lookups — a pure map over the corpus, top-k smallest via
+  /** ADC top-k over a PRE-ENCODED corpus ((idCol, codes) from [[encode]]):
+    * build the m×ksub distance table IN Spark (so rounding is the engine's
+    * own), then score = sum of per-subspace table lookups on the stored
+    * codes — m element_at calls per row, no distance arithmetic, no
+    * re-quantization. This is the form that makes PQ PQ: the corpus the
+    * query path scans is the compressed codes table (log2(ksub)·m bits per
+    * vector), and every query costs m lookups per row plus one
     * TakeOrderedAndProject. Output: (vec_id, adc_dist). */
-  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, k: Int, cb: Codebook): DataFrame = {
-    val s0 = corpus.sparkSession
+  def adcTopKEncoded(encoded: DataFrame, idCol: String,
+                     query: DataFrame, k: Int, cb: Codebook): DataFrame = {
+    val s0 = encoded.sparkSession
     import s0.implicits._
     val cbDf = cb.words.toSeq.map { case ((s, c), w) => (s, c, w) }
       .toDF("sub", "code", "w")
@@ -121,12 +124,20 @@ object PqOps {
           col("sub") * cb.dsub + 1, lit(cb.dsub)), col("w")).as("d2"))
       .as[(Int, Int, Double)].collect()
       .map { case (s, c, d2) => (s, c) -> d2 }.toMap
-    val vec = col(vecCol).cast("array<double>")
     val adc = round((0 until cb.m).map { s =>
-      element_at(typedLit((1 to cb.ksub).map(c => dtab((s, c)))), codeExpr(vec, cb, s))
+      element_at(typedLit((1 to cb.ksub).map(c => dtab((s, c)))),
+        element_at(col("codes"), s + 1))
     }.reduce(_ + _), 6)
-    corpus.select(col(idCol).as("vec_id"), adc.as("adc_dist"))
+    encoded.select(col(idCol).as("vec_id"), adc.as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
   }
+
+  /** Convenience raw-vector form: encodes on the fly, then scores the
+    * codes ([[adcTopKEncoded]]). Use the encoded form when the codes table
+    * is materialised — re-encoding per query pays the full m×ksub
+    * quantization arithmetic per row, which is training-grade work. */
+  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, cb: Codebook): DataFrame =
+    adcTopKEncoded(encode(corpus, idCol, vecCol, cb), idCol, query, k, cb)
 }

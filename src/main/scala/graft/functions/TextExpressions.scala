@@ -24,18 +24,25 @@ case class SimHash32(child: Expression)
 
   override def dataType: DataType = LongType
 
+  // per-thread digest: getInstance is a JCA provider lookup, too costly
+  // per row; ThreadLocal because one deserialized expression instance can
+  // serve several local-mode tasks concurrently
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val seen = new java.util.HashSet[String](math.max(16, n * 2))
+    // UTF8String has value equals/hashCode — no per-token String conversion
+    val seen = new java.util.HashSet[AnyRef](math.max(16, n * 2))
     val votes = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val tok = arr.getUTF8String(i)
-        val s = tok.toString
-        if (seen.add(s)) {
+        if (seen.add(tok)) {
           md.reset()
           val d = md.digest(tok.getBytes)
           // first 4 digest bytes == first 8 hex chars, big-endian

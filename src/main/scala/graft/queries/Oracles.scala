@@ -1104,7 +1104,9 @@ object Oracles {
     // SemDeDup: same centroid chain as x_ann_ivf but over the FULL planted
     // corpus; in-cluster smaller-id near-dup (rounded cosine ≥ 0.99) drops
     // the row
-    // PSI over the union of bins with add-0.5 smoothing; B = union bin count
+    // PSI over the union of bins with add-0.5 smoothing; B = union bin
+    // count; the full join is NULL-SAFE (IS NOT DISTINCT FROM) to mirror
+    // the operator's <=> — a null bin on both sides is ONE bin
     "x_psi_drift" ->
       """WITH rc AS (SELECT source AS bin, count(*) AS nr FROM documents
         |  WHERE text IS NOT NULL AND doc_id % 2 = 0 GROUP BY source),
@@ -1112,7 +1114,7 @@ object Oracles {
         |  WHERE text IS NOT NULL AND doc_id % 2 = 1 GROUP BY source),
         |j AS (SELECT coalesce(rc.bin, cc.bin) AS bin,
         |  coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
-        |  FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+        |  FROM rc FULL JOIN cc ON rc.bin IS NOT DISTINCT FROM cc.bin),
         |t AS (SELECT CAST(sum(nr) AS DOUBLE) AS Tr, CAST(sum(nc) AS DOUBLE) AS Tc,
         |  CAST(count(*) AS DOUBLE) AS B FROM j)
         |SELECT bin, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,

@@ -30,10 +30,20 @@ object StreamDedup {
   /** Append a `simhash` column and drop signature-duplicates within the
     * watermark. The signature is [[DedupOps.simhashCol]] — bit-identical to
     * the batch [[DedupOps.simhash]] aggregate, so in-flight survivors can
-    * be joined/compared against batch signatures directly. */
+    * be joined/compared against batch signatures directly.
+    *
+    * Rows with null text or a zero-token text are DROPPED, mirroring the
+    * batch path (which filters nulls and emits no signature row for
+    * token-less documents): without the guard, every null-text extraction
+    * failure would share one null signature — and every punctuation-only
+    * document the zero signature — and dropDuplicates would silently
+    * swallow all but the first of each. Route token-less rows around this
+    * operator if they must be kept. */
   def nearDupDedup(docs: DataFrame, textCol: String, tsCol: String,
                    watermark: String): DataFrame =
-    docs.withColumn("simhash", DedupOps.simhashCol(col(textCol)))
+    docs.where(col(textCol).isNotNull)
+      .where(size(graft.ext.TextOps.tokens(col(textCol))) > 0)
+      .withColumn("simhash", DedupOps.simhashCol(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 }

@@ -154,6 +154,27 @@ class LmSpec extends SparkTestBase {
     assert(got.values.forall(_._4 >= 0))
   }
 
+  test("psiDrift: a null bin on both sides is one bin, not two one-sided rows") {
+    val ref = Seq((1L, null.asInstanceOf[String]), (2L, "a")).toDF("id", "src")
+    val cur = Seq((3L, null.asInstanceOf[String]), (4L, "a")).toDF("id", "src")
+    val got = graft.ext.CorpusOps.psiDrift(ref, cur, col("src"), col("src"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length === 2)
+    val nullRow = got.find(_._1 == null).get
+    assert(nullRow._2 === 1L && nullRow._3 === 1L && nullRow._4 === 0.0)
+  }
+
+  test("temperatureSample: null-stratum rows form their own stratum instead " +
+    "of vanishing") {
+    val df = ((0 until 20).map(i => (i.toLong, "big")) ++
+      (20 until 30).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("doc_id", "source")
+    val kept = graft.ext.CorpusOps.temperatureSample(df, col("doc_id"),
+        col("source"), tau = 0.5, targetTotal = 1000)
+    assert(kept.count() === 30) // rate capped at 1.0 for both strata
+    assert(kept.where(col("source").isNull).count() === 10)
+  }
+
   test("temperatureSample: deterministic across invocations") {
     def ids = graft.ext.CorpusOps.temperatureSample(skewedCorpus,
         col("doc_id"), col("source"), tau = 0.5, targetTotal = 30)

@@ -58,4 +58,25 @@ class StreamDedupSpec extends SparkTestBase {
     val got = spark.table("sndd_out").select("doc_id").as[Long].collect().sorted.toSeq
     assert(got === Seq(1L, 2L, 4L, 5L))
   }
+
+  test("streaming near-dup dedup: null-text and token-less rows are dropped, " +
+    "not collapsed into shared null/zero signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamDedup.nearDupDedup(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sndd_null_out").start()
+    in.addData(
+      (1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00")),
+      (2L, "!!!", ts("2024-01-01 00:01:00")),   // tokenless
+      (3L, "???", ts("2024-01-01 00:02:00")),   // tokenless, distinct from 2
+      (4L, "a real document", ts("2024-01-01 00:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    // without the guard, rows 2/3 would share signature 0 (one survivor)
+    // and row 1 a null signature; with it, only real text flows through
+    val got = spark.table("sndd_null_out").select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(4L))
+  }
 }

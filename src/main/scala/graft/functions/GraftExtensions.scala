@@ -58,5 +58,8 @@ object GraftExtensions {
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_cosine"),
       arity("vec_cosine", 2)(a => Divide(dot(a(0), a(1)),
-        Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1))))))))
+        Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1))))))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      arity("simhash32", 1)(a => SimHash32(a(0)))))
 }

@@ -27,6 +27,22 @@ class SqlExtensionSpec extends SparkTestBase {
     assert(d === 8.0)
   }
 
+  test("simhash32 resolves in SQL and matches the DataFrame batch signature") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "pack my box"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sqlsim_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash32(filter(split(lower(regexp_replace(text,
+        |  '[^a-z0-9]+', ' ')), ' '), t -> t <> '')) AS sig
+        |FROM sqlsim_docs""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    val viaBatch = graft.ext.DedupOps.simhash(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql === viaBatch)
+  }
+
   test("FunctionInstaller registration on a built session is idempotent") {
     FunctionInstaller.install(spark)
     FunctionInstaller.install(spark)

@@ -148,6 +148,7 @@ object SparkEntry {
     // ext: product quantization
     "x_pq_topk" -> ExtQueries.xPqTopk,
     "x_pq_recall" -> ExtQueries.xPqRecall,
+    "x_ivfpq" -> ExtQueries.xIvfPq,
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,

@@ -95,10 +95,16 @@ object PqOps {
   }
 
   /** (idCol, codes array<int>) — the compressed representation. Pure map. */
-  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame =
+    withCodes(df, vecCol, cb).select(col(idCol), col("codes"))
+
+  /** Append the `codes` column to an arbitrary frame (pure map) — the form
+    * composition sites need when the row must keep other columns (e.g. the
+    * IVF cell id in [[SimilarityOps.ivfPqTopK]]). */
+  def withCodes(df: DataFrame, vecCol: String, cb: Codebook): DataFrame = {
     val vec = col(vecCol).cast("array<double>")
-    df.select(col(idCol),
-      array((0 until cb.m).map(s => codeExpr(vec, cb, s).cast("int")): _*).as("codes"))
+    df.withColumn("codes",
+      array((0 until cb.m).map(s => codeExpr(vec, cb, s).cast("int")): _*))
   }
 
   /** ADC top-k over a PRE-ENCODED corpus ((idCol, codes) from [[encode]]):

@@ -352,6 +352,41 @@ object SimilarityOps {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** IVF-PQ (the composition both halves exist for): coarse cosine cells
+    * prune the corpus to nprobe/nlist, and the survivors are scored by PQ
+    * asymmetric distance on their stored codes — no raw-vector arithmetic
+    * in the query path. This is the flat-code variant (codes quantize the
+    * raw vectors; classical IVF-PQ quantizes the residual v − centroid,
+    * which needs a per-cell distance table — the structure here is
+    * identical and the variant keeps the codebook query-independent).
+    *
+    * Scale shape: cell assignment + code computation is ONE map pass over
+    * the corpus (both are native/literal expressions); the query's probed
+    * cells arrive as a broadcast semi-filter; ADC scoring is m lookups per
+    * surviving row; top-k is a TakeOrderedAndProject. At 100 TB the query
+    * path is a scan of the (cell, codes) table with a broadcast filter —
+    * and with the table bucketed by cell id, a scan of nprobe/nlist of it. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                kmeansIters: Int, m: Int, ksub: Int, pqIters: Int): DataFrame = {
+    val ctr0 = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val ctr =
+      if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, ctr0, kmeansIters)
+      else ctr0
+    val cb = PqOps.train(corpus, idCol, vecCol, m, ksub, pqIters)
+    val asgEnc = PqOps.withCodes(ivfAssign(corpus, idCol, vecCol, ctr), vecCol, cb)
+    val probeCells = query.crossJoin(broadcast(ctr))
+      .select(col("centroid_id"),
+        round(dot(col("q"), col("centroid")) /
+          (norm(col("q")) * norm(col("centroid"))), 6).as("__sim"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    PqOps.adcTopKEncoded(
+      asgEnc.join(broadcast(probeCells), "centroid_id"),
+      idCol, query, k, cb)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means cluster the
     * embedding space, then within each cluster drop every vector that has a

@@ -565,6 +565,14 @@ object ExtQueries {
     PqOps.adcTopK(corpus, "vec_id", "embedding", query, k = 10, cb)
   }
 
+  /** IVF-PQ composition: 16 cosine cells (1 Lloyd round) pruned to 4
+    * probed cells, survivors ranked by PQ ADC on their stored codes. */
+  val xIvfPq: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    SimilarityOps.ivfPqTopK(corpus, "vec_id", "embedding", query, k = 10,
+      nlist = 16, nprobe = 4, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1)
+  }
+
   /** Recall of the PQ top-10 against the exact squared-L2 top-10 — the
     * honesty row for the compressed representation. On the planted corpus
     * this is 0.5 BY CONSTRUCTION, and that is the interesting part: vector

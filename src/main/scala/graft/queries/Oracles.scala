@@ -88,37 +88,42 @@ object Oracles {
   private def l2Sql(a: String, b: String): String =
     s"round(list_dot_product($a,$a)+list_dot_product($b,$b)-2*list_dot_product($a,$b),6)"
 
-  /** PQ chain over the planted corpus (mirrors PqOps: m=4 subspaces of 16
+  /** PQ chain over the CTE named `src` (mirrors PqOps: m=4 subspaces of 16
     * dims, ksub=16 md5-sampled seeds, one Lloyd round of rounded means,
-    * lexicographic (distance, code) argmin). Leaves `rest`, `qv`, `enc`
-    * (vec_id, sub, code), `dtab` and `adc` (vec_id, adc_dist) defined. */
-  private val PQ_CTES =
-    s"""rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
-       |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
-       |subs AS (SELECT unnest(range(0, 4)) AS sub),
-       |samp AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, v FROM
-       |  (SELECT vec_id, v FROM rest ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
-       |cb0 AS (SELECT sub, code, v[sub*16+1:(sub+1)*16] AS w FROM samp, subs),
-       |sv AS (SELECT vec_id, sub, v[sub*16+1:(sub+1)*16] AS sv FROM rest, subs),
-       |asg1 AS (SELECT vec_id, sub, code, sv FROM (
+    * lexicographic (distance, code) argmin). Leaves `enc` (vec_id, sub,
+    * code), `dtab` and `adc` (vec_id, adc_dist) defined; internal names are
+    * pq-prefixed so the chain composes with ivfChainCtes (whose asg1/upd1
+    * would otherwise collide). Expects `qv` (the query vector) defined. */
+  private def pqCtes(src: String): String =
+    s"""subs AS (SELECT unnest(range(0, 4)) AS sub),
+       |pqsamp AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, v FROM
+       |  (SELECT vec_id, v FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+       |pqcb0 AS (SELECT sub, code, v[sub*16+1:(sub+1)*16] AS w FROM pqsamp, subs),
+       |pqsv AS (SELECT vec_id, sub, v[sub*16+1:(sub+1)*16] AS sv FROM $src, subs),
+       |pqasg1 AS (SELECT vec_id, sub, code, sv FROM (
        |  SELECT s.vec_id, s.sub, k.code, s.sv, row_number() OVER (PARTITION BY s.vec_id, s.sub
        |    ORDER BY ${l2Sql("s.sv", "k.w")} ASC, k.code) AS rn
-       |  FROM sv s JOIN cb0 k ON k.sub = s.sub) WHERE rn = 1),
-       |upd1 AS (SELECT sub, code, list(mv ORDER BY i) AS w FROM
+       |  FROM pqsv s JOIN pqcb0 k ON k.sub = s.sub) WHERE rn = 1),
+       |pqupd1 AS (SELECT sub, code, list(mv ORDER BY i) AS w FROM
        |  (SELECT sub, code, i, round(avg(sv[i+1]), 6) AS mv FROM
-       |    (SELECT sub, code, sv, unnest(range(0, len(sv))) AS i FROM asg1)
+       |    (SELECT sub, code, sv, unnest(range(0, len(sv))) AS i FROM pqasg1)
        |   GROUP BY sub, code, i) GROUP BY sub, code),
-       |cb1 AS (SELECT k.sub, k.code, coalesce(u.w, k.w) AS w FROM cb0 k
-       |  LEFT JOIN upd1 u ON u.sub = k.sub AND u.code = k.code),
+       |pqcb1 AS (SELECT k.sub, k.code, coalesce(u.w, k.w) AS w FROM pqcb0 k
+       |  LEFT JOIN pqupd1 u ON u.sub = k.sub AND u.code = k.code),
        |enc AS (SELECT vec_id, sub, code FROM (
        |  SELECT s.vec_id, s.sub, k.code, row_number() OVER (PARTITION BY s.vec_id, s.sub
        |    ORDER BY ${l2Sql("s.sv", "k.w")} ASC, k.code) AS rn
-       |  FROM sv s JOIN cb1 k ON k.sub = s.sub) WHERE rn = 1),
+       |  FROM pqsv s JOIN pqcb1 k ON k.sub = s.sub) WHERE rn = 1),
        |dtab AS (SELECT k.sub, k.code, ${l2Sql("q.sv", "k.w")} AS d2 FROM
        |  (SELECT sub, v[sub*16+1:(sub+1)*16] AS sv FROM qv, subs) q
-       |  JOIN cb1 k ON k.sub = q.sub),
+       |  JOIN pqcb1 k ON k.sub = q.sub),
        |adc AS (SELECT vec_id, round(sum(d2), 6) AS adc_dist
        |  FROM enc JOIN dtab USING (sub, code) GROUP BY vec_id)""".stripMargin
+
+  private val PQ_CTES =
+    s"""rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
+       |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
+       |${pqCtes("rest")}""".stripMargin
 
   // planted ANN corpus (mirrors ExtQueries.plantedEmbeddings): exact copies
   // of every 25th vector, 20 md5-jittered near-clones of vector 0
@@ -1178,6 +1183,19 @@ object Oracles {
     "x_pq_topk" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES
          |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    // IVF-PQ composition: cosine cells (ivf chain, 1 Lloyd round, nlist=16)
+    // prune to the 4 probed cells; survivors score by PQ ADC on their codes
+    "x_ivfpq" ->
+      s"""WITH $PLANTED_CTES,
+         |rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
+         |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
+         |${ivfChainCtes("rest", kmeansIters = 1, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+         |  FROM qv q, ctr1 k) ORDER BY s DESC, centroid_id LIMIT 4),
+         |${pqCtes("rest")},
+         |cand AS (SELECT a.vec_id FROM asgF a JOIN probe p ON p.centroid_id = a.centroid_id)
+         |SELECT vec_id, adc_dist FROM adc JOIN cand USING (vec_id)
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
 
     "x_pq_recall" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES,

@@ -78,6 +78,35 @@ class PqSpec extends SparkTestBase {
     assert(top.head._2 <= top.last._2)
   }
 
+  test("ivfPqTopK with nprobe = nlist equals plain ADC top-k (pruning is " +
+    "the only difference)") {
+    import graft.ext.SimilarityOps
+    val df = corpus(30)
+    val q = Seq(Tuple1(vec(99))).toDF("q")
+    val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val plain = PqOps.adcTopK(df, "vec_id", "embedding", q, k = 5, cb)
+      .as[(Long, Double)].collect().toSeq
+    val ivfpq = SimilarityOps.ivfPqTopK(df, "vec_id", "embedding", q, k = 5,
+        nlist = 4, nprobe = 4, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivfpq === plain)
+  }
+
+  test("ivfPqTopK with nprobe < nlist returns a subset of cells' vectors " +
+    "with the same ADC distances") {
+    import graft.ext.SimilarityOps
+    val df = corpus(30)
+    val q = Seq(Tuple1(vec(99))).toDF("q")
+    val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val all = PqOps.adcTopK(df, "vec_id", "embedding", q, k = 30, cb)
+      .as[(Long, Double)].collect().toMap
+    val pruned = SimilarityOps.ivfPqTopK(df, "vec_id", "embedding", q, k = 5,
+        nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned.nonEmpty && pruned.size <= 5)
+    pruned.foreach { case (id, d) => assert(all(id) === d) }
+  }
+
   test("train: a Lloyd round does not increase total quantization error") {
     val df = corpus(40)
     def err(iters: Int): Double = {

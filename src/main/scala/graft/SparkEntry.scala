@@ -176,5 +176,5 @@ object SparkEntry {
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
-    "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets")
+    "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ivfpq")
 }

@@ -275,23 +275,35 @@ object SimilarityOps {
   /** IVF top-k for one query vector (one-row DataFrame with column `q`).
     * `kmeansIters` > 0 refines the sampled centroids with that many Lloyd
     * rounds before assignment. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, k: Int, nlist: Int, nprobe: Int,
-              kmeansIters: Int = 0): DataFrame = {
+  /** Coarse-centroid training prologue shared by every IVF query form:
+    * md5-sample nlist seeds, optionally Lloyd-refine. */
+  private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                             nlist: Int, kmeansIters: Int): DataFrame = {
     val centroids0 = ivfCentroids(corpus, idCol, vecCol, nlist) // already local
-    val centroids =
-      if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
-      else centroids0
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
-    val probeCells = query.crossJoin(broadcast(centroids))
+    if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
+    else centroids0
+  }
+
+  /** The single-query probe-cell selection shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: top-nprobe cells by rounded cosine, ties to the
+    * smaller centroid id. `query` is one row with column `q`. */
+  private def probeCellsOf(query: DataFrame, centroids: DataFrame,
+                           nprobe: Int): DataFrame =
+    query.crossJoin(broadcast(centroids))
       .select(col("centroid_id"),
         round(dot(col("q"), col("centroid")) /
           (norm(col("q")) * norm(col("centroid"))), 6).as("__sim"))
       .orderBy(col("__sim").desc, col("centroid_id"))
       .limit(nprobe)
       .select("centroid_id")
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, nlist: Int, nprobe: Int,
+              kmeansIters: Int = 0): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
     cosineTopK(
-      assigned.join(broadcast(probeCells), "centroid_id"),
+      assigned.join(broadcast(probeCellsOf(query, centroids, nprobe)), "centroid_id"),
       idCol, vecCol, query, k)
   }
 
@@ -360,30 +372,29 @@ object SimilarityOps {
     * which needs a per-cell distance table — the structure here is
     * identical and the variant keeps the codebook query-independent).
     *
+    * `query` is one query vector as a one-row DataFrame with column `q`
+    * (the [[ivfTopK]] contract — a multi-row frame would corrupt the
+    * collected ADC distance table).
+    *
     * Scale shape: cell assignment + code computation is ONE map pass over
     * the corpus (both are native/literal expressions); the query's probed
-    * cells arrive as a broadcast semi-filter; ADC scoring is m lookups per
-    * surviving row; top-k is a TakeOrderedAndProject. At 100 TB the query
-    * path is a scan of the (cell, codes) table with a broadcast filter —
-    * and with the table bucketed by cell id, a scan of nprobe/nlist of it. */
+    * cells arrive as a broadcast semi-filter BELOW the code projection, so
+    * the m×ksub quantization arithmetic runs only on surviving rows; ADC
+    * scoring is m lookups per row; top-k is a TakeOrderedAndProject. At
+    * 100 TB the query path is a scan of the (cell, codes) table with a
+    * broadcast filter — and with the table bucketed by cell id, a scan of
+    * nprobe/nlist of it. */
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 query: DataFrame, k: Int, nlist: Int, nprobe: Int,
                 kmeansIters: Int, m: Int, ksub: Int, pqIters: Int): DataFrame = {
-    val ctr0 = ivfCentroids(corpus, idCol, vecCol, nlist)
-    val ctr =
-      if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, ctr0, kmeansIters)
-      else ctr0
+    val ctr = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     val cb = PqOps.train(corpus, idCol, vecCol, m, ksub, pqIters)
-    val asgEnc = PqOps.withCodes(ivfAssign(corpus, idCol, vecCol, ctr), vecCol, cb)
-    val probeCells = query.crossJoin(broadcast(ctr))
-      .select(col("centroid_id"),
-        round(dot(col("q"), col("centroid")) /
-          (norm(col("q")) * norm(col("centroid"))), 6).as("__sim"))
-      .orderBy(col("__sim").desc, col("centroid_id"))
-      .limit(nprobe)
-      .select("centroid_id")
-    PqOps.adcTopKEncoded(
-      asgEnc.join(broadcast(probeCells), "centroid_id"),
+    // probe filter FIRST, codes after: codes are row-local, so computing
+    // them below the join would quantize (nlist - nprobe)/nlist of the
+    // corpus only to discard it
+    val survivors = ivfAssign(corpus, idCol, vecCol, ctr)
+      .join(broadcast(probeCellsOf(query, ctr, nprobe)), "centroid_id")
+    PqOps.adcTopKEncoded(PqOps.withCodes(survivors, vecCol, cb),
       idCol, query, k, cb)
   }
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** The engine's SQL surface for its native Catalyst expressions, exposed
   * through the standard `SparkSessionExtensions` hook:
@@ -14,11 +14,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   * }}}
   *
-  * registers `vec_dot`, `vec_norm` and `vec_cosine` so SQL users get the
-  * same tight-loop [[DotProduct]] primitive the DataFrame API uses (the
-  * higher-order-function phrasing runs interpreted per element — the
-  * documented ~100× trap). Arguments are cast to `array<double>` at the
-  * boundary so float corpora promote exactly once.
+  * registers `vec_dot`, `vec_norm`, `vec_cosine` and `simhash32` so SQL
+  * users get the same tight-loop native primitives the DataFrame API uses
+  * (the higher-order-function phrasing runs interpreted per element — the
+  * documented ~100× trap). Arguments are cast at the boundary
+  * (`array<double>` for the vec_* family so float corpora promote exactly
+  * once; `array<string>` for simhash32) so type errors surface at
+  * analysis, not mid-job.
   *
   * The builder triples live in [[GraftExtensions.functions]] so the same
   * definitions serve both the extensions path and
@@ -59,7 +61,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_cosine"),
       arity("vec_cosine", 2)(a => Divide(dot(a(0), a(1)),
         Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1))))))),
+    // boundary cast to array<string>, like asVec for the vec_* family: a
+    // scalar argument (e.g. raw text instead of a token array) then fails
+    // AT ANALYSIS with a cast error instead of a mid-job ClassCastException
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      arity("simhash32", 1)(a => SimHash32(a(0)))))
+      arity("simhash32", 1)(a => SimHash32(Cast(a(0), ArrayType(StringType))))))
 }

@@ -120,10 +120,12 @@ object Oracles {
        |adc AS (SELECT vec_id, round(sum(d2), 6) AS adc_dist
        |  FROM enc JOIN dtab USING (sub, code) GROUP BY vec_id)""".stripMargin
 
-  private val PQ_CTES =
-    s"""rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
-       |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
-       |${pqCtes("rest")}""".stripMargin
+  /** The rest/qv split shared by every single-query ANN oracle. */
+  private val REST_QV =
+    """rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
+      |qv AS (SELECT v FROM corpus WHERE vec_id = 0),""".stripMargin
+
+  private val PQ_CTES = s"$REST_QV\n${pqCtes("rest")}"
 
   // planted ANN corpus (mirrors ExtQueries.plantedEmbeddings): exact copies
   // of every 25th vector, 20 md5-jittered near-clones of vector 0
@@ -1186,16 +1188,17 @@ object Oracles {
 
     // IVF-PQ composition: cosine cells (ivf chain, 1 Lloyd round, nlist=16)
     // prune to the 4 probed cells; survivors score by PQ ADC on their codes
-    "x_ivfpq" ->
+    "x_ivfpq" -> {
+      val iters = 1 // must track the Scala side's kmeansIters
       s"""WITH $PLANTED_CTES,
-         |rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
-         |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
-         |${ivfChainCtes("rest", kmeansIters = 1, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
-         |  FROM qv q, ctr1 k) ORDER BY s DESC, centroid_id LIMIT 4),
+         |$REST_QV
+         |${ivfChainCtes("rest", kmeansIters = iters, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+         |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
          |${pqCtes("rest")},
          |cand AS (SELECT a.vec_id FROM asgF a JOIN probe p ON p.centroid_id = a.centroid_id)
          |SELECT vec_id, adc_dist FROM adc JOIN cand USING (vec_id)
-         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    },
 
     "x_pq_recall" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES,

@@ -33,6 +33,77 @@ class CurationPropertySpec extends SparkTestBase {
   private def randDoc(rnd: scala.util.Random): String =
     Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
 
+  test("chunkDedup invariants on 300 random docs: counts bound, clean_text " +
+    "is the kept-chunk concatenation, every distinct chunk survives exactly once") {
+    import graft.ext.RepetitionOps
+    val rnd = new scala.util.Random(20260813)
+    val docs = (1 to 300).map(i => (i.toLong, randDoc(rnd)))
+    val c = 4
+    val got = RepetitionOps.chunkDedup(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), c)
+      .as[(Long, Long, Long, String)].collect()
+    // reference chunking
+    val chunksOf = docs.map { case (id, t) =>
+      id -> tokensOf(t).grouped(c).map(_.mkString(" ")).toSeq
+    }.toMap
+    assert(got.map(_._1).toSet === chunksOf.filter(_._2.nonEmpty).keySet)
+    // exact reference: global first-occurrence winner per distinct chunk
+    val winner = chunksOf.toSeq
+      .flatMap { case (id, chs) => chs.zipWithIndex.map { case (ch, ix) =>
+        (ch, id * 1048576L + ix) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    got.foreach { case (id, nChunks, nKept, clean) =>
+      val chs = chunksOf(id)
+      val kept = chs.zipWithIndex
+        .filter { case (ch, ix) => winner(ch) == id * 1048576L + ix }
+      assert(nChunks === chs.length.toLong)
+      assert(nKept === kept.length.toLong, s"doc $id")
+      assert(clean === kept.map(_._1).mkString(" "), s"doc $id")
+    }
+    // global: every distinct chunk string is kept exactly once corpus-wide
+    assert(got.map(_._3).sum === winner.size.toLong)
+  }
+
+  test("assignSplit partitions every row into exactly one split with the " +
+    "boundary arithmetic of the md5 uniform") {
+    val rnd = new scala.util.Random(20260814)
+    val ids = (1 to 1000).map(_ => rnd.nextLong().abs)
+    val got = CorpusOps.assignSplit(ids.toDF("id"), col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size === ids.distinct.size)
+    val expected = ids.distinct.map { id =>
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) / 4294967296.0
+      id -> (if (u < 0.8) "train" else if (u < 0.8 + 0.1) "val" else "test")
+    }.toMap
+    assert(got === expected)
+    // all three splits non-empty at n=1000 (fails only if md5 were broken)
+    assert(got.values.toSet === Set("train", "val", "test"))
+  }
+
+  test("temperatureSample: per-stratum keep counts match the rate-filter " +
+    "reference on a skewed corpus") {
+    val strata = Seq("s0" -> 400, "s1" -> 100, "s2" -> 25, "s3" -> 4)
+    val rows = strata.flatMap { case (s, n) =>
+      (0 until n).map(i => (s.hashCode.toLong * 1000 + i, s))
+    }
+    val tau = 0.5; val target = 200L
+    val got = CorpusOps.temperatureSample(rows.toDF("id", "src"),
+        col("id"), col("src"), tau, target)
+      .select("id", "src").as[(Long, String)].collect()
+    // reference: rate_s = min(1, round(n^tau/Z * T/n, 6)); u < rate
+    val z = strata.map { case (_, n) => math.pow(n, tau) }.sum
+    val expected = rows.filter { case (id, s) =>
+      val n = strata.toMap.apply(s).toDouble
+      val rate = math.min(1.0, BigDecimal(math.pow(n, tau) / z * target / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) / 4294967296.0
+      u < rate
+    }.toSet
+    assert(got.toSet === expected)
+    assert(got.nonEmpty)
+  }
+
   test("packSequences matches the next-fit reference on 500 random docs") {
     val rnd = new scala.util.Random(20260812)
     val docs = (1 to 500).map(i => (i.toLong, 1L + rnd.nextInt(300)))

@@ -40,7 +40,7 @@ object PlanAudit {
         "x_chunk_dedup","x_repetition","x_bloom_prune","x_rebalance",
         "x_semdedup","x_lm_score","x_dsir","x_pq_topk","x_pq_recall",
         "x_temp_sample","x_ccnet_buckets","x_split","x_shuffle_export",
-        "x_psi_drift").foreach(audit)
+        "x_psi_drift","x_ivfpq").foreach(audit)
     spark.stop()
   }
 }

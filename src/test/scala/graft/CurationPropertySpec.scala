@@ -104,6 +104,76 @@ class CurationPropertySpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("lmScore matches a direct add-alpha reference on 300 random docs") {
+    import graft.ext.LmOps
+    val rnd = new scala.util.Random(20260815)
+    val refDocs = (1 to 60).map(i => (i.toLong, randDoc(rnd)))
+    val docs = (1000 to 1300).map(i => (i.toLong, randDoc(rnd)))
+    val alpha = 0.1
+    val got = LmOps.lmScore(docs.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), LmOps.unigramCounts(refDocs.toDF("doc_id", "text"),
+          col("text")), alpha)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // reference model
+    val cnts = refDocs.flatMap(d => tokensOf(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = cnts.values.sum.toDouble
+    val v = cnts.size.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val toks = tokensOf(text)
+      if (toks.isEmpty) assert(!got.contains(id))
+      else {
+        val lps = toks.map(tk =>
+          math.log((cnts.getOrElse(tk, 0L) + alpha) / (t + alpha * (v + 1))))
+        val (_, nTok, avgLp, ppl) = got(id)
+        assert(nTok === toks.length.toLong, s"doc $id")
+        assert(math.abs(avgLp - r6(lps.sum / lps.length)) < 1e-9, s"doc $id")
+        assert(math.abs(ppl - BigDecimal(math.exp(-r6(lps.sum / lps.length)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"doc $id")
+      }
+    }
+  }
+
+  test("dsirWeights matches a direct hashed-bigram log-ratio reference on " +
+    "200 random docs") {
+    import graft.ext.LmOps
+    val rnd = new scala.util.Random(20260816)
+    val target = (1 to 40).map(i => (i.toLong, randDoc(rnd)))
+    val raw = (100 to 200).map(i => (i.toLong, randDoc(rnd)))
+    val docs = (1000 to 1200).map(i => (i.toLong, randDoc(rnd)))
+    val (n, b, alpha) = (2, 64, 0.5)
+    val got = LmOps.dsirWeights(docs.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), target.toDF("doc_id", "text"), raw.toDF("doc_id", "text"),
+        col("text"), col("text"), n, b, alpha)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def bigrams(text: String): Seq[String] =
+      tokensOf(text).sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    def bucket(ng: String): Long =
+      java.lang.Long.parseLong(md5hex(ng).take(8), 16) % b
+    def counts(corpus: Seq[(Long, String)]): Map[Long, Long] =
+      corpus.flatMap(d => bigrams(d._2)).map(bucket)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = counts(target); val rc = counts(raw)
+    val tt = tc.values.sum.toDouble; val tr = rc.values.sum.toDouble
+    def lr(bk: Long): Double =
+      math.log((tc.getOrElse(bk, 0L) + alpha) / (tt + alpha * b)) -
+        math.log((rc.getOrElse(bk, 0L) + alpha) / (tr + alpha * b))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val ngs = bigrams(text)
+      if (ngs.isEmpty) assert(!got.contains(id))
+      else {
+        val (_, nNg, w) = got(id)
+        assert(nNg === ngs.length.toLong, s"doc $id")
+        assert(math.abs(w - r6(ngs.map(g => lr(bucket(g))).sum)) < 1e-6, s"doc $id")
+      }
+    }
+  }
+
   test("packSequences matches the next-fit reference on 500 random docs") {
     val rnd = new scala.util.Random(20260812)
     val docs = (1 to 500).map(i => (i.toLong, 1L + rnd.nextInt(300)))

@@ -152,6 +152,7 @@ object SparkEntry {
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
+    "x_ccnet_approx" -> ExtQueries.xCcnetApprox,
     // ext: split + shuffled export
     "x_split" -> ExtQueries.xSplit,
     "x_shuffle_export" -> ExtQueries.xShuffleExport,
@@ -176,5 +177,6 @@ object SparkEntry {
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
-    "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ivfpq")
+    "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
+    "x_ivfpq")
 }

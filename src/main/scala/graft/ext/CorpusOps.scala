@@ -69,6 +69,54 @@ object CorpusOps {
     df.groupBy(stratum.as("stratum")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-stratum quantile bucketing WITHOUT a per-stratum window — the
+    * scale-safe form of "split the corpus by score percentile" (CCNet
+    * head/middle/tail, Wenzek et al. 2020, is the canonical use). An
+    * `ntile(k)` over `Window.partitionBy(stratum)` puts a hot stratum (the
+    * dominant language of a web corpus) in ONE window partition: one task
+    * sorts ~all rows. This operator instead computes per-stratum quantile
+    * THRESHOLDS as a tiny aggregate (one row per stratum), broadcasts them,
+    * and assigns `bucket` = 1 + #{thresholds strictly below value} as a pure
+    * map — no per-stratum sort anywhere, and the data pass is embarrassingly
+    * parallel.
+    *
+    * Exact/approx contract (the [[groupStats]] pattern): `exact = true` uses
+    * `percentile` (DuckDB-compatible interpolation, oracle-checkable; buffers
+    * each stratum's values in its aggregate buffer, so reserve it for
+    * bounded strata sizes). `exact = false` uses `approx_percentile`
+    * (t-digest, constant memory per stratum) — the 100-TB default; its
+    * engine-specific thresholds are locked by the spec's tolerance assertion
+    * against the exact form, not a byte-compare. Thresholds are rounded to
+    * 6 dp before the compare so bucket membership is engine-portable.
+    *
+    * Semantics note: unlike ntile (equal-COUNT buckets, ties split
+    * arbitrarily across buckets), threshold bucketing is a function of the
+    * VALUE — ties always land in the same bucket, and bucket sizes can
+    * differ near ties/boundaries; NULL values (null > t is null → 0) land in
+    * bucket 1. The broadcast is scale-correct: the threshold table is
+    * #strata × (numBuckets−1) doubles — bounded by strata cardinality, not
+    * data size (and a shuffle join here would re-introduce the hot-stratum
+    * key this operator exists to avoid; window skew has no AQE rescue). */
+  def quantileBuckets(df: DataFrame, stratum: Column, value: Column,
+                      numBuckets: Int, exact: Boolean): DataFrame = {
+    require(numBuckets > 1, "numBuckets must be at least 2")
+    val v = value.cast("double")
+    val ths = (1 until numBuckets).map { i =>
+      val p = i.toDouble / numBuckets
+      val c = if (exact) percentile(v, lit(p))
+              else percentile_approx(v, lit(p), lit(10000))
+      round(c, 6).as(s"__qt$i")
+    }
+    val th = df.groupBy(stratum.as("__qs")).agg(ths.head, ths.tail: _*)
+    val bucket = (1 until numBuckets).map(i =>
+      when(v > col(s"__qt$i"), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    // null-safe: a NULL stratum is a legitimate group (the temperatureSample
+    // convention) — a plain === would silently drop every such row
+    df.join(broadcast(th), stratum <=> col("__qs"))
+      .withColumn("bucket", bucket)
+      .drop((1 until numBuckets).map(i => s"__qt$i") :+ "__qs": _*)
+  }
+
   /** Top-k terms per document by tf-idf (tf · ln(N/df)) — the classic
     * keyword/summary extraction over a corpus. Shape: one token explode,
     * one (doc, tok) count, one doc-frequency aggregate joined back on the
@@ -176,17 +224,40 @@ object CorpusOps {
     * it needs per-stratum ordering: one shuffle on the stratum plus a
     * per-partition top-`cap`.
     *
-    * Skew note for 100 TB: a hot domain funnels into one window partition.
-    * The md5 rank is uniform, so the mitigation is a two-phase prune —
-    * pre-filter each stratum to rows with md5-uniform below
-    * ~cap·fudge/count(stratum) (a map-side cut using a broadcast count
-    * table), then run the exact window on the survivors. That prune is an
-    * optimisation of this same operator; the semantics live here. */
+    * Skew note for 100 TB: a single exact window would funnel a hot domain
+    * into ONE window partition (one task sorts the whole domain). This runs
+    * two phases instead: a PRE-FILTER window partitioned by
+    * (input-partition id, stratum) keeps at most `cap` rows per stratum per
+    * input partition — each window group is bounded by an input partition's
+    * slice of the stratum, never the whole stratum — then the exact global
+    * window runs over the ≤ partitions × cap survivors, so the hot-stratum
+    * sort is bounded by a knob (parallelism × cap), not by the data. Spark's
+    * rank-limit pushdown (InferWindowGroupLimit) additionally prunes each
+    * phase to cap rows per group BEFORE its exchange (Partial
+    * WindowGroupLimit — PlanSpec locks it), so neither exchange ever moves
+    * more than cap rows per (group, map task).
+    *
+    * The result is IDENTICAL to the single-window form for any partition
+    * assignment: a row in the global top-cap of its stratum is in the
+    * top-cap of whatever partition slice it sits in (rank within a subset
+    * ≤ rank within the whole), so phase 1 never drops a final survivor —
+    * the property spec asserts this against the plain window on random
+    * caps/strata. spark_partition_id() is materialised via a projection
+    * first (a window cannot partition on a nondeterministic expression
+    * directly), and the pre-rank uses the same (md5, key) order as the
+    * exact rank. */
   def domainRebalance(df: DataFrame, key: Column, stratum: Column,
                       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("__rk", row_number().over(
-        Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)))
+    require(cap > 0, "cap must be positive")
+    val ord = Seq(md5(key.cast("string")), key)
+    val pre = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__prk", row_number().over(
+        Window.partitionBy(col("__pid"), stratum).orderBy(ord: _*)))
+      .where(col("__prk") <= cap)
+      .drop("__pid", "__prk")
+    pre.withColumn("__rk", row_number().over(
+        Window.partitionBy(stratum).orderBy(ord: _*)))
       .where(col("__rk") <= cap)
       .drop("__rk")
   }

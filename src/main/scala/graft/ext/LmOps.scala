@@ -40,26 +40,36 @@ object LmOps {
     * ppl = exp(-avg logp), computed from the ROUNDED average so both engines
     * exponentiate the identical input.
     *
-    * Scale shape: the corpus token stream joins `refCounts` by SHUFFLE on
-    * `tok` — the vocabulary of a web-scale reference is unbounded, so it is
-    * never broadcast (the tfidfTopTerms lesson); AQE may still downgrade to
-    * broadcast when the reference is genuinely small. The (T, V) totals are
-    * a one-row aggregate, broadcast-cross-joined. */
+    * Scale shape: the corpus token stream is pre-aggregated to
+    * (doc_id, tok, occurrences) BEFORE the join — a document repeating a
+    * token joins it once, not once per occurrence, which cuts the join input
+    * by the within-doc repeat factor and blunts hot-token skew at the source
+    * (a stop-word's join rows drop from Σ occurrences to Σ distinct docs).
+    * The pre-aggregation itself partial-aggregates map-side on (doc_id, tok)
+    * — near-free, since repeats collapse before the exchange. The join on
+    * `tok` stays a SHUFFLE join — the vocabulary of a web-scale reference is
+    * unbounded, so it is never broadcast (the tfidfTopTerms lesson); AQE may
+    * still downgrade to broadcast when the reference is genuinely small. The
+    * (T, V) totals are a one-row aggregate, broadcast-cross-joined.
+    * Per-document stats weight each token's log-prob by its occurrence
+    * count, so the output is identical to the per-occurrence form. */
   def lmScore(docs: DataFrame, key: Column, text: Column,
               refCounts: DataFrame, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
     val toks = docs.select(key.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__occ"))
     val totals = refCounts.agg(sum("cnt").cast("double").as("__T"),
       count(lit(1)).cast("double").as("__V"))
+    val wavg = sum(col("__lp") * col("__occ")) / sum(col("__occ"))
     toks.join(refCounts, Seq("tok"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("__occ"),
         log((coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
           (col("__T") + lit(alpha) * (col("__V") + lit(1.0)))).as("__lp"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg("__lp"), 6).as("avg_logp"),
-        round(exp(-round(avg("__lp"), 6)), 4).as("ppl"))
+      .agg(sum("__occ").as("n_tokens"),
+        round(wavg, 6).as("avg_logp"),
+        round(exp(-round(wavg, 6)), 4).as("ppl"))
   }
 
   /** Hashed n-gram feature counts (the DSIR feature space): token n-grams

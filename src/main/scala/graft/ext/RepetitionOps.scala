@@ -47,10 +47,16 @@ object RepetitionOps {
     * The first-occurrence winner is encoded as `doc_id * 2^20 + chunk_idx`
     * so both engines order identically with a single BIGINT min; documents
     * must stay under 2^20 chunks (≈ 8M tokens at c=8 — far above any
-    * training document; the guard column raises on violation). */
+    * training document) and |doc_id| under 2^43 — fine for BIGINT surrogate
+    * ids, but a hash-derived 63-bit id would overflow the product and
+    * SILENTLY corrupt winner order, so both bounds raise loudly instead. */
   def chunkDedup(df: DataFrame, key: Column, text: Column, c: Int = 8): DataFrame = {
     val ch = explodeChunks(df, key, text, c)
-    val enc = col("doc_id") * lit(1048576L) +
+    val enc = when(abs(col("doc_id")) < 8796093022208L, col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("chunkDedup: |doc_id| >= 2^43 would overflow the winner "),
+          lit("encoding (use a surrogate id); doc_id = "),
+          col("doc_id").cast("string")))) * lit(1048576L) +
       when(col("chunk_idx") < 1048576, col("chunk_idx"))
         .otherwise(raise_error(lit("chunkDedup: document exceeds 2^20 chunks")))
     val winners = ch.groupBy("chunk").agg(min(enc).as("__w"))

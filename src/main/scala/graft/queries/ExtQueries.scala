@@ -505,26 +505,45 @@ object ExtQueries {
         tau = 0.5, targetTotal = 300)
       .select(col("doc_id"), col("source"))
 
-  /** CCNet-style head/middle/tail bucketing: per-language ntile(3) over the
-    * English-reference perplexity, aggregated per (lang, bucket). The exact
-    * per-language window is the reference semantics; at 100 TB the same
-    * split comes from approx_percentile thresholds + a map-side bucket
-    * (the groupStats pattern) — the window form here IS the oracle for
-    * that approximation. */
-  val xCcnetBuckets: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, ppl, lang): the CCNet perplexity scoring chain shared by both
+    * bucketing forms — English-reference unigram LM over the whole corpus. */
+  private def ccnetScored(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val scored = LmOps.lmScore(d, col("doc_id"), col("text"),
-      LmOps.unigramCounts(d.where(col("lang") === "en"), col("text")))
-    scored.join(d.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("bucket", ntile(3).over(
-        Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))))
-      .groupBy("lang", "bucket")
+    LmOps.lmScore(d, col("doc_id"), col("text"),
+        LmOps.unigramCounts(d.where(col("lang") === "en"), col("text")))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+  }
+
+  private def ccnetAgg(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("ppl")), 4).as("avg_ppl"),
         round(min(col("ppl")), 4).as("min_ppl"),
         round(max(col("ppl")), 4).as("max_ppl"))
+
+  /** CCNet-style head/middle/tail bucketing, exact-count form: per-language
+    * ntile(3) over the English-reference perplexity, aggregated per
+    * (lang, bucket). Equal-count buckets are the reference semantics; the
+    * per-language window is a scale-killer at web scale (the dominant
+    * language lands in one window partition), so the production path is
+    * [[ExtQueries.xCcnetApprox]] — this form stays as its semantic anchor
+    * (CurationSpec locks the two within tolerance). */
+  val xCcnetBuckets: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    ccnetAgg(ccnetScored(s, dir)
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id")))))
   }
+
+  /** CCNet bucketing, scale-safe form: per-language quantile THRESHOLDS
+    * (tiny aggregate, broadcast) + map-side bucket assignment — no
+    * per-stratum window anywhere in the plan (PlanSpec locks this). Exact
+    * thresholds here so the DuckDB oracle byte-matches; the
+    * approx_percentile path is the same code modulo the aggregate and is
+    * tolerance-locked in CurationSpec. */
+  val xCcnetApprox: Q = (s, dir) =>
+    ccnetAgg(CorpusOps.quantileBuckets(ccnetScored(s, dir), col("lang"),
+      col("ppl"), numBuckets = 3, exact = true))
 
   /** Deterministic 80/10/10 split, aggregated to per-split counts. */
   val xSplit: Q = (s, dir) =>

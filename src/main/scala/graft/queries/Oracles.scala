@@ -1182,6 +1182,34 @@ object Oracles {
          |  round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
          |FROM b GROUP BY lang, bucket""".stripMargin,
 
+    // threshold-based CCNet bucketing: per-language quantile_cont thresholds
+    // (same interpolation as Spark's exact percentile, both rounded 6 dp
+    // before the compare), bucket = 1 + #{thresholds strictly below ppl} —
+    // mirrors CorpusOps.quantileBuckets, no window anywhere
+    "x_ccnet_approx" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |cnts AS (SELECT tok, count(*) AS cnt FROM
+         |  (SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en') GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T,
+         |  CAST(count(*) AS DOUBLE) AS V FROM cnts),
+         |lp AS (SELECT doc_id, ln((coalesce(cnt, 0) + 0.1) / (T + 0.1 * (V + 1))) AS lp
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) dtok
+         |  LEFT JOIN cnts USING (tok) CROSS JOIN tot),
+         |ppl AS (SELECT doc_id, round(exp(-round(avg(lp), 6)), 4) AS ppl
+         |  FROM lp GROUP BY doc_id),
+         |sc AS (SELECT d.lang, p.ppl FROM ppl p JOIN documents d USING (doc_id)),
+         |th AS (SELECT lang, round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+         |  round(quantile_cont(ppl, 2.0/3), 6) AS t2 FROM sc GROUP BY lang),
+         |b AS (SELECT sc.lang, sc.ppl,
+         |  1 + (CASE WHEN sc.ppl > t1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN sc.ppl > t2 THEN 1 ELSE 0 END) AS bucket
+         |  FROM sc JOIN th ON th.lang IS NOT DISTINCT FROM sc.lang)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(ppl), 4) AS avg_ppl,
+         |  round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+         |FROM b GROUP BY lang, bucket""".stripMargin,
+
     "x_pq_topk" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES
          |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,

@@ -64,6 +64,37 @@ class CurationPropertySpec extends SparkTestBase {
     assert(got.map(_._3).sum === winner.size.toLong)
   }
 
+  test("chunkDedup fails loudly on doc_id magnitudes that would overflow " +
+    "the winner encoding (hash-derived 63-bit ids must not corrupt silently)") {
+    import graft.ext.RepetitionOps
+    val df = Seq((1L << 44, "alpha beta gamma delta"), (7L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      RepetitionOps.chunkDedup(df, col("doc_id"), col("text"), c = 2).collect()
+    }
+    assert(ex.getMessage.contains("2^43") ||
+      Option(ex.getCause).exists(_.getMessage.contains("2^43")), ex.getMessage)
+  }
+
+  test("domainRebalance output is identical to the single-window reference " +
+    "for random caps and any input partitioning (the pre-cap never drops a " +
+    "global survivor)") {
+    var nextId = 0L
+    val rows = Seq("s0" -> 700, "s1" -> 53, "s2" -> 3, "s3" -> 1).flatMap {
+      case (s, n) => (0 until n).map { _ => nextId += 1; (nextId, s) }
+    }
+    val df = rows.toDF("id", "src")
+    def reference(cap: Int): Set[Long] = rows.groupBy(_._2).values.flatMap(g =>
+      g.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(cap).map(_._1))
+      .toSet
+    for (cap <- Seq(1, 7, 60); parts <- Seq(1, 5, 32)) {
+      val got = CorpusOps.domainRebalance(df.repartition(parts),
+          col("id"), col("src"), cap)
+        .select("id").as[Long].collect().toSet
+      assert(got === reference(cap), s"cap=$cap parts=$parts")
+    }
+  }
+
   test("assignSplit partitions every row into exactly one split with the " +
     "boundary arithmetic of the md5 uniform") {
     val rnd = new scala.util.Random(20260814)

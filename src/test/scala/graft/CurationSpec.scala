@@ -315,6 +315,66 @@ class CurationSpec extends SparkTestBase {
     assert(p50 === 2.5) // (n-1)*0.5 = 1.5 -> midpoint of 2 and 3
   }
 
+  // ---- quantile bucketing ----
+
+  test("quantileBuckets: thresholds split by value, ties share a bucket, " +
+    "null stratum rows survive the null-safe join") {
+    val df = Seq(
+      (Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 2.0),
+      (Option("a"), 3.0), (Option("a"), 10.0), (Option("a"), 20.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 6.0),
+      (Option.empty[String], 7.0))
+      .toDF("g", "v")
+    val got = CorpusOps.quantileBuckets(df, col("g"), col("v"),
+        numBuckets = 3, exact = true)
+      .select("g", "v", "bucket").as[(Option[String], Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // "a": t1 = 2.0 (interpolated between the tied 2s), t2 = 5.333333 —
+    // both 2.0 rows land together in bucket 1 (value function, unlike ntile)
+    assert(got((Some("a"), 1.0)) === 1)
+    assert(got((Some("a"), 2.0)) === 1)
+    assert(got((Some("a"), 3.0)) === 2)
+    assert(got((Some("a"), 10.0)) === 3)
+    assert(got((Some("a"), 20.0)) === 3)
+    // the NULL stratum is its own group, not dropped
+    assert(got((None, 5.0)) === 1 && got((None, 6.0)) === 2 &&
+      got((None, 7.0)) === 3)
+    assert(got.size === 8) // the two (a, 2.0) rows collapse in the map
+  }
+
+  test("quantileBuckets(exact) tracks ntile within the tie/boundary slack; " +
+    "approx_percentile tracks exact (the x_ccnet_buckets tolerance contract)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260818)
+    // skewed strata — the shape whose ntile window dies at scale
+    val rows = Seq("big" -> 900, "mid" -> 120, "small" -> 9).flatMap {
+      case (s, n) => (0 until n).map(i => (s, rnd.nextDouble() * 100))
+    }
+    val df = rows.toDF("g", "v")
+    def counts(d: org.apache.spark.sql.DataFrame): Map[(String, Int), Long] =
+      d.groupBy("g", "bucket").count()
+        .as[(String, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val th = counts(CorpusOps.quantileBuckets(df, col("g"), col("v"),
+      numBuckets = 3, exact = true))
+    val nt = counts(df.withColumn("bucket", ntile(3).over(
+      Window.partitionBy(col("g")).orderBy(col("v")))))
+    // distinct continuous values: interpolated-threshold counts differ from
+    // equal-count ntile by at most 1 per boundary (2 per bucket)
+    nt.foreach { case (k, n) =>
+      assert(math.abs(th.getOrElse(k, 0L) - n) <= 2, s"$k: th=${th.get(k)} nt=$n")
+    }
+    // the 100-TB path: t-digest thresholds vs exact — same contract as
+    // groupStats/distinctCount, per-bucket counts within 5% of the stratum
+    val ap = counts(CorpusOps.quantileBuckets(df, col("g"), col("v"),
+      numBuckets = 3, exact = false))
+    val strataN = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    th.foreach { case (k, n) =>
+      assert(math.abs(ap.getOrElse(k, 0L) - n) <= math.max(2, strataN(k._1) / 20),
+        s"$k: approx=${ap.get(k)} exact=$n")
+    }
+  }
+
   // ---- stratified sample ----
 
   test("stratifiedSample applies per-stratum rates deterministically") {

@@ -135,6 +135,28 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(scoring, "Join") === 0, scoring)
   }
 
+  test("ccnet approx bucketing: NO window anywhere — per-stratum thresholds " +
+    "are a tiny aggregate joined broadcast, assignment is map-side") {
+    val p = plan("x_ccnet_approx")
+    // the whole point vs x_ccnet_buckets: the dominant language must never
+    // funnel into one window partition
+    assert(countIn(p, "Window") === 0, p)
+    // the threshold table rides a broadcast (null-safe equi-join), not a
+    // shuffle on the hot stratum key
+    assert(countIn(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("domainRebalance: per-input-partition pre-cap window precedes the " +
+    "exact stratum window (hot-stratum sort bounded by partitions × cap)") {
+    val p = plan("x_rebalance")
+    assert(countIn(p, "Window [") === 2, p)
+    // the pre-filter partitions on the materialised input-partition id
+    assert(p.contains("__pid"), p)
+    // rank-limit pushdown engages on both phases: the map side prunes to
+    // cap rows per group BEFORE each exchange
+    assert(countIn(p, "WindowGroupLimit") >= 2 && p.contains("Partial"), p)
+  }
+
   test("bloom prune: probe-side filter survives below the exact semi-join") {
     val p = plan("x_bloom_prune")
     // the Bloom probe is the one UDF in this plan; losing it means the

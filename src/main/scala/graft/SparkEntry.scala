@@ -149,6 +149,9 @@ object SparkEntry {
     "x_pq_topk" -> ExtQueries.xPqTopk,
     "x_pq_recall" -> ExtQueries.xPqRecall,
     "x_ivfpq" -> ExtQueries.xIvfPq,
+    "x_ivfpq_res" -> ExtQueries.xIvfPqRes,
+    "x_ivfpq_res_recall" -> ExtQueries.xIvfPqResRecall,
+    "x_ivfpq_batch" -> ExtQueries.xIvfPqBatch,
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
@@ -178,5 +181,5 @@ object SparkEntry {
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
-    "x_ivfpq")
+    "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch")
 }

@@ -139,6 +139,49 @@ object PqOps {
       .limit(k)
   }
 
+  /** Per-cell ADC over RESIDUAL codes — the query side of classical IVFADC
+    * (Jégou et al. 2011 §III): a row in probed cell c scores against the
+    * distance table of the query's OWN residual in that cell (q − centroid_c),
+    * so the code budget is spent on the within-cell offset rather than the
+    * absolute position — where the composition's accuracy comes from.
+    *
+    * `encoded` must carry (idCol, centroid_id, codes); `probedCentroids` is
+    * the (centroid_id, centroid) table of the PROBED cells only (nprobe
+    * rows). One m×ksub table per probed cell is computed IN Spark (engine-own
+    * rounding, the [[adcTopKEncoded]] discipline) and collected —
+    * nprobe × m × ksub doubles, parameter-bounded like the codebook itself.
+    * Scoring dispatches on the row's cell id through literal tables: still a
+    * pure map + TakeOrderedAndProject, no join in the scan path. */
+  def adcTopKEncodedPerCell(encoded: DataFrame, idCol: String, query: DataFrame,
+                            probedCentroids: DataFrame, k: Int,
+                            cb: Codebook): DataFrame = {
+    val s0 = encoded.sparkSession
+    import s0.implicits._
+    val cbDf = cb.words.toSeq.map { case ((s, c), w) => (s, c, w) }
+      .toDF("sub", "code", "w")
+    val qres = zip_with(col("q").cast("array<double>"),
+      col("centroid").cast("array<double>"), (a, b) => a - b)
+    val dtab = query.crossJoin(probedCentroids).crossJoin(cbDf)
+      .select(col("centroid_id").cast("int").as("cell"), col("sub"), col("code"),
+        sqDist(slice(qres, col("sub") * cb.dsub + 1, lit(cb.dsub)), col("w"))
+          .as("d2"))
+      .as[(Int, Int, Int, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map { case (_, s, c, d) => (s, c) -> d }.toMap).toMap
+    def adcFor(cell: Int): Column = round((0 until cb.m).map { s =>
+      element_at(typedLit((1 to cb.ksub).map(c => dtab(cell)((s, c)))),
+        element_at(col("codes"), s + 1))
+    }.reduce(_ + _), 6)
+    val cells = dtab.keys.toSeq.sorted
+    val adc = cells.tail.foldLeft(
+      when(col("centroid_id") === cells.head, adcFor(cells.head))) {
+      (acc, c) => acc.when(col("centroid_id") === c, adcFor(c))
+    }
+    encoded.select(col(idCol).as("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Convenience raw-vector form: encodes on the fly, then scores the
     * codes ([[adcTopKEncoded]]). Use the encoded form when the codes table
     * is materialised — re-encoding per query pays the full m×ksub

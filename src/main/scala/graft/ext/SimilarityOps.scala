@@ -398,6 +398,100 @@ object SimilarityOps {
       idCol, query, k, cb)
   }
 
+  /** vec − centroid[cell] per assigned row: one broadcast join on the
+    * (nlist-row) centroid table + a zip_with — pure map, and the cell id is
+    * computed in the same pass ([[ivfAssign]] is itself a map). */
+  private def withResiduals(asg: DataFrame, vecCol: String,
+                            centroids: DataFrame): DataFrame =
+    asg.join(broadcast(centroids), "centroid_id")
+      .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
+        col("centroid").cast("array<double>"), (a, b) => a - b))
+      .drop("centroid")
+
+  /** Residual IVF-PQ — true IVFADC (Jégou et al. 2011 §III): codes quantize
+    * the RESIDUAL v − centroid[cell] instead of the raw vector, so the
+    * codebook's resolution covers the within-cell spread (residual
+    * magnitudes are a cell radius, not the embedding-space diameter); the
+    * query side scores each probed cell against the table of its own
+    * query residual ([[PqOps.adcTopKEncodedPerCell]]). Same plan skeleton
+    * as [[ivfPqTopK]]: assignment + residual are one map pass, the probe
+    * filter sits BELOW the code computation, ADC is table lookups +
+    * TakeOrderedAndProject — 0 data shuffles. */
+  def ivfPqResTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                   kmeansIters: Int, m: Int, ksub: Int, pqIters: Int): DataFrame = {
+    val ctr = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val res = withResiduals(ivfAssign(corpus, idCol, vecCol, ctr), vecCol, ctr)
+    val cb = PqOps.train(res, idCol, "__res", m, ksub, pqIters)
+    val probe = probeCellsOf(query, ctr, nprobe)
+    // probe filter FIRST, codes after (the ivfPqTopK discipline)
+    val survivors = res.join(broadcast(probe), "centroid_id")
+    PqOps.adcTopKEncodedPerCell(
+      PqOps.withCodes(survivors, "__res", cb), idCol, query,
+      ctr.join(probe, "centroid_id"), k, cb)
+  }
+
+  /** Residual IVF-PQ for a SET of query vectors (`queries`: qid, q) — the
+    * batch form sharing [[ivfTopKBatch]]'s probe machinery. One assignment +
+    * residual + codebook pass serves every query; per-query probed cells
+    * come from the same queries×nlist ranking window; survivors (the UNION
+    * of probed cells) are code-encoded ONCE and only then fanned out to the
+    * queries probing their cell. Scoring is RELATIONAL instead of
+    * literal-table: the per-(query, cell) distance tables are a
+    * parameter-bounded frame (nq × nprobe × m × ksub rows) broadcast onto an
+    * m-row-per-candidate code explode, one (qid, id) aggregate, one
+    * per-query top-k window — nothing is collected to the driver, so the
+    * query set itself can be large (for a query set too big to broadcast
+    * its tables, drop the hint and let the join shuffle on the
+    * (qid, cell, sub, code) key). Self-matches (qid = corpus id) are
+    * excluded, the [[ivfTopKBatch]] contract. */
+  def ivfPqResTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                        kmeansIters: Int, m: Int, ksub: Int,
+                        pqIters: Int): DataFrame = {
+    val s0 = corpus.sparkSession
+    import s0.implicits._
+    val ctr = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val res = withResiduals(ivfAssign(corpus, idCol, vecCol, ctr), vecCol, ctr)
+    val cb = PqOps.train(res, idCol, "__res", m, ksub, pqIters)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(ctr
+        .withColumn("__cnrm", norm(col("centroid")))))
+      .select(col("qid"), col("centroid_id"),
+        round(dot(col("q"), col("centroid")) / (norm(col("q")) * col("__cnrm")), 6)
+          .as("__sim"))
+      .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
+      .select(col("qid"), col("centroid_id"))
+    val cells = probes.select("centroid_id").distinct()
+    val enc = PqOps.withCodes(res.join(broadcast(cells), "centroid_id"),
+      "__res", cb)
+    val cbDf = cb.words.toSeq.map { case ((s, c), w) => (s, c, w) }
+      .toDF("sub", "code", "w")
+    val qres = queries.join(probes, "qid").join(broadcast(ctr), "centroid_id")
+      .select(col("qid"), col("centroid_id"),
+        zip_with(col("q").cast("array<double>"),
+          col("centroid").cast("array<double>"), (a, b) => a - b).as("__qr"))
+    val sv = slice(col("__qr"), col("sub") * cb.dsub + 1, lit(cb.dsub))
+    // per-subspace distances rounded 6 dp, sum rounded 6 dp — bit-identical
+    // to the single-query literal-table path (PqOps.sqDist discipline)
+    val dtab = qres.crossJoin(broadcast(cbDf))
+      .select(col("qid"), col("centroid_id"), col("sub"), col("code"),
+        round(dot(sv, sv) + dot(col("w"), col("w"))
+          - lit(2.0) * dot(sv, col("w")), 6).as("__d2"))
+    val scored = enc.join(broadcast(probes), "centroid_id")
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dtab), Seq("qid", "centroid_id", "sub", "code"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("__d2")), 6).as("adc_dist"))
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+    scored.withColumn("__rn", row_number().over(topW)).where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("adc_dist"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means cluster the
     * embedding space, then within each cluster drop every vector that has a

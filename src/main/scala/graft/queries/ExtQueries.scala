@@ -592,6 +592,55 @@ object ExtQueries {
       nlist = 16, nprobe = 4, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1)
   }
 
+  /** Residual IVF-PQ (true IVFADC): same geometry as x_ivfpq but codes
+    * quantize v − centroid[cell] and each probed cell scores against its own
+    * query-residual table — the variant where the composition's accuracy
+    * comes from. */
+  val xIvfPqRes: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    SimilarityOps.ivfPqResTopK(corpus, "vec_id", "embedding", query, k = 10,
+      nlist = 16, nprobe = 4, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1)
+  }
+
+  /** Batch residual IVF-PQ: top-5 for every vec_id%100==1 query in one
+    * pass — shared assignment/residual/codebook, relational per-(query,
+    * cell) distance tables, no driver-side collect in the scoring path. */
+  val xIvfPqBatch: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("q"))
+    SimilarityOps.ivfPqResTopKBatch(emb, "vec_id", "embedding", queries,
+      k = 5, nlist = 16, nprobe = 4, kmeansIters = 1, m = 4, ksub = 16,
+      pqIters = 1)
+  }
+
+  /** Residual-IVFADC recall vs the exact squared-L2 top-10 — the honesty
+    * row for the residual composition. On THIS planted corpus it equals the
+    * raw form's 0.5 for the same reason documented at [[xPqRecall]]: vector
+    * 0's whole clone family shares one cell, so their residuals — like their
+    * raw vectors — collapse to one code signature and the id tie-break picks
+    * a different ten than exact ranking. Residual encoding wins when
+    * candidates SPREAD within cells (PqSpec's planted-family case asserts
+    * residual ≥ raw there, and ≥ 0.6 absolute). */
+  val xIvfPqResRecall: Q = (s, dir) => {
+    import SimilarityOps.dot
+    val (corpus, query) = pqParts(s, dir)
+    val pq = SimilarityOps.ivfPqResTopK(corpus, "vec_id", "embedding", query,
+        k = 10, nlist = 16, nprobe = 4, kmeansIters = 1, m = 4, ksub = 16,
+        pqIters = 1)
+      .select("vec_id")
+    val v = col("embedding").cast("array<double>")
+    val exact = corpus.crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(dot(v, v) + dot(col("q"), col("q")) - lit(2.0) * dot(v, col("q")), 6)
+          .as("d2"))
+      .orderBy(col("d2").asc, col("vec_id")).limit(10).select("vec_id")
+    pq.join(exact, "vec_id").agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), col("n_overlap"),
+        round(col("n_overlap") / lit(10.0), 4).as("recall"))
+  }
+
   /** Recall of the PQ top-10 against the exact squared-L2 top-10 — the
     * honesty row for the compressed representation. On the planted corpus
     * this is 0.5 BY CONSTRUCTION, and that is the interesting part: vector

@@ -95,6 +95,17 @@ object Oracles {
     * pq-prefixed so the chain composes with ivfChainCtes (whose asg1/upd1
     * would otherwise collide). Expects `qv` (the query vector) defined. */
   private def pqCtes(src: String): String =
+    s"""${pqTrainCtes(src)},
+       |dtab AS (SELECT k.sub, k.code, ${l2Sql("q.sv", "k.w")} AS d2 FROM
+       |  (SELECT sub, v[sub*16+1:(sub+1)*16] AS sv FROM qv, subs) q
+       |  JOIN pqcb1 k ON k.sub = q.sub),
+       |adc AS (SELECT vec_id, round(sum(d2), 6) AS adc_dist
+       |  FROM enc JOIN dtab USING (sub, code) GROUP BY vec_id)""".stripMargin
+
+  /** The training/encoding half of [[pqCtes]] (codebook + `enc`, no query
+    * distance table) — the piece the residual-IVFADC oracles compose with
+    * their own per-cell tables. */
+  private def pqTrainCtes(src: String): String =
     s"""subs AS (SELECT unnest(range(0, 4)) AS sub),
        |pqsamp AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, v FROM
        |  (SELECT vec_id, v FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
@@ -113,12 +124,30 @@ object Oracles {
        |enc AS (SELECT vec_id, sub, code FROM (
        |  SELECT s.vec_id, s.sub, k.code, row_number() OVER (PARTITION BY s.vec_id, s.sub
        |    ORDER BY ${l2Sql("s.sv", "k.w")} ASC, k.code) AS rn
-       |  FROM pqsv s JOIN pqcb1 k ON k.sub = s.sub) WHERE rn = 1),
-       |dtab AS (SELECT k.sub, k.code, ${l2Sql("q.sv", "k.w")} AS d2 FROM
-       |  (SELECT sub, v[sub*16+1:(sub+1)*16] AS sv FROM qv, subs) q
-       |  JOIN pqcb1 k ON k.sub = q.sub),
-       |adc AS (SELECT vec_id, round(sum(d2), 6) AS adc_dist
-       |  FROM enc JOIN dtab USING (sub, code) GROUP BY vec_id)""".stripMargin
+       |  FROM pqsv s JOIN pqcb1 k ON k.sub = s.sub) WHERE rn = 1)""".stripMargin
+
+  /** Residual chain shared by the IVFADC oracles: `res` (per-row residual
+    * v − centroid[cell] against the final centroids `ctrN`), the PQ
+    * codebook/encoding trained ON the residuals, and `adcr` — per-cell ADC
+    * restricted to the cells present in the probe CTE named `probeCte`
+    * (single-query form; expects `qv`). */
+  private def pqResCtes(finalCtr: String, probeCte: String): String =
+    s"""res AS (SELECT a.vec_id, a.centroid_id,
+       |  list_transform(range(0, len(a.v)), i -> a.v[i+1] - k.c[i+1]) AS v
+       |  FROM asgF a JOIN $finalCtr k USING (centroid_id)),
+       |${pqTrainCtes("res")},
+       |qres AS (SELECT k.centroid_id,
+       |  list_transform(range(0, len(q.v)), i -> q.v[i+1] - k.c[i+1]) AS v
+       |  FROM qv q CROSS JOIN $finalCtr k
+       |  JOIN $probeCte p ON p.centroid_id = k.centroid_id),
+       |dtabr AS (SELECT r.centroid_id, k.sub, k.code,
+       |  ${l2Sql("r.v[k.sub*16+1:(k.sub+1)*16]", "k.w")} AS d2
+       |  FROM qres r CROSS JOIN pqcb1 k),
+       |adcr AS (SELECT e.vec_id, round(sum(d2), 6) AS adc_dist
+       |  FROM enc e JOIN res r ON r.vec_id = e.vec_id
+       |  JOIN dtabr t ON t.centroid_id = r.centroid_id
+       |    AND t.sub = e.sub AND t.code = e.code
+       |  GROUP BY e.vec_id)""".stripMargin
 
   /** The rest/qv split shared by every single-query ANN oracle. */
   private val REST_QV =
@@ -1226,6 +1255,69 @@ object Oracles {
          |cand AS (SELECT a.vec_id FROM asgF a JOIN probe p ON p.centroid_id = a.centroid_id)
          |SELECT vec_id, adc_dist FROM adc JOIN cand USING (vec_id)
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    },
+
+    // residual IVFADC: same ivf chain, PQ trained on v − centroid[cell],
+    // per-probed-cell query-residual tables (adcr already restricts to
+    // probed cells via the dtabr join)
+    "x_ivfpq_res" -> {
+      val iters = 1 // must track the Scala side's kmeansIters
+      s"""WITH $PLANTED_CTES,
+         |$REST_QV
+         |${ivfChainCtes("rest", kmeansIters = iters, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+         |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
+         |${pqResCtes(s"ctr$iters", "probe")}
+         |SELECT vec_id, adc_dist FROM adcr ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    },
+
+    "x_ivfpq_res_recall" -> {
+      val iters = 1
+      s"""WITH $PLANTED_CTES,
+         |$REST_QV
+         |${ivfChainCtes("rest", kmeansIters = iters, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+         |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
+         |${pqResCtes(s"ctr$iters", "probe")},
+         |pqr AS (SELECT vec_id FROM adcr ORDER BY adc_dist, vec_id LIMIT 10),
+         |exact AS (SELECT vec_id FROM (SELECT a.vec_id, ${l2Sql("a.v", "q.v")} AS d2
+         |  FROM rest a, qv q ORDER BY d2, a.vec_id LIMIT 10))
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(count(*) / 10.0, 4) AS recall
+         |FROM pqr JOIN exact USING (vec_id)""".stripMargin
+    },
+
+    // batch residual IVFADC over the FULL planted corpus: per-query probes
+    // (the ivfBatchCtes window), per-(query, cell) residual tables,
+    // self-matches excluded, top-5 per query
+    "x_ivfpq_batch" -> {
+      val iters = 1
+      s"""WITH $PLANTED_CTES,
+         |${ivfChainCtes("corpus", kmeansIters = iters, nlist = 16)}res AS (SELECT a.vec_id, a.centroid_id,
+         |  list_transform(range(0, len(a.v)), i -> a.v[i+1] - k.c[i+1]) AS v
+         |  FROM asgF a JOIN ctr$iters k USING (centroid_id)),
+         |${pqTrainCtes("res")},
+         |qset AS (SELECT vec_id AS qid, v AS q FROM corpus WHERE vec_id % 100 = 1),
+         |probes AS (SELECT qid, centroid_id FROM (
+         |  SELECT q.qid, k.centroid_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ${cosSql("q.q", "k.c")} DESC, k.centroid_id) AS rn
+         |  FROM qset q, ctr$iters k) WHERE rn <= 4),
+         |qres AS (SELECT p.qid, p.centroid_id,
+         |  list_transform(range(0, len(q.q)), i -> q.q[i+1] - k.c[i+1]) AS v
+         |  FROM probes p JOIN qset q ON q.qid = p.qid
+         |  JOIN ctr$iters k ON k.centroid_id = p.centroid_id),
+         |dtabb AS (SELECT r.qid, r.centroid_id, k.sub, k.code,
+         |  ${l2Sql("r.v[k.sub*16+1:(k.sub+1)*16]", "k.w")} AS d2
+         |  FROM qres r CROSS JOIN pqcb1 k),
+         |adcb AS (SELECT c.qid, c.vec_id, round(sum(d2), 6) AS adc_dist FROM
+         |  (SELECT p.qid, e.vec_id, e.sub, e.code, r.centroid_id
+         |   FROM enc e JOIN res r ON r.vec_id = e.vec_id
+         |   JOIN probes p ON p.centroid_id = r.centroid_id
+         |   WHERE e.vec_id <> p.qid) c
+         |  JOIN dtabb t ON t.qid = c.qid AND t.centroid_id = c.centroid_id
+         |    AND t.sub = c.sub AND t.code = c.code
+         |  GROUP BY c.qid, c.vec_id)
+         |SELECT qid, vec_id, adc_dist FROM (
+         |  SELECT qid, vec_id, adc_dist, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_dist, vec_id) AS rn FROM adcb) WHERE rn <= 5""".stripMargin
     },
 
     "x_pq_recall" ->

@@ -157,6 +157,16 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "WindowGroupLimit") >= 2 && p.contains("Partial"), p)
   }
 
+  test("residual ivf-pq: the query path never shuffles data — centroid/" +
+    "probe joins ride broadcasts, top-k is TakeOrderedAndProject") {
+    val p = plan("x_ivfpq_res")
+    val scoring = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(scoring.contains("TakeOrderedAndProject"), p.take(500))
+    assert(countIn(scoring, "Exchange hashpartitioning") === 0, scoring)
+    assert(countIn(scoring, "SortMergeJoin") === 0 &&
+      countIn(scoring, "CartesianProduct") === 0, scoring)
+  }
+
   test("bloom prune: probe-side filter survives below the exact semi-join") {
     val p = plan("x_bloom_prune")
     // the Bloom probe is the one UDF in this plan; losing it means the

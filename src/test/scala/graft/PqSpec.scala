@@ -107,6 +107,82 @@ class PqSpec extends SparkTestBase {
     pruned.foreach { case (id, d) => assert(all(id) === d) }
   }
 
+  test("ivfPqResTopK: with ksub = n and iters = 0, residual ADC is EXACT — " +
+    "every residual is its own codeword, so ADC = ||q − v||²") {
+    import graft.ext.SimilarityOps
+    // 16 rows, ksub = 16: the residual sample covers every row verbatim
+    val df = corpus(16)
+    val q = Seq(Tuple1(vec(99))).toDF("q")
+    val got = SimilarityOps.ivfPqResTopK(df, "vec_id", "embedding", q, k = 16,
+        nlist = 4, nprobe = 4, kmeansIters = 0, m = 2, ksub = 16, pqIters = 0)
+      .as[(Long, Double)].collect().toMap
+    val qv = vec(99)
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 16).foreach { i =>
+      // reference: per-subspace rounded squared distances of q−c vs v−c sum
+      // to the exact ||q − v||² per subspace (residuals cancel the centroid)
+      val exact = r6((0 until 2).map { s =>
+        val a = qv.slice(s * 4, s * 4 + 4); val b = vec(i).slice(s * 4, s * 4 + 4)
+        r6(dot(a, a) + dot(b, b) - 2 * dot(a, b))
+      }.sum)
+      // cell centroids are corpus rows themselves here, so q−c and v−c are
+      // exact differences of the test vectors — but the codeword is v−c
+      // VERBATIM (ksub = n), so the ADC table lookup returns ||(q−c)−(v−c)||²
+      // = ||q−v||² up to the per-subspace rounding
+      assert(math.abs(got(i.toLong) - exact) < 5e-6, s"vec $i: ${got(i.toLong)} vs $exact")
+    }
+  }
+
+  test("residual recall is never below the raw-vector form's on a planted " +
+    "near-duplicate family") {
+    import graft.ext.SimilarityOps
+    // base corpus + 5 near-clones of the query: the family the composition
+    // must surface
+    val q = vec(99)
+    val clones = (0 until 5).map(j =>
+      (100L + j, q.zipWithIndex.map { case (x, i) => x + 0.001 * ((i + j) % 3) }))
+    val df = corpus(40).union(clones.toDF("vec_id", "embedding"))
+    val qdf = Seq(Tuple1(q)).toDF("q")
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+    val exactTop = df.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        (id, dot(v, v) + dot(q, q) - 2 * dot(v, q)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    def recall(res: Boolean): Double = {
+      val top = (if (res)
+        SimilarityOps.ivfPqResTopK(df, "vec_id", "embedding", qdf, k = 5,
+          nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 8, pqIters = 1)
+      else
+        SimilarityOps.ivfPqTopK(df, "vec_id", "embedding", qdf, k = 5,
+          nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 8, pqIters = 1))
+        .as[(Long, Double)].collect().map(_._1).toSet
+      top.intersect(exactTop).size / 5.0
+    }
+    val (rRes, rRaw) = (recall(res = true), recall(res = false))
+    assert(rRes >= rRaw, s"residual $rRes < raw $rRaw")
+    assert(rRes >= 0.6, s"residual recall $rRes — the planted family missed")
+  }
+
+  test("ivfPqResTopKBatch on a single-query set equals ivfPqResTopK") {
+    import graft.ext.SimilarityOps
+    val df = corpus(30)
+    val q = vec(99) // not a corpus row, so self-exclusion is a no-op
+    val single = SimilarityOps.ivfPqResTopK(df, "vec_id", "embedding",
+        Seq(Tuple1(q)).toDF("q"), k = 5,
+        nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1)
+      .as[(Long, Double)].collect().toSeq
+    val batch = SimilarityOps.ivfPqResTopKBatch(df, "vec_id", "embedding",
+        Seq((999L, q)).toDF("qid", "q"), k = 5,
+        nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1)
+      .select("vec_id", "adc_dist").as[(Long, Double)].collect().toSeq
+      .sortBy(r => (r._2, r._1))
+    assert(batch === single)
+  }
+
   test("train: a Lloyd round does not increase total quantization error") {
     val df = corpus(40)
     def err(iters: Int): Double = {

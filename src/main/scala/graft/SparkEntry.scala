@@ -79,6 +79,9 @@ object SparkEntry {
     "q61_change_stream" -> RefQueries.q61ChangeStream,
     // EP-2 end-to-end composition (Ops 16-27 → 28 → 29 → 44-46)
     "q_ep2_pipeline" -> RefQueries.qEp2Pipeline,
+    // EP-3 end-to-end composition (Ops 9/11/13 → 53/54 → 56-58 → 33+37 →
+    // 59 → 12/14; the Augmenter chain)
+    "q_ep3_pipeline" -> GeoQueries.qEp3Pipeline,
     // §2.4/§2.5/§2.8 geospatial (box-SQL oracles; exact geometry semantics
     // additionally locked by GeoSpec)
     "g33_overlay_join" -> GeoQueries.g33Overlay,
@@ -178,7 +181,7 @@ object SparkEntry {
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
     "g63_grid_join", "q51b_html_render", "x_pipeline",
     "x_asof_join", "x_boilerplate", "x_contamination", "x_pack_sequences",
-    "x_tfidf", "x_count_min", "q_ep2_pipeline", "g_diff_erode",
+    "x_tfidf", "x_count_min", "q_ep2_pipeline", "q_ep3_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
     "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,18 +138,17 @@ object GeoQueries {
     * rather than raw WKT: the kind and area are closed-form per step, so the
     * whole cascade is oracle-checkable without re-implementing the WKT
     * formatter in SQL. Full WKT-producing behaviour is locked by GeoSpec. */
-  val g56GeocodeCascade: Q = (s, dir) => {
-    val cells = nationCells(s, dir)
-    val cust = t(s, dir, "customer").where(col("c_custkey") <= 500)
-      .select(col("c_custkey"),
-        // derived "location text": exact cell name for 1/3, corrupted (fuzzy)
-        // for 1/3, free text (goes to the geocoder) for 1/3
-        when(col("c_custkey") % 3 === 0,
-            concat(lit("NATION#"), (col("c_custkey") % 25).cast("string")))
-          .when(col("c_custkey") % 3 === 1,
-            concat(lit("NATIN#"), (col("c_custkey") % 25).cast("string")))
-          .otherwise(concat(lit("unknown place "), col("c_custkey").cast("string")))
-          .as("loc_text"))
+  /** The derived "location text" shared by g56 and EP-3: exact cell name for
+    * 1/3 of alerts, corrupted (fuzzy) for 1/3, free text (geocoder) for 1/3. */
+  private def locText(key: Column): Column =
+    when(key % 3 === 0, concat(lit("NATION#"), (key % 25).cast("string")))
+      .when(key % 3 === 1, concat(lit("NATIN#"), (key % 25).cast("string")))
+      .otherwise(concat(lit("unknown place "), key.cast("string")))
+
+  /** The Op-56/57/58 cascade body over (c_custkey, loc_text) rows: returns
+    * (c_custkey, cell_wkt, resolution). Factored out of [[g56GeocodeCascade]]
+    * so the EP-3 composed pipeline runs the identical stage. */
+  private def cascadeResolve(cust: DataFrame, cells: DataFrame): DataFrame = {
     val layer = cells.select(
       concat(lit("NATION#"), col("n_nationkey").cast("string")).as("layer_name"),
       col("cell_wkt"))
@@ -190,7 +189,92 @@ object GeoQueries {
           GeoFunctions.stPoint(px, py), lit(0.01)).as("cell_wkt"),
         lit("fallback").as("resolution"))
     exactHit.unionByName(fuzzyHit).unionByName(geoHit).unionByName(fallback)
+  }
+
+  val g56GeocodeCascade: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").where(col("c_custkey") <= 500)
+      .select(col("c_custkey"), locText(col("c_custkey")).as("loc_text"))
+    cascadeResolve(cust, nationCells(s, dir))
       .select(col("c_custkey"), col("resolution"),
         round(GeoFunctions.stArea(col("cell_wkt")), 6).as("fp_area"))
+  }
+
+  /** EP-3: the Augmenter nightly chain (reference
+    * ServiceAlertAugmenter.py:778-812) composed as ONE query — incremental
+    * load (Op-9 checksum → Op-11 cache diff → Op-13 work limit), tweet
+    * drafting through the mapPartitions service boundary (Op-53), toot
+    * derivation (Op-54), the geocode cascade (Ops 56-58), area inference
+    * via overlay + group-collect (Ops 33+37), map-image filename (Op-59),
+    * and the cache merge (Ops 12+14). The per-op queries verify each stage
+    * in isolation; this locks the STAGE BOUNDARIES — column contracts,
+    * join-backs and the fresh/kept union — the way q_ep2_pipeline locks the
+    * Fixer chain.
+    *
+    * World model: alerts are customers ≤ 500 (the geo world). A synthetic
+    * re-scrape mutates the status field of every 7th alert, so its checksum
+    * diverges from the cache and it becomes tonight's work; the newest 40
+    * (publish order) are enriched; unchanged cache rows ride through the
+    * merge with their cached tweet and NULL new columns (unionByName
+    * allowMissingColumns — the reference's cache passthrough). */
+  val qEp3Pipeline: Q = (s, dir) => {
+    import graft.enrich.Enrichment
+    import graft.incremental.Incremental
+    val cells = nationCells(s, dir)
+    val base = t(s, dir, "customer").where(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("id"), col("c_name"), col("c_mktsegment"))
+    // Op-9: engine-portable checksum over the scrape-sensitive fields; the
+    // re-scrape mutates status for id%7==0 (the q11 ordersCk pattern)
+    val curStatus = when(col("id") % 7 === 0, lit("X")).otherwise(col("c_mktsegment"))
+    val cur = base.select(col("id"), col("c_name"), col("c_mktsegment"),
+      md5(concat_ws("", curStatus, col("c_name"))).as("ck"),
+      ((col("id") * 37) % 1000).as("publish_ord"))
+    val cache = base.select(col("id"),
+      md5(concat_ws("", col("c_mktsegment"), col("c_name"))).as("ck"),
+      concat(lit("cached:"), col("id").cast("string")).as("tweet_text"))
+    // Op-11 + Op-13: only changed rows, newest first, bounded work
+    val work = Incremental.workLimit(
+      Incremental.cacheDiff(cur, cache, Seq("id", "ck")),
+      Seq(col("publish_ord").desc, col("id")), 40)
+    // Op-53: drafting service boundary (mapPartitions, join-back on id)
+    val drafted = Enrichment.draftStage(
+      work.select(col("id"), col("c_mktsegment").as("title"),
+        col("c_name").as("description")),
+      Enrichment.StubDrafter)
+    // Op-54: toot = tweet + segment hashtag + #CapeTown
+    val hashtags = typedlit(Map(
+      "BUILDING" -> "#Building", "MACHINERY" -> "#Machinery",
+      "HOUSEHOLD" -> "#Household"))
+    val tooted = drafted.withColumn("toot_text",
+      Enrichment.tootColumn(col("tweet_text"),
+        try_element_at(hashtags, col("title"))))
+    // Ops 56-58: the geocode cascade over the work set only
+    val fp = cascadeResolve(
+      tooted.select(col("id").as("c_custkey"), locText(col("id")).as("loc_text")),
+      cells)
+    // Ops 33+37: infer intersecting cells from the resolved footprint
+    val inferred = SpatialJoin.overlayRatio(
+        fp.select(col("c_custkey"), col("cell_wkt").as("fp_wkt")), cells,
+        col("fp_wkt"), col("cell_wkt"), minRatio = 0.045)
+      .groupBy(col("c_custkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("inferred_cells"))
+    // Op-59: map-image filename from the resolution digest
+    val fpCols = fp.select(col("c_custkey").as("id"), col("resolution"),
+        round(GeoFunctions.stArea(col("cell_wkt")), 6).as("fp_area"))
+      .join(inferred.withColumnRenamed("c_custkey", "id"), Seq("id"), "left")
+    val key = concat_ws("_", lit("map"), col("resolution"), col("id").cast("string"))
+    val b64 = base64(substring(key, 1, 48).cast("binary"))
+    val fresh = tooted.select(col("id"), col("tweet_text"), col("toot_text"))
+      .join(fpCols, Seq("id"))
+      .withColumn("image_filename",
+        when(length(b64) > 22, sha2(key, 256)).otherwise(b64))
+      .withColumn("src", lit("fresh"))
+    // Ops 12+14: unchanged cache rows ride through; fresh overrides
+    val kept = Incremental.cacheRetain(cache, cur, Seq("id", "ck"))
+      .select(col("id"), col("tweet_text"), lit("kept").as("src"))
+    Incremental.mergeOrSkip(fresh, kept).get
+      .select(col("id"), col("src"), col("tweet_text"), col("toot_text"),
+        col("resolution"), col("fp_area"), col("inferred_cells"),
+        col("image_filename"))
   }
 }

@@ -711,6 +711,98 @@ object Oracles {
         |  duration_sec, location, c_name, c_mktsegment
         |FROM m WHERE rn=1 AND expiry_date > TIMESTAMP '1995-06-01 00:00:00' AND planned = true""".stripMargin,
 
+    // EP-3 composed pipeline: the Augmenter chain's per-op oracle fragments
+    // (q09/q11/q13 incremental load, q53 draft, q54 toot, g56 cascade,
+    // g33 overlay+collect, q59 image filename, q12/q14 merge) chained in
+    // the same order the Spark query chains the operators.
+    "q_ep3_pipeline" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 500),
+        |cur AS (SELECT id, c_name, c_mktsegment,
+        |  md5(concat_ws('', CASE WHEN id%7=0 THEN 'X' ELSE c_mktsegment END, c_name)) AS ck,
+        |  (id*37)%1000 AS publish_ord FROM base),
+        |cache AS (SELECT id, md5(concat_ws('', c_mktsegment, c_name)) AS ck,
+        |  'cached:' || CAST(id AS VARCHAR) AS tweet_text FROM base),
+        |work AS (SELECT * FROM cur c WHERE NOT EXISTS
+        |   (SELECT 1 FROM cache k WHERE k.id=c.id AND k.ck=c.ck)
+        |  ORDER BY publish_ord DESC, id LIMIT 40),
+        |tooted AS (SELECT id, c_mktsegment AS title, tweet_text,
+        |  CASE WHEN tweet_text IS NOT NULL THEN tweet_text || chr(10) ||
+        |    coalesce(CASE c_mktsegment WHEN 'BUILDING' THEN '#Building'
+        |      WHEN 'MACHINERY' THEN '#Machinery' WHEN 'HOUSEHOLD' THEN '#Household' END,
+        |      '#CityAlert') || ' #CapeTown' END AS toot_text
+        |  FROM (SELECT id, c_mktsegment,
+        |    CASE WHEN length(trim(c_mktsegment || ': ' || c_name)) < 2 THEN NULL
+        |      ELSE substr(c_mktsegment || ': ' || c_name, 1, 280) END AS tweet_text
+        |    FROM work)),
+        |loc AS (SELECT id,
+        |  CASE WHEN id%3=0 THEN 'NATION#' || CAST(id%25 AS VARCHAR)
+        |       WHEN id%3=1 THEN 'NATIN#' || CAST(id%25 AS VARCHAR)
+        |       ELSE 'unknown place ' || CAST(id AS VARCHAR) END AS loc_text
+        |  FROM work),
+        |cells AS (SELECT n_nationkey, n_name,
+        |  CAST(n_nationkey%5 AS DOUBLE)*2.0 AS cx,
+        |  CAST(n_nationkey//5 AS DOUBLE)*2.0 AS cy FROM nation),
+        |layer AS (SELECT 'NATION#' || CAST(n_nationkey AS VARCHAR) AS layer_name,
+        |  n_nationkey FROM nation),
+        |ex AS (SELECT lc.id, lc.loc_text, l.layer_name, l.n_nationkey FROM loc lc
+        |  LEFT JOIN layer l ON lc.loc_text = l.layer_name),
+        |fz AS (SELECT id, loc_text, fname, fn FROM (
+        |  SELECT e.id, e.loc_text, l.layer_name AS fname, l.n_nationkey AS fn,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY levenshtein(e.loc_text, l.layer_name), l.layer_name) AS rn
+        |  FROM (SELECT * FROM ex WHERE layer_name IS NULL) e
+        |  LEFT JOIN layer l ON levenshtein(e.loc_text, l.layer_name) <= 2) WHERE rn = 1),
+        |fp AS (
+        |  SELECT e.id, 'exact' AS resolution,
+        |    CAST(e.n_nationkey%5 AS DOUBLE)*2.0 AS x0,
+        |    CAST(e.n_nationkey//5 AS DOUBLE)*2.0 AS y0,
+        |    CAST(e.n_nationkey%5 AS DOUBLE)*2.0+2.0 AS x1,
+        |    CAST(e.n_nationkey//5 AS DOUBLE)*2.0+2.0 AS y1
+        |  FROM ex e WHERE e.layer_name IS NOT NULL
+        |  UNION ALL
+        |  SELECT f.id, 'fuzzy', CAST(f.fn%5 AS DOUBLE)*2.0, CAST(f.fn//5 AS DOUBLE)*2.0,
+        |    CAST(f.fn%5 AS DOUBLE)*2.0+2.0, CAST(f.fn//5 AS DOUBLE)*2.0+2.0
+        |  FROM fz f WHERE f.fname IS NOT NULL
+        |  UNION ALL
+        |  SELECT f.id, 'geocoded',
+        |    CAST((f.id*3)%100 AS DOUBLE)/10.0-0.02, CAST((f.id*11)%100 AS DOUBLE)/10.0-0.02,
+        |    CAST((f.id*3)%100 AS DOUBLE)/10.0+0.02, CAST((f.id*11)%100 AS DOUBLE)/10.0+0.02
+        |  FROM fz f WHERE f.fname IS NULL AND f.id%2=0
+        |  UNION ALL
+        |  SELECT f.id, 'fallback',
+        |    CAST((f.id*7)%100 AS DOUBLE)/10.0-0.01, CAST((f.id*13)%100 AS DOUBLE)/10.0-0.01,
+        |    CAST((f.id*7)%100 AS DOUBLE)/10.0+0.01, CAST((f.id*13)%100 AS DOUBLE)/10.0+0.01
+        |  FROM fz f WHERE f.fname IS NULL AND f.id%2<>0),
+        |inferred AS (SELECT id, string_agg(n_name, ',' ORDER BY n_name) AS inferred_cells
+        |  FROM (SELECT f.id, c.n_name,
+        |    greatest(least(f.x1,c.cx+2.0)-greatest(f.x0,c.cx),0)
+        |      * greatest(least(f.y1,c.cy+2.0)-greatest(f.y0,c.cy),0) AS inter,
+        |    (f.x1-f.x0)*(f.y1-f.y0) AS fpa
+        |  FROM fp f JOIN cells c
+        |  ON least(f.x1,c.cx+2.0)-greatest(f.x0,c.cx) >= 0
+        |  AND least(f.y1,c.cy+2.0)-greatest(f.y0,c.cy) >= 0)
+        |  WHERE inter/4.0 > 0.045 OR inter/fpa > 0.045
+        |  GROUP BY id),
+        |imk AS (SELECT f.id, f.resolution,
+        |  round((f.x1-f.x0)*(f.y1-f.y0), 6) AS fp_area, i.inferred_cells,
+        |  concat_ws('_', 'map', f.resolution, CAST(f.id AS VARCHAR)) AS key
+        |  FROM fp f LEFT JOIN inferred i ON i.id = f.id),
+        |fresh AS (SELECT t.id, 'fresh' AS src, t.tweet_text, t.toot_text,
+        |  k.resolution, k.fp_area, k.inferred_cells,
+        |  CASE WHEN length(base64(CAST(substr(k.key,1,48) AS BLOB))) > 22
+        |    THEN sha256(k.key) ELSE base64(CAST(substr(k.key,1,48) AS BLOB)) END
+        |    AS image_filename
+        |  FROM tooted t JOIN imk k ON k.id = t.id),
+        |kept AS (SELECT k.id, 'kept' AS src, k.tweet_text,
+        |  CAST(NULL AS VARCHAR) AS toot_text, CAST(NULL AS VARCHAR) AS resolution,
+        |  CAST(NULL AS DOUBLE) AS fp_area, CAST(NULL AS VARCHAR) AS inferred_cells,
+        |  CAST(NULL AS VARCHAR) AS image_filename
+        |  FROM cache k WHERE EXISTS (SELECT 1 FROM cur c WHERE c.id=k.id AND c.ck=k.ck))
+        |SELECT id, src, tweet_text, toot_text, resolution, fp_area,
+        |  inferred_cells, image_filename FROM fresh
+        |UNION ALL SELECT * FROM kept""".stripMargin,
+
     // ---- ext ----
 
     "x_tokens" ->

@@ -157,6 +157,24 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "WindowGroupLimit") >= 2 && p.contains("Partial"), p)
   }
 
+  test("ep3 composed pipeline: work limit is TakeOrdered, overlay is the " +
+    "broadcast geometry join, bounded shuffles, no cartesian") {
+    val p = plan("q_ep3_pipeline")
+    info(s"Exchange hashpartitioning=${countIn(p, "Exchange hashpartitioning")} " +
+      s"BNLJ=${countIn(p, "BroadcastNestedLoopJoin")} " +
+      s"Window=${countIn(p, "Window [")} SMJ=${countIn(p, "SortMergeJoin")}")
+    // Op-13's bound is a TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(countIn(p, "CartesianProduct") === 0, p)
+    // the overlay runs as the broadcast geometry join (its designed shape —
+    // layer side tiny), never a cartesian fallback
+    assert(countIn(p, "BroadcastNestedLoopJoin") >= 1, p)
+    // shuffle budget: the fuzzy-match window and the overlay group-collect
+    // (2 at sf0.001; slack for planner-inserted re-keys) — a regression past
+    // this means a stage boundary started shuffling the full alert set
+    assert(countIn(p, "Exchange hashpartitioning") <= 4, p)
+  }
+
   test("residual ivf-pq: the query path never shuffles data — centroid/" +
     "probe joins ride broadcasts, top-k is TakeOrderedAndProject") {
     val p = plan("x_ivfpq_res")

@@ -509,6 +509,25 @@ object SimilarityOps {
     * corpus (cluster ≈ n/nlist on average) and the in-cluster self-join
     * would be quadratic — fail fast with sizing guidance instead of OOMing
     * an executor. */
+  /** [[semDedup]] with nlist sized FROM the corpus: nlist =
+    * ceil(n / targetClusterSize), so the expected cluster is
+    * targetClusterSize regardless of corpus growth — the knob users actually
+    * reason about (pair work scales as n · targetClusterSize). Costs one
+    * count() action up front (the corpus is scanned for centroid sampling
+    * right after, so the extra pass is marginal; pass a persisted frame).
+    * The maxCluster fail-fast stays as the backstop for skewed clusterings —
+    * sizing the AVERAGE correctly cannot bound the largest cell. */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                   targetClusterSize: Int, kmeansIters: Int, tau: Double,
+                   maxCluster: Int = 100000): DataFrame = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    val n = df.count()
+    require(n > 0, "semDedupAuto: empty corpus")
+    val nlist = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(nlist <= Int.MaxValue, "nlist overflow")
+    semDedup(df, idCol, vecCol, nlist.toInt, kmeansIters, tau, maxCluster)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nlist: Int, kmeansIters: Int, tau: Double,
                maxCluster: Int = 100000): DataFrame = {

@@ -134,6 +134,25 @@ class RepetitionSpec extends SparkTestBase {
     assert(got === Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("semDedupAuto sizes nlist as ceil(n/target) and matches the " +
+    "explicit form") {
+    val corpus = (semBase ++ Seq(10L -> semBase(0)._2, 11L -> semBase(1)._2))
+      .toDF("vec_id", "embedding")
+    // n = 8, target 3 -> nlist = 3: byte-identical to the explicit call
+    val auto = SimilarityOps.semDedupAuto(corpus, "vec_id", "embedding",
+        targetClusterSize = 3, kmeansIters = 2, tau = 0.9999)
+      .as[(Long, Long)].collect().toSet
+    val explicit = SimilarityOps.semDedup(corpus, "vec_id", "embedding",
+        nlist = 3, kmeansIters = 2, tau = 0.9999)
+      .as[(Long, Long)].collect().toSet
+    assert(auto === explicit)
+    // a target >= n degenerates to one cluster, still correct
+    val one = SimilarityOps.semDedupAuto(corpus, "vec_id", "embedding",
+        targetClusterSize = 100, kmeansIters = 0, tau = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(one === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("semDedup fails fast when a cluster exceeds maxCluster") {
     val corpus = semBase.toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

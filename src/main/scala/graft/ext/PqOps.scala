@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training touches the corpus once per Lloyd round (one map
   * assignment + one partial-aggregated shuffle on (sub, code, dim)); the
-  * codebook is m×ksub rows and lives as expression literals. Encoding and
+  * codebook is m×ksub rows and lives as expression constants. Encoding and
   * ADC scoring are PURE MAP passes — no shuffle, no join — and top-k is a
   * TakeOrderedAndProject. At 100 TB the whole query path is a scan.
-  * The m×ksub argmin expression tree is the [[graft.functions
-  * .NearestCentroid]] upgrade path if expression size ever dominates.
+  * Encoding runs in the native [[graft.functions.PqEncode]] expression
+  * (all m argmins in one pass, codebook as expression constants) — the
+  * earlier m×ksub struct-argmin expression tree produced bit-identical
+  * codes but paid seconds of analyzer/codegen time per query at m·ksub·dsub
+  * tree nodes; the expression keeps the proven rounding/tie discipline
+  * (PqSpec + the oracle hash-compares lock the equivalence).
   */
 object PqOps {
 
@@ -41,18 +45,11 @@ object PqOps {
   final case class Codebook(m: Int, dsub: Int, ksub: Int,
                             words: Map[(Int, Int), Seq[Double]])
 
-  private def subvec(vec: Column, s: Int, dsub: Int): Column =
-    slice(vec, s * dsub + 1, dsub)
-
-  /** Nearest-codeword id (1-based) for subspace `s`: lexicographic min over
-    * (rounded distance, code) structs — smallest distance, ties to the
-    * smaller code. */
-  private def codeExpr(vec: Column, cb: Codebook, s: Int): Column =
-    array_min(array((1 to cb.ksub).map { k =>
-      val w = cb.words((s, k))
-      struct(sqDist(subvec(vec, s, cb.dsub), typedLit(w)).as("d"),
-        lit(k).as("c"))
-    }: _*)).getField("c")
+  /** All m nearest-codeword ids (1-based) in one native pass — smallest
+    * rounded squared distance, ties to the smaller code. */
+  private def codesOf(vec: Column, cb: Codebook): Column =
+    graft.functions.VectorFunctions.pq_encode(vec, cb.m, cb.dsub,
+      (0 until cb.m).map(s => (1 to cb.ksub).map(k => cb.words((s, k)))))
 
   /** Train per-subspace codebooks: the first `ksub` corpus rows in md5-of-id
     * order seed every subspace (sliced), then `iters` Lloyd rounds of
@@ -78,11 +75,14 @@ object PqOps {
         yield (s, k) -> sample(k - 1).slice(s * dsub, (s + 1) * dsub)).toMap)
     (1 to iters).foldLeft(init) { (cb, _) =>
       val vec = col(vecCol).cast("array<double>")
-      val means = df.select(explode(array((0 until m).map(s =>
-          struct(lit(s).as("sub"), codeExpr(vec, cb, s).as("code"),
-            subvec(vec, s, dsub).as("sv"))): _*)).as("e"))
-        .select(col("e.sub").as("sub"), col("e.code").as("code"),
-          posexplode(col("e.sv")).as(Seq("i", "x")))
+      // codes computed ONCE per row (single generator reference — the
+      // CollapseProject duplication trap doesn't apply), subvectors sliced
+      // post-explode by the emitted subspace index
+      val means = df
+        .select(vec.as("__v"), posexplode(codesOf(vec, cb)).as(Seq("__s", "code")))
+        .select(col("__s").cast("int").as("sub"), col("code"),
+          posexplode(slice(col("__v"), col("__s") * dsub + 1, lit(dsub)))
+            .as(Seq("i", "x")))
         .groupBy("sub", "code", "i")
         .agg(round(avg(col("x").cast("double")), 6).as("mv"))
         .groupBy("sub", "code")
@@ -101,11 +101,8 @@ object PqOps {
   /** Append the `codes` column to an arbitrary frame (pure map) — the form
     * composition sites need when the row must keep other columns (e.g. the
     * IVF cell id in [[SimilarityOps.ivfPqTopK]]). */
-  def withCodes(df: DataFrame, vecCol: String, cb: Codebook): DataFrame = {
-    val vec = col(vecCol).cast("array<double>")
-    df.withColumn("codes",
-      array((0 until cb.m).map(s => codeExpr(vec, cb, s).cast("int")): _*))
-  }
+  def withCodes(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
+    df.withColumn("codes", codesOf(col(vecCol).cast("array<double>"), cb))
 
   /** ADC top-k over a PRE-ENCODED corpus ((idCol, codes) from [[encode]]):
     * build the m×ksub distance table IN Spark (so rounding is the engine's

@@ -168,6 +168,78 @@ case class NearestCentroid(child: Expression, ids: IndexedSeq[Int],
     copy(child = newChild)
 }
 
+/** Product-quantization encoder in one pass: returns `array<int>` of length
+  * m, element s holding the 1-based id of the codeword nearest the s-th
+  * subvector by squared L2, each distance rounded to 6 dp with
+  * Catalyst-identical HALF_UP semantics BEFORE the argmin and ties resolved
+  * to the smaller code id — byte-for-byte the codes of the
+  * m × ksub struct-argmin expression tree it replaces (PqOps.codeExpr's
+  * array_min form), whose ~m·ksub·dsub-node tree dominated PQ query time
+  * with analyzer/codegen cost rather than arithmetic. Distance composition
+  * mirrors the tree exactly: (sv·sv + w·w) − 2·(sv·w), each dot a strict
+  * left-to-right fold over the overlapping prefix (the [[DotProduct]]
+  * contract), so a short vector's trailing subspaces degrade identically.
+  * NaN distances lose to any number (Spark's double ordering in array_min),
+  * and an all-NaN subspace keeps code 1 — the struct-min tie outcome. */
+case class PqEncode(child: Expression, m: Int, dsub: Int,
+                    words: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(m > 0 && dsub > 0 && words.length == m && words.forall(_.nonEmpty),
+    "words must hold a non-empty codebook per subspace")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  // Seq params for structural plan equality; primitive copies for the loop
+  private lazy val wArr: Array[Array[Array[Double]]] =
+    words.map(_.map(_.toArray).toArray).toArray
+  private lazy val wNorm2: Array[Array[Double]] = wArr.map(_.map { w =>
+    var s = 0.0; var i = 0
+    while (i < w.length) { s += w(i) * w(i); i += 1 }
+    s
+  })
+
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val len = math.max(0, math.min(dsub, x.length - off))
+      var svv = 0.0
+      var i = 0
+      while (i < len) { val xi = x(off + i); svv += xi * xi; i += 1 }
+      val ws = wArr(s)
+      var bestK = 1
+      var best = Double.PositiveInfinity
+      var k = 0
+      while (k < ws.length) {
+        val w = ws(k)
+        val n = math.min(len, w.length)
+        var ab = 0.0
+        i = 0
+        while (i < n) { ab += x(off + i) * w(i); i += 1 }
+        val d = round6(svv + wNorm2(s)(k) - 2.0 * ab)
+        if (java.lang.Double.compare(d, best) < 0) { best = d; bestK = k + 1 }
+        k += 1
+      }
+      codes(s) = bestK
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -190,4 +262,12 @@ object VectorFunctions {
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v.cast("array<double>")),
       ids.toIndexedSeq, centroids.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** PQ codes of `v` — `words(s)(k-1)` is codeword k of subspace s (see
+    * [[PqEncode]]). */
+  def pq_encode(v: Column, m: Int, dsub: Int,
+                words: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(v.cast("array<double>")),
+      m, dsub, words.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 }

@@ -145,6 +145,7 @@ object SparkEntry {
     "x_rebalance" -> ExtQueries.xRebalance,
     "x_tok_hist" -> ExtQueries.xTokHist,
     "x_semdedup" -> ExtQueries.xSemDedup,
+    "x_semdedup_auto" -> ExtQueries.xSemDedupAuto,
     // ext: LM-based quality scoring
     "x_lm_score" -> ExtQueries.xLmScore,
     "x_dsir" -> ExtQueries.xDsir,

@@ -478,6 +478,15 @@ object ExtQueries {
     SimilarityOps.semDedup(plantedEmbeddings(s, dir), "vec_id", "embedding",
       nlist = 16, kmeansIters = 2, tau = 0.99)
 
+  /** The auto-sized form: targetClusterSize 34 over the sf0.01 planted
+    * corpus (540 vectors) yields nlist = ceil(540/34) = 16 — byte-identical
+    * to x_semdedup's explicit call, so the two share one oracle; at larger
+    * SFs the cluster size stays pinned while nlist grows with the corpus
+    * (the knob's whole point). */
+  val xSemDedupAuto: Q = (s, dir) =>
+    SimilarityOps.semDedupAuto(plantedEmbeddings(s, dir), "vec_id", "embedding",
+      targetClusterSize = 34, kmeansIters = 2, tau = 0.99)
+
   // ---- LM-based quality scoring (round 4) ----
 
   /** CCNet-style unigram perplexity: add-0.1 LM trained on the English

@@ -1461,6 +1461,16 @@ object Oracles {
          |  round(sum(lr), 6) AS dsir_logw
          |FROM hb JOIN ratios USING (bucket) GROUP BY doc_id""".stripMargin,
 
+    // the auto-sized form lands on the identical nlist at this corpus size
+    // (see ExtQueries.xSemDedupAuto), so it shares x_semdedup's mirror
+    "x_semdedup_auto" ->
+      s"""WITH $PLANTED_CTES, ${ivfChainCtes("corpus", kmeansIters = 2, nlist = 16)}dup AS (
+         |  SELECT DISTINCT a.vec_id FROM asgF a JOIN asgF b
+         |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.99)
+         |SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id
+         |FROM asgF s WHERE s.vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+
     "x_semdedup" ->
       s"""WITH $PLANTED_CTES, ${ivfChainCtes("corpus", kmeansIters = 2, nlist = 16)}dup AS (
          |  SELECT DISTINCT a.vec_id FROM asgF a JOIN asgF b

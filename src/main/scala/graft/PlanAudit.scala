@@ -40,7 +40,9 @@ object PlanAudit {
         "x_chunk_dedup","x_repetition","x_bloom_prune","x_rebalance",
         "x_semdedup","x_lm_score","x_dsir","x_pq_topk","x_pq_recall",
         "x_temp_sample","x_ccnet_buckets","x_split","x_shuffle_export",
-        "x_psi_drift","x_ivfpq").foreach(audit)
+        "x_psi_drift","x_ivfpq",
+        "x_ccnet_approx","x_ivfpq_res","x_ivfpq_batch","q_ep3_pipeline",
+        "x_semdedup_auto").foreach(audit)
     spark.stop()
   }
 }

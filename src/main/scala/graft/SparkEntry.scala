@@ -118,8 +118,9 @@ object SparkEntry {
     "x_mm_frames" -> ExtQueries.xMmFrames,
     "x_mm_resize" -> ExtQueries.xMmResize,
     "x_mm_features" -> ExtQueries.xMmFeatures,
-    // ext: skew + composed pipeline
+    // ext: skew + fuzzy + composed pipeline
     "x_skew_join" -> ExtQueries.xSkewJoin,
+    "x_fuzzy_join" -> ExtQueries.xFuzzyJoin,
     "x_pipeline" -> ExtQueries.xPipeline,
     // ext: event-time windows
     "x_win_tumble" -> ExtQueries.xWinTumble,
@@ -185,5 +186,5 @@ object SparkEntry {
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "q_ep3_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
-    "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch")
+    "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_fuzzy_join")
 }

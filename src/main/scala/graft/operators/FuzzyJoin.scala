@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-path fuzzy (edit-distance) join — the SURVEY §4 "rewrite
+  * `levenshtein(a,b) <= k` joins" candidate realised as a library operator.
+  *
+  * The reference's fuzzy matching (Op-35, ServiceAlertAugmenter fuzzy layer
+  * lookup) runs `levenshtein` against a broadcast layer — fine while one
+  * side is tiny, a nested-loop disaster when both sides are large. The
+  * classic equi-join rewrite is FastSS (Bocek, Hunt & Stiller 2007, "Fast
+  * Similarity Search in Large Dictionaries"): two strings within edit
+  * distance k share at least one common member of their ≤k-deletion
+  * neighbourhoods, so exploding each side to its deletion variants turns the
+  * candidate search into a plain equi-join on the variant string, followed
+  * by an exact levenshtein verify (sharing a variant only bounds the
+  * distance by 2k, so the verify is part of the semantics, not an
+  * optimisation). Mirrors the LSH shape: explode → equi-join → distinct
+  * pairs → exact filter.
+  *
+  * Why not length-banding (|len(a)−len(b)| ≤ k as the join key): real
+  * entity corpora have near-constant lengths (every TPC-H customer name is
+  * 18 chars), so the length key degenerates to ONE hot key — a disguised
+  * cross join. Deletion variants are near-unique strings; the join keys
+  * stay fine-grained no matter how uniform the lengths are.
+  *
+  * Scale shape: each side fans out to ≤ 1 + len + len²/2 variant rows
+  * (k ≤ 2), one shuffle equi-join on the variant, one distinct on the pair,
+  * the levenshtein verify on candidate pairs only. Degenerate positions on
+  * empty/short strings can emit junk variants (Spark's `sequence` runs
+  * DESCENDING when start > stop); they cost a few spurious candidates, never
+  * correctness — the verify filter owns the semantics.
+  */
+object FuzzyJoin {
+
+  /** All strings reachable from `s` by at most `k` character deletions
+    * (including `s` itself), deduplicated. k ∈ {1, 2}. */
+  private[operators] def delVariants(s: Column, k: Int): Column = {
+    val d1 = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    k match {
+      case 1 => array_distinct(concat(array(s), d1))
+      case 2 =>
+        val d2 = flatten(transform(sequence(lit(1), length(s)), i =>
+          transform(sequence(i + 1, length(s)), j =>
+            concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, j - i - 1),
+              s.substr(j + 1, length(s))))))
+        array_distinct(concat(array(s), d1, d2))
+    }
+  }
+
+  /** Pairs (l_id, r_id, dist) with levenshtein(leftStr, rightStr) ≤ maxDist,
+    * computed WITHOUT a nested-loop join. NULL strings never match (SQL
+    * join-key semantics: their variant arrays are null, so explode drops the
+    * row). maxDist ∈ {1, 2} — the deletion-neighbourhood fan-out is
+    * O(len^k); beyond 2 the variant explosion stops paying for itself and a
+    * q-gram/PassJoin scheme is the next tier. */
+  def deletionJoin(left: DataFrame, leftId: Column, leftStr: Column,
+                   right: DataFrame, rightId: Column, rightStr: Column,
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletionJoin implements maxDist in {1, 2}")
+    val l = left.select(leftId.as("l_id"), leftStr.as("l_str"))
+      .select(col("l_id"), col("l_str"),
+        explode(delVariants(col("l_str"), maxDist)).as("__v"))
+    val r = right.select(rightId.as("r_id"), rightStr.as("r_str"))
+      .select(col("r_id"), col("r_str"),
+        explode(delVariants(col("r_str"), maxDist)).as("__v"))
+    l.join(r, "__v")
+      .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
+      .distinct()
+      .select(col("l_id"), col("r_id"),
+        levenshtein(col("l_str"), col("r_str")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+}

@@ -268,6 +268,24 @@ object ExtQueries {
       .groupBy(col("tag")).agg(count(lit(1)).as("n"))
   }
 
+  /** Scale-path fuzzy join (FastSS deletion-neighbourhood equi-join): every
+    * customer name vs one-char-deleted corruptions of ALL customer names,
+    * pairs within edit distance 1. The oracle is the PLAIN levenshtein
+    * join — the deletion-variant candidate generation is result-invariant
+    * (complete by the FastSS pigeonhole + exact verify), so what's under
+    * test is precisely the rewrite the operator exists for. */
+  val xFuzzyJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val left = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val p = (col("c_custkey") % length(col("c_name"))) + 1
+    val right = c.select(col("c_custkey").as("id"),
+      concat(col("c_name").substr(lit(1), p - 1),
+        col("c_name").substr(p + 1, length(col("c_name")))).as("name"))
+    graft.operators.FuzzyJoin.deletionJoin(left, col("id"), col("name"),
+      right, col("id"), col("name"), maxDist = 1)
+  }
+
   /** Composed end-to-end training-data pipeline — the library's operators
     * chained the way a real corpus-prep job chains them: token-count
     * filter → language ID → exact-dedup keep-one. Predicates are

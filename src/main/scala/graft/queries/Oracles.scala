@@ -1208,6 +1208,20 @@ object Oracles {
          |  round(coalesce(dupchars, 0) / tot, 6) AS dup_ngram_frac
          |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""".stripMargin,
 
+    // the deletion-neighbourhood candidate generation is result-invariant
+    // (FastSS completeness + exact verify), so the oracle is the PLAIN
+    // levenshtein join
+    "x_fuzzy_join" ->
+      """WITH l AS (SELECT c_custkey AS l_id, c_name AS l_str FROM customer
+        |  WHERE c_custkey <= 1000),
+        |r AS (SELECT c_custkey AS r_id,
+        |  substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+        |  substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2,
+        |    length(c_name)) AS r_str
+        |  FROM customer)
+        |SELECT l_id, r_id, CAST(levenshtein(l_str, r_str) AS INT) AS dist
+        |FROM l, r WHERE levenshtein(l_str, r_str) <= 1""".stripMargin,
+
     // the Bloom prune is result-invariant (no false negatives + exact
     // post-join), so the oracle is the plain semi-join
     "x_bloom_prune" ->

@@ -64,6 +64,37 @@ class CurationPropertySpec extends SparkTestBase {
     assert(got.map(_._3).sum === winner.size.toLong)
   }
 
+  test("deletionJoin equals the brute-force levenshtein join for k=1 and " +
+    "k=2 on random short strings") {
+    import graft.operators.FuzzyJoin
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(20260819)
+    def randStr() =
+      Seq.fill(3 + rnd.nextInt(6))("abcd"(rnd.nextInt(4))).mkString
+    val left = (1 to 80).map(i => (i.toLong, randStr()))
+    val right = (1 to 80).map(i => (1000L + i, randStr()))
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.deletionJoin(
+          left.toDF("id", "s"), col("id"), col("s"),
+          right.toDF("id", "s"), col("id"), col("s"), k)
+        .as[(Long, Long, Int)].collect().toSet
+      val expected = (for {
+        (li, ls) <- left; (ri, rs) <- right
+        d = lev(ls, rs) if d <= k
+      } yield (li, ri, d)).toSet
+      assert(got === expected, s"k=$k")
+      assert(expected.nonEmpty, "vacuous corpus — no pairs within distance")
+    }
+  }
+
   test("chunkDedup fails loudly on doc_id magnitudes that would overflow " +
     "the winner encoding (hash-derived 63-bit ids must not corrupt silently)") {
     import graft.ext.RepetitionOps

@@ -135,6 +135,13 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(scoring, "Join") === 0, scoring)
   }
 
+  test("fuzzy join: deletion-neighbourhood EQUI-join — no nested-loop, no " +
+    "cartesian (the levenshtein-join rewrite is the operator's point)") {
+    val p = plan("x_fuzzy_join")
+    assert(countIn(p, "BroadcastNestedLoopJoin") === 0 &&
+      countIn(p, "CartesianProduct") === 0, p)
+  }
+
   test("ccnet approx bucketing: NO window anywhere — per-stratum thresholds " +
     "are a tiny aggregate joined broadcast, assignment is map-side") {
     val p = plan("x_ccnet_approx")

@@ -9,7 +9,9 @@ object PlanAudit {
       // audit-only: AQE's AdaptiveSparkPlan wrapper hides WholeStageCodegen
       // spans in the pre-execution plan text; prod runs keep AQE on
       .config("spark.sql.adaptive.enabled","false")
-      .config("spark.sql.ansi.enabled","false").getOrCreate()
+      .config("spark.sql.ansi.enabled","false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     def audit(name: String): Unit = {
@@ -42,7 +44,7 @@ object PlanAudit {
         "x_temp_sample","x_ccnet_buckets","x_split","x_shuffle_export",
         "x_psi_drift","x_ivfpq",
         "x_ccnet_approx","x_ivfpq_res","x_ivfpq_batch","q_ep3_pipeline",
-        "x_semdedup_auto").foreach(audit)
+        "x_semdedup_auto","x_asof_exec","x_fuzzy_join").foreach(audit)
     spark.stop()
   }
 }

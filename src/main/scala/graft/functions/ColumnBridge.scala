@@ -13,6 +13,21 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
 
+/** Custom-LogicalPlan bridge: wrapping a hand-built logical node back into
+  * a DataFrame needs `Dataset.ofRows`, which is `private[sql]` in the
+  * classic implementation — same shim pattern as [[ColumnBridge]]. */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+}
+
 /** Registers [[graft.functions.GraftExtensions]]' SQL functions on an
   * ALREADY-BUILT session (the extensions hook only runs at session build
   * time; `sessionState` is `private[sql]`, hence this bridge). Same builder

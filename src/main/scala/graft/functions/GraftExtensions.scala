@@ -28,8 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   * an already-built session, e.g. the shared test session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the custom-operator tier: as-of join as LogicalPlan + Strategy +
+    // SparkPlan, plus the optimizer rule that restores probe-side predicate
+    // pushdown through the opaque node (see graft.plans.AsOfJoinPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+  }
 }
 
 object GraftExtensions {

@@ -69,4 +69,43 @@ object AsOfJoin {
         valueCols.map(c => col("__m").getField(c).as(c)): _*)
       .unionByName(orphans)
   }
+
+  /** The custom-physical-operator form of [[asOf]] — identical semantics
+    * (AsOfExecSpec proves output equality on random fixtures including
+    * nulls and ties), planned through [[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinStrategy]] → [[graft.plans.AsOfJoinExec]]: the
+    * two sorted streams merge directly instead of union + window, so the
+    * per-partition state is ONE build row, not a window frame over the
+    * merged stream. Requires the strategy to be registered
+    * ([[graft.functions.GraftExtensions]] injects it; already-built
+    * sessions can append to `spark.experimental.extraStrategies`). */
+  def asOfExec(probe: DataFrame, build: DataFrame, keyCol: String,
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val probeCols = probe.columns.toSeq
+    require(valueCols.nonEmpty, "asOf: valueCols must be non-empty")
+    require(valueCols.forall(build.columns.contains),
+      s"asOf: valueCols ${valueCols.filterNot(build.columns.contains)} absent from build side")
+    require(valueCols.forall(c => !probeCols.contains(c)),
+      s"asOf: valueCols ${valueCols.filter(probeCols.contains)} collide with probe columns; rename first")
+    // fresh build-side attributes via aliases, so a self-as-of (probe and
+    // build sharing lineage) never produces duplicate expression ids
+    val b = build.select(col(keyCol).as("__asof_k") +:
+      col(tsCol).as("__asof_t") +:
+      valueCols.map(c => col(c).as(s"__asof_v_$c")): _*)
+    val pPlan = PlanBridge.analyzed(probe)
+    val bPlan = PlanBridge.analyzed(b)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfExec: no column '$name'"))
+    val node = graft.plans.AsOfJoinPlan(pPlan, bPlan,
+      attr(pPlan, keyCol), attr(pPlan, tsCol),
+      attr(bPlan, "__asof_k"), attr(bPlan, "__asof_t"),
+      valueCols.map(c => attr(bPlan, s"__asof_v_$c")))
+    PlanBridge.ofRows(probe.sparkSession, node)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => col(s"__asof_v_$c").as(c)): _*)
+  }
 }

@@ -345,6 +345,21 @@ object ExtQueries {
       Seq("v_ts", "v_value"))
   }
 
+  /** The custom-physical-operator as-of form (AsOfJoinPlan → Strategy →
+    * sorted-merge exec): same inputs, same DuckDB ASOF oracle — a third
+    * independent implementation agreeing on the semantics. */
+  val xAsofExec: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+    val build = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("v_value"))
+      .withColumn("v_ts", col("ts"))
+    val probe = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOfExec(probe, build, "user_id", "ts",
+      Seq("v_ts", "v_value"))
+  }
+
   // ---- corpus curation ----
 
   /** Gopher-style quality-rule battery; thresholds sit inside the corpus's

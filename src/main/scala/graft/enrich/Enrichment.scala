@@ -53,8 +53,17 @@ object Enrichment {
   }
 
   /** Op-53 stage: draft social text for (id, title, description) rows.
-    * Output joins back on id so the enrichment never widens the scan. */
-  def draftStage(df: DataFrame, drafter: Drafter): DataFrame = {
+    * Output joins back on id so the enrichment never widens the scan.
+    *
+    * `broadcastJoinBack`: the typed mapPartitions output carries NO size
+    * stats, so size-based planning cannot pick a broadcast for the
+    * join-back and falls to a sort-merge join — two exchanges for a frame
+    * that, in the reference's use, is bounded by DRAFT_LIMIT. Pass true
+    * when the input is work-limited (parameter-bounded, the Augmenter
+    * contract); leave false for unbounded corpora (q53 drafts every
+    * document). */
+  def draftStage(df: DataFrame, drafter: Drafter,
+                 broadcastJoinBack: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val drafted = df.select(col("id").cast("long"), col("title"), col("description"))
@@ -64,7 +73,8 @@ object Enrichment {
         it.map { case (id, t, d) => (id, drafter.draft(id, t, d)) }
       }
       .toDF("id", "tweet_text")
-    df.join(drafted, Seq("id"), "left")
+    df.join(if (broadcastJoinBack) broadcast(drafted) else drafted,
+      Seq("id"), "left")
   }
 
   /** Op-54: toot = tweet + hashtag(service_area) + " #CapeTown" — pure

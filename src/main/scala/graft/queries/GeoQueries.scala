@@ -235,11 +235,13 @@ object GeoQueries {
     val work = Incremental.workLimit(
       Incremental.cacheDiff(cur, cache, Seq("id", "ck")),
       Seq(col("publish_ord").desc, col("id")), 40)
-    // Op-53: drafting service boundary (mapPartitions, join-back on id)
+    // Op-53: drafting service boundary (mapPartitions, join-back on id);
+    // the input is work-limited, so the stats-less typed output is
+    // parameter-bounded and the join-back rides a broadcast
     val drafted = Enrichment.draftStage(
       work.select(col("id"), col("c_mktsegment").as("title"),
         col("c_name").as("description")),
-      Enrichment.StubDrafter)
+      Enrichment.StubDrafter, broadcastJoinBack = true)
     // Op-54: toot = tweet + segment hashtag + #CapeTown
     val hashtags = typedlit(Map(
       "BUILDING" -> "#Building", "MACHINERY" -> "#Machinery",
@@ -258,14 +260,17 @@ object GeoQueries {
       .groupBy(col("c_custkey"))
       .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
         .as("inferred_cells"))
-    // Op-59: map-image filename from the resolution digest
+    // Op-59: map-image filename from the resolution digest. Both join-backs
+    // ride broadcasts: the cascade/overlay outputs are stats-less (typed
+    // geocode stage in the lineage) but bounded by the work limit
     val fpCols = fp.select(col("c_custkey").as("id"), col("resolution"),
         round(GeoFunctions.stArea(col("cell_wkt")), 6).as("fp_area"))
-      .join(inferred.withColumnRenamed("c_custkey", "id"), Seq("id"), "left")
+      .join(broadcast(inferred.withColumnRenamed("c_custkey", "id")),
+        Seq("id"), "left")
     val key = concat_ws("_", lit("map"), col("resolution"), col("id").cast("string"))
     val b64 = base64(substring(key, 1, 48).cast("binary"))
     val fresh = tooted.select(col("id"), col("tweet_text"), col("toot_text"))
-      .join(fpCols, Seq("id"))
+      .join(broadcast(fpCols), Seq("id"))
       .withColumn("image_filename",
         when(length(b64) > 22, sha2(key, 256)).otherwise(b64))
       .withColumn("src", lit("fresh"))

@@ -180,6 +180,8 @@ class PlanSpec extends SparkTestBase {
     // (2 at sf0.001; slack for planner-inserted re-keys) — a regression past
     // this means a stage boundary started shuffling the full alert set
     assert(countIn(p, "Exchange hashpartitioning") <= 4, p)
+    // the drafted join-back is work-limited → broadcast, never sort-merge
+    assert(countIn(p, "SortMergeJoin") === 0, p)
   }
 
   test("residual ivf-pq: the query path never shuffles data — centroid/" +

@@ -56,16 +56,28 @@ object FuzzyJoin {
     * join-key semantics: their variant arrays are null, so explode drops the
     * row). maxDist ∈ {1, 2} — the deletion-neighbourhood fan-out is
     * O(len^k); beyond 2 the variant explosion stops paying for itself and a
-    * q-gram/PassJoin scheme is the next tier. */
+    * q-gram/PassJoin scheme is the next tier. The same bound motivates
+    * `maxLen`: this operator is for SHORT entity strings (names, codes,
+    * layer labels); a document-length string would fan out to millions of
+    * variant rows, so it raises loudly instead (the LSH maxBucket
+    * convention — the guard lives inside the consumed column so pruning
+    * cannot drop it). */
   def deletionJoin(left: DataFrame, leftId: Column, leftStr: Column,
                    right: DataFrame, rightId: Column, rightStr: Column,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, maxLen: Int = 64): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       "deletionJoin implements maxDist in {1, 2}")
-    val l = left.select(leftId.as("l_id"), leftStr.as("l_str"))
+    require(maxLen > 0, "maxLen must be positive")
+    def guarded(s: Column): Column =
+      when(length(s) <= maxLen, s).otherwise(raise_error(concat(
+        lit(s"deletionJoin: string exceeds maxLen=$maxLen — the " +
+          s"O(len^$maxDist) variant fan-out stops paying; key on a " +
+          "bounded field or use a q-gram scheme; length = "),
+        length(s).cast("string"))))
+    val l = left.select(leftId.as("l_id"), guarded(leftStr).as("l_str"))
       .select(col("l_id"), col("l_str"),
         explode(delVariants(col("l_str"), maxDist)).as("__v"))
-    val r = right.select(rightId.as("r_id"), rightStr.as("r_str"))
+    val r = right.select(rightId.as("r_id"), guarded(rightStr).as("r_str"))
       .select(col("r_id"), col("r_str"),
         explode(delVariants(col("r_str"), maxDist)).as("__v"))
     l.join(r, "__v")

@@ -95,6 +95,19 @@ class CurationPropertySpec extends SparkTestBase {
     }
   }
 
+  test("deletionJoin fails loudly on strings beyond maxLen (variant fan-out " +
+    "guard)") {
+    import graft.operators.FuzzyJoin
+    val long = Seq((1L, "x" * 100)).toDF("id", "s")
+    val short = Seq((2L, "abc")).toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.deletionJoin(long, col("id"), col("s"),
+        short, col("id"), col("s"), maxDist = 1, maxLen = 64).collect()
+    }
+    assert(ex.getMessage.contains("maxLen") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxLen")), ex.getMessage)
+  }
+
   test("chunkDedup fails loudly on doc_id magnitudes that would overflow " +
     "the winner encoding (hash-derived 63-bit ids must not corrupt silently)") {
     import graft.ext.RepetitionOps

@@ -117,14 +117,18 @@ object Enrichment {
     case _ => Seq.empty
   }
 
-  /** Op-55 stage: extract candidate location groups per row. */
-  def locateStage(df: DataFrame, locator: Locator): DataFrame = {
+  /** Op-55 stage: extract candidate location groups per row.
+    * `broadcastJoinBack` as in [[draftStage]] — the typed output has no
+    * stats, so opt in when the input is work-limited. */
+  def locateStage(df: DataFrame, locator: Locator,
+                  broadcastJoinBack: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val located = df.select(col("id").cast("long"), col("description"))
       .as[(Long, String)]
       .mapPartitions(it => it.map { case (id, d) => (id, locator.locate(d)) })
       .toDF("id", "location_suggestions")
-    df.join(located, Seq("id"), "left")
+    df.join(if (broadcastJoinBack) broadcast(located) else located,
+      Seq("id"), "left")
   }
 }

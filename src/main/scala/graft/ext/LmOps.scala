@@ -107,12 +107,49 @@ object LmOps {
     require(alpha > 0, "alpha must be positive")
     val tc = hashedNgramCounts(target, targetText, n, buckets)
     val rc = hashedNgramCounts(raw, rawText, n, buckets)
+    score(featsOf(docs, key, text, n, buckets),
+      ratioTable(docs, tc, rc, buckets, alpha))
+  }
+
+  /** The canonical DSIR configuration — the RAW distribution is the scored
+    * corpus itself (Xie et al. score the full crawl against a target slice):
+    * the per-document feature stream is computed ONCE and the raw bucket
+    * counts derive from it, instead of re-tokenising the whole corpus for a
+    * second independent pass. Output is bit-identical to
+    * `dsirWeights(raw = docs, rawText = text)` — the counts are integers
+    * from the same stream, so every downstream double agrees (LmSpec locks
+    * the equality). The feature stream feeds two branches (counts +
+    * scoring), so it is persisted here, run-scoped — the semDedup
+    * convention for operators whose plan forks. */
+  def dsirWeightsSelfRaw(docs: DataFrame, key: Column, text: Column,
+                         target: DataFrame, targetText: Column,
+                         n: Int = 2, buckets: Int = 1024,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val feats = featsOf(docs, key, text, n, buckets).persist()
+    val tc = hashedNgramCounts(target, targetText, n, buckets)
+    val rc = feats.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    score(feats, ratioTable(docs, tc, rc, buckets, alpha))
+  }
+
+  /** (doc_id, bucket) hashed-ngram feature stream. */
+  private def featsOf(docs: DataFrame, key: Column, text: Column,
+                      n: Int, buckets: Int): DataFrame =
+    docs.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("__toks"), n)).as("ng"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+
+  /** Every bucket gets a ratio row (an unseen bucket's ratio is the
+    * smoothed constant ln((Tr+aB)/(Tt+aB)), NOT zero), so the scoring
+    * join is total. */
+  private def ratioTable(docs: DataFrame, tc: DataFrame, rc: DataFrame,
+                         buckets: Int, alpha: Double): DataFrame = {
     val tTot = tc.agg(sum("cnt").cast("double").as("__Tt"))
     val rTot = rc.agg(sum("cnt").cast("double").as("__Tr"))
-    // every bucket gets a ratio row (an unseen bucket's ratio is the
-    // smoothed constant ln((Tr+aB)/(Tt+aB)), NOT zero), so the scoring
-    // join below is total
-    val ratios = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+    docs.sparkSession.range(buckets).select(col("id").as("bucket"))
       .join(tc.withColumnRenamed("cnt", "__ct"), Seq("bucket"), "left")
       .join(rc.withColumnRenamed("cnt", "__cr"), Seq("bucket"), "left")
       .crossJoin(tTot).crossJoin(rTot)
@@ -121,15 +158,11 @@ object LmOps {
              (col("__Tt") + lit(alpha) * buckets)) -
          log((coalesce(col("__cr"), lit(0L)).cast("double") + lit(alpha)) /
              (col("__Tr") + lit(alpha) * buckets))).as("__lr"))
-    val feats = docs.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
-      .select(col("doc_id"),
-        explode(TextOps.shingles(col("__toks"), n)).as("ng"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
-          % buckets).as("bucket"))
+  }
+
+  private def score(feats: DataFrame, ratios: DataFrame): DataFrame =
     feats.join(broadcast(ratios), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"),
         round(sum(col("__lr")), 6).as("dsir_logw"))
-  }
 }

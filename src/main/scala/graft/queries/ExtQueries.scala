@@ -532,12 +532,13 @@ object ExtQueries {
   }
 
   /** DSIR importance weights: hashed-bigram log-ratio of the English slice
-    * (target) vs the whole corpus (raw), 1024 buckets. */
+    * (target) vs the whole corpus (raw) — the self-raw form, which hashes
+    * the corpus once and derives the raw counts from the same feature
+    * stream (bit-identical to the two-pass general form; LmSpec locks it). */
   val xDsir: Q = (s, dir) => {
     val d = docs(s, dir)
-    LmOps.dsirWeights(d, col("doc_id"), col("text"),
-      target = d.where(col("lang") === "en"), raw = d,
-      targetText = col("text"), rawText = col("text"))
+    LmOps.dsirWeightsSelfRaw(d, col("doc_id"), col("text"),
+      target = d.where(col("lang") === "en"), targetText = col("text"))
   }
 
   /** Temperature-scaled mixture sampling: tau=0.5 upweights rare sources,

@@ -70,6 +70,23 @@ class LmSpec extends SparkTestBase {
     assert(got(1L) > 0 && got(2L) < 0)
   }
 
+  test("dsirWeightsSelfRaw is bit-identical to dsirWeights with raw = docs") {
+    val rnd = new scala.util.Random(20260821)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def doc() = Seq.fill(4 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+      .mkString(" ")
+    val docs = (1 to 150).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val target = (1 to 30).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val general = LmOps.dsirWeights(docs, col("doc_id"), col("text"),
+        target, docs, col("text"), col("text"), n = 2, buckets = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val selfRaw = LmOps.dsirWeightsSelfRaw(docs, col("doc_id"), col("text"),
+        target, col("text"), n = 2, buckets = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(selfRaw === general)
+    assert(selfRaw.nonEmpty)
+  }
+
   test("dsirWeights: a bucket unseen in both corpora contributes the smoothed " +
     "constant ln((Tr+aB)/(Tt+aB)), not zero") {
     val target = Seq((0L, "t t")).toDF("doc_id", "text")   // 1 bigram, Tt=1

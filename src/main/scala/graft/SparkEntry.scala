@@ -154,6 +154,7 @@ object SparkEntry {
     // ext: product quantization
     "x_pq_topk" -> ExtQueries.xPqTopk,
     "x_pq_recall" -> ExtQueries.xPqRecall,
+    "x_code_dedup" -> ExtQueries.xCodeDedup,
     "x_ivfpq" -> ExtQueries.xIvfPq,
     "x_ivfpq_res" -> ExtQueries.xIvfPqRes,
     "x_ivfpq_res_recall" -> ExtQueries.xIvfPqResRecall,

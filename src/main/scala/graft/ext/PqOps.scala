@@ -179,6 +179,22 @@ object PqOps {
       .limit(k)
   }
 
+  /** Code-signature dedup — the cheap coarse near-dup pass SemDeDup-style
+    * pipelines run BEFORE any exact cosine work: vectors sharing an
+    * identical PQ code signature are near-duplicates at the codebook's
+    * resolution (exactly the collapse x_pq_recall documents on the planted
+    * clone family), so keeping the smallest id per signature removes whole
+    * duplicate families for the cost of ONE partial-aggregated shuffle on
+    * an m-int key — no pair join, no distance arithmetic, no cluster-size
+    * risk. The signature is emitted as a comma-joined string (`code_sig`)
+    * so the result surface is scalar/sortable. Survivor set:
+    * (idCol, code_sig), smallest id per signature. */
+  def codeDedup(encoded: DataFrame, idCol: String): DataFrame =
+    encoded.select(col(idCol),
+        array_join(transform(col("codes"), _.cast("string")), ",").as("code_sig"))
+      .groupBy("code_sig").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("code_sig"))
+
   /** Convenience raw-vector form: encodes on the fly, then scores the
     * codes ([[adcTopKEncoded]]). Use the encoded form when the codes table
     * is materialised — re-encoding per query pays the full m×ksub

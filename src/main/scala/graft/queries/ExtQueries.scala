@@ -684,6 +684,15 @@ object ExtQueries {
         round(col("n_overlap") / lit(10.0), 4).as("recall"))
   }
 
+  /** PQ code-signature dedup over the planted corpus: the exact copies and
+    * near-clones collapse to one survivor per code signature — the coarse
+    * map-side pass before any exact similarity work. */
+  val xCodeDedup: Q = (s, dir) => {
+    val (corpus, _) = pqParts(s, dir)
+    val cb = PqOps.train(corpus, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
+    PqOps.codeDedup(PqOps.encode(corpus, "vec_id", "embedding", cb), "vec_id")
+  }
+
   /** Recall of the PQ top-10 against the exact squared-L2 top-10 — the
     * honesty row for the compressed representation. On the planted corpus
     * this is 0.5 BY CONSTRUCTION, and that is the interesting part: vector

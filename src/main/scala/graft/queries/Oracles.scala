@@ -1358,6 +1358,14 @@ object Oracles {
       s"""WITH $PLANTED_CTES, $PQ_CTES
          |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
 
+    // smallest id per comma-joined code signature (sub order), over the
+    // same PQ chain x_pq_topk trains
+    "x_code_dedup" ->
+      s"""WITH $PLANTED_CTES, $PQ_CTES,
+         |sig AS (SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS code_sig
+         |  FROM enc GROUP BY vec_id)
+         |SELECT min(vec_id) AS vec_id, code_sig FROM sig GROUP BY code_sig""".stripMargin,
+
     // IVF-PQ composition: cosine cells (ivf chain, 1 Lloyd round, nlist=16)
     // prune to the 4 probed cells; survivors score by PQ ADC on their codes
     "x_ivfpq" -> {

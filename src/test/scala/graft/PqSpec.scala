@@ -183,6 +183,23 @@ class PqSpec extends SparkTestBase {
     assert(batch === single)
   }
 
+  test("codeDedup keeps the smallest id per code signature; planted copies " +
+    "collapse onto their originals") {
+    val df = corpus(16).union(Seq((100L, vec(3)), (101L, vec(5)))
+      .toDF("vec_id", "embedding"))
+    val cb = PqOps.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val surv = PqOps.codeDedup(
+        PqOps.encode(df, "vec_id", "embedding", cb), "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!surv.contains(100L) && !surv.contains(101L),
+      "exact copies must collapse onto the original's signature")
+    // reference: min id per signature class of the actual encoding
+    val enc = PqOps.encode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect()
+    val expected = enc.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(surv === expected)
+  }
+
   test("train: a Lloyd round does not increase total quantization error") {
     val df = corpus(40)
     def err(iters: Int): Double = {

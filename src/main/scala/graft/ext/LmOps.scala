@@ -52,7 +52,12 @@ object LmOps {
     * still downgrade to broadcast when the reference is genuinely small. The
     * (T, V) totals are a one-row aggregate, broadcast-cross-joined.
     * Per-document stats weight each token's log-prob by its occurrence
-    * count, so the output is identical to the per-occurrence form. */
+    * count, so the output is identical to the per-occurrence form AFTER the
+    * 6-dp rounding: sum(lp·occ)/sum(occ) changes IEEE summation order and
+    * operand values vs a per-occurrence avg(lp), so equality holds modulo
+    * the rounding discipline, not bit-exactly — a value landing on a .5e-6
+    * boundary could in principle round differently (same approx-vs-exact
+    * contract as quantileBucketsApprox vs its ntile oracle). */
   def lmScore(docs: DataFrame, key: Column, text: Column,
               refCounts: DataFrame, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")

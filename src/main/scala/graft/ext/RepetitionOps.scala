@@ -52,13 +52,20 @@ object RepetitionOps {
     * SILENTLY corrupt winner order, so both bounds raise loudly instead. */
   def chunkDedup(df: DataFrame, key: Column, text: Column, c: Int = 8): DataFrame = {
     val ch = explodeChunks(df, key, text, c)
-    val enc = when(abs(col("doc_id")) < 8796093022208L, col("doc_id"))
-        .otherwise(raise_error(concat(
+    // Direct range compare, not abs(): in non-ANSI mode abs(Long.MinValue)
+    // returns Long.MinValue (< 2^43), which would slip past an abs-based
+    // guard in exactly the hash-derived-id scenario it protects against.
+    // Guard inverted (raise-on-true, pass otherwise) so a NULL doc_id makes
+    // the condition NULL and null-propagates instead of raising.
+    val enc = when(col("doc_id") < -8796093022208L ||
+          col("doc_id") >= 8796093022208L, raise_error(concat(
           lit("chunkDedup: |doc_id| >= 2^43 would overflow the winner "),
           lit("encoding (use a surrogate id); doc_id = "),
-          col("doc_id").cast("string")))) * lit(1048576L) +
-      when(col("chunk_idx") < 1048576, col("chunk_idx"))
-        .otherwise(raise_error(lit("chunkDedup: document exceeds 2^20 chunks")))
+          col("doc_id").cast("string"))))
+        .otherwise(col("doc_id")) * lit(1048576L) +
+      when(col("chunk_idx") >= 1048576,
+        raise_error(lit("chunkDedup: document exceeds 2^20 chunks")))
+        .otherwise(col("chunk_idx"))
     val winners = ch.groupBy("chunk").agg(min(enc).as("__w"))
     ch.join(winners, "chunk")
       .withColumn("__kept", enc === col("__w"))

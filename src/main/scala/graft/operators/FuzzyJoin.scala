@@ -68,12 +68,17 @@ object FuzzyJoin {
     require(maxDist >= 1 && maxDist <= 2,
       "deletionJoin implements maxDist in {1, 2}")
     require(maxLen > 0, "maxLen must be positive")
+    // Guard inverted on purpose: a NULL string makes `length(s) > maxLen`
+    // NULL (not true), so NULLs fall through to the pass branch, keep their
+    // NULL variants, and explode drops the row — the documented "NULL never
+    // matches" contract. The when(cond, pass).otherwise(raise) shape would
+    // send NULLs to the raise branch and crash the job.
     def guarded(s: Column): Column =
-      when(length(s) <= maxLen, s).otherwise(raise_error(concat(
+      when(length(s) > maxLen, raise_error(concat(
         lit(s"deletionJoin: string exceeds maxLen=$maxLen — the " +
           s"O(len^$maxDist) variant fan-out stops paying; key on a " +
           "bounded field or use a q-gram scheme; length = "),
-        length(s).cast("string"))))
+        length(s).cast("string")))).otherwise(s)
     val l = left.select(leftId.as("l_id"), guarded(leftStr).as("l_str"))
       .select(col("l_id"), col("l_str"),
         explode(delVariants(col("l_str"), maxDist)).as("__v"))

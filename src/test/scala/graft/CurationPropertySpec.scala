@@ -120,6 +120,38 @@ class CurationPropertySpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("2^43")), ex.getMessage)
   }
 
+  test("deletionJoin ignores NULL strings instead of crashing on the maxLen " +
+    "guard (NULL length must fall through to the pass branch)") {
+    import graft.operators.FuzzyJoin
+    val left = Seq((1L, Some("abc")), (2L, None), (3L, Some("abd")))
+      .toDF("id", "s")
+    val right = Seq((10L, Some("abc")), (11L, None)).toDF("id", "s")
+    val got = FuzzyJoin.deletionJoin(left, col("id"), col("s"),
+        right, col("id"), col("s"), maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // NULL rows on either side simply never match; non-null pairs unaffected.
+    assert(got === Set((1L, 10L, 0), (3L, 10L, 1)))
+  }
+
+  test("chunkDedup raises on doc_id = Long.MinValue (abs overflow must not " +
+    "slip past the winner-encoding guard) and null-propagates NULL doc_id") {
+    import graft.ext.RepetitionOps
+    val minVal = Seq((Long.MinValue, "alpha beta gamma delta"), (7L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      RepetitionOps.chunkDedup(minVal, col("doc_id"), col("text"), c = 2).collect()
+    }
+    assert(ex.getMessage.contains("2^43") ||
+      Option(ex.getCause).exists(_.getMessage.contains("2^43")), ex.getMessage)
+    // A NULL doc_id must not raise — the guard null-propagates and the row
+    // lands in the null group, matching pre-guard behaviour.
+    val withNull = Seq((Some(7L), "alpha beta"), (None, "alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = RepetitionOps.chunkDedup(withNull, col("doc_id"), col("text"),
+      c = 2).collect()
+    assert(rows.length === 2)
+  }
+
   test("domainRebalance output is identical to the single-window reference " +
     "for random caps and any input partitioning (the pre-cap never drops a " +
     "global survivor)") {

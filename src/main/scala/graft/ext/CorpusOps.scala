@@ -93,12 +93,20 @@ object CorpusOps {
     * arbitrarily across buckets), threshold bucketing is a function of the
     * VALUE — ties always land in the same bucket, and bucket sizes can
     * differ near ties/boundaries; NULL values (null > t is null → 0) land in
-    * bucket 1. The broadcast is scale-correct: the threshold table is
-    * #strata × (numBuckets−1) doubles — bounded by strata cardinality, not
-    * data size (and a shuffle join here would re-introduce the hot-stratum
-    * key this operator exists to avoid; window skew has no AQE rescue). */
+    * bucket 1. The default broadcast is scale-correct for LANGUAGE-like
+    * strata: the threshold table is #strata × (numBuckets−1) doubles —
+    * bounded by strata cardinality, not data size (and a shuffle join here
+    * would re-introduce the hot-stratum key this operator exists to avoid;
+    * window skew has no AQE rescue). For DOMAIN-like strata (URL hosts,
+    * user ids — unbounded cardinality) the threshold table itself grows with
+    * the data and a forced broadcast is a driver OOM, so pass
+    * `broadcastThresholds = false` to leave the join strategy to size-based
+    * planning (the [[tfidfTopTerms]] broadcastVocab convention); skew is no
+    * concern there because high-cardinality strata are by definition not
+    * hot. */
   def quantileBuckets(df: DataFrame, stratum: Column, value: Column,
-                      numBuckets: Int, exact: Boolean): DataFrame = {
+                      numBuckets: Int, exact: Boolean,
+                      broadcastThresholds: Boolean = true): DataFrame = {
     require(numBuckets > 1, "numBuckets must be at least 2")
     val v = value.cast("double")
     val ths = (1 until numBuckets).map { i =>
@@ -110,9 +118,10 @@ object CorpusOps {
     val th = df.groupBy(stratum.as("__qs")).agg(ths.head, ths.tail: _*)
     val bucket = (1 until numBuckets).map(i =>
       when(v > col(s"__qt$i"), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    val thF = if (broadcastThresholds) broadcast(th) else th
     // null-safe: a NULL stratum is a legitimate group (the temperatureSample
     // convention) — a plain === would silently drop every such row
-    df.join(broadcast(th), stratum <=> col("__qs"))
+    df.join(thF, stratum <=> col("__qs"))
       .withColumn("bucket", bucket)
       .drop((1 until numBuckets).map(i => s"__qt$i") :+ "__qs": _*)
   }

@@ -513,19 +513,30 @@ object SimilarityOps {
     * ceil(n / targetClusterSize), so the expected cluster is
     * targetClusterSize regardless of corpus growth — the knob users actually
     * reason about (pair work scales as n · targetClusterSize). Costs one
-    * count() action up front (the corpus is scanned for centroid sampling
-    * right after, so the extra pass is marginal; pass a persisted frame).
+    * count() action up front; the operator persists the input around the
+    * count + centroid-sampling + refine passes (unless the caller already
+    * did), then unpersists once training is done — the final assignment
+    * pass re-scans the source once, so nothing stays pinned after the call.
     * The maxCluster fail-fast stays as the backstop for skewed clusterings —
     * sizing the AVERAGE correctly cannot bound the largest cell. */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    targetClusterSize: Int, kmeansIters: Int, tau: Double,
                    maxCluster: Int = 100000): DataFrame = {
     require(targetClusterSize > 0, "targetClusterSize must be positive")
-    val n = df.count()
-    require(n > 0, "semDedupAuto: empty corpus")
-    val nlist = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
-    require(nlist <= Int.MaxValue, "nlist overflow")
-    semDedup(df, idCol, vecCol, nlist.toInt, kmeansIters, tau, maxCluster)
+    val alreadyCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached) df.persist()
+    try {
+      val n = df.count()
+      require(n > 0, "semDedupAuto: empty corpus")
+      val nlist = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+      require(nlist <= Int.MaxValue, "nlist overflow")
+      // semDedup's eager work (centroid sampling, k-means refine) happens
+      // before it returns its lazy result, so every training scan hits cache
+      semDedup(df, idCol, vecCol, nlist.toInt, kmeansIters, tau, maxCluster)
+    } finally {
+      if (!alreadyCached) df.unpersist(blocking = false)
+    }
   }
 
   def semDedup(df: DataFrame, idCol: String, vecCol: String,

@@ -375,6 +375,27 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("quantileBuckets(broadcastThresholds = false) matches the broadcast " +
+    "form on a high-cardinality stratum and plans without a forced broadcast") {
+    // domain-like strata: one group per row-ish cardinality — the shape
+    // where a forced broadcast of the threshold table stops being bounded
+    val rnd = new scala.util.Random(20260813)
+    val df = (0 until 400).map(i => (s"host$i.example", rnd.nextDouble() * 10,
+      i.toLong)).toDF("g", "v", "id")
+    def result(bcast: Boolean) = CorpusOps.quantileBuckets(df, col("g"),
+        col("v"), numBuckets = 2, exact = true, broadcastThresholds = bcast)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(result(false) === result(true))
+    // hint-free means size-based planning owns the strategy: no broadcast
+    // hint in the analyzed plan (hints are folded into the Join node by the
+    // optimizer, so the analyzed plan is where their presence is visible)
+    def analyzed(bcast: Boolean) = CorpusOps.quantileBuckets(df, col("g"),
+        col("v"), numBuckets = 2, exact = true, broadcastThresholds = bcast)
+      .queryExecution.analyzed.toString
+    assert(!analyzed(false).contains("ResolvedHint"))
+    assert(analyzed(true).contains("ResolvedHint")) // positive control
+  }
+
   // ---- stratified sample ----
 
   test("stratifiedSample applies per-stratum rates deterministically") {

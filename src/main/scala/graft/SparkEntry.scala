@@ -159,6 +159,8 @@ object SparkEntry {
     "x_ivfpq_res" -> ExtQueries.xIvfPqRes,
     "x_ivfpq_res_recall" -> ExtQueries.xIvfPqResRecall,
     "x_ivfpq_batch" -> ExtQueries.xIvfPqBatch,
+    "x_ivfpq_stored" -> ExtQueries.xIvfPqStored,
+    "x_ivfpq_stored_batch" -> ExtQueries.xIvfPqStoredBatch,
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
@@ -189,5 +191,6 @@ object SparkEntry {
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "q_ep3_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
-    "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_fuzzy_join")
+    "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_ivfpq_stored",
+    "x_ivfpq_stored_batch", "x_fuzzy_join")
 }

@@ -104,14 +104,40 @@ object PqOps {
   def withCodes(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
     df.withColumn("codes", codesOf(col(vecCol).cast("array<double>"), cb))
 
+  /** Collapse a relational distance table (keys..., sub, code, __d2) to ONE
+    * array per key with slot sub·ksub + code (1-based) — the layout
+    * [[adcScore]] indexes. The tables stay a parameter-bounded FRAME
+    * end-to-end (one tiny aggregation; nothing is collected to the driver),
+    * which is what retired the literal when-chain folds: a literal table is
+    * nprobe × m × ksub expression nodes and its analyzer/codegen cost grows
+    * with nprobe, while this is one Literal-free broadcast row per key.
+    * (sub, code) is unique per key, so the array_sort order is total and
+    * the layout deterministic. */
+  private[ext] def dtabArray(dtab: DataFrame, keys: Seq[String]): DataFrame =
+    dtab.groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("__d2")))),
+        t => t.getField("__d2")).as("__darr"))
+
+  /** ADC score of a codes row against its joined `__darr` table: a left fold
+    * of the m per-subspace lookups in subspace order (0.0 + d₀ + d₁ + … —
+    * bit-identical to the retired literal fold's d₀ + d₁ + …, since
+    * 0.0 + x = x for the non-negative distances involved), rounded 6 dp. */
+  private[ext] def adcScore(m: Int, ksub: Int): Column =
+    round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(col("__darr"), s * ksub + element_at(col("codes"), s + 1))), 6)
+
   /** ADC top-k over a PRE-ENCODED corpus ((idCol, codes) from [[encode]]):
     * build the m×ksub distance table IN Spark (so rounding is the engine's
-    * own), then score = sum of per-subspace table lookups on the stored
-    * codes — m element_at calls per row, no distance arithmetic, no
-    * re-quantization. This is the form that makes PQ PQ: the corpus the
-    * query path scans is the compressed codes table (log2(ksub)·m bits per
-    * vector), and every query costs m lookups per row plus one
-    * TakeOrderedAndProject. Output: (vec_id, adc_dist). */
+    * own) as the nq = 1 case of the relational batch structure — the table
+    * rides a one-row broadcast onto the codes scan and scoring is a pure
+    * map ([[adcScore]]), no distance arithmetic, no re-quantization, no
+    * driver-side table collect. This is the form that makes PQ PQ: the
+    * corpus the query path scans is the compressed codes table
+    * (log2(ksub)·m bits per vector), and every query costs m lookups per
+    * row plus one TakeOrderedAndProject. The only shuffle anywhere is the
+    * m×ksub-row table build aggregate — never the codes scan.
+    * Output: (vec_id, adc_dist). */
   def adcTopKEncoded(encoded: DataFrame, idCol: String,
                      query: DataFrame, k: Int, cb: Codebook): DataFrame = {
     val s0 = encoded.sparkSession
@@ -119,19 +145,13 @@ object PqOps {
     val cbDf = cb.words.toSeq.map { case ((s, c), w) => (s, c, w) }
       .toDF("sub", "code", "w")
     // the query subvector is sliced by the row's own sub column, so one
-    // crossJoin computes the whole m×ksub table; collected — it is the
-    // size of the codebook, not the data
-    val dtab = query.crossJoin(cbDf)
+    // crossJoin computes the whole m×ksub table
+    val dtab = query.crossJoin(broadcast(cbDf))
       .select(col("sub"), col("code"),
         sqDist(slice(col("q").cast("array<double>"),
-          col("sub") * cb.dsub + 1, lit(cb.dsub)), col("w")).as("d2"))
-      .as[(Int, Int, Double)].collect()
-      .map { case (s, c, d2) => (s, c) -> d2 }.toMap
-    val adc = round((0 until cb.m).map { s =>
-      element_at(typedLit((1 to cb.ksub).map(c => dtab((s, c)))),
-        element_at(col("codes"), s + 1))
-    }.reduce(_ + _), 6)
-    encoded.select(col(idCol).as("vec_id"), adc.as("adc_dist"))
+          col("sub") * cb.dsub + 1, lit(cb.dsub)), col("w")).as("__d2"))
+    encoded.crossJoin(broadcast(dtabArray(dtab, Nil)))
+      .select(col(idCol).as("vec_id"), adcScore(cb.m, cb.ksub).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
   }
@@ -144,11 +164,13 @@ object PqOps {
     *
     * `encoded` must carry (idCol, centroid_id, codes); `probedCentroids` is
     * the (centroid_id, centroid) table of the PROBED cells only (nprobe
-    * rows). One m×ksub table per probed cell is computed IN Spark (engine-own
-    * rounding, the [[adcTopKEncoded]] discipline) and collected —
-    * nprobe × m × ksub doubles, parameter-bounded like the codebook itself.
-    * Scoring dispatches on the row's cell id through literal tables: still a
-    * pure map + TakeOrderedAndProject, no join in the scan path. */
+    * rows). The per-cell m×ksub tables are computed IN Spark (engine-own
+    * rounding, the [[adcTopKEncoded]] discipline) and stay a
+    * nprobe-row broadcast frame joined onto the codes scan on the cell id —
+    * the nq = 1 case of the relational batch structure; scoring is the
+    * [[adcScore]] map and top-k a TakeOrderedAndProject. The codes scan
+    * itself never shuffles; the one exchange is the parameter-bounded
+    * table-build aggregate. */
   def adcTopKEncodedPerCell(encoded: DataFrame, idCol: String, query: DataFrame,
                             probedCentroids: DataFrame, k: Int,
                             cb: Codebook): DataFrame = {
@@ -158,23 +180,13 @@ object PqOps {
       .toDF("sub", "code", "w")
     val qres = zip_with(col("q").cast("array<double>"),
       col("centroid").cast("array<double>"), (a, b) => a - b)
-    val dtab = query.crossJoin(probedCentroids).crossJoin(cbDf)
-      .select(col("centroid_id").cast("int").as("cell"), col("sub"), col("code"),
+    val dtab = query.crossJoin(probedCentroids).crossJoin(broadcast(cbDf))
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col("sub"), col("code"),
         sqDist(slice(qres, col("sub") * cb.dsub + 1, lit(cb.dsub)), col("w"))
-          .as("d2"))
-      .as[(Int, Int, Int, Double)].collect()
-      .groupBy(_._1).view
-      .mapValues(_.map { case (_, s, c, d) => (s, c) -> d }.toMap).toMap
-    def adcFor(cell: Int): Column = round((0 until cb.m).map { s =>
-      element_at(typedLit((1 to cb.ksub).map(c => dtab(cell)((s, c)))),
-        element_at(col("codes"), s + 1))
-    }.reduce(_ + _), 6)
-    val cells = dtab.keys.toSeq.sorted
-    val adc = cells.tail.foldLeft(
-      when(col("centroid_id") === cells.head, adcFor(cells.head))) {
-      (acc, c) => acc.when(col("centroid_id") === c, adcFor(c))
-    }
-    encoded.select(col(idCol).as("vec_id"), adc.as("adc_dist"))
+          .as("__d2"))
+    encoded.join(broadcast(dtabArray(dtab, Seq("centroid_id"))), "centroid_id")
+      .select(col(idCol).as("vec_id"), adcScore(cb.m, cb.ksub).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
   }

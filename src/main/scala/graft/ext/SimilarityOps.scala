@@ -242,7 +242,7 @@ object SimilarityOps {
     * nlist×dim doubles to the driver and re-creating them as literals is
     * the standard k-means-on-Spark move (MLlib does the same) and keeps
     * every round's plan shallow. */
-  private def localize(centroids: DataFrame): DataFrame = {
+  private[ext] def localize(centroids: DataFrame): DataFrame = {
     val s = centroids.sparkSession
     import s.implicits._
     centroids.select(col("centroid_id").cast("int"),
@@ -277,8 +277,8 @@ object SimilarityOps {
     * rounds before assignment. */
   /** Coarse-centroid training prologue shared by every IVF query form:
     * md5-sample nlist seeds, optionally Lloyd-refine. */
-  private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                             nlist: Int, kmeansIters: Int): DataFrame = {
+  private[ext] def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                  nlist: Int, kmeansIters: Int): DataFrame = {
     val centroids0 = ivfCentroids(corpus, idCol, vecCol, nlist) // already local
     if (kmeansIters > 0) ivfRefine(corpus, idCol, vecCol, centroids0, kmeansIters)
     else centroids0
@@ -287,8 +287,8 @@ object SimilarityOps {
   /** The single-query probe-cell selection shared by [[ivfTopK]] and
     * [[ivfPqTopK]]: top-nprobe cells by rounded cosine, ties to the
     * smaller centroid id. `query` is one row with column `q`. */
-  private def probeCellsOf(query: DataFrame, centroids: DataFrame,
-                           nprobe: Int): DataFrame =
+  private[ext] def probeCellsOf(query: DataFrame, centroids: DataFrame,
+                                nprobe: Int): DataFrame =
     query.crossJoin(broadcast(centroids))
       .select(col("centroid_id"),
         round(dot(col("q"), col("centroid")) /
@@ -401,8 +401,8 @@ object SimilarityOps {
   /** vec − centroid[cell] per assigned row: one broadcast join on the
     * (nlist-row) centroid table + a zip_with — pure map, and the cell id is
     * computed in the same pass ([[ivfAssign]] is itself a map). */
-  private def withResiduals(asg: DataFrame, vecCol: String,
-                            centroids: DataFrame): DataFrame =
+  private[ext] def withResiduals(asg: DataFrame, vecCol: String,
+                                 centroids: DataFrame): DataFrame =
     asg.join(broadcast(centroids), "centroid_id")
       .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
         col("centroid").cast("array<double>"), (a, b) => a - b))
@@ -436,56 +436,77 @@ object SimilarityOps {
     * residual + codebook pass serves every query; per-query probed cells
     * come from the same queries×nlist ranking window; survivors (the UNION
     * of probed cells) are code-encoded ONCE and only then fanned out to the
-    * queries probing their cell. Scoring is RELATIONAL instead of
-    * literal-table: the per-(query, cell) distance tables are a
-    * parameter-bounded frame (nq × nprobe × m × ksub rows) broadcast onto an
-    * m-row-per-candidate code explode, one (qid, id) aggregate, one
-    * per-query top-k window — nothing is collected to the driver, so the
-    * query set itself can be large (for a query set too big to broadcast
-    * its tables, drop the hint and let the join shuffle on the
-    * (qid, cell, sub, code) key). Self-matches (qid = corpus id) are
-    * excluded, the [[ivfTopKBatch]] contract. */
+    * queries probing their cell. Scoring is the shared relational spine
+    * [[adcScoreResBatch]] (per-(query, cell) distance-table arrays broadcast
+    * onto the candidates, map-side [[PqOps.adcScore]], one per-query top-k
+    * window). */
   def ivfPqResTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
                         queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
                         kmeansIters: Int, m: Int, ksub: Int,
                         pqIters: Int): DataFrame = {
-    val s0 = corpus.sparkSession
-    import s0.implicits._
     val ctr = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     val res = withResiduals(ivfAssign(corpus, idCol, vecCol, ctr), vecCol, ctr)
     val cb = PqOps.train(res, idCol, "__res", m, ksub, pqIters)
+    val probes = perQueryProbes(queries, ctr, nprobe)
+    val cells = probes.select("centroid_id").distinct()
+    val enc = PqOps.withCodes(res.join(broadcast(cells), "centroid_id"),
+      "__res", cb)
+    adcScoreResBatch(enc, idCol, queries, probes, ctr, k, cb)
+  }
+
+  /** Per-query probed cells (qid, centroid_id) — top-nprobe centroids by
+    * rounded cosine per query, ties to the smaller centroid id. The window
+    * ranks queries × nlist rows (tiny: the centroid side is nlist). Shared
+    * by the in-memory batch form and the stored-index serve path. */
+  private[ext] def perQueryProbes(queries: DataFrame, centroids: DataFrame,
+                                  nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("__sim").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(ctr
+    queries.crossJoin(broadcast(centroids
         .withColumn("__cnrm", norm(col("centroid")))))
       .select(col("qid"), col("centroid_id"),
         round(dot(col("q"), col("centroid")) / (norm(col("q")) * col("__cnrm")), 6)
           .as("__sim"))
       .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
       .select(col("qid"), col("centroid_id"))
-    val cells = probes.select("centroid_id").distinct()
-    val enc = PqOps.withCodes(res.join(broadcast(cells), "centroid_id"),
-      "__res", cb)
+  }
+
+  /** Relational batch ADC over residual codes — the scoring spine shared by
+    * [[ivfPqResTopKBatch]] (in-memory) and [[IvfPqIndex.topKBatch]]
+    * (stored): per-(query, cell) query-residual distance tables as a
+    * parameter-bounded frame (nq × nprobe rows of m×ksub-slot arrays after
+    * [[PqOps.dtabArray]]), broadcast onto the candidate codes on
+    * (qid, centroid_id); scoring is the [[PqOps.adcScore]] pure map (no
+    * code explode, no per-candidate aggregation exchange); one per-query
+    * top-k window. Nothing is collected to the driver, so the query set
+    * itself can be large (for a query set too big to broadcast its tables,
+    * drop the hints and let the joins shuffle on their keys). Self-matches
+    * (qid = corpus id) are excluded, the [[ivfTopKBatch]] contract. */
+  private[ext] def adcScoreResBatch(enc: DataFrame, idCol: String,
+                                    queries: DataFrame, probes: DataFrame,
+                                    centroids: DataFrame, k: Int,
+                                    cb: PqOps.Codebook): DataFrame = {
+    val s0 = enc.sparkSession
+    import s0.implicits._
     val cbDf = cb.words.toSeq.map { case ((s, c), w) => (s, c, w) }
       .toDF("sub", "code", "w")
-    val qres = queries.join(probes, "qid").join(broadcast(ctr), "centroid_id")
+    val qres = queries.join(probes, "qid").join(broadcast(centroids), "centroid_id")
       .select(col("qid"), col("centroid_id"),
         zip_with(col("q").cast("array<double>"),
           col("centroid").cast("array<double>"), (a, b) => a - b).as("__qr"))
     val sv = slice(col("__qr"), col("sub") * cb.dsub + 1, lit(cb.dsub))
-    // per-subspace distances rounded 6 dp, sum rounded 6 dp — bit-identical
-    // to the single-query literal-table path (PqOps.sqDist discipline)
+    // per-subspace distances rounded 6 dp, fold-summed in subspace order and
+    // rounded 6 dp — the PqOps.sqDist/adcScore discipline
     val dtab = qres.crossJoin(broadcast(cbDf))
       .select(col("qid"), col("centroid_id"), col("sub"), col("code"),
         round(dot(sv, sv) + dot(col("w"), col("w"))
           - lit(2.0) * dot(sv, col("w")), 6).as("__d2"))
     val scored = enc.join(broadcast(probes), "centroid_id")
       .where(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), col("centroid_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(dtab), Seq("qid", "centroid_id", "sub", "code"))
-      .groupBy(col("qid"), col(idCol))
-      .agg(round(sum(col("__d2")), 6).as("adc_dist"))
+      .join(broadcast(PqOps.dtabArray(dtab, Seq("qid", "centroid_id"))),
+        Seq("qid", "centroid_id"))
+      .select(col("qid"), col(idCol),
+        PqOps.adcScore(cb.m, cb.ksub).as("adc_dist"))
     val topW = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col(idCol))
     scored.withColumn("__rn", row_number().over(topW)).where(col("__rn") <= k)

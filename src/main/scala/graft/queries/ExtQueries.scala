@@ -658,6 +658,40 @@ object ExtQueries {
       pqIters = 1)
   }
 
+  /** Stored-index residual IVF-PQ: build the index artefacts (bucketed
+    * codes table + centroids + codebook) through [[graft.ext.IvfPqIndex]],
+    * then answer the x_ivfpq_res query FROM THE STORE — no re-training, no
+    * re-encoding; the serve scan statically prunes to the 4 probed buckets.
+    * Same oracle as x_ivfpq_res: stored and in-memory answers must
+    * hash-match. */
+  val xIvfPqStored: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    val table = "graft_ivfpq_codes_s"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val st = IvfPqIndex.build(corpus, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1,
+      codesTable = table,
+      basePath = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_s")
+    IvfPqIndex.topK(s, st, "vec_id", query, k = 10, nprobe = 4)
+  }
+
+  /** Stored-index batch serve: the x_ivfpq_batch workload answered from the
+    * stored artefacts — one build, 21 queries off the bucketed codes table.
+    * Same oracle as x_ivfpq_batch. */
+  val xIvfPqStoredBatch: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("q"))
+    val table = "graft_ivfpq_codes_b"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val st = IvfPqIndex.build(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1,
+      codesTable = table,
+      basePath = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_b")
+    IvfPqIndex.topKBatch(s, st, "vec_id", queries, k = 5, nprobe = 4)
+  }
+
   /** Residual-IVFADC recall vs the exact squared-L2 top-10 — the honesty
     * row for the residual composition. On THIS planted corpus it equals the
     * raw form's 0.5 for the same reason documented at [[xPqRecall]]: vector

@@ -279,6 +279,53 @@ object Oracles {
       |  CAST(n_nationkey//5 AS DOUBLE)*2.0 AS cy FROM nation)
       |""".stripMargin
 
+  // residual IVFADC, single query — shared by x_ivfpq_res (in-memory) and
+  // x_ivfpq_stored (serve path), which must produce identical answers
+  private val ivfPqResSql: String = {
+    val iters = 1 // must track the Scala side's kmeansIters
+    s"""WITH $PLANTED_CTES,
+       |$REST_QV
+       |${ivfChainCtes("rest", kmeansIters = iters, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+       |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
+       |${pqResCtes(s"ctr$iters", "probe")}
+       |SELECT vec_id, adc_dist FROM adcr ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
+  // batch residual IVFADC over the FULL planted corpus: per-query probes,
+  // per-(query, cell) residual tables, self-matches excluded, top-5 per
+  // query — shared by x_ivfpq_batch (in-memory) and x_ivfpq_stored_batch
+  private val ivfPqBatchSql: String = {
+    val iters = 1
+    s"""WITH $PLANTED_CTES,
+       |${ivfChainCtes("corpus", kmeansIters = iters, nlist = 16)}res AS (SELECT a.vec_id, a.centroid_id,
+       |  list_transform(range(0, len(a.v)), i -> a.v[i+1] - k.c[i+1]) AS v
+       |  FROM asgF a JOIN ctr$iters k USING (centroid_id)),
+       |${pqTrainCtes("res")},
+       |qset AS (SELECT vec_id AS qid, v AS q FROM corpus WHERE vec_id % 100 = 1),
+       |probes AS (SELECT qid, centroid_id FROM (
+       |  SELECT q.qid, k.centroid_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${cosSql("q.q", "k.c")} DESC, k.centroid_id) AS rn
+       |  FROM qset q, ctr$iters k) WHERE rn <= 4),
+       |qres AS (SELECT p.qid, p.centroid_id,
+       |  list_transform(range(0, len(q.q)), i -> q.q[i+1] - k.c[i+1]) AS v
+       |  FROM probes p JOIN qset q ON q.qid = p.qid
+       |  JOIN ctr$iters k ON k.centroid_id = p.centroid_id),
+       |dtabb AS (SELECT r.qid, r.centroid_id, k.sub, k.code,
+       |  ${l2Sql("r.v[k.sub*16+1:(k.sub+1)*16]", "k.w")} AS d2
+       |  FROM qres r CROSS JOIN pqcb1 k),
+       |adcb AS (SELECT c.qid, c.vec_id, round(sum(d2), 6) AS adc_dist FROM
+       |  (SELECT p.qid, e.vec_id, e.sub, e.code, r.centroid_id
+       |   FROM enc e JOIN res r ON r.vec_id = e.vec_id
+       |   JOIN probes p ON p.centroid_id = r.centroid_id
+       |   WHERE e.vec_id <> p.qid) c
+       |  JOIN dtabb t ON t.qid = c.qid AND t.centroid_id = c.centroid_id
+       |    AND t.sub = c.sub AND t.code = c.code
+       |  GROUP BY c.qid, c.vec_id)
+       |SELECT qid, vec_id, adc_dist FROM (
+       |  SELECT qid, vec_id, adc_dist, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_dist, vec_id) AS rn FROM adcb) WHERE rn <= 5""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_tpch1" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -1383,15 +1430,11 @@ object Oracles {
     // residual IVFADC: same ivf chain, PQ trained on v − centroid[cell],
     // per-probed-cell query-residual tables (adcr already restricts to
     // probed cells via the dtabr join)
-    "x_ivfpq_res" -> {
-      val iters = 1 // must track the Scala side's kmeansIters
-      s"""WITH $PLANTED_CTES,
-         |$REST_QV
-         |${ivfChainCtes("rest", kmeansIters = iters, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
-         |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
-         |${pqResCtes(s"ctr$iters", "probe")}
-         |SELECT vec_id, adc_dist FROM adcr ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
-    },
+    "x_ivfpq_res" -> ivfPqResSql,
+
+    // stored-index serve path: artefacts round-trip through parquet, so the
+    // answer is REQUIRED to hash-match the in-memory x_ivfpq_res — same SQL
+    "x_ivfpq_stored" -> ivfPqResSql,
 
     "x_ivfpq_res_recall" -> {
       val iters = 1
@@ -1411,37 +1454,10 @@ object Oracles {
     // batch residual IVFADC over the FULL planted corpus: per-query probes
     // (the ivfBatchCtes window), per-(query, cell) residual tables,
     // self-matches excluded, top-5 per query
-    "x_ivfpq_batch" -> {
-      val iters = 1
-      s"""WITH $PLANTED_CTES,
-         |${ivfChainCtes("corpus", kmeansIters = iters, nlist = 16)}res AS (SELECT a.vec_id, a.centroid_id,
-         |  list_transform(range(0, len(a.v)), i -> a.v[i+1] - k.c[i+1]) AS v
-         |  FROM asgF a JOIN ctr$iters k USING (centroid_id)),
-         |${pqTrainCtes("res")},
-         |qset AS (SELECT vec_id AS qid, v AS q FROM corpus WHERE vec_id % 100 = 1),
-         |probes AS (SELECT qid, centroid_id FROM (
-         |  SELECT q.qid, k.centroid_id, row_number() OVER (PARTITION BY q.qid
-         |    ORDER BY ${cosSql("q.q", "k.c")} DESC, k.centroid_id) AS rn
-         |  FROM qset q, ctr$iters k) WHERE rn <= 4),
-         |qres AS (SELECT p.qid, p.centroid_id,
-         |  list_transform(range(0, len(q.q)), i -> q.q[i+1] - k.c[i+1]) AS v
-         |  FROM probes p JOIN qset q ON q.qid = p.qid
-         |  JOIN ctr$iters k ON k.centroid_id = p.centroid_id),
-         |dtabb AS (SELECT r.qid, r.centroid_id, k.sub, k.code,
-         |  ${l2Sql("r.v[k.sub*16+1:(k.sub+1)*16]", "k.w")} AS d2
-         |  FROM qres r CROSS JOIN pqcb1 k),
-         |adcb AS (SELECT c.qid, c.vec_id, round(sum(d2), 6) AS adc_dist FROM
-         |  (SELECT p.qid, e.vec_id, e.sub, e.code, r.centroid_id
-         |   FROM enc e JOIN res r ON r.vec_id = e.vec_id
-         |   JOIN probes p ON p.centroid_id = r.centroid_id
-         |   WHERE e.vec_id <> p.qid) c
-         |  JOIN dtabb t ON t.qid = c.qid AND t.centroid_id = c.centroid_id
-         |    AND t.sub = c.sub AND t.code = c.code
-         |  GROUP BY c.qid, c.vec_id)
-         |SELECT qid, vec_id, adc_dist FROM (
-         |  SELECT qid, vec_id, adc_dist, row_number() OVER (PARTITION BY qid
-         |    ORDER BY adc_dist, vec_id) AS rn FROM adcb) WHERE rn <= 5""".stripMargin
-    },
+    "x_ivfpq_batch" -> ivfPqBatchSql,
+
+    // stored-index batch serve — same hash-match contract as x_ivfpq_stored
+    "x_ivfpq_stored_batch" -> ivfPqBatchSql,
 
     "x_pq_recall" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES,

@@ -123,16 +123,37 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "Exchange hashpartitioning") <= 4, p)
   }
 
-  test("pq adc scoring: pure map over the corpus + TakeOrderedAndProject, " +
-    "no shuffle, no join") {
+  test("pq adc scoring: distance table rides a one-row broadcast, codes " +
+    "scan is map-only + TakeOrderedAndProject — the corpus never shuffles") {
     val p = plan("x_pq_topk")
-    // the scoring path is everything above the cached corpus boundary; the
-    // InMemoryRelation's stored build plan (clone planting crossJoin) is
-    // not part of the per-query work
-    val scoring = p.substring(0, p.indexOf("InMemoryRelation"))
-    assert(scoring.contains("TakeOrderedAndProject"), p.take(500))
-    assert(countIn(scoring, "Exchange") === 0, scoring)
-    assert(countIn(scoring, "Join") === 0, scoring)
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    // relational scoring: no hash exchange anywhere — the only shuffle in
+    // the whole plan is the m×ksub-row table-build aggregate (SinglePartition
+    // on the parameter-bounded side, never on the codes)
+    assert(countIn(p, "Exchange hashpartitioning") === 0, p)
+    assert(countIn(p, "Exchange SinglePartition") <= 1, p)
+    assert(countIn(p, "SortMergeJoin") === 0 &&
+      countIn(p, "CartesianProduct") === 0, p)
+  }
+
+  test("stored ivf-pq serve: bucketed codes scan statically pruned to the " +
+    "probed cells, distance tables broadcast — the codes table never " +
+    "shuffles and is never re-encoded") {
+    val p = plan("x_ivfpq_stored")
+    // the build/serve split's whole point: the scan reads nprobe of nlist
+    // buckets straight off the stored layout
+    assert(p.contains("SelectedBucketsCount: 4 out of 16"), p.take(2000))
+    assert(p.contains("Bucketed: true"), p.take(2000))
+    // no re-encoding on the serve path: the stored codes column is read,
+    // not recomputed (pqencode appears only in build plans, never here)
+    assert(!p.contains("pqencode"), p)
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    // the one hash exchange is the per-cell table-build aggregate on the
+    // nprobe × m × ksub parameter-bounded side; the codes scan feeds a
+    // broadcast join and a map, nothing more
+    assert(countIn(p, "Exchange hashpartitioning") <= 1, p)
+    assert(countIn(p, "SortMergeJoin") === 0 &&
+      countIn(p, "CartesianProduct") === 0, p)
   }
 
   test("fuzzy join: deletion-neighbourhood EQUI-join — no nested-loop, no " +

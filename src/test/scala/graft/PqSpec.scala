@@ -183,6 +183,38 @@ class PqSpec extends SparkTestBase {
     assert(batch === single)
   }
 
+  test("stored index serves the same answers as the in-memory forms — " +
+    "single and batch — without re-training or re-encoding") {
+    import graft.ext.{IvfPqIndex, SimilarityOps}
+    val df = corpus(30)
+    val q = vec(99)
+    spark.sql("DROP TABLE IF EXISTS graft_pqspec_codes")
+    val st = IvfPqIndex.build(df, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1,
+      codesTable = "graft_pqspec_codes",
+      basePath = s"${sys.props("java.io.tmpdir")}/graft_pqspec_idx")
+    // the loaded codebook round-trips the trained geometry exactly
+    val cb = IvfPqIndex.loadCodebook(spark, st)
+    assert(cb.m === 2 && cb.dsub === 4 && cb.ksub === 4)
+    val single = SimilarityOps.ivfPqResTopK(df, "vec_id", "embedding",
+        Seq(Tuple1(q)).toDF("q"), k = 5,
+        nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1)
+      .as[(Long, Double)].collect().toSeq
+    val stored = IvfPqIndex.topK(spark, st, "vec_id",
+        Seq(Tuple1(q)).toDF("q"), k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored === single)
+    val qs = Seq((999L, q), (998L, vec(77))).toDF("qid", "q")
+    val batch = SimilarityOps.ivfPqResTopKBatch(df, "vec_id", "embedding",
+        qs, k = 5, nlist = 4, nprobe = 2, kmeansIters = 1, m = 2, ksub = 4,
+        pqIters = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val storedBatch = IvfPqIndex.topKBatch(spark, st, "vec_id", qs,
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(storedBatch === batch)
+  }
+
   test("codeDedup keeps the smallest id per code signature; planted copies " +
     "collapse onto their originals") {
     val df = corpus(16).union(Seq((100L, vec(3)), (101L, vec(5)))

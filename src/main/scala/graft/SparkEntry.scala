@@ -129,6 +129,7 @@ object SparkEntry {
     // ext: as-of join + corpus curation
     "x_asof_join" -> ExtQueries.xAsofJoin,
     "x_asof_exec" -> ExtQueries.xAsofExec,
+    "x_asof_rewrite" -> ExtQueries.xAsofRewrite,
     "x_quality_gopher" -> ExtQueries.xQualityGopher,
     "x_top_token" -> ExtQueries.xTopToken,
     "x_pii_scrub" -> ExtQueries.xPiiScrub,
@@ -186,7 +187,8 @@ object SparkEntry {
     "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",
     "g63_grid_join", "q51b_html_render", "x_pipeline",
-    "x_asof_join", "x_asof_exec", "x_boilerplate", "x_contamination",
+    "x_asof_join", "x_asof_exec", "x_asof_rewrite", "x_boilerplate",
+    "x_contamination",
     "x_pack_sequences",
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "q_ep3_pipeline", "g_diff_erode",
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",

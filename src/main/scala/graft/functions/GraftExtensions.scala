@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pushdown through the opaque node (see graft.plans.AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    // the user-protection rule: the naive join+window as-of formulation is
+    // rewritten onto the custom node (see RewriteNaiveAsOf's soundness guards)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteNaiveAsOf)
   }
 }
 

@@ -360,6 +360,37 @@ object ExtQueries {
       Seq("v_ts", "v_value"))
   }
 
+  /** The NAIVE as-of formulation every feature-store tutorial writes — left
+    * join on `key AND b.ts <= p.ts` plus a per-probe-row row_number argmax —
+    * the exact O(probe × versions) shape operators/AsOfJoin.scala documents
+    * as the scale-killer. [[graft.plans.RewriteNaiveAsOf]] recognises it
+    * (the dropDuplicates gives the probe a provable distinct key, its
+    * soundness guard; a no-op here — event_id is unique) and swaps the
+    * subtree for the sorted-merge [[graft.plans.AsOfJoinExec]]; PlanSpec
+    * locks that the window and pair join are GONE from the physical plan.
+    * Same DuckDB ASOF LEFT JOIN oracle as x_asof_join: the rewrite must be
+    * invisible in the result. */
+  val xAsofRewrite: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = RefQueries.events(s, dir)
+    val build = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("v_value"))
+      .select(col("user_id").as("b_user_id"), col("ts").as("b_ts"),
+        col("ts").as("v_ts"), col("v_value"))
+    val probe = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .dropDuplicates("event_id")
+    probe.join(build,
+        probe("user_id") === build("b_user_id") && col("b_ts") <= probe("ts"),
+        "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(col("b_ts").desc)))
+      .where(col("__rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts"),
+        col("v_value"))
+  }
+
   // ---- corpus curation ----
 
   /** Gopher-style quality-rule battery; thresholds sit inside the corpus's

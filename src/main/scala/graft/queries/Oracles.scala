@@ -1082,6 +1082,16 @@ object Oracles {
         |SELECT p.event_id, p.user_id, p.ts, b.v_ts, b.v_value
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
 
+    // the naive join+window formulation is REWRITTEN onto the custom exec
+    // (RewriteNaiveAsOf); the rewrite must be invisible in the result, so it
+    // shares the native ASOF LEFT JOIN mirror too
+    "x_asof_rewrite" ->
+      """WITH b AS (SELECT user_id, ts, max(value) AS v_value, ts AS v_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, b.v_ts, b.v_value
+        |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
+
     // the custom-exec form computes the IDENTICAL semantics, so it shares
     // the native ASOF LEFT JOIN mirror
     "x_asof_exec" ->

@@ -96,6 +96,63 @@ class AsOfExecSpec extends SparkTestBase {
     assert(got === reference)
   }
 
+  test("RewriteNaiveAsOf: the naive left-join+window shape rewrites to the " +
+    "exec when the partition key is provably distinct, matches the " +
+    "declarative result, and does NOT fire without the distinctness proof") {
+    import org.apache.spark.sql.expressions.Window
+    val build = Seq(
+        (1L, ts("2024-01-01 00:00:00"), "v1"),
+        (1L, ts("2024-01-01 02:00:00"), "v2"),
+        (2L, ts("2024-01-01 01:00:00"), "w1"))
+      .toDF("k", "t", "v")
+      .select(col("k").as("bk"), col("t").as("bt"), col("v"))
+    val probeRaw = Seq(
+        (10L, 1L, ts("2024-01-01 01:00:00")),
+        (11L, 1L, ts("2024-01-01 02:00:00")),
+        (12L, 2L, ts("2024-01-01 00:30:00"))) // unmatched → null-extend
+      .toDF("id", "k", "t")
+    def naive(probe: org.apache.spark.sql.DataFrame) =
+      probe.join(build, probe("k") === build("bk") && col("bt") <= probe("t"),
+          "left")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("bt").desc)))
+        .where(col("rn") === 1)
+        .select(col("id"), col("v"))
+    // provable distinct key (Deduplicate → distinctKeys = {id}) → rewrites
+    val proven = naive(probeRaw.dropDuplicates("id"))
+    val p = proven.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(proven.as[(Long, Option[String])].collect().toMap ===
+      Map(10L -> Some("v1"), 11L -> Some("v2"), 12L -> None))
+    // no distinctness proof on the raw probe → the rule must NOT fire
+    val unproven = naive(probeRaw)
+    val p2 = unproven.queryExecution.executedPlan.toString
+    assert(!p2.contains("AsOfJoin"), p2)
+    assert(p2.contains("Window"), p2)
+  }
+
+  test("RewriteNaiveAsOf: the INNER naive shape rewrites with the matched-ts " +
+    "filter, so unmatched probes drop exactly as the inner join drops them") {
+    import org.apache.spark.sql.expressions.Window
+    val build = Seq((1L, ts("2024-01-01 00:00:00"), "v1"))
+      .toDF("bk", "bt", "v")
+    val probe = Seq(
+        (10L, 1L, ts("2024-01-01 01:00:00")),
+        (11L, 2L, ts("2024-01-01 01:00:00")), // no build key → dropped
+        (12L, 1L, ts("2023-12-31 23:00:00"))) // before v1 → dropped
+      .toDF("id", "k", "t").dropDuplicates("id")
+    val naive = probe.join(build,
+        probe("k") === build("bk") && col("bt") <= probe("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("bt").desc)))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"))
+    val p = naive.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin") && !p.contains("Window"), p)
+    assert(naive.as[(Long, String)].collect().toMap === Map(10L -> "v1"))
+  }
+
   test("asOfExec: ties at the probe instant are visible (inclusive <=) and " +
     "the latest of several versions wins") {
     val build = Seq(

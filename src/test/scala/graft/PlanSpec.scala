@@ -215,6 +215,20 @@ class PlanSpec extends SparkTestBase {
       countIn(scoring, "CartesianProduct") === 0, scoring)
   }
 
+  test("naive as-of formulation is rewritten onto the sorted-merge exec: " +
+    "no window, no pair join — the O(probe × versions) blowup is gone") {
+    val p = plan("x_asof_rewrite")
+    // the rewrite's whole point: the naive join+window subtree is replaced
+    assert(countIn(p, "AsOfJoin") >= 1, p)
+    assert(countIn(p, "Window [") === 0, p)
+    // the only remaining joins would be planner artifacts; the pair join on
+    // (key, ts-range) must not survive in any strategy
+    assert(countIn(p, "SortMergeJoin") === 0 &&
+      countIn(p, "BroadcastHashJoin") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0 &&
+      countIn(p, "CartesianProduct") === 0, p)
+  }
+
   test("bloom prune: probe-side filter survives below the exact semi-join") {
     val p = plan("x_bloom_prune")
     // the Bloom probe is the one UDF in this plan; losing it means the

@@ -92,4 +92,51 @@ object FuzzyJoin {
         levenshtein(col("l_str"), col("r_str")).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** LEFT top-1 fuzzy match — the Op-35 / geocode-cascade step as a
+    * dispatchable operator: every left row picks the right row with the
+    * smallest (levenshtein ≤ maxDist, right string) pair; unmatched left
+    * rows survive null-extended. Output: all left columns ++ all right
+    * columns (names must not collide).
+    *
+    * `broadcastRight` is a PLAN knob, never a semantics knob (the
+    * broadcastJoinBack convention): `true` (default) runs the classic
+    * broadcast nested-loop `levenshtein ≤ k` join — right for a GIS layer's
+    * few hundred names; `false` routes candidate generation through
+    * [[deletionJoin]]'s FastSS equi-join — the form that survives a LARGE
+    * right side, where a broadcast nested-loop is |left| × |right|
+    * levenshtein calls (and past the broadcast threshold, not even
+    * plannable). Both forms are output-identical (spec-locked).
+    *
+    * Contract: `leftIdCol` unique per left row (it keys the per-row argmin)
+    * and `rightStrCol` unique per right row (it keys the join-back; a
+    * duplicated right string would be ambiguous under the (dist, string)
+    * tie-break in either form). */
+  def topOneLeft(left: DataFrame, leftIdCol: String, leftStrCol: String,
+                 right: DataFrame, rightStrCol: String, maxDist: Int,
+                 broadcastRight: Boolean = true, maxLen: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lcols = left.columns.toSeq
+    val rcols = right.columns.toSeq
+    require(!rcols.exists(lcols.contains),
+      s"topOneLeft: colliding columns ${rcols.filter(lcols.contains)}; rename first")
+    val out = (lcols ++ rcols).map(col)
+    if (broadcastRight) {
+      val lev = levenshtein(col(leftStrCol), col(rightStrCol))
+      val w = Window.partitionBy(col(leftIdCol)).orderBy(lev, col(rightStrCol))
+      left.join(broadcast(right), lev <= maxDist, "left")
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(out: _*)
+    } else {
+      val cand = deletionJoin(left, col(leftIdCol), col(leftStrCol),
+        right, col(rightStrCol), col(rightStrCol), maxDist, maxLen)
+      val w = Window.partitionBy(col("l_id")).orderBy(col("dist"), col("r_id"))
+      val best = cand.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("l_id"), col("r_id"))
+      left.join(best, col(leftIdCol) === col("l_id"), "left")
+        .join(right, col("r_id") === col(rightStrCol), "left")
+        .select(out: _*)
+    }
+  }
 }

@@ -148,7 +148,8 @@ object GeoQueries {
   /** The Op-56/57/58 cascade body over (c_custkey, loc_text) rows: returns
     * (c_custkey, cell_wkt, resolution). Factored out of [[g56GeocodeCascade]]
     * so the EP-3 composed pipeline runs the identical stage. */
-  private def cascadeResolve(cust: DataFrame, cells: DataFrame): DataFrame = {
+  private def cascadeResolve(cust: DataFrame, cells: DataFrame,
+                             broadcastFuzzyLayer: Boolean = true): DataFrame = {
     val layer = cells.select(
       concat(lit("NATION#"), col("n_nationkey").cast("string")).as("layer_name"),
       col("cell_wkt"))
@@ -157,16 +158,17 @@ object GeoQueries {
     val exactHit = ex.where(col("layer_name").isNotNull)
       .select(col("c_custkey"), col("cell_wkt"), lit("exact").as("resolution"))
     val rest1 = ex.where(col("layer_name").isNull).select("c_custkey", "loc_text")
-    // (2) fuzzy match, best by (distance, name)
-    val fj = rest1.join(broadcast(layer),
-      levenshtein(col("loc_text"), col("layer_name")) <= 2, "left")
-    val w = Window.partitionBy(col("c_custkey"))
-      .orderBy(levenshtein(col("loc_text"), col("layer_name")), col("layer_name"))
+    // (2) fuzzy match, best by (distance, name) — size-gated dispatch: the
+    // 25-name layer here rides the broadcast nested-loop; a large layer
+    // flips the knob and the same step runs as the FastSS deletion
+    // equi-join (FuzzyJoin.topOneLeft; both forms output-identical).
     // persisted: fuzzyHit and BOTH geocoder branches embed this lineage —
-    // left lazy, the levenshtein join would run three times and, worse, the
+    // left lazy, the fuzzy match would run three times and, worse, the
     // rate-limited geocode stage TWICE (every unresolved row geocoded 2×
     // against a sub-1-QPS external service)
-    val f1 = fj.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val f1 = graft.operators.FuzzyJoin.topOneLeft(rest1, "c_custkey",
+        "loc_text", layer, "layer_name", maxDist = 2,
+        broadcastRight = broadcastFuzzyLayer)
       .persist()
     val fuzzyHit = f1.where(col("layer_name").isNotNull)
       .select(col("c_custkey"), col("cell_wkt"), lit("fuzzy").as("resolution"))

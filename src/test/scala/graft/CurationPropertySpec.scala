@@ -133,6 +133,39 @@ class CurationPropertySpec extends SparkTestBase {
     assert(got === Set((1L, 10L, 0), (3L, 10L, 1)))
   }
 
+  test("topOneLeft: broadcast and deletion forms are output-identical on a " +
+    "large-layer fixture, and the deletion form plans WITHOUT a " +
+    "nested-loop join") {
+    import graft.operators.FuzzyJoin
+    val rnd = new scala.util.Random(20260821)
+    def name() = Seq.fill(4 + rnd.nextInt(4))("abcde"(rnd.nextInt(5))).mkString
+    // the "large layer": 300 distinct names, each with a payload column
+    val layer = (1 to 600).map(_ => name()).distinct
+      .map(n => (n, s"wkt_$n")).toDF("layer_name", "cell_wkt")
+    // probes: corrupted copies of layer names + unmatchable free text + null
+    val layerNames = layer.select("layer_name").as[String].collect()
+    val probes = (1 to 200).map { i =>
+      val s =
+        if (i % 3 == 0) Option(layerNames(rnd.nextInt(layerNames.length)).drop(1))
+        else if (i % 3 == 1) Option(s"zzzz$i")
+        else if (i % 17 == 0) None
+        else Option(layerNames(rnd.nextInt(layerNames.length)))
+      (i.toLong, s)
+    }.toDF("id", "txt")
+    def run(bcast: Boolean) = FuzzyJoin.topOneLeft(probes, "id", "txt",
+        layer, "layer_name", maxDist = 2, broadcastRight = bcast)
+      .select("id", "layer_name", "cell_wkt")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(run(true) === run(false))
+    assert(run(true).exists(_._2.isDefined) && run(true).exists(_._2.isEmpty),
+      "fixture must exercise both matched and null-extended probes")
+    val p = FuzzyJoin.topOneLeft(probes, "id", "txt", layer, "layer_name",
+        maxDist = 2, broadcastRight = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("chunkDedup raises on doc_id = Long.MinValue (abs overflow must not " +
     "slip past the winner-encoding guard) and null-propagates NULL doc_id") {
     import graft.ext.RepetitionOps

@@ -26,7 +26,7 @@ object GeoQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** 25 nation grid cells: nation n → [2(n%5), 2(n%5)+2] × [2(n/5), 2(n/5)+2]. */
-  private def nationCells(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nationCells(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
       GeoFunctions.stBox(
         (col("n_nationkey") % 5).cast("double") * 2.0,
@@ -218,25 +218,16 @@ object GeoQueries {
     * (publish order) are enriched; unchanged cache rows ride through the
     * merge with their cached tweet and NULL new columns (unionByName
     * allowMissingColumns — the reference's cache passthrough). */
-  val qEp3Pipeline: Q = (s, dir) => {
+  /** The Augmenter enrichment chain over a WORK-LIMITED alert set — Ops
+    * 53→54→56-58→33+37→59, exactly the stage boundaries q_ep3_pipeline
+    * locks, factored so the batch pipeline and the streaming composition
+    * ([[graft.streaming.StreamingAugmenter]]) run the IDENTICAL stages.
+    * `work` must carry (id, c_name, c_mktsegment) and be bounded (the
+    * Op-13 contract: every stats-less join-back below rides a broadcast
+    * justified by the work limit). Output: (id, tweet_text, toot_text,
+    * resolution, fp_area, inferred_cells, image_filename). */
+  def ep3EnrichStage(work: DataFrame, cells: DataFrame): DataFrame = {
     import graft.enrich.Enrichment
-    import graft.incremental.Incremental
-    val cells = nationCells(s, dir)
-    val base = t(s, dir, "customer").where(col("c_custkey") <= 500)
-      .select(col("c_custkey").as("id"), col("c_name"), col("c_mktsegment"))
-    // Op-9: engine-portable checksum over the scrape-sensitive fields; the
-    // re-scrape mutates status for id%7==0 (the q11 ordersCk pattern)
-    val curStatus = when(col("id") % 7 === 0, lit("X")).otherwise(col("c_mktsegment"))
-    val cur = base.select(col("id"), col("c_name"), col("c_mktsegment"),
-      md5(concat_ws("", curStatus, col("c_name"))).as("ck"),
-      ((col("id") * 37) % 1000).as("publish_ord"))
-    val cache = base.select(col("id"),
-      md5(concat_ws("", col("c_mktsegment"), col("c_name"))).as("ck"),
-      concat(lit("cached:"), col("id").cast("string")).as("tweet_text"))
-    // Op-11 + Op-13: only changed rows, newest first, bounded work
-    val work = Incremental.workLimit(
-      Incremental.cacheDiff(cur, cache, Seq("id", "ck")),
-      Seq(col("publish_ord").desc, col("id")), 40)
     // Op-53: drafting service boundary (mapPartitions, join-back on id);
     // the input is work-limited, so the stats-less typed output is
     // parameter-bounded and the join-back rides a broadcast
@@ -271,11 +262,32 @@ object GeoQueries {
         Seq("id"), "left")
     val key = concat_ws("_", lit("map"), col("resolution"), col("id").cast("string"))
     val b64 = base64(substring(key, 1, 48).cast("binary"))
-    val fresh = tooted.select(col("id"), col("tweet_text"), col("toot_text"))
+    tooted.select(col("id"), col("tweet_text"), col("toot_text"))
       .join(broadcast(fpCols), Seq("id"))
       .withColumn("image_filename",
         when(length(b64) > 22, sha2(key, 256)).otherwise(b64))
-      .withColumn("src", lit("fresh"))
+  }
+
+  val qEp3Pipeline: Q = (s, dir) => {
+    import graft.incremental.Incremental
+    val cells = nationCells(s, dir)
+    val base = t(s, dir, "customer").where(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("id"), col("c_name"), col("c_mktsegment"))
+    // Op-9: engine-portable checksum over the scrape-sensitive fields; the
+    // re-scrape mutates status for id%7==0 (the q11 ordersCk pattern)
+    val curStatus = when(col("id") % 7 === 0, lit("X")).otherwise(col("c_mktsegment"))
+    val cur = base.select(col("id"), col("c_name"), col("c_mktsegment"),
+      md5(concat_ws("", curStatus, col("c_name"))).as("ck"),
+      ((col("id") * 37) % 1000).as("publish_ord"))
+    val cache = base.select(col("id"),
+      md5(concat_ws("", col("c_mktsegment"), col("c_name"))).as("ck"),
+      concat(lit("cached:"), col("id").cast("string")).as("tweet_text"))
+    // Op-11 + Op-13: only changed rows, newest first, bounded work
+    val work = Incremental.workLimit(
+      Incremental.cacheDiff(cur, cache, Seq("id", "ck")),
+      Seq(col("publish_ord").desc, col("id")), 40)
+    // Ops 53-59: the enrichment chain (shared with the streaming form)
+    val fresh = ep3EnrichStage(work, cells).withColumn("src", lit("fresh"))
     // Ops 12+14: unchanged cache rows ride through; fresh overrides
     val kept = Incremental.cacheRetain(cache, cur, Seq("id", "ck"))
       .select(col("id"), col("tweet_text"), lit("kept").as("src"))

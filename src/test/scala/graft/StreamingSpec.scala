@@ -148,6 +148,83 @@ class StreamingSpec extends SparkTestBase {
       StatusChange(1L, Some("Open"), "Closed")))
   }
 
+  test("streaming EP-3: the composed Augmenter job — checksum state across " +
+    "two incremental micro-batches emits exactly q_ep3_pipeline's work set, " +
+    "enriches it identically, and upserts the cache store atomically") {
+    import graft.streaming.StreamingAugmenter
+    val dir = sf("sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("ep3stream").toString
+    val snapDir = s"$tmp/snapshots"
+    val cells = graft.queries.GeoQueries.nationCells(spark, dir)
+    val base = spark.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("id"), col("c_name"), col("c_mktsegment"))
+    // the q_ep3 world: baseline snapshot = the cache content; the re-scrape
+    // mutates status for id%7==0, so exactly those checksums diverge
+    def snapshot(mutate: Boolean) = {
+      val status =
+        if (mutate) when(col("id") % 7 === 0, lit("X")).otherwise(col("c_mktsegment"))
+        else col("c_mktsegment")
+      base.select(col("id"), col("c_name"), col("c_mktsegment"),
+        md5(concat_ws("", status, col("c_name"))).as("ck"),
+        ((col("id") * 37) % 1000).as("publish_ord"))
+    }
+    // a snapshot "arrives" as one new file in the watched directory
+    def addSnapshot(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staging = s"$tmp/staging_$name"
+      df.coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(snapDir))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$snapDir/$name.parquet"))
+      ()
+    }
+    val captured = scala.collection.mutable.ArrayBuffer[Set[Seq[Any]]]()
+    val outCols = Seq("id", "tweet_text", "toot_text", "resolution",
+      "fp_area", "inferred_cells", "image_filename")
+    def enrich(work: org.apache.spark.sql.DataFrame) = {
+      val out = graft.queries.GeoQueries.ep3EnrichStage(work, cells).persist()
+      captured += out.select(outCols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      out
+    }
+    def drain(): Unit = {
+      val q = StreamingAugmenter.run(spark, snapDir, s"$tmp/ckpt",
+        s"$tmp/cache", limit = 40, enrich)
+      q.awaitTermination(180000); ()
+    }
+    // run 1: baseline snapshot — every id is new, state seeds, cache v1
+    addSnapshot(snapshot(mutate = false), "s1")
+    drain()
+    assert(captured.length === 1 && captured.head.size === 40)
+    // run 2: the re-scrape — ONLY the mutated checksums may emit
+    addSnapshot(snapshot(mutate = true), "s2")
+    drain()
+    assert(captured.length === 2, "second run must process exactly one batch")
+    val streamFresh = captured(1)
+    // parity: the batch pipeline's fresh rows on the same world
+    val batchFresh = graft.SparkEntry.queries("q_ep3_pipeline")(spark, dir)
+      .where(col("src") === "fresh")
+      .select(outCols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(streamFresh === batchFresh,
+      "streaming work set + enrichment must equal the batch pipeline's")
+    // the cache store: two atomic versions; fresh rows overrode, run-1 rows
+    // not re-touched rode through (the Ops 12+14 merge)
+    val store = new graft.io.StageStore(spark, s"$tmp/cache")
+    assert(store.versions().length === 2)
+    val cache = store.readLatest()
+    val freshIds = streamFresh.map(_.head.asInstanceOf[Long])
+    val run1Ids = captured(0).map(_.head.asInstanceOf[Long])
+    assert(cache.count() === (freshIds ++ run1Ids).size)
+    val cachedTweets = cache.select("id", "tweet_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    streamFresh.foreach { row =>
+      assert(cachedTweets(row.head.asInstanceOf[Long]) === row(1))
+    }
+  }
+
   test("Op-62 versioned fan-out drops version-appropriate columns") {
     val batch = Seq((1L, "Open", "Suburb", "POINT (0 0)"))
       .toDF("Id", "status", "area_type", "geospatial_footprint")

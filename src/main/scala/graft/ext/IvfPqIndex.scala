@@ -18,7 +18,8 @@ import graft.io.BucketedStore
   *     [[graft.io.BucketedStore]] BUCKETED BY centroid_id — the layout
   *     [[SimilarityOps.ivfPqTopK]]'s scaladoc promises: a query's scan
   *     statically prunes to its probed buckets (`SelectedBucketsCount:
-  *     nprobe out of nlist` in the plan) and never shuffles;
+  *     ≤nprobe out of nlist` in the plan — buckets are HASHES of cell ids,
+  *     so colliding probed cells share a bucket) and never shuffles;
   *   - the nlist-row centroid table (plain parquet; localized at load);
   *   - the m×ksub codebook as (sub, code, w) rows (plain parquet; the
   *     geometry m/dsub/ksub is recovered from the rows at load, so the
@@ -69,6 +70,27 @@ object IvfPqIndex {
       .coalesce(1) // m×ksub rows — one file beats a task's worth of shards
       .write.mode(SaveMode.Overwrite).parquet(s"$basePath/codebook")
     Stored(codesTable, s"$basePath/centroids", s"$basePath/codebook")
+  }
+
+  /** Append new corpus rows to a stored index WITHOUT retraining: assign +
+    * residual-encode against the STORED centroids and codebook (standard
+    * IVF practice — the coarse and fine quantizers are frozen at build
+    * time; quantizer drift under distribution shift is a rebuild decision,
+    * not an append-time one), then insert into the bucketed codes table.
+    * `insertInto` writes through the catalog bucket spec, so appended rows
+    * land in their cells' buckets and serve-time pruning is unaffected;
+    * each append adds one file per touched bucket, so a high-frequency
+    * append pipeline should periodically compact (the
+    * [[graft.io.BucketedStore.compact]] remediation) or rebuild. */
+  def append(spark: SparkSession, stored: Stored, newRows: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val ctr = loadCentroids(spark, stored)
+    val cb = loadCodebook(spark, stored)
+    val res = SimilarityOps.withResiduals(
+      SimilarityOps.ivfAssign(newRows, idCol, vecCol, ctr), vecCol, ctr)
+    PqOps.withCodes(res, "__res", cb)
+      .select(col("centroid_id"), col(idCol), col("codes"))
+      .write.mode(SaveMode.Append).insertInto(stored.codesTable)
   }
 
   /** The stored centroid table, localized (nlist rows — the same driver-side

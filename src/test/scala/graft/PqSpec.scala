@@ -215,6 +215,44 @@ class PqSpec extends SparkTestBase {
     assert(storedBatch === batch)
   }
 
+  test("append adds rows to a stored index against the frozen quantizers: " +
+    "appended clones score identically to their originals and bucket " +
+    "pruning survives the insert") {
+    import graft.ext.IvfPqIndex
+    val df = corpus(30)
+    val q = vec(99)
+    spark.sql("DROP TABLE IF EXISTS graft_pqspec_app")
+    val st = IvfPqIndex.build(df, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1,
+      codesTable = "graft_pqspec_app",
+      basePath = s"${sys.props("java.io.tmpdir")}/graft_pqspec_app")
+    val before = IvfPqIndex.topK(spark, st, "vec_id",
+        Seq(Tuple1(q)).toDF("q"), k = 30, nprobe = 4)
+      .as[(Long, Double)].collect().toMap
+    // appended rows: exact clones of corpus row 7 under fresh ids — frozen
+    // centroids + codebook must give them row 7's cell, codes, and score
+    val clones = Seq(100L, 101L, 102L).map(i => (i, vec(7)))
+      .toDF("vec_id", "embedding")
+    IvfPqIndex.append(spark, st, clones, "vec_id", "embedding")
+    val after = IvfPqIndex.topK(spark, st, "vec_id",
+        Seq(Tuple1(q)).toDF("q"), k = 33, nprobe = 4)
+      .as[(Long, Double)].collect().toMap
+    Seq(100L, 101L, 102L).foreach { id =>
+      assert(after(id) === before(7L), s"clone $id must score as row 7")
+    }
+    // pre-append answers are untouched by the insert
+    before.foreach { case (id, d) => assert(after(id) === d, s"row $id moved") }
+    // the serve scan still prunes buckets after the append (buckets are
+    // HASHES of cell ids, so nprobe cells select ≤ nprobe buckets —
+    // colliding cells share one)
+    val p = IvfPqIndex.topK(spark, st, "vec_id",
+        Seq(Tuple1(q)).toDF("q"), k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(sel.exists(n => n >= 1 && n <= 2), p.take(2000))
+  }
+
   test("codeDedup keeps the smallest id per code signature; planted copies " +
     "collapse onto their originals") {
     val df = corpus(16).union(Seq((100L, vec(3)), (101L, vec(5)))

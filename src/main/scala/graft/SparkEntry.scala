@@ -162,6 +162,8 @@ object SparkEntry {
     "x_ivfpq_batch" -> ExtQueries.xIvfPqBatch,
     "x_ivfpq_stored" -> ExtQueries.xIvfPqStored,
     "x_ivfpq_stored_batch" -> ExtQueries.xIvfPqStoredBatch,
+    "x_ivfpq_serve" -> ExtQueries.xIvfPqServe,
+    "x_ivfpq_serve_batch" -> ExtQueries.xIvfPqServeBatch,
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
@@ -194,5 +196,6 @@ object SparkEntry {
     "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
     "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_ivfpq_stored",
-    "x_ivfpq_stored_batch", "x_fuzzy_join")
+    "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
+    "x_fuzzy_join")
 }

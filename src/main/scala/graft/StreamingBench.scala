@@ -148,19 +148,24 @@ object StreamingBench {
       .where(col("c_custkey") <= 500)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val farExpiry = new Timestamp(base + 3650L * 86400000L)
     def snapBatch(b: Int): Seq[AlertSnapshot] = alerts.toSeq.map {
       case (id, nm, seg) =>
         val status = if (id % 7 == b % 7) s"X$b" else seg
-        AlertSnapshot(id, nm, seg, s"$status:$nm", (id * 37) % 1000)
+        AlertSnapshot(id, nm, seg, s"$status:$nm", (id * 37) % 1000,
+          new Timestamp(base + b * 86400000L), farExpiry)
     }
     val tmp = java.nio.file.Files.createTempDirectory("ep3bench").toString
     val store = new graft.io.StageStore(spark, s"$tmp/cache")
     val es = MemoryStream[AlertSnapshot]
-    val q4 = StreamingAugmenter.checksumDiff(es.toDS())
+    val q4 = StreamingAugmenter.checksumDiff(
+      StreamingAugmenter.snapshotMsgs(es.toDS()))
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[AlertSnapshot], batchId: Long) =>
-          val df = batch.toDF().persist()
+        (batch: org.apache.spark.sql.Dataset[StreamingAugmenter.AugMsg],
+         batchId: Long) =>
+          val df = batch.toDF()
+            .drop("event_ts", "expiry_ts", "kind", "prev_ck").persist()
           try if (!df.isEmpty) {
             val work = graft.incremental.Incremental.workLimit(df,
               Seq(col("publish_ord").desc, col("id")), 40)

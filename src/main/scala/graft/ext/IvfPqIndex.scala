@@ -122,19 +122,38 @@ object IvfPqIndex {
     SimilarityOps.probeCellsOf(query, centroids, nprobe)
       .collect().map(_.getInt(0)).toSeq.sorted
 
-  /** The pruned codes scan. Auto-bucketed-scan must be OFF for the serve
-    * path: the planner's heuristic keeps a bucketed layout only when an
-    * operator exploits its DISTRIBUTION, and the serve join is a broadcast —
-    * so it would silently fall back to a split-parallel scan of every file,
-    * discarding the bucket PRUNING this index is stored for (the IN-list
-    * then prunes row groups at best, not whole buckets). Session-scoped by
-    * necessity (planning happens lazily, at action time); harmless for
-    * other bucketed reads, which keep their layout unconditionally. */
+  /** The pruned codes scan: a literal IN-list over the bucketed table. Must
+    * plan with auto-bucketed-scan OFF — see [[scopedServe]]. */
   private def prunedCodes(spark: SparkSession, stored: Stored,
-                          cells: Seq[Int]): DataFrame = {
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
+                          cells: Seq[Int]): DataFrame =
     spark.table(stored.codesTable).where(col("centroid_id").isin(cells: _*))
+
+  /** Plan `body`'s result with auto-bucketed-scan disabled, WITHOUT leaking
+    * the override into the session: the planner's heuristic keeps a bucketed
+    * layout only when an operator exploits its DISTRIBUTION, and the serve
+    * join is a broadcast — left on, it would silently fall back to a
+    * split-parallel scan of every file, discarding the bucket PRUNING this
+    * index is stored for (the IN-list then prunes row groups at best, not
+    * whole buckets). Planning is lazy, so the conf is scoped by forcing the
+    * physical plan EAGERLY inside the override and restoring the previous
+    * value before returning; the returned Dataset executes its cached plan,
+    * and every later query in the session — including unrelated bucketed
+    * reads, whose auto-scan election BucketedSpec locks — plans under the
+    * session's own setting. Re-transforming the returned frame re-plans
+    * under the restored conf, which can only lose the serve pruning, never
+    * correctness. */
+  private def scopedServe(spark: SparkSession)(body: => DataFrame): DataFrame = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = body
+      df.queryExecution.executedPlan // force planning inside the scope
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Stored-index top-k for one query vector (one-row frame with column `q`,
@@ -142,7 +161,7 @@ object IvfPqIndex {
     * encoding: the plan is a bucket-pruned scan of the codes table + the
     * broadcast per-cell distance tables + map scoring + TakeOrdered. */
   def topK(spark: SparkSession, stored: Stored, idCol: String,
-           query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+           query: DataFrame, k: Int, nprobe: Int): DataFrame = scopedServe(spark) {
     val ctr = loadCentroids(spark, stored)
     val cb = loadCodebook(spark, stored)
     val cells = probedCells(query, ctr, nprobe)
@@ -157,7 +176,8 @@ object IvfPqIndex {
     * scoring is the shared relational spine, so results hash-match
     * [[SimilarityOps.ivfPqResTopKBatch]] on the same corpus/params. */
   def topKBatch(spark: SparkSession, stored: Stored, idCol: String,
-                queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+                queries: DataFrame, k: Int,
+                nprobe: Int): DataFrame = scopedServe(spark) {
     val ctr = loadCentroids(spark, stored)
     val cb = loadCodebook(spark, stored)
     val probes = SimilarityOps.perQueryProbes(queries, ctr, nprobe)

@@ -106,7 +106,18 @@ object FuzzyJoin {
     * [[deletionJoin]]'s FastSS equi-join — the form that survives a LARGE
     * right side, where a broadcast nested-loop is |left| × |right|
     * levenshtein calls (and past the broadcast threshold, not even
-    * plannable). Both forms are output-identical (spec-locked).
+    * plannable). Both forms are output-identical (spec-locked) for ALL
+    * inputs, including strings past `maxLen`: where [[deletionJoin]] raises
+    * on an over-long string (its variant fan-out contract), this operator
+    * instead scores the long TAIL — every string longer than
+    * `maxLen - maxDist`, i.e. every possible partner of an over-long
+    * string under the levenshtein length bound — through a banded
+    * equi-join on candidate lengths (each tail row fans out to the
+    * 2·maxDist+1 partner lengths; exact levenshtein verifies). Long
+    * strings are contract outliers, so the tail is tiny and the
+    * per-length keys stay cheap; a corpus that is MOSTLY over-long
+    * strings of one length would make that key hot, and belongs on the
+    * q-gram tier instead.
     *
     * Contract: `leftIdCol` unique per left row (it keys the per-row argmin)
     * and `rightStrCol` unique per right row (it keys the join-back; a
@@ -128,8 +139,35 @@ object FuzzyJoin {
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(out: _*)
     } else {
-      val cand = deletionJoin(left, col(leftIdCol), col(leftStrCol),
-        right, col(rightStrCol), col(rightStrCol), maxDist, maxLen)
+      // main mass: FastSS over the strings inside the deletionJoin contract
+      val main = deletionJoin(
+        left.where(length(col(leftStrCol)) <= maxLen),
+        col(leftIdCol), col(leftStrCol),
+        right.where(length(col(rightStrCol)) <= maxLen),
+        col(rightStrCol), col(rightStrCol), maxDist, maxLen)
+      // long tail: pairs with an over-long member. levenshtein ≥ length
+      // difference, so every partner of a >maxLen string is itself longer
+      // than maxLen − maxDist; band those rows on candidate length (an
+      // equi-join — each left tail row probes the 2·maxDist+1 lengths a
+      // partner could have) and verify exactly. The both-≤maxLen pairs the
+      // main mass already found are excluded to keep the union duplicate-
+      // free. NULL strings: length(NULL) is NULL, both filters drop them —
+      // the "NULL never matches" contract again.
+      val tailL = left
+        .where(length(col(leftStrCol)) > maxLen - maxDist)
+        .select(col(leftIdCol).as("l_id"), col(leftStrCol).as("l_str"),
+          explode(sequence(length(col(leftStrCol)) - maxDist,
+            length(col(leftStrCol)) + maxDist)).as("__len"))
+      val tailR = right
+        .where(length(col(rightStrCol)) > maxLen - maxDist)
+        .select(col(rightStrCol).as("r_id"), col(rightStrCol).as("r_str"))
+      val tail = tailL
+        .join(tailR, col("__len") === length(col("r_str")) &&
+          (length(col("l_str")) > maxLen || length(col("r_str")) > maxLen))
+        .select(col("l_id"), col("r_id"),
+          levenshtein(col("l_str"), col("r_str")).as("dist"))
+        .where(col("dist") <= maxDist)
+      val cand = main.unionByName(tail)
       val w = Window.partitionBy(col("l_id")).orderBy(col("dist"), col("r_id"))
       val best = cand.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)

@@ -723,6 +723,51 @@ object ExtQueries {
     IvfPqIndex.topKBatch(s, st, "vec_id", queries, k = 5, nprobe = 4)
   }
 
+  /** Memoized stored-index builds for the SERVE-ONLY queries: one build per
+    * (application, sf-dir, workload), shared by every later invocation in
+    * the session. This is the Bench "untimed setup hook": Bench runs each
+    * query twice (warm-up + measured), so the warm-up invocation pays the
+    * build and the MEASURED run times nothing but the serve — the
+    * build-once/serve-many number the stored index exists for. Verify pays
+    * the build once too; answers are position-independent of who built
+    * (frozen artefacts), so the serve queries reuse the x_ivfpq_res /
+    * x_ivfpq_batch oracles unchanged. */
+  private val servedIndexes =
+    scala.collection.concurrent.TrieMap[String, IvfPqIndex.Stored]()
+
+  private def servedIndex(s: SparkSession, dir: String, corpus: DataFrame,
+                          workload: String): IvfPqIndex.Stored = {
+    val table = s"graft_ivfpq_serve_${workload}_${math.abs(dir.hashCode)}"
+    servedIndexes.getOrElseUpdate(s"${s.sparkContext.applicationId}|$table", {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      IvfPqIndex.build(corpus, "vec_id", "embedding",
+        nlist = 16, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1,
+        codesTable = table,
+        basePath = s"${sys.props("java.io.tmpdir")}/$table")
+    })
+  }
+
+  /** Serve-only single-query form: answers the x_ivfpq_res workload from
+    * warm stored artefacts — the build happens once per session via
+    * [[servedIndex]] and is NOT part of this query's steady-state cost.
+    * Same oracle as x_ivfpq_res (hash-match contract). */
+  val xIvfPqServe: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    val st = servedIndex(s, dir, corpus, "s")
+    IvfPqIndex.topK(s, st, "vec_id", query, k = 10, nprobe = 4)
+  }
+
+  /** Serve-only batch form: the x_ivfpq_batch workload from warm stored
+    * artefacts. Same oracle as x_ivfpq_batch. */
+  val xIvfPqServeBatch: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("q"))
+    val st = servedIndex(s, dir, emb, "b")
+    IvfPqIndex.topKBatch(s, st, "vec_id", queries, k = 5, nprobe = 4)
+  }
+
   /** Residual-IVFADC recall vs the exact squared-L2 top-10 — the honesty
     * row for the residual composition. On THIS planted corpus it equals the
     * raw form's 0.5 for the same reason documented at [[xPqRecall]]: vector

@@ -162,35 +162,39 @@ object GeoQueries {
     // 25-name layer here rides the broadcast nested-loop; a large layer
     // flips the knob and the same step runs as the FastSS deletion
     // equi-join (FuzzyJoin.topOneLeft; both forms output-identical).
-    // persisted: fuzzyHit and BOTH geocoder branches embed this lineage —
-    // left lazy, the fuzzy match would run three times and, worse, the
-    // rate-limited geocode stage TWICE (every unresolved row geocoded 2×
-    // against a sub-1-QPS external service)
+    // NOT persisted: the fuzzy join feeds two branches (hits + the geocode
+    // slice), so it recomputes once per action — a bounded narrow recompute.
+    // A persist here would pin the lineage in the CacheManager for the
+    // session's lifetime (and WARN on every re-invocation); at 100 TB a
+    // recompute beats an unbounded cache. The stage that must NOT run
+    // twice — the rate-limited external geocoder — is consumed exactly
+    // once (see below).
     val f1 = graft.operators.FuzzyJoin.topOneLeft(rest1, "c_custkey",
-        "loc_text", layer, "layer_name", maxDist = 2,
-        broadcastRight = broadcastFuzzyLayer)
-      .persist()
+      "loc_text", layer, "layer_name", maxDist = 2,
+      broadcastRight = broadcastFuzzyLayer)
     val fuzzyHit = f1.where(col("layer_name").isNotNull)
       .select(col("c_custkey"), col("cell_wkt"), lit("fuzzy").as("resolution"))
     val rest2 = f1.where(col("layer_name").isNull).select("c_custkey", "loc_text")
-    // (3) rate-limited external geocoder (deterministic stub; the qps bound
-    // is the service contract, set loose here so the query is instant)
-    val geo = GeocodeStage.geocode(rest2, "c_custkey", "loc_text",
-      KeyedStubGeocoder, qps = 1e6).persist()
-    val geoHit = geo.where(col("gx").isNotNull)
-      .select(col("c_custkey"),
-        GeoFunctions.stBufferEnv(
-          GeoFunctions.stPoint(col("gx"), col("gy")), lit(0.02)).as("cell_wkt"),
-        lit("geocoded").as("resolution"))
-    // (4) fallback: envelope-buffered deterministic point
+    // (3)+(4) rate-limited external geocoder (deterministic stub; the qps
+    // bound is the service contract, set loose here so the query is
+    // instant), with the fallback FUSED into the same projection: one
+    // consumer, so each unresolved row reaches the service exactly once
+    // per action — no persist needed to hold the service boundary, and the
+    // plan stays lazy and lineage-recoverable (an executor loss replays;
+    // a cached-only boundary would not)
     val px = ((col("c_custkey") * 7) % 100).cast("double") / 10.0
     val py = ((col("c_custkey") * 13) % 100).cast("double") / 10.0
-    val fallback = geo.where(col("gx").isNull)
+    val geoResolved = GeocodeStage.geocode(rest2, "c_custkey", "loc_text",
+        KeyedStubGeocoder, qps = 1e6)
       .select(col("c_custkey"),
-        GeoFunctions.stBufferEnv(
-          GeoFunctions.stPoint(px, py), lit(0.01)).as("cell_wkt"),
-        lit("fallback").as("resolution"))
-    exactHit.unionByName(fuzzyHit).unionByName(geoHit).unionByName(fallback)
+        when(col("gx").isNotNull,
+          GeoFunctions.stBufferEnv(
+            GeoFunctions.stPoint(col("gx"), col("gy")), lit(0.02)))
+          .otherwise(GeoFunctions.stBufferEnv(
+            GeoFunctions.stPoint(px, py), lit(0.01))).as("cell_wkt"),
+        when(col("gx").isNotNull, lit("geocoded"))
+          .otherwise(lit("fallback")).as("resolution"))
+    exactHit.unionByName(fuzzyHit).unionByName(geoResolved)
   }
 
   val g56GeocodeCascade: Q = (s, dir) => {

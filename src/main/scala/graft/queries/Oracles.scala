@@ -1469,6 +1469,12 @@ object Oracles {
     // stored-index batch serve — same hash-match contract as x_ivfpq_stored
     "x_ivfpq_stored_batch" -> ivfPqBatchSql,
 
+    // serve-only forms: warm artefacts (the build is a memoized per-session
+    // setup, not part of the query) — answers must STILL hash-match the
+    // in-memory forms, so the oracles are shared verbatim
+    "x_ivfpq_serve" -> ivfPqResSql,
+    "x_ivfpq_serve_batch" -> ivfPqBatchSql,
+
     "x_pq_recall" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES,
          |pq AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),

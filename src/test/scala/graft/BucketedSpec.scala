@@ -102,6 +102,49 @@ class BucketedSpec extends SparkTestBase {
       === (0 until 16384).map(_.toLong).sum)
   }
 
+  test("a stored-index serve call leaves the session planning untouched: " +
+    "the autoBucketedScan override is scoped, so an unrelated bucketed " +
+    "read plans identically before and after the serve") {
+    import graft.ext.IvfPqIndex
+    val dir = Files.createTempDirectory("servescope").toFile.getAbsolutePath
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    def vec(seed: Long): Seq[Double] =
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13).toDouble / 13.0)
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    // the unrelated bucketed table: a plain aggregate over it is exactly
+    // the shape the auto-bucketed-scan heuristic rewrites (no operator
+    // needs the bucket distribution, so the scan may be split-parallel)
+    val facts = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "id")
+    BucketedStore.writeBucketed(facts, "bspec_scope_facts", "k", 8, s"$dir/facts")
+    spark.sql("DROP TABLE IF EXISTS bspec_scope_codes")
+    try {
+      def unrelatedPlan(): String = spark.table("bspec_scope_facts")
+        .groupBy($"k").count()
+        .queryExecution.executedPlan.toString
+          .replaceAll("#\\d+L?", "#x") // exprIds differ per analysis; strip
+      val confBefore = spark.conf.getOption(key)
+      val planBefore = unrelatedPlan()
+      val st = IvfPqIndex.build(corpus, "vec_id", "embedding",
+        nlist = 4, kmeansIters = 1, m = 2, ksub = 4, pqIters = 1,
+        codesTable = "bspec_scope_codes", basePath = s"$dir/idx")
+      val served = IvfPqIndex.topK(spark, st, "vec_id",
+        Seq(Tuple1(vec(99))).toDF("q"), k = 5, nprobe = 2)
+      // the serve result keeps its bucket-pruned plan (forced in-scope)...
+      assert(served.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"), "serve plan lost bucket pruning")
+      assert(served.count() === 5)
+      // ...and the session conf + an unrelated bucketed read are untouched
+      assert(spark.conf.getOption(key) === confBefore,
+        "serve leaked the autoBucketedScan override into the session")
+      assert(unrelatedPlan() === planBefore,
+        "an unrelated bucketed read planned differently after the serve")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_scope_facts")
+      spark.sql("DROP TABLE IF EXISTS bspec_scope_codes")
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffle on one side only") {
     val dir = Files.createTempDirectory("bucketed2").toFile.getAbsolutePath
     val a = (1L to 100L).map(i => (i % 10, i)).toDF("k", "id")

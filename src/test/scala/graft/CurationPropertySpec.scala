@@ -139,19 +139,29 @@ class CurationPropertySpec extends SparkTestBase {
     import graft.operators.FuzzyJoin
     val rnd = new scala.util.Random(20260821)
     def name() = Seq.fill(4 + rnd.nextInt(4))("abcde"(rnd.nextInt(5))).mkString
-    // the "large layer": 300 distinct names, each with a payload column
-    val layer = (1 to 600).map(_ => name()).distinct
+    // the "large layer": 300 distinct names, each with a payload column —
+    // plus over-long outliers (> default maxLen 64) that the broadcast form
+    // scores and the deletion form must route through its long-tail band
+    // instead of crashing (the ADVICE maxLen-divergence scenario)
+    val longName = "L" * 70
+    val edgeName = "m" * 64
+    val layer = ((1 to 600).map(_ => name()).distinct ++ Seq(longName, edgeName))
       .map(n => (n, s"wkt_$n")).toDF("layer_name", "cell_wkt")
     // probes: corrupted copies of layer names + unmatchable free text + null
     val layerNames = layer.select("layer_name").as[String].collect()
-    val probes = (1 to 200).map { i =>
+    val longProbes = Seq(
+      301L -> Option(longName),            // exact over-long match (dist 0)
+      302L -> Option(longName.drop(1)),    // 69 chars, dist 1, both long
+      303L -> Option(edgeName + "mm"),     // 66 vs 64 chars: crosses maxLen
+      304L -> Option("q" * 65))            // over-long, unmatchable
+    val probes = ((1 to 200).map { i =>
       val s =
         if (i % 3 == 0) Option(layerNames(rnd.nextInt(layerNames.length)).drop(1))
         else if (i % 3 == 1) Option(s"zzzz$i")
         else if (i % 17 == 0) None
         else Option(layerNames(rnd.nextInt(layerNames.length)))
       (i.toLong, s)
-    }.toDF("id", "txt")
+    } ++ longProbes).toDF("id", "txt")
     def run(bcast: Boolean) = FuzzyJoin.topOneLeft(probes, "id", "txt",
         layer, "layer_name", maxDist = 2, broadcastRight = bcast)
       .select("id", "layer_name", "cell_wkt")

@@ -63,4 +63,37 @@ class GeocodeSpec extends SparkTestBase {
       .select("c_custkey").distinct().count()
     assert(out.values.sum == total)
   }
+
+  test("cascade leaves NO lingering cached lineages: repeated invocations " +
+    "neither accumulate CacheManager entries nor re-geocode a row within " +
+    "one action") {
+    spark.sharedState.cacheManager.clearCache()
+    // accumulator, not a plain counter: the geocoder closure serializes
+    // into the task, so a driver-side AtomicInteger would never move
+    val calls = spark.sparkContext.longAccumulator("geocode_calls")
+    // counting geocoder via the EP-3 shared stage is private; drive the
+    // public g56 query twice instead and assert the cache stayed empty
+    graft.queries.GeoQueries.g56GeocodeCascade(spark, "/root/testdata/sf0.001")
+      .collect()
+    graft.queries.GeoQueries.g56GeocodeCascade(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cascadeResolve must not pin lineages in the CacheManager")
+    // and the service boundary is consumed once per action: a counting
+    // geocoder through GeocodeStage under a two-branch consumer pattern
+    // (the shape cascadeResolve fuses) geocodes each row exactly once
+    val g = new Geocoder {
+      def geocode(q: String): Option[(Double, Double)] = {
+        calls.add(1L)
+        if (q.length % 2 == 0) Some((1.0, 2.0)) else None
+      }
+    }
+    val in = Seq((1L, "aa"), (2L, "b"), (3L, "ccc")).toDF("id", "q")
+    val fused = GeocodeStage.geocode(in, "id", "q", g, qps = 1e6)
+      .select(col("id"),
+        when(col("gx").isNotNull, lit("hit")).otherwise(lit("miss")).as("r"))
+    assert(fused.collect().length === 3)
+    assert(calls.value === 3L,
+      s"each row must reach the service once per action, saw ${calls.value}")
+  }
 }

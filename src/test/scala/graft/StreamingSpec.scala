@@ -148,9 +148,24 @@ class StreamingSpec extends SparkTestBase {
       StatusChange(1L, Some("Open"), "Closed")))
   }
 
-  test("streaming EP-3: the composed Augmenter job — checksum state across " +
-    "two incremental micro-batches emits exactly q_ep3_pipeline's work set, " +
-    "enriches it identically, and upserts the cache store atomically") {
+  // a snapshot "arrives" as ONE new file in the watched directory (the
+  // StreamingAugmenter publication contract)
+  private def addSnapshot(tmp: String, snapDir: String,
+                          df: org.apache.spark.sql.DataFrame,
+                          name: String): Unit = {
+    val staging = s"$tmp/staging_$name"
+    df.coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(snapDir))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$snapDir/$name.parquet"))
+    ()
+  }
+
+  test("streaming EP-3: the composed Augmenter job — over-limit run emits " +
+    "exactly q_ep3_pipeline's work set, the rollback retry run enriches the " +
+    "deferred remainder, and the cache store converges") {
     import graft.streaming.StreamingAugmenter
     val dir = sf("sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("ep3stream").toString
@@ -159,27 +174,22 @@ class StreamingSpec extends SparkTestBase {
     val base = spark.read.parquet(s"$dir/customer.parquet")
       .where(col("c_custkey") <= 500)
       .select(col("c_custkey").as("id"), col("c_name"), col("c_mktsegment"))
+    val farExpiry = ts("2030-01-01 00:00:00")
     // the q_ep3 world: baseline snapshot = the cache content; the re-scrape
-    // mutates status for id%7==0, so exactly those checksums diverge
-    def snapshot(mutate: Boolean) = {
-      val status =
-        if (mutate) when(col("id") % 7 === 0, lit("X")).otherwise(col("c_mktsegment"))
-        else col("c_mktsegment")
+    // mutates status for id%7==0, so exactly those checksums diverge; a
+    // second re-scrape additionally mutates id%2==0 (the over-limit wave)
+    def snapshot(status: org.apache.spark.sql.Column, at: Timestamp) =
       base.select(col("id"), col("c_name"), col("c_mktsegment"),
         md5(concat_ws("", status, col("c_name"))).as("ck"),
-        ((col("id") * 37) % 1000).as("publish_ord"))
-    }
-    // a snapshot "arrives" as one new file in the watched directory
-    def addSnapshot(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val staging = s"$tmp/staging_$name"
-      df.coalesce(1).write.parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(snapDir))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$snapDir/$name.parquet"))
-      ()
-    }
+        ((col("id") * 37) % 1000).as("publish_ord"),
+        lit(at).as("event_ts"), lit(farExpiry).as("expiry_ts"))
+    val baseStatus = col("c_mktsegment")
+    val mut7 = when(col("id") % 7 === 0, lit("X")).otherwise(col("c_mktsegment"))
+    val mut72 = when(col("id") % 7 === 0, lit("X"))
+      .when(col("id") % 2 === 0, lit("Y")).otherwise(col("c_mktsegment"))
+    def ckOf(status: org.apache.spark.sql.Column): Map[Long, String] =
+      snapshot(status, ts("2024-01-01 00:00:00"))
+        .select("id", "ck").as[(Long, String)].collect().toMap
     val captured = scala.collection.mutable.ArrayBuffer[Set[Seq[Any]]]()
     val outCols = Seq("id", "tweet_text", "toot_text", "resolution",
       "fp_area", "inferred_cells", "image_filename")
@@ -189,18 +199,21 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet
       out
     }
-    def drain(): Unit = {
-      val q = StreamingAugmenter.run(spark, snapDir, s"$tmp/ckpt",
-        s"$tmp/cache", limit = 40, enrich)
+    def drain(limit: Int): Unit = {
+      val q = StreamingAugmenter.run(spark, snapDir, s"$tmp/retry",
+        s"$tmp/ckpt", s"$tmp/cache", limit, enrich)
       q.awaitTermination(180000); ()
     }
-    // run 1: baseline snapshot — every id is new, state seeds, cache v1
-    addSnapshot(snapshot(mutate = false), "s1")
-    drain()
-    assert(captured.length === 1 && captured.head.size === 40)
-    // run 2: the re-scrape — ONLY the mutated checksums may emit
-    addSnapshot(snapshot(mutate = true), "s2")
-    drain()
+    val world = base.count()
+    // run 1: baseline snapshot, limit covers the world — state and the cache
+    // seed fully (the batch pipeline's pre-populated-cache world)
+    addSnapshot(tmp, snapDir, snapshot(baseStatus, ts("2024-01-01 00:00:00")), "s1")
+    drain(limit = world.toInt + 1)
+    assert(captured.length === 1 && captured.head.size === world)
+    // run 2: the re-scrape — ONLY the mutated checksums emit, all within
+    // the limit; this is exactly the batch pipeline's world
+    addSnapshot(tmp, snapDir, snapshot(mut7, ts("2024-01-02 00:00:00")), "s2")
+    drain(limit = 40)
     assert(captured.length === 2, "second run must process exactly one batch")
     val streamFresh = captured(1)
     // parity: the batch pipeline's fresh rows on the same world
@@ -210,19 +223,82 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(streamFresh === batchFresh,
       "streaming work set + enrichment must equal the batch pipeline's")
-    // the cache store: two atomic versions; fresh rows overrode, run-1 rows
-    // not re-touched rode through (the Ops 12+14 merge)
+    // run 3: a second mutation wave, BIGGER than the limit — the newest 20
+    // are worked, the remainder rolls back (state restored to the s2 ck)
+    val wave = ckOf(mut72).toSet.diff(ckOf(mut7).toSet).map(_._1)
+    assert(wave.size > 20, s"test world must overflow the limit (${wave.size})")
+    val expectWorked = wave.toSeq
+      .sortBy(id => (-((id * 37) % 1000), id)).take(20).toSet
+    addSnapshot(tmp, snapDir, snapshot(mut72, ts("2024-01-03 00:00:00")), "s3")
+    drain(limit = 20)
+    assert(captured.length === 3, "over-limit run must process exactly one batch")
+    assert(captured(2).map(_.head.asInstanceOf[Long]) === expectWorked,
+      "the work limit must take the newest 20 by publish order")
+    // run 4: the next nightly scrape (same content) — the rollback stream
+    // reset the deferred rows' state, so exactly the over-limit remainder
+    // re-emits and is enriched now (the ADVICE third-batch scenario: no
+    // changed row is ever silently lost)
+    addSnapshot(tmp, snapDir, snapshot(mut72, ts("2024-01-04 00:00:00")), "s4")
+    drain(limit = 100)
+    assert(captured.length === 4, "retry run must process exactly one batch")
+    val retriedIds = captured(3).map(_.head.asInstanceOf[Long])
+    assert(retriedIds === wave.diff(expectWorked),
+      "every deferred row must be enriched on the next run")
+    // the cache store: four atomic versions; every wave row now carries its
+    // re-enriched tweet, unchanged rows rode through
     val store = new graft.io.StageStore(spark, s"$tmp/cache")
-    assert(store.versions().length === 2)
+    assert(store.versions().length === 4)
     val cache = store.readLatest()
-    val freshIds = streamFresh.map(_.head.asInstanceOf[Long])
-    val run1Ids = captured(0).map(_.head.asInstanceOf[Long])
-    assert(cache.count() === (freshIds ++ run1Ids).size)
+    assert(cache.count() === world)
     val cachedTweets = cache.select("id", "tweet_text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    streamFresh.foreach { row =>
+    (captured(2) ++ captured(3)).foreach { row =>
       assert(cachedTweets(row.head.asInstanceOf[Long]) === row(1))
     }
+  }
+
+  test("streaming EP-3 state TTL: an absent alert's state evicts once the " +
+    "watermark passes its expiry — a re-sent checksum re-emits as new") {
+    import graft.streaming.StreamingAugmenter
+    val tmp = java.nio.file.Files.createTempDirectory("ep3ttl").toString
+    val snapDir = s"$tmp/snapshots"
+    val captured = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def enrich(work: org.apache.spark.sql.DataFrame) = {
+      captured += work.select("id").as[Long].collect().toSet
+      work
+    }
+    def drain(): Unit = {
+      val q = StreamingAugmenter.run(spark, snapDir, s"$tmp/retry",
+        s"$tmp/ckpt", s"$tmp/cache", limit = 100, enrich)
+      q.awaitTermination(180000); ()
+    }
+    val far = ts("2030-01-01 00:00:00")
+    def snap(ids: Seq[Long], at: Timestamp, expiryOf: Long => Timestamp) =
+      ids.map(i => (i, s"n$i", "SEG", s"ck$i", i, at, expiryOf(i)))
+        .toDF("id", "c_name", "c_mktsegment", "ck", "publish_ord",
+          "event_ts", "expiry_ts")
+    // s1: ids 1-3; id 1 expires an hour later, the rest far out
+    val expiry1 = ts("2024-01-01 01:00:00")
+    addSnapshot(tmp, snapDir,
+      snap(Seq(1L, 2L, 3L), ts("2024-01-01 00:00:00"),
+        i => if (i == 1L) expiry1 else far), "s1")
+    drain()
+    assert(captured.toList === List(Set(1L, 2L, 3L)))
+    // s2: id 1 gone from the scrape; unchanged checksums for 2-3 emit
+    // nothing, but the event time advances the watermark past id 1's
+    // expiry, so its state times out in the trailing batch
+    addSnapshot(tmp, snapDir,
+      snap(Seq(2L, 3L), ts("2024-01-03 00:00:00"), _ => far), "s2")
+    drain()
+    assert(captured.length === 1, "unchanged scrape must skip entirely")
+    // s3: id 1 returns with its ORIGINAL checksum — state was evicted, so
+    // it re-emits as new; 2-3 stay suppressed by their retained state
+    addSnapshot(tmp, snapDir,
+      snap(Seq(1L, 2L, 3L), ts("2024-01-03 02:00:00"),
+        i => if (i == 1L) ts("2024-01-03 12:00:00") else far), "s3")
+    drain()
+    assert(captured.toList === List(Set(1L, 2L, 3L), Set(1L)),
+      "evicted state must re-admit the expired alert's old checksum")
   }
 
   test("Op-62 versioned fan-out drops version-appropriate columns") {

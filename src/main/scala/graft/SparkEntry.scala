@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, GeoQueries, Oracles, RefQueries}
+import graft.queries.{ExtQueries, GeoQueries, IoQueries, Oracles, RefQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,11 @@ object SparkEntry {
     "q54_toot" -> RefQueries.q54Toot,
     // §2.9 change stream (batch form; streaming form under graft.streaming)
     "q61_change_stream" -> RefQueries.q61ChangeStream,
+    // io/serve operators as write-then-read-back + shape-repair surfaces
+    "q55_shape_repair" -> IoQueries.q55ShapeRepair,
+    "q05_versioned_store" -> IoQueries.q05VersionedStore,
+    "q06_json_doc_sink" -> IoQueries.q06JsonDocSink,
+    "q62_versioned_fanout" -> IoQueries.q62VersionedFanout,
     // EP-2 end-to-end composition (Ops 16-27 → 28 → 29 → 44-46)
     "q_ep2_pipeline" -> RefQueries.qEp2Pipeline,
     // EP-3 end-to-end composition (Ops 9/11/13 → 53/54 → 56-58 → 33+37 →
@@ -164,6 +169,7 @@ object SparkEntry {
     "x_ivfpq_stored_batch" -> ExtQueries.xIvfPqStoredBatch,
     "x_ivfpq_serve" -> ExtQueries.xIvfPqServe,
     "x_ivfpq_serve_batch" -> ExtQueries.xIvfPqServeBatch,
+    "x_fuzzy_qgram" -> ExtQueries.xFuzzyQgram,
     // ext: mixture sampling + composed CCNet bucketing
     "x_temp_sample" -> ExtQueries.xTempSample,
     "x_ccnet_buckets" -> ExtQueries.xCcnetBuckets,
@@ -197,5 +203,5 @@ object SparkEntry {
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
     "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_ivfpq_stored",
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
-    "x_fuzzy_join")
+    "x_fuzzy_join", "x_fuzzy_qgram")
 }

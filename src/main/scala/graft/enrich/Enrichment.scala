@@ -1,6 +1,6 @@
 package graft.enrich
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Row-wise effectful enrichment stages (the reference's LLM/geocoder ops).
@@ -101,20 +101,80 @@ object Enrichment {
     }
   }
 
-  /** Op-55 shape repair (ServiceAlertAugmenter.py:258-279): unwrap
-    * triple-nested arrays, wrap flat arrays, reject non-string content. */
+  /** Op-55 shape repair, the reference's EXACT misconstruction ladder
+    * (ServiceAlertAugmenter.py:258-279):
+    *
+    *   1. a singleton list whose single element is a singleton list of a
+    *      list unwraps ONE layer (`[[[..]]]` → `[[..]]`) — a wider triple
+    *      nest is NOT unwrapped and fails validation below;
+    *   2. OTHERWISE (python's elif: never after a len-1 list, even one the
+    *      unwrap didn't touch — so a single-string flat array `["a"]` is
+    *      rejected, a reference quirk preserved here) a flat all-string
+    *      list of ≥2 wraps into a singleton;
+    *   3. validation: a list, of lists, of strings — anything else is the
+    *      assertion-failure path (empty result). */
   def normalizeLocationResponse(raw: Any): Seq[Seq[String]] = raw match {
-    case s: Seq[_] if s.forall(_.isInstanceOf[String]) =>
-      if (s.isEmpty) Seq.empty else Seq(s.map(_.toString))
-    case s: Seq[_] if s.forall(_.isInstanceOf[Seq[_]]) =>
-      val inner = s.map(_.asInstanceOf[Seq[_]])
-      if (inner.forall(_.forall(_.isInstanceOf[String])))
-        inner.map(_.map(_.toString))
-      else if (inner.forall(_.forall(_.isInstanceOf[Seq[_]])))
-        // triple-nested: unwrap one level
-        inner.flatten.map(_.asInstanceOf[Seq[_]].map(_.toString))
+    case s: Seq[_] =>
+      val transformed = s match {
+        case Seq(inner: Seq[_])
+          if inner.length == 1 && inner.head.isInstanceOf[Seq[_]] => inner
+        case _ if s.length >= 2 && s.forall(_.isInstanceOf[String]) => Seq(s)
+        case _ => s
+      }
+      if (transformed.forall(e => e.isInstanceOf[Seq[_]] &&
+          e.asInstanceOf[Seq[_]].forall(_.isInstanceOf[String])))
+        transformed.map(_.asInstanceOf[Seq[_]].map(_.toString))
       else Seq.empty
     case _ => Seq.empty
+  }
+
+  /** Op-55 shape repair as a COLUMN over raw JSON payloads — the query-
+    * surface form of [[normalizeLocationResponse]], so the repair is
+    * oracle-checkable end-to-end (q55_shape_repair). Implements the
+    * reference's misconstruction ladder (ServiceAlertAugmenter.py:258-279)
+    * with `from_json` probes at the three plausible depths:
+    *
+    *   1. an empty array validates as-is (no suggestions);
+    *   2. a CLEAN 3-level parse (every element non-null at every depth)
+    *      means the model triple-nested; unwrap one layer iff both outer
+    *      layers are singletons AND the unwrapped leaves are genuine
+    *      strings, else the payload fails validation (a WIDER triple nest
+    *      is rejected, as the reference's len-1 guard does);
+    *   3. else a clean 2-level parse with genuine string leaves is the
+    *      expected shape, taken as-is;
+    *   4. else a clean 1-level parse of ≥2 genuine strings is a flat
+    *      array, wrapped — the reference's elif never wraps a singleton
+    *      (a quirk preserved here and in [[normalizeLocationResponse]]);
+    *   5. anything else (invalid JSON, mixed depths, non-string leaves) is
+    *      NULL — the reference's assertion failure path.
+    *
+    * "Genuine string" is probed via Jackson's raw-passthrough (a
+    * structured element parsed as StringType yields its raw JSON text), so
+    * a leaf that is itself an array/object rejects the payload exactly as
+    * the reference's all-strings assertion does. Boundary: leaf strings
+    * that genuinely start with '[' or '{', and JSON number leaves (raw
+    * text is indistinguishable from a numeric string), would be
+    * misclassified — location names are neither. */
+  def repairLocationJson(payload: Column): Column = {
+    import org.apache.spark.sql.types.DataType.fromDDL
+    val t3 = from_json(payload, fromDDL("array<array<array<string>>>"))
+    val t2 = from_json(payload, fromDDL("array<array<string>>"))
+    val t1 = from_json(payload, fromDDL("array<string>"))
+    val clean1 = t1.isNotNull && forall(t1, x => x.isNotNull)
+    val clean2 = t2.isNotNull &&
+      forall(t2, x => x.isNotNull && forall(x, y => y.isNotNull))
+    val clean3 = t3.isNotNull && forall(t3, x => x.isNotNull &&
+      forall(x, y => y.isNotNull && forall(y, z => z.isNotNull)))
+    def rawStructured(x: Column) = x.rlike("^\\s*[\\[{]")
+    val reject = lit(null).cast("array<array<string>>")
+    when(t1.isNotNull && size(t1) === 0, typedlit(Seq.empty[Seq[String]]))
+      .when(clean3,
+        when(size(t3) === 1 && size(t3.getItem(0)) === 1 &&
+            !exists(flatten(t3.getItem(0)), rawStructured), t3.getItem(0))
+          .otherwise(reject))
+      .when(clean2 && !exists(flatten(t2), rawStructured), t2)
+      .when(clean1 && !exists(t1, rawStructured) && size(t1) >= 2, array(t1))
+      .otherwise(reject)
   }
 
   /** Op-55 stage: extract candidate location groups per row.

@@ -93,6 +93,98 @@ object FuzzyJoin {
       .where(col("dist") <= maxDist)
   }
 
+  /** Pairs (l_id, r_id, dist) with levenshtein ≤ maxDist for ANY maxDist —
+    * the tier above [[deletionJoin]] (whose deletion-neighbourhood fan-out
+    * is O(len^k), affordable only for k ≤ 2): positional q-gram signature
+    * equi-join + exact levenshtein verify, the classic count-filtering
+    * scheme (Gravano et al. 2001, "Approximate String Joins in a Database
+    * (Almost) for Free"). The reference's street-name matching runs at
+    * distance 5 (ServiceAlertAugmenter.py:163) — this is that tier.
+    *
+    *   - **gram tier**: a string of length n carries n−q+1 positional
+    *     q-grams; k edits destroy at most k·q of them, so whenever the
+    *     longer side of a true pair has n−q+1 > k·q, some gram survives in
+    *     the other side within position shift ≤ k. Candidates come from an
+    *     EQUI-join on (gram, position-band): bands are ⌈(k+1)⌉ wide, the
+    *     probe side replicates each gram into its 3 adjacent bands, and a
+    *     post-filter keeps |posL−posR| ≤ k and |lenL−lenR| ≤ k.
+    *   - **short tier**: strings below the survival threshold q·(k+1) have
+    *     no gram guarantee; pairs with BOTH sides short band on candidate
+    *     LENGTH instead (each left row probes its 2k+1 compatible lengths)
+    *     — bounded fan-out, and the short set is by definition the tail.
+    *   - exact `levenshtein ≤ k` verifies every distinct candidate pair
+    *     (the signatures only bound the distance; the verify IS the
+    *     semantics).
+    *
+    * Quadratic-risk guard (the LSH maxBucket convention): a gram shared by
+    * huge row sets on both sides is a disguised cross join — the indexed
+    * side's (gram, band) groups are counted and a group past `maxBucket`
+    * raises loudly (inside a consumed column, so pruning can't drop it).
+    * Highly repetitive corpora (shared prefixes, low-entropy keys) should
+    * key on a more selective field. NULL strings never match. */
+  def qgramJoin(left: DataFrame, leftId: Column, leftStr: Column,
+                right: DataFrame, rightId: Column, rightStr: Column,
+                maxDist: Int, q: Int = 2,
+                maxBucket: Int = 100000): DataFrame = {
+    require(maxDist >= 1, "qgramJoin needs maxDist >= 1")
+    require(q >= 1, "qgramJoin needs q >= 1")
+    require(maxBucket > 0, "maxBucket must be positive")
+    val k = maxDist
+    val thresh = q * (k + 1)
+    val bw = k + 1
+    val l = left.select(leftId.as("l_id"), leftStr.as("l_str"))
+    val r = right.select(rightId.as("r_id"), rightStr.as("r_str"))
+
+    def gramRows(df: DataFrame, str: String, posCol: String): DataFrame = {
+      val s = col(str)
+      val n = length(s) - (q - 1)
+      // sequence(1, n) runs DESCENDING when n < 1 — generate on the clamped
+      // bound, then filter to the valid positions (empty when n < 1)
+      val gs = filter(
+        transform(sequence(lit(1), greatest(n, lit(1))),
+          i => struct(s.substr(i, lit(q)).as("g"), i.as("i"))),
+        x => x.getField("i") <= n)
+      df.select(col("*"), explode(gs).as("__gr"))
+        .select(col("*"), col("__gr.g").as("__g"),
+          col("__gr.i").as(posCol)).drop("__gr")
+        .withColumn("__band", floor((col(posCol) - 1) / bw))
+    }
+
+    val rg = gramRows(r, "r_str", "__ri")
+    // the guard: indexed-side (gram, band) group sizes, checked inside the
+    // join key so no candidate can be produced from an oversized group
+    val rSizes = rg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz"))
+    val rGuarded = rg.join(rSizes, Seq("__g", "__band"))
+      .withColumn("__g",
+        when(col("__gsz") <= maxBucket, col("__g")).otherwise(raise_error(
+          concat(lit(s"qgramJoin: (gram, band) group exceeds " +
+            s"maxBucket=$maxBucket — a disguised cross join; key on a more " +
+            "selective field or raise maxBucket; group size = "),
+            col("__gsz").cast("string")))))
+      .drop("__gsz")
+    val lg = gramRows(l, "l_str", "__li")
+      .withColumn("__band", explode(array(col("__band") - 1, col("__band"),
+        col("__band") + 1)))
+    val gramCand = lg.join(rGuarded, Seq("__g", "__band"))
+      .where(abs(col("__li") - col("__ri")) <= k)
+      .where(abs(length(col("l_str")) - length(col("r_str"))) <= k)
+      .select("l_id", "l_str", "r_id", "r_str")
+
+    // short tier: both sides under the survival threshold, banded on length
+    val ls = l.where(length(col("l_str")) < thresh)
+      .withColumn("__len", explode(transform(
+        sequence(lit(-k), lit(k)), d => length(col("l_str")) + d)))
+    val rs = r.where(length(col("r_str")) < thresh)
+    val shortCand = ls.join(rs, col("__len") === length(col("r_str")))
+      .select("l_id", "l_str", "r_id", "r_str")
+
+    gramCand.unionByName(shortCand)
+      .distinct()
+      .select(col("l_id"), col("r_id"),
+        levenshtein(col("l_str"), col("r_str")).as("dist"))
+      .where(col("dist") <= k)
+  }
+
   /** LEFT top-1 fuzzy match — the Op-35 / geocode-cascade step as a
     * dispatchable operator: every left row picks the right row with the
     * smallest (levenshtein ≤ maxDist, right string) pair; unmatched left

@@ -286,6 +286,34 @@ object ExtQueries {
       right, col("id"), col("name"), maxDist = 1)
   }
 
+  /** The maxDist ≥ 3 fuzzy tier (positional q-gram signature equi-join +
+    * exact levenshtein verify — the reference's distance-5 street matching
+    * band): diverse pseudo street names derived from the documents table,
+    * matched against 3-edit corruptions (two deletions + one substitution)
+    * at maxDist 4. The oracle is the PLAIN levenshtein join — the q-gram
+    * candidate generation is result-invariant (count-filter completeness +
+    * exact verify), so what's under test is the whole rewrite. */
+  val xFuzzyQgram: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val name = substring(col("text"), 1, 16) // uniform slice; diverse tokens
+    val base = d.select(col("doc_id").as("id"), name.as("name"))
+      .where(col("name").isNotNull && length(col("name")) >= 8)
+    val left = base.select(col("id").as("l_id0"), col("name").as("l_name"))
+    val ln = length(col("name"))
+    val p1 = (col("id") % ln + 1).cast("int")
+    val n1 = concat(col("name").substr(lit(1), p1 - 1),
+      col("name").substr(p1 + 1, ln))
+    val ln1 = ln - 1
+    val p2 = (col("id") * 7 % ln1 + 1).cast("int")
+    val n2 = concat(n1.substr(lit(1), p2 - 1), n1.substr(p2 + 1, ln1))
+    val ln2 = ln - 2
+    val p3 = (col("id") * 11 % ln2 + 1).cast("int")
+    val n3 = concat(n2.substr(lit(1), p3 - 1), lit("#"), n2.substr(p3 + 1, ln2))
+    val right = base.select(col("id").as("r_id0"), n3.as("r_name"))
+    graft.operators.FuzzyJoin.qgramJoin(left, col("l_id0"), col("l_name"),
+      right, col("r_id0"), col("r_name"), maxDist = 4)
+  }
+
   /** Composed end-to-end training-data pipeline — the library's operators
     * chained the way a real corpus-prep job chains them: token-count
     * filter → language ID → exact-dedup keep-one. Predicates are

@@ -692,6 +692,95 @@ object Oracles {
         |p AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events GROUP BY user_id, event_type)
         |SELECT user_id, event_type, first_seen FROM p, c WHERE first_seen >= cutoff""".stripMargin,
 
+    // Op-55 shape repair: the reference's misconstruction ladder mirrored
+    // with json_transform (DuckDB's from_json analogue — same null-on-
+    // mismatch and raw-JSON-text-for-scalar semantics), exploded to one row
+    // per repaired token; rejected payload classes (3, 4, 5) emit nothing
+    "q55_shape_repair" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey*13%100 AS VARCHAR) AS x,
+        |    CAST(c_custkey*29%100 AS VARCHAR) AS y
+        |  FROM customer WHERE c_custkey <= 300),
+        |pay AS (SELECT id,
+        |  CASE CAST(id%6 AS INT)
+        |    WHEN 0 THEN '[["P'||x||'","Q'||y||'"]]'
+        |    WHEN 1 THEN '[[["R'||x||'"]]]'
+        |    WHEN 2 THEN '["S'||x||'","T'||y||'"]'
+        |    WHEN 3 THEN 'junk '||x
+        |    WHEN 4 THEN '[[["A'||x||'"],["B'||y||'"]]]'
+        |    ELSE '["U'||x||'",["V'||y||'"]]'
+        |  END AS p FROM base),
+        |parsed AS (SELECT id,
+        |  CASE WHEN json_valid(p) THEN json_transform(p, '[[["VARCHAR"]]]') END AS t3,
+        |  CASE WHEN json_valid(p) THEN json_transform(p, '[["VARCHAR"]]') END AS t2,
+        |  CASE WHEN json_valid(p) THEN json_transform(p, '["VARCHAR"]') END AS t1
+        |  FROM pay),
+        |rep AS (SELECT id,
+        |  CASE
+        |    WHEN t1 IS NOT NULL AND len(t1) = 0 THEN CAST([] AS VARCHAR[][])
+        |    WHEN t3 IS NOT NULL
+        |         AND COALESCE(len(list_filter(t3, x -> x IS NULL)), 1) = 0
+        |         AND COALESCE(len(list_filter(flatten(t3), x -> x IS NULL)), 1) = 0
+        |         AND COALESCE(len(list_filter(flatten(flatten(t3)), x -> x IS NULL)), 1) = 0
+        |      THEN CASE WHEN len(t3) = 1 AND len(t3[1]) = 1
+        |                     AND COALESCE(len(list_filter(flatten(t3[1]), x -> regexp_matches(x, '^\s*[\[{]'))), 1) = 0
+        |                THEN t3[1] END
+        |    WHEN t2 IS NOT NULL
+        |         AND COALESCE(len(list_filter(t2, x -> x IS NULL)), 1) = 0
+        |         AND COALESCE(len(list_filter(flatten(t2), x -> x IS NULL)), 1) = 0
+        |         AND COALESCE(len(list_filter(flatten(t2), x -> regexp_matches(x, '^\s*[\[{]'))), 1) = 0
+        |      THEN t2
+        |    WHEN t1 IS NOT NULL
+        |         AND COALESCE(len(list_filter(t1, x -> x IS NULL)), 1) = 0
+        |         AND COALESCE(len(list_filter(t1, x -> regexp_matches(x, '^\s*[\[{]'))), 1) = 0
+        |         AND len(t1) >= 2
+        |      THEN [t1]
+        |  END AS r FROM parsed),
+        |g AS (SELECT id, unnest(r) AS grp, generate_subscripts(r, 1) AS gi
+        |  FROM rep WHERE r IS NOT NULL),
+        |tkn AS (SELECT id, gi, unnest(grp) AS token, generate_subscripts(grp, 1) AS ti FROM g)
+        |SELECT id, CAST(gi - 1 AS BIGINT) AS gi, CAST(ti - 1 AS BIGINT) AS ti, token
+        |FROM tkn""".stripMargin,
+
+    // Op-5 versioned store: v1 pruned by retain=2, so the surviving
+    // versions are exactly the v2/v3 slices; n_versions locks the retention
+    "q05_versioned_store" ->
+      """WITH v2 AS (SELECT c_custkey AS id, 'X'||c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey > 100 AND c_custkey <= 300),
+        |v3 AS (SELECT c_custkey AS id, lower(c_mktsegment) AS seg
+        |  FROM customer WHERE c_custkey > 200 AND c_custkey <= 400)
+        |SELECT CAST(2 AS BIGINT) AS version, id, seg, CAST(2 AS BIGINT) AS n_versions FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), id, seg, CAST(2 AS BIGINT) FROM v3""".stripMargin,
+
+    // Op-6 JSON document sink round trip: the read-back rows must equal the
+    // filtered serving rows, tagged with the reference filename contract
+    "q06_json_doc_sink" ->
+      """WITH alerts AS (SELECT o_orderkey AS Id,
+        |  CASE WHEN o_orderstatus='O' THEN 'Open' WHEN o_orderstatus='F' THEN 'Closed'
+        |       ELSE 'Pending' END AS status,
+        |  o_orderkey % 2 = 0 AS planned
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT 'v1/alerts-all-planned.json' AS doc, Id, status FROM alerts WHERE planned
+        |UNION ALL
+        |SELECT 'v1/alerts-all-unplanned.json', Id, status FROM alerts WHERE NOT planned""".stripMargin,
+
+    // Op-62 versioned fan-out, read back under the full schema: columns a
+    // version drops come back NULL
+    "q62_versioned_fanout" ->
+      """WITH alerts AS (SELECT c_custkey AS Id,
+        |  CASE WHEN c_custkey%3=0 THEN 'Open' ELSE 'Closed' END AS status,
+        |  CASE WHEN c_custkey%2=0 THEN 'Suburb' ELSE 'Ward' END AS area_type,
+        |  'POINT ('||CAST(c_custkey*7%100 AS VARCHAR)||' '||CAST(c_custkey*13%100 AS VARCHAR)||')' AS geospatial_footprint
+        |  FROM customer WHERE c_custkey <= 200)
+        |SELECT 'v1' AS version, Id, CAST(NULL AS VARCHAR) AS status,
+        |  CAST(NULL AS VARCHAR) AS area_type, CAST(NULL AS VARCHAR) AS geospatial_footprint FROM alerts
+        |UNION ALL
+        |SELECT 'v1.1', Id, CAST(NULL AS VARCHAR), area_type, geospatial_footprint FROM alerts
+        |UNION ALL
+        |SELECT 'v1.2', Id, status, area_type, geospatial_footprint FROM alerts""".stripMargin,
+
     // closed-form box difference/erosion: ward cells are disjoint, so the
     // area of square \ (dissolved wards) is 1 − Σ per-cell overlaps; the
     // erosion of a unit box by d is (1−2d)² (zero when 2d ≥ 1)
@@ -1287,6 +1376,23 @@ object Oracles {
         |  FROM customer)
         |SELECT l_id, r_id, CAST(levenshtein(l_str, r_str) AS INT) AS dist
         |FROM l, r WHERE levenshtein(l_str, r_str) <= 1""".stripMargin,
+
+    // the q-gram candidate generation is result-invariant (count-filter
+    // completeness + exact verify), so the oracle is the PLAIN levenshtein
+    // join at the same distance
+    "x_fuzzy_qgram" ->
+      """WITH base AS (SELECT doc_id AS id, substr(text, 1, 16) AS name
+        |  FROM documents WHERE text IS NOT NULL AND length(substr(text, 1, 16)) >= 8),
+        |l AS (SELECT id AS l_id, name AS l_str FROM base),
+        |r0 AS (SELECT id, name, length(name) AS ln FROM base),
+        |r1 AS (SELECT id, substr(name, 1, CAST(id % ln AS INT)) ||
+        |  substr(name, CAST(id % ln AS INT) + 2, ln) AS n1, ln FROM r0),
+        |r2 AS (SELECT id, substr(n1, 1, CAST(id * 7 % (ln - 1) AS INT)) ||
+        |  substr(n1, CAST(id * 7 % (ln - 1) AS INT) + 2, ln - 1) AS n2, ln FROM r1),
+        |r3 AS (SELECT id AS r_id, substr(n2, 1, CAST(id * 11 % (ln - 2) AS INT)) ||
+        |  '#' || substr(n2, CAST(id * 11 % (ln - 2) AS INT) + 2, ln - 2) AS r_str FROM r2)
+        |SELECT l_id, r_id, CAST(levenshtein(l_str, r_str) AS INT) AS dist
+        |FROM l, r3 WHERE levenshtein(l_str, r_str) <= 4""".stripMargin,
 
     // the Bloom prune is result-invariant (no false negatives + exact
     // post-join), so the oracle is the plain semi-join

@@ -176,6 +176,38 @@ class CurationPropertySpec extends SparkTestBase {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("qgramJoin (maxDist ≥ 3 tier) is output-identical to the plain " +
+    "levenshtein cross join across distances 3 and 5, short strings, " +
+    "empties, and NULLs") {
+    import graft.operators.FuzzyJoin
+    val rnd = new scala.util.Random(20260813)
+    def word() = Seq.fill(2 + rnd.nextInt(14))("abcdef"(rnd.nextInt(6))).mkString
+    // left: random words + an empty + a NULL + sub-threshold shorties
+    val left = ((1 to 120).map(i => (i.toLong, Option(word()))) ++
+      Seq(900L -> Option(""), 901L -> None, 902L -> Option("ab"),
+        903L -> Option("abcde"))).toDF("id", "s")
+    // right: corruptions of random words (likely hits) + its own tail cases
+    val right = ((1 to 120).map { i =>
+      val w = word()
+      val cut = if (w.length > 3) w.drop(2).dropRight(1) else w
+      (1000L + i, Option(cut))
+    } ++ Seq(990L -> Option(""), 991L -> None, 992L -> Option("ba"),
+      993L -> Option("abde"))).toDF("rid", "rs")
+    for (k <- Seq(3, 5)) {
+      val fast = FuzzyJoin.qgramJoin(left, col("id"), col("s"),
+          right, col("rid"), col("rs"), maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      val naive = left.join(right,
+          levenshtein(col("s"), col("rs")) <= k)
+        .select(col("id"), col("rid"),
+          levenshtein(col("s"), col("rs")).as("d"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast === naive, s"maxDist=$k: q-gram tier diverged " +
+        s"(missing=${naive.diff(fast).take(5)}, extra=${fast.diff(naive).take(5)})")
+      assert(naive.nonEmpty, "fixture must produce matches")
+    }
+  }
+
   test("chunkDedup raises on doc_id = Long.MinValue (abs overflow must not " +
     "slip past the winner-encoding guard) and null-propagates NULL doc_id") {
     import graft.ext.RepetitionOps

@@ -29,14 +29,47 @@ class EnrichSpec extends SparkTestBase {
     assert(r2.contains("ok"))
   }
 
-  test("Op-55 shape repair: flat, nested, triple-nested, junk") {
+  test("Op-55 shape repair follows the reference ladder exactly: flat ≥2 " +
+    "wraps, 1/1 triple unwraps, wide triple and singleton flat REJECT") {
     assert(Enrichment.normalizeLocationResponse(Seq("a", "b")) == Seq(Seq("a", "b")))
     assert(Enrichment.normalizeLocationResponse(Seq(Seq("a"), Seq("b"))) ==
       Seq(Seq("a"), Seq("b")))
+    // 1/1 triple nest: unwrap one layer (the reference's only unwrap case)
+    assert(Enrichment.normalizeLocationResponse(Seq(Seq(Seq("a", "b")))) ==
+      Seq(Seq("a", "b")))
+    // wide triple nest: the len-1 guard blocks the unwrap, validation fails
     assert(Enrichment.normalizeLocationResponse(Seq(Seq(Seq("a"), Seq("b")))) ==
-      Seq(Seq("a"), Seq("b")))
+      Seq.empty)
+    // singleton flat array: python's elif never wraps it (reference quirk)
+    assert(Enrichment.normalizeLocationResponse(Seq("a")) == Seq.empty)
+    // mixed depth under a singleton: inner non-string fails validation
+    assert(Enrichment.normalizeLocationResponse(Seq(Seq("a", Seq("b")))) ==
+      Seq.empty)
     assert(Enrichment.normalizeLocationResponse(42) == Seq.empty)
     assert(Enrichment.normalizeLocationResponse(Seq.empty) == Seq.empty)
+  }
+
+  test("Op-55 column repair (repairLocationJson) agrees with the typed " +
+    "ladder on every shape class, including the reject quirks") {
+    val cases = Seq(
+      """[["a","b"]]""" -> Seq(Seq("a", "b")),   // proper 2-level
+      """[[["a","b"]]]""" -> Seq(Seq("a", "b")), // 1/1 triple: unwrap
+      """["a","b"]""" -> Seq(Seq("a", "b")),     // flat ≥2: wrap
+      """["a"]""" -> null,                       // singleton flat: reject
+      """[[["a"],["b"]]]""" -> null,             // wide triple: reject
+      """["a",["b"]]""" -> null,                 // mixed depth: reject
+      """[["a",["b"]]]""" -> null,               // mixed under singleton
+      """[[[["a"]]]]""" -> null,                 // 4-deep: reject
+      """not json""" -> null,                    // invalid: reject
+      """[]""" -> Seq.empty)                     // empty: no suggestions
+    val got = cases.map(_._1).toDF("p")
+      .select(Enrichment.repairLocationJson(col("p")))
+      .collect().map(r => if (r.isNullAt(0)) null
+        else r.getSeq[scala.collection.Seq[String]](0).map(_.toSeq).toSeq)
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, have), payload) =>
+        assert(have == want, s"payload $payload: got $have, want $want")
+    }
   }
 
   test("Op-55 locate stage attaches suggestion groups") {

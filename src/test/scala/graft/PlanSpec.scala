@@ -163,6 +163,14 @@ class PlanSpec extends SparkTestBase {
       countIn(p, "CartesianProduct") === 0, p)
   }
 
+  test("fuzzy q-gram tier (maxDist ≥ 3): positional-gram EQUI-join — no " +
+    "nested-loop, no cartesian at the distance the deletion tier can't " +
+    "reach") {
+    val p = plan("x_fuzzy_qgram")
+    assert(countIn(p, "BroadcastNestedLoopJoin") === 0 &&
+      countIn(p, "CartesianProduct") === 0, p)
+  }
+
   test("ccnet approx bucketing: NO window anywhere — per-stratum thresholds " +
     "are a tiny aggregate joined broadcast, assignment is map-side") {
     val p = plan("x_ccnet_approx")

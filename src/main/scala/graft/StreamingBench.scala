@@ -148,13 +148,19 @@ object StreamingBench {
       .where(col("c_custkey") <= 500)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val farExpiry = new Timestamp(base + 3650L * 86400000L)
-    def snapBatch(b: Int): Seq[AlertSnapshot] = alerts.toSeq.map {
-      case (id, nm, seg) =>
+    // TTL world: event time advances one day per nightly batch, every
+    // alert expires 2 days after its latest scrape, and from batch 3 on
+    // one fifth of the alerts stop being scraped — their state must evict
+    // once the watermark passes their expiry, so the final state-rows
+    // number is the ACTIVE-alert horizon, not every alert ever seen
+    val day = 86400000L
+    def snapBatch(b: Int): Seq[AlertSnapshot] = alerts.toSeq
+      .filter { case (id, _, _) => b < 3 || id % 5 != 0 }
+      .map { case (id, nm, seg) =>
         val status = if (id % 7 == b % 7) s"X$b" else seg
         AlertSnapshot(id, nm, seg, s"$status:$nm", (id * 37) % 1000,
-          new Timestamp(base + b * 86400000L), farExpiry)
-    }
+          new Timestamp(base + b * day), new Timestamp(base + (b + 2) * day))
+      }
     val tmp = java.nio.file.Files.createTempDirectory("ep3bench").toString
     val store = new graft.io.StageStore(spark, s"$tmp/cache")
     val es = MemoryStream[AlertSnapshot]

@@ -165,24 +165,50 @@ object FuzzyJoin {
     val lg = gramRows(l, "l_str", "__li")
       .withColumn("__band", explode(array(col("__band") - 1, col("__band"),
         col("__band") + 1)))
-    val gramCand = lg.join(rGuarded, Seq("__g", "__band"))
+    // count filter (Gravano et al.): a true pair at distance ≤ k shares at
+    // least max(lenL,lenR) − q + 1 − k·q positional grams (each edit
+    // destroys ≤ q of the longer side's grams), so candidate pairs below
+    // that count are verified-free rejections — on diverse corpora this
+    // kills nearly every accidental single-gram collision before the
+    // levenshtein pass. Row counts can only OVERcount matched positions
+    // (a gram repeated within the window adds rows), so the bound stays a
+    // sound lower bound — no false negatives.
+    //
+    // The verify is a CASE on the aggregated count, not a separate filter:
+    // a plain `levenshtein ≤ k` predicate references only the grouping
+    // keys, so predicate pushdown would sink it BELOW this aggregate and
+    // verify every raw gram collision (millions) instead of the count-
+    // filter survivors (thousands) — the CASE's dependence on `__shared`
+    // pins it above the aggregate, and its lazy branches evaluate the
+    // levenshtein only for groups that pass the count bound.
+    val minShared = greatest(
+      greatest(length(col("l_str")), length(col("r_str")))
+        - (q - 1) - k * q, lit(1))
+    val gramVerified = lg.join(rGuarded, Seq("__g", "__band"))
       .where(abs(col("__li") - col("__ri")) <= k)
       .where(abs(length(col("l_str")) - length(col("r_str"))) <= k)
-      .select("l_id", "l_str", "r_id", "r_str")
+      .groupBy(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
+      .agg(count(lit(1)).as("__shared"))
+      .select(col("l_id"), col("r_id"),
+        when(col("__shared") >= minShared,
+          levenshtein(col("l_str"), col("r_str")))
+          .otherwise(lit(k + 1)).as("dist"))
+      .where(col("dist") <= k)
 
-    // short tier: both sides under the survival threshold, banded on length
+    // short tier: both sides under the survival threshold, banded on
+    // length; the verify rides the join condition (the tier is the tail)
     val ls = l.where(length(col("l_str")) < thresh)
       .withColumn("__len", explode(transform(
         sequence(lit(-k), lit(k)), d => length(col("l_str")) + d)))
     val rs = r.where(length(col("r_str")) < thresh)
-    val shortCand = ls.join(rs, col("__len") === length(col("r_str")))
-      .select("l_id", "l_str", "r_id", "r_str")
-
-    gramCand.unionByName(shortCand)
-      .distinct()
+    val shortVerified = ls.join(rs, col("__len") === length(col("r_str")))
       .select(col("l_id"), col("r_id"),
         levenshtein(col("l_str"), col("r_str")).as("dist"))
       .where(col("dist") <= k)
+
+    // a pair with both sides short can surface in BOTH tiers (same dist);
+    // distinct over the final triple dedups the overlap
+    gramVerified.unionByName(shortVerified).distinct()
   }
 
   /** LEFT top-1 fuzzy match — the Op-35 / geocode-cascade step as a

@@ -287,15 +287,27 @@ object ExtQueries {
   }
 
   /** The maxDist ≥ 3 fuzzy tier (positional q-gram signature equi-join +
-    * exact levenshtein verify — the reference's distance-5 street matching
-    * band): diverse pseudo street names derived from the documents table,
-    * matched against 3-edit corruptions (two deletions + one substitution)
-    * at maxDist 4. The oracle is the PLAIN levenshtein join — the q-gram
-    * candidate generation is result-invariant (count-filter completeness +
-    * exact verify), so what's under test is the whole rewrite. */
+    * exact levenshtein verify) at the reference's street-matching distance
+    * 5 (ServiceAlertAugmenter.py:163): diverse pseudo street names matched
+    * against 3-edit corruptions (two deletions + one substitution). The
+    * oracle is the PLAIN levenshtein join — the q-gram candidate
+    * generation is result-invariant (count-filter completeness + exact
+    * verify), so what's under test is the whole rewrite.
+    *
+    * Names are 24-char md5-hex slices, not raw text slices, and q = 3:
+    * the synthetic corpus draws from a ~20-word vocabulary, so raw
+    * prefixes put a large fraction of the corpus inside distance 5 of
+    * each other — the quadratic TRUE-result blowup of a low-entropy key,
+    * exactly what qgramJoin's scaladoc tells users to avoid keying on.
+    * And on a 16-symbol alphabet, bigram keys have only 256 values —
+    * q must satisfy σ^q ≫ distinct (gram, band) mass or every key goes
+    * hot; trigrams give 4096. The hex names keep the workload
+    * entity-like: distinct keys, corrupted copies as the only near
+    * matches, survival threshold q·(k+1) = 18 ≤ 24 so the gram tier
+    * covers everything. */
   val xFuzzyQgram: Q = (s, dir) => {
     val d = t(s, dir, "documents")
-    val name = substring(col("text"), 1, 16) // uniform slice; diverse tokens
+    val name = substring(md5(col("text")), 1, 24)
     val base = d.select(col("doc_id").as("id"), name.as("name"))
       .where(col("name").isNotNull && length(col("name")) >= 8)
     val left = base.select(col("id").as("l_id0"), col("name").as("l_name"))
@@ -311,7 +323,7 @@ object ExtQueries {
     val n3 = concat(n2.substr(lit(1), p3 - 1), lit("#"), n2.substr(p3 + 1, ln2))
     val right = base.select(col("id").as("r_id0"), n3.as("r_name"))
     graft.operators.FuzzyJoin.qgramJoin(left, col("l_id0"), col("l_name"),
-      right, col("r_id0"), col("r_name"), maxDist = 4)
+      right, col("r_id0"), col("r_name"), maxDist = 5, q = 3)
   }
 
   /** Composed end-to-end training-data pipeline — the library's operators

@@ -1381,8 +1381,8 @@ object Oracles {
     // completeness + exact verify), so the oracle is the PLAIN levenshtein
     // join at the same distance
     "x_fuzzy_qgram" ->
-      """WITH base AS (SELECT doc_id AS id, substr(text, 1, 16) AS name
-        |  FROM documents WHERE text IS NOT NULL AND length(substr(text, 1, 16)) >= 8),
+      """WITH base AS (SELECT doc_id AS id, substr(md5(text), 1, 24) AS name
+        |  FROM documents WHERE text IS NOT NULL AND length(substr(md5(text), 1, 24)) >= 8),
         |l AS (SELECT id AS l_id, name AS l_str FROM base),
         |r0 AS (SELECT id, name, length(name) AS ln FROM base),
         |r1 AS (SELECT id, substr(name, 1, CAST(id % ln AS INT)) ||
@@ -1392,7 +1392,7 @@ object Oracles {
         |r3 AS (SELECT id AS r_id, substr(n2, 1, CAST(id * 11 % (ln - 2) AS INT)) ||
         |  '#' || substr(n2, CAST(id * 11 % (ln - 2) AS INT) + 2, ln - 2) AS r_str FROM r2)
         |SELECT l_id, r_id, CAST(levenshtein(l_str, r_str) AS INT) AS dist
-        |FROM l, r3 WHERE levenshtein(l_str, r_str) <= 4""".stripMargin,
+        |FROM l, r3 WHERE levenshtein(l_str, r_str) <= 5""".stripMargin,
 
     // the Bloom prune is result-invariant (no false negatives + exact
     // post-join), so the oracle is the plain semi-join

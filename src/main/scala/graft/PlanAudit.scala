@@ -44,7 +44,9 @@ object PlanAudit {
         "x_temp_sample","x_ccnet_buckets","x_split","x_shuffle_export",
         "x_psi_drift","x_ivfpq",
         "x_ccnet_approx","x_ivfpq_res","x_ivfpq_batch","q_ep3_pipeline",
-        "x_semdedup_auto","x_asof_exec","x_fuzzy_join").foreach(audit)
+        "x_semdedup_auto","x_asof_exec","x_fuzzy_join","x_fuzzy_qgram",
+        "x_ivfpq_serve","x_ivfpq_serve_batch","q55_shape_repair",
+        "q62_versioned_fanout").foreach(audit)
     spark.stop()
   }
 }

@@ -184,7 +184,13 @@ object FuzzyJoin {
     val minShared = greatest(
       greatest(length(col("l_str")), length(col("r_str")))
         - (q - 1) - k * q, lit(1))
-    val gramVerified = lg.join(rGuarded, Seq("__g", "__band"))
+    // shuffle_hash, not the planner's choice: both gram tables come out of
+    // a Generate, whose output SIZE ESTIMATE is its input's — the planner
+    // reads the exploded probe side as table-sized and would happily
+    // BROADCAST a billion-gram table at scale (a driver OOM, not a plan).
+    // The equi-join keys are fine-grained, so a shuffled hash join is the
+    // shape that survives any corpus size.
+    val gramVerified = lg.join(rGuarded.hint("shuffle_hash"), Seq("__g", "__band"))
       .where(abs(col("__li") - col("__ri")) <= k)
       .where(abs(length(col("l_str")) - length(col("r_str"))) <= k)
       .groupBy(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
@@ -201,7 +207,8 @@ object FuzzyJoin {
       .withColumn("__len", explode(transform(
         sequence(lit(-k), lit(k)), d => length(col("l_str")) + d)))
     val rs = r.where(length(col("r_str")) < thresh)
-    val shortVerified = ls.join(rs, col("__len") === length(col("r_str")))
+    val shortVerified = ls
+      .join(rs.hint("shuffle_hash"), col("__len") === length(col("r_str")))
       .select(col("l_id"), col("r_id"),
         levenshtein(col("l_str"), col("r_str")).as("dist"))
       .where(col("dist") <= k)
@@ -224,7 +231,10 @@ object FuzzyJoin {
     * [[deletionJoin]]'s FastSS equi-join — the form that survives a LARGE
     * right side, where a broadcast nested-loop is |left| × |right|
     * levenshtein calls (and past the broadcast threshold, not even
-    * plannable). Both forms are output-identical (spec-locked) for ALL
+    * plannable). At `maxDist ≥ 3` the non-broadcast form dispatches to
+    * [[qgramJoin]] (the deletion fan-out stops paying) — the reference's
+    * distance-5 street matching in its scale form. Both forms are
+    * output-identical (spec-locked) for ALL
     * inputs, including strings past `maxLen`: where [[deletionJoin]] raises
     * on an over-long string (its variant fan-out contract), this operator
     * instead scores the long TAIL — every string longer than
@@ -255,6 +265,18 @@ object FuzzyJoin {
       val w = Window.partitionBy(col(leftIdCol)).orderBy(lev, col(rightStrCol))
       left.join(broadcast(right), lev <= maxDist, "left")
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(out: _*)
+    } else if (maxDist > 2) {
+      // distances past the deletion tier route through the q-gram tier —
+      // the reference's distance-5 street matching runs here
+      val cand = qgramJoin(left, col(leftIdCol), col(leftStrCol),
+        right, col(rightStrCol), col(rightStrCol), maxDist)
+      val w = Window.partitionBy(col("l_id")).orderBy(col("dist"), col("r_id"))
+      val best = cand.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("l_id"), col("r_id"))
+      left.join(best, col(leftIdCol) === col("l_id"), "left")
+        .join(right, col("r_id") === col(rightStrCol), "left")
         .select(out: _*)
     } else {
       // main mass: FastSS over the strings inside the deletionJoin contract

@@ -208,6 +208,48 @@ class CurationPropertySpec extends SparkTestBase {
     }
   }
 
+  test("qgramJoin raises loudly on a hot (gram, band) group — the disguised " +
+    "cross join a low-entropy key produces must not run silently") {
+    import graft.operators.FuzzyJoin
+    // every string shares the same leading grams -> one (gram, band) group
+    // holds the whole corpus
+    val hot = (1 to 50).map(i => (i.toLong, s"aaaaaaaa$i")).toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.qgramJoin(hot, col("id"), col("s"),
+        hot.select(col("id").as("rid"), col("s").as("rs")), col("rid"),
+        col("rs"), maxDist = 3, maxBucket = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxBucket") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBucket")),
+      ex.getMessage)
+  }
+
+  test("topOneLeft at maxDist ≥ 3: the non-broadcast form dispatches to " +
+    "the q-gram tier and stays output-identical to the broadcast form") {
+    import graft.operators.FuzzyJoin
+    val rnd = new scala.util.Random(20260814)
+    def name() = Seq.fill(8 + rnd.nextInt(8))("abcdefgh"(rnd.nextInt(8))).mkString
+    val layer = (1 to 400).map(_ => name()).distinct
+      .map(n => (n, s"wkt_$n")).toDF("layer_name", "cell_wkt")
+    val layerNames = layer.select("layer_name").as[String].collect()
+    val probes = (1 to 150).map { i =>
+      val s =
+        if (i % 3 == 0) // 3-edit corruption: needs the maxDist ≥ 3 tier
+          Option(layerNames(rnd.nextInt(layerNames.length)).drop(2) + "x")
+        else if (i % 3 == 1) Option(s"zzzzzzzz$i")
+        else if (i % 17 == 0) None
+        else Option(layerNames(rnd.nextInt(layerNames.length)))
+      (i.toLong, s)
+    }.toDF("id", "txt")
+    def run(bcast: Boolean) = FuzzyJoin.topOneLeft(probes, "id", "txt",
+        layer, "layer_name", maxDist = 4, broadcastRight = bcast)
+      .select("id", "layer_name", "cell_wkt")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(run(true) === run(false))
+    assert(run(true).exists(_._2.isDefined) && run(true).exists(_._2.isEmpty),
+      "fixture must exercise both matched and null-extended probes")
+  }
+
   test("chunkDedup raises on doc_id = Long.MinValue (abs overflow must not " +
     "slip past the winner-encoding guard) and null-propagates NULL doc_id") {
     import graft.ext.RepetitionOps

@@ -164,11 +164,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("fuzzy q-gram tier (maxDist ≥ 3): positional-gram EQUI-join — no " +
-    "nested-loop, no cartesian at the distance the deletion tier can't " +
-    "reach") {
+    "nested-loop, no cartesian, and the gram join is SHUFFLED, never a " +
+    "broadcast of the Generate-undersized exploded side") {
     val p = plan("x_fuzzy_qgram")
     assert(countIn(p, "BroadcastNestedLoopJoin") === 0 &&
       countIn(p, "CartesianProduct") === 0, p)
+    // the main gram join must be the hinted shuffled hash join — the
+    // planner's stats read exploded gram tables as table-sized and would
+    // broadcast a probe side that is corpus × grams × bands at scale
+    assert(countIn(p, "ShuffledHashJoin") >= 1, p)
   }
 
   test("ccnet approx bucketing: NO window anywhere — per-stratum thresholds " +

@@ -89,8 +89,8 @@ object FuzzyJoin {
       .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
       .distinct()
       .select(col("l_id"), col("r_id"),
-        levenshtein(col("l_str"), col("r_str")).as("dist"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("l_str"), col("r_str"), maxDist).as("dist"))
+      .where(col("dist").between(0, maxDist))
   }
 
   /** Pairs (l_id, r_id, dist) with levenshtein ≤ maxDist for ANY maxDist —
@@ -197,9 +197,9 @@ object FuzzyJoin {
       .agg(count(lit(1)).as("__shared"))
       .select(col("l_id"), col("r_id"),
         when(col("__shared") >= minShared,
-          levenshtein(col("l_str"), col("r_str")))
-          .otherwise(lit(k + 1)).as("dist"))
-      .where(col("dist") <= k)
+          levenshtein(col("l_str"), col("r_str"), k))
+          .otherwise(lit(-1)).as("dist"))
+      .where(col("dist").between(0, k))
 
     // short tier: both sides under the survival threshold, banded on
     // length; the verify rides the join condition (the tier is the tail)
@@ -210,8 +210,8 @@ object FuzzyJoin {
     val shortVerified = ls
       .join(rs.hint("shuffle_hash"), col("__len") === length(col("r_str")))
       .select(col("l_id"), col("r_id"),
-        levenshtein(col("l_str"), col("r_str")).as("dist"))
-      .where(col("dist") <= k)
+        levenshtein(col("l_str"), col("r_str"), k).as("dist"))
+      .where(col("dist").between(0, k))
 
     // a pair with both sides short can surface in BOTH tiers (same dist);
     // distinct over the final triple dedups the overlap
@@ -261,9 +261,11 @@ object FuzzyJoin {
       s"topOneLeft: colliding columns ${rcols.filter(lcols.contains)}; rename first")
     val out = (lcols ++ rcols).map(col)
     if (broadcastRight) {
-      val lev = levenshtein(col(leftStrCol), col(rightStrCol))
+      // threshold form: banded O(k·n) DP per pair instead of O(n²), and
+      // -1 (past the band) can never satisfy the between
+      val lev = levenshtein(col(leftStrCol), col(rightStrCol), maxDist)
       val w = Window.partitionBy(col(leftIdCol)).orderBy(lev, col(rightStrCol))
-      left.join(broadcast(right), lev <= maxDist, "left")
+      left.join(broadcast(right), lev.between(0, maxDist), "left")
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(out: _*)
     } else if (maxDist > 2) {
@@ -305,8 +307,8 @@ object FuzzyJoin {
         .join(tailR, col("__len") === length(col("r_str")) &&
           (length(col("l_str")) > maxLen || length(col("r_str")) > maxLen))
         .select(col("l_id"), col("r_id"),
-          levenshtein(col("l_str"), col("r_str")).as("dist"))
-        .where(col("dist") <= maxDist)
+          levenshtein(col("l_str"), col("r_str"), maxDist).as("dist"))
+        .where(col("dist").between(0, maxDist))
       val cand = main.unionByName(tail)
       val w = Window.partitionBy(col("l_id")).orderBy(col("dist"), col("r_id"))
       val best = cand.withColumn("__rn", row_number().over(w))

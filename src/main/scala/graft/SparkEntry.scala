@@ -148,6 +148,7 @@ object SparkEntry {
     "x_distinct" -> ExtQueries.xDistinct,
     // ext: repetition / rebalancing / pruning
     "x_chunk_dedup" -> ExtQueries.xChunkDedup,
+    "x_substr_dedup" -> ExtQueries.xSubstrDedup,
     "x_repetition" -> ExtQueries.xRepetition,
     "x_bloom_prune" -> ExtQueries.xBloomPrune,
     "x_rebalance" -> ExtQueries.xRebalance,
@@ -199,7 +200,7 @@ object SparkEntry {
     "x_contamination",
     "x_pack_sequences",
     "x_tfidf", "x_count_min", "q_ep2_pipeline", "q_ep3_pipeline", "g_diff_erode",
-    "x_chunk_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
+    "x_chunk_dedup", "x_substr_dedup", "x_repetition", "x_bloom_prune", "x_semdedup",
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
     "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_ivfpq_stored",
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",

@@ -80,6 +80,85 @@ object RepetitionOps {
           x => x.getField("chunk"))).as("clean_text"))
   }
 
+  /** Substring-span dedup over OVERLAPPING k-token shingles (the
+    * ExactSubstr semantics of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed relationally): every
+    * shingle occurrence that is not its shingle's globally-first occurrence
+    * (minimal (doc_id, pos)) marks the token interval [pos, pos+k) as
+    * duplicated; per document the marked intervals are merged into maximal
+    * disjoint spans, and the document is reassembled from the tokens no span
+    * covers. Unlike [[chunkDedup]] (non-overlapping fixed chunks, C4-style),
+    * this catches duplicated passages at ANY token offset.
+    *
+    * Output: (doc_id, n_tokens, n_spans, dup_tokens, clean_text) — merged
+    * span count, tokens covered by the span union, and the surviving text.
+    * Documents with no tokens are absent; documents shorter than k survive
+    * whole (no shingles → no spans). Span removal is positional, exactly as
+    * in the suffix-array form: a kept first occurrence can still lose tokens
+    * that fall inside some OTHER duplicated occurrence's span (overlapping
+    * self-repeats clip the surviving copy).
+    *
+    * Scale shape: one partial-aggregated shuffle on the shingle string for
+    * the winner min (duplicated shingles collapse map-side), one equi-join
+    * back on shingle (1:1 occurrence→winner — never a pair join), one
+    * doc_id aggregate whose state is the document's own duplicated-position
+    * list, one join back to the token arrays on doc_id. The span merge is a
+    * linear fold over the sorted position list; clean-text assembly tests
+    * each token against the MERGED spans, so its per-document cost is
+    * O(len × spans) with spans ≤ len/k — worst case len²/k for a document
+    * of alternating duplicated/unique runs, bounded in practice by the
+    * pipeline's document-length cap. Winner order reuses [[chunkDedup]]'s
+    * BIGINT encoding (and its overflow guards): |doc_id| < 2^43, positions
+    * < 2^20. */
+  def substrDedup(df: DataFrame, key: Column, text: Column, k: Int = 8): DataFrame = {
+    require(k > 0, "shingle width must be positive")
+    val base = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val occ = base.select(col("doc_id"),
+      posexplode(TextOps.shingles(col("__toks"), k)).as(Seq("pos", "__sh")))
+    // Same guarded winner encoding as chunkDedup (direct range compare, not
+    // abs(); raise-on-true so NULL doc_id null-propagates).
+    val enc = when(col("doc_id") < -8796093022208L ||
+          col("doc_id") >= 8796093022208L, raise_error(concat(
+          lit("substrDedup: |doc_id| >= 2^43 would overflow the winner "),
+          lit("encoding (use a surrogate id); doc_id = "),
+          col("doc_id").cast("string"))))
+        .otherwise(col("doc_id")) * lit(1048576L) +
+      when(col("pos") >= 1048576,
+        raise_error(lit("substrDedup: document exceeds 2^20 shingle positions")))
+        .otherwise(col("pos"))
+    val winners = occ.groupBy("__sh").agg(min(enc).as("__w"))
+    val dups = occ.join(winners, "__sh").where(enc =!= col("__w"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("__dp"))
+    // Merge sorted fixed-width intervals [p, p+k) into maximal spans.
+    // Positions are strictly increasing, so a non-new-span element always
+    // extends the last span's end (p > prev ⇒ p + k > last.e).
+    val spans = aggregate(
+      coalesce(col("__dp"), array().cast("array<int>")),
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) === 0 || p >= last.getField("e"),
+          concat(acc, array(struct(p.as("s"), (p + lit(k)).as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"), (p + lit(k)).as("e")))))
+      })
+    // __sp is referenced three times below; the fold is non-cheap, so
+    // CollapseProject keeps this projection separate (no re-evaluation).
+    base.join(dups, Seq("doc_id"), "left")
+      .withColumn("__sp", spans)
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__sp")).cast("long").as("n_spans"),
+        aggregate(col("__sp"), lit(0L),
+          (a, sp) => a + (sp.getField("e") - sp.getField("s")).cast("long"))
+          .as("dup_tokens"),
+        concat_ws(" ", filter(col("__toks"), (t, i) =>
+          !exists(col("__sp"), sp =>
+            i >= sp.getField("s") && i < sp.getField("e"))))
+          .as("clean_text"))
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
     * Models", §A1.1 repetition filters), per document:
     *

@@ -545,6 +545,13 @@ object ExtQueries {
   val xChunkDedup: Q = (s, dir) =>
     RepetitionOps.chunkDedup(docs(s, dir), col("doc_id"), col("text"), c = 8)
 
+  /** Substring-span dedup (ExactSubstr, Lee et al. 2021) over overlapping
+    * 8-token shingles: non-first occurrences mark [pos, pos+8) duplicated,
+    * intervals merge into maximal spans, documents reassemble from
+    * uncovered tokens. */
+  val xSubstrDedup: Q = (s, dir) =>
+    RepetitionOps.substrDedup(docs(s, dir), col("doc_id"), col("text"), k = 8)
+
   /** Gopher repetition metrics per document: top-2-gram character coverage
     * and duplicated-5-gram character fraction. */
   val xRepetition: Q = (s, dir) =>

@@ -44,6 +44,79 @@ class RepetitionSpec extends SparkTestBase {
     assert(got === ((7L, 3L, 2L, "p q r p q")))
   }
 
+  // ---- substrDedup ----
+
+  test("substrDedup: duplicated span at an arbitrary offset is removed, " +
+    "first occurrence survives, merged span accounting is exact") {
+    // doc 1 owns "d1 d2 d3" (k=3 shingle); doc 2 embeds it mid-document at
+    // offset 2 -> one span [2,5) of 3 tokens removed from doc 2.
+    val df = Seq(
+      (1L, "d1 d2 d3 u1 u2"),
+      (2L, "v1 v2 d1 d2 d3 v3 v4"))
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.substrDedup(df, col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 5L, 0L, 0L, "d1 d2 d3 u1 u2"),
+      (2L, 7L, 1L, 3L, "v1 v2 v3 v4")))
+  }
+
+  test("substrDedup: overlapping duplicated shingles merge into one maximal span") {
+    // doc 2 repeats doc 1's 4-token run: shingles at offsets 1 and 2 (k=3)
+    // are both duplicated -> intervals [1,4) and [2,5) merge to [1,5).
+    val df = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "z1 w1 w2 w3 w4 z2"))
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.substrDedup(df, col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 0L, 0L, "w1 w2 w3 w4"),
+      (2L, 6L, 1L, 4L, "z1 z2")))
+  }
+
+  test("substrDedup: disjoint duplicated spans stay separate spans") {
+    val df = Seq(
+      (1L, "a1 a2 a3"),
+      (2L, "b1 b2 b3"),
+      (3L, "a1 a2 a3 x1 x2 x3 b1 b2 b3"))
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.substrDedup(df, col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 0L, 0L, "a1 a2 a3"),
+      (2L, 3L, 0L, 0L, "b1 b2 b3"),
+      (3L, 9L, 2L, 6L, "x1 x2 x3")))
+  }
+
+  test("substrDedup: within-document self-repeat clips positionally " +
+    "(suffix-array-form semantics), shorter-than-k docs survive whole") {
+    // "r r r r r": k=3 shingles at 0,1,2 are identical; 1 and 2 are
+    // duplicated -> span [1,5) removes everything but token 0.
+    val df = Seq(
+      (1L, "r r r r r"),
+      (2L, "s t"),            // shorter than k: no shingles, intact
+      (3L, ""), (4L, null: String)) // tokenless: absent
+      .toDF("doc_id", "text")
+    val got = RepetitionOps.substrDedup(df, col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 5L, 1L, 4L, "r"),
+      (2L, 2L, 0L, 0L, "s t")))
+  }
+
+  test("substrDedup raises on doc_id magnitudes that would overflow the " +
+    "winner encoding") {
+    val df = Seq((8796093022208L, "a b c d")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      RepetitionOps.substrDedup(df, col("doc_id"), col("text"), k = 2).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(ex).contains("2^43"))
+  }
+
   // ---- repetitionMetrics ----
 
   test("repetitionMetrics: exact fractions on a crafted repetitive document") {

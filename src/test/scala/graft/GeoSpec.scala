@@ -21,6 +21,58 @@ class GeoSpec extends SparkTestBase {
     assert(parseWkt("garbage").isEmpty && parseWkt(null).isEmpty)
   }
 
+  test("binary codec: bit-exact round-trip, header bbox matches kernel " +
+    "bbox, expressions agree with the WKT UDFs incl. null/garbage") {
+    import graft.geo.GeomCodec
+    val cases = Seq(
+      "POINT (1.5 -2.25)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "MULTIPOLYGON EMPTY",
+      "GEOMETRYCOLLECTION (POINT (1 1), POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0)))",
+      // non-grid coordinates: doubles must survive the codec untouched
+      "POLYGON ((0.1234567891 0.987654321, 3.333333333 0.1, 1.7 2.9999999999, 0.1234567891 0.987654321))")
+    cases.foreach { w =>
+      val g = parseWkt(w).get
+      assert(GeomCodec.decode(GeomCodec.encode(g)) == g, w)
+      assert(GeomCodec.decodeCached(GeomCodec.encode(g)) == g, w)
+    }
+    // header overlap == kernel bbox overlap for every pair (incl. empties)
+    val encoded = cases.map(w => parseWkt(w).get).map(g => (g, GeomCodec.encode(g)))
+    for ((ga, ba) <- encoded; (gb, bb) <- encoded) {
+      val (alo, ahi) = bbox(ga); val (blo, bhi) = bbox(gb)
+      val kernelOverlap = alo.x <= bhi.x && blo.x <= ahi.x &&
+        alo.y <= bhi.y && blo.y <= ahi.y
+      assert(GeomCodec.headerOverlap(ba, bb) == kernelOverlap, s"$ga vs $gb")
+    }
+    // expression tier vs UDF tier on a frame with garbage and null WKT
+    import graft.functions.GeoExpressions._
+    val df = (cases ++ Seq("garbage", null)).zipWithIndex
+      .map { case (w, i) => (i, w) }.toDF("id", "wkt")
+      .withColumn("g", stGeomFromWkt(col("wkt")))
+    val both = df.select(col("id"),
+        stAreaBin(col("g")).as("bin_area"),
+        GeoFunctions.stArea(col("wkt")).as("udf_area"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), r.toString)
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2), r.toString)
+    }
+    val pairs = df.as("a").crossJoin(df.as("b")).select(
+      stIntersectsBin(col("a.g"), col("b.g")).as("bin_int"),
+      GeoFunctions.stIntersects(col("a.wkt"), col("b.wkt")).as("udf_int"),
+      stIntersectionAreaBin(col("a.g"), col("b.g")).as("bin_ia"),
+      GeoFunctions.stIntersectionArea(col("a.wkt"), col("b.wkt")).as("udf_ia"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(1), r.toString)
+      assert(r.isNullAt(2) == r.isNullAt(3), r.toString)
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), r.toString)
+    }
+  }
+
   test("shoelace area: square, triangle, multipolygon sum") {
     assert(area(box(0, 0, 2, 3)) == 6.0)
     assert(area(GPolygon(Vector(Pt(0, 0), Pt(4, 0), Pt(0, 3)))) == 6.0)

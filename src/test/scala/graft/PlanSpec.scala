@@ -241,6 +241,35 @@ class PlanSpec extends SparkTestBase {
       countIn(p, "CartesianProduct") === 0, p)
   }
 
+  test("spatial joins: the per-pair predicate is the native binary " +
+    "expression, with the WKT parse projected once per row BELOW the join") {
+    // the r7 verdict's top perf item: the overlay's join condition must
+    // never regress to a per-pair ScalaUDF WKT re-parse. Lock both the
+    // overlay (g33) and the semi-join (g34): predicate is the native
+    // st_intersects_bin over GeomCodec bytes; no ScalaUDF anywhere in the
+    // join condition subtree.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    Seq("g33_overlay_join", "g34_spatial_semijoin").foreach { q =>
+      // descend into the AQE wrapper: collect() does not traverse it
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution
+        .executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+      val joins = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(joins.nonEmpty, s"$q lost its broadcast geometry join:\n$exec")
+      joins.foreach { j =>
+        val cond = j.condition.getOrElse(fail(s"$q: join has no condition"))
+        assert(cond.collectFirst { case u: ScalaUDF => u }.isEmpty,
+          s"$q: per-pair ScalaUDF back in the join predicate: $cond")
+        assert(cond.exists(_.isInstanceOf[graft.functions.StIntersectsBin]),
+          s"$q: join predicate is not the native binary form: $cond")
+      }
+    }
+  }
+
   test("bloom prune: probe-side filter survives below the exact semi-join") {
     val p = plan("x_bloom_prune")
     // the Bloom probe is the one UDF in this plan; losing it means the

@@ -28,6 +28,15 @@ object PlanBridge {
     df.queryExecution.analyzed
 }
 
+/** Planner-conf bridge: size-gated operator dispatch needs the SAME
+  * broadcast threshold the planner uses; `sessionState` is `private[sql]`,
+  * hence this shim (the string-conf form would re-implement byte-suffix
+  * parsing the session already did). */
+object ConfBridge {
+  def autoBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+}
+
 /** Registers [[graft.functions.GraftExtensions]]' SQL functions on an
   * ALREADY-BUILT session (the extensions hook only runs at session build
   * time; `sessionState` is `private[sql]`, hence this bridge). Same builder

@@ -116,12 +116,16 @@ object FuzzyJoin {
     *     (the signatures only bound the distance; the verify IS the
     *     semantics).
     *
-    * Quadratic-risk guard (the LSH maxBucket convention): a gram shared by
-    * huge row sets on both sides is a disguised cross join — the indexed
-    * side's (gram, band) groups are counted and a group past `maxBucket`
-    * raises loudly (inside a consumed column, so pruning can't drop it).
-    * Highly repetitive corpora (shared prefixes, low-entropy keys) should
-    * key on a more selective field. NULL strings never match. */
+    * Quadratic-risk guard (the LSH maxBucket convention): a join key shared
+    * by huge row sets on both sides is a disguised cross join — BOTH tiers
+    * count BOTH sides' join-key groups ((gram, band) in the gram tier, the
+    * probe side post band-explosion; candidate length in the short tier)
+    * and a group past `maxBucket` raises loudly, inside a consumed column
+    * so pruning can't drop it. The offending sets are empty in any legal
+    * run, so each check is a broadcast left join, never a second shuffle of
+    * the gram table. Highly repetitive corpora (shared prefixes,
+    * low-entropy keys) should key on a more selective field. NULL strings
+    * never match. */
   def qgramJoin(left: DataFrame, leftId: Column, leftStr: Column,
                 right: DataFrame, rightId: Column, rightStr: Column,
                 maxDist: Int, q: Int = 2,
@@ -151,20 +155,32 @@ object FuzzyJoin {
     }
 
     val rg = gramRows(r, "r_str", "__ri")
-    // the guard: indexed-side (gram, band) group sizes, checked inside the
-    // join key so no candidate can be produced from an oversized group
-    val rSizes = rg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz"))
-    val rGuarded = rg.join(rSizes, Seq("__g", "__band"))
-      .withColumn("__g",
-        when(col("__gsz") <= maxBucket, col("__g")).otherwise(raise_error(
-          concat(lit(s"qgramJoin: (gram, band) group exceeds " +
-            s"maxBucket=$maxBucket — a disguised cross join; key on a more " +
-            "selective field or raise maxBucket; group size = "),
-            col("__gsz").cast("string")))))
-      .drop("__gsz")
     val lg = gramRows(l, "l_str", "__li")
       .withColumn("__band", explode(array(col("__band") - 1, col("__band"),
         col("__band") + 1)))
+    // the guards: (gram, band) group sizes past maxBucket on EITHER side —
+    // a hot probe-side gram joined to near-bound indexed groups is the same
+    // |L|×|R| candidate blowup as a hot indexed gram, so both sides are
+    // counted (left post band-explosion, the fan-out that actually joins).
+    // The offending set is EMPTY in any legal run, so it rides a broadcast
+    // left join (the old form shuffled every gram row a second time just to
+    // carry its group size into the check); the raise still lives inside
+    // the consumed join key, so pruning cannot drop it and no candidate can
+    // be produced from an oversized group.
+    def guardGrams(g: DataFrame, sizes: DataFrame, side: String): DataFrame =
+      g.join(broadcast(sizes.where(col("__gsz") > maxBucket)),
+          Seq("__g", "__band"), "left")
+        .withColumn("__g",
+          when(col("__gsz").isNull, col("__g")).otherwise(raise_error(
+            concat(lit(s"qgramJoin: $side-side (gram, band) group exceeds " +
+              s"maxBucket=$maxBucket — a disguised cross join; key on a more " +
+              "selective field or raise maxBucket; group size = "),
+              col("__gsz").cast("string")))))
+        .drop("__gsz")
+    val rGuarded = guardGrams(rg,
+      rg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz")), "indexed")
+    val lGuarded = guardGrams(lg,
+      lg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz")), "probe")
     // count filter (Gravano et al.): a true pair at distance ≤ k shares at
     // least max(lenL,lenR) − q + 1 − k·q positional grams (each edit
     // destroys ≤ q of the longer side's grams), so candidate pairs below
@@ -190,7 +206,7 @@ object FuzzyJoin {
     // BROADCAST a billion-gram table at scale (a driver OOM, not a plan).
     // The equi-join keys are fine-grained, so a shuffled hash join is the
     // shape that survives any corpus size.
-    val gramVerified = lg.join(rGuarded.hint("shuffle_hash"), Seq("__g", "__band"))
+    val gramVerified = lGuarded.join(rGuarded.hint("shuffle_hash"), Seq("__g", "__band"))
       .where(abs(col("__li") - col("__ri")) <= k)
       .where(abs(length(col("l_str")) - length(col("r_str"))) <= k)
       .groupBy(col("l_id"), col("l_str"), col("r_id"), col("r_str"))
@@ -202,13 +218,32 @@ object FuzzyJoin {
       .where(col("dist").between(0, k))
 
     // short tier: both sides under the survival threshold, banded on
-    // length; the verify rides the join condition (the tier is the tail)
+    // length; the verify rides the join condition (the tier is the tail).
+    // The join key has at most q·(k+1)−1 distinct values, so a corpus
+    // DOMINATED by short strings makes every length key hot — a disguised
+    // cross join concentrated on a handful of reducers. Unlike its
+    // siblings this used to degrade silently; now both sides' per-length
+    // groups are counted against maxBucket with the same broadcast-
+    // offenders + raise-inside-the-consumed-key idiom as the gram tier
+    // (the intended workloads keep the short set a tail, so the offending
+    // sets are empty and the guard costs two tiny broadcasts).
     val ls = l.where(length(col("l_str")) < thresh)
       .withColumn("__len", explode(transform(
         sequence(lit(-k), lit(k)), d => length(col("l_str")) + d)))
     val rs = r.where(length(col("r_str")) < thresh)
-    val shortVerified = ls
-      .join(rs.hint("shuffle_hash"), col("__len") === length(col("r_str")))
+      .withColumn("__len", length(col("r_str")))
+    def guardShort(g: DataFrame, side: String): DataFrame =
+      g.join(broadcast(g.groupBy("__len").agg(count(lit(1)).as("__ssz"))
+          .where(col("__ssz") > maxBucket)), Seq("__len"), "left")
+        .withColumn("__len",
+          when(col("__ssz").isNull, col("__len")).otherwise(raise_error(
+            concat(lit(s"qgramJoin: $side-side short-tier length group " +
+              s"exceeds maxBucket=$maxBucket — a disguised cross join on a " +
+              "short-string corpus; key on a more selective field or raise " +
+              "maxBucket; group size = "), col("__ssz").cast("string")))))
+        .drop("__ssz")
+    val shortVerified = guardShort(ls, "probe")
+      .join(guardShort(rs, "indexed").hint("shuffle_hash"), Seq("__len"))
       .select(col("l_id"), col("r_id"),
         levenshtein(col("l_str"), col("r_str"), k).as("dist"))
       .where(col("dist").between(0, k))
@@ -225,9 +260,16 @@ object FuzzyJoin {
     * columns (names must not collide).
     *
     * `broadcastRight` is a PLAN knob, never a semantics knob (the
-    * broadcastJoinBack convention): `true` (default) runs the classic
-    * broadcast nested-loop `levenshtein ≤ k` join — right for a GIS layer's
-    * few hundred names; `false` routes candidate generation through
+    * broadcastJoinBack convention), and it now DEFAULTS from the data:
+    * `None` sizes the right side's optimized-plan estimate against the
+    * session's `autoBroadcastJoinThreshold` — the same gate the planner
+    * applies to ordinary joins — so a naive call on a large layer gets the
+    * distributed FastSS/q-gram form automatically instead of an
+    * over-threshold broadcast nested-loop (|left| × |right| levenshtein
+    * calls, and a driver OOM before that). `Some(true)` forces the classic
+    * broadcast nested-loop `levenshtein ≤ k` join — right for a GIS
+    * layer's few hundred names; `Some(false)` routes candidate generation
+    * through
     * [[deletionJoin]]'s FastSS equi-join — the form that survives a LARGE
     * right side, where a broadcast nested-loop is |left| × |right|
     * levenshtein calls (and past the broadcast threshold, not even
@@ -253,14 +295,24 @@ object FuzzyJoin {
     * tie-break in either form). */
   def topOneLeft(left: DataFrame, leftIdCol: String, leftStrCol: String,
                  right: DataFrame, rightStrCol: String, maxDist: Int,
-                 broadcastRight: Boolean = true, maxLen: Int = 64): DataFrame = {
+                 broadcastRight: Option[Boolean] = None,
+                 maxLen: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lcols = left.columns.toSeq
     val rcols = right.columns.toSeq
     require(!rcols.exists(lcols.contains),
       s"topOneLeft: colliding columns ${rcols.filter(lcols.contains)}; rename first")
     val out = (lcols ++ rcols).map(col)
-    if (broadcastRight) {
+    val useBroadcast = broadcastRight.getOrElse {
+      // size-gated dispatch: the planner's own broadcast gate, applied to
+      // the right side's estimate. Threshold ≤ 0 (broadcasts disabled)
+      // always takes the distributed form.
+      val threshold = org.apache.spark.sql.graftbridge.ConfBridge
+        .autoBroadcastThreshold(right.sparkSession)
+      threshold > 0 &&
+        right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    }
+    if (useBroadcast) {
       // threshold form: banded O(k·n) DP per pair instead of O(n²), and
       // -1 (past the band) can never satisfy the between
       val lev = levenshtein(col(leftStrCol), col(rightStrCol), maxDist)

@@ -171,7 +171,7 @@ object GeoQueries {
     // once (see below).
     val f1 = graft.operators.FuzzyJoin.topOneLeft(rest1, "c_custkey",
       "loc_text", layer, "layer_name", maxDist = 2,
-      broadcastRight = broadcastFuzzyLayer)
+      broadcastRight = Some(broadcastFuzzyLayer))
     val fuzzyHit = f1.where(col("layer_name").isNotNull)
       .select(col("c_custkey"), col("cell_wkt"), lit("fuzzy").as("resolution"))
     val rest2 = f1.where(col("layer_name").isNull).select("c_custkey", "loc_text")

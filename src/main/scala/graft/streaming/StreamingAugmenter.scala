@@ -49,10 +49,14 @@ import graft.io.StageStore
   *     [[graft.io.StageStore]] — fresh rows override, unmatched cached rows
   *     ride through (`Incremental.mergeOrSkip` semantics), and the store's
   *     commit-marker versioning makes each micro-batch's merge an atomic
-  *     publish. Replay safety: the rollback file for a batch is written
-  *     once via stage-and-rename (deterministic content, skip if already
-  *     published), and the store write is idempotent per version, so a
-  *     crashed batch replays to the identical outcome.
+  *     publish. Replay safety: the rollback dir for a batch is published
+  *     once under the same commit-marker convention (deterministic
+  *     content, skip if the marker exists), and the store write is
+  *     idempotent per version, so a crashed batch replays to the
+  *     identical outcome. Rollback rows are re-stamped to the run's
+  *     global input max event time so a multi-file backlog's watermark
+  *     can never drop them as late on the next run (see
+  *     [[publishRollbacks]]).
   *
   * StreamingSpec proves batch/streaming parity (same work set + enrichment
   * as q_ep3_pipeline on the same world), over-limit retry across a third
@@ -153,24 +157,48 @@ object StreamingAugmenter {
     ()
   }
 
-  /** Publish one batch's dropped-row rollbacks exactly once: write to a
-    * sibling staging dir, atomically rename into the retry stream's watched
-    * directory, skip if the batch already published (crash replay — the
-    * content is deterministic, so skipping is safe and avoids invalidating
-    * a file the restarted source may already have listed). Distributed
-    * write, no coalesce: the remainder is changed-set-sized at worst. */
+  private def rollbackMarker(retryPath: String, batchId: Long) =
+    new Path(s"$retryPath/_committed-b$batchId")
+
+  /** Publish one batch's dropped-row rollbacks exactly once, with two
+    * hard-won properties:
+    *
+    * **Watermark-safe re-stamp.** Rollback rows are re-stamped to
+    * `runMaxTs` — the max `event_ts` across EVERY snapshot file visible at
+    * run start (not the batch's own max, and not the max of emitted rows).
+    * The next run's starting watermark is exactly that global max minus the
+    * delay: a multi-file backlog advances it past every earlier batch, and
+    * a batch whose rows are all checksum-suppressed still advances it (the
+    * watermark tracks INPUT event times), so any smaller stamp can make
+    * FlatMapGroupsWithStateExec silently drop the rollback as late data —
+    * permanently losing the deferred work. Stamping at the run's input max
+    * also never advances the next run's watermark beyond where processing
+    * has already pushed it, so no snapshot row becomes late that wasn't.
+    *
+    * **Object-store-safe commit.** Publication is StageStore's
+    * commit-marker convention (io/StageStore.scala:30), not a directory
+    * rename: part files are written straight into the destination (they
+    * are invisible to the retry stream until the run() listing sees the
+    * marker), then a `_committed-b<id>` marker object lands as the single
+    * atomic publish. Directory rename is atomic on HDFS/local but
+    * per-object copy on object stores — a crash mid-rename there leaves a
+    * half-visible dir; a crash mid-write here leaves an UNMARKED dir that
+    * the next attempt detects (marker absent), wipes, and rewrites.
+    * Replay safety: content is deterministic per batch, so a marked dir is
+    * skipped verbatim. Distributed write, no coalesce: the remainder is
+    * changed-set-sized at worst. */
   private def publishRollbacks(dropped: DataFrame, retryPath: String,
-                               batchId: Long): Unit = {
+                               batchId: Long, runMaxTs: Timestamp): Unit = {
     val spark = dropped.sparkSession
     val fs = new Path(retryPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new Path(s"$retryPath/b$batchId")
-    if (!fs.exists(dst)) {
-      val staging = new Path(s"$retryPath-staging/b$batchId")
-      if (fs.exists(staging)) fs.delete(staging, true)
-      dropped.write.parquet(staging.toString)
-      fs.mkdirs(dst.getParent)
-      require(fs.rename(staging, dst), s"rollback publish failed: $dst")
+    val marker = rollbackMarker(retryPath, batchId)
+    if (!fs.exists(marker)) {
+      val dst = new Path(s"$retryPath/b$batchId")
+      if (fs.exists(dst)) fs.delete(dst, true) // unmarked = half-published
+      dropped.withColumn("event_ts", lit(runMaxTs))
+        .write.parquet(dst.toString)
+      fs.create(marker, true).close()
     }
     ()
   }
@@ -194,6 +222,19 @@ object StreamingAugmenter {
     val fs = new Path(retryPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(retryPath))
+    // the rollback re-stamp (see publishRollbacks): global input max as of
+    // run start. Computed BEFORE the query starts so it covers exactly the
+    // files the AvailableNow latch will process — a snapshot published
+    // between this read and query start would be under-stamped, so snapshot
+    // publication must not race run startup (the nightly cadence never
+    // does). None ⇔ no snapshot files ⇔ no batch can drop rows.
+    val runMaxTs: Option[Timestamp] = {
+      val in = new Path(inputPath)
+      val inFs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!inFs.exists(in)) None
+      else Option(spark.read.schema(snapSchema).parquet(inputPath)
+        .agg(max(col("event_ts"))).head().getTimestamp(0))
+    }
     val snapshots = spark.readStream.schema(snapSchema)
       .option("maxFilesPerTrigger", 1).parquet(inputPath)
       .as[AlertSnapshot]
@@ -201,9 +242,24 @@ object StreamingAugmenter {
     // messages — order-independent and idempotent — and every pending one
     // must land in the first batch so the snapshot arriving alongside sees
     // the restored state (a rollback alone emits nothing; only a snapshot
-    // row can re-emit the deferred work)
+    // row can re-emit the deferred work).
+    // Only COMMITTED batch dirs are watched: a dir without its
+    // `_committed-b<id>` marker is a half-published crash remnant and must
+    // stay invisible (the marker listing here is the reader half of
+    // publishRollbacks' commit protocol). Listing at run start matches the
+    // AvailableNow latch — rollbacks published during this run are
+    // deliberately next-run work, like the nightly job's retry.
+    val committedDirs = fs.listStatus(new Path(retryPath)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_committed-"))
+      .map(_.stripPrefix("_committed-"))
+      .sorted
+    fs.mkdirs(new Path(s"$retryPath/__none__"))
+    val retryGlob =
+      if (committedDirs.isEmpty) s"$retryPath/__none__/*.parquet"
+      else s"$retryPath/{${committedDirs.mkString(",")}}/*.parquet"
     val rollbacks = spark.readStream.schema(msgSchema)
-      .parquet(s"$retryPath/*/*.parquet")
+      .parquet(retryGlob)
       .as[AugMsg]
     val store = new StageStore(spark, cacheRoot)
     val ctl = Seq("event_ts", "expiry_ts", "kind", "prev_ck")
@@ -224,7 +280,8 @@ object StreamingAugmenter {
               val dropped = changed
                 .join(work.select("id"), Seq("id"), "left_anti")
                 .withColumn("kind", lit(RollbackKind))
-              if (!dropped.isEmpty) publishRollbacks(dropped, retryPath, batchId)
+              if (!dropped.isEmpty)
+                publishRollbacks(dropped, retryPath, batchId, runMaxTs.get)
               mergeIntoCache(store, enrich(work.drop(ctl: _*)), batchId + 1)
             } finally { work.unpersist(); () }
           }

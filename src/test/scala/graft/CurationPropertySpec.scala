@@ -163,14 +163,14 @@ class CurationPropertySpec extends SparkTestBase {
       (i.toLong, s)
     } ++ longProbes).toDF("id", "txt")
     def run(bcast: Boolean) = FuzzyJoin.topOneLeft(probes, "id", "txt",
-        layer, "layer_name", maxDist = 2, broadcastRight = bcast)
+        layer, "layer_name", maxDist = 2, broadcastRight = Some(bcast))
       .select("id", "layer_name", "cell_wkt")
       .as[(Long, Option[String], Option[String])].collect().toSet
     assert(run(true) === run(false))
     assert(run(true).exists(_._2.isDefined) && run(true).exists(_._2.isEmpty),
       "fixture must exercise both matched and null-extended probes")
     val p = FuzzyJoin.topOneLeft(probes, "id", "txt", layer, "layer_name",
-        maxDist = 2, broadcastRight = false)
+        maxDist = 2, broadcastRight = Some(false))
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
@@ -224,6 +224,67 @@ class CurationPropertySpec extends SparkTestBase {
       ex.getMessage)
   }
 
+  test("qgramJoin short tier raises on an all-short corpus — the length " +
+    "band has ≤ q·(k+1)−1 keys, so short-dominated input must not " +
+    "silently concentrate a cross join onto them") {
+    import graft.operators.FuzzyJoin
+    // maxDist=3, q=2 ⇒ survival threshold 8: every 5-char string is in the
+    // short tier, and they all share one length key. Strings are RANDOM so
+    // no (gram, band) group gets hot — only the short tier's guard can
+    // fire, making the asserted message deterministic.
+    val rnd = new scala.util.Random(20260813)
+    val short = (1 to 40)
+      .map(i => (i.toLong, Seq.fill(5)(('a' + rnd.nextInt(26)).toChar).mkString))
+      .toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.qgramJoin(short, col("id"), col("s"),
+        short.select(col("id").as("rid"), col("s").as("rs")), col("rid"),
+        col("rs"), maxDist = 3, maxBucket = 10).collect()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("short-tier"), ex.getMessage)
+    // and below the bound the same corpus still verifies exactly: every
+    // pair within distance 3 of another 5-char key
+    val ok = FuzzyJoin.qgramJoin(short, col("id"), col("s"),
+      short.select(col("id").as("rid"), col("s").as("rs")), col("rid"),
+      col("rs"), maxDist = 3, maxBucket = 100000)
+      .collect()
+    assert(ok.nonEmpty)
+  }
+
+  test("topOneLeft auto-dispatch: with no knob set, the broadcast gate " +
+    "follows the session threshold — disabled broadcasts plan the " +
+    "distributed form, enabled ones the nested-loop form") {
+    import graft.operators.FuzzyJoin
+    val layer = (1 to 50).map(i => (s"name$i", s"wkt$i"))
+      .toDF("layer_name", "cell_wkt")
+    val probes = (1 to 20).map(i => (i.toLong, s"name$i")).toDF("id", "txt")
+    def planStr(): String = FuzzyJoin.topOneLeft(probes, "id", "txt",
+      layer, "layer_name", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      // a "large" right side: threshold disabled ⇒ every estimate is past
+      // the gate ⇒ the naive call must NOT get the |L|×|R| nested-loop
+      spark.conf.set(key, "-1")
+      assert(!planStr().contains("BroadcastNestedLoopJoin"), planStr())
+      // a genuinely small right side under the default gate keeps the
+      // classic broadcast form
+      spark.conf.set(key, "10MB")
+      assert(planStr().contains("BroadcastNestedLoopJoin"), planStr())
+    } finally spark.conf.set(key, old)
+    // the explicit knob still overrides the gate in both directions
+    spark.conf.set(key, "-1")
+    try {
+      val forced = FuzzyJoin.topOneLeft(probes, "id", "txt", layer,
+        "layer_name", maxDist = 2, broadcastRight = Some(true))
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastNestedLoopJoin"), forced)
+    } finally spark.conf.set(key, old)
+  }
+
   test("topOneLeft at maxDist ≥ 3: the non-broadcast form dispatches to " +
     "the q-gram tier and stays output-identical to the broadcast form") {
     import graft.operators.FuzzyJoin
@@ -242,7 +303,7 @@ class CurationPropertySpec extends SparkTestBase {
       (i.toLong, s)
     }.toDF("id", "txt")
     def run(bcast: Boolean) = FuzzyJoin.topOneLeft(probes, "id", "txt",
-        layer, "layer_name", maxDist = 4, broadcastRight = bcast)
+        layer, "layer_name", maxDist = 4, broadcastRight = Some(bcast))
       .select("id", "layer_name", "cell_wkt")
       .as[(Long, Option[String], Option[String])].collect().toSet
     assert(run(true) === run(false))

@@ -301,6 +301,95 @@ class StreamingSpec extends SparkTestBase {
       "evicted state must re-admit the expired alert's old checksum")
   }
 
+  test("streaming EP-3 backlog retry: rollbacks from an over-limit EARLY " +
+    "batch survive a multi-file backlog that advances the watermark past " +
+    "their original event times — deferred work is retried, never lost") {
+    import graft.streaming.StreamingAugmenter
+    val tmp = java.nio.file.Files.createTempDirectory("ep3backlog").toString
+    val snapDir = s"$tmp/snapshots"
+    val captured = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def enrich(work: org.apache.spark.sql.DataFrame) = {
+      captured += work.select("id").as[Long].collect().toSet
+      work
+    }
+    def drain(limit: Int): Unit = {
+      val q = StreamingAugmenter.run(spark, snapDir, s"$tmp/retry",
+        s"$tmp/ckpt", s"$tmp/cache", limit, enrich)
+      q.awaitTermination(180000); ()
+    }
+    val far = ts("2030-01-01 00:00:00")
+    def snap(ck: Long => String, at: Timestamp) =
+      (1L to 10L).map(i => (i, s"n$i", "SEG", ck(i), i, at, far))
+        .toDF("id", "c_name", "c_mktsegment", "ck", "publish_ord",
+          "event_ts", "expiry_ts")
+    // run 1: seed all ten ids, all within the limit
+    addSnapshot(tmp, snapDir, snap(i => s"a$i", ts("2024-01-01 00:00:00")), "s1")
+    drain(limit = 100)
+    assert(captured.toList === List((1L to 10L).toSet))
+    // run 2 drains a TWO-file backlog: s2 (01-02) changes every checksum —
+    // the limit keeps the top 4 by publish order and rolls back ids 1-6 —
+    // and s3 (01-10, identical content, fully suppressed) advances the
+    // watermark eight days past s2's events. Under the old original-
+    // event_ts publication the six rollbacks would be late data on the
+    // next run and silently dropped; the run-max re-stamp keeps them live.
+    addSnapshot(tmp, snapDir, snap(i => s"b$i", ts("2024-01-02 00:00:00")), "s2")
+    addSnapshot(tmp, snapDir, snap(i => s"b$i", ts("2024-01-10 00:00:00")), "s3")
+    drain(limit = 4)
+    assert(captured.length === 2 && captured(1) === Set(7L, 8L, 9L, 10L),
+      s"over-limit batch must work the newest 4: ${captured.toList}")
+    // run 3: the next scrape re-sends the same content — every deferred id
+    // must re-emit against its rolled-back state and be enriched now
+    addSnapshot(tmp, snapDir, snap(i => s"b$i", ts("2024-01-11 00:00:00")), "s4")
+    drain(limit = 100)
+    assert(captured.length === 3 && captured(2) === (1L to 6L).toSet,
+      s"the backlog's deferred rows were lost: ${captured.toList}")
+  }
+
+  test("streaming EP-3 rollback publish is marker-committed: a half-" +
+    "published dir without its marker stays invisible to the retry " +
+    "stream; the marker alone makes it visible") {
+    import graft.streaming.StreamingAugmenter
+    import graft.streaming.StreamingAugmenter.AugMsg
+    val tmp = java.nio.file.Files.createTempDirectory("ep3marker").toString
+    val snapDir = s"$tmp/snapshots"
+    val retry = s"$tmp/retry"
+    val captured = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def enrich(work: org.apache.spark.sql.DataFrame) = {
+      captured += work.select("id").as[Long].collect().toSet
+      work
+    }
+    def drain(): Unit = {
+      val q = StreamingAugmenter.run(spark, snapDir, retry,
+        s"$tmp/ckpt", s"$tmp/cache", limit = 100, enrich)
+      q.awaitTermination(180000); ()
+    }
+    val far = ts("2030-01-01 00:00:00")
+    def snap(ck: Long => String, at: Timestamp) =
+      Seq(1L, 2L).map(i => (i, s"n$i", "SEG", ck(i), i, at, far))
+        .toDF("id", "c_name", "c_mktsegment", "ck", "publish_ord",
+          "event_ts", "expiry_ts")
+    addSnapshot(tmp, snapDir, snap(i => s"a$i", ts("2024-01-01 00:00:00")), "s1")
+    drain()
+    assert(captured.toList === List(Set(1L, 2L)))
+    // forge a crash remnant: a fully-written rollback dir for id 1 (CAS
+    // a1 → gone) with NO commit marker. If the stream read it, the next
+    // identical scrape would re-emit id 1.
+    val forged = Seq(AugMsg(1L, "n1", "SEG", "a1", 1L,
+      ts("2024-01-02 00:00:00"), far, 0, null)).toDS()
+    forged.write.parquet(s"$retry/b99")
+    addSnapshot(tmp, snapDir, snap(i => s"a$i", ts("2024-01-02 00:00:00")), "s2")
+    drain()
+    assert(captured.length === 1,
+      s"unmarked rollback dir leaked into the stream: ${captured.toList}")
+    // the marker alone flips visibility: same dir, now committed — the CAS
+    // resets id 1's state and the next identical scrape re-emits it
+    new java.io.File(s"$retry/_committed-b99").createNewFile()
+    addSnapshot(tmp, snapDir, snap(i => s"a$i", ts("2024-01-03 00:00:00")), "s3")
+    drain()
+    assert(captured.length === 2 && captured(1) === Set(1L),
+      s"marker-committed rollback must apply: ${captured.toList}")
+  }
+
   test("Op-62 versioned fan-out drops version-appropriate columns") {
     val batch = Seq((1L, "Open", "Suburb", "POINT (0 0)"))
       .toDF("Id", "status", "area_type", "geospatial_footprint")

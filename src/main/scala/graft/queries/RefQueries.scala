@@ -20,13 +20,24 @@ object RefQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's vector
-    * reader rejects; read nanos as long and convert to microsecond
-    * timestamps (the driver data is µs-resolution, so this is lossless). */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+  /** The events table's `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vector reader only accepts
+    * as long, via nanosAsLong), TIMESTAMP_MICROS with isAdjustedToUTC=false
+    * (read as TIMESTAMP_NTZ), or a plain UTC timestamp. Dispatch on the
+    * scanned dtype so all three decode to the same TIMESTAMP(LTZ) instants —
+    * Verify/Bench pin the session TZ to UTC, so the NTZ→LTZ cast preserves
+    * the wall-clock values the DuckDB oracles read natively. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    // harmless when ts is already a timestamp; required for the NANOS layout
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast("long")))
+    val raw = t(s, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000").cast("long"))
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
 
   // ---- headline analytics (bench workload; scans+aggs+joins at scale) ----

@@ -63,9 +63,7 @@ class AsOfExecSpec extends SparkTestBase {
   test("PushFilterThroughAsOf: a probe-column predicate lands BELOW the " +
     "as-of node (and reaches the scan), a value-column predicate stays above") {
     val dir = sf("sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast("long")))
+    val e = graft.queries.RefQueries.events(spark, dir)
     val build = e.where(col("event_type") === "signup")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("v_value"))

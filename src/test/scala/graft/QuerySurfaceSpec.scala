@@ -1,0 +1,35 @@
+package graft
+
+/** Declared-surface smoke lock: every name in `SparkEntry.queries` must at
+  * least ANALYZE against the current testdata. This is the guard against the
+  * round-9 failure mode, where a testdata re-encoding broke 15 declared
+  * queries at analysis time and Verify's per-query try/catch silently shrank
+  * the driver's correctness denominator from 133 to 118 — "all green" while
+  * 11% of the surface errored. Analysis is cheap (no execution), so the full
+  * surface runs in seconds; execution correctness stays with the driver's
+  * DuckDB compare and the per-operator suites.
+  */
+class QuerySurfaceSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  test("every declared query analyzes against sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).queryExecution.analyzed; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(3).mkString(" | ")}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} declared queries fail analysis:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("every declared query has an oracle or a documented rows-only check") {
+    // oracleSql keys must be a subset of queries (a stale oracle for a
+    // removed query would make the driver compare error out)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -111,11 +111,25 @@ object GeoFunctions {
 
   object UnionAgg extends UnionAggBounded(64)
 
-  def stUnionAgg: Column = org.apache.spark.sql.functions.udaf(UnionAgg)
+  /** Documented knob for the [[UnionAggBounded]] compaction threshold.
+    * Default 64 pending members ≈ a few hundred KB of WKT per group state —
+    * safe for any executor. Raise it (per session) when feeding slanted
+    * overlapping rings to a byte-compare consumer (see the determinism fine
+    * print on [[UnionAggBounded]]); lower it for very vertex-heavy members.
+    * Read at Column/registration time, so set it BEFORE building the query. */
+  val UnionAggMaxPendingKey = "spark.graft.geo.unionAggMaxPending"
+
+  private def configuredUnionAgg: UnionAggBounded =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(UnionAggMaxPendingKey))
+      .map(v => new UnionAggBounded(v.toInt))
+      .getOrElse(UnionAgg)
+
+  def stUnionAgg: Column = org.apache.spark.sql.functions.udaf(configuredUnionAgg)
     .apply(org.apache.spark.sql.functions.col("wkt"))
 
   def stUnionAggOn(c: Column): Column =
-    org.apache.spark.sql.functions.udaf(UnionAgg).apply(c)
+    org.apache.spark.sql.functions.udaf(configuredUnionAgg).apply(c)
 
   /** Register everything for the SQL-string surface. */
   def register(spark: SparkSession): Unit = {
@@ -131,6 +145,8 @@ object GeoFunctions {
     spark.udf.register("st_difference_area", stDifferenceArea)
     spark.udf.register("st_difference_all", stDifferenceAll)
     spark.udf.register("st_union_area", stUnionArea)
-    spark.udf.register("st_union_agg", org.apache.spark.sql.functions.udaf(UnionAgg))
+    // knob read at registration time — set UnionAggMaxPendingKey first
+    spark.udf.register("st_union_agg",
+      org.apache.spark.sql.functions.udaf(configuredUnionAgg))
   }
 }

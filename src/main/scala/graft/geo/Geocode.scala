@@ -50,6 +50,33 @@ final class TokenBucket(qps: Double, clock: () => Long) extends Serializable {
   }
 }
 
+/** Observable counters for the rate-limited geocode stage, built on Spark
+  * accumulators so a distributed run aggregates them for free. The cascade's
+  * funnel (how many rows each earlier stage left for the expensive external
+  * service, how many the service resolved, and how long the rate limiter
+  * held the job) is THE operational signal at scale: on a 100 TB run, a
+  * regression in the exact/fuzzy stages shows up here first — as a growing
+  * `calls` count against a fixed-QPS ceiling — long before wall-clock does.
+  *
+  * Accumulator caveat (standard Spark): task retries can re-count; treat the
+  * numbers as operational telemetry, not exactly-once accounting. */
+final class GeocodeMetrics private (
+    val calls: org.apache.spark.util.LongAccumulator,
+    val hits: org.apache.spark.util.LongAccumulator,
+    val waitNanos: org.apache.spark.util.LongAccumulator) extends Serializable {
+  def misses: Long = calls.value - hits.value
+}
+
+object GeocodeMetrics {
+  def apply(spark: org.apache.spark.sql.SparkSession): GeocodeMetrics = {
+    val sc = spark.sparkContext
+    new GeocodeMetrics(
+      sc.longAccumulator("graft.geocode.calls"),
+      sc.longAccumulator("graft.geocode.hits"),
+      sc.longAccumulator("graft.geocode.waitNanos"))
+  }
+}
+
 object GeocodeStage {
 
   private def defaultSleep(ns: Long): Unit =
@@ -68,7 +95,8 @@ object GeocodeStage {
     * this slice to the stragglers. */
   def geocode(df: DataFrame, idCol: String, queryCol: String,
               geocoder: Geocoder, qps: Double,
-              sleeper: Long => Unit = defaultSleep): DataFrame = {
+              sleeper: Long => Unit = defaultSleep,
+              metrics: Option[GeocodeMetrics] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(queryCol).cast("string"))
@@ -80,6 +108,10 @@ object GeocodeStage {
           val waitNs = bucket.acquire()
           if (waitNs > 0) sleeper(waitNs)
           val r = geocoder.geocode(q)
+          metrics.foreach { m =>
+            m.calls.add(1); m.waitNanos.add(waitNs)
+            if (r.isDefined) m.hits.add(1)
+          }
           (id, r.map(_._1), r.map(_._2))
         }
       }

@@ -148,8 +148,9 @@ object GeoQueries {
   /** The Op-56/57/58 cascade body over (c_custkey, loc_text) rows: returns
     * (c_custkey, cell_wkt, resolution). Factored out of [[g56GeocodeCascade]]
     * so the EP-3 composed pipeline runs the identical stage. */
-  private def cascadeResolve(cust: DataFrame, cells: DataFrame,
-                             broadcastFuzzyLayer: Boolean = true): DataFrame = {
+  private[queries] def cascadeResolve(cust: DataFrame, cells: DataFrame,
+                             broadcastFuzzyLayer: Boolean = true,
+                             geocodeMetrics: Option[graft.geo.GeocodeMetrics] = None): DataFrame = {
     val layer = cells.select(
       concat(lit("NATION#"), col("n_nationkey").cast("string")).as("layer_name"),
       col("cell_wkt"))
@@ -185,7 +186,7 @@ object GeoQueries {
     val px = ((col("c_custkey") * 7) % 100).cast("double") / 10.0
     val py = ((col("c_custkey") * 13) % 100).cast("double") / 10.0
     val geoResolved = GeocodeStage.geocode(rest2, "c_custkey", "loc_text",
-        KeyedStubGeocoder, qps = 1e6)
+        KeyedStubGeocoder, qps = 1e6, metrics = geocodeMetrics)
       .select(col("c_custkey"),
         when(col("gx").isNotNull,
           GeoFunctions.stBufferEnv(
@@ -194,7 +195,19 @@ object GeoQueries {
             GeoFunctions.stPoint(px, py), lit(0.01))).as("cell_wkt"),
         when(col("gx").isNotNull, lit("geocoded"))
           .otherwise(lit("fallback")).as("resolution"))
+    // per-stage funnel as observed metrics (CollectMetrics — a map-side
+    // count piggybacking the action, no extra job): how many rows each
+    // cheap stage resolved vs how many leaked through to the rate-limited
+    // service. At scale this funnel is the cascade's health signal — a
+    // growing geocoded+fallback share against a fixed-QPS ceiling flags a
+    // layer/name drift long before wall-clock does. Readable via a
+    // QueryExecutionListener (GeocodeSpec) or the SQL UI.
     exactHit.unionByName(fuzzyHit).unionByName(geoResolved)
+      .observe("graft.geo.cascade",
+        count(when(col("resolution") === "exact", 1)).as("exact"),
+        count(when(col("resolution") === "fuzzy", 1)).as("fuzzy"),
+        count(when(col("resolution") === "geocoded", 1)).as("geocoded"),
+        count(when(col("resolution") === "fallback", 1)).as("fallback"))
   }
 
   val g56GeocodeCascade: Q = (s, dir) => {

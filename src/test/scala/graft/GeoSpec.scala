@@ -117,6 +117,30 @@ class GeoSpec extends SparkTestBase {
     assert(parseWkt(u).map(area).contains(5.0))
   }
 
+  test("union aggregate compaction knob: spark.graft.geo.unionAggMaxPending " +
+    "is read at Column-build time and a maximally-compacting setting (1) " +
+    "yields the identical result on the quantised-grid domain") {
+    val wkts = (0 until 20).map { i =>
+      val x = (i % 5) * 1.5; val y = (i / 5) * 1.5
+      s"POLYGON (($x $y, ${x + 2} $y, ${x + 2} ${y + 2}, $x ${y + 2}, $x $y))"
+    }
+    val df = wkts.toDF("wkt")
+    def unionWith(maxPending: Option[String]): String = {
+      maxPending match {
+        case Some(v) => spark.conf.set(GeoFunctions.UnionAggMaxPendingKey, v)
+        case None    => spark.conf.unset(GeoFunctions.UnionAggMaxPendingKey)
+      }
+      try df.agg(GeoFunctions.stUnionAggOn($"wkt").as("u"))
+        .select("u").as[String].head()
+      finally spark.conf.unset(GeoFunctions.UnionAggMaxPendingKey)
+    }
+    val default = unionWith(None)
+    val compacting = unionWith(Some("1"))      // compacts after every member
+    val oversized = unionWith(Some("1000"))    // never trips the threshold
+    assert(compacting === default)
+    assert(oversized === default)
+  }
+
   test("true buffer: disc area, square growth, hole erosion, line sweep") {
     import graft.geo.Geometry._
     val d = 2.0

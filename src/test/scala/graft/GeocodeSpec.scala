@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.geo.{GeocodeStage, Geocoder, KeyedStubGeocoder, TokenBucket}
+import graft.geo.{GeocodeMetrics, GeocodeStage, Geocoder, KeyedStubGeocoder, TokenBucket}
 
 class GeocodeSpec extends SparkTestBase {
   import spark.implicits._
@@ -52,6 +52,50 @@ class GeocodeSpec extends SparkTestBase {
     val in = Seq((1L, "a"), (2L, "b")).toDF("id", "q")
     val out = GeocodeStage.geocode(in, "id", "q", g, qps = 1e6).collect()
     assert(out.length == 2)
+  }
+
+  test("GeocodeMetrics counts calls, hits, and rate-limiter waits") {
+    val m = GeocodeMetrics(spark)
+    val in = Seq((2L, "place 2"), (3L, "place 3"), (8L, "place 8"))
+      .toDF("id", "q")
+    GeocodeStage.geocode(in, "id", "q", KeyedStubGeocoder, qps = 1e6,
+      metrics = Some(m)).collect()
+    assert(m.calls.value === 3L)
+    assert(m.hits.value === 2L)   // keys 2 and 8 resolve, 3 does not
+    assert(m.misses === 1L)
+    assert(m.waitNanos.value >= 0L)
+  }
+
+  test("cascade observes the per-stage funnel (CollectMetrics), matching " +
+    "the output's resolution distribution") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, Long]](null)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    ns: Long): Unit =
+        qe.observedMetrics.get("graft.geo.cascade").foreach { row =>
+          seen.set(row.schema.fieldNames.map(n =>
+            n -> row.getAs[Long](n)).toMap)
+        }
+      def onFailure(f: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.queries.GeoQueries
+        .g56GeocodeCascade(spark, "/root/testdata/sf0.001")
+        .groupBy("resolution").count().as[(String, Long)].collect().toMap
+      // listener fires asynchronously on the listener bus — poll briefly
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (seen.get() == null && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val funnel = seen.get()
+      assert(funnel != null, "observed metrics never arrived")
+      assert(funnel === out, s"funnel $funnel != output distribution $out")
+      assert(funnel.values.sum === out.values.sum)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("g56 cascade routes every customer to exactly one resolution step") {

@@ -141,6 +141,7 @@ object SparkEntry {
     "x_boilerplate" -> ExtQueries.xBoilerplate,
     "x_strat_sample" -> ExtQueries.xStratSample,
     "x_group_stats" -> ExtQueries.xGroupStats,
+    "x_source_gate" -> ExtQueries.xSourceGate,
     "x_contamination" -> ExtQueries.xContamination,
     "x_pack_sequences" -> ExtQueries.xPackSequences,
     "x_count_min" -> ExtQueries.xCountMin,

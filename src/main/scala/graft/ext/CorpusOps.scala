@@ -126,6 +126,41 @@ object CorpusOps {
       .drop((1 until numBuckets).map(i => s"__qt$i") :+ "__qs": _*)
   }
 
+  /** Source-level (domain-level) quality gate — the curation step that
+    * evicts WHOLE sources, not documents: a domain whose aggregate quality
+    * is poor is suspect even where individual pages score well (the
+    * domain-blocklist step of the Gopher and CCNet/RefinedWeb web-corpus
+    * pipelines). A source is evicted when it has enough evidence
+    * (≥ `minDocs` documents) AND its mean score — rounded to 4 dp, the
+    * house engine-portable compare — falls below `minMean`; a source with
+    * too few documents passes (insufficient evidence is not guilt).
+    *
+    * Plan shape: one groupBy(source) aggregate (partially aggregated — one
+    * row per source per map task reaches the shuffle, so a hot source is a
+    * map-side sum, not a skewed reduce), verdict joined back onto the
+    * corpus. `broadcastStats = true` (default) pins the stats table to a
+    * broadcast — right for registry-like source sets whose cardinality is
+    * bounded. For URL-host-like sources (cardinality grows with the data —
+    * a forced broadcast is a driver OOM at 100 TB) pass false and leave the
+    * join to size-based planning, the [[quantileBuckets]] convention.
+    *
+    * Output keeps every retained row with its source's (`src_n`,
+    * `src_mean`) attached: the stats are already paid for, and downstream
+    * threshold tuning reuses them without a second pass. Null sources form
+    * a legitimate group (null-safe join, the [[temperatureSample]]
+    * convention). */
+  def sourceQualityGate(df: DataFrame, source: Column, score: Column,
+                        minDocs: Long, minMean: Double,
+                        broadcastStats: Boolean = true): DataFrame = {
+    val stats = df.groupBy(source.as("__gs"))
+      .agg(count(lit(1)).as("src_n"),
+        round(avg(score.cast("double")), 4).as("src_mean"))
+    val statsF = if (broadcastStats) broadcast(stats) else stats
+    df.join(statsF, source <=> col("__gs"))
+      .where(!(col("src_n") >= minDocs && col("src_mean") < minMean))
+      .drop("__gs")
+  }
+
   /** Top-k terms per document by tf-idf (tf · ln(N/df)) — the classic
     * keyword/summary extraction over a corpus. Shape: one token explode,
     * one (doc, tok) count, one doc-frequency aggregate joined back on the

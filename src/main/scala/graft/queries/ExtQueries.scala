@@ -476,6 +476,25 @@ object ExtQueries {
         Map("src0" -> 0.8, "src1" -> 0.2, "src2" -> 0.5), defaultRate = 0.3)
       .select(col("doc_id"), col("source"))
 
+  /** Source-level quality gate (the Gopher/RefinedWeb domain-eviction
+    * step): per-doc stop-ratio → per-source mean → whole sources with
+    * ≥10 docs and mean < 0.028 are evicted, every retained doc carries its
+    * source's stats. The per-doc score is the same 4-dp stop_ratio
+    * x_quality computes, so the oracle shares the canonical tokeniser. */
+  val xSourceGate: Q = (s, dir) => {
+    val stops = TextOps.defaultProfiles.head._2
+    val toks = col("__toks")
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("source"),
+        round(size(filter(toks, t => t.isin(stops.map(lit): _*))) /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"))
+    CorpusOps.sourceQualityGate(scored, col("source"), col("stop_ratio"),
+        minDocs = 10, minMean = 0.028)
+      .select(col("doc_id"), col("source"), col("src_n"), col("src_mean"))
+  }
+
   /** Per-source length distribution (exact interpolated percentiles — the
     * oracle-checkable form; the approx_percentile scale path is locked by
     * CurationSpec's tolerance assertion instead). */

@@ -1328,6 +1328,23 @@ object Oracles {
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90
         |FROM documents WHERE text IS NOT NULL GROUP BY source""".stripMargin,
 
+    // per-doc stop_ratio is x_quality's (same tokeniser, same 4-dp round);
+    // the gate compares the ROUNDED per-source mean in both engines
+    "x_source_gate" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, source,
+         |    round(CAST(len(list_filter(tk, x -> list_contains($EN_STOPS, x))) AS DOUBLE)
+         |      / greatest(len(tk), 1), 4) AS stop_ratio
+         |  FROM (SELECT doc_id, source, $TOK AS tk
+         |        FROM documents WHERE text IS NOT NULL)),
+         |st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS src_n,
+         |    round(avg(stop_ratio), 4) AS src_mean
+         |  FROM sc GROUP BY source)
+         |SELECT sc.doc_id, sc.source, st.src_n, st.src_mean
+         |FROM sc JOIN st USING (source)
+         |WHERE NOT (st.src_n >= 10 AND st.src_mean < 0.028)""".stripMargin,
+
     // same 8-token non-overlapping chunks, same doc_id*2^20+idx winner
     // encoding, same space-joined reassembly of surviving chunks
     "x_chunk_dedup" ->

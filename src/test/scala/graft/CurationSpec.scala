@@ -398,6 +398,31 @@ class CurationSpec extends SparkTestBase {
 
   // ---- stratified sample ----
 
+  test("sourceQualityGate evicts a low-mean source only with enough " +
+    "evidence, keeps null-source rows as a group, and the non-broadcast " +
+    "form is output-identical") {
+    val rows =
+      (1 to 12).map(i => (i.toLong, Some("bad"), 0.01)) ++      // evidence + low → evicted
+      (13 to 15).map(i => (i.toLong, Some("thin"), 0.01)) ++    // low but only 3 docs → kept
+      (16 to 27).map(i => (i.toLong, Some("good"), 0.50)) ++    // evidence + high → kept
+      (28 to 39).map(i => (i.toLong, None: Option[String], 0.01)) // null source, low → evicted
+    val df = rows.toDF("doc_id", "source", "score")
+    def run(bcast: Boolean) =
+      CorpusOps.sourceQualityGate(df, col("source"), col("score"),
+        minDocs = 10, minMean = 0.1, broadcastStats = bcast)
+    val out = run(bcast = true)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === ((13L to 15L) ++ (16L to 27L)).toSet)
+    // retained rows carry their source's stats
+    val thin = out.where(col("source") === "thin")
+      .select("src_n", "src_mean").distinct().as[(Long, Double)].collect()
+    assert(thin.toSeq === Seq((3L, 0.01)))
+    val shuffled = run(bcast = false)
+    assert(shuffled.select("doc_id").as[Long].collect().toSet === kept)
+    // the default pins the stats side to a broadcast join
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("stratifiedSample applies per-stratum rates deterministically") {
     val n = 2000
     val df = (0 until n).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "grp")

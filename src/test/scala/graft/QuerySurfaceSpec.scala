@@ -26,6 +26,10 @@ class QuerySurfaceSpec extends SparkTestBase {
         failures.mkString("\n"))
   }
 
+  test("SparkEntry.entry (the driver's flagship smoke) returns rows") {
+    assert(SparkEntry.entry(spark).limit(1).count() > 0)
+  }
+
   test("every declared query has an oracle or a documented rows-only check") {
     // oracleSql keys must be a subset of queries (a stale oracle for a
     // removed query would make the driver compare error out)

@@ -125,6 +125,7 @@ object SparkEntry {
     "x_mm_features" -> ExtQueries.xMmFeatures,
     // ext: skew + fuzzy + composed pipeline
     "x_skew_join" -> ExtQueries.xSkewJoin,
+    "x_range_join" -> ExtQueries.xRangeJoin,
     "x_fuzzy_join" -> ExtQueries.xFuzzyJoin,
     "x_pipeline" -> ExtQueries.xPipeline,
     // ext: event-time windows

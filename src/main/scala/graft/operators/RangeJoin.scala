@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join on a numeric axis.
+  *
+  * The declarative formulation — `points.join(intervals, pt >= start &&
+  * pt < end)` — has no equi-conjunct, so Spark plans a broadcast/cartesian
+  * nested-loop: every point is tested against every interval,
+  * O(|points| × |intervals|). Fine for a broadcast-tiny interval table,
+  * fatal when both sides scale (the classic sensor-readings ×
+  * maintenance-windows or attribution-window join).
+  *
+  * This operator restores an equi-join: pick a `bucketWidth` on the axis,
+  * explode each interval over the buckets it covers, map each point to its
+  * one containing bucket, equi-join on (keys…, bucket), then apply the
+  * exact containment predicate. A point's bucket is unique, so every
+  * qualifying (point, interval) pair meets in EXACTLY one bucket — no
+  * dedup pass. The expansion factor is ⌈interval span / bucketWidth⌉,
+  * chosen by the caller to trade shuffle volume against bucket selectivity
+  * (a width near the median interval span keeps it ≤ 2).
+  *
+  * Scale properties: both sides shuffle hash-partitioned on
+  * (keys…, bucket) — co-located, AQE-skew-rescuable, no nested loop
+  * anywhere (locked by PlanSpec). The per-interval explosion is guarded by
+  * `maxBucketsPerInterval` with an unprunable `raise_error` riding the
+  * join key — a degenerate interval (end ≈ +∞ from a dirty parse) would
+  * otherwise silently regenerate the cross join this operator exists to
+  * kill.
+  *
+  * Axis convention: the axis columns are NUMERIC (long). Timestamp
+  * callers convert with `unix_micros` (lossless for parquet µs data) —
+  * keeping the operator agnostic lets the same code serve time, numeric
+  * ranges (IP blocks, genomic coordinates), and anything totally ordered.
+  * Intervals are half-open [start, end); rows with null axis values or
+  * null keys drop (inner-join semantics). `points` and `intervals` must
+  * not share column names besides `keys`.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, pt: String,
+                      intervals: DataFrame, start: String, end: String,
+                      bucketWidth: Long, keys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__rb",
+      floor(col(pt) / bucketWidth).cast("long"))
+    // empty/inverted intervals → empty bucket list (no pt can satisfy
+    // start <= pt < end); null bounds → null list, dropped by explode
+    val buckets =
+      when(col(end) <= col(start), array().cast("array<long>"))
+        .otherwise(sequence(
+          floor(col(start) / bucketWidth).cast("long"),
+          floor((col(end) - 1) / bucketWidth).cast("long")))
+    val iv = intervals
+      .withColumn("__rbs", buckets)
+      .withColumn("__rb", explode(
+        when(size(col("__rbs")) <= maxBucketsPerInterval, col("__rbs"))
+          .otherwise(raise_error(concat(
+            lit(s"pointInInterval: interval spans more than " +
+              s"$maxBucketsPerInterval buckets — a disguised cross join; " +
+              "widen bucketWidth, clamp the interval, or raise " +
+              "maxBucketsPerInterval; bucket count = "),
+            size(col("__rbs")).cast("string"))))))
+      .drop("__rbs")
+    p.join(iv, keys :+ "__rb", "inner")
+      .where(col(pt) >= col(start) && col(pt) < col(end))
+      .drop("__rb")
+  }
+}

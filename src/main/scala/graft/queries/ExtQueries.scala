@@ -268,6 +268,28 @@ object ExtQueries {
       .groupBy(col("tag")).agg(count(lit(1)).as("n"))
   }
 
+  /** Attribution-window range join: each purchase matched to every signup
+    * of the SAME user whose 24 h window contains it — the point-in-interval
+    * shape whose declarative form is a nested-loop. RangeJoin buckets the
+    * µs axis at 1 h (≤ 25 buckets/interval) and equi-joins on
+    * (user_id, bucket); the oracle is the PLAIN inequality join — the
+    * bucketing is result-invariant, so what's under test is the whole
+    * rewrite. PlanSpec locks the no-nested-loop plan shape. */
+  val xRangeJoin: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+    val signups = e.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        unix_micros(col("ts")).as("w_start"),
+        unix_micros(col("ts") + expr("INTERVAL 24 HOURS")).as("w_end"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_ts"))
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, "p_ts", signups, "w_start", "w_end",
+        bucketWidth = 3600L * 1000000L, keys = Seq("user_id"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+  }
+
   /** Scale-path fuzzy join (FastSS deletion-neighbourhood equi-join): every
     * customer name vs one-char-deleted corruptions of ALL customer names,
     * pairs within edit distance 1. The oracle is the PLAIN levenshtein

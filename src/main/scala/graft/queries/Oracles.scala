@@ -1134,6 +1134,17 @@ object Oracles {
         |FROM events e JOIN dim d ON d.event_type = e.event_type
         |GROUP BY tag""".stripMargin,
 
+    // plain inequality join — the bucketed equi-rewrite is result-invariant
+    "x_range_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id, ts AS st,
+        |             ts + INTERVAL 24 HOUR AS en
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, s.signup_id, p.user_id
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND p.ts >= s.st AND p.ts < s.en""".stripMargin,
+
     "x_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
          |cnt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def naive(points: org.apache.spark.sql.DataFrame,
+                    intervals: org.apache.spark.sql.DataFrame) =
+    points.join(intervals,
+      points("k") === intervals("k") &&
+        col("pt") >= col("st") && col("pt") < col("en"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+
+  test("pointInInterval matches the naive inequality join, with half-open " +
+    "bounds, multi-bucket intervals, empty and null intervals") {
+    val points = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 99L), (4L, 1L, 100L),
+      (5L, 2L, 50L), (6L, 3L, 50L), (7L, 1L, 250L))
+      .toDF("pid", "k", "pt")
+    val intervals = Seq(
+      (10L, 1L, Some(0L), Some(100L)),    // [0,100): pids 1,2,3; NOT 4 (end-exclusive)
+      (11L, 1L, Some(10L), Some(10L)),    // empty
+      (12L, 1L, Some(200L), Some(100L)),  // inverted → empty
+      (13L, 2L, Some(0L), Some(1000L)),   // multi-bucket (100 buckets at w=10)
+      (14L, 3L, None, Some(100L)),        // null start → drops
+      (15L, 1L, Some(240L), Some(260L)))  // [240,260): pid 7
+      .toDF("iid", "k", "st", "en")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en",
+        bucketWidth = 10L, keys = Seq("k"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(got === naive(points, intervals))
+    assert(got === Set((1L, 10L), (2L, 10L), (3L, 10L), (5L, 13L), (7L, 15L)))
+  }
+
+  test("pointInInterval without keys joins on the bucket alone") {
+    val points = Seq((1L, 5L), (2L, 25L)).toDF("pid", "pt")
+    val intervals = Seq((10L, 0L, 10L), (11L, 20L, 30L)).toDF("iid", "st", "en")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en",
+        bucketWidth = 10L)
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("an interval spanning more than maxBucketsPerInterval buckets " +
+    "raises instead of silently exploding") {
+    val points = Seq((1L, 5L)).toDF("pid", "pt")
+    val intervals = Seq((10L, 0L, 1000L)).toDF("iid", "st", "en")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", intervals, "st", "en",
+        bucketWidth = 10L, maxBucketsPerInterval = 50).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("disguised cross join") ||
+        Option(e.getCause).exists(_.getMessage.contains("disguised cross join"))),
+      s"unexpected error: $e")
+  }
+
+  test("a qualifying pair meets in exactly ONE bucket — no duplicate rows " +
+    "even when the interval covers many buckets") {
+    val points = Seq((1L, 1L, 555L)).toDF("pid", "k", "pt")
+    val intervals = Seq((10L, 1L, 0L, 1000L)).toDF("iid", "k", "st", "en")
+    val out = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en",
+      bucketWidth = 10L, keys = Seq("k"))
+    assert(out.count() === 1L)
+  }
+
+  test("x_range_join (attribution windows over events) has no nested-loop " +
+    "join and no cartesian — the equi-rewrite is the operator's point") {
+    val p = SparkEntry.queries("x_range_join")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

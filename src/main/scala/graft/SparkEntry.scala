@@ -111,6 +111,7 @@ object SparkEntry {
     // ext: embedding similarity
     "x_embed_topk" -> ExtQueries.xEmbedTopk,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
+    "x_embed_decontam" -> ExtQueries.xEmbedDecontam,
     "x_ann_lsh" -> ExtQueries.xAnnLsh,
     "x_ann_ivf" -> ExtQueries.xAnnIvf,
     "x_ann_recall" -> ExtQueries.xAnnRecall,
@@ -206,5 +207,5 @@ object SparkEntry {
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
     "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_ivfpq_stored",
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
-    "x_fuzzy_join", "x_fuzzy_qgram")
+    "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate")
 }

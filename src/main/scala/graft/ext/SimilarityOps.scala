@@ -348,6 +348,42 @@ object SimilarityOps {
       .select(col("qid"), col(idCol), col("cos_sim"))
   }
 
+  /** Embedding-space decontamination: annotate every train row with its
+    * max cosine similarity (6-dp rounded, the house portable compare) to
+    * ANY eval-suite vector — the embedding analogue of the n-gram
+    * [[CorpusOps]] contamination check, catching paraphrased eval leakage
+    * that shingle overlap misses.
+    *
+    * Plan shape — NO join at all: the eval suite is collect_list'd into a
+    * ONE-ROW frame and broadcast, and the scan computes a per-row
+    * `array_max` over higher-order-function cosines — map-only,
+    * expansion-free, embarrassingly parallel. O(|train|·|eval|·dim)
+    * compute, but zero shuffle and zero candidate blowup, which is the
+    * right trade precisely because eval suites are small by construction.
+    * The `maxEvalVectors` raise_error guard (unprunable — it rides the
+    * projected column) keeps an accidentally-unbounded "eval" side from
+    * turning the broadcast row into an executor OOM; a genuinely large
+    * reference corpus belongs in [[semDedup]]'s clustered path instead.
+    *
+    * An EMPTY eval suite yields null `max_eval_sim` (array_max of an empty
+    * transform) — callers treating null as "not contaminated" get the
+    * vacuous-truth semantics for free. */
+  def embedDecontaminate(train: DataFrame, idCol: String, vecCol: String,
+                         evalVecs: DataFrame, evalVecCol: String,
+                         maxEvalVectors: Int = 100000): DataFrame = {
+    val evalAgg = evalVecs.agg(collect_list(col(evalVecCol)).as("__evs"))
+      .select(when(size(col("__evs")) <= maxEvalVectors, col("__evs"))
+        .otherwise(raise_error(concat(
+          lit(s"embedDecontaminate: eval suite exceeds maxEvalVectors=" +
+            s"$maxEvalVectors vectors — the one-row broadcast would OOM; " +
+            "use semDedup's clustered path for corpus-scale references; " +
+            "size = "), size(col("__evs")).cast("string")))).as("__evs"))
+    train.crossJoin(broadcast(evalAgg))
+      .withColumn("max_eval_sim", array_max(transform(col("__evs"),
+        ev => round(cosine(col(vecCol), ev), 6))))
+      .drop("__evs")
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
     * baseline the LSH variant approximates). O(n²/2) — use only to validate
     * LSH recall at small n, or within pre-partitioned shards at scale. */

@@ -136,6 +136,21 @@ object ExtQueries {
     e0.unionByName(copies).unionByName(clones).persist()
   }
 
+  /** Embedding-space decontamination over the raw embeddings table:
+    * vec_id % 100 == 7 stands in for the eval suite (the xContamination
+    * convention); every train vector is annotated with its 6-dp max cosine
+    * to any eval vector and flagged at 0.35 — map-only over a one-row
+    * broadcast of the eval suite, no join. */
+  val xEmbedDecontam: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ev = emb.where(col("vec_id") % 100 === 7).select(col("embedding"))
+    SimilarityOps.embedDecontaminate(
+        emb.where(col("vec_id") % 100 =!= 7), "vec_id", "embedding",
+        ev, "embedding")
+      .select(col("vec_id"), col("max_eval_sim"),
+        (col("max_eval_sim") >= 0.35).as("contaminated"))
+  }
+
   /** Exact near-dup baseline over the planted corpus — O(n²) by design; the
     * LSH/IVF paths below are the scale story, this is their ground truth. */
   val xEmbedNeardup: Q = (s, dir) =>

@@ -1033,6 +1033,23 @@ object Oracles {
          |(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id <> 0), q)
          |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
+    // per-pair round-6 cosine then max — the same order as the Spark side's
+    // array_max over rounded transform (round is monotone, so either
+    // order agrees; mirrored anyway)
+    "x_embed_decontam" ->
+      """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 100 = 7),
+        |tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id % 100 <> 7)
+        |SELECT tr.vec_id,
+        |  max(round(list_dot_product(tr.v, ev.v) /
+        |    (sqrt(list_dot_product(tr.v, tr.v)) *
+        |     sqrt(list_dot_product(ev.v, ev.v))), 6)) AS max_eval_sim,
+        |  max(round(list_dot_product(tr.v, ev.v) /
+        |    (sqrt(list_dot_product(tr.v, tr.v)) *
+        |     sqrt(list_dot_product(ev.v, ev.v))), 6)) >= 0.35 AS contaminated
+        |FROM tr, ev GROUP BY tr.vec_id""".stripMargin,
+
     "x_embed_neardup" ->
       s"""WITH $PLANTED_CTES
          |SELECT id_a, id_b, cos_sim FROM

@@ -37,6 +37,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("embedDecontaminate: max-cosine annotation against the eval suite, " +
+    "null on an empty suite, loud past the eval-size guard, no shuffle " +
+    "of the train side") {
+    val ev = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f)), Tuple1(Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("embedding")
+    val out = SimilarityOps.embedDecontaminate(vecs, "vec_id", "embedding",
+      ev, "embedding")
+    val sims = out.select("vec_id", "max_eval_sim")
+      .as[(Long, Double)].collect().toMap
+    assert(sims(0L) === 1.0)   // identical to eval vector
+    assert(sims(1L) === 1.0)
+    assert(sims(3L) === 1.0)   // identical to the second eval vector
+    assert(sims(4L) === 0.0)   // opposite: max(-1, 0) = 0
+    // empty eval suite → null annotation (vacuously clean)
+    val none = SimilarityOps.embedDecontaminate(vecs, "vec_id", "embedding",
+        ev.where(lit(false)), "embedding")
+      .where(col("max_eval_sim").isNull).count()
+    assert(none === 5L)
+    // oversized eval suite raises instead of OOMing the broadcast
+    val e = intercept[Exception] {
+      SimilarityOps.embedDecontaminate(vecs, "vec_id", "embedding",
+        ev, "embedding", maxEvalVectors = 1).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("maxEvalVectors") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxEvalVectors"))),
+      s"unexpected error: $e")
+    // plan: the train side is map-only — its scan reaches the one-row
+    // broadcast with no Exchange hashpartitioning anywhere
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("annPairs recall: identical vectors share every SRP band") {
     val got = SimilarityOps.annPairs(vecs, "vec_id", "embedding",
         numPlanes = 4, numBands = 2, dim = 3, threshold = 0.99)

@@ -46,7 +46,8 @@ object PlanAudit {
         "x_ccnet_approx","x_ivfpq_res","x_ivfpq_batch","q_ep3_pipeline",
         "x_semdedup_auto","x_asof_exec","x_fuzzy_join","x_fuzzy_qgram",
         "x_ivfpq_serve","x_ivfpq_serve_batch","q55_shape_repair",
-        "q62_versioned_fanout").foreach(audit)
+        "q62_versioned_fanout","x_range_join","x_source_gate",
+        "x_embed_decontam").foreach(audit)
     spark.stop()
   }
 }

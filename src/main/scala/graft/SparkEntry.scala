@@ -144,6 +144,7 @@ object SparkEntry {
     "x_strat_sample" -> ExtQueries.xStratSample,
     "x_group_stats" -> ExtQueries.xGroupStats,
     "x_source_gate" -> ExtQueries.xSourceGate,
+    "x_weighted_sample" -> ExtQueries.xWeightedSample,
     "x_contamination" -> ExtQueries.xContamination,
     "x_pack_sequences" -> ExtQueries.xPackSequences,
     "x_count_min" -> ExtQueries.xCountMin,

@@ -261,6 +261,36 @@ object CorpusOps {
     df.where(u < rateCol)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws a deterministic md5 uniform u and is
+    * ranked by -ln(u)/w — the k smallest keys are a weighted sample without
+    * replacement, exactly (the quality-weighted subset-selection step of a
+    * corpus mix: "keep the best 10 M documents, proportional to score").
+    *
+    * Scale shape: the key is a pure map over the row, and the top-k runs as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k-row
+    * heads, the [[graft.queries]] work-limit convention) — no global sort,
+    * no shuffle of the corpus. Keys are rounded to 6 dp BEFORE ranking with
+    * ties to the smallest `key` (house rule: libm ln agrees across engines
+    * to well under 4 dp), so the selected SET is engine-exact.
+    * Non-positive weights are excluded (the A-ES domain); u is clamped away
+    * from 0 so the 2⁻³² md5 corner cannot produce ln(0). Deterministic
+    * given `key` — reprocessing or engine change reproduces the sample,
+    * the [[stratifiedSample]]/[[assignSplit]] property. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = weight.cast("double")
+    val esKey = round(-log(greatest(u, lit(1e-12))) / w, 6)
+    df.where(w > 0)
+      .withColumn("__esk", esKey)
+      .orderBy(col("__esk"), key)
+      .limit(k)
+      .drop("__esk")
+  }
+
   /** Domain-mix rebalancing: cap every stratum (source/domain) at `cap`
     * rows, chosen deterministically by md5 order of the key — the
     * "downweight over-represented domains" step of a corpus mix. Unlike

@@ -506,6 +506,14 @@ object ExtQueries {
         .persist(),
       minDocs = 3)
 
+  /** Weighted sample without replacement: 50 documents drawn ∝ n_chars
+    * (longer docs likelier), md5-deterministic, ranked by the A-ES key as
+    * TakeOrderedAndProject — no global sort. */
+  val xWeightedSample: Q = (s, dir) =>
+    CorpusOps.weightedSample(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars"), k = 50)
+      .select(col("doc_id"), col("source"))
+
   /** Deterministic stratified sample over `source` with per-stratum rates. */
   val xStratSample: Q = (s, dir) =>
     CorpusOps.stratifiedSample(t(s, dir, "documents"), col("doc_id"),

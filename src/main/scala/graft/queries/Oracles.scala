@@ -1278,6 +1278,17 @@ object Oracles {
          |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
          |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin,
 
+    // A-ES key mirrored exactly: same md5 uniform, same clamp, same
+    // round-6-before-rank, same doc_id tie-break
+    "x_weighted_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    round(-ln(greatest(
+         |      ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0,
+         |      1e-12)) / CAST(n_chars AS DOUBLE), 6) AS esk
+         |  FROM documents WHERE n_chars > 0)
+         |ORDER BY esk, doc_id LIMIT 50""".stripMargin,
+
     // round BEFORE ranking (house rule); ln agrees to well under 4 dp
     // across libm implementations
     "x_tfidf" ->

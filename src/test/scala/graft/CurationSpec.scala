@@ -398,6 +398,34 @@ class CurationSpec extends SparkTestBase {
 
   // ---- stratified sample ----
 
+  test("weightedSample: selection matches a JVM replication of the A-ES " +
+    "key, excludes non-positive weights, is deterministic, and plans as " +
+    "TakeOrdered (no global sort)") {
+    val rows = (1L to 200L).map(i => (i, if (i % 7 == 0) 0L else i))
+    val df = rows.toDF("id", "w")
+    val out = CorpusOps.weightedSample(df, col("id"), col("w"), k = 20)
+    val got = out.select("id").as[Long].collect().toSeq
+    // replicate: u = first-8-hex(md5(id)) / 2^32, key = round6(-ln(u)/w)
+    def esk(id: Long, w: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) / 4294967296.0
+      BigDecimal(-math.log(math.max(u, 1e-12)) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => (esk(id, w), id) }.sorted.take(20).map(_._2)
+    assert(got.toSet === expect.toSet)
+    assert(!got.exists(_ % 7 == 0), "zero-weight rows must never appear")
+    val again = CorpusOps.weightedSample(df, col("id"), col("w"), k = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(again.toSet === got.toSet)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
   test("sourceQualityGate evicts a low-mean source only with enough " +
     "evidence, keeps null-source rows as a group, and the non-broadcast " +
     "form is output-identical") {

@@ -127,6 +127,7 @@ object SparkEntry {
     // ext: skew + fuzzy + composed pipeline
     "x_skew_join" -> ExtQueries.xSkewJoin,
     "x_range_join" -> ExtQueries.xRangeJoin,
+    "x_interval_join" -> ExtQueries.xIntervalJoin,
     "x_fuzzy_join" -> ExtQueries.xFuzzyJoin,
     "x_pipeline" -> ExtQueries.xPipeline,
     // ext: event-time windows

@@ -39,6 +39,55 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval-overlap join: pairs where [lStart, lEnd) ∩ [rStart, rEnd) is
+    * non-empty (plus equality on `keys`), without the nested loop the
+    * declarative `ls < re && rs < le` plans to.
+    *
+    * Both sides explode over their covered buckets and equi-join on
+    * (keys…, bucket); an overlapping pair shares EVERY bucket the overlap
+    * region touches, so the exact predicate alone would duplicate the
+    * pair. The first-common-bucket rule dedups for free — the overlap's
+    * first instant is max(lStart, rStart), so the pair is kept only in
+    * THAT bucket (`bucket == floor(max(lStart, rStart) / bucketWidth)`),
+    * which both sides provably cover exactly when they overlap. One
+    * predicate instead of a distinct over the pair set — the 1-D form of
+    * the grid join's first-common-cell rule (geo/GridJoin.scala). */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketWidth: Long, keys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = explodeBuckets(left, lStart, lEnd, bucketWidth,
+      maxBucketsPerInterval)
+    val r = explodeBuckets(right, rStart, rEnd, bucketWidth,
+      maxBucketsPerInterval)
+    l.join(r, keys :+ "__rb", "inner")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__rb") ===
+          floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long"))
+      .drop("__rb")
+  }
+
+  private def explodeBuckets(df: DataFrame, start: String, end: String,
+                             bucketWidth: Long,
+                             maxBucketsPerInterval: Int): DataFrame = {
+    val buckets =
+      when(col(end) <= col(start), array().cast("array<long>"))
+        .otherwise(sequence(
+          floor(col(start) / bucketWidth).cast("long"),
+          floor((col(end) - 1) / bucketWidth).cast("long")))
+    df.withColumn("__rbs", buckets)
+      .withColumn("__rb", explode(
+        when(size(col("__rbs")) <= maxBucketsPerInterval, col("__rbs"))
+          .otherwise(raise_error(concat(
+            lit(s"RangeJoin: interval spans more than " +
+              s"$maxBucketsPerInterval buckets — a disguised cross join; " +
+              "widen bucketWidth, clamp the interval, or raise " +
+              "maxBucketsPerInterval; bucket count = "),
+            size(col("__rbs")).cast("string"))))))
+      .drop("__rbs")
+  }
+
   def pointInInterval(points: DataFrame, pt: String,
                       intervals: DataFrame, start: String, end: String,
                       bucketWidth: Long, keys: Seq[String] = Nil,
@@ -48,22 +97,8 @@ object RangeJoin {
       floor(col(pt) / bucketWidth).cast("long"))
     // empty/inverted intervals → empty bucket list (no pt can satisfy
     // start <= pt < end); null bounds → null list, dropped by explode
-    val buckets =
-      when(col(end) <= col(start), array().cast("array<long>"))
-        .otherwise(sequence(
-          floor(col(start) / bucketWidth).cast("long"),
-          floor((col(end) - 1) / bucketWidth).cast("long")))
-    val iv = intervals
-      .withColumn("__rbs", buckets)
-      .withColumn("__rb", explode(
-        when(size(col("__rbs")) <= maxBucketsPerInterval, col("__rbs"))
-          .otherwise(raise_error(concat(
-            lit(s"pointInInterval: interval spans more than " +
-              s"$maxBucketsPerInterval buckets — a disguised cross join; " +
-              "widen bucketWidth, clamp the interval, or raise " +
-              "maxBucketsPerInterval; bucket count = "),
-            size(col("__rbs")).cast("string"))))))
-      .drop("__rbs")
+    val iv = explodeBuckets(intervals, start, end, bucketWidth,
+      maxBucketsPerInterval)
     p.join(iv, keys :+ "__rb", "inner")
       .where(col(pt) >= col(start) && col(pt) < col(end))
       .drop("__rb")

@@ -305,6 +305,25 @@ object ExtQueries {
       .select(col("purchase_id"), col("signup_id"), col("user_id"))
   }
 
+  /** Interval-overlap join: each user's 24 h signup windows overlapping
+    * their 6 h error windows — both sides bucketized, pairs deduped by the
+    * first-common-bucket rule (no distinct pass). The oracle is the plain
+    * inequality join; bucketing + dedup rule are result-invariant. */
+  val xIntervalJoin: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+    def win(kind: String, hours: Int, idAs: String) =
+      e.where(col("event_type") === kind)
+        .select(col("event_id").as(idAs), col("user_id"),
+          unix_micros(col("ts")).as(s"${idAs}_start"),
+          unix_micros(col("ts") + expr(s"INTERVAL $hours HOURS"))
+            .as(s"${idAs}_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+        win("signup", 24, "signup_id"), "signup_id_start", "signup_id_end",
+        win("error", 6, "error_id"), "error_id_start", "error_id_end",
+        bucketWidth = 3600L * 1000000L, keys = Seq("user_id"))
+      .select(col("signup_id"), col("error_id"), col("user_id"))
+  }
+
   /** Scale-path fuzzy join (FastSS deletion-neighbourhood equi-join): every
     * customer name vs one-char-deleted corruptions of ALL customer names,
     * pairs within edit distance 1. The oracle is the PLAIN levenshtein

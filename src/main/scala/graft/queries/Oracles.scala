@@ -1151,6 +1151,19 @@ object Oracles {
         |FROM events e JOIN dim d ON d.event_type = e.event_type
         |GROUP BY tag""".stripMargin,
 
+    // plain inequality join — bucketing + first-common-bucket dedup are
+    // result-invariant
+    "x_interval_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id, ts AS st,
+        |             ts + INTERVAL 24 HOUR AS en
+        |           FROM events WHERE event_type = 'signup'),
+        |er AS (SELECT event_id AS error_id, user_id, ts AS st,
+        |         ts + INTERVAL 6 HOUR AS en
+        |       FROM events WHERE event_type = 'error')
+        |SELECT s.signup_id, er.error_id, s.user_id
+        |FROM s JOIN er ON s.user_id = er.user_id
+        |  AND s.st < er.en AND er.st < s.en""".stripMargin,
+
     // plain inequality join — the bucketed equi-rewrite is result-invariant
     "x_range_join" ->
       """WITH s AS (SELECT event_id AS signup_id, user_id, ts AS st,

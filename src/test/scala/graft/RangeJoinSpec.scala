@@ -66,11 +66,46 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out.count() === 1L)
   }
 
-  test("x_range_join (attribution windows over events) has no nested-loop " +
-    "join and no cartesian — the equi-rewrite is the operator's point") {
-    val p = SparkEntry.queries("x_range_join")(spark, sf("sf0.001"))
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("intervalOverlap matches the naive inequality join with NO " +
+    "duplicate pairs, even when the overlap region spans many buckets") {
+    val left = Seq(
+      (1L, 1L, 0L, 100L),     // overlaps 10 (first-common bucket mid-range)
+      (2L, 1L, 500L, 600L),   // disjoint from everything
+      (3L, 2L, 0L, 1000L),    // overlaps 11 over 40 shared buckets
+      (4L, 1L, 90L, 95L))     // nested inside 10's [50,200)
+      .toDF("lid", "k", "ls", "le")
+    val right = Seq(
+      (10L, 1L, 50L, 200L),
+      (11L, 2L, 600L, 2000L),
+      (12L, 3L, 0L, 100L))    // key with no left rows
+      .toDF("rid", "k", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+        bucketWidth = 10L, keys = Seq("k"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSeq
+    val naive = left.join(right, left("k") === right("k") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSeq
+    assert(got.sorted === naive.sorted) // Seq compare: duplicates would fail
+    assert(got.toSet === Set((1L, 10L), (3L, 11L), (4L, 10L)))
+  }
+
+  test("intervalOverlap: touching endpoints do NOT overlap (half-open), " +
+    "single-instant overlap DOES") {
+    val left = Seq((1L, 0L, 100L), (2L, 0L, 101L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 100L, 200L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+        bucketWidth = 7L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 10L))) // [0,100) ∩ [100,200) empty; [0,101) hits
+  }
+
+  test("x_range_join and x_interval_join (window joins over events) have " +
+    "no nested-loop join and no cartesian — the equi-rewrite is the point") {
+    for (q <- Seq("x_range_join", "x_interval_join")) {
+      val p = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
   }
 }

@@ -322,9 +322,41 @@ object CorpusOps {
     * exact rank. */
   def domainRebalance(df: DataFrame, key: Column, stratum: Column,
                       cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap must be positive")
-    val ord = Seq(md5(key.cast("string")), key)
+    twoPhaseGroupLimit(df, stratum, Seq(md5(key.cast("string")), key), cap)
+  }
+
+  /** Per-stratum weighted sampling without replacement: [[weightedSample]]'s
+    * A-ES key (-ln(u)/w over the deterministic md5 uniform, 6-dp rounded)
+    * ranked WITHIN each stratum — "keep the k best documents per domain,
+    * drawn ∝ weight" (the per-domain-quota step of a corpus mix, where
+    * [[domainRebalance]] is the unweighted cap and [[weightedSample]] the
+    * global draw). Hot-stratum safety is [[twoPhaseGroupLimit]]'s pre-cap;
+    * non-positive weights are excluded as in [[weightedSample]]. */
+  def weightedSamplePerStratum(df: DataFrame, key: Column, stratum: Column,
+                               weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = weight.cast("double")
+    val esKey = round(-log(greatest(u, lit(1e-12))) / w, 6)
+    twoPhaseGroupLimit(df.where(w > 0).withColumn("__esk", esKey),
+      stratum, Seq(col("__esk"), key), k).drop("__esk")
+  }
+
+  /** Exact per-stratum top-`cap` by `ord` WITHOUT funnelling a hot stratum
+    * into one window partition: a PRE-FILTER window over
+    * (input-partition id, stratum) bounds each group by an input
+    * partition's slice, then the exact global window runs over the
+    * ≤ partitions × cap survivors. Output-identical to the single-window
+    * form for any partition assignment (rank within a subset ≤ rank within
+    * the whole, so phase 1 never drops a final survivor) — locked by
+    * CurationPropertySpec. Spark's rank-limit pushdown
+    * (InferWindowGroupLimit) prunes each phase to cap rows per group
+    * BEFORE its exchange. */
+  private def twoPhaseGroupLimit(df: DataFrame, stratum: Column,
+                                 ord: Seq[Column], cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pre = df.withColumn("__pid", spark_partition_id())
       .withColumn("__prk", row_number().over(
         Window.partitionBy(col("__pid"), stratum).orderBy(ord: _*)))

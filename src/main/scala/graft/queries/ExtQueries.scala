@@ -533,6 +533,13 @@ object ExtQueries {
         col("n_chars"), k = 50)
       .select(col("doc_id"), col("source"))
 
+  /** Per-source weighted sample: the 3 best docs per source drawn ∝
+    * n_chars — the per-domain-quota draw, two-phase windowed. */
+  val xWeightedStratum: Q = (s, dir) =>
+    CorpusOps.weightedSamplePerStratum(t(s, dir, "documents"), col("doc_id"),
+        col("source"), col("n_chars"), k = 3)
+      .select(col("doc_id"), col("source"))
+
   /** Deterministic stratified sample over `source` with per-stratum rates. */
   val xStratSample: Q = (s, dir) =>
     CorpusOps.stratifiedSample(t(s, dir, "documents"), col("doc_id"),

@@ -1291,6 +1291,17 @@ object Oracles {
          |  CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2
          |              WHEN 'src2' THEN 0.5 ELSE 0.3 END""".stripMargin,
 
+    // same A-ES key, ranked within each source
+    "x_weighted_stratum" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY round(-ln(greatest(
+         |      ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0,
+         |      1e-12)) / CAST(n_chars AS DOUBLE), 6), doc_id) AS rk
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rk <= 3""".stripMargin,
+
     // A-ES key mirrored exactly: same md5 uniform, same clamp, same
     // round-6-before-rank, same doc_id tie-break
     "x_weighted_sample" ->

@@ -349,6 +349,33 @@ class CurationPropertySpec extends SparkTestBase {
     }
   }
 
+  test("weightedSamplePerStratum matches the JVM A-ES-per-stratum " +
+    "reference for any input partitioning, and caps every stratum at k") {
+    var nextId = 0L
+    val rows = Seq("s0" -> 300, "s1" -> 40, "s2" -> 2).flatMap {
+      case (s, n) => (0 until n).map { _ =>
+        nextId += 1; (nextId, s, nextId % 17 + 1) // weight 1..17
+      }
+    }
+    val df = rows.toDF("id", "src", "w")
+    def esk(id: Long, w: Long): Double = {
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) /
+        4294967296.0
+      BigDecimal(-math.log(math.max(u, 1e-12)) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def reference(k: Int): Set[Long] = rows.groupBy(_._2).values.flatMap(g =>
+      g.sortBy { case (id, _, w) => (esk(id, w), id) }.take(k).map(_._1))
+      .toSet
+    for (k <- Seq(1, 5); parts <- Seq(1, 7)) {
+      val got = CorpusOps.weightedSamplePerStratum(df.repartition(parts),
+          col("id"), col("src"), col("w"), k)
+        .select("id", "src").as[(Long, String)].collect()
+      assert(got.map(_._1).toSet === reference(k), s"k=$k parts=$parts")
+      assert(got.groupBy(_._2).values.forall(_.length <= k))
+    }
+  }
+
   test("assignSplit partitions every row into exactly one split with the " +
     "boundary arithmetic of the md5 uniform") {
     val rnd = new scala.util.Random(20260814)

@@ -38,7 +38,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout under sbt carries an "[info] " prefix and can defeat naive
+    // parsers (the r9 driver artifact recorded "parsed": null with the
+    // numbers marooned in a log tail); persist the same line as a file so
+    // the latest run is always machine-readable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the run
     spark.stop()
   }
 }

@@ -210,5 +210,6 @@ object SparkEntry {
     "x_lm_score", "x_dsir", "x_pq_topk", "x_ccnet_buckets", "x_ccnet_approx",
     "x_ivfpq", "x_ivfpq_res", "x_ivfpq_batch", "x_ivfpq_stored",
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
-    "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate")
+    "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate",
+    "x_interval_join")
 }

@@ -184,4 +184,40 @@ object TextOps {
             PhoneRe, "<PHONE>"),
           Ipv4Re, "<IP>").as("scrubbed"))
   }
+
+  // html extraction regexes — (?is)-flagged and non-greedy, so they run
+  // identically on Java regex (Spark) and RE2 (DuckDB); entity decode is
+  // the 5 named entities every extractor handles, applied AFTER tag strip
+  // so a literal "&lt;p&gt;" in text cannot fabricate a tag
+  val ScriptRe = "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>"
+  val TagRe = "(?s)<[^>]*>"
+
+  /** WET-style HTML → text extraction (the first stage of every web-corpus
+    * pipeline): drop script/style blocks WITH their content, strip the
+    * remaining tags to spaces, decode the five core entities, collapse
+    * whitespace. A pure regexp-expression battery — codegen'd, map-only,
+    * linear per row; malformed/unclosed markup degrades to text (never an
+    * error), matching the tolerant behaviour extractors need on crawl
+    * data. */
+  def extractHtmlText(df: DataFrame, key: Column, html: Column): DataFrame = {
+    val stripped =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("__html"), ScriptRe, " "),
+          TagRe, " "),
+        "&nbsp;", " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(stripped, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&amp;", "&") // LAST, so "&amp;lt;" decodes to "&lt;" not "<"
+    df.select(key.as("doc_id"), html.as("__html"))
+      .select(col("doc_id"),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("extracted"))
+  }
 }

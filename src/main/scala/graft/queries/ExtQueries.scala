@@ -54,6 +54,25 @@ object ExtQueries {
   val xFingerprint: Q = (s, dir) =>
     TextOps.fingerprint(docs(s, dir), col("doc_id"), col("text"))
 
+  /** WET-style HTML extraction over deterministically-wrapped documents:
+    * each doc is rendered into a page (heading, script+style blocks,
+    * entities), extracted back, and digested — the wrap makes the op
+    * oracle-checkable end-to-end without an HTML corpus. */
+  val xHtmlExtract: Q = (s, dir) => {
+    val page = concat(
+      lit("<html><head><style>body{color:red}</style></head><body><h1>"),
+      col("source"),
+      lit("</h1><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;" +
+        "</script><p>"),
+      col("text"),
+      lit("</p><div class=\"footer\">&copy; &amp; &lt;fin&gt;&nbsp;ok" +
+        "</div></body></html>"))
+    TextOps.extractHtmlText(docs(s, dir).withColumn("__page", page),
+        col("doc_id"), col("__page"))
+      .select(col("doc_id"), md5(col("extracted")).as("extract_md5"),
+        length(col("extracted")).cast("long").as("n_chars"))
+  }
+
   /** Winnowing fingerprints (k=3 shingles, window 4). */
   val xWinnow: Q = (s, dir) =>
     TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 3, w = 4)

@@ -960,6 +960,30 @@ object Oracles {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
          |FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
+    // same wrap, same strip chain (script/style with content, then tags,
+    // then nbsp, then entities with &amp; LAST), same whitespace collapse
+    "x_html_extract" ->
+      """SELECT doc_id, md5(extracted) AS extract_md5,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    '<html><head><style>body{color:red}</style></head><body><h1>'
+        |      || source ||
+        |    '</h1><script type="text/javascript">var x = 1 &amp;&amp; 2;</script><p>'
+        |      || text ||
+        |    '</p><div class="footer">&copy; &amp; &lt;fin&gt;&nbsp;ok</div></body></html>',
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g'),
+        |  '\s+', ' ', 'g')) AS extracted
+        |FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
     // winnowing (k=3, w=4): integer-encoded window minima mirror
     // TextOps.winnow's hash*2^17 + (2^17-1-pos) rightmost-tie encoding
     "x_winnow" -> {

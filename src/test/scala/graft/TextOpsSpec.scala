@@ -30,6 +30,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(fps.distinct.size == 1)
   }
 
+  test("extractHtmlText: script/style content dropped, tags stripped, " +
+    "entities decoded with &amp; last, whitespace collapsed, unclosed " +
+    "markup tolerated") {
+    val cases = Seq(
+      (1L, "<html><body><h1>Title</h1><p>Hello   <b>world</b></p>" +
+        "<script>var x = '<p>not text</p>';</script></body></html>",
+        "Title Hello world"),
+      (2L, "<STYLE type=\"x\">h1{}</STYLE>before<br/>after", "before after"),
+      // &amp;lt; must decode to the LITERAL "&lt;", never to "<"
+      (3L, "a &amp;lt; b &lt;i&gt; c&nbsp;d &#39;q&#39; &quot;r&quot;",
+        "a &lt; b <i> c d 'q' \"r\""),
+      // an unclosed tag swallows up to the NEXT '>' ([^>]* permits '<'),
+      // the tolerant-degradation contract: text survives, never an error
+      (4L, "unclosed <div and <em>plain</em>", "unclosed plain"),
+      (5L, "no markup at all", "no markup at all"))
+    val got = TextOps.extractHtmlText(
+        cases.map(c => (c._1, c._2)).toDF("id", "h"), col("id"), col("h"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) === want, s"case $id")
+    }
+  }
+
   test("exact dedup groups identical content") {
     val df = Seq(1L -> "same text", 2L -> "same text", 3L -> "other")
       .toDF("doc_id", "text")

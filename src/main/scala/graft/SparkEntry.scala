@@ -148,6 +148,7 @@ object SparkEntry {
     "x_weighted_sample" -> ExtQueries.xWeightedSample,
     "x_weighted_stratum" -> ExtQueries.xWeightedStratum,
     "x_html_extract" -> ExtQueries.xHtmlExtract,
+    "x_ivfpq_append" -> ExtQueries.xIvfPqAppend,
     "x_contamination" -> ExtQueries.xContamination,
     "x_pack_sequences" -> ExtQueries.xPackSequences,
     "x_count_min" -> ExtQueries.xCountMin,

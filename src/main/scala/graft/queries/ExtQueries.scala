@@ -879,6 +879,37 @@ object ExtQueries {
     IvfPqIndex.topKBatch(s, st, "vec_id", queries, k = 5, nprobe = 4)
   }
 
+  /** Stored-index APPEND path: build on the EVEN half of the corpus,
+    * append the odd half against the FROZEN quantizers (assign +
+    * residual-encode with the stored centroids/codebook, bucketed
+    * insertInto — [[graft.ext.IvfPqIndex.append]]), then serve the
+    * x_ivfpq_res query over the union. The oracle derives the
+    * centroids/codebook from the even half ONLY and encodes everything
+    * with them — exactly the frozen-quantizer contract — so the daily
+    * append-without-rebuild path is hash-checked end-to-end, not just
+    * spec-locked. Build+append memoize together per (app, sf-dir): a
+    * second invocation (Bench's warm-up/measured pair) must serve, not
+    * re-append duplicate codes. */
+  val xIvfPqAppend: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    val st = appendedIndexes.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$dir", {
+        val table = s"graft_ivfpq_append_${math.abs(dir.hashCode)}"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val built = IvfPqIndex.build(corpus.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nlist = 16, kmeansIters = 1, m = 4,
+          ksub = 16, pqIters = 1, codesTable = table,
+          basePath = s"${sys.props("java.io.tmpdir")}/$table")
+        IvfPqIndex.append(s, built, corpus.where(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        built
+      })
+    IvfPqIndex.topK(s, st, "vec_id", query, k = 10, nprobe = 4)
+  }
+
+  private val appendedIndexes =
+    scala.collection.concurrent.TrieMap[String, IvfPqIndex.Stored]()
+
   /** Memoized stored-index builds for the SERVE-ONLY queries: one build per
     * (application, sf-dir, workload), shared by every later invocation in
     * the session. This is the Bench "untimed setup hook": Bench runs each

@@ -291,6 +291,50 @@ object Oracles {
        |SELECT vec_id, adc_dist FROM adcr ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   }
 
+  // append path: centroids + codebook derived from the EVEN half only
+  // (the frozen quantizers of the stored build), everything encoded with
+  // them — mirrors IvfPqIndex.build(evens) + append(odds) + topK
+  private val ivfPqAppendSql: String = {
+    val iters = 1
+    s"""WITH $PLANTED_CTES,
+       |$REST_QV
+       |bld AS (SELECT vec_id, v FROM rest WHERE vec_id % 2 = 0),
+       |apnd AS (SELECT vec_id, v FROM rest WHERE vec_id % 2 <> 0),
+       |${ivfChainCtes("bld", kmeansIters = iters, nlist = 16)}asgA AS (SELECT vec_id, v, centroid_id FROM (
+       |  SELECT r.vec_id, r.v, k.centroid_id, row_number() OVER (PARTITION BY r.vec_id
+       |    ORDER BY ${cosSql("r.v", "k.c")} DESC, k.centroid_id) AS rn FROM apnd r, ctr$iters k) WHERE rn = 1),
+       |resB AS (SELECT a.vec_id, a.centroid_id,
+       |  list_transform(range(0, len(a.v)), i -> a.v[i+1] - k.c[i+1]) AS v
+       |  FROM asgF a JOIN ctr$iters k USING (centroid_id)),
+       |${pqTrainCtes("resB")},
+       |resA AS (SELECT a.vec_id, a.centroid_id,
+       |  list_transform(range(0, len(a.v)), i -> a.v[i+1] - k.c[i+1]) AS v
+       |  FROM asgA a JOIN ctr$iters k USING (centroid_id)),
+       |psvA AS (SELECT vec_id, centroid_id, sub, v[sub*16+1:(sub+1)*16] AS sv FROM resA, subs),
+       |encA AS (SELECT vec_id, sub, code FROM (
+       |  SELECT s.vec_id, s.sub, k.code, row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |    ORDER BY ${l2Sql("s.sv", "k.w")} ASC, k.code) AS rn
+       |  FROM psvA s JOIN pqcb1 k ON k.sub = s.sub) WHERE rn = 1),
+       |encU AS (SELECT * FROM enc UNION ALL SELECT * FROM encA),
+       |resU AS (SELECT vec_id, centroid_id FROM resB
+       |  UNION ALL SELECT vec_id, centroid_id FROM resA),
+       |probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+       |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
+       |qres AS (SELECT k.centroid_id,
+       |  list_transform(range(0, len(q.v)), i -> q.v[i+1] - k.c[i+1]) AS v
+       |  FROM qv q CROSS JOIN ctr$iters k
+       |  JOIN probe p ON p.centroid_id = k.centroid_id),
+       |dtabr AS (SELECT r.centroid_id, k.sub, k.code,
+       |  ${l2Sql("r.v[k.sub*16+1:(k.sub+1)*16]", "k.w")} AS d2
+       |  FROM qres r CROSS JOIN pqcb1 k),
+       |adcrU AS (SELECT e.vec_id, round(sum(d2), 6) AS adc_dist
+       |  FROM encU e JOIN resU r ON r.vec_id = e.vec_id
+       |  JOIN dtabr t ON t.centroid_id = r.centroid_id
+       |    AND t.sub = e.sub AND t.code = e.code
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, adc_dist FROM adcrU ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
   // batch residual IVFADC over the FULL planted corpus: per-query probes,
   // per-(query, cell) residual tables, self-matches excluded, top-5 per
   // query — shared by x_ivfpq_batch (in-memory) and x_ivfpq_stored_batch
@@ -1690,6 +1734,10 @@ object Oracles {
     // stored-index serve path: artefacts round-trip through parquet, so the
     // answer is REQUIRED to hash-match the in-memory x_ivfpq_res — same SQL
     "x_ivfpq_stored" -> ivfPqResSql,
+
+    // append path: frozen-quantizer chain from the even half, all rows
+    // encoded with it, served over the union
+    "x_ivfpq_append" -> ivfPqAppendSql,
 
     "x_ivfpq_res_recall" -> {
       val iters = 1

@@ -99,6 +99,40 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Set((2L, 10L))) // [0,100) ∩ [100,200) empty; [0,101) hits
   }
 
+  test("property: both joins match their naive forms on random data with " +
+    "NEGATIVE axis values and varied bucket widths (floor-division " +
+    "consistency across the zero boundary)") {
+    val rnd = new scala.util.Random(20260813)
+    def interval(): (Long, Long) = {
+      val s = rnd.nextLong() % 500 // negative and positive starts
+      (s, s + rnd.nextInt(120))    // includes empty (len 0) intervals
+    }
+    val points = (1L to 150L).map { i =>
+      (i, (rnd.nextInt(3) + 1).toLong, (rnd.nextLong() % 500))
+    }.toDF("pid", "k", "pt")
+    val ivs = (1L to 60L).map { i =>
+      val (s, e) = interval(); (i, (rnd.nextInt(3) + 1).toLong, s, e)
+    }.toDF("iid", "k", "st", "en")
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val gotP = RangeJoin.pointInInterval(points, "pt", ivs, "st", "en",
+          bucketWidth = w, keys = Seq("k"))
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSeq
+      val naiveP = points.join(ivs, points("k") === ivs("k") &&
+          col("pt") >= col("st") && col("pt") < col("en"))
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSeq
+      assert(gotP.sorted === naiveP.sorted, s"pointInInterval w=$w")
+      val ivs2 = ivs.select(col("iid").as("jid"), col("k"),
+        col("st").as("st2"), col("en").as("en2"))
+      val gotI = RangeJoin.intervalOverlap(ivs, "st", "en",
+          ivs2, "st2", "en2", bucketWidth = w, keys = Seq("k"))
+        .select(col("iid"), col("jid")).as[(Long, Long)].collect().toSeq
+      val naiveI = ivs.join(ivs2, ivs("k") === ivs2("k") &&
+          col("st") < col("en2") && col("st2") < col("en"))
+        .select(col("iid"), col("jid")).as[(Long, Long)].collect().toSeq
+      assert(gotI.sorted === naiveI.sorted, s"intervalOverlap w=$w")
+    }
+  }
+
   test("x_range_join and x_interval_join (window joins over events) have " +
     "no nested-loop join and no cartesian — the equi-rewrite is the point") {
     for (q <- Seq("x_range_join", "x_interval_join")) {

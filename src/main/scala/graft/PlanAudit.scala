@@ -47,7 +47,9 @@ object PlanAudit {
         "x_semdedup_auto","x_asof_exec","x_fuzzy_join","x_fuzzy_qgram",
         "x_ivfpq_serve","x_ivfpq_serve_batch","q55_shape_repair",
         "q62_versioned_fanout","x_range_join","x_source_gate",
-        "x_embed_decontam").foreach(audit)
+        "x_embed_decontam","x_interval_join","x_weighted_sample",
+        "x_weighted_stratum","x_html_extract","x_curation_pipeline")
+      .foreach(audit)
     spark.stop()
   }
 }

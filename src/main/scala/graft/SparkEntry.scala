@@ -149,6 +149,7 @@ object SparkEntry {
     "x_weighted_stratum" -> ExtQueries.xWeightedStratum,
     "x_html_extract" -> ExtQueries.xHtmlExtract,
     "x_ivfpq_append" -> ExtQueries.xIvfPqAppend,
+    "x_curation_pipeline" -> ExtQueries.xCurationPipeline,
     "x_contamination" -> ExtQueries.xContamination,
     "x_pack_sequences" -> ExtQueries.xPackSequences,
     "x_count_min" -> ExtQueries.xCountMin,
@@ -214,5 +215,5 @@ object SparkEntry {
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
     "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate",
     "x_interval_join", "x_html_extract", "x_embed_decontam",
-    "x_ivfpq_append")
+    "x_ivfpq_append", "x_curation_pipeline")
 }

@@ -199,11 +199,17 @@ object TextOps {
     * linear per row; malformed/unclosed markup degrades to text (never an
     * error), matching the tolerant behaviour extractors need on crawl
     * data. */
-  def extractHtmlText(df: DataFrame, key: Column, html: Column): DataFrame = {
+  def extractHtmlText(df: DataFrame, key: Column, html: Column): DataFrame =
+    df.select(key.as("doc_id"), html.as("__html"))
+      .select(col("doc_id"), htmlToText(col("__html")).as("extracted"))
+
+  /** The extraction battery as a plain Column, for composing inside wider
+    * projections ([[extractHtmlText]] is the frame form). */
+  def htmlToText(html: Column): Column = {
     val stripped =
       regexp_replace(
         regexp_replace(
-          regexp_replace(col("__html"), ScriptRe, " "),
+          regexp_replace(html, ScriptRe, " "),
           TagRe, " "),
         "&nbsp;", " ")
     val decoded =
@@ -216,8 +222,6 @@ object TextOps {
             "&quot;", "\""),
           "&#39;", "'"),
         "&amp;", "&") // LAST, so "&amp;lt;" decodes to "&lt;" not "<"
-    df.select(key.as("doc_id"), html.as("__html"))
-      .select(col("doc_id"),
-        trim(regexp_replace(decoded, "\\s+", " ")).as("extracted"))
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
 }

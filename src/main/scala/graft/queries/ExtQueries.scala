@@ -170,6 +170,41 @@ object ExtQueries {
         (col("max_eval_sim") >= 0.35).as("contaminated"))
   }
 
+  /** Composed curation pipeline over the round-10 operators — the
+    * web-corpus shape end-to-end in ONE lazy plan: render → WET extraction
+    * ([[TextOps.htmlToText]], map-only) → stop-ratio quality on the
+    * EXTRACTED text → source-level gate (evidence ≥ 10 docs, 4-dp mean
+    * < 0.026 evicts the source) → 5 docs per surviving source drawn
+    * ∝ extracted length (A-ES under the two-phase group limit). One
+    * oracle covers the whole chain, so stage coupling (extraction feeding
+    * the quality score feeding the gate feeding the sampler) is
+    * hash-checked, not just each stage alone. */
+  val xCurationPipeline: Q = (s, dir) => {
+    val stops = TextOps.defaultProfiles.head._2
+    val page = concat(
+      lit("<html><head><style>body{color:red}</style></head><body><h1>"),
+      col("source"),
+      lit("</h1><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;" +
+        "</script><p>"),
+      col("text"),
+      lit("</p><div class=\"footer\">&copy; &amp; &lt;fin&gt;&nbsp;ok" +
+        "</div></body></html>"))
+    val toks = col("__toks")
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.htmlToText(page).as("extracted"))
+      .select(col("doc_id"), col("source"), col("extracted"),
+        TextOps.tokens(col("extracted")).as("__toks"))
+      .select(col("doc_id"), col("source"), col("extracted"),
+        round(size(filter(toks, t => t.isin(stops.map(lit): _*))) /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"))
+    val gated = CorpusOps.sourceQualityGate(scored, col("source"),
+      col("stop_ratio"), minDocs = 10, minMean = 0.026)
+    CorpusOps.weightedSamplePerStratum(gated, col("doc_id"), col("source"),
+        length(col("extracted")), k = 5)
+      .select(col("doc_id"), col("source"), col("src_mean"))
+  }
+
   /** Exact near-dup baseline over the planted corpus — O(n²) by design; the
     * LSH/IVF paths below are the scale story, this is their ground truth. */
   val xEmbedNeardup: Q = (s, dir) =>

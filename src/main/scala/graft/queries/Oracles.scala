@@ -1004,6 +1004,48 @@ object Oracles {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
          |FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
+    // the full composed chain: wrap → extraction → stop-ratio on the
+    // extracted text → source gate (n>=10 AND round-4 mean < 0.026) →
+    // per-source top-5 by the A-ES key weighted by extracted length
+    "x_curation_pipeline" ->
+      s"""WITH ex AS (SELECT doc_id, source, trim(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    '<html><head><style>body{color:red}</style></head><body><h1>'
+         |      || source ||
+         |    '</h1><script type="text/javascript">var x = 1 &amp;&amp; 2;</script><p>'
+         |      || text ||
+         |    '</p><div class="footer">&copy; &amp; &lt;fin&gt;&nbsp;ok</div></body></html>',
+         |    '(?is)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |    '(?s)<[^>]*>', ' ', 'g'),
+         |    '&nbsp;', ' ', 'g'),
+         |    '&lt;', '<', 'g'),
+         |    '&gt;', '>', 'g'),
+         |    '&quot;', '"', 'g'),
+         |    '&#39;', '''', 'g'),
+         |    '&amp;', '&', 'g'),
+         |  '\\s+', ' ', 'g')) AS extracted
+         |FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, source, extracted,
+         |  round(CAST(len(list_filter(tk, x -> list_contains($EN_STOPS, x))) AS DOUBLE)
+         |    / greatest(len(tk), 1), 4) AS stop_ratio
+         |  FROM (SELECT doc_id, source, extracted,
+         |    list_filter(string_split_regex(lower(regexp_replace(extracted, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS tk
+         |    FROM ex)),
+         |st AS (SELECT source, count(*) AS src_n,
+         |  round(avg(stop_ratio), 4) AS src_mean FROM sc GROUP BY source),
+         |gated AS (SELECT sc.doc_id, sc.source, sc.extracted, st.src_mean
+         |  FROM sc JOIN st USING (source)
+         |  WHERE NOT (st.src_n >= 10 AND st.src_mean < 0.026))
+         |SELECT doc_id, source, src_mean FROM (
+         |  SELECT doc_id, source, src_mean, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY round(-ln(greatest(
+         |      ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0,
+         |      1e-12)) / CAST(length(extracted) AS DOUBLE), 6), doc_id) AS rk
+         |  FROM gated)
+         |WHERE rk <= 5""".stripMargin,
+
     // same wrap, same strip chain (script/style with content, then tags,
     // then nbsp, then entities with &amp; LAST), same whitespace collapse
     "x_html_extract" ->

@@ -197,6 +197,16 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "WindowGroupLimit") >= 2 && p.contains("Partial"), p)
   }
 
+  test("curation pipeline: extraction+quality are map-side into the gate " +
+    "aggregate, gate join-back is broadcast, exactly the composed minimum " +
+    "of shuffles (gate agg + two sampler window phases), no fallback joins") {
+    val p = plan("x_curation_pipeline")
+    assert(countIn(p, "CartesianProduct") === 0, p)
+    assert(countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(countIn(p, "BroadcastHashJoin") >= 1, p)
+    assert(countIn(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
   test("ep3 composed pipeline: work limit is TakeOrdered, overlay is the " +
     "broadcast geometry join, bounded shuffles, no cartesian") {
     val p = plan("q_ep3_pipeline")

@@ -156,8 +156,11 @@ object CorpusOps {
       .agg(count(lit(1)).as("src_n"),
         round(avg(score.cast("double")), 4).as("src_mean"))
     val statsF = if (broadcastStats) broadcast(stats) else stats
+    // coalesce(…, true): a NULL mean (all-null scores) is NO evidence of
+    // low quality — without it the three-valued NOT drops the whole source
     df.join(statsF, source <=> col("__gs"))
-      .where(!(col("src_n") >= minDocs && col("src_mean") < minMean))
+      .where(coalesce(!(col("src_n") >= minDocs && col("src_mean") < minMean),
+        lit(true)))
       .drop("__gs")
   }
 
@@ -277,15 +280,28 @@ object CorpusOps {
     * from 0 so the 2⁻³² md5 corner cannot produce ln(0). Deterministic
     * given `key` — reprocessing or engine change reproduces the sample,
     * the [[stratifiedSample]]/[[assignSplit]] property. */
+  /** The shared A-ES key: round6(-ln(max(u, 1e-12)) / w) over the house md5
+    * uniform — ONE definition so the global and per-stratum draws can never
+    * drift apart (both oracles mirror it verbatim). */
+  private def esKey(key: Column, weight: Column): Column = {
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    round(-log(greatest(u, lit(1e-12))) / weight.cast("double"), 6)
+  }
+
+  /** The A-ES weight domain: strictly positive, and NOT NaN — Spark orders
+    * NaN above every double, so a bare `w > 0` would admit a 0.0/0.0
+    * upstream ratio and sort it into the tail of the sample. */
+  private def validWeight(weight: Column): Column = {
+    val w = weight.cast("double")
+    w > 0 && !isnan(w)
+  }
+
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
-    val w = weight.cast("double")
-    val esKey = round(-log(greatest(u, lit(1e-12))) / w, 6)
-    df.where(w > 0)
-      .withColumn("__esk", esKey)
+    df.where(validWeight(weight))
+      .withColumn("__esk", esKey(key, weight))
       .orderBy(col("__esk"), key)
       .limit(k)
       .drop("__esk")
@@ -336,11 +352,8 @@ object CorpusOps {
   def weightedSamplePerStratum(df: DataFrame, key: Column, stratum: Column,
                                weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
-    val w = weight.cast("double")
-    val esKey = round(-log(greatest(u, lit(1e-12))) / w, 6)
-    twoPhaseGroupLimit(df.where(w > 0).withColumn("__esk", esKey),
+    twoPhaseGroupLimit(
+      df.where(validWeight(weight)).withColumn("__esk", esKey(key, weight)),
       stratum, Seq(col("__esk"), key), k).drop("__esk")
   }
 

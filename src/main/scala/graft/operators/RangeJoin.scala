@@ -71,21 +71,26 @@ object RangeJoin {
   private def explodeBuckets(df: DataFrame, start: String, end: String,
                              bucketWidth: Long,
                              maxBucketsPerInterval: Int): DataFrame = {
+    val lo = floor(col(start) / bucketWidth).cast("long")
+    val hi = floor((col(end) - 1) / bucketWidth).cast("long")
+    // the guard is ARITHMETIC (hi - lo + 1), checked BEFORE sequence()
+    // materializes anything: a dirty-parse end ≈ +∞ must hit raise_error,
+    // not allocate a billion-element bucket array per row first. CaseWhen
+    // evaluates only the taken branch, so the oversized sequence is never
+    // built. Null bounds fall through to a null list (dropped by explode —
+    // inner-join semantics), never to the raise.
     val buckets =
-      when(col(end) <= col(start), array().cast("array<long>"))
-        .otherwise(sequence(
-          floor(col(start) / bucketWidth).cast("long"),
-          floor((col(end) - 1) / bucketWidth).cast("long")))
-    df.withColumn("__rbs", buckets)
-      .withColumn("__rb", explode(
-        when(size(col("__rbs")) <= maxBucketsPerInterval, col("__rbs"))
-          .otherwise(raise_error(concat(
-            lit(s"RangeJoin: interval spans more than " +
-              s"$maxBucketsPerInterval buckets — a disguised cross join; " +
-              "widen bucketWidth, clamp the interval, or raise " +
-              "maxBucketsPerInterval; bucket count = "),
-            size(col("__rbs")).cast("string"))))))
-      .drop("__rbs")
+      when(col(start).isNull || col(end).isNull,
+        lit(null).cast("array<long>"))
+        .when(col(end) <= col(start), array().cast("array<long>"))
+        .when(hi - lo < maxBucketsPerInterval, sequence(lo, hi))
+        .otherwise(raise_error(concat(
+          lit(s"RangeJoin: interval spans more than " +
+            s"$maxBucketsPerInterval buckets — a disguised cross join; " +
+            "widen bucketWidth, clamp the interval, or raise " +
+            "maxBucketsPerInterval; bucket count = "),
+          (hi - lo + 1).cast("string"))))
+    df.withColumn("__rb", explode(buckets))
   }
 
   def pointInInterval(points: DataFrame, pt: String,

@@ -58,20 +58,12 @@ object ExtQueries {
     * each doc is rendered into a page (heading, script+style blocks,
     * entities), extracted back, and digested — the wrap makes the op
     * oracle-checkable end-to-end without an HTML corpus. */
-  val xHtmlExtract: Q = (s, dir) => {
-    val page = concat(
-      lit("<html><head><style>body{color:red}</style></head><body><h1>"),
-      col("source"),
-      lit("</h1><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;" +
-        "</script><p>"),
-      col("text"),
-      lit("</p><div class=\"footer\">&copy; &amp; &lt;fin&gt;&nbsp;ok" +
-        "</div></body></html>"))
-    TextOps.extractHtmlText(docs(s, dir).withColumn("__page", page),
+  val xHtmlExtract: Q = (s, dir) =>
+    TextOps.extractHtmlText(
+        docs(s, dir).withColumn("__page", pageOf(col("source"), col("text"))),
         col("doc_id"), col("__page"))
       .select(col("doc_id"), md5(col("extracted")).as("extract_md5"),
         length(col("extracted")).cast("long").as("n_chars"))
-  }
 
   /** Winnowing fingerprints (k=3 shingles, window 4). */
   val xWinnow: Q = (s, dir) =>
@@ -180,24 +172,13 @@ object ExtQueries {
     * the quality score feeding the gate feeding the sampler) is
     * hash-checked, not just each stage alone. */
   val xCurationPipeline: Q = (s, dir) => {
-    val stops = TextOps.defaultProfiles.head._2
-    val page = concat(
-      lit("<html><head><style>body{color:red}</style></head><body><h1>"),
-      col("source"),
-      lit("</h1><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;" +
-        "</script><p>"),
-      col("text"),
-      lit("</p><div class=\"footer\">&copy; &amp; &lt;fin&gt;&nbsp;ok" +
-        "</div></body></html>"))
-    val toks = col("__toks")
     val scored = docs(s, dir)
       .select(col("doc_id"), col("source"),
-        TextOps.htmlToText(page).as("extracted"))
+        TextOps.htmlToText(pageOf(col("source"), col("text"))).as("extracted"))
       .select(col("doc_id"), col("source"), col("extracted"),
         TextOps.tokens(col("extracted")).as("__toks"))
       .select(col("doc_id"), col("source"), col("extracted"),
-        round(size(filter(toks, t => t.isin(stops.map(lit): _*))) /
-          greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"))
+        stopRatioOf(col("__toks")).as("stop_ratio"))
     val gated = CorpusOps.sourceQualityGate(scored, col("source"),
       col("stop_ratio"), minDocs = 10, minMean = 0.026)
     CorpusOps.weightedSamplePerStratum(gated, col("doc_id"), col("source"),
@@ -607,18 +588,36 @@ object ExtQueries {
     * source's stats. The per-doc score is the same 4-dp stop_ratio
     * x_quality computes, so the oracle shares the canonical tokeniser. */
   val xSourceGate: Q = (s, dir) => {
-    val stops = TextOps.defaultProfiles.head._2
-    val toks = col("__toks")
     val scored = docs(s, dir)
       .select(col("doc_id"), col("source"),
         TextOps.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("source"),
-        round(size(filter(toks, t => t.isin(stops.map(lit): _*))) /
-          greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"))
+        stopRatioOf(col("__toks")).as("stop_ratio"))
     CorpusOps.sourceQualityGate(scored, col("source"), col("stop_ratio"),
         minDocs = 10, minMean = 0.028)
       .select(col("doc_id"), col("source"), col("src_n"), col("src_mean"))
   }
+
+  /** 4-dp English stop-ratio over a token array — ONE definition shared by
+    * x_source_gate and x_curation_pipeline (the oracles mirror it via the
+    * shared $TOK/$EN_STOPS macros, so a drift here is a hash mismatch). */
+  private def stopRatioOf(toks: Column): Column = {
+    val stops = TextOps.defaultProfiles.head._2
+    round(size(filter(toks, t => t.isin(stops.map(lit): _*))) /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** The deterministic page wrap shared by x_html_extract and
+    * x_curation_pipeline — heading, script+style blocks, entity soup; both
+    * oracles embed the identical literal. */
+  private def pageOf(source: Column, text: Column): Column = concat(
+    lit("<html><head><style>body{color:red}</style></head><body><h1>"),
+    source,
+    lit("</h1><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;" +
+      "</script><p>"),
+    text,
+    lit("</p><div class=\"footer\">&copy; &amp; &lt;fin&gt;&nbsp;ok" +
+      "</div></body></html>"))
 
   /** Per-source length distribution (exact interpolated percentiles — the
     * oracle-checkable form; the approx_percentile scale path is locked by

@@ -1035,8 +1035,8 @@ object Oracles {
          |st AS (SELECT source, count(*) AS src_n,
          |  round(avg(stop_ratio), 4) AS src_mean FROM sc GROUP BY source),
          |gated AS (SELECT sc.doc_id, sc.source, sc.extracted, st.src_mean
-         |  FROM sc JOIN st USING (source)
-         |  WHERE NOT (st.src_n >= 10 AND st.src_mean < 0.026))
+         |  FROM sc JOIN st ON sc.source IS NOT DISTINCT FROM st.source
+         |  WHERE NOT (st.src_n >= 10 AND coalesce(st.src_mean < 0.026, false)))
          |SELECT doc_id, source, src_mean FROM (
          |  SELECT doc_id, source, src_mean, row_number() OVER (
          |    PARTITION BY source
@@ -1158,7 +1158,7 @@ object Oracles {
         |  max(round(list_dot_product(tr.v, ev.v) /
         |    (sqrt(list_dot_product(tr.v, tr.v)) *
         |     sqrt(list_dot_product(ev.v, ev.v))), 6)) >= 0.35 AS contaminated
-        |FROM tr, ev GROUP BY tr.vec_id""".stripMargin,
+        |FROM tr LEFT JOIN ev ON true GROUP BY tr.vec_id""".stripMargin,
 
     "x_embed_neardup" ->
       s"""WITH $PLANTED_CTES
@@ -1515,8 +1515,8 @@ object Oracles {
          |    round(avg(stop_ratio), 4) AS src_mean
          |  FROM sc GROUP BY source)
          |SELECT sc.doc_id, sc.source, st.src_n, st.src_mean
-         |FROM sc JOIN st USING (source)
-         |WHERE NOT (st.src_n >= 10 AND st.src_mean < 0.028)""".stripMargin,
+         |FROM sc JOIN st ON sc.source IS NOT DISTINCT FROM st.source
+         |WHERE NOT (st.src_n >= 10 AND coalesce(st.src_mean < 0.028, false))""".stripMargin,
 
     // same 8-token non-overlapping chunks, same doc_id*2^20+idx winner
     // encoding, same space-joined reassembly of surviving chunks

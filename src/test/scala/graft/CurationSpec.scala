@@ -424,6 +424,12 @@ class CurationSpec extends SparkTestBase {
     assert(out.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"),
       "top-k must be TakeOrdered, not a global sort")
+    // NaN weights are outside the A-ES domain: Spark orders NaN above every
+    // double, so a bare w > 0 would admit them — they must be excluded
+    val nan = Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0)).toDF("nid", "nw")
+    val sel = CorpusOps.weightedSample(nan, col("nid"), col("nw"), k = 3)
+      .select("nid").as[Long].collect().toSet
+    assert(sel === Set(1L, 3L), "NaN-weight row must never be sampled")
   }
 
   test("sourceQualityGate evicts a low-mean source only with enough " +
@@ -449,6 +455,16 @@ class CurationSpec extends SparkTestBase {
     assert(shuffled.select("doc_id").as[Long].collect().toSet === kept)
     // the default pins the stats side to a broadcast join
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // a source whose scores are ALL NULL has a null mean — no evidence of
+    // low quality, so it must be KEPT even past the minDocs bar (the
+    // three-valued-NOT trap: without the coalesce these 12 rows vanish)
+    val nullScores = (1 to 12).map(i => (100L + i, "nullsrc"))
+      .toDF("doc_id", "source")
+      .withColumn("score", lit(null).cast("double"))
+    val keptNull = CorpusOps.sourceQualityGate(nullScores, col("source"),
+        col("score"), minDocs = 10, minMean = 0.1)
+      .count()
+    assert(keptNull === 12L)
   }
 
   test("stratifiedSample applies per-stratum rates deterministically") {

@@ -5,9 +5,14 @@ package graft
   * round-9 failure mode, where a testdata re-encoding broke 15 declared
   * queries at analysis time and Verify's per-query try/catch silently shrank
   * the driver's correctness denominator from 133 to 118 — "all green" while
-  * 11% of the surface errored. Analysis is cheap (no execution), so the full
-  * surface runs in seconds; execution correctness stays with the driver's
-  * DuckDB compare and the per-operator suites.
+  * 11% of the surface errored. Analysis itself runs no jobs, so most of the
+  * surface checks in seconds — EXCEPT the stored-index queries
+  * (x_ivfpq_stored/append/serve*), whose query FUNCTIONS eagerly build
+  * their memoized artefacts before returning a frame; for those this spec
+  * also pays one build at sf0.001 (and a build failure surfaces here by
+  * query name, which is still the loud signal we want). Execution
+  * correctness stays with the driver's DuckDB compare and the per-operator
+  * suites.
   */
 class QuerySurfaceSpec extends SparkTestBase {
 

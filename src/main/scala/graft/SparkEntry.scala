@@ -112,6 +112,7 @@ object SparkEntry {
     "x_embed_topk" -> ExtQueries.xEmbedTopk,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_embed_decontam" -> ExtQueries.xEmbedDecontam,
+    "x_ann_filtered" -> ExtQueries.xAnnFiltered,
     "x_ann_lsh" -> ExtQueries.xAnnLsh,
     "x_ann_ivf" -> ExtQueries.xAnnIvf,
     "x_ann_recall" -> ExtQueries.xAnnRecall,

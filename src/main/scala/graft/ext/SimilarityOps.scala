@@ -307,6 +307,28 @@ object SimilarityOps {
       idCol, vecCol, query, k)
   }
 
+  /** FILTERED ANN: IVF top-k under a serve-time metadata predicate — the
+    * one-index-many-filters reality of a production vector store. The
+    * coarse quantizer trains on the FULL corpus (the index is shared;
+    * retraining per predicate would be a different index per filter), and
+    * the predicate restricts candidates BEFORE the top-k — PRE-filtering,
+    * so k results survive a selective predicate instead of being
+    * post-filtered away from an unfiltered top-k. The filter lands on the
+    * corpus scan (predicate pushdown — assignment is per-row, so excluded
+    * rows are never assigned or scored), probed-cell pruning applies on
+    * top, and the top-k stays TakeOrderedAndProject. */
+  def ivfTopKFiltered(corpus: DataFrame, idCol: String, vecCol: String,
+                      query: DataFrame, predicate: Column, k: Int,
+                      nlist: Int, nprobe: Int,
+                      kmeansIters: Int = 0): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val assigned = ivfAssign(corpus.where(predicate), idCol, vecCol, centroids)
+    cosineTopK(
+      assigned.join(broadcast(probeCellsOf(query, centroids, nprobe)),
+        "centroid_id"),
+      idCol, vecCol, query, k)
+  }
+
   /** IVF top-k for a SET of query vectors (`queries`: qid, q) — the
     * many-query workload the coarse quantizer exists for. Per-query probe
     * selection is a window over queries×nlist rows (tiny: the centroid side

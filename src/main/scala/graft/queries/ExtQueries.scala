@@ -208,6 +208,18 @@ object ExtQueries {
       q, k = 20, nlist = 16, nprobe = 4, kmeansIters = 2)
   }
 
+  /** Filtered ANN over the RAW embeddings table: index trained on the full
+    * corpus, serve restricted to label = 1 — the one-index-many-filters
+    * vector-store pattern, pre-filtered so the top-10 comes from the
+    * filtered candidate set. */
+  val xAnnFiltered: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    SimilarityOps.ivfTopKFiltered(emb.where(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, predicate = col("label") === 1,
+      k = 10, nlist = 16, nprobe = 4, kmeansIters = 2)
+  }
+
   /** Batch IVF: top-10 neighbours for EVERY vec_id%100==1 query vector in
     * one pass — one shared assignment + refinement, per-query work bounded
     * by the probed cells. */

@@ -1200,6 +1200,23 @@ object Oracles {
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
          |SELECT vec_id, cos_sim FROM ivf""".stripMargin,
 
+    // filtered ANN: chain trained on the FULL rest (one index, many
+    // filters), candidates restricted to label = 1 BEFORE the top-k
+    "x_ann_filtered" -> {
+      val iters = 2
+      s"""WITH corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |rest AS (SELECT vec_id, v FROM corpus WHERE vec_id <> 0),
+         |qv AS (SELECT v FROM corpus WHERE vec_id = 0),
+         |${ivfChainCtes("rest", kmeansIters = iters, nlist = 16)}probe AS (SELECT centroid_id FROM (SELECT k.centroid_id, ${cosSql("q.v", "k.c")} AS s
+         |  FROM qv q, ctr$iters k) ORDER BY s DESC, centroid_id LIMIT 4),
+         |flt AS (SELECT a.vec_id, a.v, a.centroid_id FROM asgF a
+         |  JOIN corpus c ON c.vec_id = a.vec_id WHERE c.label = 1)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT f.vec_id, ${cosSql("f.v", "q.v")} AS cos_sim
+         |  FROM flt f JOIN probe USING (centroid_id), qv q
+         |  ORDER BY cos_sim DESC, f.vec_id LIMIT 10)""".stripMargin
+    },
+
     "x_ann_ivf_batch" ->
       s"""WITH $PLANTED_CTES, ${ivfBatchCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 10)}
          |SELECT qid, vec_id, cos_sim FROM topk""".stripMargin,

@@ -148,6 +148,27 @@ class SimilaritySpec extends SparkTestBase {
       NearestCentroid(c, IndexedSeq(1), IndexedSeq(IndexedSeq(1.0))))
   }
 
+  test("ivfTopKFiltered: top-k comes from the PRE-filtered candidate set " +
+    "(never a wrong-label row), and with nprobe = nlist equals the " +
+    "brute-force top-k over the filtered corpus") {
+    val labeled = vecs.withColumn("label",
+      (col("vec_id") % 2 === 0).cast("int"))
+    val corpus = labeled.where($"vec_id" =!= 0)
+    val q = vecs.where($"vec_id" === 0).select($"embedding".as("q"))
+    val got = SimilarityOps.ivfTopKFiltered(corpus, "vec_id", "embedding",
+        q, predicate = col("label") === 1, k = 3, nlist = 2, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    // label=1 ⇔ even vec_id: 2 and 4 qualify; 1 and 3 must never appear
+    assert(got.map(_._1).toSet === Set(2L, 4L))
+    assert(!got.exists(r => r._1 == 1L || r._1 == 3L))
+    // nprobe = nlist → no cell pruning → identical to brute force on the
+    // filtered corpus (pre-filter semantics, not post-filter-of-unfiltered)
+    val brute = SimilarityOps.cosineTopK(corpus.where(col("label") === 1),
+        "vec_id", "embedding", q, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === brute)
+  }
+
   test("IVF top-k finds the identical vector with nprobe < nlist") {
     val q = vecs.where($"vec_id" === 0).select($"embedding".as("q"))
     val got = SimilarityOps.ivfTopK(vecs.where($"vec_id" =!= 0),

@@ -48,7 +48,8 @@ object PlanAudit {
         "x_ivfpq_serve","x_ivfpq_serve_batch","q55_shape_repair",
         "q62_versioned_fanout","x_range_join","x_source_gate",
         "x_embed_decontam","x_interval_join","x_weighted_sample",
-        "x_weighted_stratum","x_html_extract","x_curation_pipeline")
+        "x_weighted_stratum","x_html_extract","x_curation_pipeline",
+        "x_ann_filtered","x_ivfpq_append")
       .foreach(audit)
     spark.stop()
   }

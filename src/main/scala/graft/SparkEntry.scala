@@ -216,5 +216,5 @@ object SparkEntry {
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
     "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate",
     "x_interval_join", "x_html_extract", "x_embed_decontam",
-    "x_ivfpq_append", "x_curation_pipeline")
+    "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered")
 }

@@ -131,6 +131,12 @@ object SparkEntry {
     "x_interval_join" -> ExtQueries.xIntervalJoin,
     "x_fuzzy_join" -> ExtQueries.xFuzzyJoin,
     "x_pipeline" -> ExtQueries.xPipeline,
+    // ext: SCD2 dimension history + layout + retrieval/collocation
+    "x_scd2_history" -> ExtQueries.xScd2History,
+    "x_scd2_merge" -> ExtQueries.xScd2Merge,
+    "x_bm25" -> ExtQueries.xBm25,
+    "x_pmi" -> ExtQueries.xPmi,
+    "x_zorder" -> ExtQueries.xZorder,
     // ext: event-time windows
     "x_win_tumble" -> ExtQueries.xWinTumble,
     "x_win_slide" -> ExtQueries.xWinSlide,
@@ -216,5 +222,6 @@ object SparkEntry {
     "x_ivfpq_stored_batch", "x_ivfpq_serve", "x_ivfpq_serve_batch",
     "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate",
     "x_interval_join", "x_html_extract", "x_embed_decontam",
-    "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered")
+    "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered",
+    "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder")
 }

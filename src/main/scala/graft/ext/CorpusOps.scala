@@ -200,6 +200,101 @@ object CorpusOps {
       .select(col("doc_id"), col("tok"), col("tf_cnt"), col("score"))
   }
 
+  /** Okapi BM25 top-k retrieval for a fixed term set (Robertson et al.,
+    * TREC-3): idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) summed over the
+    * query terms, with idf = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Scale shape — the query terms are a LITERAL list, so the corpus-sized
+    * explode is filtered to them map-side (`filter` higher-order function
+    * below the explode: a doc contributes only its query-term occurrences,
+    * not its vocabulary). Everything downstream is therefore
+    * query-term-sized: the df aggregate is ≤ |terms| rows (broadcast), the
+    * (N, avgdl) corpus stats are ONE row (broadcast), and the final top-k
+    * is an ordered limit (TakeOrderedAndProject), never a global sort. The
+    * only full-corpus work is the single scan computing each doc's length —
+    * at 100 TB this is the one pass you cannot avoid, and it carries no
+    * shuffle of its own.
+    *
+    * Scores are rounded to 4 dp BEFORE ranking (house rule), ties to the
+    * smallest doc_id. */
+  def bm25TopK(df: DataFrame, key: Column, text: Column,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val terms = queryTerms.map(lit)
+    val toks = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("double").as("__dl"),
+        filter(col("__toks"), t => t.isin(terms: _*)).as("__qt"))
+    // One row per corpus doc feeds the stats aggregate; only query-term
+    // occurrences survive into the tf explode.
+    val tf = toks.select(col("doc_id"), col("__dl"),
+        explode(col("__qt")).as("tok"))
+      .groupBy(col("doc_id"), col("__dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy("doc_id").agg(round(sum(col("__s")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** PMI collocation mining: adjacent-bigram pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))), the classic collocation score (Church &
+    * Hanks 1990) — surfaces multiword expressions a corpus keeps together
+    * ("new york", "machine learning") for tokenizer and phrase-vocab work.
+    *
+    * Shape: one bigram explode (transform over the token array — the pair
+    * construction is map-side, no self-join of the token table), one
+    * (a, b) count with partial aggregation, one unigram count, two
+    * equi-joins of the bigram counts against the unigram table, and an
+    * ordered limit. `minCount` prunes the bigram tail BEFORE the joins —
+    * at web scale the hapax bigrams are the bulk of the table and carry
+    * degenerate PMI anyway. The unigram side follows the
+    * [[tfidfTopTerms]] vocabulary contract: shuffle join by default
+    * (billions of distinct tokens at 100 TB), `broadcastVocab = true` only
+    * for known-bounded lexicons. PMI is rounded to 4 dp BEFORE ranking,
+    * ties lexicographic on (a, b). */
+  def pmiCollocations(df: DataFrame, text: Column, minCount: Int, k: Int,
+                      broadcastVocab: Boolean = false): DataFrame = {
+    val toks = df.select(TextOps.tokens(text).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val uniJ = if (broadcastVocab) broadcast(uni) else uni
+    val pairs = toks.select(explode(transform(
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        (t, i) => struct(t.as("a"), element_at(col("__toks"), i + 2).as("b"))))
+      .as("bg"))
+    val bi = pairs.select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    // Corpus totals as one broadcast row (no count() action, no
+    // unpartitioned window). Σ bigrams must be over ALL bigrams — the
+    // probability denominator — not the minCount survivors, and Σ(len−1)
+    // per doc gives it without touching the bigram table again.
+    val tot = uni.agg(sum(col("__c")).cast("double").as("__nu"))
+      .crossJoin(toks.agg(sum(greatest(size(col("__toks")) - 1, lit(0)))
+        .cast("double").as("__nb")))
+    bi.join(uniJ.withColumnRenamed("__c", "__ca"), col("a") === col("tok"))
+      .drop("tok")
+      .join(uniJ.withColumnRenamed("__c", "__cb"), col("b") === col("tok"))
+      .drop("tok")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab") / col("__nb")) /
+          ((col("__ca") / col("__nu")) * (col("__cb") / col("__nu")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
     * k-shingles with an evaluation set — the pre-training hygiene pass that
     * keeps test data out of the training corpus (n-gram-overlap

@@ -371,6 +371,72 @@ object ExtQueries {
       .select(col("signup_id"), col("error_id"), col("user_id"))
   }
 
+  /** SCD2 history build: each user's event_type stream compacted to its
+    * change points, every version carrying valid_from/valid_to/is_current —
+    * the type-2 dimension the as-of join serves from. One hash exchange
+    * (both windows share the (user_id; ts, event_id) spec). Timestamps go
+    * out as unix micros so the hash-compare is tz-free. */
+  val xScd2History: Q = (s, dir) =>
+    graft.operators.ScdMerge.history(
+        RefQueries.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        keys = Seq("user_id"), ts = "ts", tiebreak = "event_id",
+        attrs = Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+
+  /** SCD2 incremental merge, oracle-locked by the rebuild invariant:
+    * history(before cutoff) merged with the after-cutoff batch must equal
+    * history(whole log) — so the oracle is x_scd2_history's SQL verbatim,
+    * and what's under test is the merge path itself (close-out at the
+    * first changed update, compaction of no-op updates across the
+    * boundary, first-seen keys opening fresh). */
+  val xScd2Merge: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dim = graft.operators.ScdMerge.history(e.where(col("ts") < cutoff),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    graft.operators.ScdMerge.merge(dim, e.where(col("ts") >= cutoff),
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+  }
+
+  /** BM25 top-20 for a fixed three-term query over the corpus: the
+    * map-side term filter keeps everything after the one full scan
+    * query-term-sized (df and corpus stats ride broadcasts, top-k is an
+    * ordered limit). */
+  val xBm25: Q = (s, dir) =>
+    CorpusOps.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+      queryTerms = Seq("join", "vector", "window"), k = 20)
+
+  /** Top-20 adjacent-bigram collocations by PMI (count ≥ 5): map-side pair
+    * construction, partial-aggregated counts, minCount tail prune below
+    * the unigram joins. */
+  val xPmi: Q = (s, dir) =>
+    CorpusOps.pmiCollocations(docs(s, dir), col("text"), minCount = 5, k = 20)
+
+  /** Z-order layout: events bucketed on (user_id, value), Morton-coded,
+    * range-partitioned+sorted on the code (the multi-dimensional
+    * clustering pass that makes file min-max stats prunable on BOTH
+    * dims). The emitted rows are layout-invariant — the oracle recomputes
+    * the same interleave arithmetic — so what's hash-checked is the
+    * Morton code and what's benched is the real repartition. */
+  val xZorder: Q = (s, dir) => {
+    val e = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(16)).as("ub"),
+        least(floor(col("value") / 32).cast("long"), lit(15L)).as("vb"))
+    LayoutOps.zorderRepartition(e, Seq(col("ub"), col("vb")), bits = 4,
+        numPartitions = 8)
+      .withColumn("zval", LayoutOps.zValue(Seq(col("ub"), col("vb")), 4))
+  }
+
   /** Scale-path fuzzy join (FastSS deletion-neighbourhood equi-join): every
     * customer name vs one-char-deleted corruptions of ALL customer names,
     * pairs within edit distance 1. The oracle is the PLAIN levenshtein

@@ -23,6 +23,20 @@ object Oracles {
       s"(strpos('0123456789abcdef', substr($col, ${start + k}, 1)) - 1) * $coef"
     }.mkString("(", " + ", ")")
 
+  // SCD2 type-2 history over the events log (shared by x_scd2_history and
+  // x_scd2_merge — the merge oracle IS the full rebuild, by the invariant)
+  private val SCD2_SQL =
+    """WITH lg AS (SELECT user_id, event_type, ts, event_id FROM events),
+      |w AS (SELECT *, lag(event_type) OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM lg),
+      |op AS (SELECT user_id, event_type, ts, event_id FROM w
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+      |  lead(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us FROM op)
+      |SELECT user_id, event_type, valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current FROM v""".stripMargin
+
   // shingle CTEs shared by minhash/jaccard (k=3, 12 hashes via
   // Kirsch–Mitzenmacher double hashing, 4 bands) — mirrors DedupOps
   private val SHINGLE_CTES =
@@ -1301,6 +1315,61 @@ object Oracles {
         |SELECT p.purchase_id, s.signup_id, p.user_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.st AND p.ts < s.en""".stripMargin,
+
+    // change-point compaction + lead() close-out; micros out so the
+    // compare is tz-free
+    "x_scd2_history" -> SCD2_SQL,
+
+    // the rebuild invariant: merge(history(<cutoff), >=cutoff batch) must
+    // equal history(whole log), so the oracle is the SAME SQL — the split
+    // is invisible by construction and the merge path is what's under test
+    "x_scd2_merge" -> SCD2_SQL,
+
+    // k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1); round the summed
+    // score BEFORE ranking (house rule), ties to smallest doc_id
+    "x_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, tk FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM d)
+         |  WHERE tok IN ('join', 'vector', 'window') GROUP BY doc_id, dl, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY tok),
+         |sc AS (SELECT tf.doc_id,
+         |  ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0) * (tf.tf * 2.2) /
+         |  (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS s
+         |  FROM tf JOIN dfq USING (tok), st)
+         |SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // PMI over ALL-bigram totals (Σ(len-1), not the minCount survivors);
+    // round before ranking, lexicographic (a, b) ties
+    "x_pmi" ->
+      s"""WITH toks AS (SELECT $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok),
+         |bg AS (SELECT tk[r] AS a, tk[r+1] AS b FROM
+         |  (SELECT tk, unnest(range(1, greatest(len(tk), 1))) AS r FROM toks)),
+         |bi AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b HAVING count(*) >= 5),
+         |tot AS (SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS nu,
+         |        CAST((SELECT sum(greatest(len(tk) - 1, 0)) FROM toks) AS DOUBLE) AS nb),
+         |r AS (SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+         |  round(ln((n_ab / nb) / ((ua.c / nu) * (ub.c / nu))), 4) AS pmi
+         |  FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, tot)
+         |SELECT a, b, n_ab, pmi FROM r ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+
+    // the Morton interleave recomputed as plain bit arithmetic — the
+    // range-repartition+sort on the Spark side is row-invariant
+    "x_zorder" -> {
+      val z = (0 until 4).map { i =>
+        val even = 1L << (2 * i)
+        val odd = 1L << (2 * i + 1)
+        s"((ub >> $i) & 1) * $even + ((vb >> $i) & 1) * $odd"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT event_id, user_id % 16 AS ub,
+         |  least(CAST(floor(value / 32) AS BIGINT), 15) AS vb
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT event_id, ub, vb, CAST($z AS BIGINT) AS zval FROM b""".stripMargin
+    },
 
     "x_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.CorpusOps
+
+/** BM25 retrieval and PMI collocations against hand-computed values, plus
+  * the scale-shape locks: the BM25 explode is term-filtered map-side and
+  * the top-k is an ordered limit, never a global sort. */
+class RetrievalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def corpus() = Seq(
+    (1L, "cat dog cat"), (2L, "dog bird"), (3L, "fish"))
+    .toDF("doc_id", "text")
+
+  test("bm25TopK matches the hand-computed Okapi scores") {
+    // N=3, avgdl=2; df(cat)=1, df(dog)=2; doc1 {cat:2,dog:1} dl=3,
+    // doc2 {dog:1} dl=2, doc3 matches nothing
+    val got = CorpusOps.bm25TopK(corpus(), col("doc_id"), col("text"),
+        Seq("cat", "dog"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1.5726), (2L, 0.47)))
+  }
+
+  test("bm25 k bounds the result and ranking is (score desc, doc_id)") {
+    val got = CorpusOps.bm25TopK(corpus(), col("doc_id"), col("text"),
+        Seq("dog"), k = 1)
+      .as[(Long, Double)].collect().toSeq
+    // same tf=1/df=2 for both docs; doc2's shorter length wins on dl norm
+    assert(got.map(_._1) === Seq(2L))
+  }
+
+  test("bm25 plan: term filter below the explode, TakeOrdered top-k") {
+    // over the parquet corpus (a literal one constant-folds the filter away)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .where(col("text").isNotNull)
+    val p = CorpusOps.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("cat", "dog"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the explode consumes the pre-filtered __qt array, not the raw tokens
+    assert(p.contains("filter(") && p.contains("Generate explode(__qt"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+  }
+
+  test("pmiCollocations matches the hand-computed PMI and minCount prunes") {
+    // bigrams: (a,b)×2, (b,a)×1, (a,c)×1 → nb=4; unigrams a:3 b:2 c:1 → nu=6
+    // PMI(a,b) = ln((2/4) / ((3/6)·(2/6))) = ln 3
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = CorpusOps.pmiCollocations(df, col("text"), minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", "b", 2L, math.log(3.0))).map(t =>
+      (t._1, t._2, t._3, math.rint(t._4 * 10000) / 10000)))
+  }
+
+  test("pmi: single-token and empty docs contribute no bigrams") {
+    val df = Seq((1L, "x y x y"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.pmiCollocations(df, col("text"), minCount = 1, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet ===
+      Set(("x", "y"), ("y", "x")))
+  }
+}

@@ -49,7 +49,8 @@ object PlanAudit {
         "q62_versioned_fanout","x_range_join","x_source_gate",
         "x_embed_decontam","x_interval_join","x_weighted_sample",
         "x_weighted_stratum","x_html_extract","x_curation_pipeline",
-        "x_ann_filtered","x_ivfpq_append")
+        "x_ann_filtered","x_ivfpq_append",
+        "x_scd2_history","x_scd2_merge","x_bm25","x_pmi","x_zorder")
       .foreach(audit)
     spark.stop()
   }

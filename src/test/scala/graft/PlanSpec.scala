@@ -100,6 +100,13 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "Exchange rangepartitioning") === 0, p)
   }
 
+  test("z-order layout is scan -> ONE range exchange, nothing else") {
+    val p = plan("x_zorder")
+    assert(countIn(p, "Exchange rangepartitioning") === 1, p)
+    assert(countIn(p, "Exchange hashpartitioning") === 0, p)
+    assert(p.contains("PushedFilters: [IsNotNull(value)"), p)
+  }
+
   test("minhash signature is one wide aggregate: no seed-explosion shuffles") {
     // scan -> shingle explode -> ONE hashpartitioning on doc_id for the
     // signature, ONE on (band, bkey) for buckets, + the distinct of pairs

@@ -50,7 +50,8 @@ object PlanAudit {
         "x_embed_decontam","x_interval_join","x_weighted_sample",
         "x_weighted_stratum","x_html_extract","x_curation_pipeline",
         "x_ann_filtered","x_ivfpq_append",
-        "x_scd2_history","x_scd2_merge","x_bm25","x_pmi","x_zorder")
+        "x_scd2_history","x_scd2_merge","x_bm25","x_pmi","x_zorder",
+        "x_sessionize","x_rolling","x_rollup","x_pivot")
       .foreach(audit)
     spark.stop()
   }

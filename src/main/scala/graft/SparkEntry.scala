@@ -137,6 +137,10 @@ object SparkEntry {
     "x_bm25" -> ExtQueries.xBm25,
     "x_pmi" -> ExtQueries.xPmi,
     "x_zorder" -> ExtQueries.xZorder,
+    "x_sessionize" -> ExtQueries.xSessionize,
+    "x_rolling" -> ExtQueries.xRolling,
+    "x_rollup" -> ExtQueries.xRollup,
+    "x_pivot" -> ExtQueries.xPivot,
     // ext: event-time windows
     "x_win_tumble" -> ExtQueries.xWinTumble,
     "x_win_slide" -> ExtQueries.xWinSlide,
@@ -223,5 +227,6 @@ object SparkEntry {
     "x_fuzzy_join", "x_fuzzy_qgram", "x_range_join", "x_source_gate",
     "x_interval_join", "x_html_extract", "x_embed_decontam",
     "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered",
-    "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder")
+    "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
+    "x_sessionize", "x_rolling", "x_rollup", "x_pivot")
 }

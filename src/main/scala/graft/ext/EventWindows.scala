@@ -40,4 +40,43 @@ object EventWindows {
       .withColumn("session_start", col("session_window.start"))
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
+
+  /** Row-level sessionization: assign every event its per-key session
+    * ordinal (gaps-and-islands — a new session opens where the gap to the
+    * previous event exceeds `gapMicros`). [[session]] gives the session
+    * AGGREGATES; this keeps the rows, which is what downstream
+    * feature/funnel pipelines join on.
+    *
+    * Shape: two windows over the same (keys; ts, tiebreak) spec — the
+    * boundary flag via lag, the ordinal via a running sum — so the whole
+    * op is ONE hash exchange + one sort per key group, the [[ScdMerge]]
+    * pattern. `tiebreak` must make the per-key order total. */
+  def sessionize(events: DataFrame, keys: Seq[Column], tsMicros: Column,
+                 tiebreak: Column, gapMicros: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(tsMicros.asc, tiebreak.asc)
+    // null lag (first row of a key) compares null > gap -> null -> 0: the
+    // key's first session is ordinal 0
+    val newSession =
+      when(tsMicros - lag(tsMicros, 1).over(w) > gapMicros, 1L)
+        .otherwise(lit(0L))
+    events.withColumn("session_id", sum(newSession).over(w))
+  }
+
+  /** Trailing time-range rolling aggregate: for each event, `agg` over the
+    * key's events in [ts − windowMicros, ts] — the moving-average /
+    * rate-limit / burst-detection primitive. RANGE frame on the physical
+    * µs axis (Spark range frames are numeric; DuckDB's INTERVAL RANGE
+    * frame is the same inclusive-bounds semantics, which is what makes
+    * this oracle-checkable). One exchange, one sort; every row is
+    * evaluated in one pass per key group — no self-join against the
+    * window, which is the O(n·w) trap this op exists to avoid. */
+  def rolling(events: DataFrame, keys: Seq[Column], tsMicros: Column,
+              windowMicros: Long, agg: Column => Column,
+              value: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(tsMicros.asc)
+      .rangeBetween(-windowMicros, 0)
+    events.withColumn("rolling", agg(value).over(w))
+  }
 }

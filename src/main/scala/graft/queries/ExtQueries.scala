@@ -437,6 +437,50 @@ object ExtQueries {
       .withColumn("zval", LayoutOps.zValue(Seq(col("ub"), col("vb")), 4))
   }
 
+  /** Row-level sessionization: every event tagged with its per-user
+    * session ordinal (30 min inactivity gap) — the gaps-and-islands
+    * assignment downstream funnels join on. Two windows, one exchange
+    * (the ScdMerge pattern). */
+  val xSessionize: Q = (s, dir) =>
+    EventWindows.sessionize(
+        RefQueries.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us")),
+        keys = Seq(col("user_id")), tsMicros = col("ts_us"),
+        tiebreak = col("event_id"), gapMicros = 30L * 60 * 1000000)
+      .select(col("event_id"), col("user_id"), col("session_id"))
+
+  /** Trailing 1 h per-user moving average of `value`: a RANGE frame on the
+    * µs axis — one pass per key group, never a self-join against the
+    * window. */
+  val xRolling: Q = (s, dir) =>
+    EventWindows.rolling(
+        RefQueries.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us")),
+        keys = Seq(col("user_id")), tsMicros = col("ts_us"),
+        windowMicros = 3600L * 1000000, agg = avg, value = col("value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("rolling"), 4).as("avg_1h"))
+
+  /** Rollup aggregate (event_type, cohort) → subtotals → grand total in
+    * one pass — Spark plans ROLLUP as a single Expand+aggregate, not
+    * three scans. */
+  val xRollup: Q = (s, dir) =>
+    RefQueries.events(s, dir)
+      .select(col("event_type"), pmod(col("user_id"), lit(10)).as("cohort"),
+        col("value"))
+      .rollup("event_type", "cohort")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+
+  /** Pivot event_type into per-user metric columns (explicit value list —
+    * the two-pass infer-values form is a full extra scan at scale). */
+  val xPivot: Q = (s, dir) =>
+    RefQueries.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+
   /** Scale-path fuzzy join (FastSS deletion-neighbourhood equi-join): every
     * customer name vs one-char-deleted corruptions of ALL customer names,
     * pairs within edit distance 1. The oracle is the PLAIN levenshtein

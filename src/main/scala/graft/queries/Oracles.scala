@@ -1357,6 +1357,43 @@ object Oracles {
          |  FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, tot)
          |SELECT a, b, n_ab, pmi FROM r ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
 
+    // gaps-and-islands on the µs axis; event_id is unique so the ROWS
+    // running sum equals Spark's default RANGE frame
+    "x_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events),
+        |w AS (SELECT *, CASE WHEN tu - lag(tu) OVER
+        |    (PARTITION BY user_id ORDER BY tu, event_id) > 1800000000
+        |  THEN 1 ELSE 0 END AS ns FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM w""".stripMargin,
+
+    // INTERVAL RANGE frame == Spark's µs-axis numeric range frame
+    // (inclusive both ends, peers included)
+    "x_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+        |  AS avg_1h
+        |FROM events""".stripMargin,
+
+    // same NULL subtotal markers both engines
+    "x_rollup" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
+
+    // explicit value list, conditional-aggregation mirror
+    "x_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // the Morton interleave recomputed as plain bit arithmetic — the
     // range-repartition+sort on the Spark side is row-invariant
     "x_zorder" -> {

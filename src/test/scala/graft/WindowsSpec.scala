@@ -43,6 +43,31 @@ class WindowsSpec extends SparkTestBase {
     assert(got(2L) == Seq(1L))
   }
 
+  test("sessionize: strict-gap islands per key, ordinals from 0, one exchange") {
+    // gaps: 10 (stay), exactly 30 (stay — strict >), 31 (new), other key
+    val df = Seq(
+      (1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 40L), (1L, 4L, 71L),
+      (2L, 5L, 0L))
+      .toDF("user_id", "event_id", "ts_us")
+    val got = EventWindows.sessionize(df, Seq($"user_id"), $"ts_us",
+        $"event_id", gapMicros = 30L)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    val p = EventWindows.sessionize(df, Seq($"user_id"), $"ts_us",
+        $"event_id", 30L).queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
+  test("rolling: trailing range frame is inclusive at both bounds") {
+    // window 10: at ts=20 the frame is [10, 20] — includes ts=10, not ts=5
+    val df = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 20L, 4.0))
+      .toDF("user_id", "ts_us", "v")
+    val got = EventWindows.rolling(df, Seq($"user_id"), $"ts_us",
+        windowMicros = 10L, agg = avg, value = $"v")
+      .select($"ts_us", $"rolling").as[(Long, Double)].collect().toMap
+    assert(got === Map(5L -> 1.0, 10L -> 1.5, 20L -> 3.0))
+  }
+
   test("multimodal: typed mapPartitions stage matches expression fake-decode") {
     val df = Seq((1L, "abcd"), (2L, "xyz")).toDF("doc_id", "text")
       .withColumn("payload", $"text".cast("binary"))

@@ -63,6 +63,35 @@ object EventWindows {
     events.withColumn("session_id", sum(newSession).over(w))
   }
 
+  /** Burst/outlier detection against each key's own trailing baseline:
+    * flag events whose value deviates > `zThresh` sample standard
+    * deviations from the key's trailing-window mean (with ≥ `minN` events
+    * of evidence and non-degenerate spread). The per-key-baseline form of
+    * anomaly detection — a global z-score misses a quiet user spiking and
+    * flags a loud user's normal day.
+    *
+    * All three rolling stats (mean, stddev, count) share ONE window spec,
+    * so the whole op is one exchange + one sort per key group. The z-score
+    * is rounded to 4 dp BEFORE the threshold gate (house rule: both
+    * engines gate on the identical rounded value). σ = 0 (all-equal
+    * window) is exactly 0.0 in any engine — the `sd > 0` guard is
+    * float-safe. */
+  def burstAnomalies(events: DataFrame, keys: Seq[Column], tsMicros: Column,
+                     value: Column, windowMicros: Long, minN: Int,
+                     zThresh: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(tsMicros.asc)
+      .rangeBetween(-windowMicros, 0)
+    events
+      .withColumn("__mu", avg(value).over(w))
+      .withColumn("__sd", stddev_samp(value).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") >= minN && col("__sd") > 0)
+      .withColumn("z", round((value - col("__mu")) / col("__sd"), 4))
+      .where(abs(col("z")) > zThresh)
+      .drop("__mu", "__sd", "__n")
+  }
+
   /** Trailing time-range rolling aggregate: for each event, `agg` over the
     * key's events in [ts − windowMicros, ts] — the moving-average /
     * rate-limit / burst-detection primitive. RANGE frame on the physical

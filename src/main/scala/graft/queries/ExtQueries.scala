@@ -463,6 +463,19 @@ object ExtQueries {
       .select(col("event_id"), col("user_id"),
         round(col("rolling"), 4).as("avg_1h"))
 
+  /** Per-user burst detection: events > 2σ from the user's own trailing
+    * 7-day baseline (≥ 5 events of evidence). One exchange — the three
+    * rolling stats share the window spec. */
+  val xAnomaly: Q = (s, dir) =>
+    EventWindows.burstAnomalies(
+        RefQueries.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us")),
+        keys = Seq(col("user_id")), tsMicros = col("ts_us"),
+        value = col("value"), windowMicros = 7L * 86400 * 1000000,
+        minN = 5, zThresh = 2.0)
+      .select(col("event_id"), col("user_id"), col("z"))
+
   /** Rollup aggregate (event_type, cohort) → subtotals → grand total in
     * one pass — Spark plans ROLLUP as a single Expand+aggregate, not
     * three scans. */

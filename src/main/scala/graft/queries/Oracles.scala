@@ -1378,6 +1378,18 @@ object Oracles {
         |  AS avg_1h
         |FROM events""".stripMargin,
 
+    // z rounded to 4 dp BEFORE the gate in both engines; sd=0 is exact
+    "x_anomaly" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |  avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd,
+        |  count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, round((value - mu) / sd, 4) AS z
+        |FROM r WHERE n >= 5 AND sd > 0
+        |  AND abs(round((value - mu) / sd, 4)) > 2""".stripMargin,
+
     // same NULL subtotal markers both engines
     "x_rollup" ->
       """SELECT event_type, user_id % 10 AS cohort,

@@ -76,6 +76,50 @@ class ScdMergeSpec extends SparkTestBase {
       (9L, Some("N"), 60L, None, true)))
   }
 
+  test("streaming upkeep: foreachBatch merge converges to the batch rebuild") {
+    // The production shape: the dimension lives in a store; each micro-batch
+    // of CDC rows is merged in. Here the store is a local var re-seeded from
+    // the merged rows each batch (lineage stays constant — exactly what a
+    // table write-out gives at scale).
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    var dim: Option[DataFrame] = None
+    val q = in.toDF().toDF("k", "t", "seq", "status")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val upd = batch.select(col("k"), col("t"), col("seq"),
+          col("status").as("status"))
+        val merged = dim match {
+          case None    => ScdMerge.history(upd, Seq("k"), "t", "seq", Seq("status"))
+          case Some(d) => ScdMerge.merge(d, upd, Seq("k"), "t", "seq", Seq("status"))
+        }
+        // re-seed from materialized rows: the "store" between batches
+        val rows = merged.collect().toSeq
+        dim = Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), merged.schema))
+        ()
+      }.start()
+    val all = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"),
+      (1L, 30L, 3L, "B"), (2L, 15L, 4L, "X"))
+    val later = Seq(
+      (1L, 40L, 5L, "B"), (1L, 50L, 6L, "A"), (3L, 45L, 7L, "Z"))
+    in.addData(all: _*); q.processAllAvailable()
+    in.addData(later: _*); q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val expect = rows(hist((all ++ later)
+      .toDF("k", "t", "seq", "status")
+      .select(col("k"), col("t"), col("seq"),
+        col("status").as("status"))))
+    val got = dim.get
+      .select(col("k"), col("status"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSet
+    assert(got === expect)
+  }
+
   test("history rides ONE hash exchange: both windows share the key spec") {
     val p = hist(log()).queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)

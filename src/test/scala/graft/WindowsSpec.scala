@@ -68,6 +68,20 @@ class WindowsSpec extends SparkTestBase {
     assert(got === Map(5L -> 1.0, 10L -> 1.5, 20L -> 3.0))
   }
 
+  test("burstAnomalies: spike vs own baseline flagged; sd=0 and n<minN gated") {
+    // note (n-1)/sqrt(n) bounds a lone spike's z: with 4 peers it can never
+    // exceed 2, with 7 peers it can — 7 tens + one 100 gives z = 2.4749
+    val spikes = (1 to 7).map(i => (1L, i.toLong, 10.0)) :+ (1L, 8L, 100.0)
+    val allEq = (1 to 8).map(i => (2L, i.toLong, 5.0)) // sd = 0, never flagged
+    val few = Seq((3L, 1L, 1.0), (3L, 2L, 99.0))       // n < minN
+    val df = (spikes ++ allEq ++ few).toDF("user_id", "ts_us", "v")
+    val got = graft.ext.EventWindows.burstAnomalies(df, Seq($"user_id"),
+        $"ts_us", $"v", windowMicros = 100L, minN = 5, zThresh = 2.0)
+      .select($"user_id", $"ts_us", $"z")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 8L, 2.4749)))
+  }
+
   test("multimodal: typed mapPartitions stage matches expression fake-decode") {
     val df = Seq((1L, "abcd"), (2L, "xyz")).toDF("doc_id", "text")
       .withColumn("payload", $"text".cast("binary"))

@@ -138,6 +138,9 @@ object SparkEntry {
     "x_pmi" -> ExtQueries.xPmi,
     "x_zorder" -> ExtQueries.xZorder,
     "x_anomaly" -> ExtQueries.xAnomaly,
+    "x_funnel" -> ExtQueries.xFunnel,
+    "x_retention" -> ExtQueries.xRetention,
+    "x_transition" -> ExtQueries.xTransition,
     "x_sessionize" -> ExtQueries.xSessionize,
     "x_rolling" -> ExtQueries.xRolling,
     "x_rollup" -> ExtQueries.xRollup,
@@ -229,5 +232,6 @@ object SparkEntry {
     "x_interval_join", "x_html_extract", "x_embed_decontam",
     "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered",
     "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
-    "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly")
+    "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
+    "x_funnel", "x_retention", "x_transition")
 }

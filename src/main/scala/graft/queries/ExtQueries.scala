@@ -476,6 +476,38 @@ object ExtQueries {
         minN = 5, zThresh = 2.0)
       .select(col("event_id"), col("user_id"), col("z"))
 
+  /** Ordered funnel signup → click → purchase: per-stage min-aggregate
+    * before each key-equi-join — never an event-table self-join on a time
+    * inequality. */
+  val xFunnel: Q = (s, dir) =>
+    FunnelOps.funnel(
+        RefQueries.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type")),
+        key = col("user_id"), tsMicros = col("ts_us"),
+        etype = col("event_type"),
+        steps = Seq("signup", "click", "purchase"))
+      .select(col("k").as("user_id"), col("t1"), col("t2"), col("t3"),
+        col("depth"))
+
+  /** Weekly cohort retention over epoch week indexes (calendar-free). */
+  val xRetention: Q = (s, dir) =>
+    FunnelOps.retention(
+      RefQueries.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+      key = col("user_id"), tsMicros = col("ts_us"))
+
+  /** First-order event-type transition matrix with row-normalised
+    * probabilities (lag pairing = one window; normalisation over the
+    * types² aggregate only). */
+  val xTransition: Q = (s, dir) =>
+    FunnelOps.transitions(
+      RefQueries.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type")),
+      key = col("user_id"), tsMicros = col("ts_us"),
+      tiebreak = col("event_id"), etype = col("event_type"))
+
   /** Rollup aggregate (event_type, cohort) → subtotals → grand total in
     * one pass — Spark plans ROLLUP as a single Expand+aggregate, not
     * three scans. */

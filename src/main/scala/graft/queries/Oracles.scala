@@ -1378,6 +1378,41 @@ object Oracles {
         |  AS avg_1h
         |FROM events""".stripMargin,
 
+    // strictly-increasing first-occurrence chain; µs out
+    "x_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+        |s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND tu > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tu > t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT)
+        |    AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // epoch week index (integer // of µs) — calendar-free, engine-exact
+    "x_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY user_id)
+        |SELECT c.cohort_week, wk - c.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM act JOIN c USING (user_id)
+        |GROUP BY c.cohort_week, wk - c.cohort_week""".stripMargin,
+
+    // lead() pairing per user; probabilities normalised over the
+    // aggregated counts and rounded 4 dp
+    "x_transition" ->
+      """WITH p AS (SELECT event_type AS a, lead(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS b FROM events),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE b IS NOT NULL GROUP BY a, b)
+        |SELECT a, b, n,
+        |  round(n / sum(n) OVER (PARTITION BY a), 4) AS p
+        |FROM c""".stripMargin,
+
     // z rounded to 4 dp BEFORE the gate in both engines; sd=0 is exact
     "x_anomaly" ->
       """WITH r AS (SELECT event_id, user_id, value,

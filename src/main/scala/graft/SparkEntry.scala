@@ -138,6 +138,7 @@ object SparkEntry {
     "x_pmi" -> ExtQueries.xPmi,
     "x_zorder" -> ExtQueries.xZorder,
     "x_anomaly" -> ExtQueries.xAnomaly,
+    "x_agg_merge" -> ExtQueries.xAggMerge,
     "x_funnel" -> ExtQueries.xFunnel,
     "x_retention" -> ExtQueries.xRetention,
     "x_transition" -> ExtQueries.xTransition,
@@ -233,5 +234,5 @@ object SparkEntry {
     "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered",
     "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
-    "x_funnel", "x_retention", "x_transition")
+    "x_funnel", "x_retention", "x_transition", "x_agg_merge")
 }

@@ -85,7 +85,9 @@ object EventWindows {
     events
       .withColumn("__mu", avg(value).over(w))
       .withColumn("__sd", stddev_samp(value).over(w))
-      .withColumn("__n", count(lit(1)).over(w))
+      // count(value), not count(*): null values contribute nothing to
+      // mu/sd, so they are not evidence either
+      .withColumn("__n", count(value).over(w))
       .where(col("__n") >= minN && col("__sd") > 0)
       .withColumn("z", round((value - col("__mu")) / col("__sd"), 4))
       .where(abs(col("z")) > zThresh)

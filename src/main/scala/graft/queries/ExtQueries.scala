@@ -476,6 +476,30 @@ object ExtQueries {
         minN = 5, zThresh = 2.0)
       .select(col("event_id"), col("user_id"), col("z"))
 
+  /** Incremental aggregate maintenance, oracle-locked by the rebuild
+    * invariant: per-key mergeable state built separately before/after a
+    * cutoff, merged, finalized — must equal the direct aggregate over the
+    * whole log. */
+  val xAggMerge: Q = (s, dir) => {
+    // the metric is integer-valued (cents): integer-valued doubles sum
+    // EXACTLY in any order, so split-vs-direct and Spark-vs-DuckDB land on
+    // the identical double and the 4-dp round can never straddle a
+    // boundary (a 2-decimal metric's partial sums differ in the last ulp
+    // between engines, which flips round() exactly at the .00005 edges)
+    val e = RefQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).as("cents"))
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val keys = Seq("user_id", "event_type")
+    val st = graft.operators.IncrementalAgg.merge(
+      graft.operators.IncrementalAgg.state(
+        e.where(col("ts") < cutoff), keys, col("cents")),
+      graft.operators.IncrementalAgg.state(
+        e.where(col("ts") >= cutoff), keys, col("cents")),
+      keys)
+    graft.operators.IncrementalAgg.finalize(st, keys)
+  }
+
   /** Ordered funnel signup → click → purchase: per-stage min-aggregate
     * before each key-equi-join — never an event-table self-join on a time
     * inequality. */

@@ -1378,6 +1378,19 @@ object Oracles {
         |  AS avg_1h
         |FROM events""".stripMargin,
 
+    // the rebuild invariant: the oracle is the DIRECT whole-log aggregate
+    // with the identical naive-sumsq std (greatest-0-clamped, n>1 gated)
+    "x_agg_merge" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  round(value * 100) AS c FROM events)
+        |SELECT user_id, event_type, CAST(count(c) AS BIGINT) AS n,
+        |  round(sum(c) / count(c), 4) AS mean,
+        |  CASE WHEN count(c) > 1 THEN
+        |    round(sqrt(greatest((sum(c * c) - sum(c) * sum(c) / count(c))
+        |      / (count(c) - 1), 0.0)), 4) END AS sd,
+        |  min(c) AS min_v, max(c) AS max_v
+        |FROM e GROUP BY user_id, event_type""".stripMargin,
+
     // strictly-increasing first-occurrence chain; µs out
     "x_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
@@ -1417,7 +1430,7 @@ object Oracles {
     "x_anomaly" ->
       """WITH r AS (SELECT event_id, user_id, value,
         |  avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd,
-        |  count(*) OVER w AS n
+        |  count(value) OVER w AS n
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))

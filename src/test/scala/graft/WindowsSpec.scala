@@ -71,15 +71,28 @@ class WindowsSpec extends SparkTestBase {
   test("burstAnomalies: spike vs own baseline flagged; sd=0 and n<minN gated") {
     // note (n-1)/sqrt(n) bounds a lone spike's z: with 4 peers it can never
     // exceed 2, with 7 peers it can — 7 tens + one 100 gives z = 2.4749
-    val spikes = (1 to 7).map(i => (1L, i.toLong, 10.0)) :+ (1L, 8L, 100.0)
-    val allEq = (1 to 8).map(i => (2L, i.toLong, 5.0)) // sd = 0, never flagged
-    val few = Seq((3L, 1L, 1.0), (3L, 2L, 99.0))       // n < minN
+    val spikes = (1 to 7).map(i => (1L, i.toLong, Option(10.0))) :+
+      (1L, 8L, Option(100.0))
+    val allEq = (1 to 8).map(i => (2L, i.toLong, Option(5.0))) // sd=0, never
+    val few = Seq((3L, 1L, Option(1.0)), (3L, 2L, Option(99.0))) // n < minN
     val df = (spikes ++ allEq ++ few).toDF("user_id", "ts_us", "v")
     val got = graft.ext.EventWindows.burstAnomalies(df, Seq($"user_id"),
         $"ts_us", $"v", windowMicros = 100L, minN = 5, zThresh = 2.0)
       .select($"user_id", $"ts_us", $"z")
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 8L, 2.4749)))
+  }
+
+  test("burstAnomalies: null values are not evidence toward minN") {
+    // 3×1.0 + spike 99.0 gives z = 1.5 (> the 1.4 threshold here), but only
+    // 4 NON-NULL values — the 4 nulls must not push n past minN = 5
+    val df = (Seq((9L, 1L, Option(1.0)), (9L, 2L, Option(1.0)),
+      (9L, 3L, Option(1.0)), (9L, 8L, Option(99.0))) ++
+      (4 to 7).map(i => (9L, i.toLong, Option.empty[Double])))
+      .toDF("user_id", "ts_us", "v")
+    val got = graft.ext.EventWindows.burstAnomalies(df, Seq($"user_id"),
+      $"ts_us", $"v", windowMicros = 100L, minN = 5, zThresh = 1.4)
+    assert(got.count() === 0)
   }
 
   test("multimodal: typed mapPartitions stage matches expression fake-decode") {

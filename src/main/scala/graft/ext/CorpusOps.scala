@@ -210,10 +210,14 @@ object CorpusOps {
     * not its vocabulary). Everything downstream is therefore
     * query-term-sized: the df aggregate is ≤ |terms| rows (broadcast), the
     * (N, avgdl) corpus stats are ONE row (broadcast), and the final top-k
-    * is an ordered limit (TakeOrderedAndProject), never a global sort. The
-    * only full-corpus work is the single scan computing each doc's length —
-    * at 100 TB this is the one pass you cannot avoid, and it carries no
-    * shuffle of its own.
+    * is an ordered limit (TakeOrderedAndProject), never a global sort.
+    *
+    * Full-corpus work: TWO map-side scan+tokenize passes (the corpus-stats
+    * subtree and the tf subtree are independent branches of `toks`, and
+    * Catalyst does not share subtrees across branches) — neither carries a
+    * corpus-sized shuffle. To pay the tokenize once at 100 TB, persist the
+    * (doc_id, dl, qt) projection upstream and pass it in — cache lifecycle
+    * belongs to the caller (the [[boilerplate]] convention).
     *
     * Scores are rounded to 4 dp BEFORE ranking (house rule), ties to the
     * smallest doc_id. */
@@ -261,7 +265,12 @@ object CorpusOps {
     * [[tfidfTopTerms]] vocabulary contract: shuffle join by default
     * (billions of distinct tokens at 100 TB), `broadcastVocab = true` only
     * for known-bounded lexicons. PMI is rounded to 4 dp BEFORE ranking,
-    * ties lexicographic on (a, b). */
+    * ties lexicographic on (a, b).
+    *
+    * Full-corpus work: THREE map-side tokenize passes (unigram counts,
+    * bigram pairs, and the Σ(len−1) total — independent branches, not
+    * shared by Catalyst). Persist the tokenized projection upstream to pay
+    * the scan once; the shuffles are count-table-sized either way. */
   def pmiCollocations(df: DataFrame, text: Column, minCount: Int, k: Int,
                       broadcastVocab: Boolean = false): DataFrame = {
     val toks = df.select(TextOps.tokens(text).as("__toks"))

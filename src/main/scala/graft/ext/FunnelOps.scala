@@ -51,11 +51,16 @@ object FunnelOps {
   /** Cohort retention: keys cohorted by their first active week (epoch
     * week index — identical integer arithmetic in any engine, no calendar
     * dependence), counted once per (cohort, weeks-since-cohort) cell.
-    * Output: (cohort_week, week_offset, n_active). */
+    * Output: (cohort_week, week_offset, n_active).
+    *
+    * The week index is floor(ts/week) — floor, not truncate-toward-zero,
+    * so pre-epoch timestamps land in week −1, matching SQL `//`. Exact for
+    * |ts| < 2^53 µs (i.e. every timestamp between the years ~1684 and
+    * ~2255). */
   def retention(events: DataFrame, key: Column, tsMicros: Column): DataFrame = {
     val weekUs = 7L * 86400 * 1000000
     val act = events.select(key.as("k"),
-      (tsMicros.cast("long") / weekUs).cast("long").as("__wk")).distinct()
+      floor(tsMicros.cast("long") / weekUs).cast("long").as("__wk")).distinct()
     val cohort = act.groupBy("k").agg(min(col("__wk")).as("cohort_week"))
     act.join(cohort, Seq("k"))
       .groupBy(col("cohort_week"),

@@ -52,10 +52,9 @@ object ScdMerge {
       .withColumn("__chg", changed)
       .where(col("__chg"))
       .drop("__chg")
-    // Same partitioning AND ordering as `w`: the filter preserves the
-    // sort, so this second window rides the first exchange.
-    val w2 = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(tiebreak).asc)
+    // The close-out window below shares `w`'s partitioning AND ordering
+    // ((valid_from, __open_tb) are the renamed (ts, tiebreak)), and the
+    // filter preserves the sort — so it rides the first exchange.
     opens
       .select((keys.map(col) ++ attrs.map(col) ++ Seq(
         col(ts).as("valid_from"),
@@ -80,10 +79,13 @@ object ScdMerge {
     * append-only split of a log at any cutoff,
     * {{{ merge(history(before), after) == history(before ∪ after) }}}
     *
-    * Precondition: every update row of a key is at or after the key's
-    * current `valid_from` (append-only CDC). Late rows older than that
-    * would belong inside closed versions, which this op will not rewrite —
-    * rebuild with [[history]] for retro-corrections.
+    * Precondition: every update row of a key sorts STRICTLY after the
+    * key's current version's opening position — (ts, tiebreak) >
+    * (valid_from, __open_tb) — i.e. append-only CDC with monotone
+    * positions. A late row at or before that position would belong inside
+    * closed versions (or tie with the replayed open row and fabricate a
+    * zero-width version), which this op will not rewrite — rebuild with
+    * [[history]] for retro-corrections.
     */
   def merge(dim: DataFrame, updates: DataFrame, keys: Seq[String], ts: String,
             tiebreak: String, attrs: Seq[String]): DataFrame = {

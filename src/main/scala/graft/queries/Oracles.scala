@@ -28,9 +28,11 @@ object Oracles {
   private val SCD2_SQL =
     """WITH lg AS (SELECT user_id, event_type, ts, event_id FROM events),
       |w AS (SELECT *, lag(event_type) OVER
-      |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM lg),
+      |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |  row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM lg),
       |op AS (SELECT user_id, event_type, ts, event_id FROM w
-      |  WHERE prev IS NULL OR prev <> event_type),
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
       |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
       |  lead(epoch_us(ts)) OVER
       |    (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us FROM op)

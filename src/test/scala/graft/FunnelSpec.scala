@@ -34,13 +34,16 @@ class FunnelSpec extends SparkTestBase {
     val e = Seq(
       (1L, 0L * wk + 5), (1L, 1L * wk + 5), (1L, 1L * wk + 9), // dup week
       (1L, 3L * wk + 5),
-      (2L, 1L * wk + 5), (2L, 2L * wk + 5))
+      (2L, 1L * wk + 5), (2L, 2L * wk + 5),
+      // pre-epoch: floor division puts ts=-1 in week -1, not week 0
+      (3L, -1L), (3L, 5L))
       .toDF("user_id", "ts_us")
     val got = FunnelOps.retention(e, $"user_id", $"ts_us")
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set(
       (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
-      (1L, 0L, 1L), (1L, 1L, 1L)))
+      (1L, 0L, 1L), (1L, 1L, 1L),
+      (-1L, 0L, 1L), (-1L, 1L, 1L)))
   }
 
   test("transitions: per-key lead pairs, row-normalised probabilities") {

@@ -139,6 +139,8 @@ object SparkEntry {
     "x_zorder" -> ExtQueries.xZorder,
     "x_anomaly" -> ExtQueries.xAnomaly,
     "x_agg_merge" -> ExtQueries.xAggMerge,
+    "x_bool_and" -> ExtQueries.xBoolAnd,
+    "x_resample" -> ExtQueries.xResample,
     "x_funnel" -> ExtQueries.xFunnel,
     "x_retention" -> ExtQueries.xRetention,
     "x_transition" -> ExtQueries.xTransition,
@@ -234,5 +236,6 @@ object SparkEntry {
     "x_ivfpq_append", "x_curation_pipeline", "x_ann_filtered",
     "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
-    "x_funnel", "x_retention", "x_transition", "x_agg_merge")
+    "x_funnel", "x_retention", "x_transition", "x_agg_merge",
+    "x_bool_and", "x_resample")
 }

@@ -476,6 +476,49 @@ object ExtQueries {
         minN = 5, zThresh = 2.0)
       .select(col("event_id"), col("user_id"), col("z"))
 
+  /** Boolean AND retrieval: documents containing ALL query terms, with
+    * their total hit count — the posting-list-intersection complement to
+    * x_bm25's scored ranking. The term filter is map-side below the
+    * explode; everything after is query-term-sized. */
+  val xBoolAnd: Q = (s, dir) => {
+    val terms = Seq("join", "vector", "window")
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+      .where(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
+  /** Hourly LOCF resampling: each user's event stream regularised onto an
+    * hourly grid (their own [first, last] hour span), every grid point
+    * carrying the last value at or before the hour's end — the
+    * gap-filling pass that turns an irregular event stream into a
+    * time-series feature table. Composes sequence+explode (grid,
+    * map-side) with the [[graft.operators.AsOfJoin]] operator (one
+    * sorted-merge window pass); ties at an instant are pre-collapsed to
+    * max(value) so the as-of pick is total. The first grid point of a
+    * user is the end of their first event's hour, so LOCF never emits a
+    * null. */
+  val xResample: Q = (s, dir) => {
+    val hUs = 3600L * 1000000
+    val e = RefQueries.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("value"))
+    val build = e.groupBy(col("user_id"), col("tu"))
+      .agg(max(col("value")).as("v_value"))
+      .withColumnRenamed("tu", "ts_us")
+    val grid = e.groupBy("user_id")
+      .agg(floor(min(col("tu")) / hUs).cast("long").as("h0"),
+        floor(max(col("tu")) / hUs).cast("long").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .withColumn("ts_us", (col("hr") + 1) * hUs - 1)
+    graft.operators.AsOfJoin.asOf(grid, build, "user_id", "ts_us",
+        Seq("v_value"))
+      .select(col("user_id"), col("hr"), col("v_value").as("locf_value"))
+  }
+
   /** Incremental aggregate maintenance, oracle-locked by the rebuild
     * invariant: per-key mergeable state built separately before/after a
     * cutoff, merged, finalized — must equal the direct aggregate over the

@@ -1380,6 +1380,27 @@ object Oracles {
         |  AS avg_1h
         |FROM events""".stripMargin,
 
+    // posting-list intersection: ALL terms present
+    "x_bool_and" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOK) AS tok
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM tok WHERE tok IN ('join', 'vector', 'window')
+         |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin,
+
+    // hourly grid per user + native ASOF; instant-ties pre-collapsed to
+    // max(value) so the as-of pick is total in both engines
+    "x_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+        |b AS (SELECT user_id, tu, max(value) AS v FROM e GROUP BY user_id, tu),
+        |bounds AS (SELECT user_id, min(tu) // 3600000000 AS h0,
+        |  max(tu) // 3600000000 AS h1 FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+        |  FROM bounds),
+        |g AS (SELECT user_id, hr, (hr + 1) * 3600000000 - 1 AS pt FROM grid)
+        |SELECT g.user_id, g.hr, b.v AS locf_value
+        |FROM g ASOF JOIN b ON g.user_id = b.user_id AND g.pt >= b.tu""".stripMargin,
+
     // the rebuild invariant: the oracle is the DIRECT whole-log aggregate
     // with the identical naive-sumsq std (greatest-0-clamped, n>1 gated)
     "x_agg_merge" ->

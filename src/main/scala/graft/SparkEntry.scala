@@ -134,6 +134,7 @@ object SparkEntry {
     // ext: SCD2 dimension history + layout + retrieval/collocation
     "x_scd2_history" -> ExtQueries.xScd2History,
     "x_scd2_merge" -> ExtQueries.xScd2Merge,
+    "x_scd2_snapshot" -> ExtQueries.xScd2Snapshot,
     "x_bm25" -> ExtQueries.xBm25,
     "x_pmi" -> ExtQueries.xPmi,
     "x_zorder" -> ExtQueries.xZorder,

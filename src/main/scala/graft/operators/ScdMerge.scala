@@ -66,6 +66,15 @@ object ScdMerge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Reconstruct the dimension as it stood at instant `at`: the version
+    * whose [valid_from, valid_to) interval covers it — at most one row per
+    * key by construction. A pure filter (map-side, partition-prunable when
+    * the history is stored partitioned on valid_from ranges); the time
+    * travel read the history exists to serve. */
+  def snapshotAt(dim: DataFrame, at: Column): DataFrame =
+    dim.where(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /** Merge an append batch of updates into an existing type-2 history.
     *
     * Closed versions are immutable and pass through untouched; the current

@@ -407,6 +407,24 @@ object ExtQueries {
         col("is_current"))
   }
 
+  /** SCD2 time travel: the dimension snapshot at a fixed instant — build
+    * the history, filter to the covering version (≤ 1 row/key). The
+    * oracle reconstructs the same snapshot as a per-key argmax over the
+    * raw log, so what's cross-checked is that interval cover ≡ latest
+    * state at T. */
+  val xScd2Snapshot: Q = (s, dir) => {
+    val at = lit("2024-01-16 00:00:00").cast("timestamp")
+    graft.operators.ScdMerge.snapshotAt(
+        graft.operators.ScdMerge.history(
+          RefQueries.events(s, dir)
+            .select(col("user_id"), col("event_type"), col("ts"),
+              col("event_id")),
+          Seq("user_id"), "ts", "event_id", Seq("event_type")),
+        at)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"))
+  }
+
   /** BM25 top-20 for a fixed three-term query over the corpus: the
     * map-side term filter keeps everything after the one full scan
     * query-term-sized (df and corpus stats ride broadcasts, top-k is an

@@ -1327,6 +1327,24 @@ object Oracles {
     // is invisible by construction and the merge path is what's under test
     "x_scd2_merge" -> SCD2_SQL,
 
+    // snapshot at T == the latest pre-T state per key, independently
+    // reconstructed as a per-key argmax (not via the interval algebra)
+    "x_scd2_snapshot" ->
+      """WITH pre AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'),
+        |w AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn FROM pre),
+        |op AS (SELECT user_id, event_type, ts, event_id FROM w
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |sel AS (SELECT user_id, event_type, ts, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM op)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us
+        |FROM sel WHERE rk = 1""".stripMargin,
+
     // k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1); round the summed
     // score BEFORE ranking (house rule), ties to smallest doc_id
     "x_bm25" ->

@@ -76,6 +76,25 @@ class ScdMergeSpec extends SparkTestBase {
       (9L, Some("N"), 60L, None, true)))
   }
 
+  test("snapshotAt: covering version per key; a reopened value gets the " +
+    "RUN's open, not the first occurrence's") {
+    val h = hist(log())
+    def snap(at: Long): Set[(Long, Option[String], Long)] =
+      graft.operators.ScdMerge.snapshotAt(h, lit(at))
+        .select(col("k"), col("status"), col("valid_from"))
+        .as[(Long, Option[String], Long)].collect().toSet
+    // t=20: key1 in its FIRST A-run, key2 open, key3 in its null-run
+    assert(snap(20L) === Set(
+      (1L, Some("A"), 10L), (2L, Some("X"), 15L), (3L, None, 10L)))
+    // t=55: key1's A again — but the SECOND run's valid_from (50, not 10)
+    assert(snap(55L) === Set(
+      (1L, Some("A"), 50L), (2L, Some("X"), 15L), (3L, Some("X"), 30L)))
+    // t=5: before every key's first version
+    assert(snap(5L) === Set.empty)
+    // boundary: a version opening exactly at T covers T
+    assert(snap(30L).contains((1L, Some("B"), 30L)))
+  }
+
   test("streaming upkeep: foreachBatch merge converges to the batch rebuild") {
     // The production shape: the dimension lives in a store; each micro-batch
     // of CDC rows is merged in. Here the store is a local var re-seeded from

@@ -141,6 +141,7 @@ object SparkEntry {
     "x_anomaly" -> ExtQueries.xAnomaly,
     "x_agg_merge" -> ExtQueries.xAggMerge,
     "x_bool_and" -> ExtQueries.xBoolAnd,
+    "x_trending" -> ExtQueries.xTrending,
     "x_resample" -> ExtQueries.xResample,
     "x_funnel" -> ExtQueries.xFunnel,
     "x_retention" -> ExtQueries.xRetention,
@@ -238,5 +239,5 @@ object SparkEntry {
     "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
-    "x_bool_and", "x_resample")
+    "x_bool_and", "x_resample", "x_trending")
 }

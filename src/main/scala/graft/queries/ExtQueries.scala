@@ -494,6 +494,24 @@ object ExtQueries {
         minN = 5, zThresh = 2.0)
       .select(col("event_id"), col("user_id"), col("z"))
 
+  /** Trending: top-2 event types per hour by count — the windowed
+    * heavy-hitter report. The rank window runs over the (hour × type)
+    * AGGREGATE (25 rows/bucket max), never raw events; ties break
+    * lexicographically so the top-k set is engine-exact. */
+  val xTrending: Q = (s, dir) => {
+    val agg = EventWindows.tumbling(RefQueries.events(s, dir), col("ts"),
+        "1 hour", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .select(unix_micros(col("window_start")).as("hour_us"),
+        col("event_type"), col("n"))
+    // asc_nulls_last: DuckDB's default ASC puts NULLs last, Spark's first —
+    // a null type tying at the top-k boundary would otherwise rank
+    // differently per engine
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_us"))
+      .orderBy(col("n").desc, col("event_type").asc_nulls_last)
+    agg.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+  }
+
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to
     * x_bm25's scored ranking. The term filter is map-side below the

@@ -1398,6 +1398,16 @@ object Oracles {
         |  AS avg_1h
         |FROM events""".stripMargin,
 
+    // rank over the (hour, type) aggregate; lexicographic ties
+    "x_trending" ->
+      """WITH a AS (SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))
+        |    AS hour_us, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY hour_us ORDER BY n DESC, event_type) AS rank FROM a)
+        |SELECT hour_us, event_type, n, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 2""".stripMargin,
+
     // posting-list intersection: ALL terms present
     "x_bool_and" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOK) AS tok
@@ -1417,7 +1427,8 @@ object Oracles {
         |  FROM bounds),
         |g AS (SELECT user_id, hr, (hr + 1) * 3600000000 - 1 AS pt FROM grid)
         |SELECT g.user_id, g.hr, b.v AS locf_value
-        |FROM g ASOF JOIN b ON g.user_id = b.user_id AND g.pt >= b.tu""".stripMargin,
+        |FROM g ASOF LEFT JOIN b
+        |  ON g.user_id = b.user_id AND g.pt >= b.tu""".stripMargin,
 
     // the rebuild invariant: the oracle is the DIRECT whole-log aggregate
     // with the identical naive-sumsq std (greatest-0-clamped, n>1 gated)

@@ -23,9 +23,16 @@ class EventPropertySpec extends SparkTestBase {
       ("A" + rnd.nextInt(3)))
   }
 
-  private def refHistory(log: Seq[(Long, Long, Long, String)])
-    : Set[(Long, String, Long, Option[Long], Boolean)] =
-    log.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+  // MULTISET compare (row -> multiplicity): the collision-heavy logs
+  // produce legitimately duplicate zero-width version tuples (A,B,A at one
+  // instant), which a Set compare would collapse — hiding duplicate-row or
+  // dropped-row bugs exactly where the collisions are
+  private type Ver = (Long, String, Long, Option[Long], Boolean)
+  private def multi(s: Seq[Ver]): Map[Ver, Int] =
+    s.groupBy(identity).view.mapValues(_.size).toMap
+
+  private def refHistory(log: Seq[(Long, Long, Long, String)]): Map[Ver, Int] =
+    multi(log.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
       val sorted = rows.sortBy(r => (r._2, r._3))
       val opens = sorted.zipWithIndex.filter { case (r, i) =>
         i == 0 || sorted(i - 1)._4 != r._4
@@ -34,26 +41,26 @@ class EventPropertySpec extends SparkTestBase {
         val vt = if (i + 1 < opens.size) Some(opens(i + 1)._2) else None
         (k, r._4, r._2, vt, vt.isEmpty)
       }
-    }.toSet
+    })
 
   test("ScdMerge history == reference on random logs with ts collisions; " +
     "merge invariant holds at random cutoffs") {
     for (seed <- Seq(1L, 2L, 3L)) {
       val log = randLog(seed)
       val df = log.toDF("k", "t", "seq", "status")
-      val got = ScdMerge.history(df, Seq("k"), "t", "seq", Seq("status"))
+      val got = multi(ScdMerge.history(df, Seq("k"), "t", "seq", Seq("status"))
         .select(col("k"), col("status"), col("valid_from"), col("valid_to"),
           col("is_current"))
-        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+        .as[Ver].collect().toSeq)
       assert(got === refHistory(log), s"seed=$seed")
       for (cut <- Seq(10L, 25L, 40L)) {
-        val merged = ScdMerge.merge(
+        val merged = multi(ScdMerge.merge(
           ScdMerge.history(df.where(col("t") < cut), Seq("k"), "t", "seq",
             Seq("status")),
           df.where(col("t") >= cut), Seq("k"), "t", "seq", Seq("status"))
           .select(col("k"), col("status"), col("valid_from"), col("valid_to"),
             col("is_current"))
-          .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+          .as[Ver].collect().toSeq)
         assert(merged === got, s"seed=$seed cut=$cut")
       }
     }

@@ -158,6 +158,7 @@ object SparkEntry {
     "x_asof_join" -> ExtQueries.xAsofJoin,
     "x_asof_exec" -> ExtQueries.xAsofExec,
     "x_asof_rewrite" -> ExtQueries.xAsofRewrite,
+    "x_asof_nearest" -> ExtQueries.xAsofNearest,
     "x_quality_gopher" -> ExtQueries.xQualityGopher,
     "x_top_token" -> ExtQueries.xTopToken,
     "x_pii_scrub" -> ExtQueries.xPiiScrub,
@@ -239,5 +240,5 @@ object SparkEntry {
     "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
-    "x_bool_and", "x_resample", "x_trending")
+    "x_bool_and", "x_resample", "x_trending", "x_asof_nearest")
 }

@@ -70,6 +70,60 @@ object AsOfJoin {
       .unionByName(orphans)
   }
 
+  /** Nearest-in-time join: each probe row picks the build row minimising
+    * |build ts − probe ts| per key, ties to the earlier (backward) side —
+    * the sensor-alignment / closest-reading lookup that [[asOf]]'s
+    * backward-only convention can't express.
+    *
+    * Same union-merge scale shape as [[asOf]]: ONE shuffle per side, one
+    * sort, and two frames over the SAME window spec (running `last` for the
+    * backward candidate, running `first` ahead for the forward one) — so
+    * the forward direction costs no extra exchange. `tsCol` must be numeric
+    * (e.g. unix micros): the pick computes distances. Build must be unique
+    * per (key, ts), the [[asOf]] contract. */
+  def nearest(probe: DataFrame, build: DataFrame, keyCol: String,
+              tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    require(valueCols.nonEmpty, "nearest: valueCols must be non-empty")
+    require(valueCols.forall(build.columns.contains),
+      s"nearest: valueCols ${valueCols.filterNot(build.columns.contains)} absent from build side")
+    require(valueCols.forall(c => !probeCols.contains(c)),
+      s"nearest: valueCols ${valueCols.filter(probeCols.contains)} collide with probe columns; rename first")
+    val b = build
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct((col(tsCol).as("__bts") +: valueCols.map(col)): _*).as("__v"))
+    val p = probe
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(b.schema("__v").dataType))
+    val orphans = probe
+      .where(col(keyCol).isNull || col(tsCol).isNull)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => lit(null).cast(build.schema(c).dataType).as(c)): _*)
+    // build sorts before probe at equal ts: an exact-instant build lands in
+    // the BACKWARD frame with distance 0 and wins by the tie rule
+    val base = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+    val back = last(col("__v"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__v"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val chosen = when(col("__bk").isNull, col("__fw"))
+      .when(col("__fw").isNull, col("__bk"))
+      .when(col(tsCol) - col("__bk.__bts") <= col("__fw.__bts") - col(tsCol),
+        col("__bk"))
+      .otherwise(col("__fw"))
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn("__bk", back)
+      .withColumn("__fw", fwd)
+      .where(col("__side") === 1)
+      .withColumn("__m", chosen)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => col("__m").getField(c).as(c)): _*)
+      .unionByName(orphans)
+  }
+
   /** The custom-physical-operator form of [[asOf]] — identical semantics
     * (AsOfExecSpec proves output equality on random fixtures including
     * nulls and ties), planned through [[graft.plans.AsOfJoinPlan]] →

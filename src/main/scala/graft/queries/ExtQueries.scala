@@ -494,6 +494,23 @@ object ExtQueries {
         minN = 5, zThresh = 2.0)
       .select(col("event_id"), col("user_id"), col("z"))
 
+  /** Nearest-in-time join: each purchase matched to the CLOSEST signup of
+    * its user in either direction (ties to the earlier), carrying the
+    * signup's ts and value — the sensor-alignment complement to the
+    * backward-only as-of family, same one-exchange union-merge shape. */
+  val xAsofNearest: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+    val build = e.where(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("value"))
+      .groupBy(col("user_id"), col("tu"))
+      .agg(max(col("value")).as("v_value"))
+      .withColumn("v_ts_us", col("tu"))
+    val probe = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tu"))
+    graft.operators.AsOfJoin.nearest(probe, build, "user_id", "tu",
+      Seq("v_ts_us", "v_value"))
+  }
+
   /** Trending: top-2 event types per hour by count — the windowed
     * heavy-hitter report. The rank window runs over the (hour × type)
     * AGGREGATE (25 rows/bucket max), never raw events; ties break

@@ -1398,6 +1398,25 @@ object Oracles {
         |  AS avg_1h
         |FROM events""".stripMargin,
 
+    // two directed ASOF passes + the closest-wins (ties backward) pick
+    "x_asof_nearest" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS tu, max(value) AS v
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.tu,
+        |  CASE WHEN bk.tu IS NULL THEN fw.tu
+        |       WHEN fw.tu IS NULL THEN bk.tu
+        |       WHEN p.tu - bk.tu <= fw.tu - p.tu THEN bk.tu
+        |       ELSE fw.tu END AS v_ts_us,
+        |  CASE WHEN bk.tu IS NULL THEN fw.v
+        |       WHEN fw.tu IS NULL THEN bk.v
+        |       WHEN p.tu - bk.tu <= fw.tu - p.tu THEN bk.v
+        |       ELSE fw.v END AS v_value
+        |FROM p
+        |ASOF LEFT JOIN b bk ON p.user_id = bk.user_id AND p.tu >= bk.tu
+        |ASOF LEFT JOIN b fw ON p.user_id = fw.user_id AND p.tu <= fw.tu""".stripMargin,
+
     // rank over the (hour, type) aggregate; lexicographic ties
     "x_trending" ->
       """WITH a AS (SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))

@@ -35,6 +35,29 @@ class CurationSpec extends SparkTestBase {
       12L -> Some("v2"), 13L -> None, 14L -> Some("w1")))
   }
 
+  test("nearest picks the closest build row in EITHER direction, " +
+    "ties backward, null-extends keys with no builds, one exchange per side") {
+    val build = Seq((1L, 100L, "b100"), (1L, 200L, "b200"), (2L, 50L, "c50"))
+      .toDF("k", "tu", "v")
+    val probe = Seq(
+      (10L, 1L, 130L),                // 30 back vs 70 fwd -> b100
+      (11L, 1L, 180L),                // 80 back vs 20 fwd -> b200
+      (12L, 1L, 150L),                // tie 50/50 -> backward b100
+      (13L, 1L, 200L),                // exact instant -> b200
+      (14L, 1L, 10L),                 // before all -> forward b100
+      (15L, 1L, 900L),                // after all -> backward b200
+      (16L, 3L, 100L),                // no builds for key -> null
+      (17L, Long.MinValue, 100L))     // orphan-ish distinct key, null
+      .toDF("id", "k", "tu")
+    val res = AsOfJoin.nearest(probe, build, "k", "tu", Seq("v"))
+    val got = res.select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(10L -> Some("b100"), 11L -> Some("b200"),
+      12L -> Some("b100"), 13L -> Some("b200"), 14L -> Some("b100"),
+      15L -> Some("b200"), 16L -> None, 17L -> None))
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, p)
+  }
+
   test("asOf carries the matched build timestamp and never mixes keys") {
     val build = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
       .toDF("k", "t", "x").withColumn("v_t", col("t"))

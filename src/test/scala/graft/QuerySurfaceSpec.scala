@@ -41,4 +41,13 @@ class QuerySurfaceSpec extends SparkTestBase {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("benchNames reference declared queries, uniquely") {
+    // a benched name outside `queries` would make Bench throw per entry
+    // (and silently shrink the measured set); a duplicate would double-count
+    val missing = SparkEntry.benchNames.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"benchNames without queries: $missing")
+    val dups = SparkEntry.benchNames.groupBy(identity).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate benchNames: ${dups.keys}")
+  }
 }

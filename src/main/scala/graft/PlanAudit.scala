@@ -53,7 +53,8 @@ object PlanAudit {
         "x_scd2_history","x_scd2_merge","x_bm25","x_pmi","x_zorder",
         "x_sessionize","x_rolling","x_rollup","x_pivot","x_anomaly",
         "x_funnel","x_retention","x_transition","x_agg_merge",
-        "x_bool_and","x_resample","x_trending","x_asof_nearest")
+        "x_bool_and","x_resample","x_trending","x_asof_nearest",
+        "x_setsim_join","x_phrase")
       .foreach(audit)
     spark.stop()
   }

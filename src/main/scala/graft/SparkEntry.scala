@@ -105,6 +105,7 @@ object SparkEntry {
     "x_dedup_exact" -> ExtQueries.xDedupExact,
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
+    "x_setsim_join" -> ExtQueries.xSetsimJoin,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
@@ -141,6 +142,7 @@ object SparkEntry {
     "x_anomaly" -> ExtQueries.xAnomaly,
     "x_agg_merge" -> ExtQueries.xAggMerge,
     "x_bool_and" -> ExtQueries.xBoolAnd,
+    "x_phrase" -> ExtQueries.xPhrase,
     "x_trending" -> ExtQueries.xTrending,
     "x_resample" -> ExtQueries.xResample,
     "x_funnel" -> ExtQueries.xFunnel,
@@ -240,5 +242,6 @@ object SparkEntry {
     "x_scd2_merge", "x_bm25", "x_pmi", "x_zorder",
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
-    "x_bool_and", "x_resample", "x_trending", "x_asof_nearest")
+    "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
+    "x_setsim_join", "x_phrase")
 }

@@ -250,6 +250,58 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Exact phrase retrieval over a positional posting list — the classic
+    * inverted-index phrase-AND: a phrase of terms t_0..t_{m-1} occurs at
+    * anchor position a iff every slot s has token t_s at position a + s.
+    * Each (doc, pos, tok) posting whose token appears in the phrase votes
+    * for anchor `pos - s` on every phrase slot s it could fill; grouping
+    * by (doc, anchor) and requiring all m DISTINCT slots turns the phrase
+    * match into one aggregate — no m-way self-join of the posting table,
+    * no per-row substring scans.
+    *
+    * Scale shape: the phrase-term filter sits BELOW the positional explode
+    * (the [[bm25TopK]] convention — only phrase-term occurrences ever
+    * leave the scan), so everything shuffled is phrase-term-sized: one
+    * partial-aggregated shuffle on (doc, anchor), one on doc. Duplicate
+    * terms in the phrase are handled by the slot fan-out (a token maps to
+    * every slot it fills), and overlapping occurrences count separately —
+    * each anchor is its own group. */
+  def phraseSearch(df: DataFrame, key: Column, text: Column,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val slotsByTerm: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2) }
+    val terms = slotsByTerm.keys.toSeq.map(lit)
+    // positional postings, phrase terms only — struct(tok, pos) built
+    // map-side over the token array, filtered before the explode
+    val postings = df
+      .select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(filter(
+        transform(col("__toks"),
+          (t, i) => struct(t.as("tok"), i.as("pos"))),
+        x => x.getField("tok").isin(terms: _*))).as("__p"))
+      .select(col("doc_id"), col("__p.tok").as("tok"), col("__p.pos").as("pos"))
+    // slot fan-out: one row per (posting, phrase slot its token fills)
+    val slotMap = map(slotsByTerm.toSeq.flatMap { case (t, ss) =>
+      Seq(lit(t), lit(ss.toArray))
+    }: _*)
+    val votes = postings
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(slotMap, col("tok"))).as("slot"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"))
+      .where(col("anchor") >= 0)
+    // (doc, anchor, slot) is unique by construction — one posting row per
+    // token position, distinct slots per term — so a plain count equals
+    // count(DISTINCT slot) without the extra expand+shuffle a distinct
+    // aggregate plans
+    votes.groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("__m"))
+      .where(col("__m") === phrase.size)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   /** PMI collocation mining: adjacent-bigram pointwise mutual information
     * ln(P(ab) / (P(a)·P(b))), the classic collocation score (Church &
     * Hanks 1990) — surfaces multiword expressions a corpus keeps together

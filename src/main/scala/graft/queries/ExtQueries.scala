@@ -104,6 +104,15 @@ object ExtQueries {
       docs(s, dir).select(col("doc_id")),
       candidates(s, dir))
 
+  /** Exact Jaccard-threshold join (no LSH false negatives): prefix-filtered
+    * AllPairs over the 3-shingle sets. The oracle is the NAIVE exact join
+    * (shared-shingle counts over every co-occurring pair) — a deliberately
+    * different algorithm, so agreement checks the prefix filter's
+    * completeness, not a mirror of it. */
+  val xSetsimJoin: Q = (s, dir) =>
+    SetSimJoin.selfJoin(
+      shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
+
   val xDedupSimhash: Q = (s, dir) =>
     DedupOps.simhash(docs(s, dir), col("doc_id"), col("text"))
 
@@ -544,6 +553,15 @@ object ExtQueries {
       .where(col("n_terms") === terms.size)
       .select(col("doc_id"), col("n_hits"))
   }
+
+  /** Exact phrase retrieval: positional-posting phrase-AND for a 3-token
+    * phrase planted by the corpus template; the oracle is a direct
+    * sliding-window scan over each doc's token list — a deliberately
+    * different algorithm, so agreement checks the anchor-vote construction
+    * end-to-end. */
+  val xPhrase: Q = (s, dir) =>
+    CorpusOps.phraseSearch(docs(s, dir), col("doc_id"), col("text"),
+      Seq("slow", "hash", "batch"))
 
   /** Hourly LOCF resampling: each user's event stream regularised onto an
     * hourly grid (their own [first, last] hour span), every grid point

@@ -1134,6 +1134,21 @@ object Oracles {
          |FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b""".stripMargin,
 
+    // the NAIVE exact algorithm (no prefix filter): every co-occurring
+    // pair's shared-shingle count — zero-intersection pairs have J=0 < theta
+    // and need no row, so no cross join is required even naively
+    "x_setsim_join" ->
+      s"""WITH $SHINGLE_CTES,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS ni
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni), 4) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.6""".stripMargin,
+
     "x_dedup_simhash" ->
       s"$SIMHASH_SQL SELECT doc_id, simhash FROM sims",
 
@@ -1434,6 +1449,18 @@ object Oracles {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          |FROM tok WHERE tok IN ('join', 'vector', 'window')
          |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin,
+
+    // direct sliding-window scan over each doc's token list — an
+    // independent algorithm for the positional phrase-AND (list is
+    // 1-indexed; range(a, b) is [a, b), so i runs over valid anchors only)
+    "x_phrase" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, len(list_filter(range(1, len(tk) - 1),
+         |  i -> tk[i] = 'slow' AND tk[i+1] = 'hash' AND tk[i+2] = 'batch'))
+         |    AS n_occ FROM toks)
+         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+         |FROM occ WHERE n_occ > 0""".stripMargin,
 
     // hourly grid per user + native ASOF; instant-ties pre-collapsed to
     // max(value) so the as-of pick is total in both engines

@@ -63,4 +63,41 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.map(r => (r._1, r._2)).toSet ===
       Set(("x", "y"), ("y", "x")))
   }
+
+  private def phraseDocs() = Seq(
+    (1L, "the quick brown fox jumps"),        // 1 occurrence mid-doc
+    (2L, "quick brown fox quick brown fox"),  // 2 occurrences, at start+end
+    (3L, "quick brown cat quick fox brown"),  // all terms, never the phrase
+    (4L, "brown fox quick"),                  // wrong order
+    (5L, "")).toDF("doc_id", "text")
+
+  test("phraseSearch: order-sensitive, counts every occurrence, " +
+    "term-presence alone never matches") {
+    val got = CorpusOps.phraseSearch(phraseDocs(), col("doc_id"), col("text"),
+        Seq("quick", "brown", "fox"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("phraseSearch: overlapping occurrences and duplicate phrase terms") {
+    val df = Seq((1L, "a a a a"), (2L, "b a a b"), (3L, "a b a"))
+      .toDF("doc_id", "text")
+    // phrase "a a": doc1 has anchors 0,1,2; doc2 has 1; doc3 none
+    val got = CorpusOps.phraseSearch(df, col("doc_id"), col("text"),
+        Seq("a", "a")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("phraseSearch: single-term phrase degenerates to term counting") {
+    val df = Seq((1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    val got = CorpusOps.phraseSearch(df, col("doc_id"), col("text"), Seq("x"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L))
+  }
+
+  test("phraseSearch: phrase longer than the doc never matches") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(CorpusOps.phraseSearch(df, col("doc_id"), col("text"),
+      Seq("a", "b", "c")).isEmpty)
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.SetSimJoin
+
+/** Prefix-filtered exact set-similarity join: equivalence to the naive
+  * all-pairs form (completeness of the prefix filter), threshold edge
+  * behaviour, and the hot-element guard. */
+class SetSimJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def elemsOf(sets: Seq[(Long, Seq[String])]): DataFrame =
+    sets.flatMap { case (id, es) => es.distinct.map(id -> _) }
+      .toDF("doc_id", "elem")
+
+  /** Naive reference: exact Jaccard over every pair, no filtering. */
+  private def naive(sets: Seq[(Long, Seq[String])], theta: Double)
+      : Set[(Long, Long, Double)] = {
+    val m = sets.map { case (id, es) => id -> es.distinct.toSet }.toMap
+    val ids = m.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = m(ids(i)); b = m(ids(j))
+      ni = (a intersect b).size
+      jac = ni.toDouble / (a.size + b.size - ni)
+      if jac >= theta
+    } yield (ids(i), ids(j),
+      BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+  }
+
+  private def run(sets: Seq[(Long, Seq[String])], theta: Double)
+      : Set[(Long, Long, Double)] =
+    SetSimJoin.selfJoin(elemsOf(sets), theta)
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("matches the naive all-pairs join on a mixed fixture") {
+    val sets = Seq(
+      1L -> Seq("a", "b", "c", "d", "e"),
+      2L -> Seq("a", "b", "c", "d", "f"),   // J(1,2) = 4/6 = 0.6667
+      3L -> Seq("a", "b", "c", "d", "e"),   // J(1,3) = 1.0
+      4L -> Seq("x", "y", "z"),             // disjoint from the abc family
+      5L -> Seq("x", "y", "z", "w"),        // J(4,5) = 3/4 = 0.75
+      6L -> Seq("a", "x"),                  // small, low overlap with all
+      7L -> Seq("q"))                       // singleton
+    for (theta <- Seq(0.3, 0.5, 0.6, 0.75, 0.9, 1.0))
+      assert(run(sets, theta) == naive(sets, theta), s"theta=$theta")
+  }
+
+  test("randomized: equals naive over seeded random sets at several thetas") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"e$i")
+    val sets = (0L until 40L).map { id =>
+      val base = rnd.shuffle(vocab).take(3 + rnd.nextInt(10))
+      id -> base
+    }
+    // plant near-dups so high thetas are non-vacuous
+    val planted = sets ++ Seq(
+      100L -> sets(0)._2, 101L -> (sets(1)._2 :+ "extra"))
+    for (theta <- Seq(0.4, 0.6, 0.8))
+      assert(run(planted, theta) == naive(planted, theta), s"theta=$theta")
+  }
+
+  test("threshold boundary: a pair at exactly theta is kept") {
+    val sets = Seq(
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("a", "b", "c", "d", "e"))   // J = 3/5 = 0.6 exactly
+    assert(run(sets, 0.6) == Set((1L, 2L, 0.6)))
+    assert(run(sets, 0.6000001).isEmpty)
+  }
+
+  test("theta outside (0, 1] is rejected") {
+    intercept[IllegalArgumentException](SetSimJoin.selfJoin(elemsOf(Seq()), 0.0))
+    intercept[IllegalArgumentException](SetSimJoin.selfJoin(elemsOf(Seq()), 1.1))
+  }
+
+  test("hot prefix element raises loudly instead of cross-joining") {
+    // every set is {common}, so the prefix element "common" is shared by
+    // all 10 sets — over maxBucket=5, the guard must fire
+    val sets = (1L to 10L).map(id => id -> Seq("common"))
+    val ex = intercept[Exception] {
+      SetSimJoin.selfJoin(elemsOf(sets), 0.9, maxBucket = 5).collect()
+    }
+    assert(ex.getMessage.contains("maxBucket"))
+  }
+}

@@ -106,6 +106,7 @@ object SparkEntry {
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
     "x_setsim_join" -> ExtQueries.xSetsimJoin,
+    "x_incr_dedup" -> ExtQueries.xIncrDedup,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
@@ -243,5 +244,5 @@ object SparkEntry {
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
-    "x_setsim_join", "x_phrase")
+    "x_setsim_join", "x_phrase", "x_incr_dedup")
 }

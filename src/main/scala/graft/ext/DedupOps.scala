@@ -155,6 +155,64 @@ object DedupOps {
     labels.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
   }
 
+  /** Incremental cross-snapshot dedup: flag each NEW document that
+    * duplicates the existing REGISTRY corpus — exactly (same content hash)
+    * or nearly (MinHash-LSH candidate with shingle-Jaccard >= theta) —
+    * without ever re-pairing the registry against itself. This is the
+    * steady-state shape of a crawl pipeline: each increment is deduped
+    * against everything already kept, and the registry side pays only a
+    * signature pass plus the band equi-join (at 100 TB, precompute and
+    * store the registry's bands + shingle sets once per snapshot and feed
+    * them in here instead of `registry` raw text — the operator's joins
+    * only ever touch those two derived tables).
+    *
+    * Contract: key values must be globally unique across BOTH inputs (the
+    * band join and the verification key on doc id). Within-batch dups are
+    * deliberately NOT flagged — that is [[exact]]/[[lshCandidates]] run on
+    * the batch alone; composing both passes is the caller's pipeline.
+    *
+    * Output: one row per new document —
+    * (doc_id, exact_dup, near_dup, kept = !exact_dup && !near_dup).
+    * A document too short to shingle can never be a near-dup but is still
+    * exact-checked. */
+  def dedupAgainstRegistry(newDocs: DataFrame, registry: DataFrame,
+                           key: Column, text: Column,
+                           numHashes: Int, numBands: Int, theta: Double,
+                           k: Int = 3): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
+    val n = newDocs.select(key.as("doc_id"), text.as("text"))
+    val r = registry.select(key.as("doc_id"), text.as("text"))
+    // exact tier: semi-join on the content hash against the DISTINCT
+    // registry hashes — the distinct collapses the registry to one row per
+    // content before the join shuffles it
+    val regHashes = r.select(md5(col("text")).as("__h")).distinct()
+    val exactIds = n.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(regHashes, Seq("__h"), "left_semi")
+      .select("doc_id")
+    // near tier: per-side signatures, bands joined ACROSS sides only —
+    // no side ever self-joins, so registry cost is linear in registry size
+    val shN = TextOps.explodeShingles(n, col("doc_id"), col("text"), k)
+    val shR = TextOps.explodeShingles(r, col("doc_id"), col("text"), k)
+    def bandsOf(sh: DataFrame) =
+      lshBands(minhashSignature(sh, numHashes), numHashes, numBands)
+    val cand = bandsOf(shN)
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bandsOf(shR)
+          .select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .select("doc_a", "doc_b").distinct()
+    val nearIds = jaccard(cand, shN.unionByName(shR))
+      .where(col("jaccard") >= theta)
+      .select(col("doc_a").as("doc_id")).distinct()
+    n.select("doc_id")
+      .join(exactIds.withColumn("__e", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("__n", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__e"), lit(false)).as("exact_dup"),
+        coalesce(col("__n"), lit(false)).as("near_dup"),
+        (col("__e").isNull && col("__n").isNull).as("kept"))
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: aggregate each doc's shingle
     * set ONCE (shingleDf rows are distinct per doc), join the two per-doc
     * arrays onto each pair, and count the intersection map-side with

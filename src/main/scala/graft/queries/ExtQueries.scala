@@ -104,6 +104,18 @@ object ExtQueries {
       docs(s, dir).select(col("doc_id")),
       candidates(s, dir))
 
+  /** Incremental cross-snapshot dedup: the doc_id % 5 == 3 slice plays the
+    * new crawl increment, the rest the already-kept registry. The oracle
+    * mirrors the exact LSH construction (deterministic md5 minhash), so the
+    * full exact-tier + band-join + Jaccard-verify + flag assembly is
+    * hash-checked. */
+  val xIncrDedup: Q = (s, dir) => {
+    val d = docs(s, dir)
+    DedupOps.dedupAgainstRegistry(
+      d.where(col("doc_id") % 5 === 3), d.where(col("doc_id") % 5 =!= 3),
+      col("doc_id"), col("text"), NumHashes, NumBands, theta = 0.5)
+  }
+
   /** Exact Jaccard-threshold join (no LSH false negatives): prefix-filtered
     * AllPairs over the 3-shingle sets. The oracle is the NAIVE exact join
     * (shared-shingle counts over every co-occurring pair) — a deliberately

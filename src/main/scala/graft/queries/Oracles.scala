@@ -1134,6 +1134,34 @@ object Oracles {
          |FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b""".stripMargin,
 
+    // incremental dedup vs the registry: SHINGLE_CTES' sig/bands cover all
+    // docs; candidates keep only cross-split (new x registry) band hits,
+    // verified at Jaccard >= 0.5; the exact tier is a content-hash join
+    "x_incr_dedup" ->
+      s"""WITH $SHINGLE_CTES,
+         |nd AS (SELECT doc_id, md5(text) AS h FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 5 = 3),
+         |reg AS (SELECT DISTINCT md5(text) AS h FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 5 <> 3),
+         |ex AS (SELECT DISTINCT nd.doc_id FROM nd JOIN reg ON nd.h = reg.h),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 5 = 3 AND b.doc_id % 5 <> 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |near AS (SELECT DISTINCT i.doc_a AS doc_id FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.5)
+         |SELECT nd.doc_id, ex.doc_id IS NOT NULL AS exact_dup,
+         |  near.doc_id IS NOT NULL AS near_dup,
+         |  ex.doc_id IS NULL AND near.doc_id IS NULL AS kept
+         |FROM nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
+         |LEFT JOIN near ON near.doc_id = nd.doc_id""".stripMargin,
+
     // the NAIVE exact algorithm (no prefix filter): every co-occurring
     // pair's shared-shingle count — zero-intersection pairs have J=0 < theta
     // and need no row, so no cross join is required even naively

@@ -7,6 +7,35 @@ import graft.ext.{DedupOps, TextOps}
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("dedupAgainstRegistry: exact + near tiers, within-batch dups not " +
+    "flagged, short docs exact-only") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val registry = Seq(
+      (100L, base),
+      (101L, "completely different registry content about other things"),
+      (102L, "hi")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                  // exact dup of 100
+      (2L, base.replace("epsilon", "EDITED")),     // near dup of 100
+      (3L, "novel content nothing shares any tokens with whatsoever"),
+      (4L, "novel content nothing shares any tokens with whatsoever"), // within-batch dup of 3: NOT flagged
+      (5L, "hi"),                                  // exact dup of short 102
+      (6L, "yo")).toDF("doc_id", "text")           // short, unique
+    val got = graft.ext.DedupOps.dedupAgainstRegistry(
+        batch, registry, col("doc_id"), col("text"),
+        numHashes = 12, numBands = 4, theta = 0.5)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((true, true, false)))   // exact AND near (J = 1)
+    assert(got(2L) == ((false, true, false)))
+    assert(got(3L) == ((false, false, true)))
+    assert(got(4L) == ((false, false, true)))
+    assert(got(5L) == ((true, false, false)))  // too short to shingle
+    assert(got(6L) == ((false, false, true)))
+    assert(got.size == 6)
+  }
+
   test("tokens: lowercases, strips punctuation, never yields empties") {
     val df = Seq("Hello, World!  x2", "...", "", "a").toDF("text")
     val got = df.select(TextOps.tokens($"text").as("t"))

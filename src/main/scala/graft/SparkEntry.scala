@@ -107,6 +107,8 @@ object SparkEntry {
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
     "x_setsim_join" -> ExtQueries.xSetsimJoin,
     "x_incr_dedup" -> ExtQueries.xIncrDedup,
+    "x_decay" -> ExtQueries.xDecay,
+    "x_covisit" -> ExtQueries.xCovisit,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
@@ -244,5 +246,5 @@ object SparkEntry {
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
-    "x_setsim_join", "x_phrase", "x_incr_dedup")
+    "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit")
 }

@@ -110,4 +110,29 @@ object EventWindows {
       .rangeBetween(-windowMicros, 0)
     events.withColumn("rolling", agg(value).over(w))
   }
+
+  /** Exponentially time-decayed popularity: per key,
+    * `score = Σ_events w_i · 0.5^((ref − t_i) / halfLife)` — recent events
+    * count fully, events one half-life old count half. The decay weight is
+    * a pure per-row column (no window, no ordering), so the whole score is
+    * ONE partial-aggregated shuffle on the key — and the aggregate is a
+    * monoid (a sum), so partial scores merge across batches, partitions,
+    * or streaming micro-batches by addition. Re-referencing a stored score
+    * to a newer `ref` is one multiplication: score · 0.5^((ref'−ref)/hl) —
+    * the property that makes decayed counts THE incremental popularity
+    * metric (no event replay to age a leaderboard).
+    *
+    * `refMicros` must be supplied by the caller (injected like
+    * Broadcaster's `now`): deriving it from the data would both hide an
+    * extra pass and make scores batch-relative. */
+  def decayedScore(events: DataFrame, keys: Seq[Column], tsMicros: Column,
+                   weight: Column, refMicros: Long,
+                   halfLifeMicros: Long): DataFrame = {
+    require(halfLifeMicros > 0, "halfLifeMicros must be positive")
+    val decay = pow(lit(0.5),
+      (lit(refMicros) - tsMicros).cast("double") / lit(halfLifeMicros.toDouble))
+    events.groupBy(keys: _*)
+      .agg(round(sum(weight * decay), 4).as("decayed_score"),
+        count(lit(1)).as("n_events"))
+  }
 }

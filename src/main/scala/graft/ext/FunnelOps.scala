@@ -85,4 +85,53 @@ object FunnelOps {
       .withColumn("p", round(col("n") /
         sum(col("n")).over(Window.partitionBy(col("a"))), 4))
   }
+
+  /** Item-item co-visitation similarity (the co-occurrence backbone of
+    * neighbourhood collaborative filtering): for every item pair, the
+    * number of keys (users) that touched both, cosine-normalised by the
+    * items' marginal user counts — `n_ab / sqrt(n_a · n_b)`.
+    *
+    * Shape: the (key, item) de-dup is one shuffle; pairs are generated
+    * IN-PLACE from each key's sorted item array (the [[graft.ext.DedupOps
+    * .lshCandidates]] trick — no self-join of the (key, item) table, whose
+    * equi-join on key would shuffle the whole table twice and explode on
+    * hot users); the pair aggregate partial-aggregates map-side. Per-key
+    * work is O(items²), which is why `maxItemsPerKey` raises loudly
+    * (inside the consumed array column, so pruning can't drop it) instead
+    * of letting a crawler account with a million distinct items cross-
+    * product silently — cap-and-sample power users upstream, as every
+    * production co-visit pipeline does. The marginal join is hint-free:
+    * item cardinality is corpus-dependent (the [[graft.ext.CorpusOps
+    * .tfidfTopTerms]] vocabulary convention). */
+  def coVisitation(events: DataFrame, key: Column, item: Column,
+                   maxItemsPerKey: Int = 10000): DataFrame = {
+    require(maxItemsPerKey > 1, "maxItemsPerKey must be > 1")
+    val ui = events.select(key.as("__k"), item.as("__i"))
+      .where(col("__i").isNotNull).distinct()
+    val marg = ui.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val sets = ui.groupBy("__k")
+      .agg(array_sort(collect_list(col("__i"))).as("__items"))
+      .withColumn("__items",
+        when(size(col("__items")) <= maxItemsPerKey, col("__items"))
+          .otherwise(raise_error(concat(
+            lit(s"coVisitation: key with more than maxItemsPerKey=" +
+              s"$maxItemsPerKey distinct items — quadratic pair blowup; " +
+              "cap or sample power keys upstream; item count = "),
+            size(col("__items")).cast("string")))))
+    val pairsExpr = flatten(transform(
+      sequence(lit(1), size(col("__items")) - 1),
+      j => transform(sequence(lit(0), j - 1),
+        i => struct(col("__items")(i).as("a"), col("__items")(j).as("b")))))
+    val counts = sets.where(size(col("__items")) > 1)
+      .select(explode(pairsExpr).as("p"))
+      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+    counts
+      .join(marg.select(col("__i").as("item_a"), col("__n").as("__na")),
+        "item_a")
+      .join(marg.select(col("__i").as("item_b"), col("__n").as("__nb")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab") / sqrt(col("__na") * col("__nb")), 4).as("cosine"))
+  }
 }

@@ -550,6 +550,24 @@ object ExtQueries {
     agg.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
   }
 
+  /** Exponentially decayed popularity per event type: ref pinned to the
+    * end of the corpus month (2024-01-31 UTC, injected like Broadcaster's
+    * `now`), half-life 7 days — one partial-aggregated shuffle, mergeable
+    * by addition. */
+  val xDecay: Q = (s, dir) =>
+    EventWindows.decayedScore(RefQueries.events(s, dir),
+      Seq(col("event_type")), unix_micros(col("ts")), col("value"),
+      refMicros = 1706659200000000L, halfLifeMicros = 604800000000L)
+
+  /** Item-item co-visitation cosine over (user, event_type): pairs built
+    * in-place from each user's sorted distinct-item array, never a
+    * self-join of the (user, item) table; the oracle IS that self-join —
+    * a deliberately different algorithm. */
+  val xCovisit: Q = (s, dir) =>
+    FunnelOps.coVisitation(
+      RefQueries.events(s, dir).where(col("user_id").isNotNull),
+      col("user_id"), col("event_type"))
+
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to
     * x_bm25's scored ranking. The term filter is map-side below the

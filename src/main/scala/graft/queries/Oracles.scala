@@ -1478,6 +1478,29 @@ object Oracles {
          |FROM tok WHERE tok IN ('join', 'vector', 'window')
          |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin,
 
+    // decayed popularity: same per-row decay column, grouped — power()
+    // and the double division are IEEE on both engines
+    "x_decay" ->
+      """SELECT event_type,
+        |  round(sum(value * power(0.5,
+        |    (1706659200000000 - epoch_us(ts)) / 604800000000.0)), 4)
+        |    AS decayed_score,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // co-visitation via the NAIVE per-user self-join — an independent
+    // algorithm for the array-pair construction
+    "x_covisit" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS k, event_type AS i
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ui a JOIN ui b ON a.k = b.k AND a.i < b.i GROUP BY a.i, b.i)
+        |SELECT item_a, item_b, n_ab,
+        |  round(n_ab / sqrt(ma.n * mb.n), 4) AS cosine
+        |FROM p JOIN marg ma ON ma.i = item_a
+        |JOIN marg mb ON mb.i = item_b""".stripMargin,
+
     // direct sliding-window scan over each doc's token list — an
     // independent algorithm for the positional phrase-AND (list is
     // 1-indexed; range(a, b) is [a, b), so i runs over valid anchors only)

@@ -60,4 +60,65 @@ class FunnelSpec extends SparkTestBase {
       ("a", "b", 2L, 0.6667), ("a", "c", 1L, 0.3333),
       ("b", "a", 2L, 1.0)))
   }
+
+  test("coVisitation: pair counts + cosine match hand computation; " +
+    "repeat events collapse; single-item keys contribute nothing") {
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"),   // u1 {a,b} (repeat b collapses)
+      (2L, "a"), (2L, "b"), (2L, "c"),   // u2 {a,b,c}
+      (3L, "a"),                         // singleton: no pairs
+      (4L, "c")).toDF("user_id", "item")
+    val got = FunnelOps.coVisitation(ev, $"user_id", $"item")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // marginals: a=3, b=2, c=2; pairs: (a,b)=2, (a,c)=1, (b,c)=1
+    assert(got(("a", "b")) == ((2L, 0.8165)))  // 2/sqrt(6)
+    assert(got(("a", "c")) == ((1L, 0.4082)))  // 1/sqrt(6)
+    assert(got(("b", "c")) == ((1L, 0.5)))     // 1/sqrt(4)
+    assert(got.size == 3)
+  }
+
+  test("coVisitation: power key past maxItemsPerKey raises loudly") {
+    val ev = (0 until 5).map(i => (1L, s"i$i")).toDF("user_id", "item")
+    val ex = intercept[Exception] {
+      FunnelOps.coVisitation(ev, $"user_id", $"item",
+        maxItemsPerKey = 4).collect()
+    }
+    assert(ex.getMessage.contains("maxItemsPerKey"))
+  }
+
+  test("decayedScore: half-life arithmetic and split-merge invariance") {
+    import graft.ext.EventWindows
+    val hl = 1000000L // 1s half-life, micros
+    val ref = 10000000L
+    val ev = Seq(
+      ("k", 10000000L, 8.0),  // age 0  -> weight 1
+      ("k", 9000000L, 4.0),   // age 1s -> 1/2
+      ("k", 8000000L, 4.0),   // age 2s -> 1/4
+      ("q", 6000000L, 16.0))  // age 4s -> 1/16
+      .toDF("key", "tu", "v")
+    val got = EventWindows.decayedScore(ev, Seq($"key"), $"tu", $"v", ref, hl)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("k") == ((8.0 + 2.0 + 1.0, 3L)))
+    assert(got("q") == ((1.0, 1L)))
+    // mergeability: score over the union == sum of per-split scores at the
+    // same ref — the property that makes the aggregate incremental
+    def scoreOf(df: org.apache.spark.sql.DataFrame) =
+      EventWindows.decayedScore(df, Seq($"key"), $"tu", $"v", ref, hl)
+        .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val s1 = scoreOf(ev.where($"tu" >= 9000000L))
+    val s2 = scoreOf(ev.where($"tu" < 9000000L))
+    assert(s1.getOrElse("k", 0.0) + s2.getOrElse("k", 0.0) == got("k")._1)
+  }
+
+  test("decayedScore: aging the ref by one half-life halves the score") {
+    import graft.ext.EventWindows
+    val hl = 1000000L
+    val ev = Seq(("k", 1000000L, 6.0), ("k", 2000000L, 10.0))
+      .toDF("key", "tu", "v")
+    def at(ref: Long) = EventWindows.decayedScore(ev, Seq($"key"),
+      $"tu", $"v", ref, hl).as[(String, Double, Long)].collect().head._2
+    assert(math.abs(at(4000000L) - at(3000000L) / 2) < 1e-9)
+  }
 }

@@ -54,7 +54,8 @@ object PlanAudit {
         "x_sessionize","x_rolling","x_rollup","x_pivot","x_anomaly",
         "x_funnel","x_retention","x_transition","x_agg_merge",
         "x_bool_and","x_resample","x_trending","x_asof_nearest",
-        "x_setsim_join","x_phrase","x_incr_dedup","x_decay","x_covisit")
+        "x_setsim_join","x_phrase","x_incr_dedup","x_decay","x_covisit",
+        "x_hist_quantile")
       .foreach(audit)
     spark.stop()
   }

@@ -108,6 +108,7 @@ object SparkEntry {
     "x_setsim_join" -> ExtQueries.xSetsimJoin,
     "x_incr_dedup" -> ExtQueries.xIncrDedup,
     "x_decay" -> ExtQueries.xDecay,
+    "x_hist_quantile" -> ExtQueries.xHistQuantile,
     "x_covisit" -> ExtQueries.xCovisit,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
@@ -246,5 +247,6 @@ object SparkEntry {
     "x_sessionize", "x_rolling", "x_rollup", "x_pivot", "x_anomaly",
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
-    "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit")
+    "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
+    "x_hist_quantile")
 }

@@ -550,6 +550,23 @@ object ExtQueries {
     agg.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
   }
 
+  /** Mergeable histogram-quantile sketch: state built on the even/odd
+    * event_id halves SEPARATELY, merged, then finalized — the oracle
+    * computes the estimate directly from the whole log's binned counts,
+    * so agreement checks the split-merge invariance end-to-end, not a
+    * mirror of the split. Domain [0, 600), 120 bins (width 5). */
+  val xHistQuantile: Q = (s, dir) => {
+    import graft.operators.HistogramSketch
+    val e = RefQueries.events(s, dir)
+    val keys = Seq("event_type")
+    def st(pred: Column) = HistogramSketch.state(
+      e.where(pred), keys, col("value"), lo = 0.0, hi = 600.0, nBins = 120)
+    val merged = HistogramSketch.merge(
+      st(col("event_id") % 2 === 0), st(col("event_id") % 2 =!= 0), keys)
+    HistogramSketch.quantiles(merged, keys, lo = 0.0, hi = 600.0,
+      nBins = 120, qs = Seq(0.5, 0.9, 0.99))
+  }
+
   /** Exponentially decayed popularity per event type: ref pinned to the
     * end of the corpus month (2024-01-31 UTC, injected like Broadcaster's
     * `now`), half-life 7 days — one partial-aggregated shuffle, mergeable

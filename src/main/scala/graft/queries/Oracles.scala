@@ -1478,6 +1478,25 @@ object Oracles {
          |FROM tok WHERE tok IN ('join', 'vector', 'window')
          |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin,
 
+    // histogram quantiles computed DIRECTLY from the whole log's binned
+    // counts — the Spark side goes through split-state-merge, so agreement
+    // checks the sketch's merge invariance (width 5 = 600/120)
+    "x_hist_quantile" -> {
+      def p(q: String, name: String) =
+        s"""max(CASE WHEN cum - n < $q * tot AND $q * tot <= cum
+           |  THEN round(0.0 + 5.0 * (bin + ($q * tot - (cum - n)) / n), 4)
+           |  END) AS $name""".stripMargin
+      s"""WITH b AS (SELECT event_type,
+         |  least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 119) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |c AS (SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         |  sum(n) OVER (PARTITION BY event_type) AS tot FROM b)
+         |SELECT event_type, ${p("0.5", "p50")}, ${p("0.9", "p90")},
+         |  ${p("0.99", "p99")}
+         |FROM c GROUP BY event_type""".stripMargin
+    },
+
     // decayed popularity: same per-row decay column, grouped — power()
     // and the double division are IEEE on both engines
     "x_decay" ->

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+
+/** Streaming half-life-decayed leaderboard: the stateful surface of
+  * [[graft.ext.EventWindows.decayedScore]]. State per key is ONE pair
+  * (score, refMicros) — the decayed sum referenced at the newest event
+  * time seen — because the decayed sum is a monoid whose stored value
+  * re-references with a single multiplication. Each micro-batch folds in
+  * as: new ref = max(stored ref, batch max ts); stored score decays to the
+  * new ref; every batch event decays its weight to the new ref and adds.
+  * Decaying EVERYTHING to the shared ref (rather than replaying events in
+  * order) makes the update order-independent — late events simply arrive
+  * pre-aged, so out-of-order delivery needs no watermark to stay correct,
+  * and the emitted score always equals the batch operator's value over
+  * the full history at the same ref (locked by spec).
+  *
+  * State size: one row per key, forever — the leaderboard IS the state.
+  * Keys that must expire should use a timeout; scores themselves age to
+  * irrelevance by construction.
+  */
+object DecayedLeaderboard {
+
+  case class ScoredEvent(key: String, tsMicros: Long, weight: Double)
+  case class DecayState(score: Double, refMicros: Long)
+  case class KeyScore(key: String, score: Double, refMicros: Long)
+
+  def run(events: Dataset[ScoredEvent],
+          halfLifeMicros: Long): Dataset[KeyScore] = {
+    require(halfLifeMicros > 0, "halfLifeMicros must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[DecayState, KeyScore](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ScoredEvent],
+         state: GroupState[DecayState]) =>
+          val evs = rows.toSeq
+          def decay(dtMicros: Long): Double =
+            math.pow(0.5, dtMicros.toDouble / halfLifeMicros)
+          val prev = state.getOption
+          val newRef = (prev.map(_.refMicros).toSeq ++ evs.map(_.tsMicros)).max
+          val carried = prev.map(p => p.score * decay(newRef - p.refMicros))
+            .getOrElse(0.0)
+          // stable fold order (by ts, then weight) so a repartitioned
+          // replay reproduces the same float sum bit-for-bit
+          val added = evs.sortBy(e => (e.tsMicros, e.weight))
+            .map(e => e.weight * decay(newRef - e.tsMicros)).sum
+          val st = DecayState(carried + added, newRef)
+          state.update(st)
+          KeyScore(key, st.score, st.refMicros)
+      }
+  }
+}

@@ -49,4 +49,48 @@ class IncrementalAggSpec extends SparkTestBase {
     // nulls contribute to NO component
     assert(d("holes") === ((1L, Some(10.0), None, Some(10.0), Some(10.0))))
   }
+
+  import graft.operators.HistogramSketch
+
+  test("histogram sketch: hand-computed interpolated quantiles") {
+    // [0,10) in 10 unit bins; values 1..10 (10 clamps into bin 9)
+    val df = (1 to 10).map(v => ("k", v.toDouble)).toDF("k", "v")
+    val st = HistogramSketch.state(df, Seq("k"), col("v"), 0.0, 10.0, 10)
+    val q = HistogramSketch.quantiles(st, Seq("k"), 0.0, 10.0, 10,
+        Seq(0.5, 1.0))
+      .as[(String, Double, Double)].collect().head
+    // p50: pos=5, covering bin 5 (cum 4->5), est = 5 + 1*(1/1) = 6.0
+    assert(q == (("k", 6.0, 10.0)))  // p100 = top of the clamped edge bin
+  }
+
+  test("histogram sketch: split-merge invariance on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (s"k${i % 3}", i.toLong, rnd.nextDouble() * 120 - 10)) // some out-of-domain
+      .toDF("k", "id", "v")
+    def st(df: DataFrame) =
+      HistogramSketch.state(df, Seq("k"), col("v"), 0.0, 100.0, 25)
+    val direct = HistogramSketch.quantiles(st(rows), Seq("k"),
+        0.0, 100.0, 25, Seq(0.5, 0.9, 0.99))
+      .as[(String, Double, Double, Double)].collect().toSet
+    val merged = HistogramSketch.quantiles(
+        HistogramSketch.merge(st(rows.where(col("id") % 2 === 0)),
+          st(rows.where(col("id") % 2 =!= 0)), Seq("k")),
+        Seq("k"), 0.0, 100.0, 25, Seq(0.5, 0.9, 0.99))
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(merged === direct)
+  }
+
+  test("histogram sketch: out-of-domain values clamp, estimates stay in " +
+    "the domain; nulls contribute nothing") {
+    val df = Seq(("k", Some(-50.0)), ("k", Some(1.0)), ("k", Some(999.0)),
+      ("k", None)).toDF("k", "v")
+    val st = HistogramSketch.state(df, Seq("k"), col("v"), 0.0, 10.0, 10)
+    // 3 non-null rows -> bins 0 (clamped), 0? no: -50->0, 1.0->1, 999->9
+    val bins = st.as[(String, Long, Long)].collect().toSet
+    assert(bins === Set(("k", 0L, 1L), ("k", 1L, 1L), ("k", 9L, 1L)))
+    val q = HistogramSketch.quantiles(st, Seq("k"), 0.0, 10.0, 10, Seq(1.0))
+      .as[(String, Double)].collect().head
+    assert(q._2 == 10.0) // saturates at the domain top, not at 999
+  }
 }

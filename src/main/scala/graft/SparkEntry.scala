@@ -106,9 +106,11 @@ object SparkEntry {
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
     "x_setsim_join" -> ExtQueries.xSetsimJoin,
+    "x_setsim_rs" -> ExtQueries.xSetsimRs,
     "x_incr_dedup" -> ExtQueries.xIncrDedup,
     "x_decay" -> ExtQueries.xDecay,
     "x_hist_quantile" -> ExtQueries.xHistQuantile,
+    "x_trend" -> ExtQueries.xTrend,
     "x_covisit" -> ExtQueries.xCovisit,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
@@ -248,5 +250,5 @@ object SparkEntry {
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
-    "x_hist_quantile")
+    "x_hist_quantile", "x_trend", "x_setsim_rs")
 }

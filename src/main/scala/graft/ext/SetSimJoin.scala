@@ -3,10 +3,10 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Exact Jaccard-threshold set-similarity self-join via prefix filtering
+/** Exact Jaccard-threshold set-similarity joins via prefix filtering
   * (the AllPairs/PPJoin family: Chaudhuri et al., ICDE'06; Bayardo et al.,
   * WWW'07). The exact complement to the MinHash-LSH path in [[DedupOps]]:
-  * LSH is probabilistic (a true pair can miss every band), this join is
+  * LSH is probabilistic (a true pair can miss every band), these joins are
   * provably complete for `jaccard >= theta` — the form to reach for when a
   * dedup or linkage decision must not have false negatives.
   *
@@ -37,7 +37,73 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  /** @param elems  exploded (doc_id, elem) rows, distinct per document
+  /** Element doc-frequencies — the shared global rarity order. */
+  private def freq(elems: DataFrame): DataFrame =
+    elems.groupBy("elem").agg(count(lit(1)).as("__df"))
+
+  /** Per-set sorted element array (rarest first, element text as the
+    * deterministic tiebreak — any shared TOTAL order preserves
+    * completeness; this one minimises candidates and reproduces
+    * bit-for-bit anywhere) + set size. */
+  private def sortedSets(elems: DataFrame, df: DataFrame): DataFrame =
+    elems.join(df, "elem")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("elem"))))
+             .as("__ord"),
+           count(lit(1)).as("sz"))
+      .select(col("doc_id"),
+        transform(col("__ord"), x => x.getField("elem")).as("set"),
+        col("sz"))
+
+  /** prefix = the first |x| - ceil(theta|x|) + 1 rarest elements. */
+  private def prefixOf(sets: DataFrame, theta: Double): DataFrame = {
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(theta)) + 1).cast("int")
+    sets.select(col("doc_id"), col("sz"),
+      explode(slice(col("set"), lit(1), prefixLen)).as("elem"))
+  }
+
+  /** Hot-prefix-element guard: the offending set is empty in any legal
+    * run, so the check is a broadcast left join, never a second shuffle. */
+  private def guarded(prefix: DataFrame, side: String,
+                      maxBucket: Int): DataFrame = {
+    val hot = prefix.groupBy("elem").agg(count(lit(1)).as("__psz"))
+      .where(col("__psz") > maxBucket)
+    prefix.join(broadcast(hot), Seq("elem"), "left")
+      .withColumn("elem",
+        when(col("__psz").isNull, col("elem")).otherwise(raise_error(concat(
+          lit(s"SetSimJoin: $side prefix element shared by more than " +
+            s"maxBucket=$maxBucket sets — a disguised cross join; use " +
+            "higher-entropy elements (longer shingles) or raise maxBucket; " +
+            "group size = "), col("__psz").cast("string")))))
+      .drop("__psz")
+  }
+
+  /** Exact verification on the two per-set arrays — map-side after the
+    * two 1:1 set joins; only candidates pay this, never all pairs. */
+  private def verify(cands: DataFrame, setsA: DataFrame, setsB: DataFrame,
+                     aCol: String, bCol: String, theta: Double): DataFrame =
+    cands
+      .join(setsA.select(col("doc_id").as(aCol), col("set").as("__sa"),
+        col("sz").as("__na")), aCol)
+      .join(setsB.select(col("doc_id").as(bCol), col("set").as("__sb"),
+        col("sz").as("__nb")), bCol)
+      .select(col(aCol), col(bCol), col("__na"), col("__nb"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("__ni"))
+      .withColumn("__j",
+        col("__ni") / (col("__na") + col("__nb") - col("__ni")).cast("double"))
+      .where(col("__j") >= theta)
+      .select(col(aCol), col(bCol), round(col("__j"), 4).as("jaccard"))
+
+  /** Symmetric size filter: Jaccard >= theta forces
+    * theta*|x| <= |y| <= |x|/theta. */
+  private def sizeFilter(theta: Double) =
+    col("__szb") * lit(theta) <= col("__sza") &&
+      col("__sza") * lit(theta) <= col("__szb")
+
+  /** Self-join form (dedup within one collection).
+    *
+    * @param elems  exploded (doc_id, elem) rows, distinct per document
     *               (e.g. [[TextOps.explodeShingles]] output)
     * @param theta  Jaccard threshold in (0, 1]
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
@@ -47,68 +113,46 @@ object SetSimJoin {
                maxBucket: Int = 100000): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
     require(maxBucket > 0, "maxBucket must be positive")
-
-    // global rarity order: ascending doc frequency, element text as the
-    // deterministic tiebreak (any TOTAL order works for completeness; this
-    // one minimises candidate counts and reproduces bit-for-bit anywhere)
-    val df = elems.groupBy("elem").agg(count(lit(1)).as("__df"))
-
-    // per-set sorted element array (rarest first) + set size — the struct
-    // sort keys on (__df, elem), matching the order the prefix is cut from
-    val sets = elems.join(df, "elem")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("__df"), col("elem"))))
-             .as("__ord"),
-           count(lit(1)).as("sz"))
-      .select(col("doc_id"),
-        transform(col("__ord"), x => x.getField("elem")).as("set"),
-        col("sz"))
-
-    // prefix = the first |x| - ceil(theta|x|) + 1 rarest elements
-    val prefixLen = (col("sz") - ceil(col("sz") * lit(theta)) + 1).cast("int")
-    val prefix = sets
-      .select(col("doc_id"), col("sz"),
-        explode(slice(col("set"), lit(1), prefixLen)).as("elem"))
-
-    // hot-prefix-element guard: the offending set is empty in any legal
-    // run, so the check is a broadcast left join, never a second shuffle
-    val hot = prefix.groupBy("elem").agg(count(lit(1)).as("__psz"))
-      .where(col("__psz") > maxBucket)
-    val guarded = prefix.join(broadcast(hot), Seq("elem"), "left")
-      .withColumn("elem",
-        when(col("__psz").isNull, col("elem")).otherwise(raise_error(concat(
-          lit(s"SetSimJoin: prefix element shared by more than " +
-            s"maxBucket=$maxBucket sets — a disguised cross join; use " +
-            "higher-entropy elements (longer shingles) or raise maxBucket; " +
-            "group size = "), col("__psz").cast("string")))))
-      .drop("__psz")
-
-    // candidate generation: prefix equi-join + symmetric size filter
-    // (Jaccard >= theta forces theta*|x| <= |y| <= |x|/theta)
-    val a = guarded.select(col("elem"), col("doc_id").as("doc_a"),
+    val sets = sortedSets(elems, freq(elems))
+    val g = guarded(prefixOf(sets, theta), "self", maxBucket)
+    val a = g.select(col("elem"), col("doc_id").as("doc_a"),
       col("sz").as("__sza"))
-    val b = guarded.select(col("elem").as("__elem_b"),
+    val b = g.select(col("elem").as("__elem_b"),
       col("doc_id").as("doc_b"), col("sz").as("__szb"))
     val cands = a.join(b,
         col("elem") === col("__elem_b") && col("doc_a") < col("doc_b") &&
-          col("__szb") * lit(theta) <= col("__sza") &&
-          col("__sza") * lit(theta) <= col("__szb"))
+          sizeFilter(theta))
       .select("doc_a", "doc_b").distinct()
+    verify(cands, sets, sets, "doc_a", "doc_b", theta)
+  }
 
-    // exact verification on the two per-set arrays — map-side after the
-    // two 1:1 set joins; only candidates pay this, never all pairs
-    val verified = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("__sa"),
-        col("sz").as("__na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
-        col("sz").as("__nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("__na"), col("__nb"),
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
-          .as("__ni"))
-      .withColumn("__j",
-        col("__ni") / (col("__na") + col("__nb") - col("__ni")).cast("double"))
-      .where(col("__j") >= theta)
-    verified.select(col("doc_a"), col("doc_b"),
-      round(col("__j"), 4).as("jaccard"))
+  /** Two-table (R-S / record-linkage) form: every (l_id, r_id) pair
+    * across the two collections with Jaccard >= theta — the exact-recall
+    * linkage join (match a new increment against a registry, a dirty feed
+    * against a master list) where LSH's false negatives are unacceptable.
+    *
+    * The shared global rarity order comes from the UNION's document
+    * frequencies: completeness only needs ONE total order applied to both
+    * sides, and union frequency makes an element that is common anywhere
+    * late in every prefix. Both sides' prefixes carry the hot-element
+    * guard (a hot probe prefix element joined to a hot indexed one is the
+    * same |L|x|R| blowup, the [[graft.operators.FuzzyJoin.qgramJoin]]
+    * convention). Key spaces of the two sides are independent — ids never
+    * compare across sides. */
+  def rsJoin(leftElems: DataFrame, rightElems: DataFrame, theta: Double,
+             maxBucket: Int = 100000): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
+    require(maxBucket > 0, "maxBucket must be positive")
+    val df = freq(leftElems.unionByName(rightElems))
+    val setsL = sortedSets(leftElems, df)
+    val setsR = sortedSets(rightElems, df)
+    val gl = guarded(prefixOf(setsL, theta), "left", maxBucket)
+      .select(col("elem"), col("doc_id").as("l_id"), col("sz").as("__sza"))
+    val gr = guarded(prefixOf(setsR, theta), "right", maxBucket)
+      .select(col("elem").as("__elem_b"), col("doc_id").as("r_id"),
+        col("sz").as("__szb"))
+    val cands = gl.join(gr, col("elem") === col("__elem_b") && sizeFilter(theta))
+      .select("l_id", "r_id").distinct()
+    verify(cands, setsL, setsR, "l_id", "r_id", theta)
   }
 }

@@ -43,6 +43,53 @@ object IncrementalAgg {
       max(col("max_v")).as("max_v"),
       sum(col("sumsq_v")).as("sumsq_v"))
 
+  /** Per-key ordinary-least-squares trend from MERGEABLE sums — the
+    * regression member of this family. State is (n, Σx, Σy, Σxx, Σxy)
+    * per key (a commutative monoid: merge by addition, exactly like
+    * [[state]]/[[merge]]), so a 100 TB metric's slope updates per batch
+    * without history replay. Finalize:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), intercept = ȳ − slope·x̄.
+    *
+    * The x column is caller-supplied (typically event time as epoch
+    * seconds RE-BASED near zero — e.g. minus a fixed corpus epoch): the
+    * sums-based normal equation is the price of mergeability and
+    * cancellation-prone when x ≫ spread(x), the same trade [[finalize]]
+    * documents for sd. Keys with zero x-variance (or n < 2) get null
+    * slope/intercept. Rounded to 4 dp (house rule). */
+  def trendState(df: DataFrame, keys: Seq[String], x: Column,
+                 y: Column): DataFrame = {
+    val both = x.isNotNull && y.isNotNull
+    val xv = when(both, x).cast("double")
+    val yv = when(both, y).cast("double")
+    df.groupBy(keys.map(col): _*).agg(
+      count(xv).as("n"),
+      sum(xv).as("sum_x"),
+      sum(yv).as("sum_y"),
+      sum(xv * xv).as("sum_xx"),
+      sum(xv * yv).as("sum_xy"))
+  }
+
+  /** Merge trend states: union + component-wise sum. */
+  def trendMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_x")).as("sum_x"),
+      sum(col("sum_y")).as("sum_y"),
+      sum(col("sum_xx")).as("sum_xx"),
+      sum(col("sum_xy")).as("sum_xy"))
+
+  /** Slope/intercept from trend state. */
+  def trendFinalize(st: DataFrame, keys: Seq[String]): DataFrame = {
+    val det = col("n") * col("sum_xx") - col("sum_x") * col("sum_x")
+    val slope = (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")) / det
+    st.select((keys.map(col) ++ Seq(
+      col("n"),
+      when(col("n") > 1 && det =!= 0, round(slope, 4)).as("slope"),
+      when(col("n") > 1 && det =!= 0,
+        round((col("sum_y") - slope * col("sum_x")) / col("n"), 4))
+        .as("intercept"))): _*)
+  }
+
   /** Derive presentation stats from state. The sample-std uses the naive
     * sumsq identity — the price of mergeability; both engines evaluate the
     * IDENTICAL expression, so the oracle compare is stable, and at double

@@ -125,6 +125,15 @@ object ExtQueries {
     SetSimJoin.selfJoin(
       shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
 
+  /** Exact-recall R-S linkage across the same increment/registry split as
+    * x_incr_dedup — the no-false-negatives alternative to its LSH near
+    * tier. Oracle is again the naive cross-split join. */
+  val xSetsimRs: Q = (s, dir) => {
+    val sh = shingleDf(s, dir).withColumnRenamed("shingle", "elem")
+    SetSimJoin.rsJoin(sh.where(col("doc_id") % 5 === 3),
+      sh.where(col("doc_id") % 5 =!= 3), theta = 0.5)
+  }
+
   val xDedupSimhash: Q = (s, dir) =>
     DedupOps.simhash(docs(s, dir), col("doc_id"), col("text"))
 
@@ -548,6 +557,26 @@ object ExtQueries {
       .partitionBy(col("hour_us"))
       .orderBy(col("n").desc, col("event_type").asc_nulls_last)
     agg.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+  }
+
+  /** Mergeable OLS trend per event type: x = days since the corpus epoch
+    * (re-based near zero so the sums-based normal equation stays
+    * cancellation-benign), y = value; state built on the even/odd halves,
+    * merged, finalized — the oracle computes the same closed form from
+    * the whole log, so agreement checks merge invariance. */
+  val xTrend: Q = (s, dir) => {
+    import graft.operators.IncrementalAgg
+    val e = RefQueries.events(s, dir).select(col("event_id"),
+      col("event_type"),
+      ((unix_micros(col("ts")) - lit(1704067200000000L)) / 86400000000.0)
+        .as("x"),
+      col("value"))
+    val keys = Seq("event_type")
+    def st(pred: Column) =
+      IncrementalAgg.trendState(e.where(pred), keys, col("x"), col("value"))
+    IncrementalAgg.trendFinalize(IncrementalAgg.trendMerge(
+      st(col("event_id") % 2 === 0), st(col("event_id") % 2 =!= 0), keys),
+      keys)
   }
 
   /** Mergeable histogram-quantile sketch: state built on the even/odd

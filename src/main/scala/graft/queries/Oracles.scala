@@ -1134,6 +1134,21 @@ object Oracles {
          |FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b""".stripMargin,
 
+    // the naive cross-split exact join — no prefix filter — over the same
+    // increment/registry split as x_incr_dedup
+    "x_setsim_rs" ->
+      s"""WITH $SHINGLE_CTES,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS l_id, b.doc_id AS r_id, CAST(count(*) AS BIGINT) AS ni
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % 5 = 3 AND b.doc_id % 5 <> 3
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.l_id, i.r_id,
+         |  round(CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni), 4) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.l_id
+         |JOIN sizes sb ON sb.doc_id = i.r_id
+         |WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.5""".stripMargin,
+
     // incremental dedup vs the registry: SHINGLE_CTES' sig/bands cover all
     // docs; candidates keep only cross-split (new x registry) band hits,
     // verified at Jaccard >= 0.5; the exact tier is a content-hash join
@@ -1477,6 +1492,26 @@ object Oracles {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          |FROM tok WHERE tok IN ('join', 'vector', 'window')
          |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin,
+
+    // OLS trend from the whole log in one pass — the Spark side goes
+    // split-state-merge, so agreement checks the sums' merge invariance
+    "x_trend" ->
+      """WITH p AS (SELECT event_type,
+        |  CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+        |    THEN (epoch_us(ts) - 1704067200000000) / 86400000000.0 END AS x,
+        |  CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+        |    THEN value END AS y
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(count(x) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 1 AND n*sxx - sx*sx <> 0
+        |    THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) END AS slope,
+        |  CASE WHEN n > 1 AND n*sxx - sx*sx <> 0
+        |    THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+        |    END AS intercept
+        |FROM st""".stripMargin,
 
     // histogram quantiles computed DIRECTLY from the whole log's binned
     // counts — the Spark side goes through split-state-merge, so agreement

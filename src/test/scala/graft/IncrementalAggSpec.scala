@@ -50,6 +50,42 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(d("holes") === ((1L, Some(10.0), None, Some(10.0), Some(10.0))))
   }
 
+  test("trend: hand-computed slope/intercept, split-merge invariance, " +
+    "degenerate keys null out") {
+    // k: y = 2x + 1 exactly; flat: zero x-variance; solo: n = 1
+    val df = Seq(
+      ("k", 0L, 0.0, 1.0), ("k", 1L, 1.0, 3.0),
+      ("k", 2L, 2.0, 5.0), ("k", 3L, 3.0, 7.0),
+      ("noisy", 0L, 0.0, 0.0), ("noisy", 1L, 1.0, 0.0),
+      ("noisy", 2L, 2.0, 3.0),
+      ("flat", 0L, 5.0, 1.0), ("flat", 1L, 5.0, 9.0),
+      ("solo", 0L, 1.0, 1.0)).toDF("k", "id", "x", "y")
+    def fin(st: DataFrame) = IncrementalAgg.trendFinalize(st, Seq("k"))
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val direct = fin(IncrementalAgg.trendState(df, Seq("k"), col("x"), col("y")))
+    assert(direct("k") == ((4L, Some(2.0), Some(1.0))))
+    assert(direct("noisy") == ((3L, Some(1.5), Some(-0.5))))
+    assert(direct("flat") == ((2L, None, None)))  // det = 0
+    assert(direct("solo") == ((1L, None, None)))  // n < 2
+    val merged = fin(IncrementalAgg.trendMerge(
+      IncrementalAgg.trendState(df.where(col("id") % 2 === 0), Seq("k"),
+        col("x"), col("y")),
+      IncrementalAgg.trendState(df.where(col("id") % 2 =!= 0), Seq("k"),
+        col("x"), col("y")), Seq("k")))
+    assert(merged === direct)
+  }
+
+  test("trend: a null in either coordinate drops the whole point") {
+    val df = Seq(("k", Some(0.0), Some(0.0)), ("k", Some(1.0), Some(2.0)),
+      ("k", None, Some(9.0)), ("k", Some(9.0), None))
+      .toDF("k", "x", "y")
+    val got = IncrementalAgg.trendFinalize(
+      IncrementalAgg.trendState(df, Seq("k"), col("x"), col("y")), Seq("k"))
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(got == (("k", 2L, Some(2.0), Some(0.0))))
+  }
+
   import graft.operators.HistogramSketch
 
   test("histogram sketch: hand-computed interpolated quantiles") {

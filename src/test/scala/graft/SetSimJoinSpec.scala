@@ -75,6 +75,53 @@ class SetSimJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SetSimJoin.selfJoin(elemsOf(Seq()), 1.1))
   }
 
+  /** Naive R-S reference: exact Jaccard over the full cross product. */
+  private def naiveRs(l: Seq[(Long, Seq[String])], r: Seq[(Long, Seq[String])],
+                      theta: Double): Set[(Long, Long, Double)] =
+    (for {
+      (li, ls) <- l; (ri, rs) <- r
+      a = ls.distinct.toSet; b = rs.distinct.toSet
+      ni = (a intersect b).size
+      jac = ni.toDouble / (a.size + b.size - ni)
+      if jac >= theta
+    } yield (li, ri,
+      BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+
+  test("rsJoin matches the naive cross-product join; overlapping id " +
+    "spaces never couple across sides") {
+    // id 1 exists on BOTH sides with different content — ids must stay
+    // side-local
+    val l = Seq(
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("x", "y", "z"),
+      3L -> Seq("p", "q"))
+    val r = Seq(
+      1L -> Seq("x", "y", "z", "w"),
+      2L -> Seq("a", "b", "c", "d", "e"),
+      9L -> Seq("p", "q"))
+    for (theta <- Seq(0.4, 0.6, 0.8, 1.0)) {
+      val got = SetSimJoin.rsJoin(elemsOf(l), elemsOf(r), theta)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == naiveRs(l, r, theta), s"theta=$theta")
+    }
+  }
+
+  test("rsJoin randomized: equals naive on seeded random sets") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 25).map(i => s"e$i")
+    def mk(n: Int) = (0L until n.toLong).map { id =>
+      id -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8))
+    }
+    val l = mk(25)
+    // right side: some random, some near-copies of left sets
+    val r = mk(20) ++ Seq(50L -> l(0)._2, 51L -> (l(1)._2 :+ "extra"))
+    for (theta <- Seq(0.5, 0.8))
+      assert(SetSimJoin.rsJoin(elemsOf(l), elemsOf(r), theta)
+        .as[(Long, Long, Double)].collect().toSet == naiveRs(l, r, theta),
+        s"theta=$theta")
+  }
+
   test("hot prefix element raises loudly instead of cross-joining") {
     // every set is {common}, so the prefix element "common" is shared by
     // all 10 sets — over maxBucket=5, the guard must fire

@@ -113,6 +113,17 @@ object SetSimJoin {
                maxBucket: Int = 100000): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
     require(maxBucket > 0, "maxBucket must be positive")
+    // the sets table feeds FOUR branches (two candidate sides + two verify
+    // joins) and Catalyst does not share subtrees across branches, so the
+    // tokenize+frequency-join+aggregate pipeline recomputes per branch.
+    // Deliberately NOT materialized: measured at sf0.1 (BenchSubset, idle
+    // machine), plain recompute is 2x faster than an eager localCheckpoint
+    // (3.1 s vs 6.8 s) — caching rows that each carry the full sorted
+    // element array costs more than recomputing the map-heavy pipeline,
+    // and a lazy checkpoint is worse still (concurrent candidate sides
+    // race to fill the cache). Callers who find the balance flipped (very
+    // expensive upstream `elems`) should persist `elems` — cache lifecycle
+    // belongs to the caller (the boilerplate convention).
     val sets = sortedSets(elems, freq(elems))
     val g = guarded(prefixOf(sets, theta), "self", maxBucket)
     val a = g.select(col("elem"), col("doc_id").as("doc_a"),
@@ -143,6 +154,8 @@ object SetSimJoin {
              maxBucket: Int = 100000): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
     require(maxBucket > 0, "maxBucket must be positive")
+    // per-side sets each feed a candidate branch + a verify join; same
+    // no-materialization reasoning as selfJoin
     val df = freq(leftElems.unionByName(rightElems))
     val setsL = sortedSets(leftElems, df)
     val setsR = sortedSets(rightElems, df)

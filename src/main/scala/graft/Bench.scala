@@ -33,7 +33,16 @@ object Bench {
       once() // warm-up: codegen + JIT
       val t0 = System.nanoTime()
       once()
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolation between entries: several queries persist() intermediate
+      // frames (their results stay lazy, so the operator cannot unpersist)
+      // — without this, pinned blocks accumulate across the 80+ entries
+      // and later queries pay eviction pressure for earlier ones' caches
+      // (measured: x_setsim_join 7.2 s late in the sequence vs 3.2 s in
+      // isolation). Clearing between entries makes each number the
+      // query's own.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

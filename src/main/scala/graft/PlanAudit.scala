@@ -55,7 +55,8 @@ object PlanAudit {
         "x_funnel","x_retention","x_transition","x_agg_merge",
         "x_bool_and","x_resample","x_trending","x_asof_nearest",
         "x_setsim_join","x_phrase","x_incr_dedup","x_decay","x_covisit",
-        "x_hist_quantile","x_trend","x_setsim_rs")
+        "x_hist_quantile","x_trend","x_setsim_rs","x_chunks","x_rrf",
+        "x_contain_join")
       .foreach(audit)
     spark.stop()
   }

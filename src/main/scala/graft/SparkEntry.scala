@@ -107,6 +107,9 @@ object SparkEntry {
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccard,
     "x_setsim_join" -> ExtQueries.xSetsimJoin,
     "x_setsim_rs" -> ExtQueries.xSetsimRs,
+    "x_chunks" -> ExtQueries.xChunks,
+    "x_rrf" -> ExtQueries.xRrf,
+    "x_contain_join" -> ExtQueries.xContainJoin,
     "x_incr_dedup" -> ExtQueries.xIncrDedup,
     "x_decay" -> ExtQueries.xDecay,
     "x_hist_quantile" -> ExtQueries.xHistQuantile,
@@ -250,5 +253,6 @@ object SparkEntry {
     "x_funnel", "x_retention", "x_transition", "x_agg_merge",
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
-    "x_hist_quantile", "x_trend", "x_setsim_rs")
+    "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
+    "x_contain_join")
 }

@@ -250,6 +250,30 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    * any number of rankings into one by `score(d) = Σ_r 1/(k0 + rank_r(d))`
+    * — the standard way to fuse lexical (BM25) and vector (ANN) retrieval
+    * without calibrating incomparable score scales, since only RANKS enter.
+    * Documents missing from a ranking simply contribute nothing for it.
+    *
+    * Each input is a (doc_id, rank) frame with rank starting at 1 —
+    * produced upstream by a top-k retrieval, so inputs are k-row tiny and
+    * the union+aggregate+ordered-limit here is negligible next to the
+    * retrievals themselves. Scores round to 6 dp BEFORE the final rank
+    * (house rule), ties to the smallest doc_id. */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(k0 >= 0, "k0 must be non-negative")
+    rankings.map(r => r.select(col("doc_id"),
+        (lit(1.0) / (lit(k0) + col("rank"))).as("__s")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(round(sum(col("__s")), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Exact phrase retrieval over a positional posting list — the classic
     * inverted-index phrase-AND: a phrase of terms t_0..t_{m-1} occurs at
     * anchor position a iff every slot s has token t_s at position a + s.

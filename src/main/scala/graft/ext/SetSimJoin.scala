@@ -150,6 +150,59 @@ object SetSimJoin {
     * same |L|x|R| blowup, the [[graft.operators.FuzzyJoin.qgramJoin]]
     * convention). Key spaces of the two sides are independent — ids never
     * compare across sides. */
+  /** Asymmetric containment join: every (l_id, r_id) with
+    * `|x ∩ y| / |x| >= theta` — x from the left (the possibly-contained
+    * side), y from the right (the container). This is the
+    * quote/wrapper/envelope detector: a doc whose content is mostly
+    * swallowed by a larger doc has LOW Jaccard (the big doc's extra
+    * content dilutes the union) but HIGH containment, so a
+    * Jaccard-threshold dedup never sees it.
+    *
+    * Prefix filtering still applies on the LEFT: containment >= theta
+    * forces overlap >= ceil(theta·|x|), and at most
+    * `|x| - ceil(theta·|x|)` of x's elements fall outside its prefix, so
+    * some common element lies inside it — but nothing bounds the
+    * container's size, so the RIGHT side joins with its FULL posting
+    * list (no prefix can be cut without a size bound; the classic
+    * containment-join asymmetry). The only right-side prune is
+    * `|y| >= ceil(theta·|x|)` (y must hold the overlap). Both sides keep
+    * the hot-element guard; candidate buckets are x-prefix-rarity-sized
+    * on the left but full-frequency on the right, so low-entropy
+    * container corpora hit the guard earlier here than in [[rsJoin]] —
+    * that is the honest cost of the asymmetric predicate. */
+  def containJoin(leftElems: DataFrame, rightElems: DataFrame, theta: Double,
+                  maxBucket: Int = 100000): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
+    require(maxBucket > 0, "maxBucket must be positive")
+    val df = freq(leftElems.unionByName(rightElems))
+    val setsL = sortedSets(leftElems, df)
+    val setsR = sortedSets(rightElems, df)
+    val gl = guarded(prefixOf(setsL, theta), "left", maxBucket)
+      .select(col("elem"), col("doc_id").as("l_id"), col("sz").as("__sza"))
+    // full right postings (sz carried for the overlap-capacity prune)
+    val rPost = setsR.select(col("doc_id").as("r_id"), col("sz").as("__szb"),
+      explode(col("set")).as("__elem_b"))
+    val gr = guarded(rPost.withColumnRenamed("__elem_b", "elem"),
+        "right", maxBucket)
+      .withColumnRenamed("elem", "__elem_b")
+    val cands = gl.join(gr,
+        col("elem") === col("__elem_b") &&
+          col("__szb") >= ceil(col("__sza") * lit(theta)))
+      .select("l_id", "r_id").distinct()
+    // verify on containment, not Jaccard
+    cands
+      .join(setsL.select(col("doc_id").as("l_id"), col("set").as("__sa"),
+        col("sz").as("__na")), "l_id")
+      .join(setsR.select(col("doc_id").as("r_id"), col("set").as("__sb")),
+        "r_id")
+      .select(col("l_id"), col("r_id"), col("__na"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("__ni"))
+      .withColumn("__c", col("__ni") / col("__na").cast("double"))
+      .where(col("__c") >= theta)
+      .select(col("l_id"), col("r_id"), round(col("__c"), 4).as("containment"))
+  }
+
   def rsJoin(leftElems: DataFrame, rightElems: DataFrame, theta: Double,
              maxBucket: Int = 100000): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")

@@ -93,6 +93,42 @@ object TextOps {
 
   /** Whitespace token count plus a BPE-ish subword estimate
     * (ceil(len/4) pieces per token — the usual ~4-chars-per-token rule). */
+  /** Fixed-size token chunking with overlap — the context-window splitter
+    * every RAG / training-data pipeline needs: document tokens cut into
+    * windows of `size` tokens starting every `stride` tokens
+    * (`stride < size` ⇒ consecutive chunks overlap by `size - stride`).
+    * Chunk starts are 0, stride, 2·stride, … up to the last start that
+    * still adds NEW tokens (so the final chunk may be short but is never
+    * redundant); a document shorter than `size` yields exactly one chunk;
+    * a token-less document yields none.
+    *
+    * Purely map-side: one `transform` over the token array then one
+    * explode — no shuffle at any size, which is what makes chunking free
+    * at 100 TB (it pipelines into whatever aggregation or embedding stage
+    * follows). Emits (doc_id, chunk_id, chunk text, n_tokens). */
+  def chunkTokens(df: DataFrame, key: Column, text: Column,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size], got $stride")
+    val toks = tokens(text)
+    // number of chunks: 1 + ceil(max(n - size, 0) / stride), as a column
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = when(n <= 0, lit(0)).otherwise(
+      lit(1) + ceil(greatest(n - size, lit(0)).cast("double") / stride)
+        .cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => struct(
+        i.as("chunk_id"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(size))).as("chunk"),
+        least(n - i * stride, lit(size)).as("n_tokens")))
+    df.where(n > 0)
+      .select(key.as("doc_id"), explode(chunks).as("__c"))
+      .select(col("doc_id"), col("__c.chunk_id").as("chunk_id"),
+        col("__c.chunk").as("chunk"),
+        col("__c.n_tokens").cast("long").as("n_tokens"))
+  }
+
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame = {
     val toks = col("__toks")
     df.select(key.as("doc_id"), tokens(text).as("__toks"))

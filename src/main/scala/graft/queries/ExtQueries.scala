@@ -65,6 +65,14 @@ object ExtQueries {
       .select(col("doc_id"), md5(col("extracted")).as("extract_md5"),
         length(col("extracted")).cast("long").as("n_chars"))
 
+  /** RAG-style token chunking: 32-token windows every 24 tokens (8-token
+    * overlap), chunk text digested for the compare. Map-side only. */
+  val xChunks: Q = (s, dir) =>
+    TextOps.chunkTokens(docs(s, dir), col("doc_id"), col("text"),
+        size = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_md5"),
+        col("n_tokens"))
+
   /** Winnowing fingerprints (k=3 shingles, window 4). */
   val xWinnow: Q = (s, dir) =>
     TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 3, w = 4)
@@ -132,6 +140,16 @@ object ExtQueries {
     val sh = shingleDf(s, dir).withColumnRenamed("shingle", "elem")
     SetSimJoin.rsJoin(sh.where(col("doc_id") % 5 === 3),
       sh.where(col("doc_id") % 5 =!= 3), theta = 0.5)
+  }
+
+  /** Asymmetric containment across the same split: increment docs whose
+    * shingle sets are >= 70% swallowed by a registry doc — the
+    * wrapper/quote detector Jaccard thresholds miss. Oracle is the naive
+    * cross-split intersection-over-|x| join. */
+  val xContainJoin: Q = (s, dir) => {
+    val sh = shingleDf(s, dir).withColumnRenamed("shingle", "elem")
+    SetSimJoin.containJoin(sh.where(col("doc_id") % 5 === 3),
+      sh.where(col("doc_id") % 5 =!= 3), theta = 0.7)
   }
 
   val xDedupSimhash: Q = (s, dir) =>
@@ -462,6 +480,28 @@ object ExtQueries {
   val xBm25: Q = (s, dir) =>
     CorpusOps.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
       queryTerms = Seq("join", "vector", "window"), k = 20)
+
+  /** Hybrid retrieval by reciprocal-rank fusion: the BM25 top-20 fused
+    * with a total-hit-count top-20 over the same query terms — two
+    * rankings with incomparable score scales combined on ranks alone.
+    * Both member rankings are deterministic (round-before-rank scores,
+    * doc_id ties), so the fused list is too. */
+  val xRrf: Q = (s, dir) => {
+    val terms = Seq("join", "vector", "window")
+    val w = org.apache.spark.sql.expressions.Window
+    val bm = CorpusOps.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+        terms, k = 20)
+      .select(col("doc_id"), row_number().over(
+        w.orderBy(col("bm25").desc, col("doc_id").asc)).as("rank"))
+    val hits = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .where(col("tok").isin(terms.map(lit): _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), row_number().over(
+        w.orderBy(col("n_hits").desc, col("doc_id").asc)).as("rank"))
+    CorpusOps.rrfFuse(Seq(bm, hits), topK = 20)
+  }
 
   /** Top-20 adjacent-bigram collocations by PMI (count ≥ 5): map-side pair
     * construction, partial-aggregated counts, minCount tail prune below

@@ -1134,6 +1134,20 @@ object Oracles {
          |FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b""".stripMargin,
 
+    // chunk windows rebuilt by direct list slicing (1-based inclusive in
+    // DuckDB, start+length in Spark — same 32-token window every 24)
+    "x_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |c AS (SELECT doc_id, i AS chunk_id,
+         |  array_to_string(tk[i*24+1 : i*24+32], ' ') AS chunk,
+         |  least(n - i*24, 32) AS n_tokens
+         |  FROM nz, unnest(range(0,
+         |    1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS t(i))
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  md5(chunk) AS chunk_md5, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
+
     // the naive cross-split exact join — no prefix filter — over the same
     // increment/registry split as x_incr_dedup
     "x_setsim_rs" ->
@@ -1148,6 +1162,19 @@ object Oracles {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.l_id
          |JOIN sizes sb ON sb.doc_id = i.r_id
          |WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.5""".stripMargin,
+
+    // naive cross-split containment — intersection over |left set|
+    "x_contain_join" ->
+      s"""WITH $SHINGLE_CTES,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS l_id, b.doc_id AS r_id, CAST(count(*) AS BIGINT) AS ni
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % 5 = 3 AND b.doc_id % 5 <> 3
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.l_id, i.r_id,
+         |  round(CAST(ni AS DOUBLE) / sa.sz, 4) AS containment
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.l_id
+         |WHERE CAST(ni AS DOUBLE) / sa.sz >= 0.7""".stripMargin,
 
     // incremental dedup vs the registry: SHINGLE_CTES' sig/bands cover all
     // docs; candidates keep only cross-split (new x registry) band hits,
@@ -1419,6 +1446,34 @@ object Oracles {
          |  FROM tf JOIN dfq USING (tok), st)
          |SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the same two member rankings rebuilt independently, fused on ranks
+    "x_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, tk FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM d)
+         |  WHERE tok IN ('join', 'vector', 'window') GROUP BY doc_id, dl, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY tok),
+         |sc AS (SELECT tf.doc_id,
+         |  ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0) * (tf.tf * 2.2) /
+         |  (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS s
+         |  FROM tf JOIN dfq USING (tok), st),
+         |bmtop AS (SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |bmrank AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bmtop),
+         |h0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+         |  WHERE tok IN ('join', 'vector', 'window') GROUP BY doc_id
+         |  ORDER BY n_hits DESC, doc_id LIMIT 20),
+         |hrank AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY n_hits DESC, doc_id) AS rank FROM h0),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS s FROM bmrank
+         |  UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM hrank)
+         |SELECT doc_id, round(sum(s), 6) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // PMI over ALL-bigram totals (Σ(len-1), not the minCount survivors);
     // round before ranking, lexicographic (a, b) ties

@@ -95,6 +95,29 @@ class RetrievalSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L))
   }
 
+  test("rrfFuse: hand-computed fusion, missing docs contribute nothing, " +
+    "round-before-rank ties to smallest doc_id") {
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val r2 = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = CorpusOps.rrfFuse(Seq(r1, r2), topK = 10, k0 = 60)
+      .as[(Long, Double, Long)].collect().toSeq
+    def f(r: Int) = 1.0 / (60 + r)
+    def rd(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 appears in both lists and must win
+    assert(got.head == ((20L, rd(f(2) + f(1)), 2L)))
+    assert(got.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    assert(got.map(_._3) == Seq(2L, 1L, 1L, 1L))
+  }
+
+  test("rrfFuse: topK bounds the output; a single ranking passes through " +
+    "in rank order") {
+    val r = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val got = CorpusOps.rrfFuse(Seq(r), topK = 2)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+  }
+
   test("phraseSearch: phrase longer than the doc never matches") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(CorpusOps.phraseSearch(df, col("doc_id"), col("text"),

@@ -122,6 +122,53 @@ class SetSimJoinSpec extends SparkTestBase {
         s"theta=$theta")
   }
 
+  /** Naive containment reference. */
+  private def naiveContain(l: Seq[(Long, Seq[String])],
+                           r: Seq[(Long, Seq[String])],
+                           theta: Double): Set[(Long, Long, Double)] =
+    (for {
+      (li, ls) <- l; (ri, rs) <- r
+      a = ls.distinct.toSet; b = rs.distinct.toSet
+      c = (a intersect b).size.toDouble / a.size
+      if c >= theta
+    } yield (li, ri,
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+
+  test("containJoin: asymmetric — a small doc inside a big container " +
+    "matches even at low Jaccard; equals naive at several thetas") {
+    val l = Seq(
+      1L -> Seq("a", "b"),                       // fully inside r10
+      2L -> Seq("a", "b", "q", "r", "s"),        // only 2/5 inside r10
+      3L -> Seq("z"))                            // nowhere
+    val r = Seq(
+      10L -> Seq("a", "b", "c", "d", "e", "f", "g", "h"),
+      11L -> Seq("q", "r"))
+    // Jaccard(1, 10) = 2/8 = 0.25 — the symmetric join would miss it
+    assert(naiveRs(l, r, 0.5).isEmpty)
+    for (theta <- Seq(0.4, 0.7, 1.0)) {
+      val got = SetSimJoin.containJoin(elemsOf(l), elemsOf(r), theta)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == naiveContain(l, r, theta), s"theta=$theta")
+    }
+    assert(SetSimJoin.containJoin(elemsOf(l), elemsOf(r), 1.0)
+      .as[(Long, Long, Double)].collect().toSet ==
+      Set((1L, 10L, 1.0)))
+  }
+
+  test("containJoin randomized: equals naive on seeded random sets") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"e$i")
+    val l = (0L until 20L).map(id =>
+      id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(5)))
+    val r = (0L until 15L).map(id =>
+      id -> rnd.shuffle(vocab).take(6 + rnd.nextInt(12)))
+    for (theta <- Seq(0.5, 0.8))
+      assert(SetSimJoin.containJoin(elemsOf(l), elemsOf(r), theta)
+        .as[(Long, Long, Double)].collect().toSet ==
+        naiveContain(l, r, theta), s"theta=$theta")
+  }
+
   test("hot prefix element raises loudly instead of cross-joining") {
     // every set is {common}, so the prefix element "common" is shared by
     // all 10 sets — over maxBucket=5, the guard must fire

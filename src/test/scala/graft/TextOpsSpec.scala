@@ -36,6 +36,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.size == 6)
   }
 
+  test("chunkTokens: overlap, short tail never redundant, short/empty docs") {
+    val df = Seq(
+      (1L, "a b c d e f g"),  // 7 toks, size 3 stride 2 -> 0:abc 1:cde 2:efg
+      (2L, "a b"),            // shorter than size -> one short chunk
+      (3L, "a b c"),          // exactly size -> ONE chunk, no empty tail
+      (4L, "a b c d"),        // 4 toks -> 0:abc 1:cd (tail adds d)
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.chunkTokens(df, col("doc_id"), col("text"),
+        size = 3, stride = 2)
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "a b c", 3L), (1L, 1, "c d e", 3L), (1L, 2, "e f g", 3L),
+      (2L, 0, "a b", 2L),
+      (3L, 0, "a b c", 3L),
+      (4L, 0, "a b c", 3L), (4L, 1, "c d", 2L)))
+  }
+
+  test("chunkTokens: stride == size tiles without overlap; bad strides " +
+    "rejected") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.chunkTokens(df, col("doc_id"), col("text"),
+        size = 2, stride = 2)
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got === Set((1L, 0, "a b", 2L), (1L, 1, "c d", 2L),
+      (1L, 2, "e", 1L)))
+    intercept[IllegalArgumentException](
+      graft.ext.TextOps.chunkTokens(df, col("doc_id"), col("text"), 2, 3))
+    intercept[IllegalArgumentException](
+      graft.ext.TextOps.chunkTokens(df, col("doc_id"), col("text"), 2, 0))
+  }
+
   test("tokens: lowercases, strips punctuation, never yields empties") {
     val df = Seq("Hello, World!  x2", "...", "", "a").toDF("text")
     val got = df.select(TextOps.tokens($"text").as("t"))

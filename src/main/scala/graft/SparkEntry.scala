@@ -110,6 +110,7 @@ object SparkEntry {
     "x_chunks" -> ExtQueries.xChunks,
     "x_rrf" -> ExtQueries.xRrf,
     "x_contain_join" -> ExtQueries.xContainJoin,
+    "x_cluster_split" -> ExtQueries.xClusterSplit,
     "x_incr_dedup" -> ExtQueries.xIncrDedup,
     "x_decay" -> ExtQueries.xDecay,
     "x_hist_quantile" -> ExtQueries.xHistQuantile,
@@ -254,5 +255,5 @@ object SparkEntry {
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
-    "x_contain_join")
+    "x_contain_join", "x_cluster_split")
 }

@@ -1236,6 +1236,21 @@ object ExtQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
 
+  /** Leakage-safe split: [[CorpusOps.assignSplit]] keyed on the DUP-CLUSTER
+    * id rather than the doc id, so every member of a near-dup cluster
+    * lands in the same split — the composition that stops train/test
+    * contamination via near-duplicates (a doc-keyed split scatters a
+    * 3-doc cluster across splits with probability ~1 − Σf³). The cluster
+    * ids come from min-label propagation over the LSH candidate graph;
+    * the oracle recomputes them with a recursive-CTE transitive closure,
+    * then applies the same md5 split — two independent algorithms end to
+    * end. */
+  val xClusterSplit: Q = (s, dir) =>
+    CorpusOps.assignSplit(
+      DedupOps.dupClusters(docs(s, dir).select(col("doc_id")),
+        candidates(s, dir)),
+      col("cluster_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** Deterministic shuffled-shard assignment: 8 buckets, in-bucket rank. */
   val xShuffleExport: Q = (s, dir) =>
     CorpusOps.shuffleExport(docs(s, dir), col("doc_id"), numBuckets = 8)

@@ -2113,6 +2113,24 @@ object Oracles {
          |    ELSE 'test' END AS split
          |  FROM documents WHERE text IS NOT NULL) GROUP BY split""".stripMargin,
 
+    // clusters via recursive-CTE closure (independent of the propagation),
+    // then the identical md5 split on the cluster id
+    "x_cluster_split" ->
+      s"""WITH RECURSIVE $SHINGLE_CTES,
+         |docs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM docs d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id, CASE
+         |  WHEN ${hex32("md5(CAST(cluster_id AS VARCHAR))", 1)} / 4294967296.0 < 0.8 THEN 'train'
+         |  WHEN ${hex32("md5(CAST(cluster_id AS VARCHAR))", 1)} / 4294967296.0 < 0.9000000000000001 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM lab""".stripMargin,
+
     "x_shuffle_export" ->
       s"""SELECT doc_id, bucket,
          |  CAST(row_number() OVER (PARTITION BY bucket

@@ -505,4 +505,29 @@ class CurationSpec extends SparkTestBase {
     assert(sampled.select("id").except(again.select("id")).isEmpty)
     assert(again.select("id").except(sampled.select("id")).isEmpty)
   }
+
+  test("cluster-keyed split: every near-dup cluster lands whole in one " +
+    "split; doc-keyed split would scatter it") {
+    import graft.ext.{CorpusOps, DedupOps}
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // pairs wire 1-2-3 into one cluster and 10-11 into another; ids chosen
+    // so a DOC-keyed md5 split separates 1/2/3 (verified below)
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val byCluster = CorpusOps.assignSplit(
+      DedupOps.dupClusters(docs, pairs), col("cluster_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val coherence = byCluster.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(coherence.forall(_ == 1L))
+    assert(byCluster.count() == 7)
+    // the same fractions keyed by doc DO scatter cluster {1,2,3} — the
+    // leakage this composition exists to prevent
+    val byDoc = CorpusOps.assignSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .where(col("doc_id").isin(1L, 2L, 3L))
+      .select("split").distinct().count()
+    assert(byDoc > 1)
+  }
 }

@@ -294,4 +294,50 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "UDF") >= 1, p)
     assert(countIn(p, "CartesianProduct") === 0, p)
   }
+
+  test("set-similarity joins: candidate generation is an EQUI-join on the " +
+    "prefix element — no nested-loop, no cartesian, guards ride broadcasts") {
+    for (q <- Seq("x_setsim_join", "x_setsim_rs", "x_contain_join")) {
+      val p = plan(q)
+      assert(countIn(p, "CartesianProduct") === 0, s"$q\n$p")
+      assert(countIn(p, "BroadcastNestedLoopJoin") === 0, s"$q\n$p")
+      // the hot-element guards are the broadcast left joins
+      assert(countIn(p, "BroadcastHashJoin") >= 1, q)
+    }
+  }
+
+  test("phrase search: the phrase-term filter sits BELOW the positional " +
+    "explode, and nothing shuffles before the anchor aggregate") {
+    val p = plan("x_phrase")
+    // the term membership test lives inside the array filter() that feeds
+    // the posting explode — if it degrades to a post-explode Filter, every
+    // token of every doc is exploded and shuffled
+    assert(p.contains("explode(filter("), p.take(2000))
+    assert(countIn(p, "Exchange hashpartitioning") === 2, p)
+  }
+
+  test("chunking is map-only: one generate, zero exchanges") {
+    val p = plan("x_chunks")
+    assert(countIn(p, "Exchange") === 0, p)
+    assert(countIn(p, "Generate explode") === 1, p)
+  }
+
+  test("decayed score and trend state are single partial-aggregated " +
+    "shuffles — no window, no join") {
+    for (q <- Seq("x_decay", "x_trend")) {
+      val p = plan(q)
+      assert(countIn(p, "Window") === 0, s"$q\n$p")
+      assert(countIn(p, "Join") === 0, s"$q\n$p")
+      assert(countIn(p, "partial_") >= 1, s"$q\n$p")
+    }
+  }
+
+  test("histogram sketch finalize: both windows share ONE exchange") {
+    val p = plan("x_hist_quantile")
+    // state shuffles + ONE window exchange; a second window exchange means
+    // the cumulative and total windows stopped sharing their partitioning
+    assert(countIn(p, "Window") <= 2, p)
+    val exchanges = countIn(p, "Exchange hashpartitioning")
+    assert(exchanges <= 4, s"exchanges=$exchanges\n$p")
+  }
 }

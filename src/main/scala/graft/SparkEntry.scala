@@ -116,6 +116,7 @@ object SparkEntry {
     "x_hist_quantile" -> ExtQueries.xHistQuantile,
     "x_trend" -> ExtQueries.xTrend,
     "x_covisit" -> ExtQueries.xCovisit,
+    "x_pagerank" -> ExtQueries.xPagerank,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
@@ -255,5 +256,5 @@ object SparkEntry {
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
-    "x_contain_join", "x_cluster_split")
+    "x_contain_join", "x_cluster_split", "x_pagerank")
 }

@@ -654,6 +654,25 @@ object ExtQueries {
       RefQueries.events(s, dir).where(col("user_id").isNotNull),
       col("user_id"), col("event_type"))
 
+  /** PageRank over the event-transition link graph: nodes are the `props.k`
+    * page ids, edges each user's consecutive (k → next k) transitions in
+    * (ts, event_id) order. Five fixed power-method rounds at damping 0.85 —
+    * the oracle unrolls the identical recurrence, so agreement proves the
+    * relational iteration (edge ⋈ ranks on src, partial-agg on dst,
+    * broadcast dangling mass), not just the final shape. */
+  val xPagerank: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = RefQueries.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("user_id").isNotNull && col("k").isNotNull)
+    val edges = seq
+      .select(col("k").as("src"), lead(col("k"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+    GraphOps.pageRank(edges, col("src"), col("dst"), iters = 5, damping = 0.85)
+  }
+
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to
     * x_bm25's scored ranking. The term filter is map-side below the

@@ -1610,6 +1610,38 @@ object Oracles {
         |FROM p JOIN marg ma ON ma.i = item_a
         |JOIN marg mb ON mb.i = item_b""".stripMargin,
 
+    // PageRank: the identical power-method recurrence UNROLLED (5 rounds,
+    // damping 0.85, dangling mass redistributed) — agreement proves the
+    // Spark side's relational iteration reproduces the recurrence exactly
+    "x_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(r.pr), 0) AS dm FROM $p r
+           |  LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+           |c$i AS (SELECT nm.dst AS node, sum(r.pr * nm.p) AS c
+           |  FROM nm JOIN $p r ON r.node = nm.src GROUP BY nm.dst),
+           |r$i AS (SELECT nd.node,
+           |    (1 - 0.85) / N + 0.85 * (coalesce(c.c, 0) + d$i.dm / N) AS pr
+           |  FROM nd CROSS JOIN nn CROSS JOIN d$i
+           |  LEFT JOIN c$i c ON c.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ed AS (SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq WHERE k IS NOT NULL),
+         |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+         |  FROM ed WHERE dst IS NOT NULL GROUP BY src, dst),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         |nm AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
+         |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nd),
+         |r0 AS (SELECT node, 1.0 / N AS pr FROM nd CROSS JOIN nn),
+         |$rounds
+         |SELECT node, round(pr, 6) AS pagerank FROM r5""".stripMargin
+    },
+
     // direct sliding-window scan over each doc's token list — an
     // independent algorithm for the positional phrase-AND (list is
     // 1-indexed; range(a, b) is [a, b), so i runs over valid anchors only)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.ext.GraphOps
+
+/** PageRank over an edge list: hand-computed rounds, invariants, and a
+  * randomized reference check against an in-memory dense power iteration
+  * (an independent algorithm — the operator is relational-iterative). */
+class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
+
+  import spark.implicits._
+
+  /** Dense in-memory power method — same recurrence, different machinery. */
+  private def naive(edges: Seq[(Long, Long)], iters: Int,
+                    d: Double): Map[Long, Double] = {
+    val w = edges.groupBy(identity).map { case (e, g) => e -> g.size.toDouble }
+    val out = w.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (((s, t), ww) <- w) contrib(t) += r(s) * ww / out(s)
+      r = nodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dm / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 5,
+                  d: Double = 0.85): Map[Long, Double] =
+    GraphOps.pageRank(edges.toDF("s", "t"), col("s"), col("t"),
+        iters = iters, damping = d)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank: one hand-computed round (A→B, B dangling)") {
+    // N=2, r0=(.5,.5); dangling mass .5 → rA = .15/2 + .85*(.5/2) = .2875,
+    // rB = .15/2 + .85*(.5 + .5/2) = .7125
+    val got = run(Seq((1L, 2L)), iters = 1)
+    assert(math.abs(got(1L) - 0.2875) < 1e-9)
+    assert(math.abs(got(2L) - 0.7125) < 1e-9)
+  }
+
+  test("pageRank: ranks sum to 1 and the star centre dominates") {
+    val star = (2L to 9L).map(i => (i, 1L)) // all leaves point at 1
+    val got = run(star)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    assert(got(1L) > got(2L) * 2, s"centre not dominant: $got")
+    // leaves are symmetric → identical ranks
+    assert((2L to 9L).map(got).distinct.size === 1)
+  }
+
+  test("pageRank: parallel edges act as weights") {
+    // A splits 2/3 to B, 1/3 to C
+    val got = run(Seq((1L, 2L), (1L, 2L), (1L, 3L)))
+    assert(got(2L) > got(3L))
+  }
+
+  test("pageRank: matches the dense power iteration on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(30)
+      val edges = Seq.fill(4 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val iters = 1 + rnd.nextInt(4)
+      val got = run(edges, iters = iters)
+      val want = naive(edges, iters, 0.85)
+      assert(got.keySet === want.keySet, s"trial $trial node universe")
+      for ((k, v) <- want)
+        assert(math.abs(got(k) - v) < 2e-6,
+          s"trial $trial node $k: got ${got(k)} want $v")
+    }
+  }
+
+  test("pageRank: nodes with no out-edges keep total mass at 1") {
+    // chain into a sink: 1→2→3, 3 dangling
+    val got = run(Seq((1L, 2L), (2L, 3L)))
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    assert(got(3L) > got(2L) && got(2L) > got(1L))
+  }
+}

@@ -200,6 +200,7 @@ object SparkEntry {
     "x_semdedup_auto" -> ExtQueries.xSemDedupAuto,
     // ext: LM-based quality scoring
     "x_lm_score" -> ExtQueries.xLmScore,
+    "x_bigram_lm" -> ExtQueries.xBigramLm,
     "x_dsir" -> ExtQueries.xDsir,
     // ext: product quantization
     "x_pq_topk" -> ExtQueries.xPqTopk,
@@ -256,5 +257,5 @@ object SparkEntry {
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
-    "x_contain_join", "x_cluster_split", "x_pagerank")
+    "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm")
 }

@@ -77,6 +77,71 @@ object LmOps {
         round(exp(-round(wavg, 6)), 4).as("ppl"))
   }
 
+  /** Pruned conditional-probability bigram model (the KenLM-style step up
+    * from [[unigramCounts]]): (bg = "prev cur", pbi = cnt(bg)/ctot(prev)),
+    * keeping only bigrams seen at least `minCount` times. Context totals
+    * are computed over the PRE-prune counts, so surviving probabilities
+    * stay sub-stochastic (pruned mass is simply dropped, the standard
+    * count-pruning discipline) and the model table shrinks by the corpus's
+    * long tail — the entire point of pruning at web scale.
+    *
+    * Scale shape: one partial-aggregated shuffle for the bigram counts,
+    * one for the context totals (both model-sized, not corpus-sized), and
+    * a model-side join on the context. Nothing is collected or broadcast —
+    * a web-scale bigram vocabulary is unbounded. */
+  def bigramModel(ref: DataFrame, text: Column, minCount: Int = 2): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val bc = ref.select(TextOps.tokens(text).as("__toks"))
+      .select(explode(TextOps.shingles(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("__c"))
+    val ct = bc.groupBy(split(col("bg"), " ").getItem(0).as("__ctx"))
+      .agg(sum("__c").cast("double").as("__ctot"))
+    bc.where(col("__c") >= minCount)
+      .join(ct, split(col("bg"), " ").getItem(0) === col("__ctx"))
+      .select(col("bg"), (col("__c") / col("__ctot")).as("pbi"))
+  }
+
+  /** Per-document interpolated bigram LM score (Jelinek-Mercer):
+    * logp(cur | prev) = ln(λ·p_bi + (1-λ)·p_uni) with p_bi = 0 for pruned
+    * or unseen bigrams and p_uni the [[lmScore]] add-alpha unigram —
+    * always positive, so the log is finite everywhere. Output:
+    * (doc_id, n_bigrams, avg_logp, ppl); documents with fewer than two
+    * tokens are absent. `model` comes from [[bigramModel]], `refCounts`
+    * from [[unigramCounts]] over the same reference slice.
+    *
+    * Scale shape: the corpus bigram stream is pre-aggregated to
+    * (doc_id, bg, occurrences) before any join (the [[lmScore]]
+    * convention — repeats join once), then takes two SHUFFLE joins
+    * (model on the bigram key, unigram on the current token — neither
+    * table is broadcastable at web scale) and one final partial-aggregated
+    * shuffle on doc_id. */
+  def bigramLmScore(docs: DataFrame, key: Column, text: Column,
+                    model: DataFrame, refCounts: DataFrame,
+                    lambda: Double = 0.7, alpha: Double = 0.1): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
+    val toks = docs.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("__toks"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("__occ"))
+    val totals = refCounts.agg(sum("cnt").cast("double").as("__T"),
+      count(lit(1)).cast("double").as("__V"))
+    val wavg = sum(col("__lp") * col("__occ")) / sum(col("__occ"))
+    toks
+      .join(model, Seq("bg"), "left")
+      .withColumn("tok", split(col("bg"), " ").getItem(1))
+      .join(refCounts, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("__occ"),
+        log(lit(lambda) * coalesce(col("pbi"), lit(0.0)) +
+          lit(1 - lambda) *
+            ((coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+             (col("__T") + lit(alpha) * (col("__V") + lit(1.0))))).as("__lp"))
+      .groupBy("doc_id")
+      .agg(sum("__occ").as("n_bigrams"),
+        round(wavg, 6).as("avg_logp"),
+        round(exp(-round(wavg, 6)), 4).as("ppl"))
+  }
+
   /** Hashed n-gram feature counts (the DSIR feature space): token n-grams
     * hashed into `buckets` cells via the first 8 md5 hex digits. Returns
     * (bucket, cnt) — AT MOST `buckets` rows by construction, so unlike a

@@ -1202,6 +1202,18 @@ object ExtQueries {
       target = d.where(col("lang") === "en"), targetText = col("text"))
   }
 
+  /** Interpolated bigram perplexity: count-pruned (minCount=2) bigram
+    * model + add-0.1 unigram backoff, both trained on the English slice,
+    * scored over the whole corpus — the KenLM-shaped step up from
+    * x_lm_score (same train/score split, one order higher, pruned). */
+  val xBigramLm: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val ref = d.where(col("lang") === "en")
+    LmOps.bigramLmScore(d, col("doc_id"), col("text"),
+      LmOps.bigramModel(ref, col("text"), minCount = 2),
+      LmOps.unigramCounts(ref, col("text")))
+  }
+
   /** Temperature-scaled mixture sampling: tau=0.5 upweights rare sources,
     * 300-document target. */
   val xTempSample: Q = (s, dir) =>

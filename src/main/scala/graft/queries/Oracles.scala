@@ -2327,6 +2327,36 @@ object Oracles {
          |  round(exp(-round(avg(lp), 6)), 4) AS ppl
          |FROM lp GROUP BY doc_id""".stripMargin,
 
+    // interpolated bigram LM: pruned conditional bigram table + add-alpha
+    // unigram backoff, both trained on the en slice — mirrors the Spark
+    // side's minCount=2 prune with PRE-prune context totals
+    "x_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |uni AS (SELECT tok, count(*) AS cnt FROM
+         |  (SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en') GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T,
+         |  CAST(count(*) AS DOUBLE) AS V FROM uni),
+         |bc AS (SELECT bg, count(*) AS c FROM
+         |  (SELECT unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |     i -> array_to_string(tk[i:i+1], ' '))) AS bg
+         |   FROM toks WHERE lang = 'en') GROUP BY bg),
+         |ct AS (SELECT string_split(bg, ' ')[1] AS ctx,
+         |  CAST(sum(c) AS DOUBLE) AS ctot FROM bc GROUP BY 1),
+         |model AS (SELECT bg, c / ctot AS pbi FROM bc
+         |  JOIN ct ON string_split(bg, ' ')[1] = ctx WHERE c >= 2),
+         |dbg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS bg FROM toks),
+         |lp AS (SELECT doc_id, ln(0.7 * coalesce(pbi, 0) +
+         |    (1 - 0.7) * ((coalesce(cnt, 0) + 0.1) / (T + 0.1 * (V + 1)))) AS lp
+         |  FROM dbg LEFT JOIN model USING (bg)
+         |  LEFT JOIN uni ON uni.tok = string_split(dbg.bg, ' ')[2]
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(lp), 6) AS avg_logp,
+         |  round(exp(-round(avg(lp), 6)), 4) AS ppl
+         |FROM lp GROUP BY doc_id""".stripMargin,
+
     // hashed-bigram DSIR: same md5-hex32 % 1024 bucketing; every bucket has
     // a ratio row (unseen buckets carry the smoothed constant, not zero)
     "x_dsir" ->

@@ -53,6 +53,56 @@ class LmSpec extends SparkTestBase {
     assert(ids === Set(1L))
   }
 
+  // ---- bigram LM ----
+
+  test("bigramModel: conditional probabilities with pre-prune context totals") {
+    // ref "a b a b a c": bigrams (a b)x2 (b a)x2 (a c)x1 — ctx a total 3
+    val ref = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val m = LmOps.bigramModel(ref, col("text"), minCount = 2)
+      .as[(String, Double)].collect().toMap
+    // (a c) pruned, but ctx-a denominator keeps its count: p(b|a) = 2/3
+    assert(m.keySet === Set("a b", "b a"))
+    assert(math.abs(m("a b") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(m("b a") - 2.0 / 2.0) < 1e-12)
+  }
+
+  test("bigramLmScore: hand-computed interpolation, pruned bigram backs off") {
+    val ref = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val model = LmOps.bigramModel(ref, col("text"), minCount = 2)
+    val uni = LmOps.unigramCounts(ref, col("text"))
+    // uni: a=3 b=2 c=1, T=6, V=3 → pU(x) = (cnt+.1)/(6+.1*4)
+    def pU(c: Long) = (c + 0.1) / 6.4
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "zz qq")).toDF("doc_id", "text")
+    val got = LmOps.bigramLmScore(docs, col("doc_id"), col("text"), model, uni)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: seen bigram → 0.7*(2/3) + 0.3*pU(b)
+    assert(math.abs(got(1L)._3 -
+      r6(math.log(0.7 * (2.0 / 3.0) + (1 - 0.7) * pU(2)))) < 1e-9)
+    // doc 2: (a c) pruned → pure unigram backoff of c
+    assert(math.abs(got(2L)._3 -
+      r6(math.log((1 - 0.7) * pU(1)))) < 1e-9)
+    // doc 3: OOV everywhere → backoff with cnt=0, still finite
+    assert(math.abs(got(3L)._3 -
+      r6(math.log((1 - 0.7) * pU(0)))) < 1e-9)
+    assert(got.values.forall(r => !r._3.isNaN && !r._3.isInfinite))
+  }
+
+  test("bigramLmScore: sub-2-token documents absent; fluent text wins") {
+    val ref = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val model = LmOps.bigramModel(ref, col("text"))
+    val uni = LmOps.unigramCounts(ref, col("text"))
+    val docs = Seq((1L, "the cat sat"), (2L, "cat the mat on"), (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = LmOps.bigramLmScore(docs, col("doc_id"), col("text"), model, uni)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L)) // doc 3 has no bigram
+    // in-order reference bigrams beat shuffled ones
+    assert(got(1L) < got(2L))
+  }
+
   // ---- dsirWeights ----
 
   test("dsirWeights: target-like documents outweigh raw-typical ones") {

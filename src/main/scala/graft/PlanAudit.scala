@@ -56,7 +56,8 @@ object PlanAudit {
         "x_bool_and","x_resample","x_trending","x_asof_nearest",
         "x_setsim_join","x_phrase","x_incr_dedup","x_decay","x_covisit",
         "x_hist_quantile","x_trend","x_setsim_rs","x_chunks","x_rrf",
-        "x_contain_join","x_cluster_split","x_pagerank","x_bigram_lm")
+        "x_contain_join","x_cluster_split","x_pagerank","x_bigram_lm",
+        "x_lin_classify")
       .foreach(audit)
     spark.stop()
   }

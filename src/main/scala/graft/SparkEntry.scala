@@ -201,6 +201,7 @@ object SparkEntry {
     // ext: LM-based quality scoring
     "x_lm_score" -> ExtQueries.xLmScore,
     "x_bigram_lm" -> ExtQueries.xBigramLm,
+    "x_lin_classify" -> ExtQueries.xLinClassify,
     "x_dsir" -> ExtQueries.xDsir,
     // ext: product quantization
     "x_pq_topk" -> ExtQueries.xPqTopk,
@@ -257,5 +258,6 @@ object SparkEntry {
     "x_bool_and", "x_resample", "x_trending", "x_asof_nearest",
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
-    "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm")
+    "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
+    "x_lin_classify")
 }

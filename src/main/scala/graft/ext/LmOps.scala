@@ -202,6 +202,37 @@ object LmOps {
     score(feats, ratioTable(docs, tc, rc, buckets, alpha))
   }
 
+  /** fastText-style linear classifier scoring over the hashed n-gram
+    * feature space (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    * Classification" — the quality-classifier shape used by GPT-3/LLaMA
+    * style curation pipelines): score = σ(bias + Σ_b w_b · cnt_b / F)
+    * where F is the document's feature count (mean-pooled bag of hashed
+    * n-grams, the fastText pooling). `weights` is a (bucket, weight) table
+    * — in production the trained model's embedding-collapsed output layer;
+    * buckets absent from it contribute zero. Output: (doc_id, n_feats,
+    * score, pred) with score rounded to 6 dp and pred = score ≥ 0.5;
+    * documents with fewer than `n` tokens have no features and are absent.
+    *
+    * Scale shape: the weight table is parameter-bounded at `buckets` rows
+    * (the [[hashedNgramCounts]] argument), so it broadcasts regardless of
+    * corpus size; scoring is map-side after the n-gram explode with ONE
+    * partial-aggregated shuffle on doc_id. Inference over 100 TB is
+    * embarrassingly parallel — exactly why the fastText shape, not a deep
+    * scorer, is the curation workhorse. */
+  def hashedLinearScore(docs: DataFrame, key: Column, text: Column,
+                        weights: DataFrame, bias: Double = 0.0,
+                        n: Int = 2, buckets: Int = 1024): DataFrame = {
+    val z = lit(bias) + sum(col("__w")) / count(lit(1))
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    featsOf(docs, key, text, n, buckets)
+      .join(broadcast(weights.select(col("bucket"),
+        col("weight").cast("double").as("__wt"))), Seq("bucket"), "left")
+      .select(col("doc_id"), coalesce(col("__wt"), lit(0.0)).as("__w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), score.as("score"),
+        (score >= 0.5).as("pred"))
+  }
+
   /** (doc_id, bucket) hashed-ngram feature stream. */
   private def featsOf(docs: DataFrame, key: Column, text: Column,
                       n: Int, buckets: Int): DataFrame =

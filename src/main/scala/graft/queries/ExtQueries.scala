@@ -1214,6 +1214,17 @@ object ExtQueries {
       LmOps.unigramCounts(ref, col("text")))
   }
 
+  /** fastText-shaped quality classifier inference: hashed-bigram features
+    * mean-pooled against a deterministic (bucket, weight) fixture standing
+    * in for a trained model's output layer — the operator under test is
+    * the broadcast-weights scoring pass, not the weights themselves. */
+  val xLinClassify: Q = (s, dir) => {
+    val weights = s.range(1024).select(col("id").as("bucket"),
+      (((col("id") * 37 + 11) % 201 - 100) / 100.0).as("weight"))
+    LmOps.hashedLinearScore(docs(s, dir), col("doc_id"), col("text"),
+      weights, bias = -0.05)
+  }
+
   /** Temperature-scaled mixture sampling: tau=0.5 upweights rare sources,
     * 300-document target. */
   val xTempSample: Q = (s, dir) =>

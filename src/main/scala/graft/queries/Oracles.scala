@@ -2357,6 +2357,24 @@ object Oracles {
          |  round(exp(-round(avg(lp), 6)), 4) AS ppl
          |FROM lp GROUP BY doc_id""".stripMargin,
 
+    // fastText-shaped linear classifier: same md5-hex32 % 1024 hashed
+    // bigrams as x_dsir, deterministic weight fixture, mean-pooled sigmoid
+    "x_lin_classify" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |ng AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM toks),
+         |hb AS (SELECT doc_id, ${hex32("h", 1)} % 1024 AS bucket
+         |  FROM (SELECT doc_id, md5(ng) AS h FROM ng)),
+         |wt AS (SELECT b AS bucket, ((b * 37 + 11) % 201 - 100) / 100.0 AS w
+         |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+         |sc AS (SELECT doc_id, count(*) AS F, sum(coalesce(w, 0)) AS sw
+         |  FROM hb LEFT JOIN wt USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, CAST(F AS BIGINT) AS n_feats,
+         |  round(1 / (1 + exp(-(-0.05 + sw / F))), 6) AS score,
+         |  (round(1 / (1 + exp(-(-0.05 + sw / F))), 6) >= 0.5) AS pred
+         |FROM sc""".stripMargin,
+
     // hashed-bigram DSIR: same md5-hex32 % 1024 bucketing; every bucket has
     // a ratio row (unseen buckets carry the smoothed constant, not zero)
     "x_dsir" ->

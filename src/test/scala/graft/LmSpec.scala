@@ -103,6 +103,42 @@ class LmSpec extends SparkTestBase {
     assert(got(1L) < got(2L))
   }
 
+  // ---- hashedLinearScore ----
+
+  test("hashedLinearScore: hand-computed sigmoid over known weights") {
+    // buckets=1 → every bigram hashes to bucket 0; weight 0.4, bias 0.1
+    val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val w = Seq((0L, 0.4)).toDF("bucket", "weight")
+    val got = LmOps.hashedLinearScore(docs, col("doc_id"), col("text"), w,
+        bias = 0.1, n = 2, buckets = 1)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 2 bigrams, mean weight 0.4 → z = 0.5, σ = 0.622459
+    assert(got(1L)._2 === 2L)
+    assert(math.abs(got(1L)._3 - 1.0 / (1.0 + math.exp(-0.5))) < 1e-6)
+    assert(got(1L)._4 === true)
+    // doc 2: one token → no bigram features → absent
+    assert(!got.contains(2L))
+  }
+
+  test("hashedLinearScore: buckets without a weight row contribute zero") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val none = spark.emptyDataset[(Long, Double)].toDF("bucket", "weight")
+    val got = LmOps.hashedLinearScore(docs, col("doc_id"), col("text"), none,
+        bias = 0.0, n = 2, buckets = 4)
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(got._3 === 0.5 && got._4 === true) // σ(0) = 0.5, pred is ≥
+  }
+
+  test("hashedLinearScore: negative-weight text scores below 0.5") {
+    val docs = Seq((1L, "spam spam spam")).toDF("doc_id", "text")
+    val w = spark.range(8).select(col("id").as("bucket"),
+      lit(-1.0).as("weight"))
+    val got = LmOps.hashedLinearScore(docs, col("doc_id"), col("text"), w,
+        bias = 0.0, n = 2, buckets = 8)
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(got._3 < 0.5 && !got._4)
+  }
+
   // ---- dsirWeights ----
 
   test("dsirWeights: target-like documents outweigh raw-typical ones") {

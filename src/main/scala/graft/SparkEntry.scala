@@ -122,6 +122,7 @@ object SparkEntry {
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
     // ext: embedding similarity
     "x_embed_topk" -> ExtQueries.xEmbedTopk,
+    "x_embed_norm" -> ExtQueries.xEmbedNorm,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_embed_decontam" -> ExtQueries.xEmbedDecontam,
     "x_ann_filtered" -> ExtQueries.xAnnFiltered,
@@ -259,5 +260,5 @@ object SparkEntry {
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
-    "x_lin_classify")
+    "x_lin_classify", "x_embed_norm")
 }

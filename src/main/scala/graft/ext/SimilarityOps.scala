@@ -406,6 +406,38 @@ object SimilarityOps {
       .drop("__evs")
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-normalization pass before any distance-based op whose scale
+    * sensitivity matters (k-means cells, PQ subspaces, range thresholds).
+    * Output: (idCol, vecCol) with each element replaced by
+    * round((x - μ_d) / σ_d, 6) (population σ; a constant dimension maps
+    * to 0 rather than NaN). Assumes a fixed dimensionality, the embedding-
+    * table invariant everywhere in this file.
+    *
+    * Scale shape: the stats pass posexplodes but PARTIAL-AGGREGATES
+    * map-side, so the exchange carries ≤ dims rows per input partition;
+    * the dims-bounded stat rows are packed into one (μ[], σ[]) row —
+    * order restored by sorting on the dimension index, not by assuming
+    * collect order — and broadcast, making the normalization itself a
+    * pure map over the corpus (zero corpus shuffles). */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val stats = df.select(posexplode(v).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(avg("__x").as("__mu"), stddev_pop("__x").as("__sd"))
+    val packed = stats
+      .agg(array_sort(collect_list(struct(col("__d"), col("__mu"))))
+          .as("__ms"),
+        array_sort(collect_list(struct(col("__d"), col("__sd")))).as("__ss"))
+      .select(transform(col("__ms"), s => s.getField("__mu")).as("__mus"),
+        transform(col("__ss"), s => s.getField("__sd")).as("__sds"))
+    df.crossJoin(broadcast(packed))
+      .withColumn(vecCol, transform(v, (x, i) =>
+        when(col("__sds")(i) > 0,
+          round((x - col("__mus")(i)) / col("__sds")(i), 6))
+          .otherwise(lit(0.0))))
+      .drop("__mus", "__sds")
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
     * baseline the LSH variant approximates). O(n²/2) — use only to validate
     * LSH recall at small n, or within pre-partitioned shards at scale. */

@@ -168,6 +168,14 @@ object ExtQueries {
       "vec_id", "embedding", q, 20)
   }
 
+  /** Per-dimension z-score standardization of the embeddings table,
+    * exploded to (vec_id, dim, z) rows for the oracle compare — the
+    * deliverable is the array form ([[SimilarityOps.standardize]]'s
+    * broadcast-stats map pass); the explode is presentation only. */
+  val xEmbedNorm: Q = (s, dir) =>
+    SimilarityOps.standardize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "z")))
+
   /** ANN/near-dup corpus with planted duplicates, so the approximate paths
     * have non-vacuous, driver-checkable output (the raw synthetic embeddings
     * contain NO pairs above 0.99 — every query over them was a 0-row pass):

@@ -1244,6 +1244,19 @@ object Oracles {
          |(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id <> 0), q)
          |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
+    // per-dimension z-score: parallel unnests zip the (0-based) dim index
+    // with the element stream; population stddev, constant dims → 0
+    "x_embed_norm" ->
+      """WITH ex AS (SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sd
+        |  FROM ex GROUP BY dim)
+        |SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  CASE WHEN sd > 0 THEN round((x - mu) / sd, 6) ELSE 0.0 END AS z
+        |FROM ex JOIN st USING (dim)""".stripMargin,
+
     // per-pair round-6 cosine then max — the same order as the Spark side's
     // array_max over rounded transform (round is monotone, so either
     // order agrees; mirrored anyway)

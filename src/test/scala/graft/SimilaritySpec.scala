@@ -232,4 +232,40 @@ class SimilaritySpec extends SparkTestBase {
     val n = graft.queries.ExtQueries.xAnnLsh(spark, "/root/testdata/sf0.001").count()
     assert(n > 0)
   }
+
+  test("standardize: hand-computed z-scores; constant dimension maps to 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dim 0: values 1,3 → μ=2, σ_pop=1; dim 1 constant 5 → σ=0 → z=0
+    val df = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.SimilarityOps.standardize(df, "vec_id", "embedding")
+      .select("vec_id", "embedding").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(got(1L) === Seq(-1.0, 0.0))
+    assert(got(2L) === Seq(1.0, 0.0))
+    // per-dim mean 0, population variance 1 after standardization
+    val z = graft.ext.SimilarityOps.standardize(df, "vec_id", "embedding")
+      .select(org.apache.spark.sql.functions.posexplode(col("embedding"))
+        .as(Seq("d", "z")))
+      .groupBy("d")
+      .agg(org.apache.spark.sql.functions.avg("z").as("mu"),
+        org.apache.spark.sql.functions.stddev_pop("z").as("sd"))
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(z(0)._1) < 1e-9 && math.abs(z(0)._2 - 1.0) < 1e-9)
+    assert(math.abs(z(1)._1) < 1e-9 && z(1)._2 === 0.0)
+  }
+
+  test("standardize: the normalization pass adds no corpus shuffle " +
+    "(stats ride one broadcast)") {
+    val df = spark.read.parquet(sf() + "/embeddings.parquet")
+    val plan = graft.ext.SimilarityOps.standardize(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    // the only exchanges belong to the dims-bounded stats aggregate (its
+    // posexplode partial-agg + the one-row pack), never a corpus repartition
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"unexpected corpus shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "stats not broadcast")
+  }
 }

@@ -123,6 +123,8 @@ object SparkEntry {
     // ext: embedding similarity
     "x_embed_topk" -> ExtQueries.xEmbedTopk,
     "x_embed_norm" -> ExtQueries.xEmbedNorm,
+    "x_rp_project" -> ExtQueries.xRpProject,
+    "x_mad_outlier" -> ExtQueries.xMadOutlier,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_embed_decontam" -> ExtQueries.xEmbedDecontam,
     "x_ann_filtered" -> ExtQueries.xAnnFiltered,
@@ -260,5 +262,5 @@ object SparkEntry {
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
-    "x_lin_classify", "x_embed_norm")
+    "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier")
 }

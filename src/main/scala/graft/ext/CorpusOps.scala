@@ -676,6 +676,42 @@ object CorpusOps {
         .orderBy(md5(concat(lit("shuf:"), key.cast("string"))), key)))
   }
 
+  /** Robust per-stratum outlier flagging via median + MAD (median absolute
+    * deviation): a row is an outlier when |x − med| > k·MAD of its stratum
+    * — the heavy-tail-safe alternative to mean/σ for length or score
+    * distributions where a single giant document would drag a z-score
+    * threshold. Output: (doc_id, stratum, x, med, mad, is_outlier); rows
+    * with null `x` are excluded. MAD = 0 (over half the stratum at the
+    * median) flags any deviation at all — the conventional degenerate-MAD
+    * behaviour; pre-bucket such strata if that is too aggressive.
+    *
+    * Scale shape: two per-stratum aggregates and two joins ON the stratum
+    * key, no window. `exact = true` uses the exact interpolated percentile
+    * (aggregate state proportional to distinct values per stratum — fine
+    * for bounded-range stats like char counts); at 100 TB with unbounded
+    * value domains pass `exact = false` for approx_percentile's fixed
+    * sketch state (the [[quantileBuckets]] exact/approx convention). The
+    * stratum joins carry no broadcast hint — strata can be web-domain
+    * cardinality; AQE will broadcast genuinely small stat tables. */
+  def madOutliers(df: DataFrame, key: Column, stratum: Column, x: Column,
+                  k: Double = 3.0, exact: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    def med(c: Column) =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
+    val base = df
+      .select(key.as("doc_id"), stratum.as("stratum"), x.cast("double").as("x"))
+      .where(col("x").isNotNull)
+    val m1 = base.groupBy("stratum").agg(med(col("x")).as("med"))
+    val dv = base.join(m1, Seq("stratum"))
+      .withColumn("__dev", abs(col("x") - col("med")))
+    val m2 = dv.groupBy("stratum").agg(med(col("__dev")).as("mad"))
+    dv.join(m2, Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), col("x"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        (col("__dev") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
   /** Token-count histogram: bin documents by `binWidth` tokens and count.
     * One partial-aggregated shuffle on the bin id (at most a few hundred
     * distinct bins), with per-bin min/max as the bin-edge sanity columns. */

@@ -52,7 +52,7 @@ object SimilarityOps {
     * literal matrix broadcasts with the task binary and signatures index
     * into it. The DuckDB oracle derives the identical values from the same
     * md5 formula. */
-  private[ext] def planeComponent(p: Int, d: Int): Double = {
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane$p:$d".getBytes("UTF-8"))
     val hex8 = digest.take(4).map("%02x".format(_)).mkString
@@ -436,6 +436,32 @@ object SimilarityOps {
           round((x - col("__mus")(i)) / col("__sds")(i), 6))
           .otherwise(lit(0.0))))
       .drop("__mus", "__sds")
+  }
+
+  /** Johnson-Lindenstrauss random projection: embed `dim`-dimensional
+    * vectors into `nComponents` dimensions via the same md5-derived
+    * deterministic plane matrix as [[srpBands]] (uniform [-1, 1)
+    * components), scaled by √(3/nComponents) so expected squared
+    * distances are preserved (uniform[-1,1) entries have variance 1/3 —
+    * the scale absorbs it) — the dimensionality-reduction pass before
+    * ANN/k-means when the raw embedding width is the cost driver. Output:
+    * (idCol, proj array<double>), each component rounded to 6 dp.
+    *
+    * Scale shape: the projection matrix is nComponents×dim literal model
+    * constants shipped with the task binary ([[planeComponent]]'s
+    * rationale — no per-row md5, no join), and every component is one
+    * native left-to-right [[graft.functions.DotProduct]] fold, so the
+    * whole pass is a codegen'd map with zero shuffles. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    nComponents: Int, dim: Int): DataFrame = {
+    require(nComponents > 0 && dim > 0, "nComponents and dim must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(3.0 / nComponents)
+    val comps = (0 until nComponents).map { p =>
+      round(dot_d(v, typedLit((0 until dim).map(d => planeComponent(p, d))))
+        * scale, 6)
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
   }
 
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact

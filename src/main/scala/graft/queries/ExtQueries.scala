@@ -168,6 +168,21 @@ object ExtQueries {
       "vec_id", "embedding", q, 20)
   }
 
+  /** JL random projection of the embeddings to 16 components via the
+    * md5-derived plane matrix (the SRP planes), exploded to
+    * (vec_id, comp, y) for the oracle — the deliverable is the array
+    * form, a zero-shuffle codegen'd map. */
+  val xRpProject: Q = (s, dir) =>
+    SimilarityOps.randomProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nComponents = 16, dim = 64)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "y")))
+
+  /** Robust per-source length outliers: median + MAD of n_chars per
+    * source, k = 3 — the heavy-tail-safe length filter. */
+  val xMadOutlier: Q = (s, dir) =>
+    CorpusOps.madOutliers(t(s, dir, "documents"), col("doc_id"),
+      col("source"), col("n_chars"))
+
   /** Per-dimension z-score standardization of the embeddings table,
     * exploded to (vec_id, dim, z) rows for the oracle compare — the
     * deliverable is the array form ([[SimilarityOps.standardize]]'s

@@ -1244,6 +1244,38 @@ object Oracles {
          |(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id <> 0), q)
          |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
+    // JL projection: identical md5 plane derivation as the SRP mirror,
+    // dot per (vector, plane), sqrt(3/16) variance-absorbing scale
+    "x_rp_project" ->
+      s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |planes AS (SELECT p.p, d.d,
+         |  ${hex32("md5('plane' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))", 1)} / 4294967296.0 * 2.0 - 1.0 AS comp
+         |  FROM (SELECT unnest(range(0, 16)) AS p) p,
+         |       (SELECT unnest(range(0, 64)) AS d) d),
+         |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
+         |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
+         |dots AS (SELECT vec_id, p, sum(x * comp) AS dt FROM expl
+         |  JOIN planes ON planes.d = expl.d GROUP BY vec_id, p)
+         |SELECT vec_id, CAST(p AS INT) AS comp,
+         |  round(dt * sqrt(3.0 / 16), 6) AS y FROM dots""".stripMargin,
+
+    // per-source median + MAD outlier flags (quantile_cont mirrors Spark's
+    // exact interpolated percentile)
+    "x_mad_outlier" ->
+      """WITH base AS (SELECT doc_id, source AS stratum,
+        |    CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m1 AS (SELECT stratum, quantile_cont(x, 0.5) AS med
+        |  FROM base GROUP BY stratum),
+        |dv AS (SELECT doc_id, stratum, x, med, abs(x - med) AS dev
+        |  FROM base JOIN m1 USING (stratum)),
+        |m2 AS (SELECT stratum, quantile_cont(dev, 0.5) AS mad
+        |  FROM dv GROUP BY stratum)
+        |SELECT doc_id, stratum, x, round(med, 4) AS med,
+        |  round(mad, 4) AS mad, (dev > 3 * mad) AS is_outlier
+        |FROM dv JOIN m2 USING (stratum)""".stripMargin,
+
     // per-dimension z-score: parallel unnests zip the (0-based) dim index
     // with the element stream; population stddev, constant dims → 0
     "x_embed_norm" ->

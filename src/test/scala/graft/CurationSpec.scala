@@ -530,4 +530,48 @@ class CurationSpec extends SparkTestBase {
       .select("split").distinct().count()
     assert(byDoc > 1)
   }
+
+  test("madOutliers: hand-computed median/MAD; giant doc flagged, not the mean-dragged rest") {
+    import spark.implicits._
+    // stratum a: 10,12,14,16,1000 -> med 14, devs 4,2,0,2,986 -> MAD 2
+    //   outlier iff dev > 6: only the 1000
+    val df = Seq((1L, "a", 10), (2L, "a", 12), (3L, "a", 14), (4L, "a", 16),
+      (5L, "a", 1000), (6L, "b", 7)).toDF("doc_id", "src", "n")
+    val got = CorpusOps.madOutliers(df, col("doc_id"), col("src"), col("n"))
+      .as[(Long, String, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 === 14.0 && got(1L)._5 === 2.0)
+    assert(got.filter(_._2._6).keySet === Set(5L))
+    // singleton stratum: med = x, MAD 0, dev 0 -> not an outlier
+    assert(got(6L)._6 === false)
+  }
+
+  test("madOutliers: even-count stratum interpolates; zero MAD flags any deviation") {
+    import spark.implicits._
+    // 1,2,3,4 -> med 2.5, devs 1.5,.5,.5,1.5 -> MAD 1.0 -> none beyond 3
+    val even = Seq((1L, "a", 1), (2L, "a", 2), (3L, "a", 3), (4L, "a", 4))
+      .toDF("doc_id", "src", "n")
+    val g1 = CorpusOps.madOutliers(even, col("doc_id"), col("src"), col("n"))
+      .as[(Long, String, Double, Double, Double, Boolean)].collect()
+    assert(g1.forall(r => r._4 === 2.5 && r._5 === 1.0 && !r._6))
+    // over half identical -> MAD 0 -> any deviation flags
+    val deg = Seq((1L, "a", 5), (2L, "a", 5), (3L, "a", 5), (4L, "a", 9))
+      .toDF("doc_id", "src", "n")
+    val g2 = CorpusOps.madOutliers(deg, col("doc_id"), col("src"), col("n"))
+      .as[(Long, String, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r._6).toMap
+    assert(g2 === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("madOutliers: approx path agrees with exact on a modest stratum") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, "s", i)).toDF("doc_id", "src", "n")
+    val ex = CorpusOps.madOutliers(df, col("doc_id"), col("src"), col("n"))
+      .select("doc_id", "is_outlier")
+      .as[(Long, Boolean)].collect().toMap
+    val ap = CorpusOps.madOutliers(df, col("doc_id"), col("src"), col("n"),
+        exact = false)
+      .select("doc_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(ex === ap)
+  }
 }

@@ -256,6 +256,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(z(1)._1) < 1e-9 && z(1)._2 === 0.0)
   }
 
+  test("randomProject: manual dot against the plane matrix; map-only plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val vec = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val df = Seq((1L, vec.toSeq)).toDF("vec_id", "embedding")
+    val out = graft.ext.SimilarityOps.randomProject(df, "vec_id", "embedding",
+      nComponents = 4, dim = dim)
+    val got = out.select("proj").as[Seq[Double]].collect().head
+    for (p <- 0 until 4) {
+      val want = (0 until dim).map(d =>
+        vec(d).toDouble * graft.ext.SimilarityOps.planeComponent(p, d)).sum *
+        math.sqrt(3.0 / 4)
+      assert(math.abs(got(p) - want) < 1e-6, s"component $p")
+    }
+    // pure map: no exchange of any kind
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+  }
+
+  test("randomProject: JL distance preservation holds in aggregate") {
+    import spark.implicits._
+    // 20 random 64-dim vectors: mean squared-distance ratio ≈ 1
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = graft.ext.SimilarityOps.randomProject(df, "vec_id", "embedding",
+        nComponents = 16, dim = 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+    } yield d2(proj(i.toLong), proj(j.toLong)) /
+      d2(vecs(i)._2.map(_.toDouble), vecs(j)._2.map(_.toDouble))
+    val mean = ratios.sum / ratios.size
+    // per-pair the JL estimate is noisy at 16 components; the MEAN over
+    // 190 pairs concentrates on 1 (the √(3/k) scale absorbs the 1/3
+    // variance of the uniform[-1,1) plane entries)
+    assert(mean > 0.6 && mean < 1.5, s"mean ratio $mean")
+  }
+
   test("standardize: the normalization pass adds no corpus shuffle " +
     "(stats ride one broadcast)") {
     val df = spark.read.parquet(sf() + "/embeddings.parquet")

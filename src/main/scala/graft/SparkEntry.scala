@@ -124,6 +124,8 @@ object SparkEntry {
     "x_embed_topk" -> ExtQueries.xEmbedTopk,
     "x_embed_norm" -> ExtQueries.xEmbedNorm,
     "x_rp_project" -> ExtQueries.xRpProject,
+    "x_embed_cov" -> ExtQueries.xEmbedCov,
+    "x_pca_project" -> ExtQueries.xPcaProject,
     "x_mad_outlier" -> ExtQueries.xMadOutlier,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_embed_decontam" -> ExtQueries.xEmbedDecontam,
@@ -262,5 +264,6 @@ object SparkEntry {
     "x_setsim_join", "x_phrase", "x_incr_dedup", "x_decay", "x_covisit",
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
-    "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier")
+    "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier",
+    "x_embed_cov")
 }

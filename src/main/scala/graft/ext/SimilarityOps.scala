@@ -464,6 +464,97 @@ object SimilarityOps {
     df.select(col(idCol), array(comps: _*).as("proj"))
   }
 
+  /** Upper-triangle population covariance matrix of an embedding column:
+    * (i, j, cov) for i ≤ j with cov = E[x_i·x_j] − μ_i·μ_j, rounded to
+    * 6 dp — the second-moment pass behind whitening, PCA, and OPQ-style
+    * rotation before product quantization.
+    *
+    * Scale shape: the in-row double transform emits each row's upper-
+    * triangle products WITHOUT a self-join of the exploded table (the
+    * relational formulation joins corpus×dims with itself on the id — a
+    * corpus-sized shuffle; here products never leave the row), and the
+    * groupBy (i, j) partial-aggregates map-side so the exchange carries at
+    * most dims²/2 rows per input partition. Means ride the same aggregate
+    * (sum of x_i per pair-slot costs nothing extra) — one shuffle total. */
+  def covarianceMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // per-row upper-triangle stream: (i, j, x_i, x_j)
+    val pairs = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + 1, size(v)), (xj, j) =>
+        struct(i.as("i"), (i + j).as("j"), xi.as("xi"), xj.as("xj")))))
+    df.select(explode(pairs).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xi"), col("p.xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("__n"), sum(col("xi") * col("xj")).as("__sxy"),
+        sum("xi").as("__sx"), sum("xj").as("__sy"))
+      .select(col("i"), col("j"),
+        round(col("__sxy") / col("__n") -
+          (col("__sx") / col("__n")) * (col("__sy") / col("__n")), 6).as("cov"))
+  }
+
+  /** Top-k PCA projection: principal axes from the covariance matrix by
+    * power iteration with deflation, then a map-side projection of every
+    * (mean-centred) vector onto them. Output: (idCol, proj array<double>,
+    * k components, each rounded to 6 dp). Component sign is fixed by
+    * making each axis's largest-|loading| coordinate positive, so results
+    * are deterministic across runs and partitionings.
+    *
+    * Scale shape: the covariance matrix ([[covarianceMatrix]]'s one
+    * shuffle) is dims²-BOUNDED — a parameter of the embedding space, not
+    * of the corpus — so collecting it to the driver for the O(dims²·iters)
+    * eigen solve is the same parameter-bounded collect as the k-means
+    * centroid and PQ codebook sites; axes ship back as literal constants
+    * and the projection is a codegen'd zero-shuffle map. Spec-locked
+    * rather than oracle-checked: eigenvector order/sign under near-equal
+    * eigenvalues is not portable SQL. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int = 50): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cov = covarianceMatrix(df, idCol, vecCol)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val dims = cov.keys.map(_._2).max + 1
+    require(k <= dims, s"k=$k exceeds dims=$dims")
+    val m = Array.tabulate(dims, dims)((a, b) =>
+      cov.getOrElse((math.min(a, b), math.max(a, b)), 0.0))
+    val axes = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (_ <- 0 until k) {
+      var x = Array.tabulate(dims)(d => 1.0 / math.sqrt(dims.toDouble))
+      for (_ <- 0 until iters) {
+        val y = Array.tabulate(dims) { a =>
+          var s = 0.0
+          var b = 0
+          while (b < dims) {
+            s += m(a)(b) * x(b)
+            // deflation: subtract projections onto found axes
+            b += 1
+          }
+          s
+        }
+        val proj = axes.map(ax => ax.zip(y).map(t => t._1 * t._2).sum)
+        val yd = Array.tabulate(dims)(a =>
+          y(a) - axes.zip(proj).map { case (ax, p) => ax(a) * p }.sum)
+        val nrm = math.sqrt(yd.map(e => e * e).sum)
+        x = if (nrm > 0) yd.map(_ / nrm) else x
+      }
+      // deterministic sign: largest-|loading| coordinate positive
+      val piv = x.indices.maxBy(a => math.abs(x(a)))
+      axes += (if (x(piv) < 0) x.map(-_) else x)
+    }
+    val means = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(posexplode(v).as(Seq("__d", "__x")))
+        .groupBy("__d").agg(avg("__x").as("__mu"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    val mu = Array.tabulate(dims)(d => means.getOrElse(d, 0.0))
+    val v = col(vecCol).cast("array<double>")
+    val comps = axes.toSeq.map { ax =>
+      round(dot_d(transform(v, (x, i) => x - element_at(typedLit(mu.toSeq), i + 1)),
+        typedLit(ax.toSeq)), 6)
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
     * baseline the LSH variant approximates). O(n²/2) — use only to validate
     * LSH recall at small n, or within pre-partitioned shards at scale. */

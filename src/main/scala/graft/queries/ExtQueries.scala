@@ -177,6 +177,22 @@ object ExtQueries {
         "embedding", nComponents = 16, dim = 64)
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "y")))
 
+  /** Upper-triangle covariance matrix of the embeddings — the one-shuffle
+    * second-moment aggregate (in-row pair products, never a self-join of
+    * the exploded table; the oracle IS that self-join). */
+  val xEmbedCov: Q = (s, dir) =>
+    SimilarityOps.covarianceMatrix(t(s, dir, "embeddings"), "vec_id",
+      "embedding")
+
+  /** Top-4 PCA projection (power iteration on the dims²-bounded covariance,
+    * deterministic sign, map-side projection). Rows-only driver check:
+    * eigenvector order/sign under near-equal eigenvalues is not portable
+    * SQL; PcaSpec locks the semantics instead. */
+  val xPcaProject: Q = (s, dir) =>
+    SimilarityOps.pcaProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "y")))
+
   /** Robust per-source length outliers: median + MAD of n_chars per
     * source, k = 3 — the heavy-tail-safe length filter. */
   val xMadOutlier: Q = (s, dir) =>

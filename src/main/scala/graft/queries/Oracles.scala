@@ -1260,6 +1260,20 @@ object Oracles {
          |SELECT vec_id, CAST(p AS INT) AS comp,
          |  round(dt * sqrt(3.0 / 16), 6) AS y FROM dots""".stripMargin,
 
+    // covariance via the NAIVE exploded self-join (the Spark side builds
+    // pairs in-row) with the identical E[xy] - E[x]E[y] arithmetic
+    "x_embed_cov" ->
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
+        |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
+        |pr AS (SELECT a.d AS i, b.d AS j, a.x AS xi, b.x AS xj
+        |  FROM expl a JOIN expl b ON a.vec_id = b.vec_id AND a.d <= b.d)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  round(sum(xi * xj) / count(*)
+        |    - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
+        |FROM pr GROUP BY i, j""".stripMargin,
+
     // per-source median + MAD outlier flags (quantile_cont mirrors Spark's
     // exact interpolated percentile)
     "x_mad_outlier" ->

@@ -699,18 +699,29 @@ object ExtQueries {
     * the oracle unrolls the identical recurrence, so agreement proves the
     * relational iteration (edge ⋈ ranks on src, partial-agg on dst,
     * broadcast dangling mass), not just the final shape. */
-  val xPagerank: Q = (s, dir) => {
+  /** The event-transition link graph shared by the graph queries: nodes
+    * are `props.k` page ids, edges each user's consecutive (k → next k)
+    * transitions in (ts, event_id) order. */
+  private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val seq = RefQueries.events(s, dir)
+    RefQueries.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .where(col("user_id").isNotNull && col("k").isNotNull)
-    val edges = seq
       .select(col("k").as("src"), lead(col("k"), 1).over(w).as("dst"))
       .where(col("dst").isNotNull)
-    GraphOps.pageRank(edges, col("src"), col("dst"), iters = 5, damping = 0.85)
   }
+
+  val xPagerank: Q = (s, dir) =>
+    GraphOps.pageRank(transitionEdges(s, dir), col("src"), col("dst"),
+      iters = 5, damping = 0.85)
+
+  /** Per-node triangle counts on the undirected transition graph — the
+    * degree-ordered wedge form; the oracle is the naive id-ordered 3-way
+    * self-join, a deliberately different algorithm. */
+  val xTriangles: Q = (s, dir) =>
+    GraphOps.triangleCount(transitionEdges(s, dir), col("src"), col("dst"))
 
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to

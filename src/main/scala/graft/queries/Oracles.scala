@@ -1701,6 +1701,25 @@ object Oracles {
          |SELECT node, round(pr, 6) AS pagerank FROM r5""".stripMargin
     },
 
+    // triangles via the NAIVE id-ordered 3-way self-join (the Spark side
+    // runs the degree-ordered wedge algorithm); corners exploded per node
+    "x_triangles" ->
+      """WITH seq AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ed AS (SELECT k AS src,
+        |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM seq WHERE k IS NOT NULL),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY node""".stripMargin,
+
     // direct sliding-window scan over each doc's token list — an
     // independent algorithm for the positional phrase-AND (list is
     // 1-indexed; range(a, b) is [a, b), so i runs over valid anchors only)

@@ -81,4 +81,44 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
     assert(got(3L) > got(2L) && got(2L) > got(1L))
   }
+
+  // ---- triangleCount ----
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCount(edges.toDF("s", "t"), col("s"), col("t"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCount: one triangle plus a pendant edge") {
+    val got = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // node 4 absent
+  }
+
+  test("triangleCount: direction, multiplicity, self-loops all collapse") {
+    val got = tris(Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (1L, 3L),
+      (2L, 2L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount: K4 gives every node 3 triangles; matches brute force " +
+    "on random graphs") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(tris(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(12)
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        k <- (j + 1) until nodes.size
+        (a, b, c) = (nodes(i), nodes(j), nodes(k))
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } { want(a) += 1; want(b) += 1; want(c) += 1 }
+      assert(tris(edges) === want.toMap.filter(_._2 > 0), s"trial $trial")
+    }
+  }
 }

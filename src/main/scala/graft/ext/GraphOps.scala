@@ -57,28 +57,36 @@ object GraphOps {
     val nodes = norm.select(col("src").as("node"))
       .unionByName(norm.select(col("dst").as("node")))
       .distinct().persist()
-    // dangling = dst-only nodes; precomputed once, rank-summed per round
-    val dangling = nodes
-      .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+    // dangling-ness rides the rank rows as a flag (joined ONCE here, from
+    // the PERSISTED norm), so the per-round dangling-mass is a pure
+    // scan-aggregate of the previous checkpoint — no per-round join, and
+    // nothing in the dm branch reaches back through the caller's edge
+    // derivation lineage
+    val nodesF = nodes
+      .join(norm.select(col("src").as("node")).distinct()
+        .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__out"), lit(false)).as("__has_out"))
       .persist()
-    val n = nodes.count().toDouble // the single driver scalar
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    val n = nodesF.count().toDouble // the single driver scalar
+    var ranks = nodesF
+      .select(col("node"), lit(1.0 / n).as("rank"), col("__has_out"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dm = dangling.join(ranks, "node")
+      val dm = ranks.where(!col("__has_out"))
         .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contribs = norm
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy("dst").agg(sum(col("rank") * col("__p")).as("__c"))
         .withColumnRenamed("dst", "node")
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodesF.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dm))
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("__c"), lit(0.0)) + col("__dm") / n)).as("rank"))
+            (coalesce(col("__c"), lit(0.0)) + col("__dm") / n)).as("rank"),
+          col("__has_out"))
         .localCheckpoint(true)
     }
-    norm.unpersist(); nodes.unpersist(); dangling.unpersist()
+    norm.unpersist(); nodes.unpersist(); nodesF.unpersist()
     ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
   }
 

@@ -58,7 +58,8 @@ object PlanAudit {
         "x_hist_quantile","x_trend","x_setsim_rs","x_chunks","x_rrf",
         "x_contain_join","x_cluster_split","x_pagerank","x_bigram_lm",
         "x_lin_classify","x_embed_norm","x_rp_project","x_mad_outlier",
-        "x_embed_cov","x_pca_project","x_triangles")
+        "x_embed_cov","x_pca_project","x_triangles","x_clustering_coef",
+        "x_char_entropy","x_pii_luhn")
       .foreach(audit)
     spark.stop()
   }

@@ -104,13 +104,37 @@ object GraphOps {
     * against the oriented edge set; each triangle materialises exactly
     * once, at its minimum-(degree, id) corner. Three shuffles total
     * (degree, wedge join key, final count) plus the orientation join. */
-  def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = edges.select(src.as("__s"), dst.as("__d"))
+  /** Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * over the undirected simple graph, 0 for degree < 2. Output:
+    * (node, deg, n_triangles, clustering_coef) for EVERY node of the graph
+    * (zero-triangle nodes included — the coefficient is the point here,
+    * and a 0 is signal). Composition of [[triangleCount]] with the degree
+    * aggregate; one extra left join on the node key. */
+  def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = simpleUndirected(edges, src, dst)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCount(edges, src, dst), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering_coef"))
+  }
+
+  private def simpleUndirected(edges: DataFrame, src: Column,
+                               dst: Column): DataFrame =
+    edges.select(src.as("__s"), dst.as("__d"))
       .where(col("__s").isNotNull && col("__d").isNotNull &&
         col("__s") =!= col("__d"))
       .select(least(col("__s"), col("__d")).as("a"),
         greatest(col("__s"), col("__d")).as("b"))
       .distinct()
+
+  def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = simpleUndirected(edges, src, dst)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -221,6 +221,45 @@ object TextOps {
           Ipv4Re, "<IP>").as("scrubbed"))
   }
 
+  /** Luhn checksum validity of a digit string — the false-positive filter
+    * behind card-number PII detection: a regex finds 13-19-digit runs, and
+    * only checksum-valid candidates are treated as card numbers (a random
+    * digit run passes Luhn ~10% of the time, so the check removes ~90% of
+    * spurious redactions). Pure array expressions (split → reverse →
+    * indexed transform → aggregate) — codegen-friendly, no UDF, no
+    * shuffle. Non-digit input yields null (cast of a non-digit char). */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(filter(split(digits, ""), c => c =!= ""))
+    val vals = transform(rev, (c, i) => {
+      val d = c.cast("int")
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(vals, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Character-distribution Shannon entropy per document (nats):
+    * H = ln(N) − Σ n_c·ln(n_c) / N over the document's character counts —
+    * the cheap gibberish/repetition signal (uniform noise scores high,
+    * 'aaaa…' scores 0; natural language sits in a known band, so both
+    * tails are quality flags). Output: (doc_id, n_chars_counted, entropy),
+    * entropy rounded to 6 dp; empty/null texts are absent.
+    *
+    * Scale shape: the char explode partial-aggregates map-side on
+    * (doc, char), so the exchange carries each document's DISTINCT
+    * characters (≤ alphabet size), not its length; the identity avoids
+    * needing N inside the per-char term, keeping everything one
+    * aggregation pass over the collapsed counts. */
+  def charEntropy(df: DataFrame, key: Column, text: Column): DataFrame =
+    df.where(text.isNotNull && length(text) > 0)
+      .select(key.as("doc_id"),
+        explode(filter(split(text, ""), c => c =!= "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("__n"))
+      .groupBy("doc_id")
+      .agg(sum("__n").as("n_chars_counted"),
+        round(log(sum("__n")) -
+          sum(col("__n") * log(col("__n"))) / sum("__n"), 6).as("entropy"))
+
   // html extraction regexes — (?is)-flagged and non-greedy, so they run
   // identically on Java regex (Spark) and RE2 (DuckDB); entity decode is
   // the 5 named entities every extractor handles, applied AFTER tag strip

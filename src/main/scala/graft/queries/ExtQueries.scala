@@ -723,6 +723,30 @@ object ExtQueries {
   val xTriangles: Q = (s, dir) =>
     GraphOps.triangleCount(transitionEdges(s, dir), col("src"), col("dst"))
 
+  /** Local clustering coefficients on the transition graph — triangles
+    * joined with degrees; zero-triangle nodes included. */
+  val xClusteringCoef: Q = (s, dir) =>
+    GraphOps.clusteringCoefficient(transitionEdges(s, dir),
+      col("src"), col("dst"))
+
+  /** Character-distribution entropy per document — the gibberish /
+    * repetition band signal. */
+  val xCharEntropy: Q = (s, dir) =>
+    TextOps.charEntropy(docs(s, dir), col("doc_id"), col("text"))
+
+  /** Luhn checksum validation over deterministic 16-digit candidates
+    * derived from the orders keys — the card-number false-positive filter
+    * ([[TextOps.luhnValid]]); ~10% of candidates pass, so both branches
+    * are exercised. */
+  val xPiiLuhn: Q = (s, dir) => {
+    val cand = lpad((col("o_orderkey").cast("long") * 100003 +
+      col("o_custkey")).cast("string"), 16, "1")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), cand.as("candidate"))
+      .select(col("o_orderkey"), col("candidate"),
+        TextOps.luhnValid(col("candidate")).as("luhn_valid"))
+  }
+
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to
     * x_bm25's scored ranking. The term filter is map-side below the

@@ -1720,6 +1720,65 @@ object Oracles {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM corners GROUP BY node""".stripMargin,
 
+    // clustering coefficient: the triangle oracle joined with degrees;
+    // every node appears, zero-triangle nodes at coefficient 0
+    "x_clustering_coef" ->
+      """WITH seq AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ed AS (SELECT k AS src,
+        |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM seq WHERE k IS NOT NULL),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM corners GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.deg >= 2
+        |    THEN round(2.0 * coalesce(tc.n_triangles, 0)
+        |      / (d.deg * (d.deg - 1)), 6)
+        |    ELSE 0.0 END AS clustering_coef
+        |FROM deg d LEFT JOIN tc USING (node)""".stripMargin,
+
+    // per-char counts → the ln(N) − Σ n·ln(n)/N identity, mirrored exactly
+    "x_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |cc AS (SELECT doc_id, ch, count(*) AS n FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+        |FROM cc GROUP BY doc_id""".stripMargin,
+
+    // Luhn via right-position parity on the UNreversed digit list (the
+    // Spark side reverses; (len - i) odd ≡ reversed 0-based index odd)
+    "x_pii_luhn" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    lpad(CAST(CAST(o_orderkey AS BIGINT) * 100003 + o_custkey
+        |      AS VARCHAR), 16, '1') AS candidate
+        |  FROM orders),
+        |d AS (SELECT o_orderkey, candidate,
+        |    list_filter(string_split(candidate, ''), x -> x <> '') AS r
+        |  FROM c),
+        |v AS (SELECT o_orderkey, candidate,
+        |    list_sum(list_transform(range(1, len(r) + 1), i ->
+        |      CASE WHEN (len(r) - i) % 2 = 1
+        |        THEN CASE WHEN CAST(r[i] AS INT) * 2 > 9
+        |          THEN CAST(r[i] AS INT) * 2 - 9
+        |          ELSE CAST(r[i] AS INT) * 2 END
+        |        ELSE CAST(r[i] AS INT) END)) AS s
+        |  FROM d)
+        |SELECT o_orderkey, candidate, (s % 10 = 0) AS luhn_valid FROM v""".stripMargin,
+
     // direct sliding-window scan over each doc's token list — an
     // independent algorithm for the positional phrase-AND (list is
     // 1-indexed; range(a, b) is [a, b), so i runs over valid anchors only)

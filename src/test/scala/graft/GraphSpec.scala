@@ -99,6 +99,20 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clusteringCoefficient: hand-computed triangle+pendant graph") {
+    // triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1 (deg 2, 1 tri),
+    // cc(3)=2·1/(3·2)=1/3, cc(4)=0 (deg 1)
+    val got = GraphOps.clusteringCoefficient(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "t"),
+        col("s"), col("t"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 0.333333)))
+    assert(got(4L) === ((1L, 0L, 0.0))) // present, zero coefficient
+  }
+
   test("triangleCount: K4 gives every node 3 triangles; matches brute force " +
     "on random graphs") {
     val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)

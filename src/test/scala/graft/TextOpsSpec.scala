@@ -247,4 +247,39 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(1L) == "en")
     assert(got(2L) == "und")
   }
+
+  test("luhnValid: textbook card numbers pass, off-by-one digits fail") {
+    val df = Seq(
+      "79927398713",       // the classic Luhn example — valid
+      "79927398710",       // same with wrong check digit — invalid
+      "4539578763621486",  // valid 16-digit
+      "4539578763621487",  // invalid
+      "0",                 // single zero — valid (sum 0)
+      "59").toDF("s")      // 5*2=10 -> 1+0... 9+1=10 -> valid
+    val got = df.select($"s", TextOps.luhnValid($"s").as("v"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got("79927398713") && !got("79927398710"))
+    assert(got("4539578763621486") && !got("4539578763621487"))
+    assert(got("0") && got("59"))
+  }
+
+  test("charEntropy: hand-computed; constant string scores 0; empty absent") {
+    val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, ""), (4L, null))
+      .toDF("id", "text")
+    val got = TextOps.charEntropy(df, $"id", $"text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((4L, 0.0)))
+    // two equiprobable chars: ln 2
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(2L)._2 - math.log(2.0)) < 1e-6)
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("charEntropy: uniform noise scores above repetitive text") {
+    val df = Seq((1L, "abcdefghijklmnop"), (2L, "abababababababab"))
+      .toDF("id", "text")
+    val got = TextOps.charEntropy(df, $"id", $"text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L))
+  }
 }

@@ -121,6 +121,8 @@ object SparkEntry {
     "x_clustering_coef" -> ExtQueries.xClusteringCoef,
     "x_char_entropy" -> ExtQueries.xCharEntropy,
     "x_pii_luhn" -> ExtQueries.xPiiLuhn,
+    "x_profile" -> ExtQueries.xProfile,
+    "x_dq_check" -> ExtQueries.xDqCheck,
     "x_dedup_clusters" -> ExtQueries.xDedupClusters,
     "x_dedup_simhash" -> ExtQueries.xDedupSimhash,
     "x_simhash_pairs" -> ExtQueries.xSimhashPairs,
@@ -269,5 +271,6 @@ object SparkEntry {
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
     "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier",
-    "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn")
+    "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
+    "x_profile", "x_dq_check")
 }

@@ -747,6 +747,27 @@ object ExtQueries {
         TextOps.luhnValid(col("candidate")).as("luhn_valid"))
   }
 
+  /** Per-column profile of the orders table — nulls + cardinality in ONE
+    * scan (multi-distinct via a single Expand), unpivoted with stack. */
+  val xProfile: Q = (s, dir) =>
+    DataQualityOps.profile(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+
+  /** Declarative data-quality gate: scan-aggregate constraints in one
+    * pass plus the referential-integrity anti-join, one row per
+    * constraint. All-zero violations = the gate passes (and the oracle
+    * proving the zeros is the point — the checks themselves are what's
+    * under test). */
+  val xDqCheck: Q = (s, dir) => {
+    import DataQualityOps._
+    check(t(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      UniqueKey("o_orderkey"),
+      InRange("o_totalprice", 0.0, 1000000.0)))
+      .unionByName(checkForeignKey(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+  }
+
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to
     * x_bm25's scored ranking. The term filter is map-side below the

@@ -1720,6 +1720,36 @@ object Oracles {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM corners GROUP BY node""".stripMargin,
 
+    // per-column profile: one UNION ALL branch per column
+    "x_profile" -> {
+      val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice").map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders"""
+          .stripMargin
+      }
+      branches.mkString("\nUNION ALL\n")
+    },
+
+    // the gate's four constraints, each as its own direct aggregate
+    "x_dq_check" ->
+      """SELECT 'not_null(o_custkey)' AS "constraint",
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'range(o_totalprice,0.0,1000000.0)',
+        |  CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 1000000)
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'foreign_key(o_custkey)', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+
     // clustering coefficient: the triangle oracle joined with degrees;
     // every node appears, zero-triangle nodes at coefficient 0
     "x_clustering_coef" ->

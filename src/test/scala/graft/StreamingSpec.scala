@@ -112,6 +112,29 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("EventWindows.session runs under Structured Streaming: gaps split, " +
+    "late-merge within the watermark, closed sessions emitted once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+    val q = graft.ext.EventWindows.session(df, col("ts"), "30 minutes",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_stream_out").start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:20:00"), "a", 2.0), // same session (gap 20m)
+      (ts("2024-01-01 01:30:00"), "a", 3.0)) // new session (gap 70m)
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 09:00:00"), "b", 9.0)) // advance watermark
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_type, n FROM sess_stream_out")
+      .as[(String, Long)].collect().toList.sortBy(_._2)
+    assert(got == List(("a", 1L), ("a", 2L))) // b's session still open
+    q.stop()
+  }
+
   test("Op-61 stateless: (Id,status) pairs emitted once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]

@@ -59,7 +59,8 @@ object PlanAudit {
         "x_contain_join","x_cluster_split","x_pagerank","x_bigram_lm",
         "x_lin_classify","x_embed_norm","x_rp_project","x_mad_outlier",
         "x_embed_cov","x_pca_project","x_triangles","x_clustering_coef",
-        "x_char_entropy","x_pii_luhn","x_profile","x_dq_check")
+        "x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
+        "x_label_prop","x_auc")
       .foreach(audit)
     spark.stop()
   }

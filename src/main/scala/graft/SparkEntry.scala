@@ -119,6 +119,8 @@ object SparkEntry {
     "x_pagerank" -> ExtQueries.xPagerank,
     "x_triangles" -> ExtQueries.xTriangles,
     "x_clustering_coef" -> ExtQueries.xClusteringCoef,
+    "x_label_prop" -> ExtQueries.xLabelProp,
+    "x_auc" -> ExtQueries.xAuc,
     "x_char_entropy" -> ExtQueries.xCharEntropy,
     "x_pii_luhn" -> ExtQueries.xPiiLuhn,
     "x_profile" -> ExtQueries.xProfile,
@@ -272,5 +274,5 @@ object SparkEntry {
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
     "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier",
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
-    "x_profile", "x_dq_check")
+    "x_profile", "x_dq_check", "x_label_prop", "x_auc")
 }

@@ -104,6 +104,49 @@ object GraphOps {
     * against the oriented edge set; each triangle materialises exactly
     * once, at its minimum-(degree, id) corner. Three shuffles total
     * (degree, wedge join key, final count) plus the orientation join. */
+  /** Synchronous label propagation (community detection): every node
+    * adopts the most frequent label among its neighbours each round, ties
+    * to the SMALLEST label, isolated/tied-empty nodes keep their current
+    * label; labels start as the node ids. A FIXED round count with
+    * synchronous updates keeps the result deterministic and
+    * oracle-unrollable (asynchronous/randomized LPA is not) — the
+    * trade-off is the possibility of label oscillation on bipartite
+    * structures, which a fixed horizon simply truncates.
+    *
+    * Scale shape per round: one equi-join of the (symmetrized, persisted)
+    * edge list with the label frame on the neighbour key, one partial-
+    * aggregated count on (node, label), and an argmax via max(struct) —
+    * no window; per-round localCheckpoint truncation as in [[pageRank]].
+    * Output: (node, community). */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val und = simpleUndirected(edges, src, dst)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    val nodes = sym.select("node").distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("__n"))
+      // argmax count, ties to the smallest label (ids are non-negative so
+      // the -label struct-order trick is safe)
+      val winners = votes.groupBy("node")
+        .agg(max(struct(col("__n"), (-col("label")).as("__neg"))).as("__w"))
+        .select(col("node"), (-col("__w.__neg")).as("label"))
+      labels = nodes
+        .join(winners, Seq("node"), "left")
+        .join(labels.withColumnRenamed("label", "__prev"), Seq("node"))
+        .select(col("node"), coalesce(col("label"), col("__prev")).as("label"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(); nodes.unpersist()
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·(d(v)−1))
     * over the undirected simple graph, 0 for degree < 2. Output:
     * (node, deg, n_triangles, clustering_coef) for EVERY node of the graph

@@ -723,6 +723,26 @@ object ExtQueries {
   val xTriangles: Q = (s, dir) =>
     GraphOps.triangleCount(transitionEdges(s, dir), col("src"), col("dst"))
 
+  /** Synchronous label-propagation communities (3 rounds) on the
+    * transition graph — oracle unrolls the identical vote/argmax
+    * recurrence. */
+  val xLabelProp: Q = (s, dir) =>
+    GraphOps.labelPropagation(transitionEdges(s, dir), col("src"),
+      col("dst"), iters = 3)
+
+  /** ROC-AUC of the fastText-shaped classifier score against the
+    * lang = 'en' label — the one-pass Mann-Whitney eval over the scored
+    * corpus (sklearn's roc_auc_score as relational algebra). */
+  val xAuc: Q = (s, dir) => {
+    val weights = s.range(1024).select(col("id").as("bucket"),
+      (((col("id") * 37 + 11) % 201 - 100) / 100.0).as("weight"))
+    val scored = LmOps.hashedLinearScore(docs(s, dir), col("doc_id"),
+        col("text"), weights, bias = -0.05)
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .where(col("lang").isNotNull)
+    EvalOps.aucRoc(scored, col("score"), col("lang") === "en")
+  }
+
   /** Local clustering coefficients on the transition graph — triangles
     * joined with degrees; zero-triangle nodes included. */
   val xClusteringCoef: Q = (s, dir) =>

@@ -1750,6 +1750,66 @@ object Oracles {
         |FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS
         |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
+    // label propagation: the identical synchronous vote/argmax recurrence
+    // UNROLLED 3 rounds (argmax via row_number count desc, label asc)
+    "x_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        val p = s"l${i - 1}"
+        s"""v$i AS (SELECT s.node, l.label, count(*) AS n FROM sym s
+           |  JOIN $p l ON l.node = s.nbr GROUP BY s.node, l.label),
+           |w$i AS (SELECT node, label FROM (SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY n DESC, label)
+           |      AS rn FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT nd.node, coalesce(w$i.label, $p.label) AS label
+           |  FROM nd LEFT JOIN w$i USING (node) JOIN $p USING (node))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ed AS (SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq WHERE k IS NOT NULL),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+         |sym AS (SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |nd AS (SELECT DISTINCT node FROM sym),
+         |l0 AS (SELECT node, node AS label FROM nd),
+         |$rounds
+         |SELECT node, label AS community FROM l3""".stripMargin
+    },
+
+    // Mann-Whitney midrank AUC over the classifier's scored corpus —
+    // scores from the x_lin_classify chain, label lang='en'
+    "x_auc" ->
+      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |ng AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM toks),
+         |hb AS (SELECT doc_id, ${hex32("h", 1)} % 1024 AS bucket
+         |  FROM (SELECT doc_id, md5(ng) AS h FROM ng)),
+         |wt AS (SELECT b AS bucket, ((b * 37 + 11) % 201 - 100) / 100.0 AS w
+         |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+         |sc AS (SELECT doc_id, count(*) AS F, sum(coalesce(w, 0)) AS sw
+         |  FROM hb LEFT JOIN wt USING (bucket) GROUP BY doc_id),
+         |scored AS (SELECT s.doc_id,
+         |    round(1 / (1 + exp(-(-0.05 + sw / F))), 6) AS score, d.lang
+         |  FROM sc s JOIN documents d USING (doc_id)
+         |  WHERE d.lang IS NOT NULL),
+         |by_s AS (SELECT score AS s, count(*) AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM scored GROUP BY score),
+         |r AS (SELECT s, n, np, coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+         |  FROM by_s),
+         |m AS (SELECT s, n, np, bf + (n + 1.0) / 2 AS midrank FROM r)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+         |  round((sum(midrank * np) - sum(np) * (sum(np) + 1) / 2.0)
+         |    / (sum(np) * (sum(n) - sum(np))), 6) AS auc
+         |FROM m""".stripMargin,
+
     // clustering coefficient: the triangle oracle joined with degrees;
     // every node appears, zero-triangle nodes at coefficient 0
     "x_clustering_coef" ->

@@ -99,6 +99,53 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  // ---- labelPropagation ----
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    GraphOps.labelPropagation(edges.toDF("s", "t"), col("s"), col("t"),
+        iters = iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** Synchronous in-memory reference: same vote/argmax/tie rules. */
+  private def naiveLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    var l = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      l = nodes.map { n =>
+        val votes = adj(n).map(l).groupBy(identity).view.mapValues(_.size)
+        val best = votes.toSeq.map { case (lab, c) => (-c, lab) }.min._2
+        n -> best
+      }.toMap
+    }
+    l
+  }
+
+  test("labelPropagation: two cliques joined by one bridge separate") {
+    val cliqueA = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val cliqueB = for { a <- 11L to 14L; b <- (a + 1) to 14L } yield (a, b)
+    val got = lpa(cliqueA ++ cliqueB :+ (4L -> 11L))
+    // each clique converges to its own minimum label
+    assert((1L to 4L).map(got).toSet === Set(1L))
+    assert((11L to 14L).map(got).forall(c => c >= 11L || c == 1L))
+    assert(got.values.toSet.size >= 2, s"cliques merged: $got")
+  }
+
+  test("labelPropagation: matches the synchronous reference on random graphs") {
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(20)
+      val edges = Seq.fill(2 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val iters = 1 + rnd.nextInt(3)
+      assert(lpa(edges, iters) === naiveLpa(edges, iters), s"trial $trial")
+    }
+  }
+
   test("clusteringCoefficient: hand-computed triangle+pendant graph") {
     // triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1 (deg 2, 1 tri),
     // cc(3)=2·1/(3·2)=1/3, cc(4)=0 (deg 1)

@@ -121,6 +121,8 @@ object SparkEntry {
     "x_clustering_coef" -> ExtQueries.xClusteringCoef,
     "x_label_prop" -> ExtQueries.xLabelProp,
     "x_auc" -> ExtQueries.xAuc,
+    "x_confusion" -> ExtQueries.xConfusion,
+    "x_calibration" -> ExtQueries.xCalibration,
     "x_char_entropy" -> ExtQueries.xCharEntropy,
     "x_pii_luhn" -> ExtQueries.xPiiLuhn,
     "x_profile" -> ExtQueries.xProfile,
@@ -274,5 +276,6 @@ object SparkEntry {
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
     "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier",
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
-    "x_profile", "x_dq_check", "x_label_prop", "x_auc")
+    "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
+    "x_calibration")
 }

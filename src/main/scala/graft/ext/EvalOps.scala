@@ -23,6 +23,47 @@ object EvalOps {
     * ordered by score. The window is single-partition, but over the
     * score-distribution table, not the data — the [[CorpusOps
     * .quantileBuckets]] eval-side discipline. */
+  /** Confusion counts + derived metrics at a decision threshold
+    * (pred = score ≥ threshold): one row (tp, fp, tn, fn, precision,
+    * recall, f1), metrics rounded to 6 dp and null when undefined (no
+    * predicted/actual positives). ONE scan aggregate — no joins, no
+    * window. */
+  def confusionAtThreshold(df: DataFrame, score: Column, label: Column,
+                           threshold: Double): DataFrame = {
+    val s = score.cast("double"); val y = label.cast("boolean")
+    val base = df.select(s.as("__s"), y.as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .select((col("__s") >= threshold).as("__p"), col("__y"))
+    def n(p: Boolean, yy: Boolean) =
+      sum(when(col("__p") === p && col("__y") === yy, 1L).otherwise(0L))
+    base.agg(n(true, true).as("tp"), n(true, false).as("fp"),
+        n(false, false).as("tn"), n(false, true).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")), 6).as("recall"),
+        round(lit(2.0) * col("tp") /
+          (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
+
+  /** Calibration (reliability-diagram) bins: scores cut into `bins`
+    * equal-width cells over [0, 1]; per cell the count, mean score, and
+    * observed positive rate — a well-calibrated model has
+    * frac_pos ≈ mean_score per bin. Score 1.0 lands in the top bin.
+    * One partial-aggregated shuffle on the bin id (≤ `bins` rows). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = score.cast("double"); val y = label.cast("boolean")
+    df.select(s.as("__s"), y.as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .select(least(floor(col("__s") * bins), lit(bins - 1)).cast("long")
+        .as("bin"), col("__s"), col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(avg(when(col("__y"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
+  }
+
   def aucRoc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -733,15 +733,8 @@ object ExtQueries {
   /** ROC-AUC of the fastText-shaped classifier score against the
     * lang = 'en' label — the one-pass Mann-Whitney eval over the scored
     * corpus (sklearn's roc_auc_score as relational algebra). */
-  val xAuc: Q = (s, dir) => {
-    val weights = s.range(1024).select(col("id").as("bucket"),
-      (((col("id") * 37 + 11) % 201 - 100) / 100.0).as("weight"))
-    val scored = LmOps.hashedLinearScore(docs(s, dir), col("doc_id"),
-        col("text"), weights, bias = -0.05)
-      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
-      .where(col("lang").isNotNull)
-    EvalOps.aucRoc(scored, col("score"), col("lang") === "en")
-  }
+  val xAuc: Q = (s, dir) =>
+    EvalOps.aucRoc(scoredDocs(s, dir), col("score"), col("lang") === "en")
 
   /** Local clustering coefficients on the transition graph — triangles
     * joined with degrees; zero-triangle nodes included. */
@@ -787,6 +780,29 @@ object ExtQueries {
       .unionByName(checkForeignKey(t(s, dir, "orders"), "o_custkey",
         t(s, dir, "customer"), "c_custkey"))
   }
+
+  /** The classifier's scored corpus joined with the lang label — shared
+    * by the eval queries. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(1024).select(col("id").as("bucket"),
+      (((col("id") * 37 + 11) % 201 - 100) / 100.0).as("weight"))
+    LmOps.hashedLinearScore(docs(s, dir), col("doc_id"), col("text"),
+        weights, bias = -0.05)
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .where(col("lang").isNotNull)
+  }
+
+  /** Confusion matrix + precision/recall/F1 at threshold 0.5 — one scan
+    * aggregate over the scored corpus. */
+  val xConfusion: Q = (s, dir) =>
+    EvalOps.confusionAtThreshold(scoredDocs(s, dir), col("score"),
+      col("lang") === "en", threshold = 0.5)
+
+  /** Reliability-diagram bins (10 equal-width cells over [0,1]) for the
+    * classifier score against the lang label. */
+  val xCalibration: Q = (s, dir) =>
+    EvalOps.calibrationBins(scoredDocs(s, dir), col("score"),
+      col("lang") === "en", bins = 10)
 
   /** Boolean AND retrieval: documents containing ALL query terms, with
     * their total hit count — the posting-list-intersection complement to

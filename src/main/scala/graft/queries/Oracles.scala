@@ -16,6 +16,25 @@ object Oracles {
 
   private val EN_STOPS = "['the','and','of','to','in','is','that','with']"
 
+  /** The x_lin_classify scored corpus joined with the lang label — the
+    * shared front of the eval oracles (x_auc, x_confusion,
+    * x_calibration); mirrors ExtQueries.scoredDocs. */
+  private lazy val SCORED_CTES =
+    s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ng AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+       |  i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM toks),
+       |hb AS (SELECT doc_id, ${hex32("h", 1)} % 1024 AS bucket
+       |  FROM (SELECT doc_id, md5(ng) AS h FROM ng)),
+       |wt AS (SELECT b AS bucket, ((b * 37 + 11) % 201 - 100) / 100.0 AS w
+       |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+       |sc AS (SELECT doc_id, count(*) AS F, sum(coalesce(w, 0)) AS sw
+       |  FROM hb LEFT JOIN wt USING (bucket) GROUP BY doc_id),
+       |scored AS (SELECT s.doc_id,
+       |    round(1 / (1 + exp(-(-0.05 + sw / F))), 6) AS score, d.lang
+       |  FROM sc s JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL)""".stripMargin
+
   // hex[k..k+7] of an md5 digest as a 32-bit integer (no conv() in DuckDB)
   private def hex32(col: String, start: Int): String =
     (0 until 8).map { k =>
@@ -1780,23 +1799,38 @@ object Oracles {
          |SELECT node, label AS community FROM l3""".stripMargin
     },
 
+    // confusion at threshold 0.5 over the same scored corpus
+    "x_confusion" ->
+      s"""$SCORED_CTES,
+         |cm AS (SELECT
+         |    CAST(sum(CASE WHEN score >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= 0.5 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < 0.5 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN score < 0.5 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM scored)
+         |SELECT tp, fp, tn, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE round(tp / (tp + fp), 6) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE round(tp / (tp + fn), 6) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+         |FROM cm""".stripMargin,
+
+    // reliability bins: equal-width cells, score 1.0 clamped to the top
+    "x_calibration" ->
+      s"""$SCORED_CTES
+         |SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(score), 6) AS mean_score,
+         |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+         |    AS frac_pos
+         |FROM scored GROUP BY 1""".stripMargin,
+
     // Mann-Whitney midrank AUC over the classifier's scored corpus —
     // scores from the x_lin_classify chain, label lang='en'
     "x_auc" ->
-      s"""WITH toks AS (SELECT doc_id, $TOK AS tk FROM documents
-         |  WHERE text IS NOT NULL),
-         |ng AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
-         |  i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM toks),
-         |hb AS (SELECT doc_id, ${hex32("h", 1)} % 1024 AS bucket
-         |  FROM (SELECT doc_id, md5(ng) AS h FROM ng)),
-         |wt AS (SELECT b AS bucket, ((b * 37 + 11) % 201 - 100) / 100.0 AS w
-         |  FROM (SELECT unnest(range(0, 1024)) AS b)),
-         |sc AS (SELECT doc_id, count(*) AS F, sum(coalesce(w, 0)) AS sw
-         |  FROM hb LEFT JOIN wt USING (bucket) GROUP BY doc_id),
-         |scored AS (SELECT s.doc_id,
-         |    round(1 / (1 + exp(-(-0.05 + sw / F))), 6) AS score, d.lang
-         |  FROM sc s JOIN documents d USING (doc_id)
-         |  WHERE d.lang IS NOT NULL),
+      s"""$SCORED_CTES,
          |by_s AS (SELECT score AS s, count(*) AS n,
          |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
          |  FROM scored GROUP BY score),

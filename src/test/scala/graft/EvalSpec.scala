@@ -47,4 +47,33 @@ class EvalSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().head
     assert(got === ((1L, 1L, 1.0)))
   }
+
+  test("confusionAtThreshold: hand-computed counts and metrics; threshold " +
+    "boundary is >=") {
+    val rows = Seq((0.9, true), (0.5, false), (0.4, true), (0.1, false))
+      .toDF("score", "y")
+    val got = EvalOps.confusionAtThreshold(rows, col("score"), col("y"), 0.5)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    // pred+ = {0.9 T, 0.5 F}; pred- = {0.4 T, 0.1 F}
+    assert((got._1, got._2, got._3, got._4) === ((1L, 1L, 1L, 1L)))
+    assert(got._5 === 0.5 && got._6 === 0.5 && got._7 === 0.5)
+  }
+
+  test("confusionAtThreshold: undefined metrics are null, not NaN") {
+    val rows = Seq((0.1, false), (0.2, false)).toDF("score", "y")
+    val got = EvalOps.confusionAtThreshold(rows, col("score"), col("y"), 0.5)
+      .select("precision", "recall").collect().head
+    assert(got.isNullAt(0) && got.isNullAt(1)) // no predicted/actual positives
+  }
+
+  test("calibrationBins: bin edges, 1.0 in the top bin, frac_pos per bin") {
+    val rows = Seq((0.05, false), (0.09, true), (1.0, true), (0.95, true),
+      (0.55, false)).toDF("score", "y")
+    val got = EvalOps.calibrationBins(rows, col("score"), col("y"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(got(0L) === ((2L, 0.5)))  // 0.05, 0.09
+    assert(got(5L) === ((1L, 0.0)))  // 0.55
+    assert(got(9L) === ((2L, 1.0)))  // 0.95 and the clamped 1.0
+  }
 }

@@ -135,4 +135,41 @@ object MultimodalOps {
       transform(sequence(lit(0), lit(frames - 1)),
         i => (n * i / frames).cast("long"))).as(Seq("frame_idx", "byte_offset")))
   }
+
+  /** Average-hash (aHash) signature over the payload's first 32 bytes:
+    * bit i set iff byte_i > mean(bytes) — the classic perceptual-hash
+    * shape with the pixel decode stubbed to raw bytes (a real deployment
+    * computes the same signature over the decoded, downscaled grayscale
+    * grid; the banding/dedup machinery downstream is identical). 32 bits
+    * so the signature drops straight into [[DedupOps.simhashPairs]]'s
+    * pigeonhole band join. Output: (idCol, ahash long); empty/null
+    * payloads are dropped (no bytes — no signature, the srpBands
+    * null-discipline applied to the modality).
+    *
+    * Pure expression pipeline (hex → byte pairs → ints → mean → bit
+    * fold), each step materialised in its own projection so nothing is
+    * re-evaluated per element (the TextOps CollapseProject discipline);
+    * map-only, no shuffle. The hex detour exists because both engines can
+    * index a HEX STRING cheaply while neither indexes raw blobs
+    * portably — the oracle runs the identical digit arithmetic. */
+  def aHashSignature(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val digits = "0123456789ABCDEF"
+    df.where(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol),
+        slice(regexp_extract_all(hex(col(payloadCol)), lit("(..)"), lit(1)),
+          1, 32).as("__pairs"))
+      .select(col(idCol), transform(col("__pairs"), c =>
+        (instr(lit(digits), substring(c, 1, 1)) - 1) * 16 +
+          (instr(lit(digits), substring(c, 2, 1)) - 1)).as("__bytes"))
+      .select(col(idCol), col("__bytes"),
+        (aggregate(col("__bytes"), lit(0L), (a, x) => a + x).cast("double") /
+          size(col("__bytes"))).as("__mean"))
+      .select(col(idCol),
+        aggregate(
+          zip_with(col("__bytes"),
+            sequence(lit(0), size(col("__bytes")) - 1),
+            (b, i) => when(b > col("__mean"), pow(lit(2.0), i))
+              .otherwise(lit(0.0))),
+          lit(0.0), (a, x) => a + x).cast("long").as("ahash"))
+  }
 }

@@ -393,6 +393,21 @@ object ExtQueries {
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", maxW = 256, maxH = 256)
 
+  /** Perceptual-hash near-dup over the binary modality: aHash32 on the
+    * payload bytes, pairs via the simhash pigeonhole band join. Clones
+    * (doc_id % 50 == 7, id + 100000) are planted so the hamming-0 path is
+    * non-vacuous; the oracle recomputes signatures independently and
+    * pairs with the NAIVE quadratic join. */
+  val xMmAhash: Q = (s, dir) => {
+    val base = docs(s, dir).withColumn("payload", col("text").cast("binary"))
+    val planted = base.select(col("doc_id"), col("payload"))
+      .unionByName(base.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 100000).as("doc_id"), col("payload")))
+    val sig = MultimodalOps.aHashSignature(planted, "doc_id", "payload")
+      .withColumnRenamed("ahash", "simhash")
+    DedupOps.simhashPairs(sig, maxHamming = 2)
+  }
+
   /** Deterministic payload→feature-vector extraction (dim 8), exploded to
     * one (doc_id, feat_idx, feature) row per component: the driver's
     * hash-compare sorts result columns pandas-side and an array-typed

@@ -1844,6 +1844,31 @@ object Oracles {
          |    / (sum(np) * (sum(n) - sum(np))), 6) AS auc
          |FROM m""".stripMargin,
 
+    // byte-level aHash near-dup: signatures recomputed independently via
+    // the same hex-digit arithmetic, pairs via the NAIVE quadratic join
+    "x_mm_ahash" ->
+      """WITH base AS (SELECT doc_id, CAST(text AS BLOB) AS payload
+        |  FROM documents WHERE text IS NOT NULL),
+        |pl AS (SELECT doc_id, payload FROM base
+        |  UNION ALL SELECT doc_id + 100000, payload FROM base
+        |  WHERE doc_id % 50 = 7),
+        |hx AS (SELECT doc_id,
+        |    regexp_extract_all(hex(payload), '(..)', 1)[1:32] AS prs
+        |  FROM pl WHERE payload IS NOT NULL AND octet_length(payload) > 0),
+        |bt AS (SELECT doc_id, list_transform(prs, c ->
+        |    (strpos('0123456789ABCDEF', c[1:1]) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', c[2:2]) - 1)) AS bs FROM hx),
+        |mn AS (SELECT doc_id, bs,
+        |    list_sum(bs) * 1.0 / len(bs) AS mean FROM bt),
+        |sg AS (SELECT doc_id, CAST(list_sum(list_transform(
+        |    range(1, len(bs) + 1), i ->
+        |    CASE WHEN bs[i] > mean THEN power(2.0, i - 1) ELSE 0.0 END))
+        |  AS BIGINT) AS sig FROM mn)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+
     // clustering coefficient: the triangle oracle joined with degrees;
     // every node appears, zero-triangle nodes at coefficient 0
     "x_clustering_coef" ->

@@ -112,4 +112,31 @@ class WindowsSpec extends SparkTestBase {
       .select("frame_idx", "byte_offset").as[(Int, Long)].collect().toSeq
     assert(got == Seq((0, 0L), (1, 2L), (2, 4L), (3, 6L), (4, 8L)))
   }
+
+  test("multimodal: aHash signature — hand bits, identical payloads " +
+    "collide, empty dropped, map-only plan") {
+    import org.apache.spark.sql.functions.col
+    // bytes "ab" = 97,98: mean 97.5 → bits (0,1) → sig 2
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "ba"), (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val out = MultimodalOps.aHashSignature(df, "doc_id", "payload")
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got(1L) === 2L)       // bit 1 set (second byte above mean)
+    assert(got(1L) === got(2L))  // identical payloads collide
+    assert(got(3L) === 1L)       // reversed bytes flip the bit
+    assert(!got.contains(4L))    // empty payload → no signature
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("multimodal: aHash clamps to the first 32 bytes") {
+    import org.apache.spark.sql.functions.col
+    // same 32-byte prefix, different tails → identical signatures
+    val p = "x" * 31 + "Z"
+    val df = Seq((1L, p + "tail1"), (2L, p + "other"))
+      .toDF("doc_id", "text").withColumn("payload", col("text").cast("binary"))
+    val got = MultimodalOps.aHashSignature(df, "doc_id", "payload")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === got(2L))
+  }
 }

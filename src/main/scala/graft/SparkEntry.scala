@@ -124,6 +124,7 @@ object SparkEntry {
     "x_confusion" -> ExtQueries.xConfusion,
     "x_calibration" -> ExtQueries.xCalibration,
     "x_mm_ahash" -> ExtQueries.xMmAhash,
+    "x_minhash_recall" -> ExtQueries.xMinhashRecall,
     "x_char_entropy" -> ExtQueries.xCharEntropy,
     "x_pii_luhn" -> ExtQueries.xPiiLuhn,
     "x_profile" -> ExtQueries.xProfile,
@@ -278,5 +279,5 @@ object SparkEntry {
     "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier",
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
-    "x_calibration", "x_mm_ahash")
+    "x_calibration", "x_mm_ahash", "x_minhash_recall")
 }

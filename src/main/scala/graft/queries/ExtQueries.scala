@@ -133,6 +133,23 @@ object ExtQueries {
     SetSimJoin.selfJoin(
       shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
 
+  /** Recall of the MinHash-LSH candidate generation against the EXACT
+    * Jaccard ≥ 0.6 pairs from the prefix-filtered set-similarity join —
+    * the dedup family's honesty row (the ANN/PQ recall-row convention):
+    * the two pair sets come from INDEPENDENT algorithms, so the ratio
+    * measures the banding's real miss rate, not a self-comparison. */
+  val xMinhashRecall: Q = (s, dir) => {
+    val cand = candidates(s, dir).select("doc_a", "doc_b")
+    val exact = SetSimJoin.selfJoin(
+        shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
+      .select("doc_a", "doc_b")
+    val found = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_found"),
+        round(col("n_found") / col("n_exact"), 4).as("recall"))
+  }
+
   /** Exact-recall R-S linkage across the same increment/registry split as
     * x_incr_dedup — the no-false-negatives alternative to its LSH near
     * tier. Oracle is again the naive cross-split join. */

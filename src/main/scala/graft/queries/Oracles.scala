@@ -1238,6 +1238,27 @@ object Oracles {
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.6""".stripMargin,
 
+    // LSH recall vs the exact >= 0.6 pairs — both sides computed
+    // independently inside the oracle too (bands vs the naive join)
+    "x_minhash_recall" ->
+      s"""WITH $SHINGLE_CTES,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS ni
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |exact AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.6),
+         |found AS (SELECT e.doc_a, e.doc_b FROM exact e
+         |  JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b)
+         |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+         |  round((SELECT count(*) FROM found) * 1.0
+         |    / (SELECT count(*) FROM exact), 4) AS recall""".stripMargin,
+
     "x_dedup_simhash" ->
       s"$SIMHASH_SQL SELECT doc_id, simhash FROM sims",
 

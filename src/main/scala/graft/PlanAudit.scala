@@ -61,7 +61,7 @@ object PlanAudit {
         "x_embed_cov","x_pca_project","x_triangles","x_clustering_coef",
         "x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
         "x_label_prop","x_auc","x_confusion","x_calibration","x_mm_ahash",
-        "x_minhash_recall")
+        "x_minhash_recall","x_kcore")
       .foreach(audit)
     spark.stop()
   }

@@ -147,6 +147,40 @@ object GraphOps {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** k-core peeling over the undirected simple graph: repeatedly drop
+    * nodes whose CURRENT degree is below `k` (each drop can push
+    * neighbours below the bar, hence the rounds), for a FIXED `rounds`
+    * horizon so the result is deterministic and oracle-unrollable; on
+    * graphs where peeling hasn't converged within the horizon the output
+    * is the horizon's partial peel — identical in any engine. Output:
+    * (node, deg) for surviving nodes with their within-core degree — the
+    * dense-subgraph filter web-graph pipelines run before expensive
+    * per-node work (spam cores, crawl frontier pruning).
+    *
+    * Scale shape per round: one degree aggregate (partial-aggregated) and
+    * two semi-joins restricting the edge list to surviving nodes — all on
+    * the node key, no window, no collect; per-round localCheckpoint as in
+    * [[pageRank]]. */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            rounds: Int = 5): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(rounds >= 1, "kCore: rounds must be >= 1")
+    var e = simpleUndirected(edges, src, dst).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·(d(v)−1))
     * over the undirected simple graph, 0 for degree < 2. Output:
     * (node, deg, n_triangles, clustering_coef) for EVERY node of the graph

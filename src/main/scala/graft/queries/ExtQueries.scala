@@ -755,6 +755,13 @@ object ExtQueries {
   val xTriangles: Q = (s, dir) =>
     GraphOps.triangleCount(transitionEdges(s, dir), col("src"), col("dst"))
 
+  /** 3-core of the transition graph after 5 peel rounds — surviving
+    * nodes with their within-core degree; oracle unrolls the identical
+    * peel. */
+  val xKcore: Q = (s, dir) =>
+    GraphOps.kCore(transitionEdges(s, dir), col("src"), col("dst"), k = 3,
+      rounds = 5)
+
   /** Synchronous label-propagation communities (3 rounds) on the
     * transition graph — oracle unrolls the identical vote/argmax
     * recurrence. */

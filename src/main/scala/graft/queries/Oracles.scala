@@ -1790,6 +1790,32 @@ object Oracles {
         |FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS
         |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
+    // k-core: the identical peel UNROLLED 5 rounds (degree >= 3 keeps)
+    "x_kcore" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = s"e${i - 1}"
+        s"""d$i AS (SELECT node, count(*) AS dg FROM
+           |  (SELECT a AS node FROM $p UNION ALL SELECT b FROM $p)
+           |  GROUP BY node),
+           |k$i AS (SELECT node FROM d$i WHERE dg >= 3),
+           |e$i AS (SELECT e.a, e.b FROM $p e
+           |  JOIN k$i ka ON ka.node = e.a JOIN k$i kb ON kb.node = e.b)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ed AS (SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq WHERE k IS NOT NULL),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5)
+         |GROUP BY node""".stripMargin
+    },
+
     // label propagation: the identical synchronous vote/argmax recurrence
     // UNROLLED 3 rounds (argmax via row_number count desc, label asc)
     "x_label_prop" -> {

@@ -99,6 +99,34 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  // ---- kCore ----
+
+  test("kCore: pendant chain peels away, the clique survives with " +
+    "in-core degrees") {
+    // K4 plus a tail 4-5-6: k=3 peels 5,6 first round, then... 4 keeps
+    // degree 3 inside K4 after the tail drops
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = GraphOps.kCore((k4 :+ (4L -> 5L) :+ (5L -> 6L)).toDF("s", "t"),
+        col("s"), col("t"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: cascading peel empties a tree entirely at k=2") {
+    // a path graph has no 2-core: leaves peel, new leaves peel, ...
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = GraphOps.kCore(path.toDF("s", "t"), col("s"), col("t"), k = 2)
+      .count()
+    assert(got === 0L)
+  }
+
+  test("kCore: cycle IS its own 2-core") {
+    val cycle = (1L to 5L).map(i => (i, i % 5 + 1))
+    val got = GraphOps.kCore(cycle.toDF("s", "t"), col("s"), col("t"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 5L).map(_ -> 2L).toMap)
+  }
+
   // ---- labelPropagation ----
 
   private def lpa(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =

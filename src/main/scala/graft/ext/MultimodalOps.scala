@@ -156,8 +156,11 @@ object MultimodalOps {
     val digits = "0123456789ABCDEF"
     df.where(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
       .select(col(idCol),
-        slice(regexp_extract_all(hex(col(payloadCol)), lit("(..)"), lit(1)),
-          1, 32).as("__pairs"))
+        // clamp the BINARY before hexing: hexing and regex-scanning a
+        // multi-KB payload to then keep 32 bytes is where the time goes
+        // (measured 26 s → sub-second at sf0.1 for the pair query)
+        regexp_extract_all(hex(substring(col(payloadCol), 1, 32)),
+          lit("(..)"), lit(1)).as("__pairs"))
       .select(col(idCol), transform(col("__pairs"), c =>
         (instr(lit(digits), substring(c, 1, 1)) - 1) * 16 +
           (instr(lit(digits), substring(c, 2, 1)) - 1)).as("__bytes"))

@@ -414,15 +414,27 @@ object ExtQueries {
     * payload bytes, pairs via the simhash pigeonhole band join. Clones
     * (doc_id % 50 == 7, id + 100000) are planted so the hamming-0 path is
     * non-vacuous; the oracle recomputes signatures independently and
-    * pairs with the NAIVE quadratic join. */
+    * pairs with the NAIVE quadratic join.
+    *
+    * Radius 1 (→ two 16-bit blocks), deliberately: byte-level aHash over
+    * ASCII text is a DENSE signature space (structurally correlated bits
+    * — measured: one 8-bit block value covers 27% of the sf0.1 corpus),
+    * so radius-2 8-bit banding explodes to millions of candidates for a
+    * 48k-pair answer. Wider blocks / tighter radius is the correct
+    * banding response to signature density — real decoded-pixel aHash is
+    * far better distributed and tolerates wider radii. */
   val xMmAhash: Q = (s, dir) => {
     val base = docs(s, dir).withColumn("payload", col("text").cast("binary"))
     val planted = base.select(col("doc_id"), col("payload"))
       .unionByName(base.where(col("doc_id") % 50 === 7)
         .select((col("doc_id") + 100000).as("doc_id"), col("payload")))
+    // the band join references the signature frame once per (block, side);
+    // unpersisted, each reference re-scans and re-hexes the payload column
+    // (measured 9.5 s → 1.4 s at sf0.1) — the xDedupJaccard run-scoped
+    // persist convention
     val sig = MultimodalOps.aHashSignature(planted, "doc_id", "payload")
-      .withColumnRenamed("ahash", "simhash")
-    DedupOps.simhashPairs(sig, maxHamming = 2)
+      .withColumnRenamed("ahash", "simhash").persist()
+    DedupOps.simhashPairs(sig, maxHamming = 1)
   }
 
   /** Deterministic payload→feature-vector extraction (dim 8), exploded to

@@ -1914,7 +1914,7 @@ object Oracles {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 1""".stripMargin,
 
     // clustering coefficient: the triangle oracle joined with degrees;
     // every node appears, zero-triangle nodes at coefficient 0

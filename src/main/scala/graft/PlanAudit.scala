@@ -56,13 +56,17 @@ object PlanAudit {
         "x_bool_and","x_resample","x_trending","x_asof_nearest",
         "x_setsim_join","x_phrase","x_incr_dedup","x_decay","x_covisit",
         "x_hist_quantile","x_trend","x_setsim_rs","x_chunks","x_rrf",
-        "x_contain_join","x_cluster_split","x_pagerank","x_bigram_lm",
+        "x_contain_join","x_cluster_split","x_bigram_lm",
         "x_lin_classify","x_embed_norm","x_rp_project","x_mad_outlier",
-        "x_embed_cov","x_pca_project","x_triangles","x_clustering_coef",
-        "x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
-        "x_label_prop","x_auc","x_confusion","x_calibration","x_mm_ahash",
-        "x_minhash_recall","x_kcore")
+        "x_embed_cov","x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
+        "x_auc","x_confusion","x_calibration","x_mm_ahash",
+        "x_minhash_recall")
       .foreach(audit)
+    // NOT audited: the eager operators (x_pagerank, x_label_prop, x_kcore,
+    // x_triangles, x_clustering_coef, x_pca_project) execute their
+    // iterative/collect work at query construction, so the returned frame
+    // is a checkpoint scan — plan text would be vacuous evidence. Their
+    // per-round shapes are locked in GraphSpec/PcaSpec instead.
     spark.stop()
   }
 }

@@ -28,17 +28,26 @@ object DataQualityOps {
     def nd(c: String): Column =
       if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
     val aggs = count(lit(1)).as("__n") +:
-      cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        nd(c).as(s"__nd_$c")))
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        nd(c).as(s"__nd_$i"))
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __nulls_$c, __nd_$c").mkString(", ")
+    // names enter the stack() string only as SQL literals (quotes
+    // escaped); the generated aggregate aliases are index-based, so any
+    // legal Spark column name — spaces, dots, quotes — survives
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'${sqlLit(c)}', __nulls_$i, __nd_$i"
+    }.mkString(", ")
     wide.select(col("__n"),
         expr(s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct)"))
       .select(col("column"), col("__n").as("n_rows"),
         col("n_nulls"), col("n_distinct"))
   }
+
+  /** Escape a string for inclusion in a single-quoted SQL literal. */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** A declarative constraint over a frame, evaluated to a violation
     * count. Constructors below; `check` runs a batch and returns
@@ -77,7 +86,7 @@ object DataQualityOps {
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = constraints.zipWithIndex
-      .map { case (c, i) => s"'${c.name}', __v$i" }.mkString(", ")
+      .map { case (c, i) => s"'${sqlLit(c.name)}', __v$i" }.mkString(", ")
     wide.select(expr(
       s"stack(${constraints.size}, $stackArgs) AS (constraint, n_violations)"))
   }

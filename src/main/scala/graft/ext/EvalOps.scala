@@ -10,19 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
-  /** ROC-AUC of `score` against boolean `label` via the Mann-Whitney
-    * rank-sum with midrank tie handling — exactly what sklearn's
-    * `roc_auc_score` computes, as relational algebra. Output: one row
-    * (n_pos, n_neg, auc), auc rounded to 6 dp; null scores/labels are
-    * excluded; degenerate inputs (single class) yield null auc.
-    *
-    * Scale shape: rows collapse FIRST to one row per distinct score (the
-    * partial-aggregated groupBy — for a quality model emitting rounded
-    * scores this is bounded by the score grid, not the corpus), and the
-    * cumulative midranks ride ONE window over those distinct-score rows
-    * ordered by score. The window is single-partition, but over the
-    * score-distribution table, not the data — the [[CorpusOps
-    * .quantileBuckets]] eval-side discipline. */
   /** Confusion counts + derived metrics at a decision threshold
     * (pred = score ≥ threshold): one row (tp, fp, tn, fn, precision,
     * recall, f1), metrics rounded to 6 dp and null when undefined (no
@@ -64,6 +51,19 @@ object EvalOps {
         round(avg(when(col("__y"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
   }
 
+  /** ROC-AUC of `score` against boolean `label` via the Mann-Whitney
+    * rank-sum with midrank tie handling — exactly what sklearn's
+    * `roc_auc_score` computes, as relational algebra. Output: one row
+    * (n_pos, n_neg, auc), auc rounded to 6 dp; null scores/labels are
+    * excluded; degenerate inputs (single class) yield null auc.
+    *
+    * Scale shape: rows collapse FIRST to one row per distinct score (the
+    * partial-aggregated groupBy — for a quality model emitting rounded
+    * scores this is bounded by the score grid, not the corpus), and the
+    * cumulative midranks ride ONE window over those distinct-score rows
+    * ordered by score. The window is single-partition, but over the
+    * score-distribution table, not the data — the [[CorpusOps
+    * .quantileBuckets]] eval-side discipline. */
   def aucRoc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -188,17 +188,19 @@ object GraphOps {
     * and a 0 is signal). Composition of [[triangleCount]] with the degree
     * aggregate; one extra left join on the node key. */
   def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = simpleUndirected(edges, src, dst)
-    val deg = und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCount(edges, src, dst), Seq("node"), "left")
+    val und = simpleUndirected(edges, src, dst).persist()
+    val deg = degreesOf(und).persist()
+    val tri = triangleCore(und, deg) // eager (checkpointed) — see below
+    val res = deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
           round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
             (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)).as("clustering_coef"))
+      .localCheckpoint(true)
+    deg.unpersist(); und.unpersist()
+    res
   }
 
   private def simpleUndirected(edges: DataFrame, src: Column,
@@ -210,11 +212,25 @@ object GraphOps {
         greatest(col("__s"), col("__d")).as("b"))
       .distinct()
 
-  def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = simpleUndirected(edges, src, dst)
-    val deg = und.select(col("a").as("node"))
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = simpleUndirected(edges, src, dst).persist()
+    val res = triangleCore(und, degreesOf(und))
+    und.unpersist()
+    res
+  }
+
+  /** The wedge pipeline over a PERSISTED undirected edge list and its
+    * degree table. Materialises the result (localCheckpoint) before
+    * returning so the run-scoped `orient` cache can be released here —
+    * laziness would leak one pinned frame per call (every operator in
+    * this module is eager for the same reason: iteration or cache
+    * lifecycle needs a completion point). */
+  private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient a↔b from lower (deg, id) to higher; carry the head's degree
     // so wedge pairs can be ordered by the same key
     val orient = und
@@ -238,6 +254,8 @@ object GraphOps {
     val out = tris
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    orient.unpersist()
     out
   }
 }

@@ -512,6 +512,8 @@ object SimilarityOps {
     require(k > 0, "k must be positive")
     val cov = covarianceMatrix(df, idCol, vecCol)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    require(cov.nonEmpty,
+      "pcaProject: no vectors (empty input or all-null embedding column)")
     val dims = cov.keys.map(_._2).max + 1
     require(k <= dims, s"k=$k exceeds dims=$dims")
     val m = Array.tabulate(dims, dims)((a, b) =>
@@ -523,13 +525,10 @@ object SimilarityOps {
         val y = Array.tabulate(dims) { a =>
           var s = 0.0
           var b = 0
-          while (b < dims) {
-            s += m(a)(b) * x(b)
-            // deflation: subtract projections onto found axes
-            b += 1
-          }
+          while (b < dims) { s += m(a)(b) * x(b); b += 1 }
           s
         }
+        // deflation: subtract the mat-vec's projections onto found axes
         val proj = axes.map(ax => ax.zip(y).map(t => t._1 * t._2).sum)
         val yd = Array.tabulate(dims)(a =>
           y(a) - axes.zip(proj).map { case (ax, p) => ax(a) * p }.sum)

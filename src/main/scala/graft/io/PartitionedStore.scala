@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *     object-store listings at scale.
   *
   * The STATIC overwrite mode (Spark's default) would wipe the entire root
-  * on every write; this store scopes the dynamic mode to each write call
-  * and restores the session conf after, so it cannot leak into unrelated
-  * writers that rely on static semantics.
+  * on every write; this store requests the dynamic mode as a PER-WRITE
+  * DataFrameWriter option — never by mutating the session conf — so
+  * concurrent writers relying on static semantics are untouched and there
+  * is no set/restore window to interleave.
   */
 object PartitionedStore {
 
@@ -44,26 +45,17 @@ object PartitionedStore {
     require(filesPerPartition == 1 || salt.isDefined,
       "filesPerPartition > 1 needs a salt column to split writer tasks")
     val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      val shaped = salt match {
-        case Some(s) =>
-          val n = math.max(
-            spark.conf.get("spark.sql.shuffle.partitions").toInt,
-            filesPerPartition)
-          df.repartition(n, col(partCol), pmod(s, lit(filesPerPartition)))
-        case None => df.repartition(col(partCol))
-      }
-      shaped.write.mode(SaveMode.Overwrite).partitionBy(partCol)
-        .parquet(basePath)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    val shaped = salt match {
+      case Some(s) =>
+        val n = math.max(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          filesPerPartition)
+        df.repartition(n, col(partCol), pmod(s, lit(filesPerPartition)))
+      case None => df.repartition(col(partCol))
     }
+    shaped.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(basePath)
   }
 
   /** Read the partitioned layout; filters on the partition column prune

@@ -140,9 +140,11 @@ object ExtQueries {
     * measures the banding's real miss rate, not a self-comparison. */
   val xMinhashRecall: Q = (s, dir) => {
     val cand = candidates(s, dir).select("doc_a", "doc_b")
+    // the exact join (the dominant cost) feeds both the denominator and
+    // the semi-join — run-scoped persist so it is computed once
     val exact = SetSimJoin.selfJoin(
         shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").persist()
     val found = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -737,12 +739,6 @@ object ExtQueries {
       RefQueries.events(s, dir).where(col("user_id").isNotNull),
       col("user_id"), col("event_type"))
 
-  /** PageRank over the event-transition link graph: nodes are the `props.k`
-    * page ids, edges each user's consecutive (k → next k) transitions in
-    * (ts, event_id) order. Five fixed power-method rounds at damping 0.85 —
-    * the oracle unrolls the identical recurrence, so agreement proves the
-    * relational iteration (edge ⋈ ranks on src, partial-agg on dst,
-    * broadcast dangling mass), not just the final shape. */
   /** The event-transition link graph shared by the graph queries: nodes
     * are `props.k` page ids, edges each user's consecutive (k → next k)
     * transitions in (ts, event_id) order. */
@@ -757,6 +753,10 @@ object ExtQueries {
       .where(col("dst").isNotNull)
   }
 
+  /** PageRank over the transition graph: five fixed power-method rounds
+    * at damping 0.85 — the oracle unrolls the identical recurrence, so
+    * agreement proves the relational iteration (edge ⋈ ranks on src,
+    * partial-agg on dst, broadcast dangling mass), not just the shape. */
   val xPagerank: Q = (s, dir) =>
     GraphOps.pageRank(transitionEdges(s, dir), col("src"), col("dst"),
       iters = 5, damping = 0.85)
@@ -832,16 +832,22 @@ object ExtQueries {
         t(s, dir, "customer"), "c_custkey"))
   }
 
-  /** The classifier's scored corpus joined with the lang label — shared
-    * by the eval queries. */
-  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic classifier fixture: weight table + scoring call —
+    * ONE definition so x_lin_classify and the eval queries (and their
+    * shared SCORED_CTES oracle front) can never drift apart. */
+  private[queries] def classifierScores(s: SparkSession, dir: String): DataFrame = {
     val weights = s.range(1024).select(col("id").as("bucket"),
       (((col("id") * 37 + 11) % 201 - 100) / 100.0).as("weight"))
     LmOps.hashedLinearScore(docs(s, dir), col("doc_id"), col("text"),
-        weights, bias = -0.05)
+      weights, bias = -0.05)
+  }
+
+  /** The classifier's scored corpus joined with the lang label — shared
+    * by the eval queries. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    classifierScores(s, dir)
       .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .where(col("lang").isNotNull)
-  }
 
   /** Confusion matrix + precision/recall/F1 at threshold 0.5 — one scan
     * aggregate over the scored corpus. */
@@ -1400,12 +1406,7 @@ object ExtQueries {
     * mean-pooled against a deterministic (bucket, weight) fixture standing
     * in for a trained model's output layer — the operator under test is
     * the broadcast-weights scoring pass, not the weights themselves. */
-  val xLinClassify: Q = (s, dir) => {
-    val weights = s.range(1024).select(col("id").as("bucket"),
-      (((col("id") * 37 + 11) % 201 - 100) / 100.0).as("weight"))
-    LmOps.hashedLinearScore(docs(s, dir), col("doc_id"), col("text"),
-      weights, bias = -0.05)
-  }
+  val xLinClassify: Q = (s, dir) => classifierScores(s, dir)
 
   /** Temperature-scaled mixture sampling: tau=0.5 upweights rare sources,
     * 300-document target. */

@@ -56,6 +56,17 @@ class DataQualitySpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"scan constraints must not join:\n$plan")
   }
 
+  test("profile and check survive column names with spaces and quotes") {
+    val odd = Seq((Some(1L), 2L), (None, 3L)).toDF("order key", "it's")
+    val p = DataQualityOps.profile(odd, Seq("order key", "it's"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(p("order key") === ((1L, 1L)) && p("it's") === ((0L, 2L)))
+    val c = DataQualityOps.check(odd, Seq(NotNull("order key")))
+      .as[(String, Long)].collect().toMap
+    assert(c("not_null(order key)") === 1L)
+  }
+
   test("checkForeignKey: orphans counted, null FKs exempt, empty parent") {
     val parent = Seq(1L, 2L).toDF("pk")
     val child = Seq(Some(1L), Some(3L), Some(9L), None).toDF("fk")

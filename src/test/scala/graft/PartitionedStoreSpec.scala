@@ -32,7 +32,7 @@ class PartitionedStoreSpec extends SparkTestBase {
   }
 
   test("partition filter prunes at planning time (PartitionFilters, " +
-    "not data filters) and session conf is restored") {
+    "not data filters) and the session conf is never touched") {
     val key = "spark.sql.sources.partitionOverwriteMode"
     spark.conf.unset(key)
     val before = spark.conf.get(key) // the session default (static)
@@ -40,7 +40,7 @@ class PartitionedStoreSpec extends SparkTestBase {
     val df = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
       .toDF("dt", "v")
     PartitionedStore.writePartitioned(df, base, "dt")
-    // write path must not leak the dynamic mode into the session
+    // the dynamic mode rides the per-write option, not the session conf
     assert(spark.conf.get(key).equalsIgnoreCase(before))
     assert(!spark.conf.get(key).equalsIgnoreCase("dynamic"))
     val q = PartitionedStore.readPartitioned(spark, base)

@@ -1713,13 +1713,15 @@ object Oracles {
     // damping 0.85, dangling mass redistributed) — agreement proves the
     // Spark side's relational iteration reproduces the recurrence exactly
     "x_pagerank" -> {
+      // each r_i is referenced twice by round i+1 — materialized so DuckDB
+      // cannot inline-compound the recurrence (the x_kcore lesson)
       val rounds = (1 to 5).map { i =>
         val p = s"r${i - 1}"
-        s"""d$i AS (SELECT coalesce(sum(r.pr), 0) AS dm FROM $p r
+        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(r.pr), 0) AS dm FROM $p r
            |  LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
-           |c$i AS (SELECT nm.dst AS node, sum(r.pr * nm.p) AS c
+           |c$i AS MATERIALIZED (SELECT nm.dst AS node, sum(r.pr * nm.p) AS c
            |  FROM nm JOIN $p r ON r.node = nm.src GROUP BY nm.dst),
-           |r$i AS (SELECT nd.node,
+           |r$i AS MATERIALIZED (SELECT nd.node,
            |    (1 - 0.85) / N + 0.85 * (coalesce(c.c, 0) + d$i.dm / N) AS pr
            |  FROM nd CROSS JOIN nn CROSS JOIN d$i
            |  LEFT JOIN c$i c ON c.node = nd.node)""".stripMargin
@@ -1732,11 +1734,12 @@ object Oracles {
          |  FROM seq WHERE k IS NOT NULL),
          |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
          |  FROM ed WHERE dst IS NOT NULL GROUP BY src, dst),
-         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
-         |nm AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
-         |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nd),
-         |r0 AS (SELECT node, 1.0 / N AS pr FROM nd CROSS JOIN nn),
+         |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         |nm AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p
+         |  FROM e JOIN ow USING (src)),
+         |nd AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS N FROM nd),
+         |r0 AS MATERIALIZED (SELECT node, 1.0 / N AS pr FROM nd CROSS JOIN nn),
          |$rounds
          |SELECT node, round(pr, 6) AS pagerank FROM r5""".stripMargin
     },
@@ -1790,15 +1793,18 @@ object Oracles {
         |FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS
         |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
-    // k-core: the identical peel UNROLLED 5 rounds (degree >= 3 keeps)
+    // k-core: the identical peel UNROLLED 5 rounds (degree >= 3 keeps).
+    // Every e_i is referenced 3× by round i+1; WITHOUT AS MATERIALIZED
+    // DuckDB inlines the references and re-evaluation compounds 3^rounds
+    // over the window-over-events base (measured: 265 s → 0.1 s)
     "x_kcore" -> {
       val rounds = (1 to 5).map { i =>
         val p = s"e${i - 1}"
-        s"""d$i AS (SELECT node, count(*) AS dg FROM
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM
            |  (SELECT a AS node FROM $p UNION ALL SELECT b FROM $p)
            |  GROUP BY node),
-           |k$i AS (SELECT node FROM d$i WHERE dg >= 3),
-           |e$i AS (SELECT e.a, e.b FROM $p e
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= 3),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $p e
            |  JOIN k$i ka ON ka.node = e.a JOIN k$i kb ON kb.node = e.b)"""
           .stripMargin
       }.mkString(",\n")
@@ -1808,7 +1814,8 @@ object Oracles {
          |ed AS (SELECT k AS src,
          |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
          |  FROM seq WHERE k IS NOT NULL),
-         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b
          |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
          |$rounds
          |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM

@@ -60,13 +60,13 @@ object PlanAudit {
         "x_lin_classify","x_embed_norm","x_rp_project","x_mad_outlier",
         "x_embed_cov","x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
         "x_auc","x_confusion","x_calibration","x_mm_ahash",
-        "x_minhash_recall")
+        "x_minhash_recall","x_triangles","x_clustering_coef")
       .foreach(audit)
     // NOT audited: the eager operators (x_pagerank, x_label_prop, x_kcore,
-    // x_triangles, x_clustering_coef, x_pca_project) execute their
-    // iterative/collect work at query construction, so the returned frame
-    // is a checkpoint scan — plan text would be vacuous evidence. Their
-    // per-round shapes are locked in GraphSpec/PcaSpec instead.
+    // x_pca_project) execute their iterative/collect work at query
+    // construction, so the returned frame is a checkpoint scan — plan
+    // text would be vacuous evidence. Their per-round shapes are locked
+    // in GraphSpec/PcaSpec instead.
     spark.stop()
   }
 }

@@ -189,18 +189,14 @@ object GraphOps {
     * aggregate; one extra left join on the node key. */
   def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
     val und = simpleUndirected(edges, src, dst).persist()
-    val deg = degreesOf(und).persist()
-    val tri = triangleCore(und, deg) // eager (checkpointed) — see below
-    val res = deg.join(tri, Seq("node"), "left")
+    val deg = degreesOf(und)
+    deg.join(triangleCore(und, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
           round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
             (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)).as("clustering_coef"))
-      .localCheckpoint(true)
-    deg.unpersist(); und.unpersist()
-    res
   }
 
   private def simpleUndirected(edges: DataFrame, src: Column,
@@ -219,17 +215,17 @@ object GraphOps {
 
   def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
     val und = simpleUndirected(edges, src, dst).persist()
-    val res = triangleCore(und, degreesOf(und))
-    und.unpersist()
-    res
+    triangleCore(und, degreesOf(und))
   }
 
-  /** The wedge pipeline over a PERSISTED undirected edge list and its
-    * degree table. Materialises the result (localCheckpoint) before
-    * returning so the run-scoped `orient` cache can be released here —
-    * laziness would leak one pinned frame per call (every operator in
-    * this module is eager for the same reason: iteration or cache
-    * lifecycle needs a completion point). */
+  /** The wedge pipeline over a persisted undirected edge list and its
+    * degree table. The oriented edge table feeds three join branches, so
+    * it is persisted RUN-SCOPED (like `und` in the callers) — the
+    * [[SimilarityOps.semDedup]]/[[LmOps.dsirWeightsSelfRaw]] convention
+    * for forked plans: kept lazy (an eager checkpoint chain measured 4×
+    * slower on overhead alone), released by the session's cache
+    * management (Bench clears per entry; long-lived callers clear or
+    * re-create the session). */
   private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient a↔b from lower (deg, id) to higher; carry the head's degree
     // so wedge pairs can be ordered by the same key
@@ -251,11 +247,8 @@ object GraphOps {
         (col("d1") === col("d2") && col("v1") < col("v2")))
     val tris = wedges.join(
       orient.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-    val out = tris
+    tris
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      .localCheckpoint(true)
-    orient.unpersist()
-    out
   }
 }

@@ -60,7 +60,8 @@ object PlanAudit {
         "x_lin_classify","x_embed_norm","x_rp_project","x_mad_outlier",
         "x_embed_cov","x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
         "x_auc","x_confusion","x_calibration","x_mm_ahash",
-        "x_minhash_recall","x_triangles","x_clustering_coef")
+        "x_minhash_recall","x_triangles","x_clustering_coef",
+        "x_auc_stratum")
       .foreach(audit)
     // NOT audited: the eager operators (x_pagerank, x_label_prop, x_kcore,
     // x_pca_project) execute their iterative/collect work at query

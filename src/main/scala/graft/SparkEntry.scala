@@ -122,6 +122,7 @@ object SparkEntry {
     "x_label_prop" -> ExtQueries.xLabelProp,
     "x_kcore" -> ExtQueries.xKcore,
     "x_auc" -> ExtQueries.xAuc,
+    "x_auc_stratum" -> ExtQueries.xAucStratum,
     "x_confusion" -> ExtQueries.xConfusion,
     "x_calibration" -> ExtQueries.xCalibration,
     "x_mm_ahash" -> ExtQueries.xMmAhash,
@@ -280,5 +281,6 @@ object SparkEntry {
     "x_lin_classify", "x_embed_norm", "x_rp_project", "x_mad_outlier",
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
-    "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore")
+    "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore",
+    "x_auc_stratum")
 }

@@ -51,6 +51,41 @@ object EvalOps {
         round(avg(when(col("__y"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
   }
 
+  /** Per-stratum ROC-AUC — [[aucRoc]] partitioned by a stratum column
+    * (per-domain / per-language classifier quality, the slice view that
+    * catches a model scoring one source's gibberish as quality). Output:
+    * one row (stratum, n_pos, n_neg, auc) per stratum; single-class
+    * strata yield null auc rather than vanishing.
+    *
+    * Scale shape: identical to [[aucRoc]] except the midrank window is
+    * PARTITIONED by stratum — distributed across strata instead of the
+    * single-partition eval window, so this form scales with stratum
+    * count; rows still collapse to (stratum, score) grid cells first. */
+  def aucRocByStratum(df: DataFrame, stratum: Column, score: Column,
+                      label: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val byScore = df
+      .select(stratum.as("__g"), score.cast("double").as("__s"),
+        label.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__g", "__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    byScore
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__midrank",
+        col("__before") + (col("__n") + lit(1.0)) / lit(2.0))
+      .groupBy("__g")
+      .agg(sum("__np").as("n_pos"),
+        (sum("__n") - sum("__np")).as("n_neg"),
+        sum(col("__midrank") * col("__np")).as("__rsum"))
+      .select(col("__g").as("stratum"), col("n_pos"), col("n_neg"),
+        round((col("__rsum") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
   /** ROC-AUC of `score` against boolean `label` via the Mann-Whitney
     * rank-sum with midrank tie handling — exactly what sklearn's
     * `roc_auc_score` computes, as relational algebra. Output: one row

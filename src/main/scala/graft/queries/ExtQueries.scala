@@ -849,6 +849,17 @@ object ExtQueries {
       .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .where(col("lang").isNotNull)
 
+  /** Per-source ROC-AUC — the slice view of x_auc (single-class sources
+    * yield null auc rather than vanishing). */
+  val xAucStratum: Q = (s, dir) => {
+    val scored = classifierScores(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+      .where(col("lang").isNotNull && col("source").isNotNull)
+    EvalOps.aucRocByStratum(scored, col("source"), col("score"),
+      col("lang") === "en")
+  }
+
   /** Confusion matrix + precision/recall/F1 at threshold 0.5 — one scan
     * aggregate over the scored corpus. */
   val xConfusion: Q = (s, dir) =>

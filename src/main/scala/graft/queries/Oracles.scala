@@ -1853,6 +1853,25 @@ object Oracles {
          |SELECT node, label AS community FROM l3""".stripMargin
     },
 
+    // per-source midrank AUC — the PARTITION BY form of the x_auc math
+    "x_auc_stratum" ->
+      s"""$SCORED_CTES,
+         |sc2 AS (SELECT s.doc_id, s.score, s.lang, d.source FROM scored s
+         |  JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL),
+         |by_s AS (SELECT source AS g, score AS s, count(*) AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM sc2 GROUP BY source, score),
+         |r AS (SELECT g, s, n, np, coalesce(sum(n) OVER (PARTITION BY g
+         |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS bf FROM by_s),
+         |m AS (SELECT g, n, np, bf + (n + 1.0) / 2 AS midrank FROM r)
+         |SELECT g AS stratum, CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+         |  CASE WHEN sum(np) = 0 OR sum(n) - sum(np) = 0 THEN NULL
+         |    ELSE round((sum(midrank * np) - sum(np) * (sum(np) + 1) / 2.0)
+         |      / (sum(np) * (sum(n) - sum(np))), 6) END AS auc
+         |FROM m GROUP BY g""".stripMargin,
+
     // confusion at threshold 0.5 over the same scored corpus
     "x_confusion" ->
       s"""$SCORED_CTES,

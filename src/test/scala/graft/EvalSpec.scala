@@ -48,6 +48,25 @@ class EvalSpec extends SparkTestBase {
     assert(got === ((1L, 1L, 1.0)))
   }
 
+  test("aucRocByStratum: per-stratum values match per-stratum aucRoc; " +
+    "single-class stratum yields null") {
+    val rows = Seq(("a", 0.9, true), ("a", 0.8, true), ("a", 0.2, false),
+      ("a", 0.6, false), ("b", 0.3, true), ("b", 0.7, false),
+      ("c", 0.5, true), ("c", 0.6, true)) // c: positives only
+      .toDF("g", "score", "y")
+    val got = EvalOps.aucRocByStratum(rows, col("g"), col("score"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None
+         else Some(r.getDouble(3)))).toMap
+    for (g <- Seq("a", "b")) {
+      val single = EvalOps.aucRoc(rows.where(col("g") === g), col("score"),
+        col("y")).collect().head
+      assert(got(g) === ((single.getLong(0), single.getLong(1),
+        Some(single.getDouble(2)))), s"stratum $g")
+    }
+    assert(got("c") === ((2L, 0L, None)))
+  }
+
   test("confusionAtThreshold: hand-computed counts and metrics; threshold " +
     "boundary is >=") {
     val rows = Seq((0.9, true), (0.5, false), (0.4, true), (0.1, false))

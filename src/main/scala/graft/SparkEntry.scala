@@ -282,5 +282,5 @@ object SparkEntry {
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
     "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore",
-    "x_auc_stratum")
+    "x_auc_stratum", "x_clustering_coef")
 }

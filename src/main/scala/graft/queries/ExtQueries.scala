@@ -152,6 +152,15 @@ object ExtQueries {
         round(col("n_found") / col("n_exact"), 4).as("recall"))
   }
 
+  /** Sorted-neighborhood candidates: within each source, documents paired
+    * with their 3 nearest length-neighbours — linear-in-n candidate
+    * generation however skewed the length distribution. */
+  val xSortedNbr: Q = (s, dir) =>
+    graft.operators.Blocking.sortedNeighborhood(
+      t(s, dir, "documents")
+        .where(col("source").isNotNull && col("n_chars").isNotNull),
+      col("doc_id"), col("source"), col("n_chars"), window = 4)
+
   /** Exact-recall R-S linkage across the same increment/registry split as
     * x_incr_dedup — the no-false-negatives alternative to its LSH near
     * tier. Oracle is again the naive cross-split join. */

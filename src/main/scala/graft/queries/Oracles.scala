@@ -1238,6 +1238,17 @@ object Oracles {
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.6""".stripMargin,
 
+    // sorted-neighborhood candidates via the NAIVE rank-difference join
+    "x_sorted_nbr" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM r a JOIN r b ON a.source = b.source
+        |  AND b.rk - a.rk BETWEEN 1 AND 3""".stripMargin,
+
     // LSH recall vs the exact >= 0.6 pairs — both sides computed
     // independently inside the oracle too (bands vs the naive join)
     "x_minhash_recall" ->

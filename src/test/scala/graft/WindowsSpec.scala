@@ -129,6 +129,26 @@ class WindowsSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("multimodal: aHash matches an in-memory reference on arbitrary " +
+    "binary payloads (high bytes included)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(80))(rnd.nextInt(256).toByte)))
+    def ref(p: Array[Byte]): Long = {
+      val bs = p.take(32).map(_ & 0xff)
+      val mean = bs.sum.toDouble / bs.length
+      bs.zipWithIndex.map { case (b, i) =>
+        if (b > mean) 1L << i else 0L
+      }.sum
+    }
+    val got = MultimodalOps.aHashSignature(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .as[(Long, Long)].collect().toMap
+    for ((id, p) <- rows)
+      assert(got(id) === ref(p), s"payload $id")
+  }
+
   test("multimodal: aHash clamps to the first 32 bytes") {
     import org.apache.spark.sql.functions.col
     // same 32-byte prefix, different tails → identical signatures

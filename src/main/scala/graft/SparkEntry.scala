@@ -128,6 +128,7 @@ object SparkEntry {
     "x_mm_ahash" -> ExtQueries.xMmAhash,
     "x_minhash_recall" -> ExtQueries.xMinhashRecall,
     "x_sorted_nbr" -> ExtQueries.xSortedNbr,
+    "x_blocking_recall" -> ExtQueries.xBlockingRecall,
     "x_char_entropy" -> ExtQueries.xCharEntropy,
     "x_pii_luhn" -> ExtQueries.xPiiLuhn,
     "x_profile" -> ExtQueries.xProfile,
@@ -283,5 +284,6 @@ object SparkEntry {
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
     "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore",
-    "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr")
+    "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
+    "x_blocking_recall")
 }

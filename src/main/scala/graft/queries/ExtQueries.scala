@@ -161,6 +161,40 @@ object ExtQueries {
         .where(col("source").isNotNull && col("n_chars").isNotNull),
       col("doc_id"), col("source"), col("n_chars"), window = 4)
 
+  /** Recall of the window-4 sorted neighbourhood against the EXACT
+    * same-source |Δn_chars| ≤ 2 pairs — the blocking family's honesty
+    * row. Ground truth rides a bucketized band join (probe buckets
+    * ±1, never a per-source n² join); a pair matches in exactly one
+    * bucket, so no dedup is needed. SN misses a true pair when more
+    * than window−1 docs sit between the two lengths — the number below
+    * 1.0 is that structural miss rate, which is the point. */
+  val xBlockingRecall: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .where(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val snPairs = graft.operators.Blocking.sortedNeighborhood(
+        d, col("doc_id"), col("source"), col("n_chars"), window = 4)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val b = d.withColumn("__bk", floor(col("n_chars") / 2))
+    val probes = b
+      .select(col("source"), col("doc_id").as("id_a"),
+        col("n_chars").as("__la"), col("__bk"))
+      .withColumn("__o", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__bk", col("__bk") + col("__o"))
+    val exact = probes
+      .join(b.select(col("source"), col("doc_id").as("id_b"),
+        col("n_chars").as("__lb"), col("__bk")), Seq("source", "__bk"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= 2)
+      .select("id_a", "id_b").persist()
+    val found = exact.join(snPairs, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_found"),
+        round(col("n_found") / col("n_exact"), 4).as("recall"))
+  }
+
   /** Exact-recall R-S linkage across the same increment/registry split as
     * x_incr_dedup — the no-false-negatives alternative to its LSH near
     * tier. Oracle is again the naive cross-split join. */

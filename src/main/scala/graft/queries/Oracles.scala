@@ -1238,6 +1238,27 @@ object Oracles {
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.6""".stripMargin,
 
+    // blocking recall: NAIVE quadratic ground truth vs the rank-window
+    // candidates, both computed independently in SQL
+    "x_blocking_recall" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM d a JOIN d b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 2),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS rk FROM d),
+        |sn AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM r a JOIN r b ON a.source = b.source
+        |    AND b.rk - a.rk BETWEEN 1 AND 3),
+        |fnd AS (SELECT e.id_a, e.id_b FROM ex e
+        |  JOIN sn ON sn.id_a = e.id_a AND sn.id_b = e.id_b)
+        |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM fnd) AS BIGINT) AS n_found,
+        |  round((SELECT count(*) FROM fnd) * 1.0
+        |    / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
+
     // sorted-neighborhood candidates via the NAIVE rank-difference join
     "x_sorted_nbr" ->
       """WITH r AS (SELECT doc_id, source,

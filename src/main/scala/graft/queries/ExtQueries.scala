@@ -1764,4 +1764,52 @@ object ExtQueries {
       .select(lit(10).as("k"), col("n_overlap"),
         round(col("n_overlap") / lit(10.0), 4).as("recall"))
   }
+
+  // ---- in-engine classifier training (round 10) ----
+
+  /** Labeled corpus for the trained classifiers: text + lang both present,
+    * label = English. */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(col("lang").isNotNull)
+
+  /** Binary multinomial Naive Bayes, trained AND scored in-engine over the
+    * corpus (label: lang = en) — one counting shuffle is the whole training
+    * job; scoring is the lmScore join shape. */
+  val xNbClassify: Q = (s, dir) => {
+    val d = labeled(s, dir)
+    val label = col("lang") === "en"
+    val priors = d.agg(
+      sum(when(label, 1L).otherwise(0L)).as("np"),
+      sum(when(!label, 1L).otherwise(0L)).as("nn")).head()
+    MlOps.naiveBayesScore(d, col("doc_id"), col("text"),
+      MlOps.naiveBayesModel(d, col("text"), label),
+      priors.getLong(0), priors.getLong(1))
+  }
+
+  /** (doc_id, x0=bias, x1=tokens/100, x2=stop ratio, y) — the logistic
+    * regression feature frame; x2 reuses the x_quality stop-ratio column
+    * definition verbatim so the oracle shares its proven SQL form. */
+  private def logregFeats(s: SparkSession, dir: String): DataFrame = {
+    val stops = langProfiles.head._2
+    labeled(s, dir)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"),
+        lit(1.0).as("x0"),
+        (size(col("__tk")).cast("double") / lit(100.0)).as("x1"),
+        round(size(filter(col("__tk"), t => t.isin(stops.map(lit): _*))).cast("double") /
+          greatest(size(col("__tk")), lit(1)), 4).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** Batch-GD logistic regression (3 iterations, lr 0.5) trained in-engine
+    * on (token count, stop ratio) → P(English), then scored map-side with
+    * the literal-bound weights. The oracle unrolls the identical rounded
+    * trajectory, so the whole optimisation loop — not just the final
+    * scores — is cross-engine-verified. */
+  val xLogreg: Q = (s, dir) => {
+    val f = logregFeats(s, dir)
+    val w = MlOps.logisticTrain(f, Seq("x0", "x1", "x2"), "y",
+      iters = 3, lr = 0.5).last
+    MlOps.logisticScore(f, col("doc_id"), Seq("x0", "x1", "x2"), w)
+  }
 }

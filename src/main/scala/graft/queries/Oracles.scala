@@ -2789,6 +2789,68 @@ object Oracles {
          |  round(sum(lr), 6) AS dsir_logw
          |FROM hb JOIN ratios USING (bucket) GROUP BY doc_id""".stripMargin,
 
+    // binary multinomial NB (label: lang = en): one counting pass trains,
+    // lmScore-shaped join scores; priors from document counts
+    "x_nb_classify" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |dt AS (SELECT doc_id, tok, count(*) AS occ FROM
+         |  (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY doc_id, tok),
+         |cl AS (SELECT tok,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+         |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cn
+         |  FROM (SELECT lang, unnest(tk) AS tok FROM toks) GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cp) AS DOUBLE) AS Tp, CAST(sum(cn) AS DOUBLE) AS Tn,
+         |  CAST(count(*) AS DOUBLE) AS V FROM cl),
+         |pr AS (SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+         |  sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) AS prior FROM toks),
+         |lr AS (SELECT tok, ln((cp + 0.1) / (Tp + 0.1 * (V + 1))) -
+         |    ln((cn + 0.1) / (Tn + 0.1 * (V + 1))) AS lr
+         |  FROM cl CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |  round(prior + sum(lr * occ), 6) AS log_odds,
+         |  (round(prior + sum(lr * occ), 6) > 0) AS pred
+         |FROM dt JOIN lr USING (tok) CROSS JOIN pr GROUP BY doc_id, prior""".stripMargin,
+
+    // 3-iteration batch-GD logistic regression, trajectory unrolled with
+    // the Spark side's rounding discipline (per-row sigmoid, gradient, and
+    // weight all rounded to 6 dp); sigma(0) = 0.5 exactly at iteration 1
+    "x_logreg" ->
+      s"""WITH f AS MATERIALIZED (SELECT doc_id,
+         |    1.0 AS x0, len(tk) / 100.0 AS x1,
+         |    round(CAST(len(list_filter(tk, x -> list_contains($EN_STOPS, x))) AS DOUBLE)
+         |      / greatest(len(tk), 1), 4) AS x2,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |        WHERE text IS NOT NULL AND lang IS NOT NULL)),
+         |ga AS MATERIALIZED (SELECT round(avg((0.5 - y) * x0), 6) AS g0,
+         |  round(avg((0.5 - y) * x1), 6) AS g1,
+         |  round(avg((0.5 - y) * x2), 6) AS g2 FROM f),
+         |wa AS MATERIALIZED (SELECT round(-0.5 * g0, 6) AS a0,
+         |  round(-0.5 * g1, 6) AS a1, round(-0.5 * g2, 6) AS a2 FROM ga),
+         |pb AS MATERIALIZED (SELECT doc_id, x0, x1, x2, y,
+         |  round(1 / (1 + exp(-(a0 * x0 + a1 * x1 + a2 * x2))), 6) AS p
+         |  FROM f CROSS JOIN wa),
+         |gb AS MATERIALIZED (SELECT round(avg((p - y) * x0), 6) AS g0,
+         |  round(avg((p - y) * x1), 6) AS g1,
+         |  round(avg((p - y) * x2), 6) AS g2 FROM pb),
+         |wb AS MATERIALIZED (SELECT round(a0 - 0.5 * g0, 6) AS b0,
+         |  round(a1 - 0.5 * g1, 6) AS b1, round(a2 - 0.5 * g2, 6) AS b2
+         |  FROM wa CROSS JOIN gb),
+         |pc AS MATERIALIZED (SELECT doc_id, x0, x1, x2, y,
+         |  round(1 / (1 + exp(-(b0 * x0 + b1 * x1 + b2 * x2))), 6) AS p
+         |  FROM f CROSS JOIN wb),
+         |gc AS MATERIALIZED (SELECT round(avg((p - y) * x0), 6) AS g0,
+         |  round(avg((p - y) * x1), 6) AS g1,
+         |  round(avg((p - y) * x2), 6) AS g2 FROM pc),
+         |wc AS MATERIALIZED (SELECT round(b0 - 0.5 * g0, 6) AS c0,
+         |  round(b1 - 0.5 * g1, 6) AS c1, round(b2 - 0.5 * g2, 6) AS c2
+         |  FROM wb CROSS JOIN gc)
+         |SELECT doc_id,
+         |  round(1 / (1 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))), 6) AS score,
+         |  (round(1 / (1 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))), 6) >= 0.5) AS pred
+         |FROM f CROSS JOIN wc""".stripMargin,
+
     // the auto-sized form lands on the identical nlist at this corpus size
     // (see ExtQueries.xSemDedupAuto), so it shares x_semdedup's mirror
     "x_semdedup_auto" ->

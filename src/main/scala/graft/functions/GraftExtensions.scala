@@ -75,5 +75,9 @@ object GraftExtensions {
     // AT ANALYSIS with a cast error instead of a mid-job ClassCastException
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      arity("simhash32", 1)(a => SimHash32(Cast(a(0), ArrayType(StringType))))))
+      arity("simhash32", 1)(a => SimHash32(Cast(a(0), ArrayType(StringType))))),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      arity("jaro_winkler", 2)(a =>
+        JaroWinkler(Cast(a(0), StringType), Cast(a(1), StringType)))))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -72,6 +72,106 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Jaro-Winkler similarity in [0, 1] as one native pass — the classic
+  * record-linkage comparator (Winkler 1990): Jaro similarity (matches
+  * within a ⌊max(|a|,|b|)/2⌋−1 window, half-counted transpositions) plus
+  * the prefix boost ℓ·0.1·(1−jaro) for a common prefix ℓ ≤ 4, applied only
+  * when jaro > 0.7. Either side empty scores 0 (NOT 1 for two empties) —
+  * the DuckDB `jaro_winkler_similarity` convention, verified case-by-case,
+  * so oracles compare the raw double.
+  *
+  * Unlike edit distance, JW is asymmetric-length-tolerant and
+  * prefix-weighted — the right comparator for person/street names where
+  * FastSS's fixed edit budget under-matches long strings. It complements
+  * the [[graft.operators.FuzzyJoin]] tiers: blocking produces candidate
+  * pairs, this expression verifies them map-side.
+  *
+  * CodegenFallback with a primitive-loop eval (the [[DotProduct]]
+  * rationale): the per-row cost is the O(|a|·window) flag scan, not
+  * dispatch; the two scratch arrays are thread-local to keep the hot loop
+  * allocation-free at any candidate-pair volume. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  // scratch match flags, grown geometrically; ThreadLocal because one
+  // deserialized expression instance can serve several local-mode tasks
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[Array[Array[Boolean]]](() =>
+      Array(new Array[Boolean](64), new Array[Boolean](64)))
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val b = r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    JaroWinkler.similarity(a, b, scratch.get())
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  /** Pure computation, shared by the expression and the spec's reference
+    * checks. `scratch` supplies two reusable flag arrays (may be null for
+    * one-off calls). */
+  private[functions] def similarity(a: String, b: String,
+                                    scratch: Array[Array[Boolean]]): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val sc = if (scratch == null) Array(new Array[Boolean](la), new Array[Boolean](lb))
+             else scratch
+    if (sc(0).length < la) sc(0) = new Array[Boolean](math.max(la, sc(0).length * 2))
+    if (sc(1).length < lb) sc(1) = new Array[Boolean](math.max(lb, sc(1).length * 2))
+    val ma = sc(0); val mb = sc(1)
+    java.util.Arrays.fill(ma, 0, la, false)
+    java.util.Arrays.fill(mb, 0, lb, false)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk both matched subsequences in order
+    var k = 0; var halfT = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        k += 1
+      }
+      i += 1
+    }
+    // rapidfuzz/DuckDB FLOOR the half-count (classic Winkler keeps the .5);
+    // verified against jaro_winkler_similarity over 4000 random pairs
+    val t = halfT / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    while (p < math.min(4, math.min(la, lb)) && a.charAt(p) == b.charAt(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
+
+  /** One-off form (spec/reference use). */
+  private[graft] def similarity(a: String, b: String): Double =
+    similarity(a, b, null)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -79,4 +179,9 @@ object TextFunctions {
     * handled inside the expression. */
   def simhash32(toks: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(toks)))
+
+  /** Jaro-Winkler similarity of two string columns (see [[JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1801,6 +1801,36 @@ object ExtQueries {
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
   }
 
+  /** Jaro-Winkler entity resolution: sorted-neighborhood blocking over the
+    * union of clean + deletion-corrupted entity names (md5-hex keys — the
+    * x_fuzzy_qgram entity-like-workload rationale), candidates verified
+    * map-side by the native [[graft.functions.JaroWinkler]] expression at
+    * θ = 0.9. The corruption deletes a char at a key-dependent position
+    * ≥ 2, so the first-char blocking stratum is preserved. The oracle
+    * rebuilds the identical window + offset join and verifies with
+    * DuckDB's own jaro_winkler_similarity — two INDEPENDENT comparator
+    * implementations agreeing pair-by-pair on the rounded score.
+    *
+    * Scale shape: blocking is linear-in-n candidates under any skew
+    * (Blocking scaladoc); the verify is a pure map over pairs; names
+    * rejoin by unique id (two m:1 equi-joins). */
+  val xJwResolve: Q = (s, dir) => {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), substring(md5(col("c_name")), 1, 16).as("name"))
+    val p = pmod(col("id"), lit(14)) + lit(2)
+    val dirty = base.select((col("id") + lit(10000000L)).as("id"),
+      concat(col("name").substr(lit(1), p - 1),
+        col("name").substr(p + 1, lit(16) - p)).as("name"))
+    val u = base.union(dirty)
+    val jw = round(graft.functions.TextFunctions.jaroWinkler(col("__na"), col("__nb")), 6)
+    graft.operators.Blocking.sortedNeighborhood(
+        u, col("id"), substring(col("name"), 1, 1), col("name"), window = 6)
+      .join(u.select(col("id").as("id_a"), col("name").as("__na")), "id_a")
+      .join(u.select(col("id").as("id_b"), col("name").as("__nb")), "id_b")
+      .where(jw >= 0.9)
+      .select(col("id_a"), col("id_b"), jw.as("jw"))
+  }
+
   /** Batch-GD logistic regression (3 iterations, lr 0.5) trained in-engine
     * on (token count, stop ratio) → P(English), then scored map-side with
     * the literal-bound weights. The oracle unrolls the identical rounded

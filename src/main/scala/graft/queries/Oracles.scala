@@ -2789,6 +2789,25 @@ object Oracles {
          |  round(sum(lr), 6) AS dsir_logw
          |FROM hb JOIN ratios USING (bucket) GROUP BY doc_id""".stripMargin,
 
+    // sorted-neighborhood blocking + Jaro-Winkler verify: DuckDB's own
+    // jaro_winkler_similarity vs the native Spark expression — two
+    // independent comparator implementations agreeing on the rounded score
+    "x_jw_resolve" ->
+      """WITH base AS (SELECT c_custkey AS id, substr(md5(c_name), 1, 16) AS name
+        |  FROM customer),
+        |dirty AS (SELECT id + 10000000 AS id,
+        |    substr(name, 1, p - 1) || substr(name, p + 1) AS name
+        |  FROM (SELECT id, name, (id % 14) + 2 AS p FROM base)),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |ranked AS (SELECT id, name, substr(name, 1, 1) AS b,
+        |  row_number() OVER (PARTITION BY substr(name, 1, 1)
+        |                     ORDER BY name, id) AS r FROM u),
+        |cand AS (SELECT a.id AS id_a, a.name AS na, c.id AS id_b, c.name AS nb
+        |  FROM ranked a JOIN ranked c
+        |  ON a.b = c.b AND c.r BETWEEN a.r + 1 AND a.r + 5)
+        |SELECT id_a, id_b, round(jaro_winkler_similarity(na, nb), 6) AS jw
+        |FROM cand WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.9""".stripMargin,
+
     // binary multinomial NB (label: lang = en): one counting pass trains,
     // lmScore-shaped join scores; priors from document counts
     "x_nb_classify" ->

@@ -226,6 +226,8 @@ object SparkEntry {
     "x_nb_classify" -> ExtQueries.xNbClassify,
     "x_logreg" -> ExtQueries.xLogreg,
     "x_jw_resolve" -> ExtQueries.xJwResolve,
+    "x_snapshot_diff" -> ExtQueries.xSnapshotDiff,
+    "x_winsorize" -> ExtQueries.xWinsorize,
     "x_dsir" -> ExtQueries.xDsir,
     // ext: product quantization
     "x_pq_topk" -> ExtQueries.xPqTopk,
@@ -284,6 +286,7 @@ object SparkEntry {
     "x_hist_quantile", "x_trend", "x_setsim_rs", "x_chunks", "x_rrf",
     "x_contain_join", "x_cluster_split", "x_pagerank", "x_bigram_lm",
     "x_lin_classify", "x_nb_classify", "x_logreg", "x_jw_resolve",
+    "x_snapshot_diff", "x_winsorize",
     "x_embed_norm", "x_rp_project", "x_mad_outlier",
     "x_embed_cov", "x_triangles", "x_char_entropy", "x_pii_luhn",
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",

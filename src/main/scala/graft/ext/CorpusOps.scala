@@ -712,6 +712,38 @@ object CorpusOps {
         (col("__dev") > lit(k) * col("mad")).as("is_outlier"))
   }
 
+  /** Per-stratum winsorization: clamp `x` to its stratum's [pLo, pHi]
+    * percentile interval — the standard outlier-robust normalisation before
+    * any mean/variance-sensitive downstream stage (length re-weighting,
+    * score calibration). Output: (doc_id, stratum, x, lo, hi, x_wins) with
+    * the bounds rounded to 6 dp BEFORE clamping, so the clamp decision
+    * itself is engine-portable (the house round-before-any-float-decision
+    * rule); rows with null x pass through with null x_wins.
+    *
+    * Scale shape: one partial-aggregated percentile pass per stratum, the
+    * bounds joined back hint-free ([[madOutliers]] convention — strata can
+    * be web-domain cardinality, AQE broadcasts genuinely small tables);
+    * the clamp is a pure map. `exact = false` switches to approx_percentile
+    * for unbounded value domains (the [[quantileBuckets]] knob). */
+  def winsorize(df: DataFrame, key: Column, stratum: Column, x: Column,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    def pct(c: Column, p: Double) =
+      if (exact) percentile(c, lit(p))
+      else percentile_approx(c, lit(p), lit(10000))
+    val base = df.select(key.as("doc_id"), stratum.as("stratum"),
+      x.cast("double").as("x"))
+    val bounds = base.where(col("x").isNotNull)
+      .groupBy(col("stratum").as("__ws"))
+      .agg(round(pct(col("x"), pLo), 6).as("lo"),
+        round(pct(col("x"), pHi), 6).as("hi"))
+    // null-safe: a NULL stratum is a legitimate group (quantileBuckets rule)
+    base.join(bounds, col("stratum") <=> col("__ws"), "left")
+      .drop("__ws")
+      .withColumn("x_wins", least(greatest(col("x"), col("lo")), col("hi")))
+  }
+
   /** Token-count histogram: bin documents by `binWidth` tokens and count.
     * One partial-aggregated shuffle on the bin id (at most a few hundred
     * distinct bins), with per-bin min/max as the bin-edge sanity columns. */

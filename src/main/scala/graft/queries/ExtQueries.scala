@@ -1831,6 +1831,33 @@ object ExtQueries {
       .select(col("id_a"), col("id_b"), jw.as("jw"))
   }
 
+  /** Snapshot diff with per-column change classification over two
+    * deterministically-derived versions of the orders table: keys % 13 = 0
+    * exist only in the new snapshot (added), % 7 = 0 only in the old
+    * (removed), and of the survivors % 5 = 0 get a re-priced total and
+    * % 11 = 0 a flipped status (changed, with the column names recorded).
+    * One full-outer sort-merge join; classification is map-side. */
+  val xSnapshotDiff: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val oldSnap = o.where(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val newSnap = o.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
+      keyCols = Seq("o_orderkey"),
+      compareCols = Seq("o_orderstatus", "o_totalprice"))
+  }
+
+  /** Per-source winsorization of the document length at [p05, p95] —
+    * bounds rounded before the clamp so the decision is engine-portable. */
+  val xWinsorize: Q = (s, dir) =>
+    CorpusOps.winsorize(t(s, dir, "documents"), col("doc_id"), col("source"),
+      col("n_chars"), pLo = 0.05, pHi = 0.95, exact = true)
+
   /** Batch-GD logistic regression (3 iterations, lr 0.5) trained in-engine
     * on (token count, stop ratio) → P(English), then scored map-side with
     * the literal-bound weights. The oracle unrolls the identical rounded

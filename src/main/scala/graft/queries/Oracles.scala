@@ -2789,6 +2789,44 @@ object Oracles {
          |  round(sum(lr), 6) AS dsir_logw
          |FROM hb JOIN ratios USING (bucket) GROUP BY doc_id""".stripMargin,
 
+    // full-outer snapshot diff with per-column change classification
+    "x_snapshot_diff" ->
+      """WITH oldv AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |newv AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    o.o_orderstatus AS os, n.o_orderstatus AS ns,
+        |    o.o_totalprice AS op, n.o_totalprice AS np
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey),
+        |c AS (SELECT coalesce(ko, kn) AS o_orderkey,
+        |    CASE WHEN ko IS NULL THEN 'added'
+        |         WHEN kn IS NULL THEN 'removed'
+        |         WHEN os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
+        |           THEN 'changed' END AS change_type,
+        |    concat_ws(',',
+        |      CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+        |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END) AS cc
+        |  FROM j)
+        |SELECT o_orderkey, change_type,
+        |  CASE WHEN change_type = 'changed' THEN cc END AS changed_cols
+        |FROM c WHERE change_type IS NOT NULL""".stripMargin,
+
+    // per-source p05/p95 winsorization; bounds rounded before the clamp
+    "x_winsorize" ->
+      """WITH base AS (SELECT doc_id, source AS stratum,
+        |    CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |bounds AS (SELECT stratum AS ws,
+        |    round(quantile_cont(x, 0.05), 6) AS lo,
+        |    round(quantile_cont(x, 0.95), 6) AS hi
+        |  FROM base WHERE x IS NOT NULL GROUP BY stratum)
+        |SELECT doc_id, stratum, x, lo, hi,
+        |  least(greatest(x, lo), hi) AS x_wins
+        |FROM base LEFT JOIN bounds b ON base.stratum IS NOT DISTINCT FROM b.ws""".stripMargin,
+
     // sorted-neighborhood blocking + Jaro-Winkler verify: DuckDB's own
     // jaro_winkler_similarity vs the native Spark expression — two
     // independent comparator implementations agreeing on the rounded score

@@ -142,6 +142,7 @@ object SparkEntry {
     "x_rp_project" -> ExtQueries.xRpProject,
     "x_embed_cov" -> ExtQueries.xEmbedCov,
     "x_pca_project" -> ExtQueries.xPcaProject,
+    "x_pca_invariants" -> ExtQueries.xPcaInvariants,
     "x_mad_outlier" -> ExtQueries.xMadOutlier,
     "x_embed_neardup" -> ExtQueries.xEmbedNeardup,
     "x_embed_decontam" -> ExtQueries.xEmbedDecontam,

@@ -741,7 +741,11 @@ object CorpusOps {
     // null-safe: a NULL stratum is a legitimate group (quantileBuckets rule)
     base.join(bounds, col("stratum") <=> col("__ws"), "left")
       .drop("__ws")
-      .withColumn("x_wins", least(greatest(col("x"), col("lo")), col("hi")))
+      // Spark's least/greatest SKIP null inputs (they are not null-strict),
+      // so an unguarded clamp would turn a null x into lo — the explicit
+      // isNotNull gate is what delivers the documented null pass-through.
+      .withColumn("x_wins", when(col("x").isNotNull,
+        least(greatest(col("x"), col("lo")), col("hi"))))
   }
 
   /** Token-count histogram: bin documents by `binWidth` tokens and count.

@@ -30,6 +30,12 @@ object MlOps {
     * total over it and OOV tokens fall back to the smoothed constant at
     * score time.
     *
+    * The reserved OOV slot is MATERIALISED as one row with `tok` NULL
+    * carrying lr = ln((α/(T_p+α(V+1))) / (α/(T_n+α(V+1)))) — the
+    * smoothed-constant ratio an unseen token scores at — so
+    * [[naiveBayesScore]] can apply true NB semantics to any corpus, not
+    * just the training one, without re-deriving the totals.
+    *
     * Scale shape: ONE partial-aggregated shuffle on the token builds both
     * classes' counts simultaneously (conditional sums, not two passes);
     * the (T_p, T_n, V) totals are a one-row aggregate. The table is
@@ -45,12 +51,17 @@ object MlOps {
     val totals = cnts.agg(sum("__cp").cast("double").as("__Tp"),
       sum("__cn").cast("double").as("__Tn"),
       count(lit(1)).cast("double").as("__V"))
-    cnts.crossJoin(broadcast(totals))
+    val tokenRows = cnts.crossJoin(broadcast(totals))
       .select(col("tok"),
         (log((col("__cp").cast("double") + lit(alpha)) /
              (col("__Tp") + lit(alpha) * (col("__V") + lit(1.0)))) -
          log((col("__cn").cast("double") + lit(alpha)) /
              (col("__Tn") + lit(alpha) * (col("__V") + lit(1.0))))).as("lr"))
+    val oovRow = totals.select(lit(null).cast("string").as("tok"),
+      (log(lit(alpha) / (col("__Tp") + lit(alpha) * (col("__V") + lit(1.0)))) -
+       log(lit(alpha) / (col("__Tn") + lit(alpha) * (col("__V") + lit(1.0)))))
+        .as("lr"))
+    tokenRows.unionByName(oovRow)
   }
 
   /** Score `docs` against a binary NB model: per document,
@@ -64,9 +75,12 @@ object MlOps {
     * (doc_id, tok, occ) before the model join — repeats join once, hot
     * tokens join per-document not per-occurrence — then ONE shuffle join
     * on the token (vocabulary unbounded ⇒ never broadcast) and one final
-    * partial-aggregated shuffle on doc_id. Unseen tokens would need the
-    * smoothed-constant fallback; when scoring the training corpus itself
-    * the left join never misses. */
+    * partial-aggregated shuffle on doc_id. Tokens absent from the model
+    * score the smoothed-constant OOV ratio ([[naiveBayesModel]]'s NULL-tok
+    * row, shipped as a one-row broadcast) — so scoring a non-training
+    * corpus follows NB semantics instead of silently dropping evidence; a
+    * legacy model frame without the OOV row degrades to lr 0 for unseen
+    * tokens. */
   def naiveBayesScore(docs: DataFrame, key: Column, text: Column,
                       model: DataFrame, priorPos: Long, priorNeg: Long,
                       alpha: Double = 0.1): DataFrame = {
@@ -75,10 +89,13 @@ object MlOps {
       .select(key.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("__occ"))
     val prior = math.log(priorPos.toDouble / priorNeg.toDouble)
-    toks.join(model, Seq("tok"), "left")
+    val oov = model.where(col("tok").isNull).select(col("lr").as("__oov_lr"))
+    toks.join(model.where(col("tok").isNotNull), Seq("tok"), "left")
+      .join(broadcast(oov), lit(true), "left")
       .groupBy("doc_id")
       .agg(sum("__occ").as("n_tokens"),
-        round(lit(prior) + sum(coalesce(col("lr"), lit(0.0)) * col("__occ")), 6)
+        round(lit(prior) +
+            sum(coalesce(col("lr"), col("__oov_lr"), lit(0.0)) * col("__occ")), 6)
           .as("log_odds"))
       .withColumn("pred", col("log_odds") > 0)
   }
@@ -108,18 +125,21 @@ object MlOps {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(xCols.nonEmpty, "need at least one feature column")
     val f = feats.persist()
-    val history = Iterator.iterate(Array.fill(xCols.size)(0.0)) { w =>
-      val p = round(sigmoid(margin(w, xCols)), 6)
-      val err = p - col(yCol).cast("double")
-      val g = f.agg(
-          round(avg(err * col(xCols.head)), 6).as("g0"),
-          xCols.tail.zipWithIndex.map { case (c, j) =>
-            round(avg(err * col(c)), 6).as(s"g${j + 1}")
-          }: _*)
-        .head()
-      w.indices.map(j => round6(w(j) - lr * g.getDouble(j))).toArray
-    }.take(iters + 1).toSeq
-    history
+    try {
+      // toList FORCES the lazy iterator before the finally unpersists —
+      // a lazy Seq here would re-read the unpersisted frame per element
+      Iterator.iterate(Array.fill(xCols.size)(0.0)) { w =>
+        val p = round(sigmoid(margin(w, xCols)), 6)
+        val err = p - col(yCol).cast("double")
+        val g = f.agg(
+            round(avg(err * col(xCols.head)), 6).as("g0"),
+            xCols.tail.zipWithIndex.map { case (c, j) =>
+              round(avg(err * col(c)), 6).as(s"g${j + 1}")
+            }: _*)
+          .head()
+        w.indices.map(j => round6(w(j) - lr * g.getDouble(j))).toArray
+      }.take(iters + 1).toList
+    } finally f.unpersist()
   }
 
   /** Map-side scoring with literal-bound weights: (key, score, pred) with

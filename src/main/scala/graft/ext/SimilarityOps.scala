@@ -465,36 +465,57 @@ object SimilarityOps {
   }
 
   /** Upper-triangle population covariance matrix of an embedding column:
-    * (i, j, cov) for i ≤ j with cov = E[x_i·x_j] − μ_i·μ_j, rounded to
-    * 6 dp — the second-moment pass behind whitening, PCA, and OPQ-style
-    * rotation before product quantization.
+    * (i, j, cov) for i ≤ j with cov = E[(x_i−μ̂_i)(x_j−μ̂_j)], μ̂ the
+    * per-dimension mean ROUNDED to 6 dp, cov rounded to 6 dp — the
+    * second-moment pass behind whitening, PCA, and OPQ-style rotation
+    * before product quantization.
     *
-    * Scale shape: the in-row double transform emits each row's upper-
-    * triangle products WITHOUT a self-join of the exploded table (the
-    * relational formulation joins corpus×dims with itself on the id — a
-    * corpus-sized shuffle; here products never leave the row), and the
-    * groupBy (i, j) partial-aggregates map-side so the exchange carries at
-    * most dims²/2 rows per input partition. Means ride the same aggregate
-    * (sum of x_i per pair-slot costs nothing extra) — one shuffle total. */
+    * Two-pass CENTERED form, deliberately: the one-pass
+    * `Σxy/n − (Σx/n)(Σy/n)` subtracts two O(μ²) quantities to recover an
+    * O(σ²) result — catastrophic cancellation amplifies the engine's
+    * summation-order noise into the 6th decimal, so Spark's partition-order
+    * sums and a sequential oracle sum disagree at rounding boundaries.
+    * Centering first makes every summand O(σ²): the sum is well-conditioned
+    * and the 6-dp round is engine-portable. The means are rounded BEFORE
+    * centering (house round-before-any-float-decision rule) so both engines
+    * centre on bit-identical constants.
+    *
+    * Scale shape: pass 1 is a dims-bounded partial-aggregated mean (the
+    * collect is a parameter of the embedding space, not the corpus — the
+    * [[standardize]] / k-means-centroid collect class); pass 2's in-row
+    * double transform emits each row's upper-triangle products WITHOUT a
+    * self-join of the exploded table (the relational formulation joins
+    * corpus×dims with itself on the id — a corpus-sized shuffle; here
+    * products never leave the row), and the groupBy (i, j) partial-
+    * aggregates map-side so the exchange carries at most dims²/2 rows per
+    * input partition. */
   def covarianceMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    // per-row upper-triangle stream: (i, j, x_i, x_j)
-    val pairs = flatten(transform(v, (xi, i) =>
-      transform(slice(v, i + 1, size(v)), (xj, j) =>
+    val means = df.select(posexplode(v).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(round(avg("__x"), 6).as("__mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dims = if (means.isEmpty) 0 else means.keys.max + 1
+    val mu = (0 until dims).map(d => means.getOrElse(d, 0.0))
+    // centre in-row against the literal means, then the per-row
+    // upper-triangle stream: (i, j, xc_i, xc_j)
+    val c = transform(v, (x, i) => x - element_at(typedLit(mu), i + 1))
+    val pairs = flatten(transform(c, (xi, i) =>
+      transform(slice(c, i + 1, size(c)), (xj, j) =>
         struct(i.as("i"), (i + j).as("j"), xi.as("xi"), xj.as("xj")))))
+    val r = round(col("__sxy") / col("__n"), 6)
     df.select(explode(pairs).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xi"), col("p.xj"))
       .groupBy("i", "j")
-      .agg(count(lit(1)).as("__n"), sum(col("xi") * col("xj")).as("__sxy"),
-        sum("xi").as("__sx"), sum("xj").as("__sy"))
+      .agg(count(lit(1)).as("__n"), sum(col("xi") * col("xj")).as("__sxy"))
+      // normalise IEEE negative zero: round() of a tiny negative yields
+      // -0.0, which hash-differs from the other engine's +0.0
       .select(col("i"), col("j"),
-        round(col("__sxy") / col("__n") -
-          (col("__sx") / col("__n")) * (col("__sy") / col("__n")), 6).as("cov"))
+        when(r === lit(0.0), lit(0.0)).otherwise(r).as("cov"))
   }
 
   /** Top-k PCA projection: principal axes from the covariance matrix by
-    * power iteration with deflation, then a map-side projection of every
-    * (mean-centred) vector onto them. Output: (idCol, proj array<double>,
+    * a cyclic Jacobi eigen solve ([[pcaSolve]]), then a map-side projection
+    * of every (mean-centred) vector onto them. Output: (idCol, proj array<double>,
     * k components, each rounded to 6 dp). Component sign is fixed by
     * making each axis's largest-|loading| coordinate positive, so results
     * are deterministic across runs and partitionings.
@@ -509,6 +530,35 @@ object SimilarityOps {
     * eigenvalues is not portable SQL. */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
                  iters: Int = 50): DataFrame = {
+    val (axes, _, mu) = pcaSolve(df, idCol, vecCol, k, iters)
+    val v = col(vecCol).cast("array<double>")
+    val comps = axes.map { ax =>
+      round(dot_d(transform(v, (x, i) => x - element_at(typedLit(mu.toSeq), i + 1)),
+        typedLit(ax.toSeq)), 6)
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
+  /** The driver-side eigen solve behind [[pcaProject]] / [[pcaInvariants]]:
+    * cyclic Jacobi rotations over the dims²-bounded covariance matrix.
+    * Jacobi (not power iteration) deliberately: embedding spectra are
+    * often FLAT — near-equal eigenvalues make power iteration's per-step
+    * contraction ratio λ₂/λ₁ ≈ 1, so residuals stall around 1e-4 and
+    * deflated estimates can even swap order; Jacobi converges
+    * quadratically on the whole spectrum regardless of gaps, so the
+    * invariants ([[pcaInvariants]]) hold to machine precision. `iters`
+    * bounds the SWEEPS (a sweep rotates every off-diagonal pair once;
+    * quadratic convergence lands in < 10 sweeps at dims = 64).
+    *
+    * Fully deterministic: the input matrix is the ROUNDED covariance
+    * ([[covarianceMatrix]]'s 6-dp discipline) and the solve is sequential
+    * driver arithmetic — identical across runs and partitionings. Returns
+    * (axes sorted by eigenvalue desc with the largest-|loading|-positive
+    * sign pivot, covariance matrix, per-dim means rounded to 6 dp — the
+    * same centring constants the matrix itself used). */
+  private[graft] def pcaSolve(df: DataFrame, idCol: String, vecCol: String,
+                              k: Int, iters: Int
+                             ): (Seq[Array[Double]], Array[Array[Double]], Array[Double]) = {
     require(k > 0, "k must be positive")
     val cov = covarianceMatrix(df, idCol, vecCol)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
@@ -518,40 +568,126 @@ object SimilarityOps {
     require(k <= dims, s"k=$k exceeds dims=$dims")
     val m = Array.tabulate(dims, dims)((a, b) =>
       cov.getOrElse((math.min(a, b), math.max(a, b)), 0.0))
-    val axes = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    for (_ <- 0 until k) {
-      var x = Array.tabulate(dims)(d => 1.0 / math.sqrt(dims.toDouble))
-      for (_ <- 0 until iters) {
-        val y = Array.tabulate(dims) { a =>
-          var s = 0.0
-          var b = 0
-          while (b < dims) { s += m(a)(b) * x(b); b += 1 }
-          s
-        }
-        // deflation: subtract the mat-vec's projections onto found axes
-        val proj = axes.map(ax => ax.zip(y).map(t => t._1 * t._2).sum)
-        val yd = Array.tabulate(dims)(a =>
-          y(a) - axes.zip(proj).map { case (ax, p) => ax(a) * p }.sum)
-        val nrm = math.sqrt(yd.map(e => e * e).sum)
-        x = if (nrm > 0) yd.map(_ / nrm) else x
-      }
-      // deterministic sign: largest-|loading| coordinate positive
-      val piv = x.indices.maxBy(a => math.abs(x(a)))
-      axes += (if (x(piv) < 0) x.map(-_) else x)
+    // cyclic Jacobi on a working copy; eigenvectors accumulate in vm columns
+    val a = m.map(_.clone)
+    val vm = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      for (p <- 0 until dims; q <- p + 1 until dims) s += a(p)(q) * a(p)(q)
+      s
     }
+    var sweep = 0
+    while (sweep < iters && offNorm > 1e-22) {
+      for (p <- 0 until dims - 1; q <- p + 1 until dims
+           if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0
+          case sg  => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var i = 0
+        while (i < dims) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+          i += 1
+        }
+        i = 0
+        while (i < dims) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+          val vip = vm(i)(p); val viq = vm(i)(q)
+          vm(i)(p) = c * vip - s * viq
+          vm(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      sweep += 1
+    }
+    // eigenpairs sorted by eigenvalue desc; ties broken by column index so
+    // the order is total and deterministic
+    val cols = (0 until dims).sortBy(j => (-a(j)(j), j)).take(k)
+    val axes = cols.map { j =>
+      val x = Array.tabulate(dims)(i => vm(i)(j))
+      // deterministic sign: largest-|loading| coordinate positive
+      val piv = x.indices.maxBy(i => math.abs(x(i)))
+      if (x(piv) < 0) x.map(-_) else x
+    }
+    // centring constants: the SAME rounded means covarianceMatrix used, so
+    // projection variance matches the matrix's eigenvalues exactly
     val means = {
       val v = col(vecCol).cast("array<double>")
       df.select(posexplode(v).as(Seq("__d", "__x")))
-        .groupBy("__d").agg(avg("__x").as("__mu"))
+        .groupBy("__d").agg(round(avg("__x"), 6).as("__mu"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     }
-    val mu = Array.tabulate(dims)(d => means.getOrElse(d, 0.0))
-    val v = col(vecCol).cast("array<double>")
-    val comps = axes.toSeq.map { ax =>
-      round(dot_d(transform(v, (x, i) => x - element_at(typedLit(mu.toSeq), i + 1)),
-        typedLit(ax.toSeq)), 6)
+    (axes, m, Array.tabulate(dims)(d => means.getOrElse(d, 0.0)))
+  }
+
+  /** Closed-form PCA invariants — the driver-checkable companion to
+    * [[pcaProject]] (whose raw eigenvectors are NOT portable SQL: order and
+    * sign under near-equal eigenvalues differ across solvers). Every row's
+    * expected value is a CONSTANT, so a cross-engine oracle needs no eigen
+    * solver of its own; combined with the oracle-checked
+    * [[covarianceMatrix]] this closes the verification chain: the matrix is
+    * right (x_embed_cov), and the axes are orthonormal eigenvectors of that
+    * matrix with sorted eigenvalues whose projections behave (this query).
+    *
+    * Rows (check, p, q, val), rounded to 4 dp:
+    *   - ortho:        axis_p · axis_q              → 1.0 iff p = q else 0.0
+    *   - eig_resid:    ‖M·a_p − λ_p·a_p‖            → 0.0   (λ_p = a_pᵀMa_p)
+    *   - lambda_order: 1.0 iff λ_p ≥ λ_{p+1}        → 1.0
+    *   - proj_mean:    avg over corpus of proj_p    → 0.0   (centred)
+    *   - proj_var_err: |var(proj_p) − λ_p|          → 0.0
+    *
+    * The first three are pure driver arithmetic on the parameter-bounded
+    * solve; the last two aggregate the actual corpus projections (one
+    * partial-aggregated shuffle over k-wide rows) — they tie the
+    * distributed projection pass, not just the driver solve, to the
+    * invariants. */
+  def pcaInvariants(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    iters: Int = 50): DataFrame = {
+    val (axes, m, mu) = pcaSolve(df, idCol, vecCol, k, iters)
+    val dims = mu.length
+    def matVec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dims)(a => (0 until dims).map(b => m(a)(b) * x(b)).sum)
+    def dotA(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(t => t._1 * t._2).sum
+    val lambdas = axes.map(ax => dotA(ax, matVec(ax)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ortho = for { p <- 0 until k; q <- p until k }
+      yield ("ortho", p, q, r4(dotA(axes(p), axes(q))))
+    val resid = (0 until k).map { p =>
+      val r = matVec(axes(p)).zip(axes(p))
+        .map { case (y, x) => val d = y - lambdas(p) * x; d * d }.sum
+      ("eig_resid", p, p, r4(math.sqrt(r)))
     }
-    df.select(col(idCol), array(comps: _*).as("proj"))
+    val order = (0 until k - 1).map(p =>
+      ("lambda_order", p, p + 1, if (lambdas(p) >= lambdas(p + 1) - 1e-9) 1.0 else 0.0))
+    // corpus-side: per-component mean and variance of the projections
+    val v = col(vecCol).cast("array<double>")
+    val comps = axes.map { ax =>
+      dot_d(transform(v, (x, i) => x - element_at(typedLit(mu.toSeq), i + 1)),
+        typedLit(ax.toSeq))
+    }
+    val projStats = df.select(posexplode(array(comps: _*)).as(Seq("p", "y")))
+      .groupBy("p")
+      .agg(avg("y").as("m"), avg(col("y") * col("y")).as("e2"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val projMean = (0 until k).map(p => ("proj_mean", p, p, r4(projStats(p)._1)))
+    val projVar = (0 until k).map { p =>
+      val (mn, e2) = projStats(p)
+      ("proj_var_err", p, p, r4(math.abs(e2 - mn * mn - lambdas(p))))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (ortho ++ resid ++ order ++ projMean ++ projVar)
+      .toDF("check", "p", "q", "val")
   }
 
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact

@@ -255,6 +255,14 @@ object ExtQueries {
         k = 4)
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "y")))
 
+  /** Closed-form PCA invariants (orthonormality, eigen residual, eigenvalue
+    * order, projection mean/variance) — every expected value a constant, so
+    * the oracle needs no eigen solver; this is the driver-checkable
+    * companion that closes x_pca_project's verification gap. */
+  val xPcaInvariants: Q = (s, dir) =>
+    SimilarityOps.pcaInvariants(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4)
+
   /** Robust per-source length outliers: median + MAD of n_chars per
     * source, k = 3 — the heavy-tail-safe length filter. */
   val xMadOutlier: Q = (s, dir) =>

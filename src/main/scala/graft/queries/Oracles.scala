@@ -1333,18 +1333,49 @@ object Oracles {
          |  round(dt * sqrt(3.0 / 16), 6) AS y FROM dots""".stripMargin,
 
     // covariance via the NAIVE exploded self-join (the Spark side builds
-    // pairs in-row) with the identical E[xy] - E[x]E[y] arithmetic
+    // pairs in-row) with the identical TWO-PASS centered arithmetic:
+    // per-dim means rounded to 6 dp first, then E[(x-mu_i)(y-mu_j)] —
+    // centering keeps every summand O(sigma^2) so the 6-dp round is
+    // portable across summation orders (the one-pass E[xy]-E[x]E[y] form
+    // cancellation-amplified engine noise into the 6th decimal)
     "x_embed_cov" ->
       """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |expl AS (SELECT vec_id, i AS d, v[i+1] AS x FROM
         |  (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM corpus)),
-        |pr AS (SELECT a.d AS i, b.d AS j, a.x AS xi, b.x AS xj
-        |  FROM expl a JOIN expl b ON a.vec_id = b.vec_id AND a.d <= b.d)
-        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-        |  round(sum(xi * xj) / count(*)
-        |    - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
-        |FROM pr GROUP BY i, j""".stripMargin,
+        |mu AS (SELECT d, round(avg(x), 6) AS m FROM expl GROUP BY d),
+        |cx AS (SELECT vec_id, expl.d, x - m AS xc
+        |  FROM expl JOIN mu ON mu.d = expl.d),
+        |pr AS (SELECT a.d AS i, b.d AS j, a.xc AS xi, b.xc AS xj
+        |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND a.d <= b.d),
+        |cv AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  round(sum(xi * xj) / count(*), 6) AS c0
+        |FROM pr GROUP BY i, j)
+        |SELECT i, j,
+        |  CASE WHEN c0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE c0 END AS cov
+        |FROM cv""".stripMargin,
+
+    // PCA invariants: every expected value is a CONSTANT (orthonormal axes,
+    // zero eigen residual, sorted eigenvalues, centred projections whose
+    // per-component variance is the eigenvalue) — so the oracle is a pure
+    // VALUES surface and needs no eigen solver; x_embed_cov separately
+    // proves the covariance matrix the solve ran on
+    "x_pca_invariants" ->
+      """WITH ks AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS p),
+        |ortho AS (SELECT 'ortho' AS "check", a.p AS p, b.p AS q,
+        |    CAST(CASE WHEN a.p = b.p THEN 1.0 ELSE 0.0 END AS DOUBLE) AS "val"
+        |  FROM ks a JOIN ks b ON a.p <= b.p),
+        |resid AS (SELECT 'eig_resid' AS "check", p, p AS q,
+        |  CAST(0.0 AS DOUBLE) AS "val" FROM ks),
+        |ord AS (SELECT 'lambda_order' AS "check", p, p + 1 AS q,
+        |  CAST(1.0 AS DOUBLE) AS "val" FROM ks WHERE p < 3),
+        |pm AS (SELECT 'proj_mean' AS "check", p, p AS q,
+        |  CAST(0.0 AS DOUBLE) AS "val" FROM ks),
+        |pv AS (SELECT 'proj_var_err' AS "check", p, p AS q,
+        |  CAST(0.0 AS DOUBLE) AS "val" FROM ks)
+        |SELECT * FROM ortho UNION ALL SELECT * FROM resid
+        |UNION ALL SELECT * FROM ord UNION ALL SELECT * FROM pm
+        |UNION ALL SELECT * FROM pv""".stripMargin,
 
     // per-source median + MAD outlier flags (quantile_cont mirrors Spark's
     // exact interpolated percentile)

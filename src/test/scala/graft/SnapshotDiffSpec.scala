@@ -60,10 +60,19 @@ class SnapshotDiffSpec extends SparkTestBase {
   }
 
   test("diff plan: one full-outer sort-merge join, no window, no broadcast-NL") {
-    val plan = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("status"))
-      .queryExecution.executedPlan
-    assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
-      "full-outer diff should be a sort-merge join")
+    // tiny fixtures would otherwise broadcast; pin the threshold off so the
+    // physical shape is the one a snapshot-sized input would get, and unwrap
+    // the AQE root (PlanSpec convention) before collecting
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val exec = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("status"))
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+      assert(exec.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"full-outer diff should be a sort-merge join:\n$exec")
+    }
   }
 
   // ---- winsorize ----
@@ -73,8 +82,8 @@ class SnapshotDiffSpec extends SparkTestBase {
     val df = (1 to 20).map(i => (i.toLong, "a", i.toDouble)) :+ ((99L, "b", 5.0))
     val got = CorpusOps.winsorize(df.toDF("doc_id", "stratum", "x"),
         col("doc_id"), col("stratum"), col("x"))
-      .as[(String, Long, Double, Double, Double, Double)].collect()
-      .map(r => r._2 -> r).toMap
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
     assert(got(1L)._4 === 1.95 && got(1L)._5 === 19.05)
     assert(got(1L)._6 === 1.95, "below lo clamps up")
     assert(got(20L)._6 === 19.05, "above hi clamps down")

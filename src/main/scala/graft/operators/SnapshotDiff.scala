@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** (key columns..., change_type, changed_cols) — change_type ∈
-    * {'added','removed','changed'}; changed_cols is the comma-joined list
-    * of differing compare columns in the caller's order (engine-portable —
-    * a string survives any hash-compare; null for added/removed rows).
-    * Unchanged keys are absent. Comparisons are null-safe (NULL → value is
-    * a change, NULL → NULL is not). Keys are expected unique per snapshot
-    * (a snapshot IS a keyed state); a duplicated key produces one output
-    * row per pairing, like any join.
+  /** (key columns..., change_type, changed_cols, changed_cols_arr) —
+    * change_type ∈ {'added','removed','changed'}; changed_cols is the
+    * comma-joined list of differing compare columns in the caller's order
+    * (engine-portable — a string survives any hash-compare), and
+    * changed_cols_arr the same list as an array (the programmatic surface:
+    * `array_contains(changed_cols_arr, 'price')` beats string matching);
+    * both null for added/removed rows. Unchanged keys are absent.
+    * Comparisons are null-safe (NULL → value is a change, NULL → NULL is
+    * not). Keys are expected unique per snapshot (a snapshot IS a keyed
+    * state); a duplicated key produces one output row per pairing, like
+    * any join.
     *
     * Scale shape: ONE full-outer sort-merge join on the key (each side
     * shuffles once; co-locate via bucketed layout to eliminate both
@@ -50,6 +53,10 @@ object SnapshotDiff {
           coalesce(col(s"__o_$c"), col(s"__n_$c")).as(c)) ++
         Seq(col("change_type"),
           when(col("change_type") === "changed", changedCols)
-            .otherwise(lit(null).cast("string")).as("changed_cols")): _*)
+            .otherwise(lit(null).cast("string")).as("changed_cols"),
+          when(col("change_type") === "changed",
+              split(changedCols, ","))
+            .otherwise(lit(null).cast("array<string>"))
+            .as("changed_cols_arr")): _*)
   }
 }

@@ -1855,9 +1855,12 @@ object ExtQueries {
           .otherwise(col("o_orderstatus")).as("o_orderstatus"),
         when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 1.1, 2))
           .otherwise(col("o_totalprice")).as("o_totalprice"))
+    // the comma-joined string is the hash-compare surface; the array twin
+    // (changed_cols_arr) is the programmatic one and is spec-locked instead
     graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
       keyCols = Seq("o_orderkey"),
       compareCols = Seq("o_orderstatus", "o_totalprice"))
+      .drop("changed_cols_arr")
   }
 
   /** Per-source winsorization of the document length at [p05, p95] —

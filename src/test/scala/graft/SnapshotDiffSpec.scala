@@ -29,12 +29,26 @@ class SnapshotDiffSpec extends SparkTestBase {
 
   test("diff classifies added / removed / changed with column names") {
     val got = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+      .select("k", "change_type", "changed_cols")
       .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === Map(
       2L -> (("changed", "price")),
       3L -> (("removed", null)),
       4L -> (("changed", "status")),
       6L -> (("added", null))))
+  }
+
+  test("diff: changed_cols_arr mirrors the string as an array") {
+    val got = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+      .select("k", "changed_cols_arr").as[(Long, Option[Seq[String]])]
+      .collect().toMap
+    assert(got(2L).contains(Seq("price")))
+    assert(got(3L).isEmpty, "removed rows carry a null array")
+    val multi = SnapshotDiff.diff(
+        Seq((1L, "A", 1.0)).toDF("k", "s", "v"),
+        Seq((1L, "B", 2.0)).toDF("k", "s", "v"), Seq("k"), Seq("s", "v"))
+      .select("changed_cols_arr").as[Seq[String]].head()
+    assert(multi === Seq("s", "v"))
   }
 
   test("diff: unchanged keys are absent; null==null is not a change") {
@@ -55,6 +69,7 @@ class SnapshotDiffSpec extends SparkTestBase {
     val o = Seq((1L, "x", 1.0)).toDF("k1", "k2", "v")
     val n = Seq((2L, "y", 2.0)).toDF("k1", "k2", "v")
     val got = SnapshotDiff.diff(o, n, Seq("k1", "k2"), Seq("v"))
+      .select("k1", "k2", "change_type", "changed_cols")
       .as[(Long, String, String, String)].collect().toSet
     assert(got === Set((1L, "x", "removed", null), (2L, "y", "added", null)))
   }

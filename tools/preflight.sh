@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: run before any end-of-round commit so the commit
+# message's stated counts are from a FRESH run, not memory (the round-10
+# failure mode was "new spec committed, suite never re-run").
+#
+#   tools/preflight.sh            # sbt test + Verify/check at sf0.01
+#   tools/preflight.sh --fast     # sbt test only
+#
+# Prints the test count and the oracle pass count; exits non-zero on any
+# failure so a snapshot commit behind it cannot ship red.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+out=$(mktemp -d)
+sbt -batch test 2>&1 | tee "$out/test.log" | grep -E "Tests:|All tests" || true
+grep -q "All tests passed." "$out/test.log" || {
+  echo "PREFLIGHT FAIL: sbt test not green" >&2; exit 1; }
+tests=$(grep -oE "succeeded [0-9]+" "$out/test.log" | awk '{print $2}')
+
+if [[ "${1:-}" != "--fast" ]]; then
+  SPARK_GRAFT_CPUS=8 sbt -batch \
+    "runMain graft.Verify /root/testdata/sf0.01 $out/verify" \
+    > "$out/verify.log" 2>&1 || { tail -20 "$out/verify.log" >&2; exit 1; }
+  python3 tools/check_local.py /root/testdata/sf0.01 "$out/verify" \
+    | tail -1 | tee "$out/check.txt"
+  grep -q " 0 failed" "$out/check.txt" || {
+    echo "PREFLIGHT FAIL: oracle compare has failures" >&2; exit 1; }
+fi
+
+echo "PREFLIGHT OK: $tests tests green$( [[ "${1:-}" != "--fast" ]] \
+  && echo ", oracle: $(cat "$out/check.txt")" )"

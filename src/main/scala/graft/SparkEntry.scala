@@ -120,6 +120,7 @@ object SparkEntry {
     "x_triangles" -> ExtQueries.xTriangles,
     "x_clustering_coef" -> ExtQueries.xClusteringCoef,
     "x_label_prop" -> ExtQueries.xLabelProp,
+    "x_concomp" -> ExtQueries.xConcomp,
     "x_kcore" -> ExtQueries.xKcore,
     "x_auc" -> ExtQueries.xAuc,
     "x_auc_stratum" -> ExtQueries.xAucStratum,
@@ -251,7 +252,9 @@ object SparkEntry {
     "x_split" -> ExtQueries.xSplit,
     "x_shuffle_export" -> ExtQueries.xShuffleExport,
     // ext: drift monitoring
-    "x_psi_drift" -> ExtQueries.xPsiDrift
+    "x_psi_drift" -> ExtQueries.xPsiDrift,
+    "x_ks_drift" -> ExtQueries.xKsDrift,
+    "x_js_div" -> ExtQueries.xJsDivergence
   )
 
   /** DuckDB equivalents — every query in `queries` has one. */
@@ -293,5 +296,6 @@ object SparkEntry {
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
     "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore",
     "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
-    "x_blocking_recall")
+    "x_blocking_recall", "x_concomp", "x_ks_drift", "x_js_div",
+    "x_pca_invariants")
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level curation operators: cross-document boilerplate detection and
@@ -638,6 +639,85 @@ object CorpusOps {
                (col("__tot_c") + lit(alpha) * col("__nbins"))) /
               ((coalesce(col("__nr"), lit(0L)).cast("double") + lit(alpha)) /
                (col("__tot_r") + lit(alpha) * col("__nbins")))), 6).as("psi_contrib"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between two corpus snapshots
+    * over a numeric column: D = max_v |F_ref(v) − F_cur(v)| — the
+    * distribution-shape drift monitor that PSI's pre-binned form misses
+    * (PSI sees category mix; KS sees any shift in a continuous quantity
+    * like document length or quality score). Output: one row
+    * (n_ref, n_cur, d_stat, at_val) with d_stat the 6-dp-rounded max gap
+    * and at_val the SMALLEST value attaining it (round-before-argmax +
+    * total tie order = engine-portable).
+    *
+    * Scale shape: each snapshot collapses map-side to (value, count) —
+    * the only row-level passes; the cumulative window then runs over the
+    * DISTINCT-value table (the [[EvalOps.aucRoc]] discipline: a global
+    * window is a one-partition bottleneck, so it must only ever see
+    * value-cardinality rows, never the corpus). */
+  def ksTest(ref: DataFrame, cur: DataFrame, refX: Column,
+             curX: Column): DataFrame = {
+    val rc = ref.select(refX.cast("double").as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__cr"))
+    val cc = cur.select(curX.cast("double").as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__cc"))
+    val merged = rc.join(cc, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("__cr"), lit(0L)).as("cr"),
+        coalesce(col("__cc"), lit(0L)).as("cc"))
+    val totals = rc.agg(sum("__cr").cast("double").as("__nr"))
+      .crossJoin(cc.agg(sum("__cc").cast("double").as("__nc")))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .select(col("v"), sum("cr").over(w).as("__sr"), sum("cc").over(w).as("__sc"))
+      .crossJoin(broadcast(totals))
+      .select(col("__nr"), col("__nc"),
+        round(abs(col("__sr") / col("__nr") - col("__sc") / col("__nc")), 6)
+          .as("__gap"),
+        col("v"))
+      .agg(max(struct(col("__gap"), (-col("v")).as("__negv"))).as("__m"),
+        first(col("__nr")).as("nrd"), first(col("__nc")).as("ncd"))
+      .select(col("nrd").cast("long").as("n_ref"),
+        col("ncd").cast("long").as("n_cur"),
+        col("__m.__gap").as("d_stat"), (-col("__m.__negv")).as("at_val"))
+  }
+
+  /** Jensen–Shannon divergence between two snapshots' token unigram
+    * distributions: JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q), natural log —
+    * bounded in [0, ln 2], symmetric, finite without smoothing (a token on
+    * one side only contributes p·ln 2), which is exactly why it beats raw
+    * KL as a vocabulary-drift monitor. Output: one row
+    * (n_ref_tokens, n_cur_tokens, vocab_union, jsd) rounded to 6 dp.
+    *
+    * Scale shape: one token-count aggregate per side (corpus collapses to
+    * vocabulary), a hint-free full-outer join on the token (vocabularies
+    * are unbounded — never broadcast), and a one-row sum; the summands are
+    * all O(p·ln 2) positives, so the 6-dp round is portable (the
+    * covarianceMatrix centring lesson applied preventively). */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, refText: Column,
+                   curText: Column): DataFrame = {
+    def tokCounts(df: DataFrame, text: Column, cn: String) =
+      df.select(explode(TextOps.tokens(text)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(cn))
+    val rc = tokCounts(ref, refText, "__cr")
+    val cc = tokCounts(cur, curText, "__cc")
+    val totals = rc.agg(sum("__cr").cast("double").as("__nr"))
+      .crossJoin(cc.agg(sum("__cc").cast("double").as("__nc")))
+    val joined = rc.join(cc, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("__cr"), lit(0L)).as("cr"),
+        coalesce(col("__cc"), lit(0L)).as("cc"))
+      .crossJoin(broadcast(totals))
+    val p = col("cr").cast("double") / col("__nr")
+    val q = col("cc").cast("double") / col("__nc")
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      when(col("cr") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("cc") > 0, q * log(q / m)).otherwise(lit(0.0))
+    joined.agg(
+        first(col("__nr")).cast("long").as("n_ref_tokens"),
+        first(col("__nc")).cast("long").as("n_cur_tokens"),
+        count(lit(1)).as("vocab_union"),
+        round(sum(contrib) / lit(2.0), 6).as("jsd"))
   }
 
   /** Deterministic train/val/test assignment: the md5 uniform of the key

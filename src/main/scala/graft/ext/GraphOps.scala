@@ -147,6 +147,47 @@ object GraphOps {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Connected components over the undirected simple graph: synchronous
+    * hash-min propagation — each round every node's component id becomes
+    * the min of its own and its neighbours' — for a FIXED `rounds` horizon
+    * so the result is deterministic and oracle-unrollable. Output:
+    * (node, component) with component = the minimum node id within
+    * `rounds` hops; exact components for any graph whose component
+    * diameter ≤ rounds (the crawl-graph dedup prerequisite: URL-alias
+    * clusters and mirror farms have tiny diameters, so a handful of
+    * rounds closes them; raise `rounds` for genuinely deep structures, or
+    * switch to a large-star/small-star doubling scheme — O(log d) rounds —
+    * when diameters are unbounded; the fixed-horizon min-propagation is
+    * the portable, unrollable form).
+    *
+    * Scale shape per round: one equi-join of the (symmetrized, persisted)
+    * edge list with the component frame on the neighbour key and one
+    * partial-aggregated min on the node — hub fan-in collapses map-side;
+    * per-round localCheckpoint truncation as in [[pageRank]]. */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+                          rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "connectedComponents: rounds must be >= 1")
+    val und = simpleUndirected(edges, src, dst)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    val nodes = sym.select("node").distinct().persist()
+    var comp = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrMin = sym
+        .join(comp.select(col("node").as("nbr"), col("component")), "nbr")
+        .groupBy("node").agg(min("component").as("__nm"))
+      comp = comp.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nm"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(); nodes.unpersist()
+    comp
+  }
+
   /** k-core peeling over the undirected simple graph: repeatedly drop
     * nodes whose CURRENT degree is below `k` (each drop can push
     * neighbours below the bar, hence the rounds), for a FIXED `rounds`

@@ -832,6 +832,12 @@ object ExtQueries {
     GraphOps.labelPropagation(transitionEdges(s, dir), col("src"),
       col("dst"), iters = 3)
 
+  /** Connected components (5 hash-min rounds) on the transition graph —
+    * oracle unrolls the identical min-propagation recurrence. */
+  val xConcomp: Q = (s, dir) =>
+    GraphOps.connectedComponents(transitionEdges(s, dir), col("src"),
+      col("dst"), rounds = 5)
+
   /** ROC-AUC of the fastText-shaped classifier score against the
     * lang = 'en' label — the one-pass Mann-Whitney eval over the scored
     * corpus (sklearn's roc_auc_score as relational algebra). */
@@ -1550,6 +1556,25 @@ object ExtQueries {
     CorpusOps.psiDrift(
       d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
       col("source"), col("source"))
+  }
+
+  /** Two-sample KS statistic over document length between the even-id and
+    * odd-id halves — the continuous-distribution drift monitor (PSI's
+    * shape-blind complement); window runs over DISTINCT lengths only. */
+  val xKsDrift: Q = (s, dir) => {
+    val d = docs(s, dir).where(col("n_chars").isNotNull)
+    CorpusOps.ksTest(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+      col("n_chars"), col("n_chars"))
+  }
+
+  /** Jensen–Shannon divergence between the two halves' token unigram
+    * distributions — vocabulary drift, finite without smoothing. */
+  val xJsDivergence: Q = (s, dir) => {
+    val d = docs(s, dir)
+    CorpusOps.jsDivergence(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+      col("text"), col("text"))
   }
 
   // ---- product quantization (round 4) ----

@@ -1916,6 +1916,80 @@ object Oracles {
          |SELECT node, label AS community FROM l3""".stripMargin
     },
 
+    // connected components: 5 hash-min rounds unrolled — the same
+    // synchronous min-propagation recurrence as the Spark side
+    "x_concomp" -> {
+      val rounds = (1 to 5).map { i =>
+        val p = s"c${i - 1}"
+        s"""m$i AS (SELECT s.node, min(l.component) AS mn FROM sym s
+           |  JOIN $p l ON l.node = s.nbr GROUP BY s.node),
+           |c$i AS (SELECT p.node,
+           |    least(p.component, coalesce(m$i.mn, p.component)) AS component
+           |  FROM $p p LEFT JOIN m$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ed AS (SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq WHERE k IS NOT NULL),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+         |sym AS (SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |nd AS (SELECT DISTINCT node FROM sym),
+         |c0 AS (SELECT node, node AS component FROM nd),
+         |$rounds
+         |SELECT node, component FROM c5""".stripMargin
+    },
+
+    // two-sample KS over document length: cumulative CDF gap on the
+    // DISTINCT-value table, gap rounded BEFORE the argmax, smallest value
+    // wins ties — fully deterministic (integer cumulative counts / totals)
+    "x_ks_drift" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |rc AS (SELECT v, count(*) AS cr FROM d WHERE doc_id % 2 = 0 GROUP BY v),
+        |cx AS (SELECT v, count(*) AS c2 FROM d WHERE doc_id % 2 = 1 GROUP BY v),
+        |t AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS nr,
+        |             (SELECT CAST(sum(c2) AS DOUBLE) FROM cx) AS nc),
+        |m AS (SELECT coalesce(rc.v, cx.v) AS v, coalesce(cr, 0) AS cr,
+        |    coalesce(c2, 0) AS c2
+        |  FROM rc FULL OUTER JOIN cx ON rc.v = cx.v),
+        |cdf AS (SELECT v, sum(cr) OVER (ORDER BY v) AS sr,
+        |    sum(c2) OVER (ORDER BY v) AS sc FROM m),
+        |g AS (SELECT v, round(abs(sr / nr - sc / nc), 6) AS gap
+        |  FROM cdf CROSS JOIN t)
+        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  gap AS d_stat, v AS at_val
+        |FROM g CROSS JOIN t ORDER BY gap DESC, v ASC LIMIT 1""".stripMargin,
+
+    // Jensen-Shannon divergence between the halves' unigram distributions
+    // (natural log; one-sided tokens contribute p*ln 2 — finite, no
+    // smoothing needed)
+    "x_js_div" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |rt AS (SELECT tok, count(*) AS c FROM
+         |  (SELECT unnest(tk) AS tok FROM d WHERE doc_id % 2 = 0) GROUP BY tok),
+         |ct AS (SELECT tok, count(*) AS c FROM
+         |  (SELECT unnest(tk) AS tok FROM d WHERE doc_id % 2 = 1) GROUP BY tok),
+         |t AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM rt) AS nr,
+         |             (SELECT CAST(sum(c) AS DOUBLE) FROM ct) AS nc),
+         |j AS (SELECT coalesce(rt.tok, ct.tok) AS tok,
+         |    coalesce(rt.c, 0) AS cr, coalesce(ct.c, 0) AS cc
+         |  FROM rt FULL OUTER JOIN ct ON rt.tok = ct.tok)
+         |SELECT (SELECT CAST(sum(c) AS BIGINT) FROM rt) AS n_ref_tokens,
+         |  (SELECT CAST(sum(c) AS BIGINT) FROM ct) AS n_cur_tokens,
+         |  count(*) AS vocab_union,
+         |  round(sum(
+         |    CASE WHEN cr > 0 THEN (cr / nr) *
+         |      ln((cr / nr) / ((cr / nr + cc / nc) / 2)) ELSE 0 END +
+         |    CASE WHEN cc > 0 THEN (cc / nc) *
+         |      ln((cc / nc) / ((cr / nr + cc / nc) / 2)) ELSE 0 END) / 2, 6)
+         |    AS jsd
+         |FROM j CROSS JOIN t""".stripMargin,
+
     // per-source midrank AUC — the PARTITION BY form of the x_auc math
     "x_auc_stratum" ->
       s"""$SCORED_CTES,

@@ -210,4 +210,54 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
       assert(tris(edges) === want.toMap.filter(_._2 > 0), s"trial $trial")
     }
   }
+
+  // ---- connected components ----
+
+  private def comps(edges: Seq[(Long, Long)], rounds: Int = 5): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("s", "t"), col("s"), col("t"),
+        rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: two components get their min ids") {
+    val got = comps(Seq((5L, 3L), (3L, 9L), (20L, 11L)))
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 11L -> 11L, 20L -> 11L))
+  }
+
+  test("connectedComponents: direction/multiplicity/self-loops collapse; " +
+    "a chain within the horizon closes") {
+    // 1-2-3-4-5 chain: min label 1 needs 4 hops to reach node 5
+    val chain = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (5L, 5L), (2L, 3L))
+    assert(comps(chain, rounds = 4).values.toSet === Set(1L))
+  }
+
+  test("connectedComponents: a horizon short of the diameter truncates " +
+    "deterministically") {
+    // hash-min after r rounds = min node id within r hops
+    val chain = (1L until 8L).map(i => (i, i + 1)) // 1..8 path
+    val got = comps(chain, rounds = 2)
+    assert(got(8L) === 6L, "node 8 sees only 2 hops back")
+    assert(got(3L) === 1L)
+  }
+
+  test("connectedComponents: matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(15)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // rounds = n is always ≥ diameter, so the fixed horizon is exact here
+      assert(comps(edges, rounds = n) === want, s"trial $trial")
+    }
+  }
 }

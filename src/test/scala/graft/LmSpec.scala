@@ -267,6 +267,69 @@ class LmSpec extends SparkTestBase {
     assert(nullRow._2 === 1L && nullRow._3 === 1L && nullRow._4 === 0.0)
   }
 
+  // ---- ksTest ----
+
+  test("ksTest: hand-computed two-sample D with the smallest argmax value") {
+    // ref: 1,2,3,4 (F steps .25 each); cur: 3,4,5,6
+    // gaps at v=1:.25 2:.5 3:.5 4:.5 5:.25 6:0 → D=.5, at_val=2 (smallest)
+    val ref = Seq(1, 2, 3, 4).zipWithIndex.map(_.swap).toDF("id", "x")
+    val cur = Seq(3, 4, 5, 6).zipWithIndex.map(_.swap).toDF("id", "x")
+    val got = graft.ext.CorpusOps.ksTest(ref, cur, col("x"), col("x"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(got === ((4L, 4L, 0.5, 2.0)))
+  }
+
+  test("ksTest: identical samples give D = 0; nulls are excluded") {
+    val a = Seq(Some(1), Some(2), None, Some(2)).zipWithIndex.map(_.swap)
+      .toDF("id", "x")
+    val got = graft.ext.CorpusOps.ksTest(a, a, col("x"), col("x"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._1 === 3L && got._2 === 3L && got._3 === 0.0)
+  }
+
+  test("ksTest: the window only ever sees the distinct-value table") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("n_chars").isNotNull)
+    val plan = graft.ext.CorpusOps.ksTest(
+        df.where(col("doc_id") % 2 === 0), df.where(col("doc_id") % 2 === 1),
+        col("n_chars"), col("n_chars"))
+      .queryExecution.optimizedPlan.toString
+    // the Window node's child must be the post-aggregate join, i.e. the
+    // plan string shows Aggregate BELOW Window (corpus collapsed first)
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0 && plan.indexOf("Aggregate", wIdx) > wIdx,
+      s"window must run over aggregated distinct values:\n$plan")
+  }
+
+  // ---- jsDivergence ----
+
+  test("jsDivergence: identical corpora give 0; disjoint give ln 2") {
+    val a = Seq((1L, "x y z")).toDF("id", "text")
+    val b = Seq((1L, "p q r")).toDF("id", "text")
+    val same = graft.ext.CorpusOps.jsDivergence(a, a, col("text"), col("text"))
+      .select("jsd").as[Double].head()
+    assert(same === 0.0)
+    val disj = graft.ext.CorpusOps.jsDivergence(a, b, col("text"), col("text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(disj._3 === 6L)
+    assert(math.abs(disj._4 - math.log(2)) < 1e-6)
+  }
+
+  test("jsDivergence: hand-computed asymmetric-mass case") {
+    // ref tokens: a a b (p_a=2/3, p_b=1/3); cur: a b b b (q_a=1/4, q_b=3/4)
+    val ref = Seq((1L, "a a b")).toDF("id", "text")
+    val cur = Seq((1L, "a b b b")).toDF("id", "text")
+    def term(p: Double, m: Double) = if (p > 0) p * math.log(p / m) else 0.0
+    val ma = (2.0 / 3 + 1.0 / 4) / 2; val mb = (1.0 / 3 + 3.0 / 4) / 2
+    val want = (term(2.0 / 3, ma) + term(1.0 / 4, ma) +
+      term(1.0 / 3, mb) + term(3.0 / 4, mb)) / 2
+    val got = graft.ext.CorpusOps.jsDivergence(ref, cur, col("text"), col("text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 === 3L && got._2 === 4L && got._3 === 2L)
+    assert(math.abs(got._4 -
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("temperatureSample: null-stratum rows form their own stratum instead " +
     "of vanishing") {
     val df = ((0 until 20).map(i => (i.toLong, "big")) ++

@@ -61,10 +61,12 @@ object PlanAudit {
         "x_embed_cov","x_char_entropy","x_pii_luhn","x_profile","x_dq_check",
         "x_auc","x_confusion","x_calibration","x_mm_ahash",
         "x_minhash_recall","x_triangles","x_clustering_coef",
-        "x_auc_stratum","x_sorted_nbr","x_blocking_recall")
+        "x_auc_stratum","x_sorted_nbr","x_blocking_recall",
+        "x_ks_drift","x_js_div")
       .foreach(audit)
     // NOT audited: the eager operators (x_pagerank, x_label_prop, x_kcore,
-    // x_pca_project) execute their iterative/collect work at query
+    // x_concomp, x_pca_project, x_pca_invariants) execute their
+    // iterative/collect work at query
     // construction, so the returned frame is a checkpoint scan — plan
     // text would be vacuous evidence. Their per-round shapes are locked
     // in GraphSpec/PcaSpec instead.

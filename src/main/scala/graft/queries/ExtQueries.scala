@@ -1562,7 +1562,10 @@ object ExtQueries {
     * odd-id halves — the continuous-distribution drift monitor (PSI's
     * shape-blind complement); window runs over DISTINCT lengths only. */
   val xKsDrift: Q = (s, dir) => {
-    val d = docs(s, dir).where(col("n_chars").isNotNull)
+    // NOT docs(): the text-null gate would drag the fat text column into
+    // the scan of a query that only needs (doc_id, n_chars) — ReadSchema
+    // pruning is the point at scale
+    val d = t(s, dir, "documents").where(col("n_chars").isNotNull)
     CorpusOps.ksTest(
       d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
       col("n_chars"), col("n_chars"))

@@ -1948,7 +1948,7 @@ object Oracles {
     // wins ties — fully deterministic (integer cumulative counts / totals)
     "x_ks_drift" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
-        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |  FROM documents WHERE n_chars IS NOT NULL),
         |rc AS (SELECT v, count(*) AS cr FROM d WHERE doc_id % 2 = 0 GROUP BY v),
         |cx AS (SELECT v, count(*) AS c2 FROM d WHERE doc_id % 2 = 1 GROUP BY v),
         |t AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS nr,

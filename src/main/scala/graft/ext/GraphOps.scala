@@ -188,6 +188,61 @@ object GraphOps {
     comp
   }
 
+  /** EXACT connected components — the unbounded-diameter complement to the
+    * fixed-horizon [[connectedComponents]]: alternates a neighbour-min step
+    * with a POINTER-JUMPING step (c ← c(c), one self-join of the label
+    * frame), which contracts label chains geometrically, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a path graph of a
+    * million nodes closes in ~20 rounds, not a million. Runs to fixpoint
+    * (label sums are strictly decreasing until then, so the fixpoint test
+    * is exact), `maxRounds` as the runaway guard. Output:
+    * (node, component) with component = the component's minimum node id —
+    * engine-independent, so the oracle can verify it by transitive closure
+    * without replaying the rounds.
+    *
+    * Scale shape per round: neighbour-min (one nbr-key join + partial-agg
+    * min), pointer jump (one label-key self-join), change count (one
+    * node-key join over label-cardinality frames); per-round
+    * localCheckpoint. The driver sees one count per round — a scalar, the
+    * pageRank node-count class. */
+  def connectedComponentsExact(edges: DataFrame, src: Column, dst: Column,
+                               maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1, "connectedComponentsExact: maxRounds must be >= 1")
+    val und = simpleUndirected(edges, src, dst)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    val nodes = sym.select("node").distinct().persist()
+    var comp = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym
+        .join(comp.select(col("node").as("nbr"), col("component")), "nbr")
+        .groupBy("node").agg(min("component").as("__nm"))
+      val stepped = comp.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nm"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      // pointer jump against the JUST-stepped mapping: c ← c(c)
+      val jumped = stepped
+        .join(stepped.select(col("node").as("component"),
+          col("component").as("__cc")), Seq("component"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__cc"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = jumped.join(comp.withColumnRenamed("component", "__prev"), "node")
+        .where(col("component") =!= col("__prev")).count()
+      comp = jumped
+      round += 1
+    }
+    sym.unpersist(); nodes.unpersist()
+    comp
+  }
+
   /** k-core peeling over the undirected simple graph: repeatedly drop
     * nodes whose CURRENT degree is below `k` (each drop can push
     * neighbours below the bar, hence the rounds), for a FIXED `rounds`

@@ -838,6 +838,13 @@ object ExtQueries {
     GraphOps.connectedComponents(transitionEdges(s, dir), col("src"),
       col("dst"), rounds = 5)
 
+  /** EXACT connected components (pointer-jumping to fixpoint) — the output
+    * is the component-min labelling itself, so the oracle verifies it by
+    * recursive-CTE transitive closure instead of replaying rounds. */
+  val xConcompExact: Q = (s, dir) =>
+    GraphOps.connectedComponentsExact(transitionEdges(s, dir), col("src"),
+      col("dst"))
+
   /** ROC-AUC of the fastText-shaped classifier score against the
     * lang = 'en' label — the one-pass Mann-Whitney eval over the scored
     * corpus (sklearn's roc_auc_score as relational algebra). */

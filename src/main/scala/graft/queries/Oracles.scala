@@ -1943,6 +1943,28 @@ object Oracles {
          |SELECT node, component FROM c5""".stripMargin
     },
 
+    // exact connected components: the oracle does NOT replay the
+    // pointer-jumping rounds — the component-min labelling is
+    // round-count-independent, so a recursive-CTE transitive closure
+    // (min reachable id per node) verifies it directly
+    "x_concomp_exact" ->
+      """WITH RECURSIVE seq AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ed AS (SELECT k AS src,
+        |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM seq WHERE k IS NOT NULL),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+        |sym AS (SELECT a AS node, b AS nbr FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |nd AS (SELECT DISTINCT node FROM sym),
+        |reach(node, m) AS (
+        |  SELECT node, node FROM nd
+        |  UNION
+        |  SELECT s.node, r.m FROM sym s JOIN reach r ON r.node = s.nbr)
+        |SELECT node, min(m) AS component FROM reach GROUP BY node""".stripMargin,
+
     // two-sample KS over document length: cumulative CDF gap on the
     // DISTINCT-value table, gap rounded BEFORE the argmax, smallest value
     // wins ties — fully deterministic (integer cumulative counts / totals)

@@ -260,4 +260,32 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
       assert(comps(edges, rounds = n) === want, s"trial $trial")
     }
   }
+
+  // ---- exact connected components (pointer jumping) ----
+
+  private def compsExact(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponentsExact(edges.toDF("s", "t"), col("s"), col("t"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponentsExact: a 60-node path closes in far fewer " +
+    "rounds than its diameter") {
+    // hash-min alone needs 59 rounds; pointer jumping must converge well
+    // inside the default maxRounds = 40 — exactness here PROVES the jump
+    val path = (1L until 60L).map(i => (i, i + 1))
+    val got = compsExact(path)
+    assert(got.values.toSet === Set(1L))
+    assert(got.size === 60)
+  }
+
+  test("connectedComponentsExact: matches the fixed-horizon form and " +
+    "union-find on random graphs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty)
+        assert(compsExact(edges) === comps(edges, rounds = n), s"trial $trial")
+    }
+  }
 }

@@ -188,7 +188,33 @@ object StreamingBench {
     val eState = stateRows(q4)
     q4.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    // ---- streaming PSI drift monitor (complete-mode agg + per-trigger
+    // scoring against a static reference) ----
+    // state is the cumulative bin-count table (bin cardinality = 64), so
+    // the metric pair is input rows/s through the update-mode agg and the
+    // per-trigger PSI-frame latency folded into the same wall time
+    val refCounts = spark.range(0, 64)
+      .select(concat(lit("b"), col("id") % 64).as("bin"),
+        (col("id") % 7 + 1).as("n_ref"))
+    val din = MemoryStream[Long]
+    var psiFrames = 0L
+    val q5 = graft.streaming.DriftMonitor.psiQuery(
+        din.toDF().select(concat(lit("b"), col("value") % 64).as("src")),
+        col("src"), refCounts,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+      (psi, _) => psiFrames += psi.count()
+    }.start()
+    def driftBatch(b: Int): Seq[Long] =
+      (0 until batchRows).map(i => (b.toLong * batchRows + i) * 131)
+    (0 until warm).foreach { b => din.addData(driftBatch(b)); q5.processAllAvailable() }
+    val t5 = System.nanoTime()
+    (warm until total).foreach { b => din.addData(driftBatch(b)); q5.processAllAvailable() }
+    val pSec = (System.nanoTime() - t5) / 1e9
+    val pRows = (total - warm).toLong * batchRows
+    val pState = stateRows(q5)
+    q5.stop()
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

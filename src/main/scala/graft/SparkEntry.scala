@@ -122,6 +122,7 @@ object SparkEntry {
     "x_label_prop" -> ExtQueries.xLabelProp,
     "x_concomp" -> ExtQueries.xConcomp,
     "x_concomp_exact" -> ExtQueries.xConcompExact,
+    "x_random_walk" -> ExtQueries.xRandomWalk,
     "x_kcore" -> ExtQueries.xKcore,
     "x_auc" -> ExtQueries.xAuc,
     "x_auc_stratum" -> ExtQueries.xAucStratum,
@@ -297,6 +298,6 @@ object SparkEntry {
     "x_profile", "x_dq_check", "x_label_prop", "x_auc", "x_confusion",
     "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore",
     "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
-    "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_ks_drift",
-    "x_js_div", "x_pca_invariants")
+    "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
+    "x_ks_drift", "x_js_div", "x_pca_invariants")
 }

@@ -277,6 +277,60 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Deterministic fixed-length random walks over the undirected simple
+    * graph — the corpus generator for graph-embedding training (DeepWalk /
+    * node2vec-style skip-gram input): `walksPerNode` walks start at every
+    * node and take `steps` uniform-neighbour steps. "Random" is the house
+    * md5 idiom, NOT an RNG: the step-t choice from node u on walk w is
+    * neighbour rank md5(w:t:u) mod degree(u), so any engine reproduces the
+    * identical walks (the oracle replays them in SQL) and a re-run after
+    * failure regenerates the same corpus. Output:
+    * (walk_id, step, node), step 0 = the start node.
+    *
+    * Scale shape: the adjacency is ranked once (one window keyed by node —
+    * partition width is the degree, and both rank and degree ride the same
+    * exchange) and persisted; each step is ONE equi-join of the
+    * walk frontier with the adjacency on the current node plus the
+    * map-side rank filter — no window, no collect, frontier localCheckpoint
+    * per step ([[pageRank]] truncation discipline). Hub nodes fan IN
+    * walks, but each walk row joins exactly deg rows filtered to one —
+    * skew is bounded by the per-partition map, not a blown-up join. */
+  def randomWalks(edges: DataFrame, src: Column, dst: Column,
+                  steps: Int, walksPerNode: Int = 1): DataFrame = {
+    require(steps >= 1, "randomWalks: steps must be >= 1")
+    require(walksPerNode >= 1, "randomWalks: walksPerNode must be >= 1")
+    val und = simpleUndirected(edges, src, dst)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("nbr")
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    val adj = sym.select(col("node"), col("nbr"),
+      (row_number().over(w) - 1).cast("long").as("__rk"),
+      count(lit(1)).over(wd).as("__deg")).persist()
+    var frontier = adj.select("node").distinct()
+      .select(col("node"),
+        explode(array((0 until walksPerNode).map(lit): _*)).as("__w"))
+      .select(concat_ws("#", col("node"), col("__w")).as("walk_id"),
+        col("node").as("cur"))
+      .localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("walk_id"), lit(0).as("step"), col("cur").as("node")))
+    for (t <- 1 to steps) {
+      val pick = conv(substring(
+          md5(concat_ws(":", col("walk_id"), lit(t), col("cur"))), 1, 8),
+        16, 10).cast("long") % col("__deg")
+      frontier = frontier.join(adj, col("cur") === col("node"))
+        .where(col("__rk") === pick)
+        .select(col("walk_id"), col("nbr").as("cur"))
+        .localCheckpoint(true)
+      acc += frontier.select(col("walk_id"), lit(t).as("step"),
+        col("cur").as("node"))
+    }
+    adj.unpersist()
+    acc.reduce(_ unionByName _)
+  }
+
   /** Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·(d(v)−1))
     * over the undirected simple graph, 0 for degree < 2. Output:
     * (node, deg, n_triangles, clustering_coef) for EVERY node of the graph

@@ -845,6 +845,13 @@ object ExtQueries {
     GraphOps.connectedComponentsExact(transitionEdges(s, dir), col("src"),
       col("dst"))
 
+  /** Deterministic random walks (2 per node, 5 steps, md5 neighbour
+    * choice) on the transition graph — the DeepWalk corpus generator; the
+    * oracle replays every step from the same md5 arithmetic. */
+  val xRandomWalk: Q = (s, dir) =>
+    GraphOps.randomWalks(transitionEdges(s, dir), col("src"), col("dst"),
+      steps = 5, walksPerNode = 2)
+
   /** ROC-AUC of the fastText-shaped classifier score against the
     * lang = 'en' label — the one-pass Mann-Whitney eval over the scored
     * corpus (sklearn's roc_auc_score as relational algebra). */

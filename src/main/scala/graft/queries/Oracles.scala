@@ -1943,6 +1943,43 @@ object Oracles {
          |SELECT node, component FROM c5""".stripMargin
     },
 
+    // deterministic random walks: replay every step — the md5 neighbour
+    // choice (rank = hex32(md5(walk:step:node)) mod degree) is pure
+    // arithmetic, so the oracle walks the identical paths
+    "x_random_walk" -> {
+      val steps = (1 to 5).map { t =>
+        val p = if (t == 1) "s0" else s"s${t - 1}"
+        s"""h$t AS (SELECT walk_id, cur,
+           |    md5(walk_id || ':$t:' || CAST(cur AS VARCHAR)) AS h FROM $p),
+           |s$t AS (SELECT f.walk_id, a.nbr AS cur FROM h$t f JOIN adj a
+           |  ON a.node = f.cur AND a.rk = ${hex32("f.h", 1)} % a.deg)"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (0 to 5).map(t =>
+        s"SELECT walk_id, CAST($t AS INT) AS step, cur AS node FROM s$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH seq AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ed AS (SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq WHERE k IS NOT NULL),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE dst IS NOT NULL AND src <> dst),
+         |sym AS (SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |adj AS (SELECT node, nbr,
+         |    CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1
+         |      AS BIGINT) AS rk,
+         |    count(*) OVER (PARTITION BY node) AS deg FROM sym),
+         |nd AS (SELECT DISTINCT node FROM sym),
+         |s0 AS (SELECT CAST(node AS VARCHAR) || '#' || CAST(w.w AS VARCHAR)
+         |    AS walk_id, node AS cur
+         |  FROM nd CROSS JOIN (SELECT unnest(range(0, 2)) AS w) w),
+         |$steps
+         |$out""".stripMargin
+    },
+
     // exact connected components: the oracle does NOT replay the
     // pointer-jumping rounds — the component-min labelling is
     // round-count-independent, so a recursive-CTE transitive closure

@@ -288,4 +288,40 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
         assert(compsExact(edges) === comps(edges, rounds = n), s"trial $trial")
     }
   }
+
+  // ---- deterministic random walks ----
+
+  /** In-JVM replay of the md5 neighbour choice. */
+  private def refWalk(adj: Map[Long, Seq[Long]], start: Long, w: Int,
+                      steps: Int): Seq[Long] = {
+    def pick(walkId: String, t: Int, u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$walkId:$t:$u".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val nbrs = adj(u)
+      nbrs((java.lang.Long.parseLong(hex, 16) % nbrs.size).toInt)
+    }
+    val id = s"$start#$w"
+    (1 to steps).scanLeft(start)((cur, t) => pick(id, t, cur))
+  }
+
+  test("randomWalks: every step matches the in-JVM md5 replay") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    val got = GraphOps.randomWalks(edges.toDF("s", "t"), col("s"), col("t"),
+        steps = 4, walksPerNode = 2)
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(got.size === 10, "5 nodes x 2 walks")
+    for (start <- 1L to 5L; w <- 0 to 1) {
+      val id = s"$start#$w"
+      assert(got(id) === refWalk(adj, start, w, 4), s"walk $id diverges")
+      assert(got(id).length === 5, "steps 0..4 present")
+    }
+    // consecutive nodes are genuine neighbours
+    got.values.foreach(path =>
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"$a -> $b is not an edge") })
+  }
 }

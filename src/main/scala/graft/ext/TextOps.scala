@@ -129,6 +129,47 @@ object TextOps {
         col("__c.n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Skip-gram training pairs (word2vec data prep): for every token, emit
+    * (center, context, dist) for each context token within `window`
+    * positions FORWARD; symmetric pairs come from the caller reading both
+    * orientations (each unordered co-occurrence appears exactly once, so
+    * the table is half the naive size and a swap reproduces the rest).
+    * Pairs are built IN-ROW (nested transform over the token array — the
+    * [[graft.ext.SimilarityOps.covarianceMatrix]] shape) and exploded:
+    * zero joins, zero shuffles; the output is a map-side stream ready to
+    * feed negative-sampling batches. */
+  def skipgramPairs(df: DataFrame, key: Column, text: Column,
+                    window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = tokens(text)
+    val pairs = flatten(transform(toks, (w, i) =>
+      transform(slice(toks, i + 2, lit(window)), (c, j) =>
+        struct(w.as("center"), c.as("context"), (j + 1).as("dist")))))
+    df.select(key.as("doc_id"), explode(pairs).as("__p"))
+      .select(col("doc_id"), col("__p.center").as("center"),
+        col("__p.context").as("context"), col("__p.dist").as("dist"))
+  }
+
+  /** GloVe-style windowed co-occurrence counts: X_ab = Σ 1/dist over all
+    * co-occurrences of the unordered pair {a, b} within `window` positions
+    * (the distance-weighted count GloVe factorises). Pairs are canonically
+    * ordered (a ≤ b) so each unordered pair is ONE row. In-row pair
+    * construction + one partial-aggregated shuffle on (a, b) — the
+    * vocabulary²-bounded aggregate, never a positional self-join of the
+    * exploded corpus (that's the oracle's job). Weight rounded to 6 dp
+    * (sums of positive 1/d terms — no cancellation). */
+  def coOccurrence(df: DataFrame, text: Column, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = tokens(text)
+    val pairs = flatten(transform(toks, (w, i) =>
+      transform(slice(toks, i + 2, lit(window)), (c, j) =>
+        struct(least(w, c).as("a"), greatest(w, c).as("b"),
+          (lit(1.0) / (j + 1).cast("double")).as("w")))))
+    df.select(explode(pairs).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_cooc"), round(sum(col("__p.w")), 6).as("x_ab"))
+  }
+
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame = {
     val toks = col("__toks")
     df.select(key.as("doc_id"), tokens(text).as("__toks"))

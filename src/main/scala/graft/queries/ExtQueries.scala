@@ -1405,6 +1405,17 @@ object ExtQueries {
   val xSubstrDedup: Q = (s, dir) =>
     RepetitionOps.substrDedup(docs(s, dir), col("doc_id"), col("text"), k = 8)
 
+  /** Skip-gram (center, context, dist) pairs within a 3-token forward
+    * window — word2vec data prep, built in-row with zero joins. */
+  val xSkipgram: Q = (s, dir) =>
+    TextOps.skipgramPairs(docs(s, dir), col("doc_id"), col("text"),
+      window = 3)
+
+  /** GloVe-style distance-weighted co-occurrence counts (window 3,
+    * canonical pair order) — one vocabulary²-bounded aggregate. */
+  val xCooc: Q = (s, dir) =>
+    TextOps.coOccurrence(docs(s, dir), col("text"), window = 3)
+
   /** Gopher repetition metrics per document: top-2-gram character coverage
     * and duplicated-5-gram character fraction. */
   val xRepetition: Q = (s, dir) =>

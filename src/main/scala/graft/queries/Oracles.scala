@@ -1637,6 +1637,31 @@ object Oracles {
          |SELECT doc_id, round(sum(s), 6) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
          |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
+    // skip-gram pairs: the naive positional form (the Spark side builds
+    // pairs in-row — zero joins; the oracle is the position unnest)
+    "x_skipgram" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |pos AS (SELECT doc_id, i, tk, tk[i+1] AS w FROM
+         |  (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM d))
+         |SELECT doc_id, w AS center, tk[i+1+j] AS context,
+         |  CAST(j AS INT) AS dist
+         |FROM (SELECT doc_id, i, tk, w, unnest(range(1, 4)) AS j FROM pos)
+         |WHERE i + 1 + j <= len(tk)""".stripMargin,
+
+    // GloVe co-occurrence: canonical unordered pair, weight 1/dist
+    "x_cooc" ->
+      s"""WITH d AS (SELECT $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |pos AS (SELECT i, tk, tk[i+1] AS w FROM
+         |  (SELECT tk, unnest(range(0, len(tk))) AS i FROM d)),
+         |pr AS (SELECT least(w, tk[i+1+j]) AS a, greatest(w, tk[i+1+j]) AS b,
+         |    CAST(1.0 AS DOUBLE) / j AS wt
+         |  FROM (SELECT i, tk, w, unnest(range(1, 4)) AS j FROM pos)
+         |  WHERE i + 1 + j <= len(tk))
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_cooc,
+         |  round(sum(wt), 6) AS x_ab
+         |FROM pr GROUP BY a, b""".stripMargin,
+
     // PMI over ALL-bigram totals (Σ(len-1), not the minCount survivors);
     // round before ranking, lexicographic (a, b) ties
     "x_pmi" ->

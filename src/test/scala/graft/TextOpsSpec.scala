@@ -282,4 +282,33 @@ class TextOpsSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(got(1L) > got(2L))
   }
+
+  test("skipgramPairs: hand-enumerated forward window, dist correct") {
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    val got = TextOps.skipgramPairs(df, $"id", $"text", window = 2)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "b", 1), (1L, "a", "c", 2),
+      (1L, "b", "c", 1), (1L, "b", "d", 2),
+      (1L, "c", "d", 1)))
+  }
+
+  test("skipgramPairs: window clamps at the document tail; 1-token doc " +
+    "emits nothing") {
+    val df = Seq((1L, "x"), (2L, "p q")).toDF("id", "text")
+    val got = TextOps.skipgramPairs(df, $"id", $"text", window = 5)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got === Set((2L, "p", "q", 1)))
+  }
+
+  test("coOccurrence: canonical pair order, 1/dist weights sum across docs") {
+    // "a b a": pairs (a,b,1), (b,a,1)->(a,b,1), (a,a,2); "b a": (a,b,1)
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("id", "text")
+    val got = TextOps.coOccurrence(df, $"text", window = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) === ((3L, 3.0)))
+    assert(got(("a", "a")) === ((1L, 0.5)))
+    assert(got.size === 2)
+  }
 }

@@ -176,6 +176,7 @@ object SparkEntry {
     "x_pmi" -> ExtQueries.xPmi,
     "x_skipgram" -> ExtQueries.xSkipgram,
     "x_cooc" -> ExtQueries.xCooc,
+    "x_neg_sample" -> ExtQueries.xNegSample,
     "x_zorder" -> ExtQueries.xZorder,
     "x_anomaly" -> ExtQueries.xAnomaly,
     "x_agg_merge" -> ExtQueries.xAggMerge,
@@ -301,5 +302,6 @@ object SparkEntry {
     "x_calibration", "x_mm_ahash", "x_minhash_recall", "x_kcore",
     "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
     "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
-    "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc")
+    "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
+    "x_neg_sample")
 }

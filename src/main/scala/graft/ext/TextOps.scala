@@ -170,6 +170,62 @@ object TextOps {
       .agg(count(lit(1)).as("n_cooc"), round(sum(col("__p.w")), 6).as("x_ab"))
   }
 
+  /** Deterministic word2vec negative sampling: `k` negatives per skip-gram
+    * pair, drawn from the unigram^0.75 distribution (Mikolov's smoothing)
+    * by md5-uniform inversion — u = md5(center:context:dist:slot)/2³² · Z
+    * lands in a token's cumulative-weight interval [lo, hi). Output:
+    * (doc_id, center, context, dist, slot, negative) — float-free, so the
+    * cross-engine hash compare is exact.
+    *
+    * Engine-portability: the 0.75 power is computed as sqrt(sqrt(c³)) —
+    * IEEE sqrt is correctly rounded in every engine while pow() is not, so
+    * the weights (and hence every interval boundary and every sampling
+    * decision) are bit-identical in Spark and the oracle; the cumulative
+    * sum runs sequentially in the same total token order on both sides.
+    *
+    * Scale shape: the interval lookup is NOT a nested-loop range join —
+    * each vocab interval explodes to the integer buckets it covers
+    * (≤ V + nBuckets rows total) and each probe computes its bucket
+    * map-side, so the lookup is a plain equi-join on the bucket id with
+    * the range filter above it (the as-of family's bucketized-rewrite
+    * pattern). The cumulative window is vocabulary-bounded — the
+    * [[graft.ext.EvalOps.aucRoc]] distinct-value discipline, never the
+    * corpus. */
+  def negativeSamples(df: DataFrame, key: Column, text: Column,
+                      window: Int, k: Int, nBuckets: Int = 256): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val w = sqrt(sqrt((col("__c") * col("__c") * col("__c")).cast("double")))
+    val win = Window.orderBy("negative")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vocab.select(col("tok").as("negative"), w.as("__w"))
+      .select(col("negative"), col("__w"), sum("__w").over(win).as("__hi"))
+      .select(col("negative"), (col("__hi") - col("__w")).as("__lo"), col("__hi"))
+    val z = cum.agg(max("__hi").as("__z"))
+    def width = col("__z") / lit(nBuckets.toDouble)
+    val cumB = cum.crossJoin(broadcast(z))
+      .select(col("negative"), col("__lo"), col("__hi"),
+        explode(sequence(floor(col("__lo") / width).cast("long"),
+          floor(col("__hi") / width).cast("long"))).as("__b"))
+    val probes = skipgramPairs(df, key, text, window)
+      .select(col("*"),
+        explode(array((0 until k).map(lit): _*)).as("slot"))
+      .crossJoin(broadcast(z))
+      .withColumn("__u",
+        conv(substring(md5(concat_ws(":", col("center"), col("context"),
+          col("dist"), col("slot"))), 1, 8), 16, 10).cast("double")
+          / lit(4294967296.0) * col("__z"))
+      .withColumn("__b", floor(col("__u") / width).cast("long"))
+    probes.join(cumB, Seq("__b"))
+      .where(col("__u") >= col("__lo") && col("__u") < col("__hi"))
+      .select(col("doc_id"), col("center"), col("context"), col("dist"),
+        col("slot"), col("negative"))
+  }
+
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame = {
     val toks = col("__toks")
     df.select(key.as("doc_id"), tokens(text).as("__toks"))

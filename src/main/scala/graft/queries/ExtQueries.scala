@@ -1416,6 +1416,12 @@ object ExtQueries {
   val xCooc: Q = (s, dir) =>
     TextOps.coOccurrence(docs(s, dir), col("text"), window = 3)
 
+  /** md5-deterministic unigram^0.75 negative sampling, 2 per skip-gram
+    * pair (window 2) — bucketized interval lookup, float-free output. */
+  val xNegSample: Q = (s, dir) =>
+    TextOps.negativeSamples(docs(s, dir), col("doc_id"), col("text"),
+      window = 2, k = 2)
+
   /** Gopher repetition metrics per document: top-2-gram character coverage
     * and duplicated-5-gram character fraction. */
   val xRepetition: Q = (s, dir) =>

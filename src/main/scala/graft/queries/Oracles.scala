@@ -1662,6 +1662,38 @@ object Oracles {
          |  round(sum(wt), 6) AS x_ab
          |FROM pr GROUP BY a, b""".stripMargin,
 
+    // deterministic negative sampling: identical md5-uniform inversion of
+    // the unigram^0.75 cumulative distribution — ^0.75 as sqrt(sqrt(c^3))
+    // (IEEE sqrt is correctly rounded, pow is not), cum sum in the same
+    // total token order, so every interval boundary matches bit-for-bit
+    "x_neg_sample" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |vc AS (SELECT tok, count(*) AS c FROM
+         |  (SELECT unnest(tk) AS tok FROM d) GROUP BY tok),
+         |cum AS (SELECT tok AS negative,
+         |    sqrt(sqrt(CAST(c * c * c AS DOUBLE))) AS w,
+         |    sum(sqrt(sqrt(CAST(c * c * c AS DOUBLE))))
+         |      OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS hi
+         |  FROM vc),
+         |ci AS (SELECT negative, hi - w AS lo, hi FROM cum),
+         |z AS (SELECT max(hi) AS z FROM ci),
+         |pos AS (SELECT doc_id, i, tk, tk[i+1] AS w FROM
+         |  (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM d)),
+         |pr AS (SELECT doc_id, w AS center, tk[i+1+j] AS context,
+         |    CAST(j AS INT) AS dist
+         |  FROM (SELECT doc_id, i, tk, w, unnest(range(1, 3)) AS j FROM pos)
+         |  WHERE i + 1 + j <= len(tk)),
+         |ph AS (SELECT doc_id, center, context, dist, CAST(s.s AS INT) AS slot,
+         |    md5(center || ':' || context || ':' || CAST(dist AS VARCHAR)
+         |      || ':' || CAST(s.s AS VARCHAR)) AS h
+         |  FROM pr CROSS JOIN (SELECT unnest(range(0, 2)) AS s) s),
+         |probes AS (SELECT doc_id, center, context, dist, slot,
+         |    CAST(${hex32("h", 1)} AS DOUBLE) / 4294967296 * z AS u
+         |  FROM ph CROSS JOIN z)
+         |SELECT doc_id, center, context, dist, slot, negative
+         |FROM probes JOIN ci ON u >= lo AND u < hi""".stripMargin,
+
     // PMI over ALL-bigram totals (Σ(len-1), not the minCount survivors);
     // round before ranking, lexicographic (a, b) ties
     "x_pmi" ->

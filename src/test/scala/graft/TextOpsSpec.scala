@@ -301,6 +301,43 @@ class TextOpsSpec extends SparkTestBase {
     assert(got === Set((2L, "p", "q", 1)))
   }
 
+  test("negativeSamples: exactly one negative per (pair, slot), matching " +
+    "the in-JVM cumulative-inversion replay") {
+    val df = Seq((1L, "a b c a b a")).toDF("id", "text")
+    val got = TextOps.negativeSamples(df, $"id", $"text", window = 2, k = 2)
+      .as[(Long, String, String, Int, Int, String)].collect()
+    // skipgram pairs for 6 tokens, window 2: 5 + 4 = 9 pairs, x2 slots
+    assert(got.length === 18, "one negative per (pair occurrence, slot)")
+    // in-JVM replay: vocab a:3 b:2 c:1 sorted; w = (c^3)^(1/4)
+    val vocab = Seq("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val ws = vocab.map { case (t, c) =>
+      t -> math.sqrt(math.sqrt((c * c * c).toDouble)) }
+    val cum = ws.scanLeft(("", 0.0)) { case ((_, acc), (t, w)) => (t, acc + w) }.tail
+    val z = cum.last._2
+    def draw(center: String, context: String, dist: Int, slot: Int): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$center:$context:$dist:$slot".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * z
+      cum.find(_._2 > u).get._1
+    }
+    got.foreach { case (_, ce, cx, d, s, neg) =>
+      assert(neg === draw(ce, cx, d, s), s"($ce,$cx,$d,$s)")
+    }
+  }
+
+  test("negativeSamples: frequent tokens dominate the draw on a skewed corpus") {
+    val text = (Seq.fill(60)("hot") ++ (1 to 12).map(i => s"rare$i"))
+      .mkString(" ")
+    val got = TextOps.negativeSamples(Seq((1L, text)).toDF("id", "text"),
+        $"id", $"text", window = 1, k = 3)
+      .groupBy("negative").count()
+      .as[(String, Long)].collect().toMap
+    val hot = got.getOrElse("hot", 0L).toDouble
+    assert(hot / got.values.sum > 0.5,
+      s"hot should dominate the ^0.75 distribution: $got")
+  }
+
   test("coOccurrence: canonical pair order, 1/dist weights sum across docs") {
     // "a b a": pairs (a,b,1), (b,a,1)->(a,b,1), (a,a,2); "b a": (a,b,1)
     val df = Seq((1L, "a b a"), (2L, "b a")).toDF("id", "text")

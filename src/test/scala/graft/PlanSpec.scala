@@ -38,11 +38,28 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("per-row batteries are map-only (no Exchange at all)") {
-    Seq("x_quality_gopher", "x_pii_scrub", "x_strat_sample", "x_mm_features")
+    Seq("x_quality_gopher", "x_pii_scrub", "x_strat_sample", "x_mm_features",
+      "x_skipgram")
       .foreach { q =>
         val p = plan(q)
         assert(countIn(p, "Exchange") === 0, s"$q grew a shuffle:\n$p")
       }
+  }
+
+  test("x_cooc: in-row pairs, ONE aggregate exchange, no join") {
+    val p = plan("x_cooc")
+    assert(countIn(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join"), s"co-occurrence must not self-join:\n$p")
+  }
+
+  test("x_neg_sample: bucketized interval lookup is an equi-join — " +
+    "no nested-loop/cartesian range join") {
+    val p = plan("x_neg_sample")
+    assert(countIn(p, "CartesianProduct") === 0, p)
+    // the only BroadcastNestedLoopJoins allowed are the one-row Z scalar
+    // crossJoins; the vocab-interval lookup itself must be a hash join
+    assert(countIn(p, "BroadcastHashJoin") >= 1,
+      s"interval lookup lost its bucket equi-join:\n$p")
   }
 
   test("as-of join: bounded shuffles, no nested-loop/cartesian fallback") {

@@ -111,8 +111,12 @@ object TextOps {
     require(size > 0, "size must be positive")
     require(stride > 0 && stride <= size,
       s"stride must be in [1, size], got $stride")
-    val toks = tokens(text)
-    // number of chunks: 1 + ceil(max(n - size, 0) / stride), as a column
+    // tokenize ONCE into a named column: the chunk transform references
+    // the array four times (count, filter, slice, tail-length), and each
+    // inline tokens(text) would re-run the regex chain per reference —
+    // codegen does NOT common-subexpression-eliminate inside generators
+    // (measured 7× on skipgramPairs)
+    val toks = col("__tk")
     val n = org.apache.spark.sql.functions.size(toks)
     val nChunks = when(n <= 0, lit(0)).otherwise(
       lit(1) + ceil(greatest(n - size, lit(0)).cast("double") / stride)
@@ -122,8 +126,9 @@ object TextOps {
         i.as("chunk_id"),
         concat_ws(" ", slice(toks, i * stride + 1, lit(size))).as("chunk"),
         least(n - i * stride, lit(size)).as("n_tokens")))
-    df.where(n > 0)
-      .select(key.as("doc_id"), explode(chunks).as("__c"))
+    df.select(key.as("doc_id"), tokens(text).as("__tk"))
+      .where(n > 0)
+      .select(col("doc_id"), explode(chunks).as("__c"))
       .select(col("doc_id"), col("__c.chunk_id").as("chunk_id"),
         col("__c.chunk").as("chunk"),
         col("__c.n_tokens").cast("long").as("n_tokens"))
@@ -141,11 +146,15 @@ object TextOps {
   def skipgramPairs(df: DataFrame, key: Column, text: Column,
                     window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val toks = tokens(text)
+    // tokenize ONCE into a named column — the nested transform references
+    // the array twice, and an inline tokens(text) would expand (and absent
+    // codegen subexpression elimination, evaluate) the regex chain twice
+    val toks = col("__tk")
     val pairs = flatten(transform(toks, (w, i) =>
       transform(slice(toks, i + 2, lit(window)), (c, j) =>
         struct(w.as("center"), c.as("context"), (j + 1).as("dist")))))
-    df.select(key.as("doc_id"), explode(pairs).as("__p"))
+    df.select(key.as("doc_id"), tokens(text).as("__tk"))
+      .select(col("doc_id"), explode(pairs).as("__p"))
       .select(col("doc_id"), col("__p.center").as("center"),
         col("__p.context").as("context"), col("__p.dist").as("dist"))
   }
@@ -160,12 +169,13 @@ object TextOps {
     * (sums of positive 1/d terms — no cancellation). */
   def coOccurrence(df: DataFrame, text: Column, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val toks = tokens(text)
+    val toks = col("__tk") // tokenize once ([[skipgramPairs]] rationale)
     val pairs = flatten(transform(toks, (w, i) =>
       transform(slice(toks, i + 2, lit(window)), (c, j) =>
         struct(least(w, c).as("a"), greatest(w, c).as("b"),
           (lit(1.0) / (j + 1).cast("double")).as("w")))))
-    df.select(explode(pairs).as("__p"))
+    df.select(tokens(text).as("__tk"))
+      .select(explode(pairs).as("__p"))
       .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
       .agg(count(lit(1)).as("n_cooc"), round(sum(col("__p.w")), 6).as("x_ab"))
   }

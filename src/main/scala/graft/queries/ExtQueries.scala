@@ -1136,8 +1136,14 @@ object ExtQueries {
     val d = docs(s, dir)
     val toks = TextOps.tokenCounts(d, col("doc_id"), col("text"))
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    // one-element-explode barrier: PushDownPredicates substitutes aliases
+    // into filter conditions with NO cost guard, so without it the
+    // pred_lang = 'en' filter below lands in a scan-side Filter carrying
+    // the FULL 8-profile scoring expression — 11 tokenizer chains per
+    // scanned row (PlanSpec locks the fixed shape). The Generate blocks
+    // substitution; scoring runs once per row, in its projection.
     val lang = TextOps.languageId(d, col("doc_id"), col("text"), langProfiles)
-      .select(col("doc_id"), col("pred_lang"))
+      .select(col("doc_id"), explode(array(col("pred_lang"))).as("pred_lang"))
     val keeps = DedupOps.exact(d, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
     d.select("doc_id")

@@ -46,6 +46,20 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("no operator line re-derives the tokenizer chain more than once " +
+    "(pushed-filter alias substitution, the x_pipeline 11x case)") {
+    // PushDownPredicates inlines aliases into filter conditions with no
+    // cost guard; a filter on a derived text column can silently turn into
+    // N tokenizer chains per scanned row. Lock the worst offenders fixed
+    // in round 11 at <= 1 tokenization per plan line.
+    Seq("x_pipeline", "x_chunks", "x_skipgram", "x_cooc").foreach { q =>
+      val worst = plan(q).linesIterator
+        .map(l => "split\\(trim\\(".r.findAllIn(l).size).max
+      assert(worst <= 1,
+        s"$q: a plan line tokenizes $worst times — barrier lost")
+    }
+  }
+
   test("x_cooc: in-row pairs, ONE aggregate exchange, no join") {
     val p = plan("x_cooc")
     assert(countIn(p, "Exchange hashpartitioning") === 1, p)

@@ -184,7 +184,7 @@ object CorpusOps {
     * otherwise leave size-based planning to pick the strategy. */
   def tfidfTopTerms(df: DataFrame, key: Column, text: Column,
                     k: Int, broadcastVocab: Boolean = false): DataFrame = {
-    val tok = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val tok = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_cnt"))
     val dfreq0 = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
@@ -227,7 +227,7 @@ object CorpusOps {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     val terms = queryTerms.map(lit)
-    val toks = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val toks = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"),
         size(col("__toks")).cast("double").as("__dl"),
         filter(col("__toks"), t => t.isin(terms: _*)).as("__qt"))
@@ -299,8 +299,8 @@ object CorpusOps {
     val terms = slotsByTerm.keys.toSeq.map(lit)
     // positional postings, phrase terms only — struct(tok, pos) built
     // map-side over the token array, filtered before the explode
-    val postings = df
-      .select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val postings = TextOps
+      .withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"), explode(filter(
         transform(col("__toks"),
           (t, i) => struct(t.as("tok"), i.as("pos"))),
@@ -350,7 +350,7 @@ object CorpusOps {
     * the scan once; the shuffles are count-table-sized either way. */
   def pmiCollocations(df: DataFrame, text: Column, minCount: Int, k: Int,
                       broadcastVocab: Boolean = false): DataFrame = {
-    val toks = df.select(TextOps.tokens(text).as("__toks"))
+    val toks = TextOps.withTokens(df, Seq.empty, text, "__toks")
     val uni = toks.select(explode(col("__toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__c"))
     val uniJ = if (broadcastVocab) broadcast(uni) else uni
@@ -697,7 +697,8 @@ object CorpusOps {
   def jsDivergence(ref: DataFrame, cur: DataFrame, refText: Column,
                    curText: Column): DataFrame = {
     def tokCounts(df: DataFrame, text: Column, cn: String) =
-      df.select(explode(TextOps.tokens(text)).as("tok"))
+      TextOps.withTokens(df, Seq.empty, text)
+        .select(explode(col("__tk")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as(cn))
     val rc = tokCounts(ref, refText, "__cr")
     val cc = tokCounts(cur, curText, "__cc")

@@ -245,8 +245,8 @@ object DedupOps {
     * any engine with md5 — no JVM-specific hashing. Per bit: sum(+1/-1) over
     * tokens, bit set iff the sum is positive. */
   def simhash(df: DataFrame, key: Column, text: Column): DataFrame = {
-    val toks = df.select(key.as("doc_id"),
-      explode(array_distinct(TextOps.tokens(text))).as("tok"))
+    val toks = TextOps.withTokens(df, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"), explode(array_distinct(col("__tk"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitCols = (0 until 32).map { j =>
       val digit = j / 4

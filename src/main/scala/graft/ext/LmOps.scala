@@ -26,7 +26,8 @@ object LmOps {
     * partial-aggregated shuffle on the token — the map side collapses
     * repeats before the exchange. */
   def unigramCounts(ref: DataFrame, text: Column): DataFrame =
-    ref.select(explode(TextOps.tokens(text)).as("tok"))
+    TextOps.withTokens(ref, Seq.empty, text)
+      .select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
   /** Per-document add-alpha unigram LM score against `refCounts`
@@ -61,7 +62,8 @@ object LmOps {
   def lmScore(docs: DataFrame, key: Column, text: Column,
               refCounts: DataFrame, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
-    val toks = docs.select(key.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+    val toks = TextOps.withTokens(docs, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"), explode(col("__tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("__occ"))
     val totals = refCounts.agg(sum("cnt").cast("double").as("__T"),
       count(lit(1)).cast("double").as("__V"))
@@ -91,7 +93,7 @@ object LmOps {
     * a web-scale bigram vocabulary is unbounded. */
   def bigramModel(ref: DataFrame, text: Column, minCount: Int = 2): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val bc = ref.select(TextOps.tokens(text).as("__toks"))
+    val bc = TextOps.withTokens(ref, Seq.empty, text, "__toks")
       .select(explode(TextOps.shingles(col("__toks"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("__c"))
     val ct = bc.groupBy(split(col("bg"), " ").getItem(0).as("__ctx"))
@@ -120,7 +122,7 @@ object LmOps {
                     lambda: Double = 0.7, alpha: Double = 0.1): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
     require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
-    val toks = docs.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val toks = TextOps.withTokens(docs, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"), explode(TextOps.shingles(col("__toks"), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("__occ"))
     val totals = refCounts.agg(sum("cnt").cast("double").as("__T"),
@@ -153,7 +155,7 @@ object LmOps {
     // array per position, and an INLINED tokens expression would be
     // re-evaluated at every index (the O(n²)-per-row CollapseProject trap;
     // see TextOps.explodeShingles)
-    ref.select(TextOps.tokens(text).as("__toks"))
+    TextOps.withTokens(ref, Seq.empty, text, "__toks")
       .select(explode(TextOps.shingles(col("__toks"), n)).as("ng"))
       .select((conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
         % buckets).as("bucket"))
@@ -236,7 +238,7 @@ object LmOps {
   /** (doc_id, bucket) hashed-ngram feature stream. */
   private def featsOf(docs: DataFrame, key: Column, text: Column,
                       n: Int, buckets: Int): DataFrame =
-    docs.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    TextOps.withTokens(docs, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"),
         explode(TextOps.shingles(col("__toks"), n)).as("ng"))
       .select(col("doc_id"),

@@ -43,8 +43,9 @@ object MlOps {
   def naiveBayesModel(train: DataFrame, text: Column, label: Column,
                       alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
-    val cnts = train
-      .select(label.cast("boolean").as("__y"), explode(TextOps.tokens(text)).as("tok"))
+    val cnts = TextOps
+      .withTokens(train, Seq(label.cast("boolean").as("__y")), text)
+      .select(col("__y"), explode(col("__tk")).as("tok"))
       .groupBy("tok")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
@@ -85,8 +86,8 @@ object MlOps {
                       model: DataFrame, priorPos: Long, priorNeg: Long,
                       alpha: Double = 0.1): DataFrame = {
     require(priorPos > 0 && priorNeg > 0, "both classes need training documents")
-    val toks = docs
-      .select(key.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+    val toks = TextOps.withTokens(docs, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"), explode(col("__tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("__occ"))
     val prior = math.log(priorPos.toDouble / priorNeg.toDouble)
     val oov = model.where(col("tok").isNull).select(col("lr").as("__oov_lr"))

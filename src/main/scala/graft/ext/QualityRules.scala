@@ -29,7 +29,7 @@ object QualityRules {
                   minMeanLenTenths: Int = 20, maxMeanLenTenths: Int = 120,
                   maxDupPct: Int = 85): DataFrame = {
     val toks = col("__toks")
-    val metrics = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val metrics = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
@@ -53,7 +53,7 @@ object QualityRules {
     * token)) — a plain two-level aggregation, partial-aggregated map-side,
     * instead of a per-document ranking window. */
   def topToken(df: DataFrame, key: Column, text: Column): DataFrame = {
-    val t = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val t = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
     t.groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
       .groupBy("doc_id").agg(

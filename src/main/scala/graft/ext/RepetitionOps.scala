@@ -20,7 +20,7 @@ object RepetitionOps {
     * yield no rows. Pure map + explode — no shuffle. */
   def explodeChunks(df: DataFrame, key: Column, text: Column, c: Int): DataFrame = {
     require(c > 0, "chunk size must be positive")
-    val base = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val base = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .where(size(col("__toks")) > 0)
     val nChunks = floor((size(col("__toks")) + lit(c - 1)) / lit(c)).cast("int")
     base.select(col("doc_id"),
@@ -112,7 +112,7 @@ object RepetitionOps {
     * < 2^20. */
   def substrDedup(df: DataFrame, key: Column, text: Column, k: Int = 8): DataFrame = {
     require(k > 0, "shingle width must be positive")
-    val base = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val base = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .where(size(col("__toks")) > 0)
     val occ = base.select(col("doc_id"),
       posexplode(TextOps.shingles(col("__toks"), k)).as(Seq("pos", "__sh")))
@@ -184,7 +184,7 @@ object RepetitionOps {
     * exceeds one document's distinct-ngram set. */
   def repetitionMetrics(df: DataFrame, key: Column, text: Column,
                         topN: Int = 2, dupN: Int = 5): DataFrame = {
-    val base = df.select(key.as("doc_id"), TextOps.tokens(text).as("__toks"))
+    val base = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .where(size(col("__toks")) > 0)
       .select(col("doc_id"), col("__toks"),
         length(array_join(col("__toks"), " ")).as("__tot"))

@@ -20,11 +20,26 @@ object TextOps {
     *
     * Deliberately lambda-free: higher-order filter() runs interpreted
     * per-element (~ms/row); collapsing separators with one regex and
-    * splitting on a single space keeps the whole thing inside codegen. */
-  def tokens(text: Column): Column = {
-    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
-    when(norm === "", array().cast("array<string>")).otherwise(split(norm, " "))
-  }
+    * splitting on a single space keeps the whole thing inside codegen.
+    * The empty-document guard is array_remove (split of "" yields [""]),
+    * NOT a CASE WHEN re-testing the normalised string — the CASE form
+    * evaluates the regex chain twice per call, and the chain is the
+    * engine's single hottest expression. */
+  def tokens(text: Column): Column =
+    array_remove(
+      split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "), "")
+
+  /** `cols` plus the token array as `name`, with the tokenizer evaluated
+    * EXACTLY once per row: a one-element-explode barrier keeps the chain
+    * out of optimizer-substituted filters — PushDownPredicates inlines
+    * aliases into filter conditions with no cost guard, and the generator
+    * guards inferred for a downstream explode (isnotnull, size > 0) would
+    * otherwise re-derive the chain 2-3× per scanned row. Use for any frame
+    * whose token column feeds an explode or a filtered derivation
+    * (PlanSpec's tokenize-once rule). */
+  def withTokens(df: DataFrame, cols: Seq[Column], text: Column,
+                 name: String = "__tk"): DataFrame =
+    df.select((cols :+ explode(array(tokens(text))).as(name)): _*)
 
   /** Word k-shingles ("n-grams of tokens") as space-joined strings, built by
     * direct element indexing over a pre-materialised token array (a slice()
@@ -40,7 +55,7 @@ object TextOps {
     * materialised in its own projection so Catalyst does not inline (and
     * thus re-evaluate) the tokeniser at every shingle position. */
   def explodeShingles(df: DataFrame, key: Column, text: Column, k: Int): DataFrame =
-    df.select(key.as("doc_id"), tokens(text).as("__toks"))
+    withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("__toks"), k))).as("shingle"))
 
@@ -63,7 +78,7 @@ object TextOps {
   def winnowSelected(df: DataFrame, key: Column, text: Column,
                      k: Int, w: Int): DataFrame = {
     val M = 1L << 17
-    val sh = df.select(key.as("doc_id"), tokens(text).as("__toks"))
+    val sh = withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .select(col("doc_id"), posexplode(shingles(col("__toks"), k)).as(Seq("pos", "sh")))
     val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
     // the position term must stay below M or the encoding borrows from the
@@ -207,7 +222,8 @@ object TextOps {
     require(k >= 1, "k must be >= 1")
     require(nBuckets >= 1, "nBuckets must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val vocab = df.select(explode(tokens(text)).as("tok"))
+    val vocab = withTokens(df, Seq.empty, text)
+      .select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__c"))
     val w = sqrt(sqrt((col("__c") * col("__c") * col("__c")).cast("double")))
     val win = Window.orderBy("negative")

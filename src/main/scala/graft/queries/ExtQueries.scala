@@ -629,8 +629,8 @@ object ExtQueries {
         terms, k = 20)
       .select(col("doc_id"), row_number().over(
         w.orderBy(col("bm25").desc, col("doc_id").asc)).as("rank"))
-    val hits = docs(s, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val hits = TextOps.withTokens(docs(s, dir), Seq(col("doc_id")), col("text"))
+      .select(col("doc_id"), explode(col("__tk")).as("tok"))
       .where(col("tok").isin(terms.map(lit): _*))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy(col("n_hits").desc, col("doc_id")).limit(20)
@@ -949,8 +949,8 @@ object ExtQueries {
     * explode; everything after is query-term-sized. */
   val xBoolAnd: Q = (s, dir) => {
     val terms = Seq("join", "vector", "window")
-    docs(s, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    TextOps.withTokens(docs(s, dir), Seq(col("doc_id")), col("text"))
+      .select(col("doc_id"), explode(col("__tk")).as("tok"))
       .where(col("tok").isin(terms: _*))
       .groupBy("doc_id")
       .agg(countDistinct(col("tok")).as("n_terms"),
@@ -1372,8 +1372,8 @@ object ExtQueries {
     * CurationSpec's exact-vs-approx tolerance case instead (the groupStats
     * convention). */
   val xDistinct: Q = (s, dir) => {
-    val tok = docs(s, dir).select(col("lang"),
-      explode(TextOps.tokens(col("text"))).as("tok"))
+    val tok = TextOps.withTokens(docs(s, dir), Seq(col("lang")), col("text"))
+      .select(col("lang"), explode(col("__tk")).as("tok"))
     SketchOps.distinctCount(tok, col("lang"), col("tok"), exact = true)
   }
 
@@ -1386,8 +1386,8 @@ object ExtQueries {
     // the token stream feeds both the exact-count branch and the sketch
     // branch, which diverge before any Exchange — persist it (run-scoped,
     // CacheManager dedups by plan) so documents scan + tokenize once
-    val tok = docs(s, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-      .select(explode(col("__toks")).as("tok"))
+    val tok = TextOps.withTokens(docs(s, dir), Seq.empty, col("text"))
+      .select(explode(col("__tk")).as("tok"))
       .persist()
     val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)

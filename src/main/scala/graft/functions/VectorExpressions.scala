@@ -240,6 +240,94 @@ case class PqEncode(child: Expression, m: Int, dsub: Int,
     copy(child = newChild)
 }
 
+/** Upper-triangle Gram-matrix aggregate over CENTERED vectors: folds each
+  * row's outer product x_c·x_cᵀ (x_c = x − μ, μ the caller's rounded means)
+  * into a flat double buffer [count, s_00, s_01, …] of length
+  * dims·(dims+1)/2 + 1 — the second-moment pass behind
+  * [[graft.ext.SimilarityOps.covarianceMatrix]].
+  *
+  * The relational alternative — explode dims²/2 pair-structs per row and
+  * groupBy (i, j) — pushes rows×dims²/2 structs through a hash aggregate
+  * (12.5M at sf0.1, 64 dims); this aggregate keeps the fold in a primitive
+  * loop over a reused buffer, map-side partial per partition, one
+  * buffer-merge per partition at the final exchange. Same determinism
+  * contract as the explode form: per-partition left-to-right accumulation
+  * of O(σ²) centered products, merge order noise ~1e-15 relative, rounded
+  * at 6 dp by the caller.
+  *
+  * Null vectors are skipped (the explode form dropped them too); a
+  * dimension mismatch throws — silently folding a short vector would
+  * corrupt the matrix. */
+case class GramMatrixAgg(
+    child: Expression, mu: IndexedSeq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Double]] {
+
+  private val dims = mu.length
+  private val tri = dims * (dims + 1) / 2
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](tri + 1)
+
+  override def update(buf: Array[Double],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val a = child.eval(input)
+    if (a != null) {
+      val x = a.asInstanceOf[ArrayData].toDoubleArray()
+      if (x.length != dims)
+        throw new IllegalArgumentException(
+          s"gram_matrix: vector of length ${x.length}, expected $dims")
+      val xc = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { xc(i) = x(i) - mu(i); i += 1 }
+      var p = 1
+      i = 0
+      while (i < dims) {
+        val xi = xc(i)
+        var j = i
+        while (j < dims) { buf(p) += xi * xc(j); p += 1; j += 1 }
+        i += 1
+      }
+      buf(0) += 1.0
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -270,4 +358,12 @@ object VectorFunctions {
     ColumnBridge.column(PqEncode(
       ColumnBridge.expression(v.cast("array<double>")),
       m, dsub, words.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** Centered upper-triangle Gram sums of `v` against the literal means —
+    * aggregate column returning [count, s_00, s_01, …] (see
+    * [[GramMatrixAgg]]). */
+  def gram_matrix(v: Column, mu: Seq[Double]): Column =
+    ColumnBridge.column(GramMatrixAgg(
+      ColumnBridge.expression(v.cast("array<double>")), mu.toIndexedSeq)
+      .toAggregateExpression())
 }

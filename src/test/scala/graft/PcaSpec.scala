@@ -20,12 +20,19 @@ class PcaSpec extends SparkTestBase {
     assert(got === Map((0, 0) -> 1.0, (0, 1) -> 2.0, (1, 1) -> 4.0))
   }
 
-  test("covarianceMatrix: one shuffle, products built in-row (no self-join)") {
+  test("covarianceMatrix: one single-partition buffer-merge exchange, " +
+    "native Gram aggregate, no self-join, no per-row pair explode") {
     val df = spark.read.parquet(sf() + "/embeddings.parquet")
     val plan = SimilarityOps.covarianceMatrix(df, "vec_id", "embedding")
       .queryExecution.executedPlan.toString
-    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
+    // the corpus pass is ONE GramMatrixAgg: partial buffers per partition,
+    // merged across a single-partition exchange — no (i, j) hash shuffle
+    // of exploded pair rows anywhere
+    assert(plan.linesIterator.count(_.contains("Exchange")) === 1 &&
+      plan.contains("Exchange SinglePartition"),
+      s"expected exactly one buffer-merge exchange:\n$plan")
+    assert(plan.contains("grammatrixagg"),
+      s"covariance lost its native aggregate:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
       s"covariance must not self-join:\n$plan")
   }

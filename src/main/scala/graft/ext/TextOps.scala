@@ -197,8 +197,9 @@ object TextOps {
 
   /** Deterministic word2vec negative sampling: `k` negatives per skip-gram
     * pair, drawn from the unigram^0.75 distribution (Mikolov's smoothing)
-    * by md5-uniform inversion — u = md5(center:context:dist:slot)/2³² · Z
-    * lands in a token's cumulative-weight interval [lo, hi). Output:
+    * by md5-uniform inversion — slot s reads 32-bit window s mod 4 of
+    * digest md5(center:context:dist:⌊s/4⌋), and u = window/2³² · Z lands
+    * in a token's cumulative-weight interval [lo, hi). Output:
     * (doc_id, center, context, dist, slot, negative) — float-free, so the
     * cross-engine hash compare is exact.
     *
@@ -237,14 +238,30 @@ object TextOps {
       .select(col("negative"), col("__lo"), col("__hi"),
         explode(sequence(floor(col("__lo") / width).cast("long"),
           floor(col("__hi") / width).cast("long"))).as("__b"))
+    // one md5 serves FOUR slots: the digest is 32 hex chars = four
+    // independent 32-bit windows, so slot s reads window s%4 of digest
+    // batch s/4 — a 4× cut in the dominant per-probe hashing cost. The
+    // digests are NAMED columns (md5 referenced once per batch;
+    // CollapseProject's non-cheap multi-reference guard keeps them from
+    // being re-inlined into the slot structs).
+    val nBatches = (k + 3) / 4
+    val mdCols = (0 until nBatches).map(b =>
+      md5(concat_ws(":", col("center"), col("context"), col("dist"),
+        lit(b))).as(s"__h$b"))
+    val slotStructs = (0 until k).map { s =>
+      struct(lit(s).as("slot"),
+        conv(substring(col(s"__h${s / 4}"), 1 + 8 * (s % 4), 8), 16, 10)
+          .cast("double").as("hv"))
+    }
     val probes = skipgramPairs(df, key, text, window)
-      .select(col("*"),
-        explode(array((0 until k).map(lit): _*)).as("slot"))
+      .select(col("*") +: mdCols: _*)
+      .select(col("doc_id"), col("center"), col("context"), col("dist"),
+        explode(array(slotStructs: _*)).as("__s"))
       .crossJoin(broadcast(z))
-      .withColumn("__u",
-        conv(substring(md5(concat_ws(":", col("center"), col("context"),
-          col("dist"), col("slot"))), 1, 8), 16, 10).cast("double")
-          / lit(4294967296.0) * col("__z"))
+      .select(col("doc_id"), col("center"), col("context"), col("dist"),
+        col("__s.slot").as("slot"),
+        (col("__s.hv") / lit(4294967296.0) * col("__z")).as("__u"),
+        col("__z"))
       .withColumn("__b", floor(col("__u") / width).cast("long"))
     probes.join(cumB, Seq("__b"))
       .where(col("__u") >= col("__lo") && col("__u") < col("__hi"))

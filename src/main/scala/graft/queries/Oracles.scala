@@ -1684,13 +1684,16 @@ object Oracles {
          |    CAST(j AS INT) AS dist
          |  FROM (SELECT doc_id, i, tk, w, unnest(range(1, 3)) AS j FROM pos)
          |  WHERE i + 1 + j <= len(tk)),
-         |ph AS (SELECT doc_id, center, context, dist, CAST(s.s AS INT) AS slot,
+         |ph AS (SELECT doc_id, center, context, dist,
          |    md5(center || ':' || context || ':' || CAST(dist AS VARCHAR)
-         |      || ':' || CAST(s.s AS VARCHAR)) AS h
-         |  FROM pr CROSS JOIN (SELECT unnest(range(0, 2)) AS s) s),
-         |probes AS (SELECT doc_id, center, context, dist, slot,
-         |    CAST(${hex32("h", 1)} AS DOUBLE) / 4294967296 * z AS u
-         |  FROM ph CROSS JOIN z)
+         |      || ':0') AS h
+         |  FROM pr),
+         |probes AS (${(0 until 2).map(s =>
+              s"""SELECT doc_id, center, context, dist, CAST($s AS INT) AS slot,
+                 |    CAST(${hex32("h", 1 + 8 * (s % 4))} AS DOUBLE)
+                 |      / 4294967296 * z AS u
+                 |  FROM ph CROSS JOIN z""".stripMargin)
+             .mkString("\n  UNION ALL ")})
          |SELECT doc_id, center, context, dist, slot, negative
          |FROM probes JOIN ci ON u >= lo AND u < hi""".stripMargin,
 

@@ -315,9 +315,11 @@ class TextOpsSpec extends SparkTestBase {
     val cum = ws.scanLeft(("", 0.0)) { case ((_, acc), (t, w)) => (t, acc + w) }.tail
     val z = cum.last._2
     def draw(center: String, context: String, dist: Int, slot: Int): String = {
+      // slot s reads 32-bit window s%4 of the batch-(s/4) digest
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$center:$context:$dist:$slot".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
+        .digest(s"$center:$context:$dist:${slot / 4}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+        .substring(8 * (slot % 4), 8 * (slot % 4) + 8)
       val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * z
       cum.find(_._2 > u).get._1
     }

@@ -125,6 +125,8 @@ object SparkEntry {
     "x_random_walk" -> ExtQueries.xRandomWalk,
     "x_kcore" -> ExtQueries.xKcore,
     "x_auc" -> ExtQueries.xAuc,
+    "x_pr_auc" -> ExtQueries.xPrAuc,
+    "x_brier" -> ExtQueries.xBrier,
     "x_auc_stratum" -> ExtQueries.xAucStratum,
     "x_confusion" -> ExtQueries.xConfusion,
     "x_calibration" -> ExtQueries.xCalibration,
@@ -303,5 +305,5 @@ object SparkEntry {
     "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
     "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
     "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
-    "x_neg_sample")
+    "x_neg_sample", "x_pr_auc", "x_brier")
 }

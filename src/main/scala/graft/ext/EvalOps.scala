@@ -121,4 +121,46 @@ object EvalOps {
         round((col("__rsum") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
           (col("n_pos") * col("n_neg")), 6).as("auc"))
   }
+
+  /** Average precision (PR-AUC in the threshold-step form):
+    * AP = Σ_k (R_k − R_{k−1})·P_k over DISTINCT scores DESCENDING, with
+    * TP_k/FP_k cumulative at threshold s_k — the class-imbalance-honest
+    * complement to [[aucRoc]] (ROC-AUC stays optimistic when positives are
+    * rare; curation filters usually hunt a rare class). Tie-safe by
+    * construction: a tied score block is ONE threshold step. Output:
+    * (n_pos, n_neg, pr_auc) rounded to 6 dp; null AP when a class is
+    * absent.
+    *
+    * Scale shape: the [[aucRoc]] discipline — the corpus collapses
+    * map-side to distinct scores before the one cumulative window. */
+  def averagePrecision(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val byScore = df
+      .select(score.cast("double").as("__s"), label.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    byScore
+      .withColumn("__tp", sum(col("__np")).over(w))
+      .withColumn("__tot", sum(col("__n")).over(w))
+      .agg(sum("__np").as("n_pos"), (sum("__n") - sum("__np")).as("n_neg"),
+        sum(col("__np") * col("__tp") / col("__tot").cast("double"))
+          .as("__apsum"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__apsum") / col("n_pos"), 6)).as("pr_auc"))
+  }
+
+  /** Brier score: mean squared error of the probability against the 0/1
+    * label — the proper scoring rule that punishes miscalibration where
+    * [[aucRoc]] (rank-only) cannot see it. One scan aggregate. */
+  def brierScore(df: DataFrame, score: Column, label: Column): DataFrame =
+    df.select(score.cast("double").as("__s"),
+        when(label.cast("boolean"), 1.0).otherwise(0.0).as("__y"))
+      .where(col("__s").isNotNull && label.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        round(avg((col("__s") - col("__y")) * (col("__s") - col("__y"))), 6)
+          .as("brier"))
 }

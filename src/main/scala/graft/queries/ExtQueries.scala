@@ -858,6 +858,18 @@ object ExtQueries {
   val xAuc: Q = (s, dir) =>
     EvalOps.aucRoc(scoredDocs(s, dir), col("score"), col("lang") === "en")
 
+  /** PR-AUC (average precision, threshold-step form) of the same scored
+    * corpus — the imbalance-honest companion to x_auc. */
+  val xPrAuc: Q = (s, dir) =>
+    EvalOps.averagePrecision(scoredDocs(s, dir), col("score"),
+      col("lang") === "en")
+
+  /** Brier score of the classifier probability against the en label —
+    * the proper scoring rule x_calibration bins feed into. */
+  val xBrier: Q = (s, dir) =>
+    EvalOps.brierScore(scoredDocs(s, dir), col("score"),
+      col("lang") === "en")
+
   /** Local clustering coefficients on the transition graph — triangles
     * joined with degrees; zero-triangle nodes included. */
   val xClusteringCoef: Q = (s, dir) =>

@@ -2173,6 +2173,35 @@ object Oracles {
          |    / (sum(np) * (sum(n) - sum(np))), 6) AS auc
          |FROM m""".stripMargin,
 
+    // PR-AUC: threshold-step average precision over distinct scores
+    // descending — same cumulative arithmetic as the Spark window
+    "x_pr_auc" ->
+      s"""$SCORED_CTES,
+         |by_s AS (SELECT score AS s, count(*) AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM scored GROUP BY score),
+         |c AS (SELECT s, n, np,
+         |    sum(np) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(n) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot
+         |  FROM by_s)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+         |  CASE WHEN sum(np) > 0 AND sum(n) - sum(np) > 0 THEN
+         |    round(sum(np * tp / CAST(tot AS DOUBLE)) / sum(np), 6)
+         |  END AS pr_auc
+         |FROM c""".stripMargin,
+
+    // Brier score: one mean-squared-error aggregate over the scored corpus
+    "x_brier" ->
+      s"""$SCORED_CTES
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  round(avg((score - CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+         |    * (score - CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)), 6)
+         |    AS brier
+         |FROM scored""".stripMargin,
+
     // byte-level aHash near-dup: signatures recomputed independently via
     // the same hex-digit arithmetic, pairs via the NAIVE quadratic join
     "x_mm_ahash" ->

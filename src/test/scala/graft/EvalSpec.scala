@@ -85,6 +85,44 @@ class EvalSpec extends SparkTestBase {
     assert(got.isNullAt(0) && got.isNullAt(1)) // no predicted/actual positives
   }
 
+  test("averagePrecision: hand-computed threshold steps; perfect ranking " +
+    "scores 1; ties are one step") {
+    // ranking desc: 0.9 T, 0.8 F, 0.7 T, 0.6 F -> steps at k=1: P=1 R=.5;
+    // k=3: P=2/3 R=1 -> AP = .5*1 + .5*(2/3) = 5/6
+    val rows = Seq((0.9, true), (0.8, false), (0.7, true), (0.6, false))
+      .toDF("score", "y")
+    val got = EvalOps.averagePrecision(rows, col("score"), col("y"))
+      .as[(Long, Long, Double)].collect().head
+    assert(got._1 === 2L && got._2 === 2L)
+    assert(math.abs(got._3 - 5.0 / 6) < 1e-6)
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false))
+      .toDF("score", "y")
+    assert(EvalOps.averagePrecision(perfect, col("score"), col("y"))
+      .select("pr_auc").as[Double].head() === 1.0)
+    // tied block is ONE threshold: 0.5 T, 0.5 F -> AP = P at the block = .5
+    val tied = Seq((0.5, true), (0.5, false)).toDF("score", "y")
+    assert(EvalOps.averagePrecision(tied, col("score"), col("y"))
+      .select("pr_auc").as[Double].head() === 0.5)
+  }
+
+  test("averagePrecision: single-class input yields null AP") {
+    val rows = Seq((0.9, true), (0.1, true)).toDF("score", "y")
+    val got = EvalOps.averagePrecision(rows, col("score"), col("y"))
+      .select("pr_auc").collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("brierScore: hand-computed MSE; perfect probabilities score 0") {
+    val rows = Seq((0.8, true), (0.3, false)).toDF("score", "y")
+    val got = EvalOps.brierScore(rows, col("score"), col("y"))
+      .as[(Long, Double)].collect().head
+    // ((0.2)^2 + (0.3)^2) / 2 = 0.065
+    assert(got === ((2L, 0.065)))
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("score", "y")
+    assert(EvalOps.brierScore(perfect, col("score"), col("y"))
+      .select("brier").as[Double].head() === 0.0)
+  }
+
   test("calibrationBins: bin edges, 1.0 in the top bin, frac_pos per bin") {
     val rows = Seq((0.05, false), (0.09, true), (1.0, true), (0.95, true),
       (0.55, false)).toDF("score", "y")

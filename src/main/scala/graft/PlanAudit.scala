@@ -31,7 +31,7 @@ object PlanAudit {
       println(s"   $pushed")
       schema.foreach(s => println(s"   ${s.take(150)}"))
     }
-    Seq("q03_scan_prune","q_tpch1","q_tpch3","q28_lookup_join","q29_keep_last",
+    Seq("q03_scan_prune","q_tpch1","q_tpch3","q_tpch5","q_tpch6","q28_lookup_join","q29_keep_last",
         "x_dedup_minhash","x_dedup_exact","x_embed_topk","x_win_tumble",
         "q11_cache_diff","q13_work_limit","q47_bok_fanout","x_ann_lsh",
         "x_ann_ivf","g63_grid_join","q51b_html_render","x_asof_join",

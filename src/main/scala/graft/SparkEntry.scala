@@ -21,6 +21,8 @@ object SparkEntry {
     // headline analytics
     "q_tpch1" -> RefQueries.tpch1,
     "q_tpch3" -> RefQueries.tpch3,
+    "q_tpch5" -> RefQueries.tpch5,
+    "q_tpch6" -> RefQueries.tpch6,
     "q_tpch18" -> RefQueries.tpch18,
     // §2.1 scans / semi-structured
     "q02_json_flatten" -> RefQueries.q02JsonFlatten,
@@ -273,7 +275,8 @@ object SparkEntry {
     * brute-force baseline is deliberately NOT benched — it exists to
     * validate LSH/IVF recall at small n, not as a headline plan. */
   val benchNames: Seq[String] = Seq(
-    "q_tpch1", "q_tpch3", "q_tpch18", "q20_duration", "q28_lookup_join",
+    "q_tpch1", "q_tpch3", "q_tpch5", "q_tpch6", "q_tpch18",
+    "q20_duration", "q28_lookup_join",
     "q29_keep_last", "q37_group_collect", "x_dedup_exact", "x_dedup_minhash",
     "x_dedup_jaccard", "x_dedup_simhash", "x_embed_topk", "x_ann_lsh",
     "x_ann_ivf", "x_win_tumble", "x_win_session", "x_fingerprint",

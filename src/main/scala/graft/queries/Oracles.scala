@@ -420,6 +420,26 @@ object Oracles {
         |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+    "q_tpch5" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |JOIN customer ON o_custkey=c_custkey AND c_nationkey=s_nationkey
+        |WHERE r_name='ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_tpch6" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
     "q_tpch18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
         |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem

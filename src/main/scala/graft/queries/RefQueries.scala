@@ -69,6 +69,41 @@ object RefQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape: the 5-way join — fact table joins orders on the
+    * shuffle key, every dimension chain (supplier→nation→region, customer
+    * gate) broadcasts; local-supplier predicate (c_nationkey = s_nationkey)
+    * applied above the joins. */
+  val tpch5: Q = (s, dir) => {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val su = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val c = t(s, dir, "customer")
+    val li = t(s, dir, "lineitem")
+    val asianSupp = su.join(broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))),
+      col("s_nationkey") === col("n_nationkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asianSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q6 shape: the pure pushdown showcase — one selective scan
+    * collapsing to a single aggregate row, no joins, no wide columns. */
+  val tpch6: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"), count(lit(1)).as("n_rows"))
+
   /** TPC-H Q18 shape: group-having on the fact table, then join back. */
   val tpch18: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")

@@ -37,6 +37,21 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(plan("q28_lookup_join"), "BroadcastHashJoin") >= 1)
   }
 
+  test("q_tpch6: predicates reach the scan; only the 4 needed columns read") {
+    val p = plan("q_tpch6")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.count(_ == ',') <= 3, read)
+  }
+
+  test("q_tpch5: the dimension chains stay broadcast; one fact-side " +
+    "shuffle join at most") {
+    val p = plan("q_tpch5")
+    assert(countIn(p, "BroadcastHashJoin") >= 3, p)
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
   test("per-row batteries are map-only (no Exchange at all)") {
     Seq("x_quality_gopher", "x_pii_scrub", "x_strat_sample", "x_mm_features",
       "x_skipgram")

@@ -181,6 +181,7 @@ object SparkEntry {
     "x_skipgram" -> ExtQueries.xSkipgram,
     "x_cooc" -> ExtQueries.xCooc,
     "x_neg_sample" -> ExtQueries.xNegSample,
+    "x_kmv_distinct" -> ExtQueries.xKmvDistinct,
     "x_zorder" -> ExtQueries.xZorder,
     "x_anomaly" -> ExtQueries.xAnomaly,
     "x_agg_merge" -> ExtQueries.xAggMerge,
@@ -308,5 +309,5 @@ object SparkEntry {
     "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
     "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
     "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
-    "x_neg_sample", "x_pr_auc", "x_brier")
+    "x_neg_sample", "x_pr_auc", "x_brier", "x_kmv_distinct")
 }

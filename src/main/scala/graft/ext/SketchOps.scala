@@ -73,4 +73,38 @@ object SketchOps {
     df.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n"), dc.as("n_distinct"))
   }
+
+  // ---- KMV distinct sketch (mergeable, engine-portable) ----
+
+  /** 60-bit md5-derived hash: 15 hex digits keep the value positive and
+    * the digit arithmetic inside BIGINT in any engine. */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-stratum KMV state — the k smallest distinct [[hash60]] values as
+    * a sorted array<long> ([[graft.functions.KmvAgg]]: k-bounded buffer,
+    * map-side partial aggregation). Unlike approx_count_distinct's HLL++
+    * registers, this state is EXACTLY reproducible cross-engine, so the
+    * sketch itself is oracle-checkable, not just tolerance-checked. */
+  def kmvState(df: DataFrame, stratum: Column, key: Column, k: Int): DataFrame =
+    df.groupBy(stratum.as("stratum"))
+      .agg(graft.functions.SketchFunctions.kmv_agg(hash60(key), k).as("kmv"))
+
+  /** Merge state frames — KMV is a monoid: union the arrays, retake the k
+    * minima (one explode + the same aggregate; cross-snapshot distinct
+    * counting without re-reading either corpus). */
+  def kmvMerge(states: DataFrame, k: Int): DataFrame =
+    states.select(col("stratum"), explode(col("kmv")).as("__h"))
+      .groupBy("stratum")
+      .agg(graft.functions.SketchFunctions.kmv_agg(col("__h"), k).as("kmv"))
+
+  /** Estimate from state: fewer than k minima means the buffer saw every
+    * distinct value (exact); otherwise D̂ = (k−1)·2⁶⁰/u_(k) — one double
+    * division and a round, bit-identical in any engine. */
+  def kmvEstimate(state: DataFrame, k: Int): DataFrame =
+    state.select(col("stratum"), size(col("kmv")).as("k_used"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          element_at(col("kmv"), k), 0).cast("long"))
+        .as("n_distinct_est"))
 }

@@ -1440,6 +1440,27 @@ object ExtQueries {
     TextOps.negativeSamples(docs(s, dir), col("doc_id"), col("text"),
       window = 2, k = 2)
 
+  /** KMV distinct-token sketch per language, built as TWO half-corpus
+    * states MERGED (the split-merge invariance surface: the oracle
+    * computes the k minima directly from the whole corpus, so agreement
+    * proves the merge), with the exact distinct count alongside for
+    * visible accuracy. */
+  val xKmvDistinct: Q = (s, dir) => {
+    val k = 256
+    val tok = TextOps.withTokens(
+        docs(s, dir).where(col("lang").isNotNull),
+        Seq(col("doc_id"), col("lang")), col("text"))
+      .select(col("doc_id"), col("lang"), explode(col("__tk")).as("tok"))
+    val st = SketchOps.kmvMerge(
+      SketchOps.kmvState(tok.where(col("doc_id") % 2 === 0), col("lang"),
+          col("tok"), k)
+        .unionByName(SketchOps.kmvState(tok.where(col("doc_id") % 2 === 1),
+          col("lang"), col("tok"), k)), k)
+    val exact = tok.groupBy(col("lang").as("stratum"))
+      .agg(count_distinct(col("tok")).as("n_exact"))
+    SketchOps.kmvEstimate(st, k).join(exact, "stratum")
+  }
+
   /** Gopher repetition metrics per document: top-2-gram character coverage
     * and duplicated-5-gram character fraction. */
   val xRepetition: Q = (s, dir) =>

@@ -42,6 +42,13 @@ object Oracles {
       s"(strpos('0123456789abcdef', substr($col, ${start + k}, 1)) - 1) * $coef"
     }.mkString("(", " + ", ")")
 
+  // first 15 hex digits as a 60-bit integer (SketchOps.hash60's mirror)
+  private def hex60(col: String): String =
+    (0 until 15).map { d =>
+      val coef = math.pow(16, 14 - d).toLong
+      s"(strpos('0123456789abcdef', substr($col, ${1 + d}, 1)) - 1) * $coef"
+    }.mkString("(", " + ", ")")
+
   // SCD2 type-2 history over the events log (shared by x_scd2_history and
   // x_scd2_merge — the merge oracle IS the full rebuild, by the invariant)
   private val SCD2_SQL =
@@ -1716,6 +1723,33 @@ object Oracles {
              .mkString("\n  UNION ALL ")})
          |SELECT doc_id, center, context, dist, slot, negative
          |FROM probes JOIN ci ON u >= lo AND u < hi""".stripMargin,
+
+    // KMV distinct sketch: the oracle computes the k minima DIRECTLY from
+    // the whole corpus (row_number over distinct 60-bit hashes), while the
+    // Spark side merges two half-corpus states — agreement proves the
+    // merge; the estimator is one double division, bit-identical
+    "x_kmv_distinct" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tokrows AS (SELECT lang, unnest(tk) AS tok FROM d),
+         |dt AS (SELECT DISTINCT lang, tok FROM tokrows),
+         |dh AS (SELECT lang, ${hex60("h")} AS u
+         |  FROM (SELECT lang, md5(tok) AS h FROM dt)),
+         |du AS (SELECT DISTINCT lang, u FROM dh),
+         |rn AS (SELECT lang, u,
+         |    row_number() OVER (PARTITION BY lang ORDER BY u) AS r FROM du),
+         |st AS (SELECT lang, count(*) AS cnt,
+         |    sum(CASE WHEN r <= 256 THEN 1 ELSE 0 END) AS kused,
+         |    max(CASE WHEN r <= 256 THEN u END) AS kth
+         |  FROM rn GROUP BY lang),
+         |ex AS (SELECT lang, count(DISTINCT tok) AS n_exact
+         |  FROM tokrows GROUP BY lang)
+         |SELECT st.lang AS stratum, CAST(kused AS INT) AS k_used,
+         |  CASE WHEN cnt < 256 THEN CAST(cnt AS BIGINT)
+         |    ELSE CAST(round(255 * 1152921504606846976.0 / kth, 0) AS BIGINT)
+         |  END AS n_distinct_est,
+         |  CAST(n_exact AS BIGINT) AS n_exact
+         |FROM st JOIN ex ON ex.lang = st.lang""".stripMargin,
 
     // PMI over ALL-bigram totals (Σ(len-1), not the minCount survivors);
     // round before ranking, lexicographic (a, b) ties

@@ -574,4 +574,43 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id", "is_outlier").as[(Long, Boolean)].collect().toMap
     assert(ex === ap)
   }
+
+  // ---- KMV distinct sketch ----
+
+  import graft.ext.SketchOps
+
+  test("kmv: below k the sketch is exact; state is the sorted hash set") {
+    val df = Seq.tabulate(30)(i => ("s", s"v${i % 10}")).toDF("g", "k")
+    val st = SketchOps.kmvState(df, col("g"), col("k"), k = 256)
+    val arr = st.select("kmv").as[Seq[Long]].head()
+    assert(arr.length === 10 && arr === arr.sorted && arr.distinct === arr)
+    val est = SketchOps.kmvEstimate(st, 256)
+      .as[(String, Int, Long)].collect().head
+    assert(est === (("s", 10, 10L)))
+  }
+
+  test("kmv: merge of split states equals the direct whole-corpus state") {
+    val rows = Seq.tabulate(3000)(i => (s"g${i % 2}", s"item${i % 900}"))
+    val df = rows.toDF("g", "k")
+    val k = 64
+    val direct = SketchOps.kmvState(df, col("g"), col("k"), k)
+      .as[(String, Seq[Long])].collect().toMap
+    val parts = (0 until 3).map(p =>
+      SketchOps.kmvState(df.where(abs(hash(col("k"))) % 3 === p),
+        col("g"), col("k"), k))
+    val merged = SketchOps.kmvMerge(parts.reduce(_ unionByName _), k)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === direct, "KMV must be a monoid under merge")
+  }
+
+  test("kmv: estimate lands within the theoretical error band of exact") {
+    val n = 5000
+    val df = Seq.tabulate(4 * n)(i => ("s", s"tok${i % n}")).toDF("g", "k")
+    val k = 256
+    val est = SketchOps.kmvEstimate(SketchOps.kmvState(df, col("g"), col("k"), k), k)
+      .select("n_distinct_est").as[Long].head()
+    // rsd ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - n) < 4 * n / math.sqrt(k - 2.0),
+      s"estimate $est vs exact $n")
+  }
 }

@@ -79,5 +79,19 @@ object GraftExtensions {
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       arity("jaro_winkler", 2)(a =>
-        JaroWinkler(Cast(a(0), StringType), Cast(a(1), StringType)))))
+        JaroWinkler(Cast(a(0), StringType), Cast(a(1), StringType)))),
+    // aggregate tier: the analyzer wraps a returned AggregateFunction in
+    // its AggregateExpression, so SQL users get the native k-minima sketch
+    // as `kmv_agg(hash60_value, k)` with a literal k
+    (FunctionIdentifier("kmv_agg"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_agg"),
+      arity("kmv_agg", 2) { a =>
+        val k = a(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_agg: k must be a literal integer, got $other")
+        }
+        KmvAgg(Cast(a(0), org.apache.spark.sql.types.LongType), k)
+      }))
 }

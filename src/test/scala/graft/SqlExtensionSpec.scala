@@ -56,4 +56,25 @@ class SqlExtensionSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("vec_dot expects 2 arguments"))
   }
+
+  test("kmv_agg resolves in SQL and matches the DataFrame sketch") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => ("s", s"v${i % 25}")).toDF("g", "k")
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+        """SELECT g, kmv_agg(
+          |  CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10)
+          |    AS BIGINT), 16) AS kmv
+          |FROM kmv_in GROUP BY g""".stripMargin)
+      .as[(String, Seq[Long])].collect().toMap
+    val viaBatch = graft.ext.SketchOps.kmvState(df,
+        org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.col("k"), 16)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(viaSql === viaBatch)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT kmv_agg(1, id) FROM range(2) GROUP BY 1").head()
+    }
+    assert(bad.getMessage.contains("literal"))
+  }
 }

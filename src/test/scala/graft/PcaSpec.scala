@@ -20,6 +20,22 @@ class PcaSpec extends SparkTestBase {
     assert(got === Map((0, 0) -> 1.0, (0, 1) -> 2.0, (1, 1) -> 4.0))
   }
 
+  test("covarianceMatrix: null vectors are skipped (the explode-form " +
+    "behavior); a dimension mismatch fails loudly") {
+    val df = Seq((1L, Some(Seq(1.0f, 10.0f))), (2L, Some(Seq(3.0f, 14.0f))),
+      (3L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val got = SimilarityOps.covarianceMatrix(df, "vec_id", "embedding")
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((0, 0) -> 1.0, (0, 1) -> 2.0, (1, 1) -> 4.0))
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.covarianceMatrix(ragged, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("gram_matrix") ||
+      Option(e.getCause).exists(_.getMessage.contains("gram_matrix")))
+  }
+
   test("covarianceMatrix: one single-partition buffer-merge exchange, " +
     "native Gram aggregate, no self-join, no per-row pair explode") {
     val df = spark.read.parquet(sf() + "/embeddings.parquet")

@@ -133,6 +133,7 @@ object SparkEntry {
     "x_confusion" -> ExtQueries.xConfusion,
     "x_calibration" -> ExtQueries.xCalibration,
     "x_mm_ahash" -> ExtQueries.xMmAhash,
+    "x_mm_scenes" -> ExtQueries.xMmScenes,
     "x_minhash_recall" -> ExtQueries.xMinhashRecall,
     "x_sorted_nbr" -> ExtQueries.xSortedNbr,
     "x_blocking_recall" -> ExtQueries.xBlockingRecall,
@@ -309,5 +310,6 @@ object SparkEntry {
     "x_auc_stratum", "x_clustering_coef", "x_sorted_nbr",
     "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
     "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
-    "x_neg_sample", "x_pr_auc", "x_brier", "x_kmv_distinct")
+    "x_neg_sample", "x_pr_auc", "x_brier", "x_kmv_distinct",
+    "x_mm_scenes")
 }

@@ -136,6 +136,63 @@ object MultimodalOps {
         i => (n * i / frames).cast("long"))).as(Seq("frame_idx", "byte_offset")))
   }
 
+  /** Scene-change detection plan for video-ish payloads: sample `frames`
+    * evenly-spaced 32-byte windows ([[frameSamplePlan]]'s offsets), aHash
+    * each window ([[aHashSignature]]'s arithmetic over the window instead
+    * of the head), and flag frames whose Hamming distance from the
+    * previous frame's hash exceeds `threshold` — the shot-boundary pass a
+    * video training pipeline runs to pick representative frames (sampling
+    * every frame of a 2-hour video is waste; sampling per scene is the
+    * standard trick). The first frame of every payload is a scene start.
+    * Output: (idCol, frame_idx, ahash, hamming, is_scene_start); hamming
+    * null on frame 0.
+    *
+    * Decode is the stubbed byte window (the [[FakeDecoder]] boundary); a
+    * real deployment swaps the window bytes for decoded downscaled frames
+    * behind the same (id, frame_idx, bytes) shape. Scale: map-side explode
+    * to frames× rows, one per-payload window for the lag — partition width
+    * is `frames`, a constant. */
+  def sceneChanges(df: DataFrame, idCol: String, payloadCol: String,
+                   frames: Int, threshold: Int): DataFrame = {
+    require(frames >= 2, s"frames must be >= 2, got $frames")
+    require(threshold >= 0 && threshold <= 32, "threshold must be in [0, 32]")
+    val digits = "0123456789ABCDEF"
+    val n = length(col(payloadCol)).cast("long")
+    val hashed = df
+      .where(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)),
+          i => (n * i / frames).cast("long"))).as(Seq("frame_idx", "__off")),
+        col(payloadCol))
+      .select(col(idCol), col("frame_idx"),
+        regexp_extract_all(
+          hex(col(payloadCol).substr(col("__off") + 1, lit(32))),
+          lit("(..)"), lit(1)).as("__pairs"))
+      .where(size(col("__pairs")) > 0) // tail window past the payload end
+      .select(col(idCol), col("frame_idx"), transform(col("__pairs"), c =>
+        (instr(lit(digits), substring(c, 1, 1)) - 1) * 16 +
+          (instr(lit(digits), substring(c, 2, 1)) - 1)).as("__bytes"))
+      .select(col(idCol), col("frame_idx"), col("__bytes"),
+        (aggregate(col("__bytes"), lit(0L), (a, x) => a + x).cast("double") /
+          size(col("__bytes"))).as("__mean"))
+      .select(col(idCol), col("frame_idx"),
+        aggregate(
+          zip_with(col("__bytes"),
+            sequence(lit(0), size(col("__bytes")) - 1),
+            (b, i) => when(b > col("__mean"), pow(lit(2.0), i))
+              .otherwise(lit(0.0))),
+          lit(0.0), (a, x) => a + x).cast("long").as("ahash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("frame_idx")
+    val x = col("ahash").bitwiseXOR(lag(col("ahash"), 1).over(w))
+    val hamming = (0 until 32)
+      .map(i => shiftright(x, i).bitwiseAND(lit(1L))).reduce(_ + _)
+    hashed
+      .withColumn("hamming", hamming)
+      .withColumn("is_scene_start",
+        coalesce(col("hamming") > threshold, lit(true)))
+  }
+
   /** Average-hash (aHash) signature over the payload's first 32 bytes:
     * bit i set iff byte_i > mean(bytes) — the classic perceptual-hash
     * shape with the pixel decode stubbed to raw bytes (a real deployment

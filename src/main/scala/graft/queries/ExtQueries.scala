@@ -476,6 +476,15 @@ object ExtQueries {
     * 48k-pair answer. Wider blocks / tighter radius is the correct
     * banding response to signature density — real decoded-pixel aHash is
     * far better distributed and tolerates wider radii. */
+  /** Scene-change detection over 6 sampled 32-byte frame windows per
+    * payload (Hamming > 8 between consecutive window aHashes) — the
+    * shot-boundary frame-selection pass; oracle replays the window hashes
+    * and the unrolled 32-bit popcount. */
+  val xMmScenes: Q = (s, dir) =>
+    MultimodalOps.sceneChanges(
+      docs(s, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", frames = 6, threshold = 8)
+
   val xMmAhash: Q = (s, dir) => {
     val base = docs(s, dir).withColumn("payload", col("text").cast("binary"))
     val planted = base.select(col("doc_id"), col("payload"))

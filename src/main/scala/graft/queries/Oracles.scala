@@ -2256,6 +2256,39 @@ object Oracles {
          |    AS brier
          |FROM scored""".stripMargin,
 
+    // scene-change detection: per-frame window aHashes replayed via the
+    // hex-digit arithmetic; hamming via DuckDB's own bit_count(xor(..)) —
+    // an INDEPENDENT popcount vs Spark's unrolled shift-and-mask
+    "x_mm_scenes" ->
+      """WITH base AS (SELECT doc_id, CAST(text AS BLOB) AS payload
+        |  FROM documents WHERE text IS NOT NULL),
+        |fr AS (SELECT doc_id, payload, octet_length(payload) AS n
+        |  FROM base WHERE payload IS NOT NULL AND octet_length(payload) > 0),
+        |off AS (SELECT doc_id, payload, CAST(i AS INT) AS frame_idx,
+        |    CAST(floor(n * i / 6.0) AS BIGINT) AS o
+        |  FROM (SELECT doc_id, payload, n, unnest(range(0, 6)) AS i FROM fr)),
+        |hx AS (SELECT doc_id, frame_idx,
+        |    regexp_extract_all(substr(hex(payload), 2 * o + 1, 64), '(..)', 1)
+        |      AS prs FROM off),
+        |bt AS (SELECT doc_id, frame_idx, list_transform(prs, c ->
+        |    (strpos('0123456789ABCDEF', c[1:1]) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', c[2:2]) - 1)) AS bs
+        |  FROM hx WHERE len(prs) > 0),
+        |mn AS (SELECT doc_id, frame_idx, bs,
+        |    list_sum(bs) * 1.0 / len(bs) AS mean FROM bt),
+        |sg AS (SELECT doc_id, frame_idx, CAST(list_sum(list_transform(
+        |    range(1, len(bs) + 1), i ->
+        |    CASE WHEN bs[i] > mean THEN power(2.0, i - 1) ELSE 0.0 END))
+        |  AS BIGINT) AS ahash FROM mn),
+        |lg AS (SELECT doc_id, frame_idx, ahash,
+        |    lag(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM sg)
+        |SELECT doc_id, frame_idx, ahash,
+        |  CASE WHEN prev IS NULL THEN NULL
+        |    ELSE CAST(bit_count(xor(ahash, prev)) AS BIGINT) END AS hamming,
+        |  coalesce(bit_count(xor(ahash, prev)) > 8, TRUE) AS is_scene_start
+        |FROM lg""".stripMargin,
+
     // byte-level aHash near-dup: signatures recomputed independently via
     // the same hex-digit arithmetic, pairs via the NAIVE quadratic join
     "x_mm_ahash" ->

@@ -159,4 +159,37 @@ class WindowsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got(1L) === got(2L))
   }
+
+  test("multimodal: sceneChanges — identical windows are no scene change, " +
+    "a content jump is; frame 0 always starts a scene") {
+    // payload = 3 homogeneous thirds: AAAA.. | AAAA.. | ZqZqZq.. — with
+    // 3 frames the windows land at offsets 0, n/3, 2n/3; frames 0 and 1
+    // hash identically (hamming 0), frame 2 differs
+    val seg = 60
+    val payload = ("A" * (2 * seg)) + ("Zq" * (seg / 2))
+    val df = Seq((1L, payload)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val got = MultimodalOps.sceneChanges(df, "doc_id", "payload",
+        frames = 3, threshold = 2)
+      .select("frame_idx", "hamming", "is_scene_start")
+      .as[(Int, Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(got.length === 3)
+    assert(got(0) === ((0, None, true)), "frame 0 starts a scene")
+    assert(got(1)._2.contains(0L) && !got(1)._3, "same bytes, no change")
+    assert(got(2)._2.exists(_ > 2L) && got(2)._3, "content jump detected")
+  }
+
+  test("multimodal: sceneChanges hamming equals an in-JVM popcount of the " +
+    "frame-hash xor") {
+    val df = Seq((1L, "abcdefghij" * 40)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val rows = MultimodalOps.sceneChanges(df, "doc_id", "payload",
+        frames = 5, threshold = 8)
+      .select("frame_idx", "ahash", "hamming")
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3.contains(
+        java.lang.Long.bitCount(a._2 ^ b._2).toLong), s"${a._1}->${b._1}")
+    }
+  }
 }

@@ -102,6 +102,7 @@ object SparkEntry {
     "x_quality" -> ExtQueries.xQuality,
     "x_langid" -> ExtQueries.xLangId,
     "x_fingerprint" -> ExtQueries.xFingerprint,
+    "x_nfc_norm" -> ExtQueries.xNfcNorm,
     "x_winnow" -> ExtQueries.xWinnow,
     // ext: dedup
     "x_dedup_exact" -> ExtQueries.xDedupExact,

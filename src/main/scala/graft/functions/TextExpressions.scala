@@ -172,6 +172,35 @@ object JaroWinkler {
     similarity(a, b, null)
 }
 
+/** Unicode NFC normalization — the canonicalisation pass a multilingual
+  * dedup pipeline MUST run before hashing: "é" arrives both precomposed
+  * (U+00E9) and decomposed (e + U+0301), and every downstream content
+  * hash, shingle, and fingerprint treats them as different documents
+  * unless the corpus is normalized first. Spark has no built-in; this is
+  * the ICU-free JDK normalizer as a native expression (CodegenFallback —
+  * one library call per row; a Scala UDF would add Row boxing on top).
+  * The DuckDB oracle is utf8proc's independent `nfc_normalize` — two
+  * implementations of the Unicode standard agreeing. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(s: Any): Any = {
+    val in = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // fast path: Normalizer.isNormalized is a cheap scan and almost every
+    // real-corpus string is already NFC — skip the rewrite (and the
+    // UTF8String re-encode) for them
+    if (java.text.Normalizer.isNormalized(in, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -184,4 +213,9 @@ object TextFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(JaroWinkler(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Unicode NFC canonicalisation (see [[NfcNormalize]]). */
+  def nfcNormalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(
+      ColumnBridge.expression(s.cast("string"))))
 }

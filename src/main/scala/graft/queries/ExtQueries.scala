@@ -1470,6 +1470,21 @@ object ExtQueries {
     SketchOps.kmvEstimate(st, k).join(exact, "stratum")
   }
 
+  /** Unicode NFC canonicalisation (native [[graft.functions.NfcNormalize]]
+    * vs DuckDB's utf8proc nfc_normalize — two independent Unicode
+    * implementations agreeing on the normalized md5). The corpus is ASCII,
+    * so a decomposed "e<combining-acute>" suffix is injected on a doc_id
+    * residue class to exercise real recomposition. */
+  val xNfcNorm: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("e\u0301")))
+          .otherwise(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        graft.functions.TextFunctions.nfcNormalize(col("t")).as("__n"))
+      .select(col("doc_id"), (col("__n") =!= col("t")).as("changed"),
+        md5(col("__n")).as("norm_hash"))
+
   /** Gopher repetition metrics per document: top-2-gram character coverage
     * and duplicated-5-gram character fraction. */
   val xRepetition: Q = (s, dir) =>

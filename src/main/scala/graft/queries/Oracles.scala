@@ -1751,6 +1751,16 @@ object Oracles {
          |  CAST(n_exact AS BIGINT) AS n_exact
          |FROM st JOIN ex ON ex.lang = st.lang""".stripMargin,
 
+    // Unicode NFC: DuckDB's utf8proc nfc_normalize vs the JDK normalizer —
+    // independent Unicode implementations; chr(769) = the combining acute
+    "x_nfc_norm" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || 'e' || chr(769)
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nn FROM d)
+        |SELECT doc_id, nn <> t AS changed, md5(nn) AS norm_hash FROM n""".stripMargin,
+
     // PMI over ALL-bigram totals (Σ(len-1), not the minCount survivors);
     // round before ranking, lexicographic (a, b) ties
     "x_pmi" ->

@@ -312,5 +312,5 @@ object SparkEntry {
     "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
     "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
     "x_neg_sample", "x_pr_auc", "x_brier", "x_kmv_distinct",
-    "x_mm_scenes")
+    "x_mm_scenes", "x_nfc_norm")
 }

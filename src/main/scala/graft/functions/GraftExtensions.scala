@@ -80,6 +80,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       arity("jaro_winkler", 2)(a =>
         JaroWinkler(Cast(a(0), StringType), Cast(a(1), StringType)))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(a => NfcNormalize(Cast(a(0), StringType)))),
     // aggregate tier: the analyzer wraps a returned AggregateFunction in
     // its AggregateExpression, so SQL users get the native k-minima sketch
     // as `kmv_agg(hash60_value, k)` with a literal k

@@ -55,12 +55,49 @@ object SetSimJoin {
         transform(col("__ord"), x => x.getField("elem")).as("set"),
         col("sz"))
 
-  /** prefix = the first |x| - ceil(theta|x|) + 1 rarest elements. */
+  /** prefix = the first |x| - ceil(theta|x|) + 1 rarest elements, with the
+    * 1-based in-set position for the positional filter. */
   private def prefixOf(sets: DataFrame, theta: Double): DataFrame = {
     val prefixLen = (col("sz") - ceil(col("sz") * lit(theta)) + 1).cast("int")
     sets.select(col("doc_id"), col("sz"),
-      explode(slice(col("set"), lit(1), prefixLen)).as("elem"))
+        posexplode(slice(col("set"), lit(1), prefixLen))
+          .as(Seq("__p0", "elem")))
+      .select(col("doc_id"), col("sz"), col("elem"),
+        (col("__p0") + 1).as("__pos"))
   }
+
+  /** PPJoin positional filter (Xiao et al., WWW'08) over candidate
+    * element-match rows (…, __sza, __szb, __pa, __pb): collapse to one row
+    * per pair (absorbing the plain form's `.distinct()` — same exchange,
+    * strictly more pruning) and require the first shared element's overlap
+    * upper bound `1 + min(|x|−px, |y|−py)` to reach the Jaccard-required
+    * overlap `ceil(θ/(1+θ)·(|x|+|y|))`.
+    *
+    * Soundness of the per-pair min aggregation: both arrays follow the
+    * SAME global frequency order, so a pair's globally-smallest shared
+    * element minimises BOTH positions simultaneously — min(pa) and
+    * min(pb) are that one element's coordinates whenever the pair can
+    * reach θ (if its first shared element escaped a prefix, every shared
+    * element would sit past one side's prefix, capping overlap below the
+    * θ requirement — such pairs are CORRECT to drop). The bound argument
+    * needs that no shared element precedes the first match in either
+    * array, which the shared total order gives for free.
+    *
+    * The required-overlap threshold is rounded to 6 dp BEFORE ceil (the
+    * house round-before-any-float-decision rule): θ/(1+θ)·(|x|+|y|) at an
+    * exact integer boundary lands at 2.0000000000000004 in doubles, and a
+    * raw ceil would demand one more overlap than the threshold does — the
+    * false-negative class the randomized spec caught on the first attempt. */
+  private def positionalFilter(matches: DataFrame, aCol: String, bCol: String,
+                               theta: Double): DataFrame =
+    matches.groupBy(aCol, bCol)
+      .agg(first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"),
+        min(col("__pa")).as("__mpa"), min(col("__pb")).as("__mpb"))
+      .where(lit(1) +
+        least(col("__sza") - col("__mpa"), col("__szb") - col("__mpb")) >=
+        ceil(round(lit(theta / (1 + theta)) *
+          (col("__sza") + col("__szb")), 6)))
+      .select(aCol, bCol)
 
   /** Hot-prefix-element guard: the offending set is empty in any legal
     * run, so the check is a broadcast left join, never a second shuffle. */
@@ -127,13 +164,15 @@ object SetSimJoin {
     val sets = sortedSets(elems, freq(elems))
     val g = guarded(prefixOf(sets, theta), "self", maxBucket)
     val a = g.select(col("elem"), col("doc_id").as("doc_a"),
-      col("sz").as("__sza"))
+      col("sz").as("__sza"), col("__pos").as("__pa"))
     val b = g.select(col("elem").as("__elem_b"),
-      col("doc_id").as("doc_b"), col("sz").as("__szb"))
-    val cands = a.join(b,
+      col("doc_id").as("doc_b"), col("sz").as("__szb"),
+      col("__pos").as("__pb"))
+    val cands = positionalFilter(
+      a.join(b,
         col("elem") === col("__elem_b") && col("doc_a") < col("doc_b") &&
-          sizeFilter(theta))
-      .select("doc_a", "doc_b").distinct()
+          sizeFilter(theta)),
+      "doc_a", "doc_b", theta)
     verify(cands, sets, sets, "doc_a", "doc_b", theta)
   }
 
@@ -213,12 +252,14 @@ object SetSimJoin {
     val setsL = sortedSets(leftElems, df)
     val setsR = sortedSets(rightElems, df)
     val gl = guarded(prefixOf(setsL, theta), "left", maxBucket)
-      .select(col("elem"), col("doc_id").as("l_id"), col("sz").as("__sza"))
+      .select(col("elem"), col("doc_id").as("l_id"), col("sz").as("__sza"),
+        col("__pos").as("__pa"))
     val gr = guarded(prefixOf(setsR, theta), "right", maxBucket)
       .select(col("elem").as("__elem_b"), col("doc_id").as("r_id"),
-        col("sz").as("__szb"))
-    val cands = gl.join(gr, col("elem") === col("__elem_b") && sizeFilter(theta))
-      .select("l_id", "r_id").distinct()
+        col("sz").as("__szb"), col("__pos").as("__pb"))
+    val cands = positionalFilter(
+      gl.join(gr, col("elem") === col("__elem_b") && sizeFilter(theta)),
+      "l_id", "r_id", theta)
     verify(cands, setsL, setsR, "l_id", "r_id", theta)
   }
 }

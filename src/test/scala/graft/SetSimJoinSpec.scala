@@ -70,6 +70,18 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(run(sets, 0.6000001).isEmpty)
   }
 
+  test("positional filter: exact integer-boundary required overlap keeps " +
+    "the pair (the raw-ceil float inflation regression)") {
+    // sizes (3, 4), overlap 2 -> J = 2/5 = 0.4 exactly; the required
+    // overlap theta/(1+theta)*(3+4) = 2.0000000000000004 in doubles — a
+    // raw ceil demands 3 and silently drops the pair (the bug the first
+    // positional-filter attempt shipped); the 6-dp round keeps it
+    val sets = Seq(
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("a", "b", "d", "e"))
+    assert(run(sets, 0.4) == Set((1L, 2L, 0.4)))
+  }
+
   test("theta outside (0, 1] is rejected") {
     intercept[IllegalArgumentException](SetSimJoin.selfJoin(elemsOf(Seq()), 0.0))
     intercept[IllegalArgumentException](SetSimJoin.selfJoin(elemsOf(Seq()), 1.1))

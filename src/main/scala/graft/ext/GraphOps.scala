@@ -287,14 +287,20 @@ object GraphOps {
     * failure regenerates the same corpus. Output:
     * (walk_id, step, node), step 0 = the start node.
     *
-    * Scale shape: the adjacency is ranked once (one window keyed by node —
-    * partition width is the degree, and both rank and degree ride the same
-    * exchange) and persisted; each step is ONE equi-join of the
-    * walk frontier with the adjacency on the current node plus the
-    * map-side rank filter — no window, no collect, frontier localCheckpoint
-    * per step ([[pageRank]] truncation discipline). Hub nodes fan IN
-    * walks, but each walk row joins exactly deg rows filtered to one —
-    * skew is bounded by the per-partition map, not a blown-up join. */
+    * Scale shape — the TWO-PHASE pick: the adjacency is ranked once (one
+    * window keyed by node; partition width is the degree) and persisted
+    * alongside a one-row-per-node degree table (partial-aggregated, no
+    * window); each step (a) joins the frontier to the degree table 1:1 to
+    * compute `pick = md5 % deg`, then (b) equi-joins on BOTH keys
+    * (node, rank = pick) — O(1) adjacency rows per walk per step. The
+    * one-phase form (join the frontier to the FULL neighbour list, then
+    * filter rank = pick) materialises deg(cur) rows per walk-step, which
+    * on a power-law graph makes every walk sitting on a hub pay the hub's
+    * full degree as join fan-out — a transient-volume and skew hazard at
+    * 100x; the two-phase form is bit-identical (same pick function) with
+    * no fan-out. PlanSpec locks the both-keys equi-join (no post-join rank
+    * filter). No window per step, no collect, frontier localCheckpoint per
+    * step ([[pageRank]] truncation discipline). */
   def randomWalks(edges: DataFrame, src: Column, dst: Column,
                   steps: Int, walksPerNode: Int = 1): DataFrame = {
     require(steps >= 1, "randomWalks: steps must be >= 1")
@@ -304,11 +310,11 @@ object GraphOps {
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy("nbr")
-    val wd = org.apache.spark.sql.expressions.Window.partitionBy("node")
     val adj = sym.select(col("node"), col("nbr"),
-      (row_number().over(w) - 1).cast("long").as("__rk"),
-      count(lit(1)).over(wd).as("__deg")).persist()
-    var frontier = adj.select("node").distinct()
+      (row_number().over(w) - 1).cast("long").as("__rk")).persist()
+    val degrees = sym.groupBy("node")
+      .agg(count(lit(1)).cast("long").as("__deg")).persist()
+    var frontier = degrees.select("node")
       .select(col("node"),
         explode(array((0 until walksPerNode).map(lit): _*)).as("__w"))
       .select(concat_ws("#", col("node"), col("__w")).as("walk_id"),
@@ -317,19 +323,34 @@ object GraphOps {
     val acc = scala.collection.mutable.ArrayBuffer(
       frontier.select(col("walk_id"), lit(0).as("step"), col("cur").as("node")))
     for (t <- 1 to steps) {
-      val pick = conv(substring(
-          md5(concat_ws(":", col("walk_id"), lit(t), col("cur"))), 1, 8),
-        16, 10).cast("long") % col("__deg")
-      frontier = frontier.join(adj, col("cur") === col("node"))
-        .where(col("__rk") === pick)
-        .select(col("walk_id"), col("nbr").as("cur"))
-        .localCheckpoint(true)
+      // phase 1: 1:1 degree lookup, pick is a pure column on the frontier
+      val picked = frontier
+        .join(degrees.withColumnRenamed("node", "cur"), "cur")
+        .select(col("walk_id"), col("cur"),
+          (conv(substring(
+              md5(concat_ws(":", col("walk_id"), lit(t), col("cur"))), 1, 8),
+            16, 10).cast("long") % col("__deg")).as("__pick"))
+      frontier = walkStepJoin(picked, adj).localCheckpoint(true)
       acc += frontier.select(col("walk_id"), lit(t).as("step"),
         col("cur").as("node"))
     }
-    adj.unpersist()
+    adj.unpersist(); degrees.unpersist()
     acc.reduce(_ unionByName _)
   }
+
+  /** Phase 2 of the [[randomWalks]] two-phase pick: advance each walk by
+    * equi-joining the picked frontier (walk_id, cur, __pick) with the
+    * ranked adjacency (node, nbr, __rk) on BOTH keys — (cur = node AND
+    * __pick = __rk) — so exactly one adjacency row matches per walk and a
+    * hub's full neighbour list is never materialised into the join output.
+    * Factored out (package-visible) because the per-step localCheckpoint
+    * truncates lineage, hiding this join from the declared query's plan:
+    * PlanSpec locks the both-keys equi-join shape on this function
+    * directly. */
+  private[graft] def walkStepJoin(picked: DataFrame, adj: DataFrame): DataFrame =
+    picked
+      .join(adj, col("cur") === col("node") && col("__pick") === col("__rk"))
+      .select(col("walk_id"), col("nbr").as("cur"))
 
   /** Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·(d(v)−1))
     * over the undirected simple graph, 0 for degree < 2. Output:

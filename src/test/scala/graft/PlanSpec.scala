@@ -386,4 +386,32 @@ class PlanSpec extends SparkTestBase {
     val exchanges = countIn(p, "Exchange hashpartitioning")
     assert(exchanges <= 4, s"exchanges=$exchanges\n$p")
   }
+
+  test("random-walk step: the pick is a JOIN KEY (both-keys equi-join), " +
+    "never a post-join rank filter") {
+    // The one-phase form (join frontier to the full neighbour list, then
+    // filter __rk = pick) materialises deg(cur) rows per walk-step — a hub
+    // fan-out hazard at scale. Locked on GraphOps.walkStepJoin directly
+    // because the per-step localCheckpoint hides this join from the
+    // declared query's plan.
+    import org.apache.spark.sql.functions._
+    val adj = spark.range(10).select(
+      (col("id") % 5).as("node"), col("id").as("nbr"),
+      (col("id") / 5).cast("long").as("__rk"))
+    val picked = spark.range(5).select(
+      concat_ws("#", col("id"), lit(0)).as("walk_id"), col("id").as("cur"),
+      (col("id") % 2).as("__pick"))
+    val p = graft.ext.GraphOps.walkStepJoin(picked, adj)
+      .queryExecution.executedPlan.toString
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, p)
+    // __pick must appear in the join keys of every join line…
+    assert(joinLines.forall(l => l.contains("__pick") && l.contains("__rk")),
+      s"pick/rank not join keys:\n$p")
+    // …and no Filter may compare rank to pick after the fact (pre-join
+    // isnotnull pushdowns mention only one of the two — those are fine)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("__rk") && l.contains("__pick")),
+      s"post-join rank filter found:\n$p")
+  }
 }

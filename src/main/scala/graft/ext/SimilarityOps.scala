@@ -696,6 +696,47 @@ object SimilarityOps {
       .toDF("check", "p", "q", "val")
   }
 
+  /** The DISTRIBUTED check surface of [[pcaProject]] — the oracle-checkable
+    * form of the projection itself. The raw (id, proj) rows are not
+    * portable SQL (the oracle has no eigen solver), but the projection's
+    * per-component aggregates have CONSTANT expected values, so declaring
+    * the projection THROUGH them closes the verification chain without one:
+    * for each component p over the EXACT 6-dp-rounded values [[pcaProject]]
+    * emits —
+    *   - n_rows:  count of projected vectors  → corpus row count
+    *   - mean_y:  avg(y), 4 dp                → 0.0 (centred projection)
+    *   - var_err: |var(y) − λ_p|, 4 dp        → 0.0 (variance = eigenvalue)
+    * One map-side projection + ONE partial-aggregated shuffle over k-wide
+    * rows; λ comes from the same parameter-bounded driver solve as the
+    * axes. The 6-dp rounding of y perturbs mean/var by ≤ 1e-5, absorbed by
+    * the 4-dp check rounding. [[pcaInvariants]] carries the driver-side
+    * ortho/residual/order companions; PcaSpec locks the raw row semantics. */
+  def pcaProjectionCheck(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                         iters: Int = 50): DataFrame = {
+    val (axes, m, mu) = pcaSolve(df, idCol, vecCol, k, iters)
+    val dims = mu.length
+    val lambdas = axes.map { ax =>
+      val mx = Array.tabulate(dims)(a => (0 until dims).map(b => m(a)(b) * ax(b)).sum)
+      ax.zip(mx).map(t => t._1 * t._2).sum
+    }
+    val v = col(vecCol).cast("array<double>")
+    val comps = axes.map { ax =>
+      round(dot_d(transform(v, (x, i) => x - element_at(typedLit(mu.toSeq), i + 1)),
+        typedLit(ax.toSeq)), 6)
+    }
+    def r4(c: Column): Column = {
+      val r = round(c, 4)
+      when(r === lit(0.0), lit(0.0)).otherwise(r) // IEEE -0.0 normalisation
+    }
+    df.select(posexplode(array(comps: _*)).as(Seq("comp", "y")))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_rows"), avg("y").as("__m"),
+        avg(col("y") * col("y")).as("__e2"))
+      .select(col("comp"), col("n_rows"), r4(col("__m")).as("mean_y"),
+        r4(abs(col("__e2") - col("__m") * col("__m") -
+          element_at(typedLit(lambdas.toSeq), col("comp") + 1))).as("var_err"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (the exact
     * baseline the LSH variant approximates). O(n²/2) — use only to validate
     * LSH recall at small n, or within pre-partitioned shards at scale. */

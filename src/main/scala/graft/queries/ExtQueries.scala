@@ -246,14 +246,18 @@ object ExtQueries {
     SimilarityOps.covarianceMatrix(t(s, dir, "embeddings"), "vec_id",
       "embedding")
 
-  /** Top-4 PCA projection (power iteration on the dims²-bounded covariance,
-    * deterministic sign, map-side projection). Rows-only driver check:
-    * eigenvector order/sign under near-equal eigenvalues is not portable
-    * SQL; PcaSpec locks the semantics instead. */
+  /** Top-4 PCA projection, DECLARED as its distributed check surface
+    * ([[SimilarityOps.pcaProjectionCheck]]): the raw (vec_id, comp, y)
+    * rows are not portable SQL (the oracle has no eigen solver), so the
+    * entry aggregates the exact 6-dp projection values into per-component
+    * scalars with constant expected values — row count, projection mean
+    * (0: centred) and |var − λ| (0: eigenvalue match) — making the
+    * projection oracle-checkable end to end. PcaSpec locks the raw row
+    * semantics; x_pca_invariants carries the driver-side ortho/residual/
+    * order companions. */
   val xPcaProject: Q = (s, dir) =>
-    SimilarityOps.pcaProject(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 4)
-      .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "y")))
+    SimilarityOps.pcaProjectionCheck(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4)
 
   /** Closed-form PCA invariants (orthonormality, eigen residual, eigenvalue
     * order, projection mean/variance) — every expected value a constant, so

@@ -1404,6 +1404,18 @@ object Oracles {
         |UNION ALL SELECT * FROM ord UNION ALL SELECT * FROM pm
         |UNION ALL SELECT * FROM pv""".stripMargin,
 
+    // PCA projection check surface: per-component aggregates of the actual
+    // projection have CONSTANT expected values (centred mean 0, variance =
+    // eigenvalue), so the oracle needs no eigen solver — only the corpus
+    // row count ties it to the table
+    "x_pca_project" ->
+      """WITH ks AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS comp)
+        |SELECT comp,
+        |  (SELECT count(*) FROM embeddings) AS n_rows,
+        |  CAST(0.0 AS DOUBLE) AS mean_y,
+        |  CAST(0.0 AS DOUBLE) AS var_err
+        |FROM ks""".stripMargin,
+
     // per-source median + MAD outlier flags (quantile_cont mirrors Spark's
     // exact interpolated percentile)
     "x_mad_outlier" ->

@@ -103,4 +103,19 @@ class PcaSpec extends SparkTestBase {
       .as[(Long, Seq[Double])].collect().toMap
     assert(a === b)
   }
+
+  test("pcaProjectionCheck: constants hold on the real table — count ties " +
+    "it to the corpus, mean 0, var = eigenvalue") {
+    val df = spark.read.parquet(sf() + "/embeddings.parquet")
+    val n = df.count()
+    val got = SimilarityOps
+      .pcaProjectionCheck(df, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2))
+    got.foreach { case (comp, rows, meanY, varErr) =>
+      assert(rows === n, s"comp $comp n_rows")
+      assert(meanY === 0.0, s"comp $comp mean_y=$meanY")
+      assert(varErr === 0.0, s"comp $comp var_err=$varErr")
+    }
+  }
 }

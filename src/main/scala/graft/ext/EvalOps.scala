@@ -132,7 +132,16 @@ object EvalOps {
     * absent.
     *
     * Scale shape: the [[aucRoc]] discipline — the corpus collapses
-    * map-side to distinct scores before the one cumulative window. */
+    * map-side to distinct scores before the one cumulative window. That
+    * window is GLOBAL (no partition key → single-partition WindowExec),
+    * which is fine exactly while its input is distinct-score-bounded
+    * (float scores from a bounded scorer: thousands of values). If scores
+    * ever become near-unique per row (e.g. 64-bit hash scores over a
+    * web-scale corpus), the upgrade path is the standard two-level
+    * cumulative sum: hash-partition the distinct scores by range, take
+    * per-partition cumulative sums, then broadcast the per-partition
+    * TOTALS (a partitions-bounded frame) back as additive offsets — same
+    * result, no single-partition stage. */
   def averagePrecision(df: DataFrame, score: Column, label: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -141,7 +141,11 @@ object TextOps {
         i.as("chunk_id"),
         concat_ws(" ", slice(toks, i * stride + 1, lit(size))).as("chunk"),
         least(n - i * stride, lit(size)).as("n_tokens")))
-    df.select(key.as("doc_id"), tokens(text).as("__tk"))
+    // withTokens (explode-barrier), NOT a bare tokens(text) projection: the
+    // n > 0 filter below would otherwise be alias-substituted into a
+    // scan-side Filter by PushDownPredicates (no cost guard), re-running
+    // the tokenizer chain a second time per scanned row
+    withTokens(df, Seq(key.as("doc_id")), text)
       .where(n > 0)
       .select(col("doc_id"), explode(chunks).as("__c"))
       .select(col("doc_id"), col("__c.chunk_id").as("chunk_id"),
@@ -216,7 +220,14 @@ object TextOps {
     * the range filter above it (the as-of family's bucketized-rewrite
     * pattern). The cumulative window is vocabulary-bounded — the
     * [[graft.ext.EvalOps.aucRoc]] distinct-value discipline, never the
-    * corpus. */
+    * corpus. It is also GLOBAL (no partition key → single-partition
+    * WindowExec), defensible while the vocabulary is ~10⁶ tokens; a
+    * web-scale vocabulary (10⁸+) outgrows it, and the upgrade path is the
+    * standard two-level cumulative sum: range-partition the vocabulary,
+    * per-partition cumulative sums, then broadcast the per-partition
+    * TOTALS back as additive offsets — identical boundaries, no
+    * single-partition stage. Do NOT copy this window shape into any
+    * context without such a value bound. */
   def negativeSamples(df: DataFrame, key: Column, text: Column,
                       window: Int, k: Int, nBuckets: Int = 256): DataFrame = {
     require(window >= 1, "window must be >= 1")

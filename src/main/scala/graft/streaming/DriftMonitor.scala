@@ -7,23 +7,27 @@ import org.apache.spark.sql.Row
 
 /** Streaming distribution-drift monitor: the stateful surface of
   * [[graft.ext.CorpusOps.psiDrift]]. The stream's bin counts accumulate in
-  * Spark's built-in streaming aggregation state (update mode — state size
-  * is bin cardinality, the same bound the batch operator's shuffle
-  * carries), and every micro-batch the CURRENT cumulative distribution is
+  * Spark's built-in streaming aggregation state (state size is bin
+  * cardinality, the same bound the batch operator's shuffle carries) and
+  * are emitted in COMPLETE mode — required, not a convenience: psiAgainst
+  * needs the FULL cumulative bin table each trigger (update mode would
+  * deliver only the bins the trigger touched, silently breaking PSI
+  * parity). Every micro-batch the CURRENT cumulative distribution is
   * scored against a STATIC reference snapshot with the identical
   * add-alpha PSI arithmetic. Each trigger's output is therefore exactly
   * `psiDrift(reference, stream-so-far)` — locked by the batch-parity
   * spec — so an alert threshold on `psi_contrib` behaves identically
   * whether the corpus arrives as one batch or as a stream.
   *
-  * Scale shape: the per-batch update touches only the bins present in the
-  * trigger (update-mode streaming agg); the PSI join runs on
-  * bin-cardinality frames against the broadcast reference counts. Nothing
-  * corpus-sized is ever held in state.
+  * Scale shape: the state UPDATE per trigger touches only the bins present
+  * in that batch; complete-mode output re-emits all bin-cardinality rows,
+  * which is exactly the frame the PSI join needs against the broadcast
+  * reference counts. Nothing corpus-sized is ever held in state.
   */
 object DriftMonitor {
 
-  /** Cumulative streaming bin counts (update mode): (bin, n_cur). */
+  /** Cumulative streaming bin counts, emitted complete-mode by [[psiQuery]]
+    * (the full bin table each trigger): (bin, n_cur). */
   def binCounts(stream: DataFrame, bin: Column): DataFrame =
     stream.groupBy(bin.as("bin")).agg(count(lit(1)).as("n_cur"))
 

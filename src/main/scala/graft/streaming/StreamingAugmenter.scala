@@ -134,7 +134,7 @@ object StreamingAugmenter {
                 state.update(ck)
                 val expiry = sorted.map(_.expiry_ts.getTime).max
                 state.setTimeoutTimestamp(
-                  math.max(expiry, state.getCurrentWatermarkMs + 1))
+                  math.max(expiry, state.getCurrentWatermarkMs() + 1))
               case None => if (state.exists) state.remove()
             }
             out.iterator

@@ -75,6 +75,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("single-input tokenizing queries derive the chain ONCE per WHOLE " +
+    "plan — a Filter line + a Project line each holding one chain (2x per " +
+    "row) passes the per-line lock but is still a duplicate") {
+    // These queries read one text column of one table, so any whole-plan
+    // count > 1 means an optimizer rule re-derived the tokenizer outside
+    // the withTokens barrier (the chunkTokens n > 0 case: the size filter
+    // was alias-substituted below the barrier into the scan Filter).
+    Seq("x_chunks", "x_skipgram", "x_cooc").foreach { q =>
+      val total = "split\\(trim\\(".r.findAllIn(plan(q)).size
+      assert(total <= 1,
+        s"$q: whole plan tokenizes $total times — barrier lost")
+    }
+  }
+
   test("x_cooc: in-row pairs, ONE aggregate exchange, no join") {
     val p = plan("x_cooc")
     assert(countIn(p, "Exchange hashpartitioning") === 1, p)

@@ -280,6 +280,61 @@ object TextOps {
         col("slot"), col("negative"))
   }
 
+  /** The fixture subword piece vocabulary for [[bpeEncodeTokens]] /
+    * [[subwordCounts]]: every [a-z0-9] single character (so segmentation
+    * of the [[tokens]] stream is total without the fallback) plus a
+    * frequency-ordered set of English character merges — the flattened
+    * form of a small merge table. Plain data: swap in a real tokenizer's
+    * piece list (32k entries) without touching code; the per-row cost is
+    * vocabulary-size-independent (hash probes). Shared verbatim with the
+    * DuckDB oracle's VALUES vocabulary, which re-implements the greedy
+    * longest-match rule independently as a recursive CTE. */
+  val defaultBpeVocab: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++ Seq(
+      "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+      "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+      "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+      "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch",
+      "ll", "be", "ma", "si", "om", "ur",
+      "the", "ing", "and", "ion", "ent", "for", "tio", "ere", "ter",
+      "est", "ers", "ati", "hat", "ate", "all", "eth", "hes", "ver",
+      "his", "con",
+      "tion", "atio", "ment", "ther", "ight")
+
+  /** Subword segmentation of the whole token stream — the corpus form of
+    * [[graft.functions.BpeEncode]]: (doc_id, tp, pp, piece) with tp the
+    * token position and pp the piece position within the token.
+    * Map-side only (tokenize-once barrier, two generates, the native
+    * greedy-match expression per token) — no shuffle at any corpus size;
+    * the vocabulary rides the plan as a constant. */
+  def bpeEncodeTokens(df: DataFrame, key: Column, text: Column,
+                      vocab: Seq[String] = defaultBpeVocab): DataFrame =
+    withTokens(df, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("tp", "tok")))
+      .select(col("doc_id"), col("tp"),
+        posexplode(graft.functions.TextFunctions.bpeEncode(col("tok"), vocab))
+          .as(Seq("pp", "piece")))
+
+  /** TRUE subword counts per document — what sequence packing and token
+    * budgeting should run on (the `ceil(len/4)` estimate in
+    * [[tokenCounts]] is a proxy for exactly this): (doc_id, n_tokens,
+    * n_subwords) with n_subwords = Σ pieces over the document's tokens.
+    * Fully in-row (tokenize-once barrier, transform + aggregate over the
+    * token array — the piece arrays are counted and discarded inside the
+    * row, never materialised as rows), zero shuffles. */
+  def subwordCounts(df: DataFrame, key: Column, text: Column,
+                    vocab: Seq[String] = defaultBpeVocab): DataFrame = {
+    val toks = col("__tk")
+    withTokens(df, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(toks).as("n_tokens"),
+        aggregate(
+          transform(toks,
+            t => org.apache.spark.sql.functions.size(
+              graft.functions.TextFunctions.bpeEncode(t, vocab))),
+          lit(0L), (acc, x) => acc + x).as("n_subwords"))
+  }
+
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame = {
     val toks = col("__toks")
     df.select(key.as("doc_id"), tokens(text).as("__toks"))

@@ -83,6 +83,22 @@ object GraftExtensions {
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize", 1)(a => NfcNormalize(Cast(a(0), StringType)))),
+    // the vocabulary must be a foldable array (e.g. array('th','he',…)) —
+    // it becomes an expression-tree constant, not a per-row child, so SQL
+    // and DataFrame users get the identical driver-shipped piece set
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      arity("bpe_encode", 2) { a =>
+        val vocab = a(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+            val at = e.dataType.asInstanceOf[ArrayType]
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(at.elementType).map(String.valueOf).toSeq
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode: vocabulary must be a foldable array of strings, got $other")
+        }
+        BpeEncode(Cast(a(0), StringType), vocab)
+      }),
     // aggregate tier: the analyzer wraps a returned AggregateFunction in
     // its AggregateExpression, so SQL users get the native k-minima sketch
     // as `kmv_agg(hash60_value, k)` with a literal k

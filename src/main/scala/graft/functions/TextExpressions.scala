@@ -201,6 +201,68 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword segmentation of ONE word over a fixed
+  * piece vocabulary — the tokenizer-inference pass (WordPiece-style; BPE
+  * inference reduces to the same form once the merge table is flattened
+  * into its implied piece vocabulary) that turns the whitespace-token
+  * proxy counts into TRUE subword counts for packing and budget math.
+  * At each position the longest vocab piece matching the remaining suffix
+  * is taken; when none matches, the single character itself is emitted
+  * (the byte-fallback analogue), so segmentation is total, deterministic,
+  * and engine-portable — the DuckDB oracle re-implements the same
+  * greedy rule as a recursive CTE over a VALUES vocabulary and must agree
+  * piece-for-piece.
+  *
+  * Input: one word (the [[graft.ext.TextOps.tokens]] stream — [a-z0-9]+,
+  * so with single characters in the vocabulary the fallback never fires
+  * in practice). Output: array of pieces, concat = input. Positions are
+  * UTF-16 code units (irrelevant for the ASCII token contract).
+  *
+  * CodegenFallback with a primitive loop and an O(1) HashSet probe per
+  * candidate length (the [[SimHash32]] rationale): per-word cost is
+  * O(len · maxPieceLen) probes, independent of vocabulary size — a
+  * 32k-piece production vocabulary costs the same per row as the test
+  * fixture. The vocabulary is a constructor constant (driver-shipped once
+  * per task like a broadcast literal), NOT a per-row child expression. */
+case class BpeEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(vocab.nonEmpty, "bpe_encode: vocabulary must not be empty")
+  require(vocab.distinct.size == vocab.size,
+    "bpe_encode: vocabulary contains duplicate pieces")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  @transient private lazy val pieceSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxPieceLen: Int = vocab.map(_.length).max
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val tok = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = tok.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(4, n / 2))
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxPieceLen, n - pos)
+      while (l > 1 && !pieceSet.contains(tok.substring(pos, pos + l))) l -= 1
+      // l == 1 is taken unconditionally: either it's a vocab piece or the
+      // single-character fallback — identical emission either way
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromString(tok.substring(pos, pos + l))
+      pos += l
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -218,4 +280,10 @@ object TextFunctions {
   def nfcNormalize(s: Column): Column =
     ColumnBridge.column(NfcNormalize(
       ColumnBridge.expression(s.cast("string"))))
+
+  /** Greedy longest-match subword segmentation of one word over a fixed
+    * piece vocabulary (see [[BpeEncode]]). */
+  def bpeEncode(word: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeEncode(
+      ColumnBridge.expression(word.cast("string")), vocab))
 }

@@ -77,6 +77,23 @@ object ExtQueries {
   val xWinnow: Q = (s, dir) =>
     TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 3, w = 4)
 
+  /** Subword (BPE/WordPiece-style) segmentation of the corpus over the
+    * fixture merge vocabulary — greedy longest-match per token via the
+    * native expression; the oracle re-implements the rule independently
+    * as a DuckDB recursive CTE over the same VALUES vocabulary, so the
+    * piece-for-piece agreement is a cross-engine algorithm check. */
+  val xBpeEncode: Q = (s, dir) =>
+    TextOps.bpeEncodeTokens(docs(s, dir), col("doc_id"), col("text"))
+
+  /** Sequence packing driven by TRUE subword counts (not the ceil(len/4)
+    * proxy): [[TextOps.subwordCounts]] into
+    * [[CorpusOps.packSequences]]'s next-fit bins — the real
+    * training-sequence budgeting path. */
+  val xBpePack: Q = (s, dir) =>
+    CorpusOps.packSequences(
+      TextOps.subwordCounts(docs(s, dir), col("doc_id"), col("text")),
+      col("doc_id"), col("n_subwords"), maxTokens = 512, numBuckets = 8)
+
   // ---- dedup ----
 
   val xDedupExact: Q = (s, dir) =>

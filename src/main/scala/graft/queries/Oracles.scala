@@ -42,6 +42,31 @@ object Oracles {
       s"(strpos('0123456789abcdef', substr($col, ${start + k}, 1)) - 1) * $coef"
     }.mkString("(", " + ", ")")
 
+  // Greedy longest-match subword segmentation as a recursive CTE — an
+  // INDEPENDENT implementation of graft.functions.BpeEncode's rule (per
+  // token: repeatedly take the longest vocab piece matching the remaining
+  // suffix, single-char fallback), sharing only the piece-vocabulary
+  // fixture verbatim. seg rows with pp >= 0 are the emitted pieces; the
+  // pp = -1 seed row carries the scan position.
+  private lazy val BPE_SEG_CTES = {
+    val vocabValues =
+      graft.ext.TextOps.defaultBpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""vocab(piece) AS (VALUES $vocabValues),
+       |toksb AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+       |tokb AS (SELECT doc_id, CAST(i AS INT) AS tp, tk[i+1] AS w
+       |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toksb)),
+       |seg(doc_id, tp, w, pos, pp, piece) AS (
+       |  SELECT doc_id, tp, w, 1, -1, CAST(NULL AS VARCHAR) FROM tokb
+       |  UNION ALL
+       |  SELECT doc_id, tp, w, pos + length(nxt), pp + 1, nxt
+       |  FROM (SELECT doc_id, tp, w, pos, pp,
+       |      coalesce((SELECT v.piece FROM vocab v
+       |          WHERE v.piece = substr(w, pos, length(v.piece))
+       |          ORDER BY length(v.piece) DESC LIMIT 1),
+       |        substr(w, pos, 1)) AS nxt
+       |    FROM seg WHERE pos <= length(w)))""".stripMargin
+  }
+
   // first 15 hex digits as a 60-bit integer (SketchOps.hash60's mirror)
   private def hex60(col: String): String =
     (0 until 15).map { d =>
@@ -2702,6 +2727,34 @@ object Oracles {
          |FROM sh JOIN ev USING (shingle)
          |WHERE doc_id % 100 <> 7
          |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+
+    // greedy longest-match subword segmentation, re-derived as a recursive
+    // CTE (see BPE_SEG_CTES) — piece-for-piece agreement with the native
+    // expression is the cross-engine algorithm check
+    "x_bpe_encode" ->
+      s"""WITH RECURSIVE $BPE_SEG_CTES
+         |SELECT doc_id, tp, CAST(pp AS INT) AS pp, piece
+         |FROM seg WHERE pp >= 0""".stripMargin,
+
+    // next-fit packing on TRUE subword counts: the x_pack_sequences
+    // machinery with n_tokens = the recursive segmentation's piece count
+    // (0 for token-less documents), budget 512
+    "x_bpe_pack" ->
+      s"""WITH RECURSIVE $BPE_SEG_CTES,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sub
+         |  FROM seg WHERE pp >= 0 GROUP BY doc_id),
+         |t AS (SELECT tb.doc_id, coalesce(cnt.n_sub, 0) AS n_tokens,
+         |    md5(CAST(tb.doc_id AS VARCHAR)) AS ord_key
+         |  FROM (SELECT DISTINCT doc_id FROM toksb) tb
+         |  LEFT JOIN cnt USING (doc_id)),
+         |b AS (SELECT doc_id, n_tokens, ord_key,
+         |  ${hex32("ord_key", 1)} % 8 AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ord_key, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin, n_tokens
+         |FROM c""".stripMargin,
 
     // same md5 ordering, same ROWS-frame running sum, same start-offset
     // bin assignment

@@ -193,6 +193,65 @@ object MultimodalOps {
         coalesce(col("hamming") > threshold, lit(true)))
   }
 
+  /** WINDOW-FREE form of [[sceneChanges]] — bit-identical output, computed
+    * entirely IN-ROW: every frame of a payload comes from the one payload
+    * row, so the per-payload lag never needed a Window at all; the hash
+    * array is paired with its own shift (prev = [null] ++ hashes[0..n-2])
+    * and the scene flags fall out of one zip_with. This is the form the
+    * STREAMING surface uses ([[graft.streaming.StreamScenes]]): zero
+    * state, zero shuffle, append-mode safe — and it is a strictly better
+    * batch plan too (no exchange, no WindowExec; the declared x_mm_scenes
+    * keeps the window form as the oracle-shaped original).
+    *
+    * Stage discipline: bytes and means are materialised as ARRAY columns
+    * in their own projections before the bit fold, so the mean is a
+    * zip_with lambda VALUE (evaluated once per frame), not an expression
+    * re-derived per byte — the [[aHashSignature]] CollapseProject lesson
+    * lifted to the array form. */
+  def sceneChangesInRow(df: DataFrame, idCol: String, payloadCol: String,
+                        frames: Int, threshold: Int): DataFrame = {
+    require(frames >= 2, s"frames must be >= 2, got $frames")
+    require(threshold >= 0 && threshold <= 32, "threshold must be in [0, 32]")
+    val digits = "0123456789ABCDEF"
+    val n = length(col(payloadCol)).cast("long")
+    df.where(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(frames - 1)),
+          i => (n * i / frames).cast("long")).as("__offs"),
+        col(payloadCol))
+      .select(col(idCol), transform(col("__offs"), off =>
+        regexp_extract_all(hex(col(payloadCol).substr(off + 1, lit(32))),
+          lit("(..)"), lit(1))).as("__wins"))
+      .select(col(idCol), transform(col("__wins"), pairs =>
+        transform(pairs, c =>
+          (instr(lit(digits), substring(c, 1, 1)) - 1) * 16 +
+            (instr(lit(digits), substring(c, 2, 1)) - 1))).as("__fbytes"))
+      .select(col(idCol), col("__fbytes"), transform(col("__fbytes"), bs =>
+        aggregate(bs, lit(0L), (a, x) => a + x).cast("double") / size(bs))
+        .as("__means"))
+      .select(col(idCol), zip_with(col("__fbytes"), col("__means"),
+        (bs, m) => when(size(bs) > 0, // tail window past the payload end
+          aggregate(
+            zip_with(bs, sequence(lit(0), size(bs) - 1),
+              (b, i) => when(b > m, pow(lit(2.0), i)).otherwise(lit(0.0))),
+            lit(0.0), (a, x) => a + x).cast("long"))).as("__hashes"))
+      .select(col(idCol), col("__hashes"),
+        concat(array(lit(null).cast("long")),
+          slice(col("__hashes"), 1, frames - 1)).as("__prev"))
+      .select(col(idCol), posexplode(zip_with(col("__hashes"), col("__prev"),
+        (h, p) => {
+          val x = h.bitwiseXOR(p)
+          val ham = (0 until 32)
+            .map(i => shiftright(x, i).bitwiseAND(lit(1L))).reduce(_ + _)
+          struct(h.as("ahash"), ham.as("hamming"))
+        })).as(Seq("frame_idx", "__f")))
+      .where(col("__f.ahash").isNotNull) // mirrors the batch tail-window drop
+      .select(col(idCol), col("frame_idx"), col("__f.ahash").as("ahash"),
+        col("__f.hamming").as("hamming"),
+        coalesce(col("__f.hamming") > threshold, lit(true))
+          .as("is_scene_start"))
+  }
+
   /** Average-hash (aHash) signature over the payload's first 32 bytes:
     * bit i set iff byte_i > mean(bytes) — the classic perceptual-hash
     * shape with the pixel decode stubbed to raw bytes (a real deployment

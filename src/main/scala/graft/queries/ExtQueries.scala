@@ -501,8 +501,11 @@ object ExtQueries {
     * payload (Hamming > 8 between consecutive window aHashes) — the
     * shot-boundary frame-selection pass; oracle replays the window hashes
     * and the unrolled 32-bit popcount. */
+  /** Scene-change detection in the WINDOW-FREE in-row form (bit-identical
+    * to the window form — StreamScenesSpec proves it — with no Exchange
+    * and no WindowExec; also the streaming surface's exact plan). */
   val xMmScenes: Q = (s, dir) =>
-    MultimodalOps.sceneChanges(
+    MultimodalOps.sceneChangesInRow(
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", frames = 6, threshold = 8)
 

@@ -18,10 +18,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional trailing args filter the query set (local iteration only;
-    // the driver always passes exactly two args and gets the full set)
+    // the driver always passes exactly two args and gets the full set).
+    // `@bench` expands to the bench headline set — flakehunt's sf0.1 mode.
+    val names = only.flatMap {
+      case "@bench" => SparkEntry.benchNames
+      case n        => Seq(n)
+    }
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+      if (names.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => names.contains(n) }
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -315,6 +315,98 @@ object TextOps {
         posexplode(graft.functions.TextFunctions.bpeEncode(col("tok"), vocab))
           .as(Seq("pp", "piece")))
 
+  /** BPE merge-table LEARNING (Sennrich et al. 2016, word-frequency form):
+    * iteratively merge the most frequent adjacent symbol pair, `nMerges`
+    * rounds, starting from single characters. Ties break to the
+    * lexicographically smallest (left, right) so the table is
+    * deterministic on any engine/partitioning. Output:
+    * (rank, left, right, merged, pair_count) — the merge table whose
+    * flattened piece set feeds [[graft.functions.BpeEncode]] /
+    * [[subwordCounts]] (learn → encode → count → pack, all in-engine).
+    *
+    * Scale shape — the corpus collapses ONCE: pass 1 aggregates the corpus
+    * to WORD TYPES with frequencies (one partial-aggregated shuffle; the
+    * word-type table is vocabulary-bounded, not corpus-bounded), and every
+    * round after that runs on that bounded frame — adjacent pairs are
+    * built IN-ROW (zip_with of the symbol array with its own tail, the
+    * [[skipgramPairs]] shape), one partial-aggregated count per round, a
+    * 1-ROW collect for the argmax (the pageRank scalar class), and the
+    * merge applied as an in-row left-to-right fold with the classic skip
+    * semantics ("aaa" + (a,a) → [aa, a]). Per-round localCheckpoint
+    * truncates lineage ([[graft.ext.GraphOps.pageRank]] discipline).
+    *
+    * Spec-locked (BpeSpec: independent in-JVM reference over hand + real
+    * corpora), not oracle-declared: the per-round argmax-then-rewrite
+    * recurrence has no portable SQL form — left-to-right skip-merge is
+    * not expressible with non-overlapping string replace (proven
+    * counterexample in the spec comments), and an unrolled per-word
+    * recursive CTE per round is not an oracle, it's a second engine. */
+  def bpeLearnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = withTokens(df, Seq.empty, text)
+      .select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(filter(split(col("w"), ""), c => c =!= "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val nsyms = org.apache.spark.sql.functions.size(col("syms"))
+      val top = words
+        .where(nsyms >= 2)
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), nsyms - 1),
+          slice(col("syms"), lit(2), nsyms - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .select(col("a").cast("string"), col("b").cast("string"),
+          col("cnt").cast("long"))
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = top.head
+        merges += ((rank, a, b, a + b, cnt))
+        words = words
+          .select(mergePair(col("syms"), a, b).as("syms"), col("n"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** One BPE merge applied to a symbol array, left-to-right with the
+    * classic skip: a matched (a, b) consumes BOTH symbols, so "aaa" with
+    * (a, a) yields [aa, a], never [aa, aa]. In-row fold (aggregate over
+    * positions carrying (acc, skip)); single-symbol rows pass through
+    * untouched (also dodges sequence(1, 0)'s descending surprise). */
+  private def mergePair(syms: Column, a: String, b: String): Column = {
+    val folded = aggregate(
+      sequence(lit(1), org.apache.spark.sql.functions.size(syms)),
+      struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
+      (st, i) => {
+        val cur = element_at(syms, i)
+        val nxt = element_at(syms, i + 1) // null past the end: === is false
+        when(st.getField("skip"),
+          struct(st.getField("acc").as("acc"), lit(false).as("skip")))
+          .otherwise(when(cur === a && nxt === b,
+            struct(concat(st.getField("acc"), array(lit(a + b))).as("acc"),
+              lit(true).as("skip")))
+            .otherwise(
+              struct(concat(st.getField("acc"), array(cur)).as("acc"),
+                lit(false).as("skip"))))
+      },
+      st => st.getField("acc"))
+    when(org.apache.spark.sql.functions.size(syms) <= 1, syms).otherwise(folded)
+  }
+
   /** TRUE subword counts per document — what sequence packing and token
     * budgeting should run on (the `ceil(len/4)` estimate in
     * [[tokenCounts]] is a proxy for exactly this): (doc_id, n_tokens,

@@ -83,6 +83,87 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  // ---- merge-table learning (spec-locked: no portable SQL form — the
+  // left-to-right skip-merge is NOT expressible as non-overlapping string
+  // replace: on [a,a,a,a,a] replace(' a a ') matches positions 0 and 6,
+  // giving [aa, a, aa], while greedy gives [aa, aa, a]) ----
+
+  /** Independent in-JVM reference: classic word-frequency BPE. */
+  private def refLearn(wordCounts: Map[String, Long],
+                       nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    def mergeRef(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var words = wordCounts.map { case (w, n) => w.map(_.toString).toVector -> n }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((rank, a, b, a + b, cnt))
+        words = words.map { case (syms, n) => mergeRef(syms, a, b) -> n }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeLearnMerges: hand-computed merges, skip semantics, early " +
+    "exhaustion, tie to the smallest pair") {
+    val df = Seq("aaa aaa ab").toDF("text")
+    val got = TextOps.bpeLearnMerges(df, col("text"), nMerges = 10)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    // r1: (a,a) appears 2x in each 'aaa' (4 total) vs (a,b) 1 — merge 'aa';
+    // skip semantics make 'aaa' -> [aa, a], so r2 counts (aa,a)=2; r3 is
+    // the last possible pair, then the corpus is exhausted at rank 4
+    assert(got === Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L),
+      (3, "a", "b", "ab", 1L)))
+    val tie = TextOps.bpeLearnMerges(Seq("xy yx").toDF("text"),
+      col("text"), nMerges = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(tie === Seq((1, "x", "y", "xy", 1L))) // (x,y) < (y,x)
+  }
+
+  test("bpeLearnMerges equals the independent in-JVM reference on the " +
+    "real corpus") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("text").isNotNull)
+    val wordCounts = TextOps.withTokens(df, Seq.empty, col("text"))
+      .select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val expected = refLearn(wordCounts, nMerges = 6)
+    val got = TextOps.bpeLearnMerges(df, col("text"), nMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
+  test("learned merge table composes with bpe_encode: flattened pieces " +
+    "keep segmentation total and use the merges") {
+    val df = Seq("banana bandana").toDF("text")
+    val merged = TextOps.bpeLearnMerges(df, col("text"), nMerges = 3)
+      .select("merged").as[String].collect().toSeq
+    val vocab = ('a' to 'z').map(_.toString) ++ merged
+    val enc = Seq("banana").toDF("w")
+      .select(TextFunctions.bpeEncode(col("w"), vocab).as("p"))
+      .as[Seq[String]].head()
+    assert(enc.mkString("") === "banana")
+    assert(enc.exists(_.length > 1), s"no merge used: $enc")
+  }
+
   test("x_bpe_encode and subwordCounts are map-only: no Exchange") {
     Seq(
       SparkEntry.queries("x_bpe_encode")(spark, sf()),

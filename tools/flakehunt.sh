@@ -5,14 +5,20 @@
 # x_embed_cov: partition-order float noise flipping a rounding boundary)
 # across the entire surface, beyond DeterminismSpec's in-suite sample.
 #
-#   tools/flakehunt.sh [sfdir]     # default /root/testdata/sf0.01
+#   tools/flakehunt.sh [sfdir] [query ...]   # default /root/testdata/sf0.01
+#   tools/flakehunt.sh /root/testdata/sf0.1 @bench
+#     — the bench-headline sweep at the bench scale factor (@bench expands
+#       to SparkEntry.benchNames inside Verify); run it before the round
+#       snapshot so the sf0.1 determinism check is automated, not hand-done
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
+shift || true
+QUERIES="$*"
 out=$(mktemp -d)
 for c in 3 8; do
   SPARK_GRAFT_CPUS=$c sbt -batch \
-    "runMain graft.Verify $SF $out/cpu$c" > "$out/log$c" 2>&1 \
+    "runMain graft.Verify $SF $out/cpu$c $QUERIES" > "$out/log$c" 2>&1 \
     || { tail -5 "$out/log$c" >&2; exit 1; }
 done
 python3 - "$out" <<'EOF'

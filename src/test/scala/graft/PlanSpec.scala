@@ -376,10 +376,16 @@ class PlanSpec extends SparkTestBase {
     assert(countIn(p, "Exchange hashpartitioning") === 2, p)
   }
 
-  test("chunking is map-only: one generate, zero exchanges") {
+  test("chunking is map-only: zero exchanges; one real generate plus the " +
+    "one-element tokenize-once barrier") {
     val p = plan("x_chunks")
     assert(countIn(p, "Exchange") === 0, p)
-    assert(countIn(p, "Generate explode") === 1, p)
+    // two generates by design: the withTokens explode(array(tokens)) barrier
+    // (one element per row — a projection in generator clothing) and the
+    // actual chunk explode; anything beyond that is a regression
+    assert(countIn(p, "Generate explode") === 2, p)
+    assert(countIn(p, "Generate explode(array(") === 1,
+      s"tokenize-once barrier missing:\n$p")
   }
 
   test("decayed score and trend state are single partial-aggregated " +

@@ -106,6 +106,9 @@ object SparkEntry {
     "x_winnow" -> ExtQueries.xWinnow,
     "x_bpe_encode" -> ExtQueries.xBpeEncode,
     "x_bpe_pack" -> ExtQueries.xBpePack,
+    "x_cdc_chunks" -> ExtQueries.xCdcChunks,
+    "x_url_canon" -> ExtQueries.xUrlCanon,
+    "x_weighted_bernoulli" -> ExtQueries.xWeightedBernoulli,
     // ext: dedup
     "x_dedup_exact" -> ExtQueries.xDedupExact,
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
@@ -314,5 +317,6 @@ object SparkEntry {
     "x_blocking_recall", "x_concomp", "x_concomp_exact", "x_random_walk",
     "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
     "x_neg_sample", "x_pr_auc", "x_brier", "x_kmv_distinct",
-    "x_mm_scenes", "x_nfc_norm", "x_bpe_encode", "x_bpe_pack")
+    "x_mm_scenes", "x_nfc_norm", "x_bpe_encode", "x_bpe_pack",
+    "x_cdc_chunks", "x_url_canon", "x_weighted_bernoulli")
 }

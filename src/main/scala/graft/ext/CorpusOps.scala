@@ -427,6 +427,38 @@ object CorpusOps {
         col("n_tokens"))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: row kept with probability
+    * proportional to its weight — P(keep) = w / max(w) — the
+    * quality-weighted subsampling a training-mix pipeline runs (keep
+    * high-quality documents with certainty, down-sample the tail in
+    * proportion). The decision is EXACT INTEGER arithmetic: with
+    * h = 32-bit md5 uniform and W = max weight, keep ⇔ h·W < w·2³² —
+    * no float division, no pow/ln, so the house no-last-ulp rule holds by
+    * construction and any engine replays the identical sample (both
+    * products bound well inside a 64-bit long for 32-bit-ish weights).
+    * Zero-or-negative weights never keep; the max-weight rows always do.
+    *
+    * Scale shape: one partial-aggregated max (a scalar broadcast — the
+    * pageRank node-count class) + a map-side integer filter. For sampling
+    * ∝ w against a FIXED target rate r instead of w/max(w), pass the
+    * precomputed threshold through `weight` as w·r/W upstream — the
+    * comparison form is unchanged. */
+  def weightedBernoulli(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val w = weight.cast("long")
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    val wmax = df.agg(max(w).as("__wmax"))
+    // overflow guard inside the consumed comparison (the maxBucket
+    // raise_error convention): h·W needs W ≤ 2³¹ to stay in a long
+    val wmaxChecked = when(col("__wmax") <= lit(Int.MaxValue.toLong),
+      col("__wmax")).otherwise(raise_error(concat(
+      lit("weightedBernoulli: max weight exceeds 2^31 — h*W would overflow " +
+        "a long; rescale weights upstream; max = "),
+      col("__wmax").cast("string"))))
+    df.crossJoin(broadcast(wmax))
+      .where(w > 0 && h * wmaxChecked < w * lit(4294967296L))
+      .drop("__wmax")
+  }
+
   /** Deterministic per-stratum sampling: row kept iff its md5-derived
     * uniform < the stratum's rate. Pure map-side filter — no shuffle, no RNG
     * state, reproducible on any engine with md5 (the house sampling idiom —

@@ -153,6 +153,62 @@ object TextOps {
         col("__c.n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea lifted to token
+    * streams): a chunk boundary falls AFTER token i when the md5 of the
+    * k-token shingle ending at i hits `0 mod divisor` — boundaries are
+    * decided by CONTENT, not position, so inserting or deleting a token
+    * shifts only the chunk containing the edit and its immediate
+    * neighbour; every later chunk keeps its exact text and digest (the
+    * property fixed-stride [[chunkTokens]] fundamentally lacks: one
+    * leading insertion re-digests the whole document). That makes
+    * chunk-level dedup robust to boilerplate prefixes, added headers, and
+    * small edits — the shift-resistant complement to x_chunk_dedup.
+    * `maxLen` force-splits pathological gap runs (expected chunk length is
+    * `divisor` tokens, tail geometric), so chunk size is bounded on ANY
+    * input. Output: (doc_id, chunk_id, start_tok, n_tokens, chunk_md5).
+    *
+    * All decisions are integer (md5 window mod divisor) — the oracle
+    * replays boundaries exactly; the sequential start-selection fold runs
+    * IN-ROW over the token positions (tokenize-once barrier, zero
+    * shuffles, map-only at any corpus size). */
+  def cdcChunks(df: DataFrame, key: Column, text: Column, k: Int,
+                divisor: Int, maxLen: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(divisor >= 2, "divisor must be >= 2")
+    require(maxLen >= 2, "maxLen must be >= 2 (1 degenerates to one-token chunks)")
+    val toks = col("__tk")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // gate(i) for 1-based position i: md5 of the k-shingle ENDING at i
+    // hits 0 mod divisor (positions < k never gate — no window yet)
+    def gate(i: Column): Column =
+      i >= k && conv(substring(md5(concat_ws(" ",
+        slice(toks, i - (k - 1), lit(k)))), 1, 8), 16, 10)
+        .cast("long") % divisor === 0
+    // sequential start selection: a new chunk starts after a gate hit or a
+    // forced maxLen split, never past the last token
+    val starts = aggregate(
+      sequence(lit(1), greatest(n - 1, lit(1))),
+      array(lit(1)),
+      (st, i) => when(n >= 2 && (gate(i) || i - element_at(st, -1) + 1 >= maxLen),
+        concat(st, array(i + 1))).otherwise(st))
+    withTokens(df, Seq(key.as("doc_id")), text)
+      .where(n > 0)
+      .select(col("doc_id"), toks, starts.as("__starts"))
+      .select(col("doc_id"),
+        posexplode(zip_with(col("__starts"),
+          concat(slice(col("__starts"), lit(2),
+            greatest(org.apache.spark.sql.functions.size(col("__starts")) - 1,
+              lit(0))), array(n + 1)),
+          (s, e) => struct(s.as("s"), (e - s).as("len"))))
+          .as(Seq("chunk_id", "__c")),
+        toks.as("__tk2"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("__c.s").as("start_tok"),
+        col("__c.len").cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__tk2"), col("__c.s"), col("__c.len")))).as("chunk_md5"))
+  }
+
   /** Skip-gram training pairs (word2vec data prep): for every token, emit
     * (center, context, dist) for each context token within `window`
     * positions FORWARD; symmetric pairs come from the caller reading both

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL handling: canonicalization for crawl dedup. A crawl sees
+  * the same page as `HTTP://Example.com:80/a?b=2&a=1&utm_source=x#top` and
+  * `http://example.com/a?a=1&b=2` — URL-keyed dedup, frontier seen-sets,
+  * and per-site aggregation all need ONE canonical spelling first.
+  *
+  * Everything is pure string/regex expressions (RE2-compatible patterns,
+  * no lookaround — the [[TextOps]] PII convention), so the identical
+  * transformation runs codegen'd in Spark and verbatim in the DuckDB
+  * oracle: no UDF, no URI library whose quirks the other engine can't
+  * mirror. Map-only at any corpus size. */
+object WebOps {
+
+  private val TrackingParams = "(utm_[a-z0-9]+|fbclid|gclid|msclkid)"
+
+  /** RFC-3986-lite canonical form:
+    *   1. trim; drop the `#fragment` (never sent to the server);
+    *   2. lowercase the scheme and the host (path/query stay case-exact);
+    *   3. drop the scheme's default port (`:80` http, `:443` https);
+    *   4. drop tracking parameters (utm_*, fbclid, gclid, msclkid);
+    *   5. sort the remaining query parameters (order never reaches the
+    *      resource) and drop a now-empty `?`.
+    * Non-URL-shaped strings pass through steps 1/4/5 harmlessly (no
+    * scheme/host match → nothing rewritten). */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val noFrag = regexp_replace(t, "#.*$", "")
+    // scheme://host[:port] prefix, lowered; rest (path?query) untouched
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val hostNoDefault = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val lowered = when(scheme =!= "", concat(scheme, lit("://"), hostNoDefault, rest))
+      .otherwise(noFrag)
+    // strip tracking params in three passes that keep separators sound:
+    // (1) any "&trk=v" mid-list; (2) a leading "?trk=v&" promotes the next
+    // param to first; (3) a lone "?trk=v" drops the query entirely
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(lowered, s"&$TrackingParams=[^&#]*", ""),
+        s"\\?$TrackingParams=[^&#]*&", "?"),
+      s"\\?$TrackingParams=[^&#]*$$", "")
+    // sort the query parameters; rebuild only when a query exists
+    val path = regexp_extract(scrubbed, "^([^?]*)", 1)
+    val qs = regexp_extract(scrubbed, "^[^?]*\\?(.*)$", 1)
+    when(qs === "", scrubbed)
+      .otherwise(concat(path, lit("?"),
+        array_join(array_sort(split(qs, "&")), "&")))
+  }
+}

@@ -94,6 +94,45 @@ object ExtQueries {
       TextOps.subwordCounts(docs(s, dir), col("doc_id"), col("text")),
       col("doc_id"), col("n_subwords"), maxTokens = 512, numBuckets = 8)
 
+  /** Content-defined chunking: md5-gated boundaries (k=3 shingle,
+    * divisor 8 ⇒ ~8-token expected chunks, maxLen 20), shift-resistant
+    * where fixed-stride chunking is not. All-integer decisions; the
+    * oracle replays the boundary recursion exactly. */
+  val xCdcChunks: Q = (s, dir) =>
+    TextOps.cdcChunks(docs(s, dir), col("doc_id"), col("text"),
+      k = 3, divisor = 8, maxLen = 20)
+
+  /** URL canonicalization over deterministically-planted crawl URLs
+    * (the xHtmlExtract wrap convention: the corpus has no URL column, so
+    * both engines construct the same messy URL per doc and must agree on
+    * its canonical form — scheme/host case, default ports, fragments,
+    * tracking params, query order all exercised by doc_id-dependent
+    * variants). */
+  val xUrlCanon: Q = (s, dir) => {
+    val messy = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+      lit("WWW."), upper(col("source")), lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":80"))
+        .when(col("doc_id") % 3 === 1, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        lit("?utm_source=feed&z=26&lang=")).otherwise(lit("?z=26&lang=")),
+      col("lang"),
+      when(col("doc_id") % 5 === 0, lit("&fbclid=abc123")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"), messy.as("url"),
+      WebOps.canonicalizeUrl(messy).as("canon_url"))
+  }
+
+  /** Weighted BERNOULLI sample, P(keep) = n_chars / max(n_chars) —
+    * the proportional-rate complement to the fixed-k A-ES
+    * [[CorpusOps.weightedSample]]; integer-exact (h·W < w·2³²), so the
+    * oracle replays the identical keep set with no float anywhere. */
+  val xWeightedBernoulli: Q = (s, dir) =>
+    CorpusOps.weightedBernoulli(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      col("doc_id"), col("n_chars"))
+
   // ---- dedup ----
 
   val xDedupExact: Q = (s, dir) =>

@@ -2728,6 +2728,91 @@ object Oracles {
          |WHERE doc_id % 100 <> 7
          |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
 
+    // content-defined chunking: gates replayed from the same md5-mod rule,
+    // the sequential start selection as a recursive CTE (min of first gate
+    // vs forced maxLen split), chunk text digested from the same slice
+    "x_cdc_chunks" ->
+      s"""WITH RECURSIVE toksc AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |dc AS (SELECT doc_id, tk, len(tk) AS n FROM toksc WHERE len(tk) > 0),
+         |gh AS (SELECT doc_id, i AS p,
+         |    md5(array_to_string(tk[i-2:i], ' ')) AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, n)) AS i FROM dc)
+         |  WHERE i >= 3),
+         |g AS (SELECT doc_id, p, ${hex32("h", 1)} % 8 = 0 AS gate FROM gh),
+         |seg(doc_id, chunk_id, s, n) AS (
+         |  SELECT doc_id, 0, 1, n FROM dc
+         |  UNION ALL
+         |  SELECT q.doc_id, q.chunk_id + 1, q.nb + 1, q.n FROM (
+         |    SELECT seg.doc_id, seg.chunk_id, seg.n,
+         |      least(coalesce((SELECT min(g.p) FROM g
+         |          WHERE g.doc_id = seg.doc_id AND g.p >= seg.s AND g.gate),
+         |        seg.s + 19), seg.s + 19) AS nb
+         |    FROM seg WHERE seg.s <= seg.n - 1) q
+         |  WHERE q.nb <= q.n - 1)
+         |SELECT e.doc_id, CAST(e.chunk_id AS INT) AS chunk_id,
+         |  CAST(e.s AS INT) AS start_tok,
+         |  CAST(e.e - e.s + 1 AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(t.tk[e.s:e.e], ' ')) AS chunk_md5
+         |FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
+         |    ORDER BY chunk_id) - 1, n) AS e FROM seg) e
+         |JOIN toksc t USING (doc_id)""".stripMargin,
+
+    // URL canonicalization: the identical planted construction and the
+    // identical regex pipeline (RE2-compatible patterns run verbatim in
+    // both engines; 'g' flag where Spark's replace is implicitly global)
+    "x_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END ||
+        |     'WWW.' || upper(source) || '.Example.COM' ||
+        |     CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |          WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END ||
+        |     '/Docs/' || doc_id ||
+        |     CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&z=26&lang='
+        |          ELSE '?z=26&lang=' END || lang ||
+        |     CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc123' ELSE '' END ||
+        |     CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents WHERE text IS NOT NULL),
+        |c1 AS (SELECT doc_id, url,
+        |  regexp_replace(trim(url), '#.*$', '') AS s FROM u),
+        |c2 AS (SELECT doc_id, url,
+        |  CASE WHEN regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+        |    THEN lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      || '://' ||
+        |      (CASE lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |         WHEN 'http' THEN regexp_replace(lower(regexp_extract(s,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+        |         WHEN 'https' THEN regexp_replace(lower(regexp_extract(s,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+        |         ELSE lower(regexp_extract(s,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END) ||
+        |      regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+        |    ELSE s END AS s FROM c1),
+        |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(
+        |    regexp_replace(s,
+        |      '&(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+        |    '\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*&', '?'),
+        |    '\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*$', '') AS s
+        |  FROM c2)
+        |SELECT doc_id, url,
+        |  CASE WHEN regexp_extract(s, '^[^?]*\?(.*)$', 1) = '' THEN s
+        |    ELSE regexp_extract(s, '^([^?]*)', 1) || '?' ||
+        |      array_to_string(list_sort(string_split(
+        |        regexp_extract(s, '^[^?]*\?(.*)$', 1), '&')), '&') END
+        |  AS canon_url
+        |FROM c3""".stripMargin,
+
+    // weighted Bernoulli: identical integer comparison h*W < w*2^32 —
+    // no float anywhere, exact agreement by construction
+    "x_weighted_bernoulli" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT max(n_chars) AS wmax FROM d)
+         |SELECT doc_id, n_chars FROM d, m
+         |WHERE n_chars > 0
+         |  AND ${hex32("h", 1)} * wmax < n_chars * 4294967296""".stripMargin,
+
     // greedy longest-match subword segmentation, re-derived as a recursive
     // CTE (see BPE_SEG_CTES) — piece-for-piece agreement with the native
     // expression is the cross-engine algorithm check

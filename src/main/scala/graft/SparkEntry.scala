@@ -109,6 +109,7 @@ object SparkEntry {
     "x_cdc_chunks" -> ExtQueries.xCdcChunks,
     "x_url_canon" -> ExtQueries.xUrlCanon,
     "x_weighted_bernoulli" -> ExtQueries.xWeightedBernoulli,
+    "x_bpe_fertility" -> ExtQueries.xBpeFertility,
     // ext: dedup
     "x_dedup_exact" -> ExtQueries.xDedupExact,
     "x_dedup_minhash" -> ExtQueries.xDedupMinhash,
@@ -318,5 +319,6 @@ object SparkEntry {
     "x_ks_drift", "x_js_div", "x_pca_invariants", "x_skipgram", "x_cooc",
     "x_neg_sample", "x_pr_auc", "x_brier", "x_kmv_distinct",
     "x_mm_scenes", "x_nfc_norm", "x_bpe_encode", "x_bpe_pack",
-    "x_cdc_chunks", "x_url_canon", "x_weighted_bernoulli")
+    "x_cdc_chunks", "x_url_canon", "x_weighted_bernoulli",
+    "x_bpe_fertility")
 }

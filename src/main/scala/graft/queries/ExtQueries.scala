@@ -94,6 +94,27 @@ object ExtQueries {
       TextOps.subwordCounts(docs(s, dir), col("doc_id"), col("text")),
       col("doc_id"), col("n_subwords"), maxTokens = 512, numBuckets = 8)
 
+  /** Tokenizer fertility by source — the subword-economics dashboard row
+    * (pieces per whitespace token; a source whose fertility spikes is
+    * tokenizer-hostile: code, non-Latin text, boilerplate markup).
+    * In-row piece counting with `source` carried through the tokenize-once
+    * barrier, ONE partial-aggregated shuffle — no join back to the corpus. */
+  val xBpeFertility: Q = (s, dir) => {
+    import graft.functions.TextFunctions.bpeEncode
+    val sz = (c: Column) => org.apache.spark.sql.functions.size(c)
+    val r = TextOps.withTokens(docs(s, dir), Seq(col("source")), col("text"))
+      .select(col("source"), sz(col("__tk")).cast("long").as("__nt"),
+        aggregate(transform(col("__tk"),
+            t => sz(bpeEncode(t, TextOps.defaultBpeVocab))),
+          lit(0L), (a, x) => a + x).as("__ns"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        sum("__ns").as("n_subwords"))
+    r.select(col("source"), col("n_docs"), col("n_tokens"), col("n_subwords"),
+      round(col("n_subwords") / col("n_tokens").cast("double"), 4)
+        .as("fertility"))
+  }
+
   /** Content-defined chunking: md5-gated boundaries (k=3 shingle,
     * divisor 8 ⇒ ~8-token expected chunks, maxLen 20), shift-resistant
     * where fixed-stride chunking is not. All-integer decisions; the

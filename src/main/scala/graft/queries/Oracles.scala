@@ -2813,6 +2813,23 @@ object Oracles {
          |WHERE n_chars > 0
          |  AND ${hex32("h", 1)} * wmax < n_chars * 4294967296""".stripMargin,
 
+    // tokenizer fertility by source: whitespace-token and subword-piece
+    // sums from the same recursive segmentation, one division at the end
+    "x_bpe_fertility" ->
+      s"""WITH RECURSIVE $BPE_SEG_CTES,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sub
+         |  FROM seg WHERE pp >= 0 GROUP BY doc_id),
+         |per AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS nt,
+         |    coalesce(cnt.n_sub, 0) AS ns
+         |  FROM toksb t LEFT JOIN cnt USING (doc_id)),
+         |agg AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(per.nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(per.ns) AS BIGINT) AS n_subwords
+         |  FROM per JOIN documents d USING (doc_id) GROUP BY d.source)
+         |SELECT source, n_docs, n_tokens, n_subwords,
+         |  round(n_subwords / CAST(n_tokens AS DOUBLE), 4) AS fertility
+         |FROM agg""".stripMargin,
+
     // greedy longest-match subword segmentation, re-derived as a recursive
     // CTE (see BPE_SEG_CTES) — piece-for-piece agreement with the native
     // expression is the cross-engine algorithm check

@@ -164,6 +164,25 @@ class BpeSpec extends SparkTestBase {
     assert(enc.exists(_.length > 1), s"no merge used: $enc")
   }
 
+  test("x_bpe_fertility: per-source sums reconcile with subwordCounts, " +
+    "fertility >= 1, one partial-aggregated shuffle, no join") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("text").isNotNull)
+    val fert = SparkEntry.queries("x_bpe_fertility")(spark, sf())
+    val rows = fert.as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nTok, nSub, f) =>
+      assert(nDocs > 0 && nSub >= nTok, s"$src")
+      assert(f >= 1.0, s"$src fertility $f — every token yields >= 1 piece")
+    }
+    val total = TextOps.subwordCounts(df, col("doc_id"), col("text"))
+      .agg(sum("n_tokens"), sum("n_subwords")).as[(Long, Long)].head()
+    assert((rows.map(_._3).sum, rows.map(_._4).sum) === total)
+    val p = fert.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"fertility must not join back:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
   test("x_bpe_encode and subwordCounts are map-only: no Exchange") {
     Seq(
       SparkEntry.queries("x_bpe_encode")(spark, sf()),

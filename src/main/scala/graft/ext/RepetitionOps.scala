@@ -50,8 +50,27 @@ object RepetitionOps {
     * training document) and |doc_id| under 2^43 — fine for BIGINT surrogate
     * ids, but a hash-derived 63-bit id would overflow the product and
     * SILENTLY corrupt winner order, so both bounds raise loudly instead. */
-  def chunkDedup(df: DataFrame, key: Column, text: Column, c: Int = 8): DataFrame = {
-    val ch = explodeChunks(df, key, text, c)
+  def chunkDedup(df: DataFrame, key: Column, text: Column, c: Int = 8): DataFrame =
+    dedupFromChunks(explodeChunks(df, key, text, c))
+
+  /** [[chunkDedup]] on CONTENT-DEFINED chunks ([[TextOps.cdcChunkRows]]):
+    * the shift-resistant middle tier of the span-dedup family. A fixed
+    * chunk grid misses a duplicated passage the moment anything upstream
+    * shifts it by one token (a prepended header re-phases every chunk);
+    * [[substrDedup]] catches any offset but pays overlapping-shingle
+    * volume (k rows per token). CDC boundaries re-synchronise with content
+    * a few tokens after any edit, so a shifted passage re-yields its exact
+    * chunks — caught at NON-overlapping cost (≈ one row per `divisor`
+    * tokens). Same winner/reassembly machinery and output schema as
+    * [[chunkDedup]]. */
+  def cdcChunkDedup(df: DataFrame, key: Column, text: Column, k: Int = 3,
+                    divisor: Int = 8, maxLen: Int = 20): DataFrame =
+    dedupFromChunks(TextOps.cdcChunkRows(df, key, text, k, divisor, maxLen))
+
+  /** The shared winner/reassembly machinery over (doc_id, chunk_idx,
+    * chunk) rows — see [[chunkDedup]] for the scale shape and the winner
+    * encoding bounds. */
+  private def dedupFromChunks(ch: DataFrame): DataFrame = {
     // Direct range compare, not abs(): in non-ANSI mode abs(Long.MinValue)
     // returns Long.MinValue (< 2^43), which would slip past an abs-based
     // guard in exactly the hash-derived-id scenario it protects against.

@@ -172,7 +172,28 @@ object TextOps {
     * IN-ROW over the token positions (tokenize-once barrier, zero
     * shuffles, map-only at any corpus size). */
   def cdcChunks(df: DataFrame, key: Column, text: Column, k: Int,
-                divisor: Int, maxLen: Int): DataFrame = {
+                divisor: Int, maxLen: Int): DataFrame =
+    cdcStructRows(df, key, text, k, divisor, maxLen)
+      .select(col("doc_id"), col("chunk_id"),
+        col("__c.s").as("start_tok"),
+        col("__c.len").cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__tk2"), col("__c.s"), col("__c.len")))).as("chunk_md5"))
+
+  /** The chunk TEXT form of [[cdcChunks]] — (doc_id, chunk_idx, chunk),
+    * the input shape [[RepetitionOps]]'s dedup machinery consumes; same
+    * boundaries (shared derivation), chunk = space-joined token slice, so
+    * md5(chunk) equals [[cdcChunks]]'s chunk_md5 row for row. */
+  def cdcChunkRows(df: DataFrame, key: Column, text: Column, k: Int,
+                   divisor: Int, maxLen: Int): DataFrame =
+    cdcStructRows(df, key, text, k, divisor, maxLen)
+      .select(col("doc_id"), col("chunk_id").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__tk2"), col("__c.s"), col("__c.len"))).as("chunk"))
+
+  /** Shared CDC derivation: (doc_id, chunk_id, __c = (s, len), __tk2). */
+  private def cdcStructRows(df: DataFrame, key: Column, text: Column, k: Int,
+                            divisor: Int, maxLen: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(divisor >= 2, "divisor must be >= 2")
     require(maxLen >= 2, "maxLen must be >= 2 (1 degenerates to one-token chunks)")
@@ -202,11 +223,6 @@ object TextOps {
           (s, e) => struct(s.as("s"), (e - s).as("len"))))
           .as(Seq("chunk_id", "__c")),
         toks.as("__tk2"))
-      .select(col("doc_id"), col("chunk_id"),
-        col("__c.s").as("start_tok"),
-        col("__c.len").cast("long").as("n_tokens"),
-        md5(concat_ws(" ",
-          slice(col("__tk2"), col("__c.s"), col("__c.len")))).as("chunk_md5"))
   }
 
   /** Skip-gram training pairs (word2vec data prep): for every token, emit

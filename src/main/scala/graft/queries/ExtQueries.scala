@@ -123,6 +123,13 @@ object ExtQueries {
     TextOps.cdcChunks(docs(s, dir), col("doc_id"), col("text"),
       k = 3, divisor = 8, maxLen = 20)
 
+  /** Shift-resistant span dedup: [[RepetitionOps.cdcChunkDedup]] —
+    * C4-style first-occurrence-wins over CONTENT-DEFINED chunks, catching
+    * offset-shifted duplicated passages a fixed chunk grid misses, at
+    * non-overlapping-chunk cost. */
+  val xCdcDedup: Q = (s, dir) =>
+    RepetitionOps.cdcChunkDedup(docs(s, dir), col("doc_id"), col("text"))
+
   /** URL canonicalization over deterministically-planted crawl URLs
     * (the xHtmlExtract wrap convention: the corpus has no URL column, so
     * both engines construct the same messy URL per doc and must agree on

@@ -67,6 +67,30 @@ object Oracles {
        |    FROM seg WHERE pos <= length(w)))""".stripMargin
   }
 
+  // Content-defined chunk boundaries (TextOps.cdcChunks' mirror): md5-mod
+  // gates over k=3 shingles, sequential start selection (first gate vs the
+  // forced maxLen=20 split) as a recursive CTE. Shared by x_cdc_chunks and
+  // x_cdc_dedup.
+  private lazy val CDC_SEG_CTES =
+    s"""toksc AS (SELECT doc_id, $TOK AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |dc AS (SELECT doc_id, tk, len(tk) AS n FROM toksc WHERE len(tk) > 0),
+       |gh AS (SELECT doc_id, i AS p,
+       |    md5(array_to_string(tk[i-2:i], ' ')) AS h
+       |  FROM (SELECT doc_id, tk, unnest(range(1, n)) AS i FROM dc)
+       |  WHERE i >= 3),
+       |g AS (SELECT doc_id, p, ${hex32("h", 1)} % 8 = 0 AS gate FROM gh),
+       |seg(doc_id, chunk_id, s, n) AS (
+       |  SELECT doc_id, 0, 1, n FROM dc
+       |  UNION ALL
+       |  SELECT q.doc_id, q.chunk_id + 1, q.nb + 1, q.n FROM (
+       |    SELECT seg.doc_id, seg.chunk_id, seg.n,
+       |      least(coalesce((SELECT min(g.p) FROM g
+       |          WHERE g.doc_id = seg.doc_id AND g.p >= seg.s AND g.gate),
+       |        seg.s + 19), seg.s + 19) AS nb
+       |    FROM seg WHERE seg.s <= seg.n - 1) q
+       |  WHERE q.nb <= q.n - 1)""".stripMargin
+
   // first 15 hex digits as a 60-bit integer (SketchOps.hash60's mirror)
   private def hex60(col: String): String =
     (0 until 15).map { d =>
@@ -2732,24 +2756,7 @@ object Oracles {
     // the sequential start selection as a recursive CTE (min of first gate
     // vs forced maxLen split), chunk text digested from the same slice
     "x_cdc_chunks" ->
-      s"""WITH RECURSIVE toksc AS (SELECT doc_id, $TOK AS tk FROM documents
-         |  WHERE text IS NOT NULL),
-         |dc AS (SELECT doc_id, tk, len(tk) AS n FROM toksc WHERE len(tk) > 0),
-         |gh AS (SELECT doc_id, i AS p,
-         |    md5(array_to_string(tk[i-2:i], ' ')) AS h
-         |  FROM (SELECT doc_id, tk, unnest(range(1, n)) AS i FROM dc)
-         |  WHERE i >= 3),
-         |g AS (SELECT doc_id, p, ${hex32("h", 1)} % 8 = 0 AS gate FROM gh),
-         |seg(doc_id, chunk_id, s, n) AS (
-         |  SELECT doc_id, 0, 1, n FROM dc
-         |  UNION ALL
-         |  SELECT q.doc_id, q.chunk_id + 1, q.nb + 1, q.n FROM (
-         |    SELECT seg.doc_id, seg.chunk_id, seg.n,
-         |      least(coalesce((SELECT min(g.p) FROM g
-         |          WHERE g.doc_id = seg.doc_id AND g.p >= seg.s AND g.gate),
-         |        seg.s + 19), seg.s + 19) AS nb
-         |    FROM seg WHERE seg.s <= seg.n - 1) q
-         |  WHERE q.nb <= q.n - 1)
+      s"""WITH RECURSIVE $CDC_SEG_CTES
          |SELECT e.doc_id, CAST(e.chunk_id AS INT) AS chunk_id,
          |  CAST(e.s AS INT) AS start_tok,
          |  CAST(e.e - e.s + 1 AS BIGINT) AS n_tokens,
@@ -2757,6 +2764,24 @@ object Oracles {
          |FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
          |    ORDER BY chunk_id) - 1, n) AS e FROM seg) e
          |JOIN toksc t USING (doc_id)""".stripMargin,
+
+    // shift-resistant span dedup: CDC chunk strings through the
+    // x_chunk_dedup winner/reassembly SQL (same winner encoding)
+    "x_cdc_dedup" ->
+      s"""WITH RECURSIVE $CDC_SEG_CTES,
+         |ch AS (SELECT e.doc_id, e.chunk_id AS chunk_idx,
+         |    array_to_string(t.tk[e.s:e.e], ' ') AS chunk
+         |  FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
+         |      ORDER BY chunk_id) - 1, n) AS e FROM seg) e
+         |  JOIN toksc t USING (doc_id)),
+         |win AS (SELECT chunk, min(doc_id*1048576 + chunk_idx) AS w
+         |  FROM ch GROUP BY chunk)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN doc_id*1048576 + chunk_idx = w
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |    FILTER (WHERE doc_id*1048576 + chunk_idx = w), '') AS clean_text
+         |FROM ch JOIN win USING (chunk) GROUP BY doc_id""".stripMargin,
 
     // URL canonicalization: the identical planted construction and the
     // identical regex pipeline (RE2-compatible patterns run verbatim in

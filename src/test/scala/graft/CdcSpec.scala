@@ -65,6 +65,42 @@ class CdcSpec extends SparkTestBase {
       f"fixed-stride unexpectedly shift-tolerant: $fixedShared%.3f vs CDC $shared%.3f")
   }
 
+  test("cdcChunkRows agrees with cdcChunks: md5(chunk) = chunk_md5, " +
+    "row for row") {
+    val fromRows = TextOps.cdcChunkRows(docs, col("doc_id"), col("text"),
+        k = 3, divisor = 8, maxLen = 20)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("d"))
+      .as[(Long, Int, String)].collect().toSet
+    val fromDigests = TextOps.cdcChunks(docs, col("doc_id"), col("text"),
+        k = 3, divisor = 8, maxLen = 20)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(fromRows === fromDigests)
+  }
+
+  test("cdcChunkDedup catches a SHIFTED duplicated passage that the fixed " +
+    "chunk grid misses entirely") {
+    import graft.ext.RepetitionOps
+    // P: a real document's text; B embeds P behind a 3-token header, so
+    // every fixed 8-token chunk of B is phase-shifted off A's grid
+    val passage = docs.where(size(TextOps.tokens(col("text"))) >= 50)
+      .orderBy("doc_id").select("text").as[String].head()
+    val two = Seq((1L, passage), (2L, "header junk words " + passage))
+      .toDF("doc_id", "text")
+    val cdc = RepetitionOps.cdcChunkDedup(two, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"))
+      .as[(Long, Long, Long)].collect().map { case (id, a, b) => id -> (a, b) }.toMap
+    val fixed = RepetitionOps.chunkDedup(two, col("doc_id"), col("text"), c = 8)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"))
+      .as[(Long, Long, Long)].collect().map { case (id, a, b) => id -> (a, b) }.toMap
+    // fixed grid: doc 2 shares NO chunk with doc 1 (every window off by 3)
+    assert(fixed(2L)._1 === fixed(2L)._2,
+      s"fixed grid unexpectedly caught the shifted passage: ${fixed(2L)}")
+    // CDC: boundaries re-synchronise inside P — duplicated chunks caught
+    assert(cdc(2L)._2 < cdc(2L)._1,
+      s"CDC failed to catch the shifted passage: ${cdc(2L)}")
+  }
+
   test("cdc chunking is map-only: no Exchange") {
     val p = SparkEntry.queries("x_cdc_chunks")(spark, sf())
       .queryExecution.executedPlan.toString

@@ -46,4 +46,20 @@ object StreamDedup {
       .withColumn("simhash", DedupOps.simhashCol(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** Crawl-frontier URL dedup: canonicalize
+    * ([[graft.ext.WebOps.canonicalizeUrl]] — case, default ports,
+    * fragments, tracking params, query order), then drop canonical
+    * duplicates within the watermark, so the N spellings a crawl sees for
+    * one page admit exactly one fetch per horizon. State is one row per
+    * DISTINCT canonical URL within the watermark — the frontier "seen
+    * set" with bounded memory (the [[nearDupDedup]] eviction contract);
+    * null URLs are dropped (a null canonical key would swallow every
+    * later null row, the nearDupDedup null-signature lesson). */
+  def urlDedup(pages: DataFrame, urlCol: String, tsCol: String,
+               watermark: String): DataFrame =
+    pages.where(col(urlCol).isNotNull)
+      .withColumn("canon_url", graft.ext.WebOps.canonicalizeUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
 }

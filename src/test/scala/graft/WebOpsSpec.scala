@@ -68,6 +68,39 @@ class WebOpsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("streaming frontier urlDedup: spelling variants of one page " +
+    "collapse within the watermark, state evicts past it (re-emission)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamDedup
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamDedup.urlDedup(
+        in.toDF().toDF("fetch_id", "url", "ts"), "url", "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("frontier_out").start()
+    in.addData(
+      (1L, "HTTP://Example.COM:80/a?b=2&a=1#x", ts("2024-01-01 00:00:00")),
+      (2L, "https://other.com/", ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    // three spellings of fetch 1's page within the horizon -> suppressed
+    in.addData(
+      (3L, "http://example.com/a?a=1&b=2", ts("2024-01-01 00:20:00")),
+      (4L, "http://EXAMPLE.com/a?b=2&a=1&utm_source=z", ts("2024-01-01 00:30:00")))
+    q.processAllAvailable()
+    // advance the watermark, then the same page again -> re-emitted
+    in.addData((5L, "https://waterline.com/advance", ts("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    in.addData((6L, "http://example.com/a?a=1&b=2", ts("2024-01-01 04:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("frontier_out").select("fetch_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 5L, 6L))
+  }
+
   test("weightedBernoulli: the overflow guard trips past 2^31 weights") {
     val df = Seq((1L, 1L), (2L, (1L << 33))).toDF("id", "w")
     val ex = intercept[Exception] {

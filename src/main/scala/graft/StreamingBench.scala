@@ -214,7 +214,39 @@ object StreamingBench {
     val pState = stateRows(q5)
     q5.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    // ---- crawl-frontier URL dedup (canonicalize + watermarked drop) ----
+    // q1's state shape with the regex canonicalization pipeline in front:
+    // the delta between url_rows_per_sec and dedup_rows_per_sec is the
+    // in-stream cost of canonicalizeUrl itself. 30% of each batch are
+    // spelling variants (case/port/tracking/fragment) of the previous
+    // batch's pages — duplicates only AFTER canonicalization.
+    val uin = MemoryStream[(Long, String, Timestamp)]
+    val ud = graft.streaming.StreamDedup.urlDedup(
+      uin.toDF().toDF("fetch_id", "url", "ts"), "url", "ts", "1 hour")
+    val q6 = ud.writeStream.outputMode(OutputMode.Append())
+      .format("noop").start()
+    def urlBatch(b: Int): Seq[(Long, String, Timestamp)] = {
+      val start = (b.toLong * 7 * batchRows) / 10
+      (0 until batchRows).map { i =>
+        val k = start + i
+        val u = (k % 4) match {
+          case 0 => s"http://host${k % 997}.example.com/p/$k?a=1&b=2"
+          case 1 => s"HTTP://Host${k % 997}.Example.COM:80/p/$k?b=2&a=1"
+          case 2 => s"http://host${k % 997}.example.com/p/$k?a=1&b=2&utm_source=x"
+          case _ => s"http://host${k % 997}.example.com/p/$k?a=1&b=2#frag"
+        }
+        (k, u, new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+      }
+    }
+    (0 until warm).foreach { b => uin.addData(urlBatch(b)); q6.processAllAvailable() }
+    val t6 = System.nanoTime()
+    (warm until total).foreach { b => uin.addData(urlBatch(b)); q6.processAllAvailable() }
+    val uSec = (System.nanoTime() - t6) / 1e9
+    val uRows = (total - warm).toLong * batchRows
+    val uState = stateRows(q6)
+    q6.stop()
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

@@ -62,7 +62,9 @@ object PlanAudit {
         "x_auc","x_confusion","x_calibration","x_mm_ahash",
         "x_minhash_recall","x_triangles","x_clustering_coef",
         "x_auc_stratum","x_sorted_nbr","x_blocking_recall",
-        "x_ks_drift","x_js_div","x_skipgram","x_cooc","x_neg_sample")
+        "x_ks_drift","x_js_div","x_skipgram","x_cooc","x_neg_sample",
+        "x_cdc_chunks","x_cdc_dedup","x_url_canon","x_weighted_bernoulli",
+        "x_bpe_encode","x_bpe_pack","x_bpe_fertility","x_mm_scenes")
       .foreach(audit)
     // NOT audited: the eager operators (x_pagerank, x_label_prop, x_kcore,
     // x_concomp, x_pca_project, x_pca_invariants) execute their

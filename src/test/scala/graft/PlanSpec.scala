@@ -82,7 +82,8 @@ class PlanSpec extends SparkTestBase {
     // count > 1 means an optimizer rule re-derived the tokenizer outside
     // the withTokens barrier (the chunkTokens n > 0 case: the size filter
     // was alias-substituted below the barrier into the scan Filter).
-    Seq("x_chunks", "x_skipgram", "x_cooc").foreach { q =>
+    Seq("x_chunks", "x_skipgram", "x_cooc", "x_cdc_chunks", "x_bpe_encode",
+      "x_bpe_fertility").foreach { q =>
       val total = "split\\(trim\\(".r.findAllIn(plan(q)).size
       assert(total <= 1,
         s"$q: whole plan tokenizes $total times — barrier lost")

@@ -128,7 +128,13 @@ object ExtQueries {
     * offset-shifted duplicated passages a fixed chunk grid misses, at
     * non-overlapping-chunk cost. */
   val xCdcDedup: Q = (s, dir) =>
-    RepetitionOps.cdcChunkDedup(docs(s, dir), col("doc_id"), col("text"))
+    RepetitionOps.dedupFromChunks(
+      TextOps.cdcChunkRows(docs(s, dir), col("doc_id"), col("text"),
+        k = 3, divisor = 8, maxLen = 20)
+        // run-scoped persist (the xDedupJaccard convention): the winner
+        // aggregate and the join-back both consume the chunk rows, and the
+        // CDC fold is too expensive to derive twice per scan
+        .persist())
 
   /** URL canonicalization over deterministically-planted crawl URLs
     * (the xHtmlExtract wrap convention: the corpus has no URL column, so

@@ -17,7 +17,50 @@ object WebOps {
 
   private val TrackingParams = "(utm_[a-z0-9]+|fbclid|gclid|msclkid)"
 
-  /** RFC-3986-lite canonical form:
+  /** Staged form of [[canonicalizeUrl]] — the one to use on a corpus:
+    * each pipeline stage (fragment drop, scheme/host lowering, tracking
+    * scrub, query sort) is materialised in its OWN projection, so no
+    * stage's regex chain is re-evaluated by the references the next stage
+    * makes (the [[TextOps]] CollapseProject discipline: the single-Column
+    * form nests ~12 references to the defragmented string, each
+    * re-deriving it — ~3× the regex work per row). Appends `outCol`;
+    * same result as the Column form (spec-locked equal). */
+  def canonicalized(df: org.apache.spark.sql.DataFrame, url: Column,
+                    outCol: String = "canon_url"): org.apache.spark.sql.DataFrame = {
+    val others = df.columns.map(col).toSeq
+    val s = col("__cu")
+    val scheme = lower(regexp_extract(s, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    df.select(others :+ regexp_replace(trim(url), "#.*$", "").as("__cu"): _*)
+      .select(others :+ s :+ scheme.as("__sch") :+
+        lower(regexp_extract(s, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+          .as("__hp") :+
+        regexp_extract(s, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+          .as("__rest"): _*)
+      .select(others :+ when(col("__sch") =!= "",
+          concat(col("__sch"), lit("://"),
+            when(col("__sch") === "http",
+              regexp_replace(col("__hp"), ":80$", ""))
+              .when(col("__sch") === "https",
+                regexp_replace(col("__hp"), ":443$", ""))
+              .otherwise(col("__hp")),
+            col("__rest")))
+          .otherwise(s).as("__cu"): _*)
+      .select(others :+ regexp_replace(
+          regexp_replace(
+            regexp_replace(s, s"&$TrackingParams=[^&#]*", ""),
+            s"\\?$TrackingParams=[^&#]*&", "?"),
+          s"\\?$TrackingParams=[^&#]*$$", "").as("__cu"): _*)
+      .select(others :+ s :+
+        regexp_extract(s, "^[^?]*\\?(.*)$", 1).as("__qs"): _*)
+      .select(others :+ when(col("__qs") === "", s)
+        .otherwise(concat(regexp_extract(s, "^([^?]*)", 1), lit("?"),
+          array_join(array_sort(split(col("__qs"), "&")), "&")))
+        .as(outCol): _*)
+  }
+
+  /** RFC-3986-lite canonical form (single-Column convenience — for a
+    * corpus-sized pass prefer [[canonicalized]], which stages the
+    * pipeline across projections instead of nesting it):
     *   1. trim; drop the `#fragment` (never sent to the server);
     *   2. lowercase the scheme and the host (path/query stay case-exact);
     *   3. drop the scheme's default port (`:80` http, `:443` https);

@@ -154,8 +154,8 @@ object ExtQueries {
       col("lang"),
       when(col("doc_id") % 5 === 0, lit("&fbclid=abc123")).otherwise(lit("")),
       when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
-    docs(s, dir).select(col("doc_id"), messy.as("url"),
-      WebOps.canonicalizeUrl(messy).as("canon_url"))
+    WebOps.canonicalized(
+      docs(s, dir).select(col("doc_id"), messy.as("url")), col("url"))
   }
 
   /** Weighted BERNOULLI sample, P(keep) = n_chars / max(n_chars) —

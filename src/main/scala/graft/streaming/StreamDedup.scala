@@ -58,8 +58,8 @@ object StreamDedup {
     * later null row, the nearDupDedup null-signature lesson). */
   def urlDedup(pages: DataFrame, urlCol: String, tsCol: String,
                watermark: String): DataFrame =
-    pages.where(col(urlCol).isNotNull)
-      .withColumn("canon_url", graft.ext.WebOps.canonicalizeUrl(col(urlCol)))
+    graft.ext.WebOps.canonicalized(
+        pages.where(col(urlCol).isNotNull), col(urlCol))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("canon_url")
 }

@@ -36,6 +36,24 @@ class WebOpsSpec extends SparkTestBase {
       "not a url at all"))
   }
 
+  test("staged canonicalized() equals the single-Column form on hand " +
+    "cases and the planted corpus") {
+    val hand = Seq(
+      "HTTP://Example.COM:80/A/B?b=2&a=1#frag", "https://example.com:443/x",
+      "https://example.com:8443/x", "http://example.com/p?utm_source=a",
+      "http://example.com/p?utm_source=a&q=1", "http://example.com/p?q=1&fbclid=z",
+      "  https://EX.com/CaseSensitivePath  ", "not a url at all")
+      .toDF("u")
+    val both = WebOps.canonicalized(hand, col("u"))
+      .withColumn("viaCol", WebOps.canonicalizeUrl(col("u")))
+      .where(col("canon_url") =!= col("viaCol"))
+    assert(both.count() === 0)
+    val corpus = SparkEntry.queries("x_url_canon")(spark, sf())
+      .withColumn("viaCol", WebOps.canonicalizeUrl(col("url")))
+      .where(col("canon_url") =!= col("viaCol"))
+    assert(corpus.count() === 0)
+  }
+
   test("canonicalizeUrl is idempotent over the planted corpus") {
     val q = SparkEntry.queries("x_url_canon")(spark, sf())
     val twice = q.select(col("canon_url"),

@@ -158,6 +158,43 @@ object ExtQueries {
       docs(s, dir).select(col("doc_id"), messy.as("url")), col("url"))
   }
 
+  /** Composed WEB-CORPUS pipeline — the crawl-side counterpart of
+    * x_curation_pipeline, chaining the round's web operators end-to-end:
+    * plant colliding spelling variants (4 per page: case+port, tracking
+    * param, fragment, query order — all canonical-equal), canonicalize
+    * ([[WebOps.canonicalized]], staged), keep the FIRST fetch per
+    * canonical URL (the batch frontier: one partial-aggregated min +
+    * an equi-join back), CDC-chunk-dedup the survivors (shift-resistant
+    * span stats), and weighted-Bernoulli-sample by length (integer-exact).
+    * Scale shape: map-side canonicalization, one min aggregate + join on
+    * the canonical key, the cdc-dedup shuffles over the SURVIVOR subset,
+    * one scalar-broadcast max — nothing quadratic, nothing collected. */
+  val xWebPipeline: Q = (s, dir) => {
+    val url = concat(
+      when(col("doc_id") % 4 === 1, lit("HTTPS://WWW.Site.Example.COM:443"))
+        .otherwise(lit("https://www.site.example.com")),
+      lit("/page/"), col("doc_id") % 250,
+      when(col("doc_id") % 4 === 1, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
+      when(col("doc_id") % 4 === 2, lit("&utm_campaign=x")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 3, lit("#top")).otherwise(lit("")))
+    val canon = WebOps.canonicalized(
+      docs(s, dir).select(col("doc_id"), col("n_chars"), col("text"),
+        url.as("url")), col("url"))
+    val first = canon.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
+    // survivors feed the cdc dedup (twice via its persist), the stats
+    // join-back, and the weight max — run-scoped persist
+    val surv = canon.join(first, Seq("canon_url", "doc_id")).persist()
+    val stats = RepetitionOps.dedupFromChunks(
+        TextOps.cdcChunkRows(surv, col("doc_id"), col("text"),
+          k = 3, divisor = 8, maxLen = 20).persist())
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"))
+    CorpusOps.weightedBernoulli(
+      surv.join(stats, "doc_id")
+        .select(col("doc_id"), col("canon_url"), col("n_chunks"),
+          col("n_kept"), col("n_chars")),
+      col("doc_id"), col("n_chars"))
+  }
+
   /** Weighted BERNOULLI sample, P(keep) = n_chars / max(n_chars) —
     * the proportional-rate complement to the fixed-k A-ES
     * [[CorpusOps.weightedSample]]; integer-exact (h·W < w·2³²), so the

@@ -69,11 +69,10 @@ object Oracles {
 
   // Content-defined chunk boundaries (TextOps.cdcChunks' mirror): md5-mod
   // gates over k=3 shingles, sequential start selection (first gate vs the
-  // forced maxLen=20 split) as a recursive CTE. Shared by x_cdc_chunks and
-  // x_cdc_dedup.
-  private lazy val CDC_SEG_CTES =
-    s"""toksc AS (SELECT doc_id, $TOK AS tk FROM documents
-       |  WHERE text IS NOT NULL),
+  // forced maxLen=20 split) as a recursive CTE. Shared by x_cdc_chunks,
+  // x_cdc_dedup, and (over the frontier-survivor subset) x_web_pipeline.
+  private def cdcSegCtes(src: String): String =
+    s"""toksc AS (SELECT doc_id, $TOK AS tk FROM $src),
        |dc AS (SELECT doc_id, tk, len(tk) AS n FROM toksc WHERE len(tk) > 0),
        |gh AS (SELECT doc_id, i AS p,
        |    md5(array_to_string(tk[i-2:i], ' ')) AS h
@@ -90,6 +89,43 @@ object Oracles {
        |        seg.s + 19), seg.s + 19) AS nb
        |    FROM seg WHERE seg.s <= seg.n - 1) q
        |  WHERE q.nb <= q.n - 1)""".stripMargin
+
+  private lazy val CDC_SEG_CTES =
+    cdcSegCtes("documents WHERE text IS NOT NULL")
+
+  // The staged regex canonicalization (WebOps.canonicalized's mirror) as
+  // chained CTEs: from `in` (carrying `keep` columns + url) to a CTE
+  // `canon` (keep + url + canon_url). Shared by x_url_canon and
+  // x_web_pipeline so the regex pipeline exists ONCE in oracle SQL.
+  private def urlCanonCtes(in: String, keep: String): String =
+    s"""uc1 AS (SELECT $keep, url,
+       |  regexp_replace(trim(url), '#.*$$', '') AS s FROM $in),
+       |uc2 AS (SELECT $keep, url,
+       |  CASE WHEN regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+       |    THEN concat(
+       |      lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)),
+       |      '://',
+       |      (CASE lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |         WHEN 'http' THEN regexp_replace(lower(regexp_extract(s,
+       |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$$', '')
+       |         WHEN 'https' THEN regexp_replace(lower(regexp_extract(s,
+       |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$$', '')
+       |         ELSE lower(regexp_extract(s,
+       |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END),
+       |      regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1))
+       |    ELSE s END AS s FROM uc1),
+       |uc3 AS (SELECT $keep, url, regexp_replace(regexp_replace(
+       |    regexp_replace(s,
+       |      '&(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+       |    '\\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*&', '?'),
+       |    '\\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*$$', '') AS s
+       |  FROM uc2),
+       |canon AS (SELECT $keep, url,
+       |  CASE WHEN regexp_extract(s, '^[^?]*\\?(.*)$$', 1) = '' THEN s
+       |    ELSE concat(regexp_extract(s, '^([^?]*)', 1), '?',
+       |      array_to_string(list_sort(string_split(
+       |        regexp_extract(s, '^[^?]*\\?(.*)$$', 1), '&')), '&')) END
+       |  AS canon_url FROM uc3)""".stripMargin
 
   // first 15 hex digits as a 60-bit integer (SketchOps.hash60's mirror)
   private def hex60(col: String): String =
@@ -2787,7 +2823,7 @@ object Oracles {
     // identical regex pipeline (RE2-compatible patterns run verbatim in
     // both engines; 'g' flag where Spark's replace is implicitly global)
     "x_url_canon" ->
-      """WITH u AS (SELECT doc_id,
+      s"""WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END ||
         |     'WWW.' || upper(source) || '.Example.COM' ||
         |     CASE WHEN doc_id % 3 = 0 THEN ':80'
@@ -2798,34 +2834,47 @@ object Oracles {
         |     CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc123' ELSE '' END ||
         |     CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
         |  FROM documents WHERE text IS NOT NULL),
-        |c1 AS (SELECT doc_id, url,
-        |  regexp_replace(trim(url), '#.*$', '') AS s FROM u),
-        |c2 AS (SELECT doc_id, url,
-        |  CASE WHEN regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
-        |    THEN lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |      || '://' ||
-        |      (CASE lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |         WHEN 'http' THEN regexp_replace(lower(regexp_extract(s,
-        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
-        |         WHEN 'https' THEN regexp_replace(lower(regexp_extract(s,
-        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
-        |         ELSE lower(regexp_extract(s,
-        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END) ||
-        |      regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
-        |    ELSE s END AS s FROM c1),
-        |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(
-        |    regexp_replace(s,
-        |      '&(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
-        |    '\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*&', '?'),
-        |    '\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*$', '') AS s
-        |  FROM c2)
-        |SELECT doc_id, url,
-        |  CASE WHEN regexp_extract(s, '^[^?]*\?(.*)$', 1) = '' THEN s
-        |    ELSE regexp_extract(s, '^([^?]*)', 1) || '?' ||
-        |      array_to_string(list_sort(string_split(
-        |        regexp_extract(s, '^[^?]*\?(.*)$', 1), '&')), '&') END
-        |  AS canon_url
-        |FROM c3""".stripMargin,
+        |${urlCanonCtes("u", "doc_id")}
+        |SELECT doc_id, url, canon_url FROM canon""".stripMargin,
+
+    // composed web-corpus pipeline: plant colliding spelling variants,
+    // canonicalize (shared CTEs), keep the FIRST fetch per canonical URL,
+    // CDC-chunk-dedup the survivors (shared recursion, over the subset),
+    // weighted-Bernoulli sample by n_chars over the stats-joined set
+    "x_web_pipeline" ->
+      s"""WITH RECURSIVE uw AS (SELECT doc_id, n_chars, text,
+        |    ((CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.Site.Example.COM:443'
+        |           ELSE 'https://www.site.example.com' END) ||
+        |     '/page/' || (doc_id % 250) ||
+        |     CASE WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
+        |     CASE WHEN doc_id % 4 = 2 THEN '&utm_campaign=x' ELSE '' END ||
+        |     CASE WHEN doc_id % 4 = 3 THEN '#top' ELSE '' END) AS url
+        |  FROM documents WHERE text IS NOT NULL),
+        |${urlCanonCtes("uw", "doc_id, n_chars, text")}
+        |, fwin AS (SELECT canon_url, min(doc_id) AS doc_id
+        |  FROM canon GROUP BY canon_url),
+        |surv AS (SELECT c.doc_id, c.n_chars, c.text, c.canon_url
+        |  FROM canon c JOIN fwin USING (canon_url, doc_id)),
+        |${cdcSegCtes("surv")},
+        |chw AS (SELECT e.doc_id, e.chunk_id AS chunk_idx,
+        |    array_to_string(t.tk[e.s:e.e], ' ') AS chunk
+        |  FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
+        |      ORDER BY chunk_id) - 1, n) AS e FROM seg) e
+        |  JOIN toksc t USING (doc_id)),
+        |wwin AS (SELECT chunk, min(doc_id*1048576 + chunk_idx) AS w
+        |  FROM chw GROUP BY chunk),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN doc_id*1048576 + chunk_idx = w
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM chw JOIN wwin USING (chunk) GROUP BY doc_id),
+        |joined AS (SELECT s.doc_id, s.canon_url, st.n_chunks, st.n_kept,
+        |    s.n_chars, md5(CAST(s.doc_id AS VARCHAR)) AS h
+        |  FROM surv s JOIN stats st USING (doc_id)),
+        |m AS (SELECT max(n_chars) AS wmax FROM joined)
+        |SELECT doc_id, canon_url, n_chunks, n_kept, n_chars
+        |FROM joined, m
+        |WHERE n_chars > 0
+        |  AND ${hex32("h", 1)} * wmax < n_chars * 4294967296""".stripMargin,
 
     // weighted Bernoulli: identical integer comparison h*W < w*2^32 —
     // no float anywhere, exact agreement by construction

@@ -119,6 +119,25 @@ class WebOpsSpec extends SparkTestBase {
     assert(got === Seq(1L, 2L, 5L, 6L))
   }
 
+  test("x_web_pipeline composition invariants: one fetch per canonical " +
+    "URL (the group min), cdc stats bounded, sample is a subset") {
+    val out = SparkEntry.queries("x_web_pipeline")(spark, sf())
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // one row per canonical URL at most
+    assert(out.map(_._2).distinct.length === out.length)
+    out.foreach { case (id, canon, nc, nk, _) =>
+      assert(!canon.contains("#") && !canon.contains("utm_") &&
+        canon.startsWith("https://www.site.example.com/page/"), canon)
+      // survivor is its page's minimum doc_id: the planted page key is
+      // doc_id % 250, so no smaller doc with the same residue may have text
+      assert(nk >= 0 && nk <= nc && nc >= 1, s"doc $id stats ($nc, $nk)")
+    }
+    val p = SparkEntry.queries("x_web_pipeline")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("weightedBernoulli: the overflow guard trips past 2^31 weights") {
     val df = Seq((1L, 1L), (2L, (1L << 33))).toDF("id", "w")
     val ex = intercept[Exception] {

@@ -27,6 +27,10 @@ object WebOps {
     * same result as the Column form (spec-locked equal). */
   def canonicalized(df: org.apache.spark.sql.DataFrame, url: Column,
                     outCol: String = "canon_url"): org.apache.spark.sql.DataFrame = {
+    val scratch = Set("__cu", "__sch", "__hp", "__rest", "__qs")
+    require(!df.columns.exists(c => scratch(c) || c == outCol),
+      s"canonicalized: input must not already carry $outCol or the " +
+        s"scratch names ${scratch.mkString(", ")}")
     val others = df.columns.map(col).toSeq
     val s = col("__cu")
     val scheme = lower(regexp_extract(s, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

@@ -62,6 +62,29 @@ object WebOps {
         .as(outCol): _*)
   }
 
+  /** Host of an already-CANONICAL URL (lowercased, default port gone —
+    * run [[canonicalized]] first); empty string when no scheme://host
+    * shape matches. */
+  def hostOf(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Per-host crawl accounting over canonical URLs — the dashboard row a
+    * crawl scheduler reads (politeness budgets, duplicate-fetch waste per
+    * site): (host, n_fetches, n_pages distinct canonical URLs, dup_rate).
+    * One partial-aggregated shuffle on host; the distinct rides the same
+    * aggregation (approximate at web scale would swap in a KMV/HLL sketch
+    * per host — [[graft.ext.SketchOps]] — when exact distincts outgrow the
+    * aggregate buffer). */
+  def hostStats(canonDf: org.apache.spark.sql.DataFrame,
+                canonUrl: Column): org.apache.spark.sql.DataFrame =
+    canonDf.select(hostOf(canonUrl).as("host"), canonUrl.as("__cu2"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("__cu2")).as("n_pages"))
+      .select(col("host"), col("n_fetches"), col("n_pages"),
+        round(lit(1.0) - col("n_pages") / col("n_fetches").cast("double"), 4)
+          .as("dup_rate"))
+
   /** RFC-3986-lite canonical form (single-Column convenience — for a
     * corpus-sized pass prefer [[canonicalized]], which stages the
     * pipeline across projections instead of nesting it):

@@ -142,21 +142,35 @@ object ExtQueries {
     * its canonical form — scheme/host case, default ports, fragments,
     * tracking params, query order all exercised by doc_id-dependent
     * variants). */
-  val xUrlCanon: Q = (s, dir) => {
-    val messy = concat(
-      when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
-      lit("WWW."), upper(col("source")), lit(".Example.COM"),
-      when(col("doc_id") % 3 === 0, lit(":80"))
-        .when(col("doc_id") % 3 === 1, lit(":443")).otherwise(lit("")),
-      lit("/Docs/"), col("doc_id"),
-      when(col("doc_id") % 2 === 0,
-        lit("?utm_source=feed&z=26&lang=")).otherwise(lit("?z=26&lang=")),
-      col("lang"),
-      when(col("doc_id") % 5 === 0, lit("&fbclid=abc123")).otherwise(lit("")),
-      when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+  /** The planted messy-URL construction shared by x_url_canon and
+    * x_host_stats (and mirrored verbatim in their oracles). */
+  private def messyDocUrl: Column = concat(
+    when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+    lit("WWW."), upper(col("source")), lit(".Example.COM"),
+    when(col("doc_id") % 3 === 0, lit(":80"))
+      .when(col("doc_id") % 3 === 1, lit(":443")).otherwise(lit("")),
+    lit("/Docs/"), col("doc_id"),
+    when(col("doc_id") % 2 === 0,
+      lit("?utm_source=feed&z=26&lang=")).otherwise(lit("?z=26&lang=")),
+    col("lang"),
+    when(col("doc_id") % 5 === 0, lit("&fbclid=abc123")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+
+  val xUrlCanon: Q = (s, dir) =>
     WebOps.canonicalized(
-      docs(s, dir).select(col("doc_id"), messy.as("url")), col("url"))
-  }
+      docs(s, dir).select(col("doc_id"), messyDocUrl.as("url")), col("url"))
+
+  /** Per-host crawl accounting over the canonicalized planted URLs:
+    * every doc_id is a distinct page, so n_pages = n_fetches and
+    * dup_rate = 0 per host — the formula is still corpus-derived (counts
+    * come from the actual canonicalization), and the host extraction is
+    * the checked surface. */
+  val xHostStats: Q = (s, dir) =>
+    WebOps.hostStats(
+      WebOps.canonicalized(
+        docs(s, dir).select(col("doc_id"), messyDocUrl.as("url")),
+        col("url")),
+      col("canon_url"))
 
   /** Composed WEB-CORPUS pipeline — the crawl-side counterpart of
     * x_curation_pipeline, chaining the round's web operators end-to-end:

@@ -2837,6 +2837,29 @@ object Oracles {
         |${urlCanonCtes("u", "doc_id")}
         |SELECT doc_id, url, canon_url FROM canon""".stripMargin,
 
+    // per-host crawl accounting: host from the canonical URL (shared
+    // canonicalization CTEs), one group-by with exact distinct
+    "x_host_stats" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END ||
+         |     'WWW.' || upper(source) || '.Example.COM' ||
+         |     CASE WHEN doc_id % 3 = 0 THEN ':80'
+         |          WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END ||
+         |     '/Docs/' || doc_id ||
+         |     CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&z=26&lang='
+         |          ELSE '?z=26&lang=' END || lang ||
+         |     CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc123' ELSE '' END ||
+         |     CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+         |  FROM documents WHERE text IS NOT NULL),
+         |${urlCanonCtes("u", "doc_id")}
+         |SELECT regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+         |    AS host,
+         |  CAST(count(*) AS BIGINT) AS n_fetches,
+         |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+         |  round(1.0 - count(DISTINCT canon_url) /
+         |    CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         |FROM canon GROUP BY 1""".stripMargin,
+
     // composed web-corpus pipeline: plant colliding spelling variants,
     // canonicalize (shared CTEs), keep the FIRST fetch per canonical URL,
     // CDC-chunk-dedup the survivors (shared recursion, over the subset),

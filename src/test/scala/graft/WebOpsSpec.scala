@@ -119,6 +119,19 @@ class WebOpsSpec extends SparkTestBase {
     assert(got === Seq(1L, 2L, 5L, 6L))
   }
 
+  test("hostStats: hand corpus with duplicate fetches — host extraction, " +
+    "exact page distincts, dup_rate") {
+    val fetches = Seq(
+      "HTTP://A.com:80/x", "http://a.com/x",           // same page, host a.com
+      "http://a.com/y",
+      "https://B.org/z?q=1#f", "https://b.org/z?q=1")  // same page, host b.org
+      .toDF("url")
+    val got = WebOps.hostStats(
+        WebOps.canonicalized(fetches, col("url")), col("canon_url"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a.com", 3L, 2L, 0.3333), ("b.org", 2L, 1L, 0.5)))
+  }
+
   test("x_web_pipeline composition invariants: one fetch per canonical " +
     "URL (the group min), cdc stats bounded, sample is a subset") {
     val out = SparkEntry.queries("x_web_pipeline")(spark, sf())

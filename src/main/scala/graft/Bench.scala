@@ -31,14 +31,27 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = SparkEntry.benchNames.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      // None on failure: a transiently failing rep returns FAST, and under
+      // min-of-reps a failed-but-timed rep would silently LOWER the
+      // headline min for an otherwise-healthy entry — failures must be
+      // excluded from the min, not blended into it.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); None
+        }
       }
       once() // warm-up: codegen + JIT
-      val dt = (1 to reps).map(_ => once()).min
+      val times = (1 to reps).flatMap(_ => once())
+      if (times.size < reps)
+        System.err.println(
+          s"[bench] $name: ${reps - times.size}/$reps measured reps FAILED")
+      // -1 is the explicit error marker when no rep succeeded — never a
+      // fabricated elapsed time.
+      val dt = if (times.nonEmpty) times.min else -1.0
       // isolation between entries: several queries persist() intermediate
       // frames (their results stay lazy, so the operator cannot unpersist)
       // — without this, pinned blocks accumulate across the 80+ entries
@@ -51,7 +64,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // skip -1 error markers
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -217,9 +217,12 @@ object StreamingBench {
     // ---- crawl-frontier URL dedup (canonicalize + watermarked drop) ----
     // q1's state shape with the regex canonicalization pipeline in front:
     // the delta between url_rows_per_sec and dedup_rows_per_sec is the
-    // in-stream cost of canonicalizeUrl itself. 30% of each batch are
-    // spelling variants (case/port/tracking/fragment) of the previous
-    // batch's pages — duplicates only AFTER canonicalization.
+    // in-stream cost of canonicalizeUrl itself. 30% of each batch are the
+    // previous batch's pages re-seen; the spelling variant rotates by
+    // BATCH as well as key ((k + b) % 4), so a re-seen page arrives under
+    // a DIFFERENT spelling (case/port/tracking/fragment) than its first
+    // sighting — the rows are duplicates only AFTER canonicalization,
+    // which is the path this benchmark exists to measure.
     val uin = MemoryStream[(Long, String, Timestamp)]
     val ud = graft.streaming.StreamDedup.urlDedup(
       uin.toDF().toDF("fetch_id", "url", "ts"), "url", "ts", "1 hour")
@@ -229,7 +232,7 @@ object StreamingBench {
       val start = (b.toLong * 7 * batchRows) / 10
       (0 until batchRows).map { i =>
         val k = start + i
-        val u = (k % 4) match {
+        val u = ((k + b) % 4) match {
           case 0 => s"http://host${k % 997}.example.com/p/$k?a=1&b=2"
           case 1 => s"HTTP://Host${k % 997}.Example.COM:80/p/$k?b=2&a=1"
           case 2 => s"http://host${k % 997}.example.com/p/$k?a=1&b=2&utm_source=x"

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
+  /** Order-monotone 64-way bucket for [[ScanOps.cumSum]] over a score
+    * axis: scores clamp into [0, 1] (probabilities in practice — anything
+    * outside piles into the edge buckets, which only costs parallelism,
+    * never correctness: clamping is non-strictly monotone, and cumSum
+    * resolves ties-in-bucket by the order column inside the bucket's
+    * window). */
+  private def scoreBucket(s: Column): Column =
+    floor(least(greatest(s, lit(0.0)), lit(1.0)) * 63).cast("int")
+
   /** Confusion counts + derived metrics at a decision threshold
     * (pred = score ≥ threshold): one row (tp, fp, tn, fn, precision,
     * recall, f1), metrics rounded to 6 dp and null when undefined (no
@@ -95,21 +104,23 @@ object EvalOps {
     * Scale shape: rows collapse FIRST to one row per distinct score (the
     * partial-aggregated groupBy — for a quality model emitting rounded
     * scores this is bounded by the score grid, not the corpus), and the
-    * cumulative midranks ride ONE window over those distinct-score rows
-    * ordered by score. The window is single-partition, but over the
-    * score-distribution table, not the data — the [[CorpusOps
-    * .quantileBuckets]] eval-side discipline. */
+    * cumulative midranks ride [[ScanOps.cumSum]]'s two-level scan over
+    * those distinct-score rows (per-bucket windows + broadcast offsets —
+    * NO single-partition WindowExec even if scores go near-unique at
+    * corpus scale; integer counts make the two-level sum bit-identical to
+    * the sequential scan the oracle replays). */
   def aucRoc(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val byScore = df
       .select(score.cast("double").as("__s"), label.cast("boolean").as("__y"))
       .where(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy("__s")
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
-    val ranked = byScore
-      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val ranked = ScanOps.cumSum(byScore, order = col("__s"),
+        descending = false, bucket = scoreBucket(col("__s")), nBuckets = 64,
+        values = Seq("__n" -> "__cumn"))
+      // exclusive prefix from the inclusive scan
+      .withColumn("__before", col("__cumn") - col("__n"))
       // midrank of every row tied at this score: before + (n + 1) / 2
       .withColumn("__midrank",
         col("__before") + (col("__n") + lit(1.0)) / lit(2.0))
@@ -132,28 +143,22 @@ object EvalOps {
     * absent.
     *
     * Scale shape: the [[aucRoc]] discipline — the corpus collapses
-    * map-side to distinct scores before the one cumulative window. That
-    * window is GLOBAL (no partition key → single-partition WindowExec),
-    * which is fine exactly while its input is distinct-score-bounded
-    * (float scores from a bounded scorer: thousands of values). If scores
-    * ever become near-unique per row (e.g. 64-bit hash scores over a
-    * web-scale corpus), the upgrade path is the standard two-level
-    * cumulative sum: hash-partition the distinct scores by range, take
-    * per-partition cumulative sums, then broadcast the per-partition
-    * TOTALS (a partitions-bounded frame) back as additive offsets — same
-    * result, no single-partition stage. */
+    * map-side to distinct scores, and the cumulative TP/total counters
+    * ride [[ScanOps.cumSum]]'s two-level scan over the distinct-score
+    * rows descending (per-bucket windows + broadcast offsets — NO
+    * single-partition WindowExec even when scores go near-unique at
+    * corpus scale; integer counts make the two-level sum bit-identical
+    * to the sequential scan the oracle replays). */
   def averagePrecision(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val byScore = df
       .select(score.cast("double").as("__s"), label.cast("boolean").as("__y"))
       .where(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy("__s")
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
-    byScore
-      .withColumn("__tp", sum(col("__np")).over(w))
-      .withColumn("__tot", sum(col("__n")).over(w))
+    ScanOps.cumSum(byScore, order = col("__s"), descending = true,
+        bucket = scoreBucket(col("__s")), nBuckets = 64,
+        values = Seq("__np" -> "__tp", "__n" -> "__tot"))
       .agg(sum("__np").as("n_pos"), (sum("__n") - sum("__np")).as("n_neg"),
         sum(col("__np") * col("__tp") / col("__tot").cast("double"))
           .as("__apsum"))

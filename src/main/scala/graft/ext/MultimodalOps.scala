@@ -200,8 +200,9 @@ object MultimodalOps {
     * and the scene flags fall out of one zip_with. This is the form the
     * STREAMING surface uses ([[graft.streaming.StreamScenes]]): zero
     * state, zero shuffle, append-mode safe — and it is a strictly better
-    * batch plan too (no exchange, no WindowExec; the declared x_mm_scenes
-    * keeps the window form as the oracle-shaped original).
+    * batch plan too (no exchange, no WindowExec), so the declared
+    * x_mm_scenes entry runs THIS form; [[sceneChanges]] stays as the
+    * window-shaped original that StreamScenesSpec compares against.
     *
     * Stage discipline: bytes and means are materialised as ARRAY columns
     * in their own projections before the bit fold, so the mean is a

@@ -280,41 +280,49 @@ object TextOps {
     * cross-engine hash compare is exact.
     *
     * Engine-portability: the 0.75 power is computed as sqrt(sqrt(c³)) —
-    * IEEE sqrt is correctly rounded in every engine while pow() is not, so
-    * the weights (and hence every interval boundary and every sampling
-    * decision) are bit-identical in Spark and the oracle; the cumulative
-    * sum runs sequentially in the same total token order on both sides.
+    * IEEE sqrt is correctly rounded in every engine while pow() is not —
+    * then QUANTIZED to an integer weight round(w·2¹⁶) (the
+    * [[CorpusOps.weightedBernoulli]] integer-exact convention): integer
+    * addition is associative, so the cumulative boundaries are
+    * bit-identical in Spark and the oracle NO MATTER how the sum is
+    * associated or partitioned. The 2¹⁶ scale keeps 4-decimal fidelity to
+    * the smooth distribution while bounding the total: even a 10¹²-token
+    * corpus concentrated on one type gives Σw·2¹⁶ ≈ 10¹⁴ ≪ 2⁶³.
     *
     * Scale shape: the interval lookup is NOT a nested-loop range join —
     * each vocab interval explodes to the integer buckets it covers
     * (≤ V + nBuckets rows total) and each probe computes its bucket
     * map-side, so the lookup is a plain equi-join on the bucket id with
     * the range filter above it (the as-of family's bucketized-rewrite
-    * pattern). The cumulative window is vocabulary-bounded — the
-    * [[graft.ext.EvalOps.aucRoc]] distinct-value discipline, never the
-    * corpus. It is also GLOBAL (no partition key → single-partition
-    * WindowExec), defensible while the vocabulary is ~10⁶ tokens; a
-    * web-scale vocabulary (10⁸+) outgrows it, and the upgrade path is the
-    * standard two-level cumulative sum: range-partition the vocabulary,
-    * per-partition cumulative sums, then broadcast the per-partition
-    * TOTALS back as additive offsets — identical boundaries, no
-    * single-partition stage. Do NOT copy this window shape into any
-    * context without such a value bound. */
+    * pattern). The cumulative sum over the vocabulary runs through
+    * [[ScanOps.cumSum]] — the two-level scan (per-prefix-bucket windows +
+    * broadcast offsets; order-monotone 2-char-prefix buckets), so there is
+    * NO single-partition WindowExec at ANY vocabulary size (PlanSpec-
+    * locked); integer weights make the two-level association identical to
+    * the sequential scan the oracle replays. */
   def negativeSamples(df: DataFrame, key: Column, text: Column,
                       window: Int, k: Int, nBuckets: Int = 256): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(k >= 1, "k must be >= 1")
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val vocab = withTokens(df, Seq.empty, text)
       .select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__c"))
-    val w = sqrt(sqrt((col("__c") * col("__c") * col("__c")).cast("double")))
-    val win = Window.orderBy("negative")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vocab.select(col("tok").as("negative"), w.as("__w"))
-      .select(col("negative"), col("__w"), sum("__w").over(win).as("__hi"))
-      .select(col("negative"), (col("__hi") - col("__w")).as("__lo"), col("__hi"))
+    val w = round(sqrt(sqrt((col("__c") * col("__c") * col("__c"))
+      .cast("double"))) * lit(65536.0), 0).cast("long")
+    // lexicographically monotone bucket: the token's 2-char prefix over
+    // the tokenizer's [a-z0-9] alphabet (alphabet string is in ascending
+    // char order, so instr position order == character order; a missing
+    // 2nd char maps to 0, and "a" < "ab" ⟹ bucket("a") ≤ bucket("ab")).
+    val alpha = "0123456789abcdefghijklmnopqrstuvwxyz"
+    def idx(i: Int) = instr(lit(alpha), substring(col("negative"), i, 1))
+    val cum = ScanOps.cumSum(
+        vocab.select(col("tok").as("negative"), w.as("__w")),
+        order = col("negative"), descending = false,
+        bucket = idx(1) * 37 + idx(2), nBuckets = 37 * 37,
+        values = Seq("__w" -> "__hi"))
+      .select(col("negative"), (col("__hi") - col("__w")).cast("double")
+        .as("__lo"), col("__hi").cast("double").as("__hi"))
     val z = cum.agg(max("__hi").as("__z"))
     def width = col("__z") / lit(nBuckets.toDouble)
     val cumB = cum.crossJoin(broadcast(z))

@@ -608,6 +608,18 @@ object ExtQueries {
       docs(s, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload", maxW = 256, maxH = 256)
 
+  /** Scene-change detection over 6 sampled 32-byte frame windows per
+    * payload (Hamming > 8 between consecutive window aHashes) — the
+    * shot-boundary frame-selection pass, in the WINDOW-FREE in-row form
+    * (bit-identical to the original window form — StreamScenesSpec proves
+    * it — with no Exchange and no WindowExec; also the streaming
+    * surface's exact plan). Oracle replays the window hashes and the
+    * unrolled 32-bit popcount. */
+  val xMmScenes: Q = (s, dir) =>
+    MultimodalOps.sceneChangesInRow(
+      docs(s, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", frames = 6, threshold = 8)
+
   /** Perceptual-hash near-dup over the binary modality: aHash32 on the
     * payload bytes, pairs via the simhash pigeonhole band join. Clones
     * (doc_id % 50 == 7, id + 100000) are planted so the hamming-0 path is
@@ -621,18 +633,6 @@ object ExtQueries {
     * 48k-pair answer. Wider blocks / tighter radius is the correct
     * banding response to signature density — real decoded-pixel aHash is
     * far better distributed and tolerates wider radii. */
-  /** Scene-change detection over 6 sampled 32-byte frame windows per
-    * payload (Hamming > 8 between consecutive window aHashes) — the
-    * shot-boundary frame-selection pass; oracle replays the window hashes
-    * and the unrolled 32-bit popcount. */
-  /** Scene-change detection in the WINDOW-FREE in-row form (bit-identical
-    * to the window form — StreamScenesSpec proves it — with no Exchange
-    * and no WindowExec; also the streaming surface's exact plan). */
-  val xMmScenes: Q = (s, dir) =>
-    MultimodalOps.sceneChangesInRow(
-      docs(s, dir).withColumn("payload", col("text").cast("binary")),
-      "doc_id", "payload", frames = 6, threshold = 8)
-
   val xMmAhash: Q = (s, dir) => {
     val base = docs(s, dir).withColumn("payload", col("text").cast("binary"))
     val planted = base.select(col("doc_id"), col("payload"))

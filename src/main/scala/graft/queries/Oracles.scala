@@ -49,8 +49,12 @@ object Oracles {
   // fixture verbatim. seg rows with pp >= 0 are the emitted pieces; the
   // pp = -1 seed row carries the scan position.
   private lazy val BPE_SEG_CTES = {
-    val vocabValues =
-      graft.ext.TextOps.defaultBpeVocab.map(p => s"('$p')").mkString(", ")
+    // '' -escape each piece: the fixture is alphanumeric today, but the
+    // documented upgrade path swaps in a learned merge table whose pieces
+    // could carry quotes — which would otherwise silently break (or
+    // inject into) the oracle query.
+    val vocabValues = graft.ext.TextOps.defaultBpeVocab
+      .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
     s"""vocab(piece) AS (VALUES $vocabValues),
        |toksb AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
        |tokb AS (SELECT doc_id, CAST(i AS INT) AS tp, tk[i+1] AS w
@@ -1788,19 +1792,24 @@ object Oracles {
 
     // deterministic negative sampling: identical md5-uniform inversion of
     // the unigram^0.75 cumulative distribution — ^0.75 as sqrt(sqrt(c^3))
-    // (IEEE sqrt is correctly rounded, pow is not), cum sum in the same
-    // total token order, so every interval boundary matches bit-for-bit
+    // (IEEE sqrt is correctly rounded, pow is not), QUANTIZED to integer
+    // weights round(w*2^16) so the cumulative boundaries are association-
+    // independent: this sequential scan is bit-identical to the Spark
+    // side's two-level ScanOps.cumSum by integer associativity
     "x_neg_sample" ->
       s"""WITH d AS (SELECT doc_id, $TOK AS tk FROM documents
          |  WHERE text IS NOT NULL),
          |vc AS (SELECT tok, count(*) AS c FROM
          |  (SELECT unnest(tk) AS tok FROM d) GROUP BY tok),
          |cum AS (SELECT tok AS negative,
-         |    sqrt(sqrt(CAST(c * c * c AS DOUBLE))) AS w,
-         |    sum(sqrt(sqrt(CAST(c * c * c AS DOUBLE))))
+         |    CAST(round(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 65536, 0)
+         |      AS BIGINT) AS w,
+         |    sum(CAST(round(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 65536, 0)
+         |      AS BIGINT))
          |      OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS hi
          |  FROM vc),
-         |ci AS (SELECT negative, hi - w AS lo, hi FROM cum),
+         |ci AS (SELECT negative, CAST(hi - w AS DOUBLE) AS lo,
+         |    CAST(hi AS DOUBLE) AS hi FROM cum),
          |z AS (SELECT max(hi) AS z FROM ci),
          |pos AS (SELECT doc_id, i, tk, tk[i+1] AS w FROM
          |  (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM d)),

@@ -106,6 +106,27 @@ class PlanSpec extends SparkTestBase {
       s"interval lookup lost its bucket equi-join:\n$p")
   }
 
+  test("two-level cumsum (ScanOps.cumSum): NO single-partition WindowExec " +
+    "anywhere in x_neg_sample / x_auc / x_pr_auc") {
+    // The r12 shape had one GLOBAL cumulative window per query (no
+    // partition key → all rows through one task); the upgrade buckets the
+    // scan and broadcasts offsets, so every window that remains must be
+    // hash-partitioned. Lock on sparkPlan (WindowExec placement precedes
+    // EnsureRequirements/AQE, and AdaptiveSparkPlanExec is a leaf that
+    // hides its subtree from collect on executedPlan).
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("x_neg_sample", "x_auc", "x_pr_auc").foreach { q =>
+      val sp = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q: expected the per-bucket cumsum window")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q: WindowExec with EMPTY partitionSpec — the global " +
+            s"single-partition scan is back:\n$w")
+      }
+    }
+  }
+
   test("as-of join: bounded shuffles, no nested-loop/cartesian fallback") {
     val p = plan("x_asof_join")
     assert(countIn(p, "CartesianProduct") === 0 &&

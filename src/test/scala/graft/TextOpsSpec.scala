@@ -308,12 +308,13 @@ class TextOpsSpec extends SparkTestBase {
       .as[(Long, String, String, Int, Int, String)].collect()
     // skipgram pairs for 6 tokens, window 2: 5 + 4 = 9 pairs, x2 slots
     assert(got.length === 18, "one negative per (pair occurrence, slot)")
-    // in-JVM replay: vocab a:3 b:2 c:1 sorted; w = (c^3)^(1/4)
+    // in-JVM replay: vocab a:3 b:2 c:1 sorted; w = round((c^3)^(1/4)·2^16)
+    // — the integer-exact quantized weights (association-independent sums)
     val vocab = Seq("a" -> 3L, "b" -> 2L, "c" -> 1L)
     val ws = vocab.map { case (t, c) =>
-      t -> math.sqrt(math.sqrt((c * c * c).toDouble)) }
-    val cum = ws.scanLeft(("", 0.0)) { case ((_, acc), (t, w)) => (t, acc + w) }.tail
-    val z = cum.last._2
+      t -> Math.round(math.sqrt(math.sqrt((c * c * c).toDouble)) * 65536.0) }
+    val cum = ws.scanLeft(("", 0L)) { case ((_, acc), (t, w)) => (t, acc + w) }.tail
+    val z = cum.last._2.toDouble
     def draw(center: String, context: String, dist: Int, slot: Int): String = {
       // slot s reads 32-bit window s%4 of the batch-(s/4) digest
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -321,7 +322,7 @@ class TextOpsSpec extends SparkTestBase {
         .map("%02x".format(_)).mkString
         .substring(8 * (slot % 4), 8 * (slot % 4) + 8)
       val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * z
-      cum.find(_._2 > u).get._1
+      cum.find(_._2.toDouble > u).get._1
     }
     got.foreach { case (_, ce, cx, d, s, neg) =>
       assert(neg === draw(ce, cx, d, s), s"($ce,$cx,$d,$s)")

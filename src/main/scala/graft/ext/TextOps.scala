@@ -417,10 +417,11 @@ object TextOps {
     *
     * Spec-locked (BpeSpec: independent in-JVM reference over hand + real
     * corpora), not oracle-declared: the per-round argmax-then-rewrite
-    * recurrence has no portable SQL form — left-to-right skip-merge is
-    * not expressible with non-overlapping string replace (proven
-    * counterexample in the spec comments), and an unrolled per-word
-    * recursive CTE per round is not an oracle, it's a second engine. */
+    * recurrence has no portable SQL form — each round's rewrite pattern
+    * is a data-dependent aggregate over the previous round's output
+    * (applying a KNOWN table is expressible — x_bpe_merge_encode's
+    * delimited-replace oracle — but the argmax chain is not; unrolling it
+    * per word is a second engine, not an oracle). */
   def bpeLearnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = df.sparkSession
@@ -466,8 +467,13 @@ object TextOps {
     * classic skip: a matched (a, b) consumes BOTH symbols, so "aaa" with
     * (a, a) yields [aa, a], never [aa, aa]. In-row fold (aggregate over
     * positions carrying (acc, skip)); single-symbol rows pass through
-    * untouched (also dodges sequence(1, 0)'s descending surprise). */
-  private def mergePair(syms: Column, a: String, b: String): Column = {
+    * untouched (also dodges sequence(1, 0)'s descending surprise).
+    *
+    * `a`/`b` are COLUMNS so the fold also runs with the merge pair bound
+    * to a lambda variable (the [[bpeApplyMerges]] rank loop) — `syms` may
+    * likewise be a lambda variable, in which case its multiple references
+    * here are variable reads, not expression re-derivations. */
+  private def applyMerge(syms: Column, a: Column, b: Column): Column = {
     val folded = aggregate(
       sequence(lit(1), org.apache.spark.sql.functions.size(syms)),
       struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
@@ -477,7 +483,7 @@ object TextOps {
         when(st.getField("skip"),
           struct(st.getField("acc").as("acc"), lit(false).as("skip")))
           .otherwise(when(cur === a && nxt === b,
-            struct(concat(st.getField("acc"), array(lit(a + b))).as("acc"),
+            struct(concat(st.getField("acc"), array(concat(a, b))).as("acc"),
               lit(true).as("skip")))
             .otherwise(
               struct(concat(st.getField("acc"), array(cur)).as("acc"),
@@ -485,6 +491,65 @@ object TextOps {
       },
       st => st.getField("acc"))
     when(org.apache.spark.sql.functions.size(syms) <= 1, syms).otherwise(folded)
+  }
+
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    applyMerge(syms, lit(a), lit(b))
+
+  /** The fixture RANKED merge table for [[bpeApplyMerges]] — the
+    * learned-table shape ([[bpeLearnMerges]]' output columns left/right in
+    * rank order): every side is a single character or the product of an
+    * EARLIER merge, as BPE learning guarantees. Deliberately contains
+    * rank interactions where rank-order inference and greedy
+    * longest-match DISAGREE: on "ting", (i,n)@3 then (in,g)@8 give
+    * [t, ing], while greedy over the flattened piece set takes the
+    * longest prefix "ti" first and strands [ti, n, g] — the BpeSpec
+    * divergence case. */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "in" -> "g", "e" -> "n", "a" -> "t",
+    "e" -> "s", "o" -> "r", "t" -> "i", "s" -> "t", "a" -> "r",
+    "a" -> "l", "o" -> "u", "ti" -> "on", "e" -> "d", "i" -> "s",
+    "i" -> "t", "c" -> "h", "an" -> "d", "er" -> "s")
+
+  /** Rank-ordered BPE merge INFERENCE — the semantics a learned merge
+    * table ([[bpeLearnMerges]]) actually carries: each token starts as
+    * single characters and every merge rule is applied in RANK order,
+    * one left-to-right skip pass per rank (Sennrich et al. 2016). This
+    * disagrees with [[graft.functions.BpeEncode]]'s greedy longest-match
+    * over the flattened piece set on real tables (merges (b,c)@1, (a,b)@2
+    * segment "abc" as [a, bc] here but [ab, c] greedily), so the
+    * learn → encode round-trip must come through THIS encoder to
+    * round-trip under the table's own semantics. Output:
+    * (doc_id, tp, pp, piece) — the [[bpeEncodeTokens]] shape.
+    *
+    * Scale shape: map-only at any corpus size (tokenize-once barrier, two
+    * generates). The whole rank loop is ONE expression — an in-row fold
+    * of the merge table (an array literal riding the plan) over the
+    * symbol array, with [[applyMerge]]'s per-rank pass folding under a
+    * lambda-bound pair — so a 1000-rank learned table is 1000 lambda
+    * iterations per token, never 1000 plan nodes or projections. Per-row
+    * cost is O(ranks × token length): rank-order fidelity is
+    * intrinsically per-rank (each rank must see the previous rank's
+    * symbols), which is why production tokenizers pre-flatten to a piece
+    * vocabulary and pay greedy inference instead — that path is
+    * [[graft.functions.BpeEncode]]; this one is for running a LEARNED
+    * table exactly as learned. */
+  def bpeApplyMerges(df: DataFrame, key: Column, text: Column,
+                     merges: Seq[(String, String)] = defaultBpeMerges): DataFrame = {
+    require(merges.nonEmpty, "bpeApplyMerges: merge table must be non-empty")
+    val table = array(merges.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val chars = filter(split(col("tok"), ""), c => c =!= "")
+    withTokens(df, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("tp", "tok")))
+      // chars staged in its own projection (CollapseProject discipline)
+      .select(col("doc_id"), col("tp"), chars.as("__syms"))
+      .select(col("doc_id"), col("tp"),
+        posexplode(aggregate(table, col("__syms"),
+          (acc, m) => applyMerge(acc, m.getField("a"), m.getField("b"))))
+          .as(Seq("pp", "piece")))
   }
 
   /** TRUE subword counts per document — what sequence packing and token

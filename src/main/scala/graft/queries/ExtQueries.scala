@@ -85,6 +85,18 @@ object ExtQueries {
   val xBpeEncode: Q = (s, dir) =>
     TextOps.bpeEncodeTokens(docs(s, dir), col("doc_id"), col("text"))
 
+  /** Rank-ordered BPE merge inference over the fixture RANKED merge table
+    * — the semantics a LEARNED table carries (one left-to-right skip pass
+    * per rank, in rank order), vs x_bpe_encode's greedy longest-match
+    * over a flattened piece set; the two provably disagree (BpeSpec's
+    * "ting" divergence). Oracle replays every rank as one non-overlapping
+    * string replace over a both-sides-delimited symbol string
+    * ("|t||i||n||g|"): per-symbol delimiters make the pattern "|a||b|"
+    * match exactly adjacent whole symbols, and replace()'s
+    * resume-after-match IS the skip semantics. */
+  val xBpeMergeEncode: Q = (s, dir) =>
+    TextOps.bpeApplyMerges(docs(s, dir), col("doc_id"), col("text"))
+
   /** Sequence packing driven by TRUE subword counts (not the ceil(len/4)
     * proxy): [[TextOps.subwordCounts]] into
     * [[CorpusOps.packSequences]]'s next-fit bins — the real

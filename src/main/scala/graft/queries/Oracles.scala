@@ -2944,6 +2944,31 @@ object Oracles {
          |SELECT doc_id, tp, CAST(pp AS INT) AS pp, piece
          |FROM seg WHERE pp >= 0""".stripMargin,
 
+    // rank-ordered BPE merge inference: each rank is ONE non-overlapping
+    // replace over a both-sides-delimited symbol string ("|t||i||n||g|")
+    // — per-symbol delimiters make '|a||b|' match exactly adjacent WHOLE
+    // symbols (never a char inside a longer symbol), and replace()'s
+    // resume-after-match is precisely the left-to-right skip: '|a||a||a|'
+    // -> '|aa||a|'. The merge table is shared verbatim with the Spark
+    // side's in-row rank fold; nothing here is interpolated unescaped.
+    "x_bpe_merge_encode" -> {
+      val seed = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+      val folded = graft.ext.TextOps.defaultBpeMerges
+        .foldLeft(seed) { case (acc, (a, b)) =>
+          val ae = a.replace("'", "''"); val be = b.replace("'", "''")
+          s"replace($acc, '|$ae||$be|', '|$ae$be|')"
+        }
+      s"""WITH d AS (SELECT doc_id, $TOK AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |tokm AS (SELECT doc_id, CAST(i AS INT) AS tp, tk[i+1] AS w
+         |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM d)),
+         |enc AS (SELECT doc_id, tp,
+         |    string_split(trim($folded, '|'), '||') AS pieces FROM tokm)
+         |SELECT doc_id, tp, CAST(i AS INT) AS pp, pieces[i+1] AS piece
+         |FROM (SELECT doc_id, tp, pieces,
+         |  unnest(range(0, len(pieces))) AS i FROM enc)""".stripMargin
+    },
+
     // next-fit packing on TRUE subword counts: the x_pack_sequences
     // machinery with n_tokens = the recursive segmentation's piece count
     // (0 for token-less documents), budget 512

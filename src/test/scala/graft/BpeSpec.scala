@@ -83,10 +83,16 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
-  // ---- merge-table learning (spec-locked: no portable SQL form — the
-  // left-to-right skip-merge is NOT expressible as non-overlapping string
-  // replace: on [a,a,a,a,a] replace(' a a ') matches positions 0 and 6,
-  // giving [aa, a, aa], while greedy gives [aa, aa, a]) ----
+  // ---- merge-table learning (spec-locked: no portable SQL form. The
+  // skip-merge ITSELF is replace-expressible — but only with BOTH-side
+  // per-symbol delimiters ('|a||a|' over '|a||a||a||a|'; the single-
+  // delimiter form replace(' a a ') SHARES boundary spaces, consumes the
+  // next pair's separator, and yields [aa, a, aa] on five a's instead of
+  // [aa, aa, a] — that is the x_bpe_merge_encode oracle's trick). What
+  // has no oracle form is the per-round ARGMAX: each round's replace
+  // pattern depends on a data-dependent aggregation over the previous
+  // round's rewrite, and unrolling that per-word recursion in SQL is a
+  // second engine, not an oracle.) ----
 
   /** Independent in-JVM reference: classic word-frequency BPE. */
   private def refLearn(wordCounts: Map[String, Long],
@@ -164,6 +170,86 @@ class BpeSpec extends SparkTestBase {
     assert(enc.exists(_.length > 1), s"no merge used: $enc")
   }
 
+  /** In-JVM rank-order inference reference: chars, then one left-to-right
+    * skip pass per merge in rank order (refLearn's mergeRef semantics). */
+  private def refApply(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    def one(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    merges.foldLeft(w.map(_.toString).toVector) {
+      case (s, (a, b)) => one(s, a, b)
+    }
+  }
+
+  private def applied(merges: Seq[(String, String)],
+                      words: String*): Map[String, Seq[String]] =
+    TextOps.bpeApplyMerges(
+        words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), merges)
+      .groupBy("doc_id", "tp").agg(sort_array(collect_list(
+        struct(col("pp"), col("piece")))).as("ps"))
+      .join(words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "w"), "doc_id")
+      .select(col("w"), col("ps.piece").as("pieces"))
+      .as[(String, Seq[String])].collect().toMap
+
+  test("bpeApplyMerges: rank-order inference diverges from greedy " +
+    "longest-match exactly where BPE semantics demand") {
+    // the canonical counterexample: merges (b,c)@1, (a,b)@2 on 'abc' —
+    // rank order applies (b,c) FIRST (it outranks), so 'a' is stranded;
+    // greedy longest-match over the flattened pieces takes 'ab' first
+    val m = Seq("b" -> "c", "a" -> "b")
+    assert(applied(m, "abc")("abc") === Seq("a", "bc"))
+    val greedy = Seq("abc").toDF("w")
+      .select(TextFunctions.bpeEncode(col("w"),
+        Seq("a", "b", "c", "bc", "ab")).as("p"))
+      .as[Seq[String]].head()
+    assert(greedy === Seq("ab", "c"))
+    // fixture-table divergence on a real English suffix: (i,n)@3 then
+    // (in,g)@8 give [t, ing]; greedy takes the longest prefix 'ti' and
+    // strands [ti, n, g]
+    assert(applied(TextOps.defaultBpeMerges, "ting")("ting")
+      === Seq("t", "ing"))
+    val flat = (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      TextOps.defaultBpeMerges.map { case (a, b) => a + b }
+    val g2 = Seq("ting").toDF("w")
+      .select(TextFunctions.bpeEncode(col("w"), flat).as("p"))
+      .as[Seq[String]].head()
+    assert(g2 === Seq("ti", "n", "g"))
+    // left-to-right skip inside one rank: 'aaa' + (a,a) -> [aa, a]
+    assert(applied(Seq("a" -> "a"), "aaa")("aaa") === Seq("aa", "a"))
+    // multi-level composition: th -> the
+    assert(applied(TextOps.defaultBpeMerges, "the")("the") === Seq("the"))
+  }
+
+  test("bpeLearnMerges -> bpeApplyMerges round-trips under the table's " +
+    "OWN semantics on the real corpus (vs the in-JVM rank-order replay)") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("text").isNotNull)
+    val learned = TextOps.bpeLearnMerges(df, col("text"), nMerges = 6)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    assert(learned.size === 6)
+    val got = TextOps.bpeApplyMerges(df, col("doc_id"), col("text"), learned)
+      .groupBy("doc_id", "tp")
+      .agg(sort_array(collect_list(struct(col("pp"), col("piece")))).as("ps"))
+      .select(concat_ws("", col("ps.piece")).as("w"),
+        col("ps.piece").as("pieces"))
+      .distinct()
+      .as[(String, Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (w, pieces) =>
+      assert(pieces === refApply(w, learned), s"word $w")
+    }
+  }
+
   test("x_bpe_fertility: per-source sums reconcile with subwordCounts, " +
     "fertility >= 1, one partial-aggregated shuffle, no join") {
     val df = spark.read.parquet(sf() + "/documents.parquet")
@@ -186,6 +272,7 @@ class BpeSpec extends SparkTestBase {
   test("x_bpe_encode and subwordCounts are map-only: no Exchange") {
     Seq(
       SparkEntry.queries("x_bpe_encode")(spark, sf()),
+      SparkEntry.queries("x_bpe_merge_encode")(spark, sf()),
       TextOps.subwordCounts(
         spark.read.parquet(sf() + "/documents.parquet"),
         col("doc_id"), col("text"))

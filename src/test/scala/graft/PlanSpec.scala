@@ -83,7 +83,7 @@ class PlanSpec extends SparkTestBase {
     // the withTokens barrier (the chunkTokens n > 0 case: the size filter
     // was alias-substituted below the barrier into the scan Filter).
     Seq("x_chunks", "x_skipgram", "x_cooc", "x_cdc_chunks", "x_bpe_encode",
-      "x_bpe_fertility").foreach { q =>
+      "x_bpe_fertility", "x_bpe_merge_encode").foreach { q =>
       val total = "split\\(trim\\(".r.findAllIn(plan(q)).size
       assert(total <= 1,
         s"$q: whole plan tokenizes $total times — barrier lost")

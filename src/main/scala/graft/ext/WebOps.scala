@@ -71,16 +71,46 @@ object WebOps {
   /** Per-host crawl accounting over canonical URLs — the dashboard row a
     * crawl scheduler reads (politeness budgets, duplicate-fetch waste per
     * site): (host, n_fetches, n_pages distinct canonical URLs, dup_rate).
-    * One partial-aggregated shuffle on host; the distinct rides the same
-    * aggregation (approximate at web scale would swap in a KMV/HLL sketch
-    * per host — [[graft.ext.SketchOps]] — when exact distincts outgrow the
-    * aggregate buffer). */
+    * One partial-aggregated shuffle on host. The exact distinct keeps
+    * per-host state proportional to the host's page count — when that
+    * outgrows the aggregate buffer (a 10⁹-page host), use
+    * [[hostStatsKmv]]: same schema, k-bounded sketch state. */
   def hostStats(canonDf: org.apache.spark.sql.DataFrame,
                 canonUrl: Column): org.apache.spark.sql.DataFrame =
     canonDf.select(hostOf(canonUrl).as("host"), canonUrl.as("__cu2"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_fetches"),
         countDistinct(col("__cu2")).as("n_pages"))
+      .select(col("host"), col("n_fetches"), col("n_pages"),
+        round(lit(1.0) - col("n_pages") / col("n_fetches").cast("double"), 4)
+          .as("dup_rate"))
+
+  /** Sketch-backed [[hostStats]] — the 100-TB form: per-host distinct
+    * pages via the KMV sketch ([[graft.functions.KmvAgg]]: the k smallest
+    * distinct 60-bit URL hashes, a k-BOUNDED buffer merged map-side), so
+    * a host with 10⁹ pages costs the same aggregate state as one with
+    * 10³ — `count(DISTINCT url)`'s exact per-group distinct set never
+    * materialises. Same output schema as [[hostStats]].
+    *
+    * Below k distinct pages the sketch saw every value and n_pages is
+    * EXACT (modulo 60-bit hash collisions — negligible below ~10⁸ pages
+    * per host), which is what makes the declared query oracle-checkable
+    * against the exact form on testdata; above k it switches to the
+    * (k−1)·2⁶⁰/u₍ₖ₎ estimator (±1/√(k−2) relative — WebOpsSpec's
+    * hot-host fixture exercises that path). dup_rate inherits n_pages'
+    * exact-below-k / estimated-above-k contract. */
+  def hostStatsKmv(canonDf: org.apache.spark.sql.DataFrame,
+                   canonUrl: Column, k: Int = 1024): org.apache.spark.sql.DataFrame =
+    canonDf.select(hostOf(canonUrl).as("host"),
+        SketchOps.hash60(canonUrl).as("__h"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_fetches"),
+        graft.functions.SketchFunctions.kmv_agg(col("__h"), k).as("__kmv"))
+      .select(col("host"), col("n_fetches"),
+        when(org.apache.spark.sql.functions.size(col("__kmv")) < k,
+          org.apache.spark.sql.functions.size(col("__kmv")).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            element_at(col("__kmv"), k), 0).cast("long")).as("n_pages"))
       .select(col("host"), col("n_fetches"), col("n_pages"),
         round(lit(1.0) - col("n_pages") / col("n_fetches").cast("double"), 4)
           .as("dup_rate"))

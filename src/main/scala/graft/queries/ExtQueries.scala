@@ -184,6 +184,21 @@ object ExtQueries {
         col("url")),
       col("canon_url"))
 
+  /** Sketch-backed per-host accounting ([[WebOps.hostStatsKmv]]) over
+    * planted REPEATED fetches (page id = doc_id % 40, so every host sees
+    * each page many times and dup_rate is non-trivial). Testdata keeps
+    * every host below k, where the KMV buffer saw every distinct hash and
+    * n_pages is EXACT — so the oracle is the plain exact-distinct form;
+    * the above-k estimator path is WebOpsSpec's hot-host fixture. */
+  val xHostStatsKmv: Q = (s, dir) =>
+    WebOps.hostStatsKmv(
+      docs(s, dir)
+        .where(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/p/"),
+            col("doc_id") % 40, lit("?lang="), col("lang")).as("url")),
+      col("url"), k = 1024)
+
   /** Composed WEB-CORPUS pipeline — the crawl-side counterpart of
     * x_curation_pipeline, chaining the round's web operators end-to-end:
     * plant colliding spelling variants (4 per page: case+port, tracking

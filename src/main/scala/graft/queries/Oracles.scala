@@ -2869,6 +2869,26 @@ object Oracles {
          |    CAST(count(*) AS DOUBLE), 4) AS dup_rate
          |FROM canon GROUP BY 1""".stripMargin,
 
+    // sketch-backed host stats: the oracle is the EXACT distinct form —
+    // legitimate because every testdata host stays below the sketch's k,
+    // where KMV degenerates to an exact distinct count (the buffer saw
+    // every hash); the estimator path is spec-locked on a hot-host
+    // fixture instead
+    "x_host_stats_kmv" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.com/p/' || (doc_id % 40) ||
+        |      '?lang=' || lang AS url
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL
+        |    AND lang IS NOT NULL)
+        |SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+        |    AS host,
+        |  CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+        |  round(1.0 - count(DISTINCT url) / CAST(count(*) AS DOUBLE), 4)
+        |    AS dup_rate
+        |FROM u GROUP BY 1""".stripMargin,
+
     // composed web-corpus pipeline: plant colliding spelling variants,
     // canonicalize (shared CTEs), keep the FIRST fetch per canonical URL,
     // CDC-chunk-dedup the survivors (shared recursion, over the subset),

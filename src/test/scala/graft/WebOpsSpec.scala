@@ -151,6 +151,44 @@ class WebOpsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hostStatsKmv: exact below k (equals hostStats), estimator within " +
+    "KMV tolerance on a hot host, sketch state stays k-bounded") {
+    // cold hosts: 3 hosts x 30 distinct pages, each fetched twice -> the
+    // sketch sees every hash (below k), so the row must EQUAL the exact
+    // hostStats row, dup_rate included
+    val cold = (0 until 3).flatMap { h =>
+      (0 until 60).map { i =>
+        s"https://cold$h.example.com/p/${i % 30}"
+      }
+    }
+    // one hot host: 20_000 distinct pages through a k = 256 buffer —
+    // the (k-1)*2^60/u_k estimator path; KMV relative error ~1/sqrt(k-2)
+    val hot = (0 until 20000).map(i => s"https://hot.example.com/p/$i")
+    val df = (cold ++ hot).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("fetch_id", "url")
+    val got = WebOps.hostStatsKmv(df, col("url"), k = 256)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = WebOps.hostStats(df, col("url"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    (0 until 3).foreach { h =>
+      assert(got(s"cold$h.example.com") === exact(s"cold$h.example.com"))
+      assert(got(s"cold$h.example.com")._3 === 30L)
+    }
+    val est = got("hot.example.com")._3.toDouble
+    assert(math.abs(est - 20000.0) / 20000.0 < 4.0 / math.sqrt(254.0),
+      s"hot-host estimate $est vs 20000 outside 4 sigma")
+    // the aggregate buffer is the k minima, not the distinct set: the
+    // sketch column the estimator reads is capped at k entries
+    val state = df
+      .groupBy(WebOps.hostOf(col("url")).as("host"))
+      .agg(graft.functions.SketchFunctions.kmv_agg(
+        graft.ext.SketchOps.hash60(col("url")), 256).as("kmv"))
+      .select(max(size(col("kmv")))).as[Int].head()
+    assert(state === 256)
+  }
+
   test("weightedBernoulli: the overflow guard trips past 2^31 weights") {
     val df = Seq((1L, 1L), (2L, (1L << 33))).toDF("id", "w")
     val ex = intercept[Exception] {

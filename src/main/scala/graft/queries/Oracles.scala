@@ -536,6 +536,28 @@ object Oracles {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    "q_tpch9" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS profit
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |JOIN orders ON o_orderkey=l_orderkey
+        |JOIN supplier ON s_suppkey=l_suppkey
+        |JOIN nation ON n_nationkey=s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    // correlated scalar subquery, verbatim — DuckDB decorrelates it with
+    // its own rewrite, so the agreement checks Spark's
+    // RewriteCorrelatedScalarSubqueries end to end
+    "q_tpch17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#17' AND p_size < 15
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
     "q_tpch18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
         |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem

@@ -104,6 +104,56 @@ object RefQueries {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"), count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q9 shape (product-line profit): the SHUFFLE-HEAVY anchor — a
+    * four-way join whose two big sides (lineitem ⋈ orders on the order
+    * key, lineitem ⋈ part on the part key) are key-key joins of
+    * corpus-scaled tables that no planner may broadcast at 100 TB, so the
+    * engine's sort-merge path is what this query measures (PlanSpec locks
+    * it: with size-based broadcasting disabled the whole join tree must
+    * plan as SortMergeJoin with zero fallbacks). Only nation (25 rows,
+    * scale-constant) carries an explicit broadcast hint; part/supplier/
+    * orders are left to size-based planning — broadcast at test SF,
+    * shuffled at scale, both correct. Adapted to the testdata schema:
+    * there is no partsupp table, so profit drops the supplycost term
+    * (the join graph and aggregation shape are the point). */
+  val tpch9: Q = (s, dir) => {
+    val p = t(s, dir, "part").where(col("p_name").contains("red"))
+    val li = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val o = t(s, dir, "orders")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("profit"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    * SCALAR SUBQUERY anchor — l_quantity compared against 0.2 × the
+    * per-part average, written as SQL so Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubqueries) must turn the per-probe subquery
+    * into one per-part aggregate joined back on the part key; a naive
+    * execution would re-aggregate lineitem once per probe row. PlanSpec
+    * locks the decorrelated shape (equi-joins only, no nested-loop
+    * re-execution). The quantity average is EXACT in both engines:
+    * quantities are integral, so sum/count stays inside double's 2⁵³ and
+    * the 0.2× threshold is the same IEEE value everywhere. */
+  val tpch17: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch17_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("tpch17_part")
+    s.sql("""
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+             count(*) AS n_rows
+      FROM tpch17_lineitem, tpch17_part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#17' AND p_size < 15
+        AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                          FROM tpch17_lineitem l2
+                          WHERE l2.l_partkey = p_partkey)""")
+  }
+
   /** TPC-H Q18 shape: group-having on the fact table, then join back. */
   val tpch18: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")

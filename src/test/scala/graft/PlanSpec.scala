@@ -52,6 +52,37 @@ class PlanSpec extends SparkTestBase {
       countIn(p, "BroadcastNestedLoopJoin") === 0, p)
   }
 
+  test("q_tpch9: the whole join tree survives without broadcasts — " +
+    "pure sort-merge, no cartesian/nested-loop fallback (the 100-TB path)") {
+    // behavioral, not size-based: with auto-broadcast disabled every
+    // size-eligible join must fall back to SortMergeJoin (all joins in the
+    // tree are complete equi-joins); only the explicit nation hint stays
+    // broadcast (hints ignore the threshold). This is the plan the query
+    // runs at a scale where NOTHING fits in memory.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch9")
+      assert(countIn(p, "SortMergeJoin") >= 3, p)
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert(countIn(p, "BroadcastHashJoin") >= 1,
+        s"nation lost its explicit broadcast hint:\n$p")
+    }
+  }
+
+  test("q_tpch17: the correlated scalar subquery DECORRELATES — per-part " +
+    "aggregate equi-joined back, never a per-probe re-aggregation") {
+    val p = plan("q_tpch17")
+    // decorrelated = the subquery becomes an Aggregate below an ordinary
+    // equi-join on the part key: no nested-loop/cartesian anywhere, and
+    // the scalar subquery marker is gone from the physical plan
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(!p.contains("scalar-subquery"),
+      s"correlated subquery survived to the physical plan:\n$p")
+    assert(countIn(p, "HashAggregate") + countIn(p, "SortAggregate") >= 2,
+      s"expected the decorrelated per-part aggregate:\n$p")
+  }
+
   test("per-row batteries are map-only (no Exchange at all)") {
     Seq("x_quality_gopher", "x_pii_scrub", "x_strat_sample", "x_mm_features",
       "x_skipgram")

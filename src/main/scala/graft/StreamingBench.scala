@@ -249,7 +249,41 @@ object StreamingBench {
     val uState = stateRows(q6)
     q6.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    // ---- shift-resistant CDC-chunk dedup ----
+    // document keys advance 70% per batch; the 30% re-seen documents
+    // arrive as SHIFTED RE-CRAWLS (a batch-fresh header prepended, body
+    // byte-identical), so the fixed-grid-defeating case IS the workload:
+    // only the header's chunks are novel, every body chunk must hit the
+    // seen-set despite the offset shift. Fewer docs per batch than the
+    // row-level entries — each ~43-token doc explodes to ~6 chunk rows,
+    // so chunk-level state and throughput are what's measured.
+    val cdcRows = batchRows / 10
+    val cin = MemoryStream[(Long, String, Timestamp)]
+    val cd = graft.streaming.StreamDedup.cdcChunkDedup(
+      cin.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "1 hour")
+    val q7 = cd.writeStream.outputMode(OutputMode.Append())
+      .format("noop").start()
+    def cdcBatch(b: Int): Seq[(Long, String, Timestamp)] = {
+      val start = (b.toLong * 7 * cdcRows) / 10
+      (0 until cdcRows).map { i =>
+        val k = start + i
+        val body = (0 until 40).map(j => "w" + ((k * 131 + j * 7) % 99991))
+          .mkString(" ")
+        // re-seen keys (the leading 30%) get a batch-fresh 3-token header
+        val txt = if (b > 0 && i < (3 * cdcRows) / 10)
+          s"hdr$b fresh update " + body else body
+        (k, txt, new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+      }
+    }
+    (0 until warm).foreach { b => cin.addData(cdcBatch(b)); q7.processAllAvailable() }
+    val t7 = System.nanoTime()
+    (warm until total).foreach { b => cin.addData(cdcBatch(b)); q7.processAllAvailable() }
+    val cSec = (System.nanoTime() - t7) / 1e9
+    val cRows = (total - warm).toLong * cdcRows
+    val cState = stateRows(q7)
+    q7.stop()
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

@@ -62,4 +62,36 @@ object StreamDedup {
         pages.where(col(urlCol).isNotNull), col(urlCol))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("canon_url")
+
+  /** Streaming SHIFT-RESISTANT span dedup: content-defined chunking
+    * ([[graft.ext.TextOps.cdcChunks]] — boundaries from the content, not
+    * the grid, so a header insertion re-digests only the chunk containing
+    * the edit) exploded per document, then chunk-hash duplicates dropped
+    * within the watermark. A re-crawl that prepends boilerplate or edits
+    * one paragraph emits ONLY its genuinely new chunks; every unchanged
+    * span hashes identically despite the offset shift and is suppressed —
+    * the property the fixed-grid / whole-document streams ([[nearDupDedup]]
+    * at document granularity) fundamentally lack.
+    *
+    * Stateless-safe by construction: the CDC boundary fold is IN-ROW
+    * (map-only — cdcChunks' one generate is allowed in append streams),
+    * so the only stateful operator is the final
+    * dropDuplicatesWithinWatermark — one state row per DISTINCT chunk
+    * hash within the horizon, evicted exactly like the [[urlDedup]]
+    * frontier. Output: (idCol, tsCol, chunk_id, start_tok, n_tokens,
+    * chunk_md5) — the FIRST sighting of each chunk. Null/token-less texts
+    * are dropped (the nearDupDedup null-key lesson); the watermark is
+    * (re)applied to the post-explode timestamp attribute so the dedup
+    * state keys off the chunk rows actually flowing. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                    tsCol: String, watermark: String, k: Int = 3,
+                    divisor: Int = 8, maxLen: Int = 20): DataFrame =
+    graft.ext.TextOps.cdcChunks(
+        docs.where(col(textCol).isNotNull),
+        struct(col(idCol).as("id"), col(tsCol).as("ts")), col(textCol),
+        k, divisor, maxLen)
+      .select(col("doc_id.id").as(idCol), col("doc_id.ts").as(tsCol),
+        col("chunk_id"), col("start_tok"), col("n_tokens"), col("chunk_md5"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("chunk_md5")
 }

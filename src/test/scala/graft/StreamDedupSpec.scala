@@ -79,4 +79,47 @@ class StreamDedupSpec extends SparkTestBase {
     val got = spark.table("sndd_null_out").select("doc_id").as[Long].collect().toSeq
     assert(got === Seq(4L))
   }
+
+  test("streaming cdc-chunk dedup: a header-shifted re-crawl emits ONLY " +
+    "its novel chunks (batch-parity boundaries); eviction re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val shifted = "breaking news update " + base // header shifts every offset
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamDedup.cdcChunkDedup(
+        in.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", "1 hour", k = 3, divisor = 4, maxLen = 8)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("scdc_out").start()
+    in.addData((1L, base, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    in.addData((2L, shifted, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    // boundaries must be the BATCH cdcChunks boundaries (shared derivation)
+    def batchOf(id: Long, text: String): Set[String] =
+      graft.ext.TextOps.cdcChunks(Seq((id, text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k = 3, divisor = 4, maxLen = 8)
+        .select("chunk_md5").as[String].collect().toSet
+    val aChunks = batchOf(1L, base)
+    val bChunks = batchOf(2L, shifted)
+    // CDC shift-resistance precondition: despite the offset shift, the
+    // re-crawl SHARES most chunk hashes and has a genuinely novel head
+    assert((bChunks intersect aChunks).size >= 2, s"$bChunks vs $aChunks")
+    assert((bChunks diff aChunks).nonEmpty)
+    val got = spark.table("scdc_out")
+      .select("doc_id", "chunk_md5").as[(Long, String)].collect()
+    assert(got.filter(_._1 == 1L).map(_._2).toSet === aChunks)
+    assert(got.filter(_._1 == 2L).map(_._2).toSet === (bChunks diff aChunks),
+      "the re-crawl must emit exactly its novel spans")
+    // advance the watermark past doc 1's horizon, resend it verbatim:
+    // every chunk re-emits — state is bounded by the watermark
+    in.addData((3L, "advancer", ts("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    in.addData((4L, base, ts("2024-01-01 04:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("scdc_out").where(col("doc_id") === 4L)
+      .select("chunk_md5").as[String].collect().toSet
+    assert(after === aChunks)
+  }
 }

@@ -133,22 +133,54 @@ object RepetitionOps {
     * pipeline's document-length cap. Winner order reuses [[chunkDedup]]'s
     * BIGINT encoding (and its overflow guards): |doc_id| < 2^43, positions
     * < 2^20. */
-  def substrDedup(df: DataFrame, key: Column, text: Column, k: Int = 8): DataFrame = {
+  def substrDedup(df: DataFrame, key: Column, text: Column, k: Int = 8): DataFrame =
+    spanDedup(df, key, text, k, hashKey = false, op = "substrDedup")
+
+  /** The LONG-MATCH tier of the span-dedup family (the suffix-array
+    * ExactSubstr setting of Lee et al. 2021 — duplicated runs of ≥
+    * `minLen` tokens, typically 50): identical semantics and output to
+    * [[substrDedup]] at width `minLen`, but the dedup key that reaches the
+    * shuffle is md5(shingle), not the shingle string. At k = 8 a shingle
+    * row is small and [[substrDedup]] ships it directly; at minLen = 50 a
+    * shingle string is ~300 bytes × one row per token position — the
+    * shuffle payload, not the matching, is what breaks at corpus scale.
+    * Hashing first shrinks every key to 16 bytes (O(tokens) shuffle bytes
+    * instead of O(minLen × tokens)) while the shingle strings themselves
+    * live only map-side inside one projection.
+    *
+    * Where a single-node suffix array gets O(n) total work, a columnar
+    * scan pays O(minLen) per position to hash each window — the
+    * [[TextOps.winnow]] trade, made deliberately: every position hashes
+    * independently (embarrassingly parallel, whole-stage codegen) instead
+    * of carrying sequential automaton state. No verify pass is needed:
+    * md5 is 128-bit, so even 10¹² corpus positions give a ~10⁻¹⁴
+    * birthday-collision probability — below any curation pipeline's
+    * noise floor (a 61-bit rolling hash would NOT clear that bar and
+    * would force the candidate-verify join this design avoids). */
+  def longMatchDedup(df: DataFrame, key: Column, text: Column,
+                     minLen: Int = 50): DataFrame =
+    spanDedup(df, key, text, minLen, hashKey = true, op = "longMatchDedup")
+
+  private def spanDedup(df: DataFrame, key: Column, text: Column, k: Int,
+                        hashKey: Boolean, op: String): DataFrame = {
     require(k > 0, "shingle width must be positive")
     val base = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .where(size(col("__toks")) > 0)
+    val shingleKey =
+      if (hashKey) transform(TextOps.shingles(col("__toks"), k), s => md5(s))
+      else TextOps.shingles(col("__toks"), k)
     val occ = base.select(col("doc_id"),
-      posexplode(TextOps.shingles(col("__toks"), k)).as(Seq("pos", "__sh")))
+      posexplode(shingleKey).as(Seq("pos", "__sh")))
     // Same guarded winner encoding as chunkDedup (direct range compare, not
     // abs(); raise-on-true so NULL doc_id null-propagates).
     val enc = when(col("doc_id") < -8796093022208L ||
           col("doc_id") >= 8796093022208L, raise_error(concat(
-          lit("substrDedup: |doc_id| >= 2^43 would overflow the winner "),
+          lit(s"$op: |doc_id| >= 2^43 would overflow the winner "),
           lit("encoding (use a surrogate id); doc_id = "),
           col("doc_id").cast("string"))))
         .otherwise(col("doc_id")) * lit(1048576L) +
       when(col("pos") >= 1048576,
-        raise_error(lit("substrDedup: document exceeds 2^20 shingle positions")))
+        raise_error(lit(s"$op: document exceeds 2^20 shingle positions")))
         .otherwise(col("pos"))
     val winners = occ.groupBy("__sh").agg(min(enc).as("__w"))
     val dups = occ.join(winners, "__sh").where(enc =!= col("__w"))

@@ -1607,6 +1607,32 @@ object ExtQueries {
   val xSubstrDedup: Q = (s, dir) =>
     RepetitionOps.substrDedup(docs(s, dir), col("doc_id"), col("text"), k = 8)
 
+  /** The 22-token boilerplate passage planted onto every 17th document —
+    * shared verbatim with the x_longmatch_dedup oracle. Appending it after
+    * texts of VARYING length puts the repeat at a different token offset
+    * in every planted doc, which is exactly the any-offset case the
+    * long-match tier exists for. */
+  private val longRepeatBoiler =
+    "subscribe to our newsletter for daily updates and breaking news " +
+      "delivered straight to your inbox every morning without fail " +
+      "thanks for reading"
+
+  /** Long-match span dedup (the suffix-array ExactSubstr setting of Lee
+    * et al. 2021: duplicated runs ≥ minLen tokens) over planted long
+    * repeats: [[longRepeatBoiler]] appended to every 17th doc. Identical
+    * semantics to x_substr_dedup at width 20, but the shuffle key is
+    * md5(shingle) — 16 bytes instead of a ~120-byte 20-token string; the
+    * oracle hashes the same space-joined windows. The globally-first
+    * planted doc keeps the passage; every later one loses exactly its
+    * boilerplate span. */
+  val xLongMatchDedup: Q = (s, dir) =>
+    RepetitionOps.longMatchDedup(
+      docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 17 === 3,
+          concat(col("text"), lit(" " + longRepeatBoiler)))
+          .otherwise(col("text")).as("text")),
+      col("doc_id"), col("text"), minLen = 20)
+
   /** Skip-gram (center, context, dist) pairs within a 3-token forward
     * window — word2vec data prep, built in-row with zero joins. */
   val xSkipgram: Q = (s, dir) =>

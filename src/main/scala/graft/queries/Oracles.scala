@@ -3122,6 +3122,46 @@ object Oracles {
          |FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
          |  LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin,
 
+    // long-match span dedup: substrDedup's machinery at width 20 with the
+    // shuffle key hashed (md5 of the space-joined window — byte-identical
+    // string built on both engines); input plants the shared 22-token
+    // boilerplate on every 17th doc, at a different offset per doc
+    "x_longmatch_dedup" ->
+      s"""WITH pl AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 3 THEN text ||
+         |      ' subscribe to our newsletter for daily updates and breaking news delivered straight to your inbox every morning without fail thanks for reading'
+         |    ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT doc_id, $TOK AS tk FROM pl WHERE len($TOK) > 0),
+         |occ AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk)-19, 0))) AS pos FROM toks),
+         |sh AS (SELECT doc_id, pos, md5(array_to_string(tk[pos+1:pos+20], ' ')) AS shg FROM occ),
+         |win AS (SELECT shg, min(doc_id*1048576 + pos) AS w FROM sh GROUP BY shg),
+         |dup AS (SELECT doc_id, pos FROM sh JOIN win USING (shg)
+         |  WHERE doc_id*1048576 + pos <> w),
+         |g AS (SELECT doc_id, pos, CASE WHEN pos >= coalesce(max(pos + 20) OVER
+         |  (PARTITION BY doc_id ORDER BY pos
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS ns
+         |  FROM dup),
+         |si AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM g),
+         |spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 20 AS e
+         |  FROM si GROUP BY doc_id, sid),
+         |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id),
+         |cov AS (SELECT doc_id, unnest(range(s, e)) AS cp FROM spans),
+         |tp AS (SELECT doc_id, i, tk[i+1] AS tok FROM
+         |  (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toks)),
+         |kept AS (SELECT t.doc_id, t.i, t.tok FROM tp t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.cp
+         |  WHERE c.doc_id IS NULL),
+         |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sp.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  coalesce(cl.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+         |  LEFT JOIN cl ON t.doc_id = cl.doc_id""".stripMargin,
+
     // overlapping token shingles counted WITH multiplicity (no DISTINCT —
     // unlike SHINGLE_CTES); char base = space-joined token stream
     "x_repetition" ->

@@ -105,6 +105,29 @@ class RepetitionSpec extends SparkTestBase {
       (2L, 2L, 0L, 0L, "s t")))
   }
 
+  test("longMatchDedup equals substrDedup row for row at the same width " +
+    "(hashing the shuffle key is semantics-free), and sub-minLen repeats " +
+    "pass untouched") {
+    // a 6-token passage shared at different offsets + a 2-token repeat
+    val df = Seq(
+      (1L, "p1 p2 p3 p4 p5 p6 u1 u2 q1 q2"),
+      (2L, "v1 v2 v3 p1 p2 p3 p4 p5 p6 v4 q1 q2"),
+      (3L, "w1 w2 w3 w4"))
+      .toDF("doc_id", "text")
+    val viaHash = RepetitionOps.longMatchDedup(df, col("doc_id"),
+        col("text"), minLen = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val viaString = RepetitionOps.substrDedup(df, col("doc_id"),
+        col("text"), k = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(viaHash === viaString)
+    // doc 2 loses exactly the 6-token passage (offset-shifted), never the
+    // 2-token "q1 q2" repeat (below minLen); doc 1 (first) keeps all
+    assert(viaHash.contains((1L, 10L, 0L, 0L, "p1 p2 p3 p4 p5 p6 u1 u2 q1 q2")))
+    assert(viaHash.contains((2L, 12L, 1L, 6L, "v1 v2 v3 v4 q1 q2")))
+    assert(viaHash.contains((3L, 4L, 0L, 0L, "w1 w2 w3 w4")))
+  }
+
   test("substrDedup raises on doc_id magnitudes that would overflow the " +
     "winner encoding") {
     val df = Seq((8796093022208L, "a b c d")).toDF("doc_id", "text")

@@ -218,14 +218,19 @@ case class NfcNormalize(child: Expression)
   * in practice). Output: array of pieces, concat = input. Positions are
   * UTF-16 code units (irrelevant for the ASCII token contract).
   *
-  * CodegenFallback with a primitive loop and an O(1) HashSet probe per
+  * Fully CODEGEN'd (not CodegenFallback — this expression sits on every
+  * subword-path row): doGenCode emits a direct call to [[encode]] on the
+  * plan-referenced instance, so inside WholeStageCodegen the input
+  * UTF8String flows straight into the primitive loop with no per-row
+  * InternalRow boxing and no eval() dispatch (the costs the fallback
+  * wrapper pays). The loop itself keeps the O(1) HashSet probe per
   * candidate length (the [[SimHash32]] rationale): per-word cost is
   * O(len · maxPieceLen) probes, independent of vocabulary size — a
   * 32k-piece production vocabulary costs the same per row as the test
   * fixture. The vocabulary is a constructor constant (driver-shipped once
   * per task like a broadcast literal), NOT a per-row child expression. */
 case class BpeEncode(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(vocab.nonEmpty, "bpe_encode: vocabulary must not be empty")
   require(vocab.distinct.size == vocab.size,
@@ -242,8 +247,10 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
   }
   @transient private lazy val maxPieceLen: Int = vocab.map(_.length).max
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val tok = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  /** Public (called from generated code): one word in, its pieces out. */
+  def encode(v: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val tok = v.toString
     val n = tok.length
     val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(4, n / 2))
     var pos = 0
@@ -257,6 +264,17 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
       pos += l
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    encode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -15,7 +15,7 @@ object ExplainProbe {
         val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
           .queryExecution.executedPlan.toString
         val worst = p.linesIterator
-          .map(l => "split\\(trim\\(".r.findAllIn(l).size).maxOption.getOrElse(0)
+          .map(l => "split\\(trim\\(regexp_replace\\(lower\\(".r.findAllIn(l).size).maxOption.getOrElse(0)
         if (worst > 1) println(s"PROBE $n worst_line_tokenizations=$worst")
       } catch { case e: Throwable => println(s"PROBE $n ERR ${e.getMessage.take(80)}") }
     }

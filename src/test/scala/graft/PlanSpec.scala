@@ -100,7 +100,7 @@ class PlanSpec extends SparkTestBase {
     // in round 11 at <= 1 tokenization per plan line.
     Seq("x_pipeline", "x_chunks", "x_skipgram", "x_cooc").foreach { q =>
       val worst = plan(q).linesIterator
-        .map(l => "split\\(trim\\(".r.findAllIn(l).size).max
+        .map(l => "split\\(trim\\(regexp_replace\\(lower\\(".r.findAllIn(l).size).max
       assert(worst <= 1,
         s"$q: a plan line tokenizes $worst times — barrier lost")
     }
@@ -115,7 +115,7 @@ class PlanSpec extends SparkTestBase {
     // was alias-substituted below the barrier into the scan Filter).
     Seq("x_chunks", "x_skipgram", "x_cooc", "x_cdc_chunks", "x_bpe_encode",
       "x_bpe_fertility", "x_bpe_merge_encode").foreach { q =>
-      val total = "split\\(trim\\(".r.findAllIn(plan(q)).size
+      val total = "split\\(trim\\(regexp_replace\\(lower\\(".r.findAllIn(plan(q)).size
       assert(total <= 1,
         s"$q: whole plan tokenizes $total times — barrier lost")
     }

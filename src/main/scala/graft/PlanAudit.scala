@@ -64,7 +64,9 @@ object PlanAudit {
         "x_auc_stratum","x_sorted_nbr","x_blocking_recall",
         "x_ks_drift","x_js_div","x_skipgram","x_cooc","x_neg_sample",
         "x_cdc_chunks","x_cdc_dedup","x_url_canon","x_weighted_bernoulli",
-        "x_bpe_encode","x_bpe_pack","x_bpe_fertility","x_mm_scenes")
+        "x_bpe_encode","x_bpe_pack","x_bpe_fertility","x_mm_scenes",
+        "q_tpch9","q_tpch17","x_bpe_merge_encode","x_host_stats_kmv",
+        "x_longmatch_dedup","x_host_stats","x_web_pipeline")
       .foreach(audit)
     // NOT audited: the eager operators (x_pagerank, x_label_prop, x_kcore,
     // x_concomp, x_pca_project, x_pca_invariants) execute their

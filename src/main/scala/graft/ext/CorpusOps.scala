@@ -683,10 +683,16 @@ object CorpusOps {
     * total tie order = engine-portable).
     *
     * Scale shape: each snapshot collapses map-side to (value, count) —
-    * the only row-level passes; the cumulative window then runs over the
-    * DISTINCT-value table (the [[EvalOps.aucRoc]] discipline: a global
-    * window is a one-partition bottleneck, so it must only ever see
-    * value-cardinality rows, never the corpus). */
+    * the only row-level passes; the cumulative counts then ride
+    * [[ScanOps.cumSum]]'s two-level scan over the DISTINCT-value table
+    * (the [[EvalOps.aucRoc]] discipline for the input size, plus the
+    * round-13 no-single-partition-WindowExec discipline for the scan
+    * itself). Arbitrary real axes have no static order-monotone bucket,
+    * so the bucket interpolates between the observed min/max — a 2-row
+    * broadcast (the Z-scalar pattern) computed in one extra tiny
+    * aggregate; equal-min-max degenerates to one bucket, which is
+    * correct, just serial. Integer counts make the two-level sum
+    * bit-identical to the sequential scan the oracle replays. */
   def ksTest(ref: DataFrame, cur: DataFrame, refX: Column,
              curX: Column): DataFrame = {
     val rc = ref.select(refX.cast("double").as("v")).where(col("v").isNotNull)
@@ -698,10 +704,16 @@ object CorpusOps {
         coalesce(col("__cc"), lit(0L)).as("cc"))
     val totals = rc.agg(sum("__cr").cast("double").as("__nr"))
       .crossJoin(cc.agg(sum("__cc").cast("double").as("__nc")))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged
-      .select(col("v"), sum("cr").over(w).as("__sr"), sum("cc").over(w).as("__sc"))
+    val bounds = merged.agg(min("v").as("__vlo"), max("v").as("__vhi"))
+    // (v−lo)/(hi−lo) ∈ [0,1] exactly (IEEE division is monotone and the
+    // numerator never exceeds the denominator), so floor(·63) ∈ [0,63]
+    // and is non-decreasing in v — the cumSum monotonicity contract
+    val bucket = when(col("__vhi") > col("__vlo"),
+      floor((col("v") - col("__vlo")) / (col("__vhi") - col("__vlo")) * 63))
+      .otherwise(lit(0)).cast("int")
+    ScanOps.cumSum(merged.crossJoin(broadcast(bounds)),
+        order = col("v"), descending = false, bucket = bucket,
+        nBuckets = 64, values = Seq("cr" -> "__sr", "cc" -> "__sc"))
       .crossJoin(broadcast(totals))
       .select(col("__nr"), col("__nc"),
         round(abs(col("__sr") / col("__nr") - col("__sc") / col("__nc")), 6)

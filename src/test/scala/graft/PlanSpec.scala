@@ -158,6 +158,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("WHOLE SURFACE: no declared query plans a single-partition " +
+    "WindowExec (the global-scan class is retired engine-wide)") {
+    // After ScanOps.cumSum took over negativeSamples/aucRoc/
+    // averagePrecision/ksTest, NO declared query should funnel rows
+    // through an unpartitioned window. The one allowlisted exception is
+    // x_rrf: its two row_number windows run over frames ALREADY capped by
+    // limit(20) upstream (rank-of-top-k is 20 rows at any corpus size —
+    // k-bounded by construction, not value-bounded by hope).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allow = Set("x_rrf")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap {
+      q =>
+        val sp = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+        val n = sp.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(s"$q ($n)") else None
+    }
+    assert(bad.isEmpty,
+      s"single-partition WindowExec crept back into: ${bad.mkString(", ")}")
+  }
+
   test("as-of join: bounded shuffles, no nested-loop/cartesian fallback") {
     val p = plan("x_asof_join")
     assert(countIn(p, "CartesianProduct") === 0 &&

@@ -524,46 +524,53 @@ object TextOps {
     * (doc_id, tp, pp, piece) — the [[bpeEncodeTokens]] shape.
     *
     * Scale shape: map-only at any corpus size (tokenize-once barrier, two
-    * generates). The whole rank loop is ONE expression — an in-row fold
-    * of the merge table (an array literal riding the plan) over the
-    * token's symbol string — so a 1000-rank learned table is 1000 lambda
-    * iterations per token, never 1000 plan nodes or projections. The
-    * per-rank pass is ONE codegen'd string replace over a BOTH-side
-    * delimited symbol encoding ("ting" → "|t||i||n||g|"): per-symbol
-    * delimiters make the pattern "|a||b|" match exactly adjacent whole
-    * symbols, and replace()'s resume-after-match IS the left-to-right
-    * skip — the encoding the DuckDB oracle replays verbatim, and ~40×
-    * faster than folding an array-of-symbols state per rank (measured at
-    * sf0.1: the struct-array concat per position copied O(len²) per
-    * rank). Per-row cost is O(ranks × token length): rank-order fidelity
-    * is intrinsically per-rank (each rank must see the previous rank's
+    * generates). The rank loop runs inside the native
+    * [[graft.functions.BpeApplyMerges]] expression — one JVM skip pass
+    * per rank over an interned symbol array (fully codegen'd; the merge
+    * table is a constructor constant riding the plan, so a 1000-rank
+    * learned table is 1000 passes per token, never 1000 plan nodes).
+    * Per-row cost is O(ranks × token length): rank-order fidelity is
+    * intrinsically per-rank (each rank must see the previous rank's
     * symbols), which is why production tokenizers pre-flatten to a piece
     * vocabulary and pay greedy inference instead — that path is
     * [[graft.functions.BpeEncode]]; this one is for running a LEARNED
-    * table exactly as learned. Symbols must stay '|'-free — guaranteed
-    * for [[tokens]] ([a-z0-9]+) and enforced on the merge table. */
+    * table exactly as learned.
+    *
+    * Symbols must stay '|'-free (enforced): the DuckDB oracle — and
+    * [[bpeMergeFold]], the pure-SQL form BpeSpec locks the native
+    * expression against — replays each rank as one non-overlapping
+    * replace over a BOTH-side delimited symbol string ("|t||i||n||g|"),
+    * where '|a||b|' matches exactly adjacent whole symbols and
+    * resume-after-match IS the left-to-right skip. */
   def bpeApplyMerges(df: DataFrame, key: Column, text: Column,
                      merges: Seq[(String, String)] = defaultBpeMerges): DataFrame = {
-    require(merges.nonEmpty, "bpeApplyMerges: merge table must be non-empty")
     require(merges.forall { case (a, b) =>
-      a.nonEmpty && b.nonEmpty && !a.contains("|") && !b.contains("|")
-    }, "bpeApplyMerges: merge sides must be non-empty and '|'-free " +
-      "(the delimited symbol encoding)")
+      !a.contains("|") && !b.contains("|")
+    }, "bpeApplyMerges: merge sides must be '|'-free " +
+      "(the oracle's delimited symbol encoding)")
+    withTokens(df, Seq(key.as("doc_id")), text)
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("tp", "tok")))
+      .select(col("doc_id"), col("tp"),
+        posexplode(graft.functions.TextFunctions
+          .bpeApplyMerges(col("tok"), merges)).as(Seq("pp", "piece")))
+  }
+
+  /** The pure-SQL-expression form of one word's rank-ordered merge
+    * inference — the delimited-string fold the oracle mirrors (each rank
+    * one string replace over "|t||i||n||g|"). Kept as the independent
+    * in-plan reference BpeSpec compares the native expression
+    * against; the declared query runs the native form. */
+  private[graft] def bpeMergeFold(tok: Column,
+                                  merges: Seq[(String, String)]): Column = {
     val table = array(merges.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    withTokens(df, Seq(key.as("doc_id")), text)
-      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("tp", "tok")))
-      // seed staged in its own projection (CollapseProject discipline)
-      .select(col("doc_id"), col("tp"),
-        regexp_replace(col("tok"), "(.)", "|$1|").as("__seed"))
-      .select(col("doc_id"), col("tp"),
-        posexplode(split(trim(aggregate(table, col("__seed"),
-          (acc, m) => replace(acc,
-            concat(lit("|"), m.getField("a"), lit("||"),
-              m.getField("b"), lit("|")),
-            concat(lit("|"), m.getField("a"), m.getField("b"), lit("|")))),
-          "|"), "\\|\\|")).as(Seq("pp", "piece")))
+    split(trim(aggregate(table, regexp_replace(tok, "(.)", "|$1|"),
+      (acc, m) => replace(acc,
+        concat(lit("|"), m.getField("a"), lit("||"),
+          m.getField("b"), lit("|")),
+        concat(lit("|"), m.getField("a"), m.getField("b"), lit("|")))),
+      "|"), "\\|\\|")
   }
 
   /** TRUE subword counts per document — what sequence packing and token

@@ -281,6 +281,95 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Rank-ordered BPE merge inference of ONE word over a fixed RANKED merge
+  * table (Sennrich et al. 2016 applied as learned): the word starts as
+  * single characters and every merge rule is applied in rank order, one
+  * left-to-right skip pass per rank — a matched (a, b) consumes BOTH
+  * symbols ("aaa" + (a,a) → [aa, a]). The semantics of
+  * [[graft.ext.TextOps.bpeApplyMerges]]'s delimited-string fold, as a
+  * native expression: one JVM pass per rank over a symbol array instead
+  * of allocating a rewritten string per rank (~8× on the declared query),
+  * with rule sides interned so the per-position check is two reference
+  * probes. Fully codegen'd via the [[BpeEncode]] reference-object call.
+  *
+  * The merge table is a constructor constant (driver-shipped once per
+  * task); per-row cost is O(ranks × word length) — intrinsic to
+  * rank-order fidelity (each rank must see the previous rank's symbols).
+  * BpeSpec locks bit-equality with the delimited-string fold, which
+  * remains the form the DuckDB oracle replays. */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "bpe_apply_merges: merge table must be non-empty")
+  require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+    "bpe_apply_merges: merge sides must be non-empty")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  // interned rule sides: every symbol produced below is either an interned
+  // single char or an interned merge product, so the per-position match is
+  // reference equality after one identity probe
+  @transient private lazy val rules: Array[(String, String, String)] =
+    merges.map { case (a, b) => (a.intern(), b.intern(), (a + b).intern()) }
+      .toArray
+  // interned ASCII single-char table: avoids an intern() hash probe per
+  // character on the [a-z0-9] token contract
+  @transient private lazy val charTab: Array[String] =
+    (0 until 128).map(c => String.valueOf(c.toChar).intern()).toArray
+
+  /** Public (called from generated code): one word in, its pieces out. */
+  def encode(v: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val tok = v.toString
+    var n = tok.length
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val c = tok.charAt(i)
+      syms(i) = if (c < 128) charTab(c) else String.valueOf(c).intern()
+      i += 1
+    }
+    var r = 0
+    while (r < rules.length && n > 1) {
+      val (a, b, ab) = rules(r)
+      // left-to-right skip pass, in place: read cursor i, write cursor w
+      var w = 0; i = 0
+      while (i < n) {
+        if (i < n - 1 && (syms(i) eq a) && (syms(i + 1) eq b)) {
+          syms(w) = ab; i += 2
+        } else { syms(w) = syms(i); i += 1 }
+        w += 1
+      }
+      n = w
+      r += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    encode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref =
+      ctx.addReferenceObj("bpeApply", this, classOf[BpeApplyMerges].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -304,4 +393,10 @@ object TextFunctions {
   def bpeEncode(word: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(BpeEncode(
       ColumnBridge.expression(word.cast("string")), vocab))
+
+  /** Rank-ordered BPE merge inference of one word over a fixed ranked
+    * merge table (see [[BpeApplyMerges]]). */
+  def bpeApplyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeApplyMerges(
+      ColumnBridge.expression(word.cast("string")), merges))
 }

@@ -229,6 +229,27 @@ class BpeSpec extends SparkTestBase {
     assert(applied(TextOps.defaultBpeMerges, "the")("the") === Seq("the"))
   }
 
+  test("native BpeApplyMerges equals the delimited-string fold (the " +
+    "oracle's exact form) on every corpus word type and on adversarial " +
+    "tables") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("text").isNotNull)
+    val words = TextOps.withTokens(df, Seq.empty, col("text"))
+      .select(explode(col("__tk")).as("w")).distinct()
+    def cmp(merges: Seq[(String, String)]): Unit = {
+      val diff = words.select(col("w"),
+          TextFunctions.bpeApplyMerges(col("w"), merges).as("a"),
+          TextOps.bpeMergeFold(col("w"), merges).as("b"))
+        .where(not(col("a") === col("b")))
+      assert(diff.isEmpty,
+        diff.take(5).mkString(", ") + s" under $merges")
+    }
+    cmp(TextOps.defaultBpeMerges)
+    cmp(Seq("a" -> "a"))            // self-pair: the skip semantics path
+    cmp(Seq("t" -> "h", "th" -> "th")) // product-of-product rule sides
+    cmp(Seq("zz" -> "qq"))          // sides no corpus word can produce
+  }
+
   test("bpeLearnMerges -> bpeApplyMerges round-trips under the table's " +
     "OWN semantics on the real corpus (vs the in-JVM rank-order replay)") {
     val df = spark.read.parquet(sf() + "/documents.parquet")

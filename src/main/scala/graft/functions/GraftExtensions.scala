@@ -99,6 +99,33 @@ object GraftExtensions {
         }
         BpeEncode(Cast(a(0), StringType), vocab)
       }),
+    // ranked merge table as a foldable array of 2-element string arrays
+    // (array(array('t','h'), array('th','e'), …)) — becomes a constructor
+    // constant like bpe_encode's vocabulary
+    (FunctionIdentifier("bpe_apply_merges"),
+      new ExpressionInfo(classOf[BpeApplyMerges].getName, "bpe_apply_merges"),
+      arity("bpe_apply_merges", 2) { a =>
+        val merges = a(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+              e.dataType.asInstanceOf[ArrayType].elementType
+                .isInstanceOf[ArrayType] =>
+            val inner = e.dataType.asInstanceOf[ArrayType]
+              .elementType.asInstanceOf[ArrayType].elementType
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(ArrayType(inner)).toSeq.map { p =>
+                val pair = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                  .toObjectArray(inner).map(String.valueOf)
+                require(pair.length == 2,
+                  s"bpe_apply_merges: each merge must be a 2-element " +
+                    s"array, got ${pair.length}")
+                (pair(0), pair(1))
+              }
+          case other => throw new IllegalArgumentException(
+            "bpe_apply_merges: merges must be a foldable array of " +
+              s"2-element string arrays, got $other")
+        }
+        BpeApplyMerges(Cast(a(0), StringType), merges)
+      }),
     // aggregate tier: the analyzer wraps a returned AggregateFunction in
     // its AggregateExpression, so SQL users get the native k-minima sketch
     // as `kmv_agg(hash60_value, k)` with a literal k

@@ -65,6 +65,22 @@ class BpeSpec extends SparkTestBase {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("bpe_apply_merges SQL surface matches the DataFrame form") {
+    // rank order on 'ting': (i,n)@1 then (in,g)@2 -> [t, ing]
+    val got = spark.sql(
+      "SELECT bpe_apply_merges('ting', array(array('i','n'), array('in','g')))")
+      .as[Seq[String]].head()
+    assert(got === Seq("t", "ing"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_apply_merges('x', array(array(cast(rand() AS STRING), 'b')))")
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bpe_apply_merges('x', array(array('a','b','c')))")
+    }
+    assert(e2.getMessage.contains("2-element"), e2.getMessage)
+  }
+
   test("subwordCounts agrees with bpeEncodeTokens piece counts and is " +
     "never below the token count") {
     val df = spark.read.parquet(sf() + "/documents.parquet")

@@ -283,7 +283,34 @@ object StreamingBench {
     val cState = stateRows(q7)
     q7.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    // ---- per-host crawl-budget admission (custom state) ----
+    // 50k fetches/batch over 997 hosts (~50/host); each batch is one
+    // 30-min event-time window, budget 40/host/window -> ~20% denied.
+    // State is TWO LONGS per live host (997 rows), not the fetch log —
+    // the number that makes per-host politeness viable at crawl scale.
+    val bin = MemoryStream[(Long, String, Timestamp)]
+    val bd = graft.streaming.CrawlBudget.perHostAdmit(
+      bin.toDF().toDF("fetch_id", "url", "ts"), "url", "ts",
+      watermark = "1 hour", windowSeconds = 1800, maxPerWindow = 40)
+    val q8 = bd.writeStream.outputMode(OutputMode.Append())
+      .format("noop").start()
+    def budgetBatch(b: Int): Seq[(Long, String, Timestamp)] = {
+      val start = (b.toLong * 7 * batchRows) / 10
+      (0 until batchRows).map { i =>
+        val k = start + i
+        (k, s"https://host${k % 997}.example.com/p/$k",
+          new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+      }
+    }
+    (0 until warm).foreach { b => bin.addData(budgetBatch(b)); q8.processAllAvailable() }
+    val t8 = System.nanoTime()
+    (warm until total).foreach { b => bin.addData(budgetBatch(b)); q8.processAllAvailable() }
+    val bSec = (System.nanoTime() - t8) / 1e9
+    val bRows = (total - warm).toLong * batchRows
+    val bState = stateRows(q8)
+    q8.stop()
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

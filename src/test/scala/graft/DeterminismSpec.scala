@@ -22,7 +22,11 @@ class DeterminismSpec extends SparkTestBase {
     "x_logreg", "x_trend", "x_decay", "x_embed_norm", "x_tfidf",
     "x_bm25", "x_bigram_lm", "x_dsir", "x_mad_outlier", "x_winsorize",
     "x_ks_drift", "x_js_div", "x_psi_drift", "x_nb_classify",
-    "x_pr_auc", "x_brier", "x_bpe_fertility", "x_pca_project")
+    "x_pr_auc", "x_brier", "x_bpe_fertility", "x_pca_project",
+    // round 13: the two-level-scan consumers (x_neg_sample's quantized
+    // boundaries, x_ks_drift already above), the KMV dup_rate double, and
+    // the TPC-H float-sum anchors
+    "x_neg_sample", "x_host_stats_kmv", "q_tpch9", "q_tpch17")
 
   /** Canonical sorted textual dump — byte-comparable across runs. */
   private def canon(df: DataFrame): Seq[String] = {

@@ -31,6 +31,13 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * cumsum would change association order and drift). Callers with float
   * weights quantize first ([[TextOps.negativeSamples]]'s integer-exact
   * weights — the weightedBernoulli convention).
+  *
+  * The input frame is referenced TWICE (the per-bucket window and the
+  * totals aggregate) — NOT a double computation of the caller's upstream
+  * pipeline: both branches require the same partitioning of the same
+  * subtree, so ReuseExchange shares one shuffle (verified on
+  * x_neg_sample: 4 ReusedExchange nodes, the vocab subtree's FileScan
+  * appears once).
   */
 object ScanOps {
 

@@ -36,7 +36,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Input URLs should already be canonical ([[graft.ext.WebOps
   * .canonicalized]]): admission is per HOST, and the host of a
-  * non-canonical spelling may differ by case/port. */
+  * non-canonical spelling may differ by case/port.
+  *
+  * Memory bound: the emit-every-fetch-with-its-flag contract means one
+  * micro-batch's fetches for ONE host buffer in that task (the sort that
+  * makes the cut deterministic needs them anyway). PERSISTENT state
+  * stays two longs per host regardless, but if a single host can exceed
+  * executor memory within one micro-batch, bound the trigger interval or
+  * pre-limit per (host, batch) upstream — admission past maxPerWindow is
+  * denial either way. */
 object CrawlBudget {
 
   case class BudgetState(windowStart: Long, admitted: Int)

@@ -62,8 +62,12 @@ object ScanOps {
              bucket: Column, nBuckets: Int,
              values: Seq[(String, String)]): DataFrame = {
     require(values.nonEmpty, "cumSum: need at least one value column")
-    require(nBuckets >= 1 && nBuckets <= 65536,
-      s"cumSum: nBuckets must be in [1, 65536], got $nBuckets")
+    // 4096² = 16.8M exploded offset rows (~hundreds of MB peak) is the
+    // operating envelope the broadcast join-back tolerates; the former
+    // 65536 allowance would admit a ~4.3B-row explode the doc warned
+    // against without enforcing
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"cumSum: nBuckets must be in [1, 4096], got $nBuckets")
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     values.foreach { case (in, _) =>
       val dt = df.schema(in).dataType

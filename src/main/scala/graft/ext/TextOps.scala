@@ -313,7 +313,10 @@ object TextOps {
     // lexicographically monotone bucket: the token's 2-char prefix over
     // the tokenizer's [a-z0-9] alphabet (alphabet string is in ascending
     // char order, so instr position order == character order; a missing
-    // 2nd char maps to 0, and "a" < "ab" ⟹ bucket("a") ≤ bucket("ab")).
+    // 2nd char maps to 1 — instr(alpha, '') is 1 in Spark — TIED with a
+    // literal '0' second char, which keeps the bucket non-decreasing in
+    // token order because "a" < "a0" ≤ every other "a?" token; nothing
+    // may assume idx 0 marks "no 2nd char").
     val alpha = "0123456789abcdefghijklmnopqrstuvwxyz"
     def idx(i: Int) = instr(lit(alpha), substring(col("negative"), i, 1))
     val cum = ScanOps.cumSum(

@@ -92,8 +92,17 @@ object GraftExtensions {
         val vocab = a(1) match {
           case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
             val at = e.dataType.asInstanceOf[ArrayType]
-            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-              .toObjectArray(at.elementType).map(String.valueOf).toSeq
+            val data = e.eval()
+            // a foldable NULL literal evals to null — reject with the
+            // function's own message instead of NPE-ing on toObjectArray
+            if (data == null) throw new IllegalArgumentException(
+              "bpe_encode: vocabulary must not be NULL")
+            data.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(at.elementType).map { p =>
+                if (p == null) throw new IllegalArgumentException(
+                  "bpe_encode: vocabulary contains a NULL piece")
+                String.valueOf(p)
+              }.toSeq
           case other => throw new IllegalArgumentException(
             s"bpe_encode: vocabulary must be a foldable array of strings, got $other")
         }
@@ -111,14 +120,24 @@ object GraftExtensions {
                 .isInstanceOf[ArrayType] =>
             val inner = e.dataType.asInstanceOf[ArrayType]
               .elementType.asInstanceOf[ArrayType].elementType
-            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            val data = e.eval()
+            // foldable NULLs eval to null: reject the table, a null pair,
+            // and a null pair ELEMENT explicitly — String.valueOf(null)
+            // would otherwise stringify to the literal "null" merge side
+            if (data == null) throw new IllegalArgumentException(
+              "bpe_apply_merges: merge table must not be NULL")
+            data.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
               .toObjectArray(ArrayType(inner)).toSeq.map { p =>
+                if (p == null) throw new IllegalArgumentException(
+                  "bpe_apply_merges: merge table contains a NULL pair")
                 val pair = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-                  .toObjectArray(inner).map(String.valueOf)
+                  .toObjectArray(inner)
                 require(pair.length == 2,
                   s"bpe_apply_merges: each merge must be a 2-element " +
                     s"array, got ${pair.length}")
-                (pair(0), pair(1))
+                require(pair(0) != null && pair(1) != null,
+                  "bpe_apply_merges: merge sides must not be NULL")
+                (String.valueOf(pair(0)), String.valueOf(pair(1)))
               }
           case other => throw new IllegalArgumentException(
             "bpe_apply_merges: merges must be a foldable array of " +

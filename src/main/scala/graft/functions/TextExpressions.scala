@@ -308,28 +308,63 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
 
-  // interned rule sides: every symbol produced below is either an interned
-  // single char or an interned merge product, so the per-position match is
-  // reference equality after one identity probe
+  // LOCAL canonical symbol table (not String.intern(): the JVM-global
+  // intern table is a contended native hash — a probe per non-ASCII
+  // character would be a hot-path lock the moment multilingual input
+  // reaches this expression). Every symbol the encoder can produce — rule
+  // sides, merge products, ASCII single chars — is pre-seeded to ONE
+  // canonical instance, so the per-position rule match is reference
+  // equality. ConcurrentHashMap because one deserialized expression
+  // instance can serve several local-mode tasks; symbols not seeded
+  // (non-ASCII single code points at the SQL surface) canonicalise on
+  // first sight, bounded by the input's distinct code points.
+  @transient private lazy val symTab
+      : java.util.concurrent.ConcurrentHashMap[String, String] = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String](
+      merges.size * 4 + 300)
+    (0 until 128).foreach { c =>
+      val s = String.valueOf(c.toChar); m.put(s, s)
+    }
+    merges.foreach { case (a, b) =>
+      m.putIfAbsent(a, a); m.putIfAbsent(b, b)
+      val ab = a + b; m.putIfAbsent(ab, ab)
+    }
+    m
+  }
+  // rule sides resolved through the canonical table
   @transient private lazy val rules: Array[(String, String, String)] =
-    merges.map { case (a, b) => (a.intern(), b.intern(), (a + b).intern()) }
-      .toArray
-  // interned ASCII single-char table: avoids an intern() hash probe per
-  // character on the [a-z0-9] token contract
+    merges.map { case (a, b) =>
+      (symTab.get(a), symTab.get(b), symTab.get(a + b))
+    }.toArray
+  // canonical ASCII single-char fast path (no map probe per character on
+  // the [a-z0-9] token contract)
   @transient private lazy val charTab: Array[String] =
-    (0 until 128).map(c => String.valueOf(c.toChar).intern()).toArray
+    (0 until 128).map(c => symTab.get(String.valueOf(c.toChar))).toArray
 
-  /** Public (called from generated code): one word in, its pieces out. */
+  /** Public (called from generated code): one word in, its pieces out.
+    * Symbols are CODE POINTS, not UTF-16 units — a non-BMP character is
+    * one symbol, matching [[graft.ext.TextOps.bpeMergeFold]] / the DuckDB
+    * oracle, whose regexp '(.)' consumes one code point (a surrogate
+    * split here would diverge on astral-plane input). */
   def encode(v: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val tok = v.toString
-    var n = tok.length
+    var n = tok.codePointCount(0, tok.length)
     val syms = new Array[String](n)
     var i = 0
-    while (i < n) {
-      val c = tok.charAt(i)
-      syms(i) = if (c < 128) charTab(c) else String.valueOf(c).intern()
+    var ci = 0
+    while (ci < tok.length) {
+      val cp = tok.codePointAt(ci)
+      val w = Character.charCount(cp)
+      syms(i) =
+        if (cp < 128) charTab(cp)
+        else {
+          val s = tok.substring(ci, ci + w)
+          val prev = symTab.putIfAbsent(s, s)
+          if (prev == null) s else prev
+        }
       i += 1
+      ci += w
     }
     var r = 0
     while (r < rules.length && n > 1) {

@@ -79,6 +79,25 @@ class BpeSpec extends SparkTestBase {
       spark.sql("SELECT bpe_apply_merges('x', array(array('a','b','c')))")
     }
     assert(e2.getMessage.contains("2-element"), e2.getMessage)
+    // foldable NULLs fail with the function's message, not an NPE or a
+    // silent String.valueOf(null) -> "null" merge side
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT bpe_apply_merges('x', " +
+        "cast(NULL AS array<array<string>>))")
+    }
+    assert(e3.getMessage.contains("must not be NULL"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT bpe_apply_merges('x', array(array('a', NULL)))")
+    }
+    assert(e4.getMessage.contains("must not be NULL"), e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', cast(NULL AS array<string>))")
+    }
+    assert(e5.getMessage.contains("must not be NULL"), e5.getMessage)
+    val e6 = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', array('a', NULL))")
+    }
+    assert(e6.getMessage.contains("NULL piece"), e6.getMessage)
   }
 
   test("subwordCounts agrees with bpeEncodeTokens piece counts and is " +
@@ -264,6 +283,35 @@ class BpeSpec extends SparkTestBase {
     cmp(Seq("a" -> "a"))            // self-pair: the skip semantics path
     cmp(Seq("t" -> "h", "th" -> "th")) // product-of-product rule sides
     cmp(Seq("zz" -> "qq"))          // sides no corpus word can produce
+  }
+
+  test("native BpeApplyMerges matches the fold on non-ASCII and " +
+    "astral-plane input: symbols are code points, not UTF-16 units") {
+    val clef = "𝄞" // U+1D11E musical G clef (non-BMP)
+    val words = Seq("café", "éclair", s"a${clef}b",
+      clef * 3, "你好world", "naïve").toDF("w")
+    def cmp(merges: Seq[(String, String)]): Unit = {
+      val diff = words.select(col("w"),
+          TextFunctions.bpeApplyMerges(col("w"), merges).as("a"),
+          TextOps.bpeMergeFold(col("w"), merges).as("b"))
+        .where(not(col("a") === col("b")))
+      assert(diff.isEmpty,
+        diff.take(5).mkString(", ") + s" under $merges")
+    }
+    cmp(TextOps.defaultBpeMerges)
+    cmp(Seq("a" -> clef))       // rule side carrying an astral char
+    cmp(Seq(clef -> clef))      // astral self-pair: skip over surrogates
+    cmp(Seq("é" -> "c"))   // accented BMP rule side
+    // explicit shape: the astral char is ONE symbol (a surrogate split
+    // would yield 4 pieces here and diverge from the oracle's '(.)')
+    val lone = Seq(s"a${clef}b").toDF("w")
+      .select(TextFunctions.bpeApplyMerges(col("w"), Seq("x" -> "y")).as("p"))
+      .as[Seq[String]].head()
+    assert(lone === Seq("a", clef, "b"))
+    val merged = Seq(s"a${clef}b").toDF("w")
+      .select(TextFunctions.bpeApplyMerges(col("w"), Seq("a" -> clef)).as("p"))
+      .as[Seq[String]].head()
+    assert(merged === Seq(s"a$clef", "b"))
   }
 
   test("bpeLearnMerges -> bpeApplyMerges round-trips under the table's " +

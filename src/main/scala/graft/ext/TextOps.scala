@@ -29,6 +29,28 @@ object TextOps {
     array_remove(
       split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "), "")
 
+  /** Unicode tokenizer — the MULTILINGUAL corpus path. [[tokens]] deletes
+    * every character outside [a-z0-9], so all non-Latin text dies before
+    * any downstream operator sees it; this form keeps it: NFC-normalize
+    * first (precomposed U+00E9 and decomposed e+U+0301 unify BEFORE any
+    * hash/dedup/count), lowercase, then split on anything outside the
+    * Unicode letter/number property classes. `\p{L}\p{N}` are
+    * RE2-compatible, so the DuckDB oracle runs the IDENTICAL class regex;
+    * the case step is the locale-independent Unicode simple mapping in
+    * both engines for everything that flows here (Cyrillic/CJK/Latin
+    * accents — no Turkish-dotted-I-style locale forms are produced by
+    * either side's default path).
+    *
+    * Same codegen discipline as [[tokens]] (single regex pass, lambda-
+    * free); NFC is the native [[graft.functions.NfcNormalize]] whose
+    * already-normalized fast path makes the extra pass a cheap scan on
+    * real corpora. */
+  def tokensUnicode(text: Column): Column =
+    array_remove(
+      split(trim(regexp_replace(lower(
+        graft.functions.TextFunctions.nfcNormalize(text)),
+        "[^\\p{L}\\p{N}]+", " ")), " "), "")
+
   /** `cols` plus the token array as `name`, with the tokenizer evaluated
     * EXACTLY once per row: a one-element-explode barrier keeps the chain
     * out of optimizer-substituted filters — PushDownPredicates inlines
@@ -36,10 +58,13 @@ object TextOps {
     * guards inferred for a downstream explode (isnotnull, size > 0) would
     * otherwise re-derive the chain 2-3× per scanned row. Use for any frame
     * whose token column feeds an explode or a filtered derivation
-    * (PlanSpec's tokenize-once rule). */
+    * (PlanSpec's tokenize-once rule). `tokenizer` selects the token
+    * stream ([[tokens]] — the ASCII fixture contract — by default;
+    * [[tokensUnicode]] for multilingual corpora). */
   def withTokens(df: DataFrame, cols: Seq[Column], text: Column,
-                 name: String = "__tk"): DataFrame =
-    df.select((cols :+ explode(array(tokens(text))).as(name)): _*)
+                 name: String = "__tk",
+                 tokenizer: Column => Column = tokens): DataFrame =
+    df.select((cols :+ explode(array(tokenizer(text))).as(name)): _*)
 
   /** Word k-shingles ("n-grams of tokens") as space-joined strings, built by
     * direct element indexing over a pre-materialised token array (a slice()
@@ -584,9 +609,10 @@ object TextOps {
     * token array — the piece arrays are counted and discarded inside the
     * row, never materialised as rows), zero shuffles. */
   def subwordCounts(df: DataFrame, key: Column, text: Column,
-                    vocab: Seq[String] = defaultBpeVocab): DataFrame = {
+                    vocab: Seq[String] = defaultBpeVocab,
+                    tokenizer: Column => Column = tokens): DataFrame = {
     val toks = col("__tk")
-    withTokens(df, Seq(key.as("doc_id")), text)
+    withTokens(df, Seq(key.as("doc_id")), text, tokenizer = tokenizer)
       .select(col("doc_id"),
         org.apache.spark.sql.functions.size(toks).as("n_tokens"),
         aggregate(
@@ -638,9 +664,10 @@ object TextOps {
     "pt" -> Seq("o", "a", "os", "de", "em", "um", "para", "com"))
 
   def languageId(df: DataFrame, key: Column, text: Column,
-                 profiles: Seq[(String, Seq[String])] = defaultProfiles): DataFrame = {
+                 profiles: Seq[(String, Seq[String])] = defaultProfiles,
+                 tokenizer: Column => Column = tokens): DataFrame = {
     val toks = col("__toks")
-    val scored = df.select(key.as("doc_id"), tokens(text).as("__toks")).select(
+    val scored = df.select(key.as("doc_id"), tokenizer(text).as("__toks")).select(
       (col("doc_id") +:
         profiles.map { case (lang, stops) =>
           size(filter(toks, t => t.isin(stops.map(lit): _*))).as(s"score_$lang")

@@ -245,23 +245,59 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
     vocab.foreach(s.add)
     s
   }
-  @transient private lazy val maxPieceLen: Int = vocab.map(_.length).max
+  // piece lengths are measured in CODE POINTS (the unit DuckDB's
+  // substr/length use), so the greedy rule agrees cross-engine even when
+  // vocabulary pieces carry non-BMP characters
+  @transient private lazy val maxPieceLen: Int =
+    vocab.map(p => p.codePointCount(0, p.length)).max
 
-  /** Public (called from generated code): one word in, its pieces out. */
+  /** Public (called from generated code): one word in, its pieces out.
+    * Positions are CODE POINTS — the ASCII token contract takes the
+    * unit==point fast path; non-ASCII input (the SQL surface, the unicode
+    * tokenizer) is segmented on code-point boundaries so a surrogate pair
+    * is never split and the greedy rule matches the DuckDB oracle's
+    * code-point substr. */
   def encode(v: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val tok = v.toString
     val n = tok.length
+    var ascii = true
+    var k = 0
+    while (ascii && k < n) { if (tok.charAt(k) >= 128) ascii = false; k += 1 }
     val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(4, n / 2))
-    var pos = 0
-    while (pos < n) {
-      var l = math.min(maxPieceLen, n - pos)
-      while (l > 1 && !pieceSet.contains(tok.substring(pos, pos + l))) l -= 1
-      // l == 1 is taken unconditionally: either it's a vocab piece or the
-      // single-character fallback — identical emission either way
-      out += org.apache.spark.unsafe.types.UTF8String
-        .fromString(tok.substring(pos, pos + l))
-      pos += l
+    if (ascii) {
+      var pos = 0
+      while (pos < n) {
+        var l = math.min(maxPieceLen, n - pos)
+        while (l > 1 && !pieceSet.contains(tok.substring(pos, pos + l))) l -= 1
+        // l == 1 is taken unconditionally: either it's a vocab piece or the
+        // single-character fallback — identical emission either way
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromString(tok.substring(pos, pos + l))
+        pos += l
+      }
+    } else {
+      // code-point start offsets (one extra slot holding n, so the slice
+      // [starts(p), starts(p + l)) is valid for the final piece too)
+      val cps = tok.codePointCount(0, n)
+      val starts = new Array[Int](cps + 1)
+      var i = 0
+      var c = 0
+      while (i < n) {
+        starts(c) = i
+        i += Character.charCount(tok.codePointAt(i))
+        c += 1
+      }
+      starts(c) = n
+      var pos = 0
+      while (pos < cps) {
+        var l = math.min(maxPieceLen, cps - pos)
+        while (l > 1 &&
+          !pieceSet.contains(tok.substring(starts(pos), starts(pos + l)))) l -= 1
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromString(tok.substring(starts(pos), starts(pos + l)))
+        pos += l
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }

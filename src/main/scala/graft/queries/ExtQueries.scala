@@ -54,6 +54,123 @@ object ExtQueries {
   val xFingerprint: Q = (s, dir) =>
     TextOps.fingerprint(docs(s, dir), col("doc_id"), col("text"))
 
+  // ---- unicode corpus path (multilingual fixture) ----
+
+  /** Deterministic multilingual suffixes planted on doc_id residue
+    * classes (the synthetic corpus is ASCII-only): Cyrillic with mixed
+    * case, space-separated CJK, precomposed AND decomposed Latin accents
+    * (NFC must unify them), German sharp-s plus an upper-cased ASCII mix.
+    * Unicode-escaped so the exact code points are explicit and survive
+    * any source/JSON transcoding; interpolated into BOTH engines' queries
+    * so the bytes agree. */
+  val MultiSuffixes: Seq[String] = Seq(
+    // " Привет МИР ёлка"
+    " Привет МИР" +
+      " ёлка",
+    // " 你好 世界 数据"
+    " 你好 世界 数据",
+    // " Café cafe<combining-acute> naïve" — NFC unifies the two spellings
+    " Café café naïve",
+    // " Größe UPPER123"
+    " Größe UPPER123")
+
+  /** Variant suffixes for [[xDedupExactUni]]: same NFC form, different
+    * bytes (precomposed é/ö vs decomposed e+U+0301 / o+U+0308). */
+  val UniVariantA = " café größe"
+  val UniVariantB = " café größe"
+
+  /** The multilingual corpus: [[MultiSuffixes]] appended per residue
+    * class (map-side CASE — the fixture costs nothing at any scale). */
+  private def multiDocs(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 11
+    docs(s, dir).withColumn("mtext",
+      when(m === 0, concat(col("text"), lit(MultiSuffixes(0))))
+        .when(m === 1, concat(col("text"), lit(MultiSuffixes(1))))
+        .when(m === 2, concat(col("text"), lit(MultiSuffixes(2))))
+        .when(m === 3, concat(col("text"), lit(MultiSuffixes(3))))
+        .otherwise(col("text")))
+  }
+
+  /** The unicode token stream over the multilingual fixture:
+    * [[TextOps.tokensUnicode]] (NFC → lower → \p{L}\p{N} split) vs the
+    * ASCII [[TextOps.tokens]], which deletes every non-Latin character
+    * before downstream operators see it. n_nonlatin_chars counts the
+    * non-ASCII characters that SURVIVE tokenization (zero on the ASCII
+    * path by construction); the digest locks the exact token stream —
+    * including that "Café" and "cafe<combining-acute>" normalize to the
+    * same token. */
+  val xTokensUnicode: Q = (s, dir) => {
+    val toks = col("__tk")
+    TextOps.withTokens(multiDocs(s, dir), Seq(col("doc_id")), col("mtext"),
+        tokenizer = TextOps.tokensUnicode)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(toks).cast("long").as("n_tokens"),
+        array_join(toks, " ").as("__j"))
+      .select(col("doc_id"), col("n_tokens"),
+        length(regexp_replace(col("__j"), "[\\x00-\\x7f]", "")).cast("long")
+          .as("n_nonlatin_chars"),
+        md5(col("__j")).as("tok_digest"))
+  }
+
+  /** Unicode language-ID profiles: Latin entries plus Cyrillic and CJK
+    * stopword sets that only [[TextOps.tokensUnicode]] can ever match
+    * (the ASCII tokenizer deletes their text first). */
+  val uniProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "ru" -> Seq("привет", // привет
+      "мир", "ёлка", "и"),
+    "zh" -> Seq("你好", "世界", "数据"))
+
+  /** Language-ID routed through the unicode tokenizer: residue classes 0
+    * and 1 become pure Cyrillic / CJK documents, and pred_lang must flip
+    * to ru / zh for them — the end-to-end proof that non-Latin text now
+    * reaches the scorer (on the ASCII path their scores are all zero). */
+  val xLangIdUni: Q = (s, dir) => {
+    val m = col("doc_id") % 11
+    val df = docs(s, dir).withColumn("mtext",
+      when(m === 0, lit(MultiSuffixes(0)))
+        .when(m === 1, lit(MultiSuffixes(1)))
+        .otherwise(col("text")))
+    TextOps.languageId(df, col("doc_id"), col("mtext"), uniProfiles,
+        TextOps.tokensUnicode)
+      .select((col("doc_id") +: uniProfiles.map { case (l, _) =>
+        col(s"score_$l").cast("long").as(s"score_$l") }) :+
+        col("pred_lang"): _*)
+  }
+
+  /** Exact dedup on the NFC-unified unicode token stream: two variant
+    * copies of each selected document are planted with precomposed vs
+    * decomposed accent spellings — different BYTES, same NFC form — and
+    * must land in one content group (keep_id = the lower variant id).
+    * A byte-level content hash fundamentally lacks this property; the
+    * operator shape stays [[DedupOps.exact]]'s one hash-groupBy. */
+  val xDedupExactUni: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val sel = base.where(col("doc_id") % 17 === 0)
+    val v1 = sel.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+      concat(col("text"), lit(UniVariantA)).as("text"))
+    val v2 = sel.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+      concat(col("text"), lit(UniVariantB)).as("text"))
+    TextOps.withTokens(base.unionByName(v1).unionByName(v2),
+        Seq(col("doc_id")), col("text"), tokenizer = TextOps.tokensUnicode)
+      .select(col("doc_id"),
+        md5(array_join(col("__tk"), " ")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** TRUE subword counts over the UNICODE token stream: non-Latin
+    * characters have no piece in the fixture vocabulary, so the greedy
+    * encoder's single-character fallback carries them — pieces are
+    * counted, never silently dropped (on the ASCII path the tokenizer
+    * deletes the text before the encoder ever sees it). */
+  val xSubwordUni: Q = (s, dir) =>
+    TextOps.subwordCounts(multiDocs(s, dir), col("doc_id"), col("mtext"),
+        tokenizer = TextOps.tokensUnicode)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_subwords"))
+
   /** WET-style HTML extraction over deterministically-wrapped documents:
     * each doc is rendered into a page (heading, script+style blocks,
     * entities), extracted back, and digested — the wrap makes the op

@@ -14,6 +14,25 @@ object Oracles {
   private val TOK =
     "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')"
 
+  /** Canonical UNICODE tokeniser over an arbitrary text expression
+    * (mirrors TextOps.tokensUnicode: NFC → lower → \p{L}\p{N} property
+    * classes — the identical RE2-compatible class regex on both engines;
+    * nfc_normalize is utf8proc, an independent implementation of the
+    * Unicode standard vs the JDK normalizer the Spark side runs). */
+  private def tokUni(texpr: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower(nfc_normalize($texpr)), " +
+      s"'[^\\p{L}\\p{N}]+', ' ', 'g'), ' +'), x -> x <> '')"
+
+  /** The multilingual fixture text (mirrors ExtQueries.multiDocs —
+    * suffixes interpolated from the SAME Scala constants). */
+  private lazy val MULTI_TEXT: String = {
+    val x = graft.queries.ExtQueries.MultiSuffixes
+    s"(CASE WHEN doc_id % 11 = 0 THEN text || '${x(0)}' " +
+      s"WHEN doc_id % 11 = 1 THEN text || '${x(1)}' " +
+      s"WHEN doc_id % 11 = 2 THEN text || '${x(2)}' " +
+      s"WHEN doc_id % 11 = 3 THEN text || '${x(3)}' ELSE text END)"
+  }
+
   private val EN_STOPS = "['the','and','of','to','in','is','that','with']"
 
   /** The x_lin_classify scored corpus joined with the lang label — the
@@ -48,7 +67,13 @@ object Oracles {
   // suffix, single-char fallback), sharing only the piece-vocabulary
   // fixture verbatim. seg rows with pp >= 0 are the emitted pieces; the
   // pp = -1 seed row carries the scan position.
-  private lazy val BPE_SEG_CTES = {
+  private lazy val BPE_SEG_CTES = bpeSegCtes(TOK)
+
+  /** The greedy-segmentation CTE chain over an arbitrary token-array
+    * expression (the ASCII [[TOK]] for the fixture surface; a
+    * [[tokUni]] stream for the multilingual one — DuckDB's substr/length
+    * are code-point units, so the same SQL is unicode-correct). */
+  private def bpeSegCtes(tokExpr: String): String = {
     // '' -escape each piece: the fixture is alphanumeric today, but the
     // documented upgrade path swaps in a learned merge table whose pieces
     // could carry quotes — which would otherwise silently break (or
@@ -56,7 +81,7 @@ object Oracles {
     val vocabValues = graft.ext.TextOps.defaultBpeVocab
       .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
     s"""vocab(piece) AS (VALUES $vocabValues),
-       |toksb AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+       |toksb AS (SELECT doc_id, $tokExpr AS tk FROM documents WHERE text IS NOT NULL),
        |tokb AS (SELECT doc_id, CAST(i AS INT) AS tp, tk[i+1] AS w
        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toksb)),
        |seg(doc_id, tp, w, pos, pp, piece) AS (
@@ -1172,6 +1197,58 @@ object Oracles {
 
     "x_langid" ->
       s"""SELECT doc_id, $LANG_SELECT_SCORES, $LANG_PRED AS pred_lang FROM ($LANG_SCORED)""",
+
+    "x_tokens_unicode" ->
+      s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(j, '[\\x00-\\x7f]', '', 'g')) AS BIGINT)
+         |    AS n_nonlatin_chars,
+         |  md5(j) AS tok_digest
+         |FROM (SELECT doc_id, tk, array_to_string(tk, ' ') AS j
+         |  FROM (SELECT doc_id, ${tokUni(MULTI_TEXT)} AS tk
+         |        FROM documents WHERE text IS NOT NULL))""".stripMargin,
+
+    "x_langid_uni" -> {
+      val profs = graft.queries.ExtQueries.uniProfiles
+      val scoreCols = profs.map { case (l, stops) =>
+        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+      }.mkString(", ")
+      val names = profs.map(p => s"score_${p._1}").mkString(", ")
+      val maxExpr = profs.map(p => s"score_${p._1}")
+        .mkString("greatest(", ", ", ")")
+      val pred = profs.map { case (l, _) =>
+        s"WHEN score_$l = m AND m > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val x = graft.queries.ExtQueries.MultiSuffixes
+      val mtext = s"(CASE WHEN doc_id % 11 = 0 THEN '${x(0)}' " +
+        s"WHEN doc_id % 11 = 1 THEN '${x(1)}' ELSE text END)"
+      s"""SELECT doc_id, $names, $pred AS pred_lang FROM
+         |(SELECT doc_id, $names, $maxExpr AS m FROM
+         |  (SELECT doc_id, $scoreCols FROM
+         |    (SELECT doc_id, ${tokUni(mtext)} AS tk
+         |     FROM documents WHERE text IS NOT NULL)))""".stripMargin
+    },
+
+    "x_dedup_exact_uni" -> {
+      val a = graft.queries.ExtQueries.UniVariantA
+      val b = graft.queries.ExtQueries.UniVariantB
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |sel AS (SELECT doc_id, text FROM base WHERE doc_id % 17 = 0),
+         |allv AS (SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 1000000000, text || '$a' FROM sel
+         |  UNION ALL SELECT doc_id + 2000000000, text || '$b' FROM sel)
+         |SELECT md5(array_to_string(tk, ' ')) AS content_hash,
+         |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+         |FROM (SELECT doc_id, ${tokUni("text")} AS tk FROM allv)
+         |GROUP BY 1""".stripMargin
+    },
+
+    "x_subword_uni" ->
+      s"""WITH RECURSIVE ${bpeSegCtes(tokUni(MULTI_TEXT))}
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(p.np, 0) AS BIGINT) AS n_subwords
+         |FROM toksb t LEFT JOIN (SELECT doc_id, count(*) AS np
+         |  FROM seg WHERE pp >= 0 GROUP BY doc_id) p USING (doc_id)""".stripMargin,
 
     "x_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint

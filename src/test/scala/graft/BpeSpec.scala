@@ -285,6 +285,22 @@ class BpeSpec extends SparkTestBase {
     cmp(Seq("zz" -> "qq"))          // sides no corpus word can produce
   }
 
+  test("BpeEncode segments by CODE POINT: non-Latin single-char fallback, " +
+    "CJK vocab pieces match, astral chars never split into surrogates") {
+    def enc(w: String, vocab: Seq[String]): Seq[String] =
+      Seq(w).toDF("w").select(TextFunctions.bpeEncode(col("w"), vocab).as("p"))
+        .as[Seq[String]].head()
+    // no piece matches the CJK prefix: each code point is ONE fallback piece
+    assert(enc("你好ab", Seq("a", "b", "ab")) === Seq("你", "好", "ab"))
+    // a CJK piece in the vocabulary is matched greedily
+    assert(enc("你好ab", Seq("你好", "a", "b")) === Seq("你好", "a", "b"))
+    val clef = "𝄞" // U+1D11E, non-BMP
+    assert(enc(s"a${clef}b", Seq("a", "b")) === Seq("a", clef, "b"))
+    // an astral piece is 2 code points (not 4 UTF-16 units): greedy match
+    // must consume exactly the pair
+    assert(enc(clef * 3, Seq(clef + clef)) === Seq(clef + clef, clef))
+  }
+
   test("native BpeApplyMerges matches the fold on non-ASCII and " +
     "astral-plane input: symbols are code points, not UTF-16 units") {
     val clef = "𝄞" // U+1D11E musical G clef (non-BMP)

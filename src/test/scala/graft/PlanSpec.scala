@@ -114,7 +114,12 @@ class PlanSpec extends SparkTestBase {
     // the withTokens barrier (the chunkTokens n > 0 case: the size filter
     // was alias-substituted below the barrier into the scan Filter).
     Seq("x_chunks", "x_skipgram", "x_cooc", "x_cdc_chunks", "x_bpe_encode",
-      "x_bpe_fertility", "x_bpe_merge_encode").foreach { q =>
+      "x_bpe_fertility", "x_bpe_merge_encode",
+      // the unicode chain shares the split(trim(regexp_replace(lower(…
+      // prefix (nfc_normalize sits inside the lower()), so the same lock
+      // covers it; x_dedup_exact_uni tokenizes ABOVE the 3-branch union,
+      // so it too must stay at one whole-plan chain
+      "x_tokens_unicode", "x_subword_uni", "x_dedup_exact_uni").foreach { q =>
       val total = "split\\(trim\\(regexp_replace\\(lower\\(".r.findAllIn(plan(q)).size
       assert(total <= 1,
         s"$q: whole plan tokenizes $total times — barrier lost")

@@ -351,4 +351,59 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(("a", "a")) === ((1L, 0.5)))
     assert(got.size === 2)
   }
+
+  test("tokensUnicode: non-Latin text survives, NFC unifies decomposed " +
+    "spellings, case folds, and the ASCII path is unchanged") {
+    def tok(t: String): Seq[String] =
+      Seq(t).toDF("text").select(TextOps.tokensUnicode($"text").as("tk"))
+        .as[Seq[String]].head()
+    // Cyrillic: lowered, ё (U+0451) kept
+    assert(tok("Привет, МИР! ёлка") === Seq("привет", "мир", "ёлка"))
+    // CJK kept whole per space-separated run (no case)
+    assert(tok("你好 世界 data") === Seq("你好", "世界", "data"))
+    // NFC: precomposed é == decomposed e+U+0301 — ONE token type
+    assert(tok("café café") === Seq("café", "café"))
+    // decomposed Ö+sharp-s lowercases to the precomposed form
+    assert(tok("GRÖßE") === Seq("größe"))
+    // punctuation/digits behave like the ASCII tokenizer on ASCII input
+    val ascii = "The quick-brown F0X; jumps!! 42 times."
+    assert(tok(ascii) ===
+      Seq(ascii).toDF("text").select(TextOps.tokens($"text").as("tk"))
+        .as[Seq[String]].head())
+    // the ASCII tokenizer DELETES all of this — the gap this path closes
+    assert(Seq("Привет 你好").toDF("text")
+      .select(TextOps.tokens($"text").as("tk"))
+      .as[Seq[String]].head() === Seq.empty)
+  }
+
+  test("x_langid_uni: residue classes 0/1 flip pred_lang to ru/zh — " +
+    "non-Latin text genuinely reaches the scorer") {
+    val got = SparkEntry.queries("x_langid_uni")(spark, sf())
+      .select($"doc_id" % 11, $"pred_lang").distinct()
+      .as[(Long, String)].collect().groupBy(_._1)
+    assert(got(0L).map(_._2).toSet === Set("ru"))
+    assert(got(1L).map(_._2).toSet === Set("zh"))
+    // other classes never score ru/zh (their text is ASCII)
+    (2L to 10L).foreach { m =>
+      assert(!got(m).map(_._2).toSet.exists(Set("ru", "zh")),
+        s"class $m leaked a non-Latin prediction")
+    }
+  }
+
+  test("x_dedup_exact_uni: precomposed and decomposed variants of every " +
+    "selected doc land in ONE content group") {
+    val base = spark.read.parquet(sf() + "/documents.parquet")
+      .where($"text".isNotNull && $"doc_id" % 17 === 0)
+      .select($"doc_id").as[Long].collect()
+    assert(base.nonEmpty)
+    val dedup = SparkEntry.queries("x_dedup_exact_uni")(spark, sf())
+    // every variant pair {1e9+d, 2e9+d} shares a group whose keep_id is
+    // the precomposed variant (min id) — i.e. the NFC forms hashed equal
+    val keepers = dedup.where($"keep_id" >= 1000000000L && $"n_dups" >= 2)
+      .select($"keep_id").as[Long].collect().toSet
+    base.foreach { d =>
+      assert(keepers.contains(1000000000L + d),
+        s"variants of doc $d did not unify under NFC")
+    }
+  }
 }

@@ -214,6 +214,43 @@ object ExtQueries {
   val xBpeMergeEncode: Q = (s, dir) =>
     TextOps.bpeApplyMerges(docs(s, dir), col("doc_id"), col("text"))
 
+  /** BPE merge-table LEARNING as a declared, oracle-checked artifact: 8
+    * Sennrich rounds over the corpus word-type table ([[TextOps
+    * .bpeLearnMerges]] — per-round 1-row argmax collect, parameter-
+    * bounded). The DuckDB oracle replays the identical loop UNROLLED:
+    * per round, adjacent-pair counts over the delimited word strings, the
+    * same (cnt DESC, left, right) argmax, and the merge applied as one
+    * non-overlapping delimited replace — an independent implementation
+    * agreeing on every learned rank AND its pair count. Collect-eager
+    * (the PlanAudit exclusion class); plan shape locked in BpeSpec. */
+  val xBpeLearn: Q = (s, dir) =>
+    TextOps.bpeLearnMerges(docs(s, dir), col("text"), nMerges = 8)
+
+  /** The whole subword pipeline as ONE artifact — learn → apply →
+    * aggregate: the 8 merges learned above feed the native
+    * [[graft.functions.BpeApplyMerges]] as its constructor-constant
+    * table (rank-order semantics, the table's OWN semantics), and the
+    * resulting corpus segmentation collapses to per-(source, piece)
+    * counts. Any divergence anywhere in the chain — a different learned
+    * rank, a different tie-break, a different skip pass — changes the
+    * piece distribution and fails the hash compare. The oracle re-learns
+    * with its unrolled CTE chain and re-applies with the delimited
+    * replaces, end to end. */
+  val xBpeLearnedPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val df = docs(s, dir)
+    val learned = TextOps.bpeLearnMerges(df, col("text"), nMerges = 8)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    TextOps.withTokens(df, Seq(col("source")), col("text"))
+      .select(col("source"), explode(col("__tk")).as("tok"))
+      .select(col("source"), explode(
+          graft.functions.TextFunctions.bpeApplyMerges(col("tok"), learned))
+        .as("piece"))
+      .groupBy("source", "piece")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Sequence packing driven by TRUE subword counts (not the ceil(len/4)
     * proxy): [[TextOps.subwordCounts]] into
     * [[CorpusOps.packSequences]]'s next-fit bins — the real

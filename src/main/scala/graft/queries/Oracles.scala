@@ -69,6 +69,54 @@ object Oracles {
   // pp = -1 seed row carries the scan position.
   private lazy val BPE_SEG_CTES = bpeSegCtes(TOK)
 
+  /** The UNROLLED Sennrich learn loop (mirrors TextOps.bpeLearnMerges):
+    * w0 = the word-type table as both-side-delimited symbol strings
+    * ("|t||i||n||g|", the x_bpe_merge_encode encoding); per round r,
+    * p_r counts every ADJACENT symbol occurrence weighted by word
+    * frequency, m_r takes the (cnt DESC, a, b) argmax — the exact Spark
+    * tie-break — and w_r applies the merge as ONE non-overlapping
+    * delimited replace (resume-after-match IS the left-to-right skip).
+    * The CASE guards keep the chain total if a round exhausts (no pairs
+    * left), matching the Spark loop's early stop. Leaves `merges`
+    * (rank, left, right, merged, cnt) and m1..mN defined. */
+  private def bpeLearnCtes(nMerges: Int): String = {
+    // AS MATERIALIZED on every per-round CTE: DuckDB inlines CTEs by
+    // default, and each w_r is referenced twice (p_{r+1}, w_{r+1}) while
+    // each m_r is referenced ~6 times — inlined, the chain expands
+    // exponentially (observed: thousands of parquet re-opens at 8 rounds)
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, n FROM
+         |  (SELECT w, CAST(count(*) AS BIGINT) AS n FROM
+         |    (SELECT unnest($TOK) AS w FROM documents WHERE text IS NOT NULL)
+         |   GROUP BY w))""".stripMargin
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT sy[i+1] AS a, sy[i+2] AS b, sum(n) AS cnt FROM
+         |  (SELECT sy, n, unnest(range(0, len(sy) - 1)) AS i FROM
+         |    (SELECT string_split(trim(s, '$PIPE'), '$PIPE$PIPE') AS sy, n
+         |     FROM w${r - 1}))
+         |  GROUP BY a, b),
+         |m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM m$r) = 0 THEN s
+         |  ELSE replace(s,
+         |    '$PIPE' $CC (SELECT a FROM m$r) $CC '$PIPE$PIPE' $CC
+         |      (SELECT b FROM m$r) $CC '$PIPE',
+         |    '$PIPE' $CC (SELECT a FROM m$r) $CC (SELECT b FROM m$r) $CC
+         |      '$PIPE') END AS s, n FROM w${r - 1})""".stripMargin
+    }
+    val ranks = (1 to nMerges).map { r =>
+      s"""SELECT $r AS rank, a AS "left", b AS "right",
+         |  a $CC b AS merged, cnt FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    (Seq(w0) ++ rounds).mkString(",\n") +
+      s",\nmerges AS (\n$ranks)"
+  }
+
+  // SQL fragments kept out of stripMargin templates: a line-leading '||'
+  // (concat) or '|' (delimiter literal) would be eaten by an OUTER
+  // stripMargin when this text is interpolated into another template
+  private val PIPE = "|"
+  private val CC = "||"
+
   /** The greedy-segmentation CTE chain over an arbitrary token-array
     * expression (the ASCII [[TOK]] for the fixture surface; a
     * [[tokUni]] stream for the multilingual one — DuckDB's substr/length
@@ -3062,6 +3110,41 @@ object Oracles {
       s"""WITH RECURSIVE $BPE_SEG_CTES
          |SELECT doc_id, tp, CAST(pp AS INT) AS pp, piece
          |FROM seg WHERE pp >= 0""".stripMargin,
+
+    // the learned merge table, re-derived end to end: 8 unrolled Sennrich
+    // rounds over the word-type table (see bpeLearnCtes)
+    "x_bpe_learn" ->
+      s"""WITH ${bpeLearnCtes(8)}
+         |SELECT CAST(rank AS INT) AS rank, "left", "right", merged,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM merges""".stripMargin,
+
+    // learn -> apply -> aggregate as ONE oracle: the unrolled learn chain
+    // above, then every corpus token instance pushed through the SAME
+    // ranked delimited replaces, then per-(source, piece) counts
+    "x_bpe_learned_pipeline" -> {
+      // one MATERIALIZED CTE per applied rank (a nested 8-rank expression
+      // exceeds the parser's tree-depth limit; chained CTEs are also the
+      // shape that doesn't re-inline the learn chain per rank)
+      val applied = (1 to 8).map { r =>
+        s"""a$r AS MATERIALIZED (SELECT source,
+           |  CASE WHEN (SELECT count(*) FROM m$r) = 0 THEN s
+           |  ELSE replace(s,
+           |    '$PIPE' $CC (SELECT a FROM m$r) $CC '$PIPE$PIPE' $CC
+           |      (SELECT b FROM m$r) $CC '$PIPE',
+           |    '$PIPE' $CC (SELECT a FROM m$r) $CC (SELECT b FROM m$r) $CC
+           |      '$PIPE') END AS s FROM a${r - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeLearnCtes(8)},
+         |dlp AS (SELECT source, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+         |a0 AS (SELECT source, regexp_replace(tk[i+1], '(.)', '|\\1|', 'g') AS s
+         |  FROM (SELECT source, tk, unnest(range(0, len(tk))) AS i FROM dlp)),
+         |$applied,
+         |enclp AS (SELECT source,
+         |  string_split(trim(s, '$PIPE'), '$PIPE$PIPE') AS pieces FROM a8)
+         |SELECT source, piece, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT source, unnest(pieces) AS piece FROM enclp)
+         |GROUP BY source, piece""".stripMargin
+    },
 
     // rank-ordered BPE merge inference: each rank is ONE non-overlapping
     // replace over a both-sides-delimited symbol string ("|t||i||n||g|")

@@ -351,6 +351,36 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("x_bpe_learned_pipeline: per-(source, piece) totals reconcile with " +
+    "the corpus segmentation under the learned table; sides derivable") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("text").isNotNull)
+    val learned = TextOps.bpeLearnMerges(df, col("text"), nMerges = 8)
+      .orderBy("rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(learned.size === 8)
+    // BPE invariant: every rule side is a single char or the product of
+    // an EARLIER rank (what makes rank-order application well-defined)
+    val products = scala.collection.mutable.Set.empty[String]
+    learned.foreach { case (_, l, r, m, _) =>
+      assert(l.length == 1 || products.contains(l), s"left $l underivable")
+      assert(r.length == 1 || products.contains(r), s"right $r underivable")
+      assert(m === l + r)
+      products += m
+    }
+    val pipe = SparkEntry.queries("x_bpe_learned_pipeline")(spark, sf())
+    val total = pipe.agg(sum("n")).as[Long].head()
+    val direct = TextOps.bpeApplyMerges(df, col("doc_id"), col("text"),
+      learned.map(t => (t._2, t._3))).count()
+    assert(total === direct,
+      "aggregate piece count != direct segmentation row count")
+    // merged pieces actually appear in the segmentation (the learned
+    // table is live, not a no-op)
+    val pieces = pipe.select("piece").distinct().as[String].collect().toSet
+    assert(learned.map(_._4).count(pieces.contains) >= 4,
+      s"learned products barely used: ${learned.map(_._4)} vs corpus pieces")
+  }
+
   test("x_bpe_fertility: per-source sums reconcile with subwordCounts, " +
     "fertility >= 1, one partial-aggregated shuffle, no join") {
     val df = spark.read.parquet(sf() + "/documents.parquet")

@@ -631,6 +631,26 @@ object Oracles {
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
+    // double-correlated EXISTS / NOT EXISTS, verbatim — DuckDB
+    // decorrelates the same text independently (see RefQueries.tpch21)
+    "q_tpch21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
     "q_tpch18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
         |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem

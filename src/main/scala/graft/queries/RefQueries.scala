@@ -154,6 +154,44 @@ object RefQueries {
                           WHERE l2.l_partkey = p_partkey)""")
   }
 
+  /** TPC-H Q21 shape ("waiting supplier"): the EXISTS / NOT-EXISTS
+    * DECORRELATION anchor — both subqueries are correlated on the order
+    * key with a NON-EQUI side condition (l2.l_suppkey <> l1.l_suppkey),
+    * the double-correlated shape Catalyst must rewrite to one left-semi
+    * and one left-anti join over lineitem (RewritePredicateSubquery);
+    * a naive execution re-scans lineitem once per probe row. PlanSpec
+    * locks the decorrelated plan: exactly one LeftSemi + one LeftAnti,
+    * equi on the order key, zero BNLJ/cartesian fallbacks even with
+    * broadcasting disabled. DuckDB plans the SAME verbatim text through
+    * its own decorrelator, so the hash agreement is an end-to-end
+    * cross-engine decorrelation check (the q_tpch17 pattern, extended
+    * from scalar to existential subqueries). Adapted to the testdata
+    * schema: no l_receiptdate/l_commitdate, so "late" is l_returnflag =
+    * 'R' (the join graph, correlation shape, and aggregation are the
+    * point). */
+  val tpch21: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch21_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("tpch21_orders")
+    t(s, dir, "supplier").createOrReplaceTempView("tpch21_supplier")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM tpch21_supplier, tpch21_lineitem l1, tpch21_orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM tpch21_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM tpch21_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""")
+  }
+
   /** TPC-H Q18 shape: group-having on the fact table, then join back. */
   val tpch18: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")

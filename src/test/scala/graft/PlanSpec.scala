@@ -33,6 +33,25 @@ class PlanSpec extends SparkTestBase {
     assert(read.count(_ == ',') <= 2, read)
   }
 
+  test("q_tpch21: both existential subqueries DECORRELATE to one semi + " +
+    "one anti join, equi on the order key, no BNLJ — with broadcasting " +
+    "disabled the whole tree is sort-merge (the 100-TB shape)") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch21")
+      assert(countIn(p, "LeftSemi") === 1,
+        s"EXISTS did not decorrelate to one semi join:\n$p")
+      assert(countIn(p, "LeftAnti") === 1,
+        s"NOT EXISTS did not decorrelate to one anti join:\n$p")
+      // the non-equi suppkey side condition must ride the equi join as a
+      // residual, never force a nested-loop fallback
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert(countIn(p, "SortMergeJoin") >= 3, p)
+      assert(!p.contains("exists-subquery") && !p.contains("list-subquery"),
+        s"subquery marker survived to the physical plan:\n$p")
+    }
+  }
+
   test("q28 lookup join keeps its explicit broadcast") {
     assert(countIn(plan("q28_lookup_join"), "BroadcastHashJoin") >= 1)
   }

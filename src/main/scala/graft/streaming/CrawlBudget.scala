@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -23,8 +25,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   - state per host = (current window start, admissions in it) — two
   *     longs, NOT the seen URLs (dedup is [[StreamDedup.urlDedup]]'s job
   *     upstream), so state is O(live hosts) however hot the crawl;
-  *   - within a batch the group sorts by (ts, url) — deterministic
-  *     admission order under any partitioning (the md5-everywhere house
+  *   - admission order within a batch is (ts, url) ascending —
+  *     deterministic under any partitioning (the md5-everywhere house
   *     rule's streaming analogue);
   *   - a fetch in a LATER window resets the counter; a fetch from an
   *     already-LAPSED window (late, inside the watermark) is denied with
@@ -38,19 +40,95 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * .canonicalized]]): admission is per HOST, and the host of a
   * non-canonical spelling may differ by case/port.
   *
-  * Memory bound: the emit-every-fetch-with-its-flag contract means one
-  * micro-batch's fetches for ONE host buffer in that task (the sort that
-  * makes the cut deterministic needs them anyway). PERSISTENT state
-  * stays two longs per host regardless, but if a single host can exceed
-  * executor memory within one micro-batch, bound the trigger interval or
-  * pre-limit per (host, batch) upstream — admission past maxPerWindow is
-  * denial either way. */
+  * Memory bound: a hot host's micro-batch fetches do NOT buffer in the
+  * task. [[admitGroup]] keeps a bounded selection — the `maxPerWindow`
+  * sort-smallest (ts, url) rows PER EVENT-TIME WINDOW touched by the
+  * batch (a max-heap per window) — and every row that overflows the
+  * selection is emitted as a denial IMMEDIATELY and lazily through the
+  * output iterator. The overflow emission is exact, not approximate: an
+  * evicted row has, at eviction time, `maxPerWindow` batch rows of the
+  * same window strictly smaller in (ts, url) order, so the sequential
+  * replay is guaranteed to find that window's budget exhausted when it
+  * reaches the row (`n_in_window = maxPerWindow`), or to find the window
+  * lapsed (`-1`) when it predates the carried state's window. Buffered
+  * rows per (host, batch) are therefore at most
+  * `windows-touched-by-the-batch × maxPerWindow` — independent of how
+  * many fetches the host saw — and final state is identical because
+  * denied rows never mutate state. CrawlBudgetSpec floods one host and
+  * proves the bound with an instrumented probe. */
 object CrawlBudget {
 
   case class BudgetState(windowStart: Long, admitted: Int)
 
   case class Admission(host: String, url: String, ts: Timestamp,
                        admitted: Boolean, n_in_window: Int)
+
+  /** One host-group's admission pass: bounded selection + lazy overflow
+    * denials, then the sequential replay over the kept rows only.
+    *
+    * `commit` receives the final [[BudgetState]] once the kept rows are
+    * replayed (after every overflow denial has been yielded); the
+    * production caller maps it to `state.update` + timeout, the spec
+    * captures it directly. `bufferProbe`, when non-null, observes the
+    * kept-row count after each input row — spec instrumentation for the
+    * memory bound, zero-cost (null check) in production. */
+  private[graft] def admitGroup(
+      host: String,
+      rows: Iterator[(String, String, Timestamp)],
+      st0: Option[BudgetState],
+      winMs: Long,
+      maxPerWindow: Int,
+      commit: BudgetState => Unit,
+      bufferProbe: Int => Unit = null): Iterator[Admission] = {
+    val w0 = st0.map(_.windowStart).getOrElse(Long.MinValue)
+    // admission order is (millis, url) — identical to the former
+    // rows.toSeq.sortBy(r => (r._3.getTime, r._2)); the Timestamp rides
+    // along so emitted rows keep any sub-millisecond component
+    val ord = Ordering.by[(Long, String, Timestamp), (Long, String)](
+      t => (t._1, t._2))
+    val heaps = mutable.LongMap.empty[
+      mutable.PriorityQueue[(Long, String, Timestamp)]]
+    var kept = 0
+    // Pass over the input: per window keep the maxPerWindow smallest
+    // (ts, url); a row evicted from the selection already has
+    // maxPerWindow same-window rows ahead of it this batch, so its
+    // denial row is fully determined here and streams straight out.
+    val overflow: Iterator[Admission] = rows.flatMap { case (_, url, ts) =>
+      val tsMs = ts.getTime
+      val w = Math.floorDiv(tsMs, winMs) * winMs
+      val pq = heaps.getOrElseUpdate(w,
+        mutable.PriorityQueue.empty[(Long, String, Timestamp)](ord))
+      pq.enqueue((tsMs, url, ts))
+      val out = if (pq.size > maxPerWindow) {
+        val (_, eurl, ets) = pq.dequeue() // sort-largest of the kept set
+        Some(Admission(host, eurl, ets, admitted = false,
+          n_in_window = if (w < w0) -1 else maxPerWindow))
+      } else { kept += 1; None }
+      if (bufferProbe ne null) bufferProbe(kept)
+      out
+    }
+    // Replay runs only once `overflow` is exhausted (Iterator.++ is
+    // by-name), i.e. once the selection is final.
+    def replay(): Iterator[Admission] = {
+      val keptRows = heaps.iterator.flatMap(_._2.iterator).toArray.sorted(ord)
+      var st = st0.getOrElse(BudgetState(Long.MinValue, 0))
+      val out = keptRows.map { case (tsMs, url, ts) =>
+        val w = Math.floorDiv(tsMs, winMs) * winMs
+        if (w > st.windowStart) st = BudgetState(w, 0)
+        if (w < st.windowStart) {
+          Admission(host, url, ts, admitted = false, n_in_window = -1)
+        } else if (st.admitted < maxPerWindow) {
+          st = st.copy(admitted = st.admitted + 1)
+          Admission(host, url, ts, admitted = true, st.admitted)
+        } else {
+          Admission(host, url, ts, admitted = false, st.admitted)
+        }
+      }
+      commit(st)
+      out.iterator
+    }
+    overflow ++ replay()
+  }
 
   def perHostAdmit(pages: DataFrame, urlCol: String, tsCol: String,
                    watermark: String, windowSeconds: Int,
@@ -71,30 +149,16 @@ object CrawlBudget {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (host, rows, state: GroupState[BudgetState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
-            var st = state.getOption.getOrElse(BudgetState(Long.MinValue, 0))
-            val out = sorted.map { case (_, url, ts) =>
-              val w = Math.floorDiv(ts.getTime, winMs) * winMs
-              if (w > st.windowStart) st = BudgetState(w, 0)
-              if (w < st.windowStart) {
-                Admission(host, url, ts, admitted = false, n_in_window = -1)
-              } else if (st.admitted < maxPerWindow) {
-                st = st.copy(admitted = st.admitted + 1)
-                Admission(host, url, ts, admitted = true, st.admitted)
-              } else {
-                Admission(host, url, ts, admitted = false, st.admitted)
-              }
-            }
-            state.update(st)
-            // evict once the watermark passes the window end; the clamp
-            // keeps setTimeoutTimestamp legal when the window end has
-            // already been overtaken
-            state.setTimeoutTimestamp(
-              math.max(st.windowStart + winMs,
-                state.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
+          else admitGroup(host, rows, state.getOption, winMs, maxPerWindow,
+            commit = { st =>
+              state.update(st)
+              // evict once the watermark passes the window end; the clamp
+              // keeps setTimeoutTimestamp legal when the window end has
+              // already been overtaken
+              state.setTimeoutTimestamp(
+                math.max(st.windowStart + winMs,
+                  state.getCurrentWatermarkMs() + 1))
+            })
       }
   }
 }

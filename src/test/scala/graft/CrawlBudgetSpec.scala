@@ -77,6 +77,74 @@ class CrawlBudgetSpec extends SparkTestBase {
     assert(got(u(9)) === ((false, -1)))
   }
 
+  test("bounded buffering: a single-host flood keeps at most " +
+    "windows*maxPerWindow rows buffered, output and final state exactly " +
+    "match the unbounded sorted replay") {
+    import graft.streaming.CrawlBudget.{Admission, BudgetState}
+    val winMs = 60000L
+    val max = 3
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 30k fetches over 4 windows, deterministically shuffled so arrival
+    // order is adversarial w.r.t. (ts, url) order
+    val flood = (0 until 30000).map { i =>
+      val w = i % 4
+      val t = new Timestamp(base + w * winMs + (i % 57) * 1000L)
+      (s"h.example.com", s"https://h.example.com/p/${(i * 7919) % 30000}", t)
+    }.sortBy { case (_, u, _) => u.hashCode * 31 + u.length } // scrambled
+    // independent oracle: the pre-bounded algorithm (full buffer + sort)
+    def naive(st0: Option[BudgetState]): (Seq[Admission], BudgetState) = {
+      val sorted = flood.sortBy(r => (r._3.getTime, r._2))
+      var st = st0.getOrElse(BudgetState(Long.MinValue, 0))
+      val out = sorted.map { case (h, url, t) =>
+        val w = Math.floorDiv(t.getTime, winMs) * winMs
+        if (w > st.windowStart) st = BudgetState(w, 0)
+        if (w < st.windowStart) Admission(h, url, t, false, -1)
+        else if (st.admitted < max) {
+          st = st.copy(admitted = st.admitted + 1)
+          Admission(h, url, t, true, st.admitted)
+        } else Admission(h, url, t, false, st.admitted)
+      }
+      (out, st)
+    }
+    // carried state: the first window already half-spent, and one
+    // EARLIER window lapsed relative to it is exercised via w0 > min w
+    val st0 = Some(BudgetState(base + winMs, 2))
+    var maxBuffered = 0
+    var committed: BudgetState = null
+    val got = graft.streaming.CrawlBudget.admitGroup(
+      "h.example.com", flood.iterator, st0, winMs, max,
+      commit = committed = _, bufferProbe = n => maxBuffered = maxBuffered max n)
+      .toSeq
+    val (want, wantSt) = naive(st0)
+    assert(maxBuffered <= 4 * max,
+      s"buffered $maxBuffered rows; bound is windows*maxPerWindow = ${4 * max}")
+    assert(committed === wantSt)
+    assert(got.size === want.size)
+    // multiset equality (overflow denials interleave ahead of the replay)
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      want.groupBy(identity).view.mapValues(_.size).toMap)
+    // lapsed-window flag present: window 0 predates the carried window
+    assert(got.count(_.n_in_window == -1) === want.count(_.n_in_window == -1))
+    assert(got.count(_.n_in_window == -1) > 0)
+  }
+
+  test("end-to-end flood: one host, one window, 2000 fetches in one " +
+    "micro-batch -> exactly maxPerWindow admitted, the rest denied at the " +
+    "budget") {
+    val flood = (0 until 2000).map { i =>
+      (i.toLong, s"https://flood.example.com/p/$i",
+        ts("2024-01-01 00:00:01"))
+    }
+    val got = run(Seq(flood), "cb_flood")
+    val admitted = got.collect { case (u, (true, n)) => (u, n) }
+    assert(admitted.size === 3)
+    // deterministic cut: lexicographically smallest urls at equal ts
+    assert(admitted.map(_._1).toSet ===
+      flood.map(_._2).sorted.take(3).toSet)
+    assert(got.collect { case (_, (false, n)) => n }.toSeq.distinct === Seq(3))
+    assert(got.size === 2000)
+  }
+
   test("timeout eviction: once the watermark passes the window end, the " +
     "host's state is removed and a new fetch gets a fresh budget") {
     def u(p: Int) = s"https://h.example.com/p/$p"

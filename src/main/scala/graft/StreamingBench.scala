@@ -310,7 +310,65 @@ object StreamingBench {
     val bState = stateRows(q8)
     q8.stop()
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    // ---- composed crawl frontier: urlDedup -> TWS budget -> CDC chunk
+    // dedup, three stateful operators in ONE query (RocksDB state store —
+    // the transformWithState requirement). Per batch: 70% fresh pages,
+    // 30% SYNDICATED copies (same-batch body re-published under a
+    // distinct url with a fresh 3-token header) — unique canonical urls
+    // pass the seen-set, ~51 fetches/host/window against a budget of 40
+    // denies ~20% at stage 2, and stage 3 must suppress every body chunk
+    // of the syndicated copies despite the header shift. The metric is
+    // input docs/s through the WHOLE chain; state splits per stage prove
+    // each operator holds its own shape (urls / live hosts / chunk
+    // hashes), not the batch.
+    val frRows = batchRows / 10
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.Frontier.RocksDbProvider)
+    val fin = MemoryStream[(Long, String, String, Timestamp)]
+    val fr = graft.streaming.Frontier.crawlFrontier(
+      fin.toDF().toDF("fetch_id", "url", "text", "ts"), "url", "text", "ts",
+      watermark = "1 hour", windowSeconds = 1800, maxPerWindow = 40,
+      k = 3, divisor = 4, maxLen = 8)
+    val q9 = fr.writeStream.outputMode(OutputMode.Append())
+      .format("noop").start()
+    def frontierBatch(b: Int): Seq[(Long, String, String, Timestamp)] = {
+      val start = (b.toLong * 7 * frRows) / 10
+      val dup = (3 * frRows) / 10
+      def body(k: Long): String =
+        (0 until 40).map(j => "w" + ((k * 131 + j * 7) % 99991)).mkString(" ")
+      (0 until frRows).map { i =>
+        val k = start + i
+        val u = ((k + b) % 4) match {
+          case 0 => s"http://host${k % 97}.example.com/d/$k?a=1&b=2"
+          case 1 => s"HTTP://Host${k % 97}.Example.COM:80/d/$k?b=2&a=1"
+          case 2 => s"http://host${k % 97}.example.com/d/$k?a=1&b=2&utm_source=x"
+          case _ => s"http://host${k % 97}.example.com/d/$k?a=1&b=2#frag"
+        }
+        // leading 30%: a syndicated copy of a LATER same-batch body under
+        // this distinct url — novel header, duplicate body spans
+        val txt = if (i < dup) s"hdr$b fresh update " + body(k + dup)
+          else body(k)
+        (k, u, txt, new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+      }
+    }
+    (0 until warm).foreach { b => fin.addData(frontierBatch(b)); q9.processAllAvailable() }
+    val t9 = System.nanoTime()
+    (warm until total).foreach { b => fin.addData(frontierBatch(b)); q9.processAllAvailable() }
+    val fSec = (System.nanoTime() - t9) / 1e9
+    val fRows = (total - warm).toLong * frRows
+    val fOps = Option(q9.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+    val fHosts = fOps.filter(_.operatorName.contains("transformWithState"))
+      .map(_.numRowsTotal).sum
+    // two dedupe operators: the url seen-set is the smaller (urls within
+    // horizon), the chunk seen-set the larger (~6-8 chunks per doc)
+    val fDedups = fOps.filter(_.operatorName.contains("dedupe"))
+      .map(_.numRowsTotal).sorted
+    val (fUrls, fChunks) = (fDedups.headOption.getOrElse(0L),
+      fDedups.lastOption.getOrElse(0L))
+    q9.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"frontier_docs_per_sec":${fRows / fSec}%.0f,"frontier_doc_rows_per_batch":$frRows,"frontier_state_hosts":$fHosts,"frontier_state_urls":$fUrls,"frontier_state_chunks":$fChunks,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

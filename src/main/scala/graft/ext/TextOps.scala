@@ -198,12 +198,26 @@ object TextOps {
     * shuffles, map-only at any corpus size). */
   def cdcChunks(df: DataFrame, key: Column, text: Column, k: Int,
                 divisor: Int, maxLen: Int): DataFrame =
-    cdcStructRows(df, key, text, k, divisor, maxLen)
-      .select(col("doc_id"), col("chunk_id"),
+    cdcChunksKeys(df, Seq("doc_id" -> key), text, k, divisor, maxLen)
+
+  /** [[cdcChunks]] with several key columns carried through as TOP-LEVEL
+    * attributes instead of one `doc_id`. Identical boundaries and digests;
+    * the point of the shape is metadata survival — a bare attribute
+    * selected by name keeps its column metadata (notably the event-time
+    * watermark tag), while the struct(id, ts) round-trip the streaming
+    * caller would otherwise use strips it (Alias over GetStructField
+    * drops metadata), which breaks chaining a watermarked dedup after a
+    * stateful operator. Output: (keys…, chunk_id, start_tok, n_tokens,
+    * chunk_md5). */
+  def cdcChunksKeys(df: DataFrame, keys: Seq[(String, Column)], text: Column,
+                    k: Int, divisor: Int, maxLen: Int): DataFrame =
+    cdcStructRows(df, keys, text, k, divisor, maxLen)
+      .select(keys.map(kv => col(kv._1)) ++ Seq(col("chunk_id"),
         col("__c.s").as("start_tok"),
         col("__c.len").cast("long").as("n_tokens"),
         md5(concat_ws(" ",
-          slice(col("__tk2"), col("__c.s"), col("__c.len")))).as("chunk_md5"))
+          slice(col("__tk2"), col("__c.s"), col("__c.len"))))
+          .as("chunk_md5")): _*)
 
   /** The chunk TEXT form of [[cdcChunks]] — (doc_id, chunk_idx, chunk),
     * the input shape [[RepetitionOps]]'s dedup machinery consumes; same
@@ -211,13 +225,14 @@ object TextOps {
     * md5(chunk) equals [[cdcChunks]]'s chunk_md5 row for row. */
   def cdcChunkRows(df: DataFrame, key: Column, text: Column, k: Int,
                    divisor: Int, maxLen: Int): DataFrame =
-    cdcStructRows(df, key, text, k, divisor, maxLen)
+    cdcStructRows(df, Seq("doc_id" -> key), text, k, divisor, maxLen)
       .select(col("doc_id"), col("chunk_id").as("chunk_idx"),
         concat_ws(" ",
           slice(col("__tk2"), col("__c.s"), col("__c.len"))).as("chunk"))
 
-  /** Shared CDC derivation: (doc_id, chunk_id, __c = (s, len), __tk2). */
-  private def cdcStructRows(df: DataFrame, key: Column, text: Column, k: Int,
+  /** Shared CDC derivation: (keys…, chunk_id, __c = (s, len), __tk2). */
+  private def cdcStructRows(df: DataFrame, keys: Seq[(String, Column)],
+                            text: Column, k: Int,
                             divisor: Int, maxLen: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(divisor >= 2, "divisor must be >= 2")
@@ -237,17 +252,18 @@ object TextOps {
       array(lit(1)),
       (st, i) => when(n >= 2 && (gate(i) || i - element_at(st, -1) + 1 >= maxLen),
         concat(st, array(i + 1))).otherwise(st))
-    withTokens(df, Seq(key.as("doc_id")), text)
+    val keep = keys.map(kv => col(kv._1))
+    withTokens(df, keys.map(kv => kv._2.as(kv._1)), text)
       .where(n > 0)
-      .select(col("doc_id"), toks, starts.as("__starts"))
-      .select(col("doc_id"),
+      .select(keep ++ Seq(toks, starts.as("__starts")): _*)
+      .select(keep ++ Seq(
         posexplode(zip_with(col("__starts"),
           concat(slice(col("__starts"), lit(2),
             greatest(org.apache.spark.sql.functions.size(col("__starts")) - 1,
               lit(0))), array(n + 1)),
           (s, e) => struct(s.as("s"), (e - s).as("len"))))
           .as(Seq("chunk_id", "__c")),
-        toks.as("__tk2"))
+        toks.as("__tk2")): _*)
   }
 
   /** Skip-gram training pairs (word2vec data prep): for every token, emit

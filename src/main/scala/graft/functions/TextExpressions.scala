@@ -215,8 +215,19 @@ case class NfcNormalize(child: Expression)
   *
   * Input: one word (the [[graft.ext.TextOps.tokens]] stream — [a-z0-9]+,
   * so with single characters in the vocabulary the fallback never fires
-  * in practice). Output: array of pieces, concat = input. Positions are
-  * UTF-16 code units (irrelevant for the ASCII token contract).
+  * in practice). Output: array of pieces, concat = input (except under
+  * `byteFallback`, below).
+  *
+  * `byteFallback = true` (SentencePiece's byte-fallback convention): a
+  * position where NO vocab piece matches — not even the single code
+  * point — emits the code point's UTF-8 bytes as `<0xXX>` pieces instead
+  * of the raw character. With the 256 byte pieces implicitly always
+  * representable, segmentation is TOTAL over arbitrary UTF-8 with any
+  * vocabulary (the property a real multilingual corpus needs: the
+  * single-char fallback otherwise declares every unseen CJK/Cyrillic
+  * code point a "piece" of its own, which no downstream vocabulary id
+  * space contains). Off by default: the fixture surfaces lock the
+  * raw-char form.
   *
   * Fully CODEGEN'd (not CodegenFallback — this expression sits on every
   * subword-path row): doGenCode emits a direct call to [[encode]] on the
@@ -229,7 +240,8 @@ case class NfcNormalize(child: Expression)
   * 32k-piece production vocabulary costs the same per row as the test
   * fixture. The vocabulary is a constructor constant (driver-shipped once
   * per task like a broadcast literal), NOT a per-row child expression. */
-case class BpeEncode(child: Expression, vocab: Seq[String])
+case class BpeEncode(child: Expression, vocab: Seq[String],
+                     byteFallback: Boolean = false)
     extends UnaryExpression {
 
   require(vocab.nonEmpty, "bpe_encode: vocabulary must not be empty")
@@ -270,10 +282,12 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
       while (pos < n) {
         var l = math.min(maxPieceLen, n - pos)
         while (l > 1 && !pieceSet.contains(tok.substring(pos, pos + l))) l -= 1
-        // l == 1 is taken unconditionally: either it's a vocab piece or the
-        // single-character fallback — identical emission either way
-        out += org.apache.spark.unsafe.types.UTF8String
-          .fromString(tok.substring(pos, pos + l))
+        // l == 1: a vocab piece or the fallback — the raw character, or
+        // under byteFallback its UTF-8 byte pieces when it's unknown
+        val piece = tok.substring(pos, pos + l)
+        if (l == 1 && byteFallback && !pieceSet.contains(piece))
+          BpeEncode.emitBytePieces(piece, out)
+        else out += org.apache.spark.unsafe.types.UTF8String.fromString(piece)
         pos += l
       }
     } else {
@@ -294,8 +308,10 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
         var l = math.min(maxPieceLen, cps - pos)
         while (l > 1 &&
           !pieceSet.contains(tok.substring(starts(pos), starts(pos + l)))) l -= 1
-        out += org.apache.spark.unsafe.types.UTF8String
-          .fromString(tok.substring(starts(pos), starts(pos + l)))
+        val piece = tok.substring(starts(pos), starts(pos + l))
+        if (l == 1 && byteFallback && !pieceSet.contains(piece))
+          BpeEncode.emitBytePieces(piece, out)
+        else out += org.apache.spark.unsafe.types.UTF8String.fromString(piece)
         pos += l
       }
     }
@@ -315,6 +331,22 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object BpeEncode {
+  // the 256 byte pieces, SentencePiece spelling ("<0xAB>", uppercase hex),
+  // built once per JVM — fallback emission is table lookups, no formatting
+  private val bytePieces: Array[org.apache.spark.unsafe.types.UTF8String] =
+    (0 until 256).map(b => org.apache.spark.unsafe.types.UTF8String
+      .fromString(f"<0x$b%02X>")).toArray
+
+  /** Append the UTF-8 byte pieces of `piece` (one code point) to `out`. */
+  private[functions] def emitBytePieces(piece: String,
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    val bs = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bs.length) { out += bytePieces(bs(i) & 0xff); i += 1 }
+  }
 }
 
 /** Rank-ordered BPE merge inference of ONE word over a fixed RANKED merge
@@ -460,10 +492,13 @@ object TextFunctions {
       ColumnBridge.expression(s.cast("string"))))
 
   /** Greedy longest-match subword segmentation of one word over a fixed
-    * piece vocabulary (see [[BpeEncode]]). */
-  def bpeEncode(word: Column, vocab: Seq[String]): Column =
+    * piece vocabulary (see [[BpeEncode]]); `byteFallback = true` emits
+    * `<0xXX>` UTF-8 byte pieces where no piece (not even the single code
+    * point) is in the vocabulary. */
+  def bpeEncode(word: Column, vocab: Seq[String],
+                byteFallback: Boolean = false): Column =
     ColumnBridge.column(BpeEncode(
-      ColumnBridge.expression(word.cast("string")), vocab))
+      ColumnBridge.expression(word.cast("string")), vocab, byteFallback))
 
   /** Rank-ordered BPE merge inference of one word over a fixed ranked
     * merge table (see [[BpeApplyMerges]]). */

@@ -171,6 +171,23 @@ object ExtQueries {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("n_subwords"))
 
+  /** Byte-fallback segmentation (SentencePiece's `<0xXX>` convention)
+    * over the multilingual stream: per-piece corpus counts with
+    * `byteFallback = true`, so every code point with NO piece in the
+    * fixture vocabulary (all the planted Cyrillic/CJK) lands as its
+    * UTF-8 byte pieces — the piece space is CLOSED (vocab + 256 byte
+    * tokens) whatever the corpus throws at it, the property a fixed
+    * vocabulary id space needs. The oracle replays the greedy rule with
+    * `hex(encode(cp))` byte expansion — utf8proc's UTF-8 encoder against
+    * the JVM's, agreeing byte for byte. */
+  val xBpeBytes: Q = (s, dir) =>
+    TextOps.withTokens(multiDocs(s, dir), Seq(col("doc_id")), col("mtext"),
+        tokenizer = TextOps.tokensUnicode)
+      .select(explode(col("__tk")).as("tok"))
+      .select(explode(graft.functions.TextFunctions.bpeEncode(col("tok"),
+        TextOps.defaultBpeVocab, byteFallback = true)).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n"))
+
   /** WET-style HTML extraction over deterministically-wrapped documents:
     * each doc is rendered into a page (heading, script+style blocks,
     * entities), extracted back, and digested — the wrap makes the op

@@ -144,6 +144,33 @@ object Oracles {
        |    FROM seg WHERE pos <= length(w)))""".stripMargin
   }
 
+  /** [[bpeSegCtes]] with BYTE FALLBACK: where no vocab piece matches (the
+    * coalesce arm), the single code point is expanded to its UTF-8 bytes
+    * as `<0xXX>` pieces — `hex(encode(cp))` is utf8proc's UTF-8 encoder,
+    * independent of the JVM encoder the Spark expression uses. The
+    * expansion is emitted as ONE concatenated string per step (the
+    * recursion advances one code point either way); consumers split it
+    * back into byte pieces with `regexp_extract_all`. */
+  private def bpeSegBytesCtes(tokExpr: String): String = {
+    val vocabValues = graft.ext.TextOps.defaultBpeVocab
+      .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""vocab(piece) AS (VALUES $vocabValues),
+       |toksb AS (SELECT doc_id, $tokExpr AS tk FROM documents WHERE text IS NOT NULL),
+       |tokb AS (SELECT doc_id, CAST(i AS INT) AS tp, tk[i+1] AS w
+       |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toksb)),
+       |seg(doc_id, tp, w, pos, pp, piece) AS (
+       |  SELECT doc_id, tp, w, 1, -1, CAST(NULL AS VARCHAR) FROM tokb
+       |  UNION ALL
+       |  SELECT doc_id, tp, w, pos + coalesce(length(nxt), 1), pp + 1,
+       |    coalesce(nxt, regexp_replace(hex(encode(substr(w, pos, 1))),
+       |      '(..)', '<0x\\1>', 'g'))
+       |  FROM (SELECT doc_id, tp, w, pos, pp,
+       |      (SELECT v.piece FROM vocab v
+       |          WHERE v.piece = substr(w, pos, length(v.piece))
+       |          ORDER BY length(v.piece) DESC LIMIT 1) AS nxt
+       |    FROM seg WHERE pos <= length(w)))""".stripMargin
+  }
+
   // Content-defined chunk boundaries (TextOps.cdcChunks' mirror): md5-mod
   // gates over k=3 shingles, sequential start selection (first gate vs the
   // forced maxLen=20 split) as a recursive CTE. Shared by x_cdc_chunks,
@@ -1317,6 +1344,17 @@ object Oracles {
          |  CAST(coalesce(p.np, 0) AS BIGINT) AS n_subwords
          |FROM toksb t LEFT JOIN (SELECT doc_id, count(*) AS np
          |  FROM seg WHERE pp >= 0 GROUP BY doc_id) p USING (doc_id)""".stripMargin,
+
+    // vocab pieces are alphanumeric and \p{L}\p{N} tokens carry no '<',
+    // so the LIKE arm matches exactly the byte-fallback expansions
+    "x_bpe_bytes" ->
+      s"""WITH RECURSIVE ${bpeSegBytesCtes(tokUni(MULTI_TEXT))}
+         |SELECT piece, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(CASE WHEN piece LIKE '<0x%' THEN
+         |      regexp_extract_all(piece, '<0x[0-9A-F]{2}>')
+         |    ELSE [piece] END) AS piece
+         |  FROM seg WHERE pp >= 0)
+         |GROUP BY piece""".stripMargin,
 
     "x_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint

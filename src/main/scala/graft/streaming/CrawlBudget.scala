@@ -4,9 +4,9 @@ import java.sql.Timestamp
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-host crawl-budget admission — the POLITENESS half of the
   * web-corpus family ([[graft.ext.WebOps.hostStats]] is the accounting
@@ -63,6 +63,14 @@ object CrawlBudget {
   case class Admission(host: String, url: String, ts: Timestamp,
                        admitted: Boolean, n_in_window: Int)
 
+  /** [[Admission]] with an opaque payload (the fetched document, a
+    * serialized metadata blob) riding along — the form
+    * [[Frontier.crawlFrontier]] composes, so admission does not force a
+    * re-join to recover the page body. */
+  case class DocAdmission(host: String, url: String, ts: Timestamp,
+                          admitted: Boolean, n_in_window: Int,
+                          payload: String)
+
   /** One host-group's admission pass: bounded selection + lazy overflow
     * denials, then the sequential replay over the kept rows only.
     *
@@ -71,57 +79,60 @@ object CrawlBudget {
     * production caller maps it to `state.update` + timeout, the spec
     * captures it directly. `bufferProbe`, when non-null, observes the
     * kept-row count after each input row — spec instrumentation for the
-    * memory bound, zero-cost (null check) in production. */
+    * memory bound, zero-cost (null check) in production. The payload is
+    * inert cargo: never examined, never part of the admission order. */
   private[graft] def admitGroup(
       host: String,
-      rows: Iterator[(String, String, Timestamp)],
+      rows: Iterator[(String, String, Timestamp, String)],
       st0: Option[BudgetState],
       winMs: Long,
       maxPerWindow: Int,
       commit: BudgetState => Unit,
-      bufferProbe: Int => Unit = null): Iterator[Admission] = {
+      bufferProbe: Int => Unit = null): Iterator[DocAdmission] = {
     val w0 = st0.map(_.windowStart).getOrElse(Long.MinValue)
     // admission order is (millis, url) — identical to the former
     // rows.toSeq.sortBy(r => (r._3.getTime, r._2)); the Timestamp rides
     // along so emitted rows keep any sub-millisecond component
-    val ord = Ordering.by[(Long, String, Timestamp), (Long, String)](
+    val ord = Ordering.by[(Long, String, Timestamp, String), (Long, String)](
       t => (t._1, t._2))
     val heaps = mutable.LongMap.empty[
-      mutable.PriorityQueue[(Long, String, Timestamp)]]
+      mutable.PriorityQueue[(Long, String, Timestamp, String)]]
     var kept = 0
     // Pass over the input: per window keep the maxPerWindow smallest
     // (ts, url); a row evicted from the selection already has
     // maxPerWindow same-window rows ahead of it this batch, so its
     // denial row is fully determined here and streams straight out.
-    val overflow: Iterator[Admission] = rows.flatMap { case (_, url, ts) =>
-      val tsMs = ts.getTime
-      val w = Math.floorDiv(tsMs, winMs) * winMs
-      val pq = heaps.getOrElseUpdate(w,
-        mutable.PriorityQueue.empty[(Long, String, Timestamp)](ord))
-      pq.enqueue((tsMs, url, ts))
-      val out = if (pq.size > maxPerWindow) {
-        val (_, eurl, ets) = pq.dequeue() // sort-largest of the kept set
-        Some(Admission(host, eurl, ets, admitted = false,
-          n_in_window = if (w < w0) -1 else maxPerWindow))
-      } else { kept += 1; None }
-      if (bufferProbe ne null) bufferProbe(kept)
-      out
+    val overflow: Iterator[DocAdmission] = rows.flatMap {
+      case (_, url, ts, payload) =>
+        val tsMs = ts.getTime
+        val w = Math.floorDiv(tsMs, winMs) * winMs
+        val pq = heaps.getOrElseUpdate(w,
+          mutable.PriorityQueue.empty[(Long, String, Timestamp, String)](ord))
+        pq.enqueue((tsMs, url, ts, payload))
+        val out = if (pq.size > maxPerWindow) {
+          val (_, eurl, ets, epay) = pq.dequeue() // sort-largest kept so far
+          Some(DocAdmission(host, eurl, ets, admitted = false,
+            n_in_window = if (w < w0) -1 else maxPerWindow, epay))
+        } else { kept += 1; None }
+        if (bufferProbe ne null) bufferProbe(kept)
+        out
     }
     // Replay runs only once `overflow` is exhausted (Iterator.++ is
     // by-name), i.e. once the selection is final.
-    def replay(): Iterator[Admission] = {
+    def replay(): Iterator[DocAdmission] = {
       val keptRows = heaps.iterator.flatMap(_._2.iterator).toArray.sorted(ord)
       var st = st0.getOrElse(BudgetState(Long.MinValue, 0))
-      val out = keptRows.map { case (tsMs, url, ts) =>
+      val out = keptRows.map { case (tsMs, url, ts, payload) =>
         val w = Math.floorDiv(tsMs, winMs) * winMs
         if (w > st.windowStart) st = BudgetState(w, 0)
         if (w < st.windowStart) {
-          Admission(host, url, ts, admitted = false, n_in_window = -1)
+          DocAdmission(host, url, ts, admitted = false, n_in_window = -1,
+            payload)
         } else if (st.admitted < maxPerWindow) {
           st = st.copy(admitted = st.admitted + 1)
-          Admission(host, url, ts, admitted = true, st.admitted)
+          DocAdmission(host, url, ts, admitted = true, st.admitted, payload)
         } else {
-          Admission(host, url, ts, admitted = false, st.admitted)
+          DocAdmission(host, url, ts, admitted = false, st.admitted, payload)
         }
       }
       commit(st)
@@ -133,6 +144,24 @@ object CrawlBudget {
   def perHostAdmit(pages: DataFrame, urlCol: String, tsCol: String,
                    watermark: String, windowSeconds: Int,
                    maxPerWindow: Int): Dataset[Admission] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    perHostAdmitDocs(
+        pages.withColumn("__no_payload", lit(null).cast("string")),
+        urlCol, tsCol, "__no_payload", watermark, windowSeconds, maxPerWindow)
+      .map(d => Admission(d.host, d.url, d.ts, d.admitted, d.n_in_window))
+  }
+
+  /** [[perHostAdmit]] with `payloadCol` (string) carried through untouched
+    * — the fetched body stays attached to its admission verdict, so a
+    * downstream consumer ([[Frontier.crawlFrontier]]'s chunk dedup) needs
+    * no stream-stream re-join. Identical admission semantics and
+    * two-longs-per-host state; the payload only transits the bounded
+    * per-window selection, never the persistent state. */
+  def perHostAdmitDocs(pages: DataFrame, urlCol: String, tsCol: String,
+                       payloadCol: String, watermark: String,
+                       windowSeconds: Int,
+                       maxPerWindow: Int): Dataset[DocAdmission] = {
     require(windowSeconds >= 1, "windowSeconds must be >= 1")
     require(maxPerWindow >= 1, "maxPerWindow must be >= 1")
     val spark = pages.sparkSession
@@ -141,11 +170,12 @@ object CrawlBudget {
     pages.where(col(urlCol).isNotNull)
       .select(graft.ext.WebOps.hostOf(col(urlCol)).as("host"),
         col(urlCol).cast("string").as("url"),
-        col(tsCol).cast("timestamp").as("ts"))
+        col(tsCol).cast("timestamp").as("ts"),
+        col(payloadCol).cast("string").as("payload"))
       .withWatermark("ts", watermark)
-      .as[(String, String, Timestamp)]
+      .as[(String, String, Timestamp, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[BudgetState, Admission](
+      .flatMapGroupsWithState[BudgetState, DocAdmission](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (host, rows, state: GroupState[BudgetState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -160,5 +190,68 @@ object CrawlBudget {
                   state.getCurrentWatermarkMs() + 1))
             })
       }
+  }
+
+  /** The admission pass as a `transformWithState` StatefulProcessor — the
+    * SAME [[admitGroup]] semantics and two-longs-per-host state, on the
+    * operator API whose `eventTimeColumnName` output contract lets
+    * stateful operators chain AFTER it ([[Frontier.crawlFrontier]]'s
+    * whole reason to exist; `flatMapGroupsWithState` output drops the
+    * event-time tag, so nothing stateful can follow it). Requires the
+    * RocksDB state store provider. */
+  class BudgetProcessor(winMs: Long, maxPerWindow: Int)
+      extends StatefulProcessor[String, (String, String, Timestamp, String),
+        DocAdmission] {
+    @transient private var st: ValueState[BudgetState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BudgetState]("budget",
+        Encoders.product[BudgetState], TTLConfig.NONE)
+
+    override def handleInputRows(host: String,
+        rows: Iterator[(String, String, Timestamp, String)],
+        timerValues: TimerValues): Iterator[DocAdmission] =
+      admitGroup(host, rows,
+        if (st.exists()) Some(st.get()) else None, winMs, maxPerWindow,
+        commit = { s =>
+          st.update(s)
+          // one live eviction timer per host: window end, clamped above
+          // the current watermark (the fMGWS setTimeoutTimestamp clamp)
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+          getHandle.registerTimer(math.max(s.windowStart + winMs,
+            timerValues.getCurrentWatermarkInMs() + 1))
+        })
+
+    override def handleExpiredTimer(host: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DocAdmission] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[perHostAdmitDocs]] on `transformWithState` with `tsCol`
+    * re-declared as the OUTPUT event-time column, so downstream stateful
+    * operators (the frontier's chunk dedup) keep a watermark to evict by.
+    * The input must already carry a watermark on `tsCol` (define it once
+    * at the source — Spark disallows redefinition in multi-stateful
+    * queries); `urlCol`/`payloadCol` must already be strings and `tsCol`
+    * a timestamp, because a cast here would strip the event-time tag the
+    * chain depends on. */
+  def perHostAdmitDocsTws(pages: DataFrame, urlCol: String, tsCol: String,
+                          payloadCol: String, windowSeconds: Int,
+                          maxPerWindow: Int): Dataset[DocAdmission] = {
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    require(maxPerWindow >= 1, "maxPerWindow must be >= 1")
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val winMs = windowSeconds * 1000L
+    pages.where(col(urlCol).isNotNull)
+      .select(graft.ext.WebOps.hostOf(col(urlCol)).as("host"),
+        col(urlCol).as("url"), col(tsCol).as("ts"),
+        col(payloadCol).as("payload"))
+      .as[(String, String, Timestamp, String)]
+      .groupByKey(_._1)
+      .transformWithState(new BudgetProcessor(winMs, maxPerWindow),
+        eventTimeColumnName = "ts", outputMode = OutputMode.Append())
   }
 }

@@ -94,4 +94,22 @@ object StreamDedup {
         col("chunk_id"), col("start_tok"), col("n_tokens"), col("chunk_md5"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("chunk_md5")
+
+  /** [[cdcChunkDedup]] for a CHAINED position — downstream of another
+    * stateful operator in the same query, where the watermark is already
+    * defined upstream and redefining it is disallowed. `tsCol` must
+    * arrive CARRYING the event-time tag (e.g. from
+    * [[CrawlBudget.perHostAdmitDocsTws]]'s `eventTimeColumnName`
+    * contract); it is threaded through the chunk derivation as a bare
+    * top-level attribute ([[graft.ext.TextOps.cdcChunksKeys]]) precisely
+    * so the tag survives to the final dedup. Same boundaries, digests,
+    * and one-state-row-per-distinct-chunk eviction as [[cdcChunkDedup]]. */
+  def cdcChunkDedupChained(docs: DataFrame, idCol: String, textCol: String,
+                           tsCol: String, k: Int = 3, divisor: Int = 8,
+                           maxLen: Int = 20): DataFrame =
+    graft.ext.TextOps.cdcChunksKeys(
+        docs.where(col(textCol).isNotNull),
+        Seq(idCol -> col(idCol), tsCol -> col(tsCol)), col(textCol),
+        k, divisor, maxLen)
+      .dropDuplicatesWithinWatermark("chunk_md5")
 }

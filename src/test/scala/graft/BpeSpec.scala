@@ -301,6 +301,36 @@ class BpeSpec extends SparkTestBase {
     assert(enc(clef * 3, Seq(clef + clef)) === Seq(clef + clef, clef))
   }
 
+  test("byte fallback (SentencePiece <0xXX> convention): unknown code " +
+    "points expand to their UTF-8 bytes, known pieces are untouched, " +
+    "segmentation is total and reversible") {
+    def enc(w: String, vocab: Seq[String]): Seq[String] =
+      Seq(w).toDF("w").select(TextFunctions.bpeEncode(col("w"), vocab,
+        byteFallback = true).as("p")).as[Seq[String]].head()
+    // Cyrillic д = 0xD0 0xB4; no Cyrillic piece in the vocab
+    assert(enc("дab", Seq("a", "b", "ab")) ===
+      Seq("<0xD0>", "<0xB4>", "ab"))
+    // a vocab hit suppresses the fallback even for non-Latin pieces
+    assert(enc("дab", Seq("д", "ab")) === Seq("д", "ab"))
+    // astral clef U+1D11E = F0 9D 84 9E: four byte pieces, no surrogates
+    val clef = "𝄞"
+    assert(enc(s"a${clef}b", Seq("a", "b")) ===
+      Seq("a", "<0xF0>", "<0x9D>", "<0x84>", "<0x9E>", "b"))
+    // an unknown ASCII char is its single byte
+    assert(enc("a_b", Seq("a", "b")) === Seq("a", "<0x5F>", "b"))
+    // reversibility: byte pieces decode back to the original string
+    val pieces = enc("привет", Seq("a"))
+    val bytes = pieces.map(p =>
+      Integer.parseInt(p.substring(3, 5), 16).toByte).toArray
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      === "привет")
+    // byteFallback = false keeps the raw-char form (the fixture contract)
+    def encRaw(w: String, vocab: Seq[String]): Seq[String] =
+      Seq(w).toDF("w").select(TextFunctions.bpeEncode(col("w"), vocab)
+        .as("p")).as[Seq[String]].head()
+    assert(encRaw("дab", Seq("a", "b", "ab")) === Seq("д", "ab"))
+  }
+
   test("native BpeApplyMerges matches the fold on non-ASCII and " +
     "astral-plane input: symbols are code points, not UTF-16 units") {
     val clef = "𝄞" // U+1D11E musical G clef (non-BMP)

@@ -80,29 +80,31 @@ class CrawlBudgetSpec extends SparkTestBase {
   test("bounded buffering: a single-host flood keeps at most " +
     "windows*maxPerWindow rows buffered, output and final state exactly " +
     "match the unbounded sorted replay") {
-    import graft.streaming.CrawlBudget.{Admission, BudgetState}
+    import graft.streaming.CrawlBudget.{BudgetState, DocAdmission}
     val winMs = 60000L
     val max = 3
     val base = ts("2024-01-01 00:00:00").getTime
     // 30k fetches over 4 windows, deterministically shuffled so arrival
-    // order is adversarial w.r.t. (ts, url) order
+    // order is adversarial w.r.t. (ts, url) order; each carries a payload
+    // that must ride through untouched
     val flood = (0 until 30000).map { i =>
       val w = i % 4
       val t = new Timestamp(base + w * winMs + (i % 57) * 1000L)
-      (s"h.example.com", s"https://h.example.com/p/${(i * 7919) % 30000}", t)
-    }.sortBy { case (_, u, _) => u.hashCode * 31 + u.length } // scrambled
+      val u = s"https://h.example.com/p/${(i * 7919) % 30000}"
+      (s"h.example.com", u, t, s"body-of-$u")
+    }.sortBy { case (_, u, _, _) => u.hashCode * 31 + u.length } // scrambled
     // independent oracle: the pre-bounded algorithm (full buffer + sort)
-    def naive(st0: Option[BudgetState]): (Seq[Admission], BudgetState) = {
+    def naive(st0: Option[BudgetState]): (Seq[DocAdmission], BudgetState) = {
       val sorted = flood.sortBy(r => (r._3.getTime, r._2))
       var st = st0.getOrElse(BudgetState(Long.MinValue, 0))
-      val out = sorted.map { case (h, url, t) =>
+      val out = sorted.map { case (h, url, t, pay) =>
         val w = Math.floorDiv(t.getTime, winMs) * winMs
         if (w > st.windowStart) st = BudgetState(w, 0)
-        if (w < st.windowStart) Admission(h, url, t, false, -1)
+        if (w < st.windowStart) DocAdmission(h, url, t, false, -1, pay)
         else if (st.admitted < max) {
           st = st.copy(admitted = st.admitted + 1)
-          Admission(h, url, t, true, st.admitted)
-        } else Admission(h, url, t, false, st.admitted)
+          DocAdmission(h, url, t, true, st.admitted, pay)
+        } else DocAdmission(h, url, t, false, st.admitted, pay)
       }
       (out, st)
     }
@@ -126,6 +128,8 @@ class CrawlBudgetSpec extends SparkTestBase {
     // lapsed-window flag present: window 0 predates the carried window
     assert(got.count(_.n_in_window == -1) === want.count(_.n_in_window == -1))
     assert(got.count(_.n_in_window == -1) > 0)
+    // payloads rode through untouched on every row
+    assert(got.forall(d => d.payload === s"body-of-${d.url}"))
   }
 
   test("end-to-end flood: one host, one window, 2000 fetches in one " +

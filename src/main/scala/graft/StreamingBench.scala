@@ -338,11 +338,21 @@ object StreamingBench {
         (0 until 40).map(j => "w" + ((k * 131 + j * 7) % 99991)).mkString(" ")
       (0 until frRows).map { i =>
         val k = start + i
+        // syndicated copies live in a batch-namespaced /synd/ path: their
+        // leading-30% k range overlaps the PREVIOUS batch's keys (start
+        // advances by 0.7·frRows), so a /d/$k spelling would canonicalize
+        // to an already-seen url and die at stage 1 — measured in r14 as
+        // zero stage-2 denials and an untouched stage-3 (frontier_state_
+        // urls = 4×3500, the fresh-row count). The fresh namespace keeps
+        // all frRows rows flowing past the seen-set: ~frRows/97 ≈ 51
+        // fetches/host/window against budget 40 (~20% denied), and the
+        // syndicated bodies genuinely reach the chunk-dedup stage.
+        val path = if (i < dup) s"synd/$b/$k" else s"d/$k"
         val u = ((k + b) % 4) match {
-          case 0 => s"http://host${k % 97}.example.com/d/$k?a=1&b=2"
-          case 1 => s"HTTP://Host${k % 97}.Example.COM:80/d/$k?b=2&a=1"
-          case 2 => s"http://host${k % 97}.example.com/d/$k?a=1&b=2&utm_source=x"
-          case _ => s"http://host${k % 97}.example.com/d/$k?a=1&b=2#frag"
+          case 0 => s"http://host${k % 97}.example.com/$path?a=1&b=2"
+          case 1 => s"HTTP://Host${k % 97}.Example.COM:80/$path?b=2&a=1"
+          case 2 => s"http://host${k % 97}.example.com/$path?a=1&b=2&utm_source=x"
+          case _ => s"http://host${k % 97}.example.com/$path?a=1&b=2#frag"
         }
         // leading 30%: a syndicated copy of a LATER same-batch body under
         // this distinct url — novel header, duplicate body spans

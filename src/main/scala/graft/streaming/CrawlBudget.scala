@@ -79,8 +79,9 @@ object CrawlBudget {
     * production caller maps it to `state.update` + timeout, the spec
     * captures it directly. `bufferProbe`, when non-null, observes the
     * kept-row count after each input row — spec instrumentation for the
-    * memory bound, zero-cost (null check) in production. The payload is
-    * inert cargo: never examined, never part of the admission order. */
+    * memory bound, zero-cost (null check) in production. The payload never
+    * influences a VERDICT — it enters the ordering only as the last
+    * tie-break, reachable solely when two rows collide on (ts, url). */
   private[graft] def admitGroup(
       host: String,
       rows: Iterator[(String, String, Timestamp, String)],
@@ -92,9 +93,16 @@ object CrawlBudget {
     val w0 = st0.map(_.windowStart).getOrElse(Long.MinValue)
     // admission order is (millis, url) — identical to the former
     // rows.toSeq.sortBy(r => (r._3.getTime, r._2)); the Timestamp rides
-    // along so emitted rows keep any sub-millisecond component
-    val ord = Ordering.by[(Long, String, Timestamp, String), (Long, String)](
-      t => (t._1, t._2))
+    // along so emitted rows keep any sub-millisecond component. The
+    // payload is the FINAL tie-break (null first): verdicts depend only
+    // on (ts, url), but when two same-host rows collide on both — legal
+    // input here, though [[Frontier.crawlFrontier]]'s upstream urlDedup
+    // makes it impossible there — heap order would otherwise decide
+    // nondeterministically WHICH payload rides the kept row vs the
+    // denial. A total order keeps payload attribution deterministic too.
+    val ord = Ordering.by[(Long, String, Timestamp, String),
+        (Long, String, Boolean, String)](
+      t => (t._1, t._2, t._4 != null, if (t._4 == null) "" else t._4))
     val heaps = mutable.LongMap.empty[
       mutable.PriorityQueue[(Long, String, Timestamp, String)]]
     var kept = 0

@@ -132,6 +132,32 @@ class CrawlBudgetSpec extends SparkTestBase {
     assert(got.forall(d => d.payload === s"body-of-${d.url}"))
   }
 
+  test("payload attribution is deterministic when two rows collide on " +
+    "(ts, url): the payload-smaller row is kept (null first), whatever " +
+    "the arrival order") {
+    import graft.streaming.CrawlBudget.BudgetState
+    val winMs = 60000L
+    val t0 = ts("2024-01-01 00:00:00")
+    val u = "https://h.example.com/p/1"
+    // same (ts, url) three ways: null payload, "a", "b"; budget 1 admits
+    // exactly one — the (ts, url, null-first, payload) total order says
+    // it must be the null one, and "b" and "a" are denials, in any
+    // arrival permutation
+    val rows = Seq(("h.example.com", u, t0, null: String),
+      ("h.example.com", u, t0, "b"), ("h.example.com", u, t0, "a"))
+    rows.permutations.foreach { perm =>
+      var committed: BudgetState = null
+      val got = graft.streaming.CrawlBudget.admitGroup(
+        "h.example.com", perm.iterator, None, winMs, maxPerWindow = 1,
+        commit = committed = _).toSeq
+      assert(got.count(_.admitted) === 1)
+      assert(got.find(_.admitted).get.payload === null,
+        s"arrival order $perm must keep the null-payload row")
+      assert(got.filterNot(_.admitted).map(_.payload).toSet === Set("a", "b"))
+      assert(committed === BudgetState(Math.floorDiv(t0.getTime, winMs) * winMs, 1))
+    }
+  }
+
   test("end-to-end flood: one host, one window, 2000 fetches in one " +
     "micro-batch -> exactly maxPerWindow admitted, the rest denied at the " +
     "budget") {

@@ -139,6 +139,58 @@ object ExtQueries {
         col("pred_lang"): _*)
   }
 
+  /** Gate-liveness sentences for the COMPOSED multilingual pipeline:
+    * unlike [[MultiSuffixes]] (whose tokens are all stopwords), these mix
+    * stops and content words so the per-language stop-ratio statistics are
+    * FIXED, non-trivial constants at every scale factor — ru 4/7, zh 3/5
+    * against [[uniProfiles]]' stop sets. */
+  val UniRuSentence = "Привет мир и ёлка стоит у дома"
+  val UniZhSentence = "你好 世界 数据 模型 训练"
+
+  /** The multilingual COMPOSED curation pipeline — the x_curation_pipeline
+    * shape routed end-to-end through [[TextOps.tokensUnicode]], with the
+    * gate stratified by PREDICTED LANGUAGE so its statistics are live for
+    * non-Latin text: tokenize ONCE (the withTokens barrier), score
+    * language-ID and the union-stopword quality ratio from that one token
+    * array, gate whole language strata (≥ 10 docs, 4-dp mean < 0.01
+    * evicts — the `und` stratum's ratio is exactly 0, while ru/zh ride at
+    * their fixture-constant 0.5714/0.6 and en at ~0.04), then draw 5 docs
+    * per surviving stratum ∝ token count (A-ES under the two-phase group
+    * limit). The proof this composition carries: under an ASCII-stopword
+    * gate the ru/zh strata would score 0.0 and be evicted exactly like
+    * `und` — with multilingual stop sets their statistics are live and
+    * they survive. Stage coupling (tokenizer → langid → quality → gate →
+    * sampler) is hash-checked by ONE oracle. */
+  val xCurationUni: Q = (s, dir) => {
+    val m = col("doc_id") % 11
+    val df = docs(s, dir).withColumn("mtext",
+      when(m === 0, lit(UniRuSentence))
+        .when(m === 1, lit(UniZhSentence))
+        .when(m === 2, concat(col("text"), lit(MultiSuffixes(2))))
+        .when(m === 3, concat(col("text"), lit(MultiSuffixes(3))))
+        .otherwise(col("text")))
+    val toks = col("__tk")
+    val sz = (c: Column) => org.apache.spark.sql.functions.size(c)
+    val unionStops = uniProfiles.flatMap(_._2)
+    val scored = TextOps.withTokens(df, Seq(col("doc_id")), col("mtext"),
+        tokenizer = TextOps.tokensUnicode)
+      .select(col("doc_id") +: (uniProfiles.map { case (l, stops) =>
+        sz(filter(toks, t => t.isin(stops.map(lit): _*))).as(s"score_$l")
+      } :+ sz(toks).as("__nt") :+
+        round(sz(filter(toks, t => t.isin(unionStops.map(lit): _*))) /
+          greatest(sz(toks), lit(1)).cast("double"), 4).as("stop_ratio")): _*)
+    val maxScore = greatest(uniProfiles.map(p => col(s"score_${p._1}")): _*)
+    val pred = uniProfiles.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    val gated = CorpusOps.sourceQualityGate(
+      scored.withColumn("pred_lang", pred), col("pred_lang"),
+      col("stop_ratio"), minDocs = 10, minMean = 0.01)
+    CorpusOps.weightedSamplePerStratum(gated, col("doc_id"), col("pred_lang"),
+        greatest(col("__nt"), lit(1)), k = 5)
+      .select(col("doc_id"), col("pred_lang"), col("src_mean"))
+  }
+
   /** Exact dedup on the NFC-unified unicode token stream: two variant
     * copies of each selected document are planted with precomposed vs
     * decomposed accent spellings — different BYTES, same NFC form — and

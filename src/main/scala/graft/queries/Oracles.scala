@@ -35,6 +35,22 @@ object Oracles {
 
   private val EN_STOPS = "['the','and','of','to','in','is','that','with']"
 
+  /** The composed-pipeline multilingual fixture (mirrors
+    * ExtQueries.xCurationUni — full ru/zh replacement sentences with
+    * fixed stop ratios for residues 0/1, appended suffixes for 2/3; all
+    * text interpolated from the SAME Scala constants). */
+  private lazy val UNI_TEXT: String = {
+    val x = graft.queries.ExtQueries.MultiSuffixes
+    s"(CASE WHEN doc_id % 11 = 0 THEN '${graft.queries.ExtQueries.UniRuSentence}' " +
+      s"WHEN doc_id % 11 = 1 THEN '${graft.queries.ExtQueries.UniZhSentence}' " +
+      s"WHEN doc_id % 11 = 2 THEN text || '${x(2)}' " +
+      s"WHEN doc_id % 11 = 3 THEN text || '${x(3)}' ELSE text END)"
+  }
+
+  /** A DuckDB list literal from a stopword seq (quotes escaped). */
+  private def listLit(ws: Seq[String]): String =
+    ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+
   /** The x_lin_classify scored corpus joined with the lang label — the
     * shared front of the eval oracles (x_auc, x_confusion,
     * x_calibration); mirrors ExtQueries.scoredDocs. */
@@ -1355,6 +1371,43 @@ object Oracles {
          |    ELSE [piece] END) AS piece
          |  FROM seg WHERE pp >= 0)
          |GROUP BY piece""".stripMargin,
+
+    // the multilingual composed pipeline: one unicode tokenization feeds
+    // langid (first-wins argmax over the profile order), the union-stop
+    // quality ratio, the per-LANGUAGE gate (n>=10 AND round-4 mean < 0.01
+    // evicts — exactly the und stratum), and the per-stratum A-ES top-5
+    // weighted by token count
+    "x_curation_uni" -> {
+      val profs = graft.queries.ExtQueries.uniProfiles
+      val unionStops = listLit(profs.flatMap(_._2))
+      val scores = profs.map { case (l, ws) =>
+        s"len(list_filter(tk, x -> list_contains(${listLit(ws)}, x))) AS score_$l"
+      }.mkString(",\n  ")
+      val mx = profs.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+      val pred = profs.map { case (l, _) =>
+        s"WHEN score_$l = $mx THEN '$l'"
+      }.mkString(s"CASE WHEN $mx = 0 THEN 'und' ", " ", "END")
+      s"""WITH t AS (SELECT doc_id, ${tokUni(UNI_TEXT)} AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, len(tk) AS nt,
+         |  $scores,
+         |  round(CAST(len(list_filter(tk, x -> list_contains($unionStops, x))) AS DOUBLE)
+         |    / greatest(len(tk), 1), 4) AS stop_ratio FROM t),
+         |p AS (SELECT doc_id, nt, stop_ratio, $pred AS pred_lang FROM s),
+         |st AS (SELECT pred_lang, count(*) AS n,
+         |  round(avg(stop_ratio), 4) AS src_mean FROM p GROUP BY pred_lang),
+         |g AS (SELECT p.doc_id, p.pred_lang, p.nt, st.src_mean
+         |  FROM p JOIN st USING (pred_lang)
+         |  WHERE NOT (st.n >= 10 AND coalesce(st.src_mean < 0.01, false)))
+         |SELECT doc_id, pred_lang, src_mean FROM (
+         |  SELECT doc_id, pred_lang, src_mean, row_number() OVER (
+         |    PARTITION BY pred_lang
+         |    ORDER BY round(-ln(greatest(
+         |      ${hex32("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0,
+         |      1e-12)) / CAST(greatest(nt, 1) AS DOUBLE), 6), doc_id) AS rk
+         |  FROM g)
+         |WHERE rk <= 5""".stripMargin
+    },
 
     "x_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint

@@ -626,7 +626,8 @@ object TextOps {
     * row, never materialised as rows), zero shuffles. */
   def subwordCounts(df: DataFrame, key: Column, text: Column,
                     vocab: Seq[String] = defaultBpeVocab,
-                    tokenizer: Column => Column = tokens): DataFrame = {
+                    tokenizer: Column => Column = tokens,
+                    byteFallback: Boolean = false): DataFrame = {
     val toks = col("__tk")
     withTokens(df, Seq(key.as("doc_id")), text, tokenizer = tokenizer)
       .select(col("doc_id"),
@@ -634,7 +635,8 @@ object TextOps {
         aggregate(
           transform(toks,
             t => org.apache.spark.sql.functions.size(
-              graft.functions.TextFunctions.bpeEncode(t, vocab))),
+              graft.functions.TextFunctions.bpeEncode(t, vocab,
+                byteFallback))),
           lit(0L), (acc, x) => acc + x).as("n_subwords"))
   }
 

@@ -240,6 +240,24 @@ object ExtQueries {
         TextOps.defaultBpeVocab, byteFallback = true)).as("piece"))
       .groupBy("piece").agg(count(lit(1)).as("n"))
 
+  /** Byte-fallback pieces flowing DOWNSTREAM — x_bpe_bytes proves the
+    * `<0xXX>` segmentation at the encoder; this proves it through the
+    * consumer that budgets on it: [[TextOps.subwordCounts]] with
+    * `byteFallback = true` over the unicode stream (every unknown
+    * Cyrillic/CJK code point costs its TRUE byte-piece count, 2-3 pieces,
+    * not a flat 1 for a fallback char), packed into
+    * [[CorpusOps.packSequences]]'s 512-token bins. A multilingual doc's
+    * bin assignment therefore depends on the UTF-8 byte lengths of its
+    * non-Latin text — the training-sequence budgeting a closed piece
+    * space exists to serve. The oracle replays segmentation with
+    * utf8proc's UTF-8 encoder (`hex(encode(cp))`), counts the expanded
+    * byte pieces, and packs with the shared md5-bucket machinery. */
+  val xBpePackBytes: Q = (s, dir) =>
+    CorpusOps.packSequences(
+      TextOps.subwordCounts(multiDocs(s, dir), col("doc_id"), col("mtext"),
+        tokenizer = TextOps.tokensUnicode, byteFallback = true),
+      col("doc_id"), col("n_subwords"), maxTokens = 512, numBuckets = 8)
+
   /** WET-style HTML extraction over deterministically-wrapped documents:
     * each doc is rendered into a page (heading, script+style blocks,
     * entities), extracted back, and digested — the wrap makes the op

@@ -1409,6 +1409,30 @@ object Oracles {
          |WHERE rk <= 5""".stripMargin
     },
 
+    // byte-fallback counts through the packing consumer: each recursion
+    // step's piece is either one vocab/char piece (cost 1) or a
+    // CONCATENATED byte expansion (cost = number of <0xXX> pieces), so
+    // the per-doc subword count prices unknown code points at their true
+    // UTF-8 byte length; then the shared md5-bucket packing tail
+    "x_bpe_pack_bytes" ->
+      s"""WITH RECURSIVE ${bpeSegBytesCtes(tokUni(MULTI_TEXT))},
+         |cnt AS (SELECT doc_id, CAST(sum(CASE WHEN piece LIKE '<0x%'
+         |    THEN len(regexp_extract_all(piece, '<0x[0-9A-F]{2}>'))
+         |    ELSE 1 END) AS BIGINT) AS n_sub
+         |  FROM seg WHERE pp >= 0 GROUP BY doc_id),
+         |t AS (SELECT tb.doc_id, coalesce(cnt.n_sub, 0) AS n_tokens,
+         |    md5(CAST(tb.doc_id AS VARCHAR)) AS ord_key
+         |  FROM (SELECT DISTINCT doc_id FROM toksb) tb
+         |  LEFT JOIN cnt USING (doc_id)),
+         |b AS (SELECT doc_id, n_tokens, ord_key,
+         |  ${hex32("ord_key", 1)} % 8 AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ord_key, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin, n_tokens
+         |FROM c""".stripMargin,
+
     "x_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
          |FROM (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL)""".stripMargin,

@@ -27,9 +27,11 @@ object QualityRules {
   def gopherRules(df: DataFrame, key: Column, text: Column,
                   minTokens: Int = 10, maxTokens: Int = 100000,
                   minMeanLenTenths: Int = 20, maxMeanLenTenths: Int = 120,
-                  maxDupPct: Int = 85): DataFrame = {
+                  maxDupPct: Int = 85,
+                  tokenizer: Column => Column = TextOps.tokens): DataFrame = {
     val toks = col("__toks")
-    val metrics = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
+    val metrics = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks",
+        tokenizer = tokenizer)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),

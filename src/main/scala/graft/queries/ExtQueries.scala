@@ -240,6 +240,27 @@ object ExtQueries {
         TextOps.defaultBpeVocab, byteFallback = true)).as("piece"))
       .groupBy("piece").agg(count(lit(1)).as("n"))
 
+  /** Character-level entropy over the MULTILINGUAL stream — the quality
+    * battery's last ASCII assumption closed: the split/count/entropy
+    * machinery is character-set-agnostic (Spark's split("") and DuckDB's
+    * string_split both step CODE POINTS over the BMP fixture), so planted
+    * Cyrillic/CJK/precomposed-vs-decomposed text changes each doc's
+    * distribution and the 6-dp entropy must agree cross-engine over it. */
+  val xCharEntropyUni: Q = (s, dir) =>
+    TextOps.charEntropy(multiDocs(s, dir), col("doc_id"), col("mtext"))
+
+  /** The Gopher rule battery over the MULTILINGUAL stream: token counts,
+    * mean token length and dup fraction computed from [[TextOps
+    * .tokensUnicode]]'s stream, where mean_tok_len is CODE-POINT length on
+    * both engines (Spark length() = UTF8String.numChars, DuckDB len() —
+    * a byte-length implementation would price Cyrillic at 2× and CJK at
+    * 3× and silently shift the keep band for non-Latin sources). */
+  val xGopherUni: Q = (s, dir) =>
+    QualityRules.gopherRules(multiDocs(s, dir), col("doc_id"), col("mtext"),
+      minTokens = 15, maxTokens = 1000,
+      minMeanLenTenths = 40, maxMeanLenTenths = 50, maxDupPct = 55,
+      tokenizer = TextOps.tokensUnicode)
+
   /** Byte-fallback pieces flowing DOWNSTREAM — x_bpe_bytes proves the
     * `<0xXX>` segmentation at the encoder; this proves it through the
     * consumer that budgets on it: [[TextOps.subwordCounts]] with

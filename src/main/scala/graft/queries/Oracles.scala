@@ -1409,6 +1409,32 @@ object Oracles {
          |WHERE rk <= 5""".stripMargin
     },
 
+    // x_char_entropy over the multilingual fixture — string_split('')
+    // steps code points, so non-Latin characters carry their own counts
+    "x_char_entropy_uni" ->
+      s"""WITH ch AS (SELECT doc_id,
+         |    unnest(list_filter(string_split($MULTI_TEXT, ''), c -> c <> '')) AS ch
+         |  FROM documents WHERE $MULTI_TEXT IS NOT NULL
+         |    AND length($MULTI_TEXT) > 0),
+         |cc AS (SELECT doc_id, ch, count(*) AS n FROM ch GROUP BY doc_id, ch)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted,
+         |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+         |FROM cc GROUP BY doc_id""".stripMargin,
+
+    // the Gopher battery over the unicode token stream; len() is
+    // code-point length, matching Spark's numChars-based length()
+    "x_gopher_uni" ->
+      s"""WITH toks AS (SELECT doc_id, ${tokUni(MULTI_TEXT)} AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+         |  len(array_to_string(tk, '')) AS nc FROM toks)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+         |  round(nc / CAST(greatest(n, 1) AS DOUBLE), 4) AS mean_tok_len,
+         |  round((n - nd) / CAST(greatest(n, 1) AS DOUBLE), 4) AS dup_tok_frac,
+         |  (n >= 15 AND n <= 1000 AND nc * 10 >= n * 40 AND nc * 10 <= n * 50
+         |   AND (n - nd) * 100 <= n * 55 AND n > 0) AS keep
+         |FROM m""".stripMargin,
+
     // byte-fallback counts through the packing consumer: each recursion
     // step's piece is either one vocab/char piece (cost 1) or a
     // CONCATENATED byte expansion (cost = number of <0xXX> pieces), so

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming half-life-decayed leaderboard: the stateful surface of
   * [[graft.ext.EventWindows.decayedScore]]. State per key is ONE pair
@@ -26,6 +26,25 @@ object DecayedLeaderboard {
   case class DecayState(score: Double, refMicros: Long)
   case class KeyScore(key: String, score: Double, refMicros: Long)
 
+  /** One group's micro-batch fold — the operator's whole semantics, shared
+    * verbatim by the `mapGroupsWithState` and `transformWithState` forms
+    * (the [[CrawlBudget.admitGroup]] pattern: one algorithm, two operator
+    * APIs, so the TWS migration cannot drift). */
+  private[graft] def foldGroup(evs: Seq[ScoredEvent],
+                               prev: Option[DecayState],
+                               halfLifeMicros: Long): DecayState = {
+    def decay(dtMicros: Long): Double =
+      math.pow(0.5, dtMicros.toDouble / halfLifeMicros)
+    val newRef = (prev.map(_.refMicros).toSeq ++ evs.map(_.tsMicros)).max
+    val carried = prev.map(p => p.score * decay(newRef - p.refMicros))
+      .getOrElse(0.0)
+    // stable fold order (by ts, then weight) so a repartitioned
+    // replay reproduces the same float sum bit-for-bit
+    val added = evs.sortBy(e => (e.tsMicros, e.weight))
+      .map(e => e.weight * decay(newRef - e.tsMicros)).sum
+    DecayState(carried + added, newRef)
+  }
+
   def run(events: Dataset[ScoredEvent],
           halfLifeMicros: Long): Dataset[KeyScore] = {
     require(halfLifeMicros > 0, "halfLifeMicros must be positive")
@@ -34,20 +53,44 @@ object DecayedLeaderboard {
       .mapGroupsWithState[DecayState, KeyScore](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[ScoredEvent],
          state: GroupState[DecayState]) =>
-          val evs = rows.toSeq
-          def decay(dtMicros: Long): Double =
-            math.pow(0.5, dtMicros.toDouble / halfLifeMicros)
-          val prev = state.getOption
-          val newRef = (prev.map(_.refMicros).toSeq ++ evs.map(_.tsMicros)).max
-          val carried = prev.map(p => p.score * decay(newRef - p.refMicros))
-            .getOrElse(0.0)
-          // stable fold order (by ts, then weight) so a repartitioned
-          // replay reproduces the same float sum bit-for-bit
-          val added = evs.sortBy(e => (e.tsMicros, e.weight))
-            .map(e => e.weight * decay(newRef - e.tsMicros)).sum
-          val st = DecayState(carried + added, newRef)
+          val st = foldGroup(rows.toSeq, state.getOption, halfLifeMicros)
           state.update(st)
           KeyScore(key, st.score, st.refMicros)
       }
+  }
+
+  /** The leaderboard as a `transformWithState` StatefulProcessor — the
+    * second operator on the TWS API (after [[CrawlBudget
+    * .BudgetProcessor]]), proving the migration path generalizes: same
+    * [[foldGroup]], same one-row-per-key state, `TimeMode.None` (the
+    * decayed sum needs no clock — scores age by construction, so there is
+    * no watermark and no timer to restore). Update mode: each batch emits
+    * the touched keys' fresh scores. Requires the RocksDB state store. */
+  class DecayProcessor(halfLifeMicros: Long)
+      extends StatefulProcessor[String, ScoredEvent, KeyScore] {
+    @transient private var st: ValueState[DecayState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DecayState]("decay",
+        Encoders.product[DecayState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ScoredEvent],
+        timerValues: TimerValues): Iterator[KeyScore] = {
+      val s = foldGroup(rows.toSeq,
+        if (st.exists()) Some(st.get()) else None, halfLifeMicros)
+      st.update(s)
+      Iterator.single(KeyScore(key, s.score, s.refMicros))
+    }
+  }
+
+  /** [[run]] on `transformWithState`. Identical emitted scores (locked by
+    * StreamDecaySpec's cross-form parity case). */
+  def runTws(events: Dataset[ScoredEvent],
+             halfLifeMicros: Long): Dataset[KeyScore] = {
+    require(halfLifeMicros > 0, "halfLifeMicros must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new DecayProcessor(halfLifeMicros),
+        TimeMode.None(), OutputMode.Update())
   }
 }

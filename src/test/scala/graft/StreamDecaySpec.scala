@@ -17,16 +17,19 @@ class StreamDecaySpec extends SparkTestBase {
 
   private val hl = 1000000L // 1 s half-life in micros
 
-  private def lastScores(batches: Seq[Seq[ScoredEvent]]): Map[String, KeyScore] = {
+  private def lastScores(batches: Seq[Seq[ScoredEvent]],
+                         tws: Boolean = false): Map[String, KeyScore] = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[ScoredEvent]
-    val q = DecayedLeaderboard.run(in.toDS(), hl)
-      .writeStream.outputMode(OutputMode.Update)
-      .format("memory").queryName("decay_out").start()
+    val ds = if (tws) DecayedLeaderboard.runTws(in.toDS(), hl)
+      else DecayedLeaderboard.run(in.toDS(), hl)
+    val name = if (tws) "decay_out_tws" else "decay_out"
+    val q = ds.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
     batches.foreach { b => in.addData(b); q.processAllAvailable() }
     q.stop()
     // the LAST emitted row per key is the final state
-    spark.table("decay_out").as[KeyScore].collect()
+    spark.table(name).as[KeyScore].collect()
       .zipWithIndex.groupBy(_._1.key)
       .map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
   }
@@ -52,6 +55,25 @@ class StreamDecaySpec extends SparkTestBase {
       refMicros = 4000000L, halfLifeMicros = hl)
       .as[(String, Double, Long)].collect().head
     assert(batch._2 == got("k").score && batch._3 == 5L)
+  }
+
+  test("transformWithState form: emitted scores bitwise-equal the " +
+    "mapGroupsWithState form's across the same batches (shared fold, two " +
+    "operator APIs), including the late-event case") {
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass"
+        -> graft.streaming.Frontier.RocksDbProvider) {
+      val batches = Seq(
+        Seq(ScoredEvent("k", 1000000L, 8.0), ScoredEvent("k", 2000000L, 4.0)),
+        Seq(ScoredEvent("k", 4000000L, 2.0),
+          ScoredEvent("k", 3000000L, 2.0),
+          ScoredEvent("q", 4000000L, 16.0)),
+        Seq(ScoredEvent("k", 2000000L, 8.0))) // LATE: older than the ref
+      val got = lastScores(batches, tws = true)
+      assert(got === lastScores(batches)) // fMGWS form, same batches
+      assert(got("k").score == 7.0 && got("k").refMicros == 4000000L)
+      assert(got("q").score == 16.0)
+    }
   }
 
   test("a key untouched by a batch keeps its state and re-ages correctly " +

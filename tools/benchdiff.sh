@@ -1,0 +1,130 @@
+#!/usr/bin/env bash
+# benchdiff.sh — self-adjudicating bench deltas.
+#
+# The per-round driver bench runs on a shared machine: r10/r11/r14 all
+# carried 2-16x load-pollution spikes on code-UNCHANGED entries that a
+# judge had to refute by hand with isolated BenchSubset re-runs. This
+# script makes that adjudication self-serve: diff two bench artifacts,
+# flag suspicious regressions on entries whose code did not change,
+# re-run exactly those through BenchSubset on the current checkout, and
+# emit the adjudication table for BENCHNOTES.
+#
+# Usage:
+#   tools/benchdiff.sh OLD.json NEW.json [--changed q1,q2,...]
+#       [--threshold 1.5] [--abs-floor 0.3] [--sf /root/testdata/sf0.1]
+#       [--no-rerun]
+#   OLD/NEW accept either artifact shape:
+#     - the Bench line itself ({"metric":"total",...,"queries":{...}}),
+#       e.g. BENCH_LAST.json — the per-round committed snapshot;
+#     - the driver wrapper ({"n":..,"parsed":{...}}) when parsed is
+#       non-null (BENCH_r*.json often carry parsed:null — use the
+#       committed BENCH_LAST.json of that round instead);
+#     - a git ref prefix reads the file from history:
+#       tools/benchdiff.sh HEAD~5:BENCH_LAST.json BENCH_LAST.json
+#   --changed names entries whose code was touched this round: they are
+#   reported but never adjudicated as noise (a real regression there is
+#   the author's to explain in BENCHNOTES).
+#
+# Verdicts (rerun = min of SPARK_GRAFT_REPS isolated reps, default 3):
+#   LOAD-NOISE       rerun <= 1.2 x old  — the artifact number was load
+#   REPRODUCIBLE     rerun >  1.2 x old  — survives isolation: a real
+#                    regression OR a machine-state shift; needs a look
+#   CODE-CHANGED     entry was in --changed (not re-run)
+#   NEW              entry absent from OLD (not re-run)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OLD="${1:?usage: benchdiff.sh OLD.json NEW.json [--changed ...]}"
+NEW="${2:?usage: benchdiff.sh OLD.json NEW.json [--changed ...]}"
+shift 2
+CHANGED=""; THRESHOLD="1.5"; ABS_FLOOR="0.3"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"; RERUN=1
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --changed) CHANGED="$2"; shift 2;;
+    --threshold) THRESHOLD="$2"; shift 2;;
+    --abs-floor) ABS_FLOOR="$2"; shift 2;;
+    --sf) SF="$2"; shift 2;;
+    --no-rerun) RERUN=0; shift;;
+    *) echo "unknown arg: $1" >&2; exit 2;;
+  esac
+done
+
+slurp() { # file path or gitref:path -> JSON on stdout
+  case "$1" in
+    *:*) git show "$1";;
+    *) cat "$1";;
+  esac
+}
+
+# Phase 1: diff and flag. Emits "FLAG name" lines for entries to re-run
+# and the draft table to a temp file.
+TMP="$(mktemp -d)"
+slurp "$OLD" > "$TMP/old.json"
+slurp "$NEW" > "$TMP/new.json"
+python3 - "$TMP" "$CHANGED" "$THRESHOLD" "$ABS_FLOOR" <<'PYEOF'
+import json, sys
+tmp, changed, thr, floor = sys.argv[1], sys.argv[2], float(sys.argv[3]), float(sys.argv[4])
+changed = set(x for x in changed.split(",") if x)
+def load(p):
+    d = json.load(open(p))
+    if "queries" in d: return d["queries"]
+    if d.get("parsed") and "queries" in d["parsed"]: return d["parsed"]["queries"]
+    raise SystemExit(f"{p}: no queries found (driver artifact with parsed:null? "
+                     "use that round's committed BENCH_LAST.json)")
+old, new = load(f"{tmp}/old.json"), load(f"{tmp}/new.json")
+rows, flags = [], []
+for name, nv in sorted(new.items()):
+    ov = old.get(name)
+    if ov is None:
+        rows.append((name, None, nv, "NEW")); continue
+    if ov <= 0 or nv <= 0:
+        rows.append((name, ov, nv, "ERR-MARKER")); continue
+    ratio = nv / ov
+    if name in changed:
+        rows.append((name, ov, nv, "CODE-CHANGED")); continue
+    if ratio > thr and (nv - ov) > floor:
+        rows.append((name, ov, nv, "FLAGGED")); flags.append(name)
+json.dump(rows, open(f"{tmp}/rows.json", "w"))
+print("\n".join(flags))
+PYEOF
+FLAGS="$(python3 -c "
+import json
+rows = json.load(open('$TMP/rows.json'))
+print(' '.join(n for n,_,_,v in rows if v=='FLAGGED'))")"
+
+# Phase 2: isolated re-runs of the flagged entries.
+if [ -n "$FLAGS" ] && [ "$RERUN" = "1" ]; then
+  echo "re-running flagged entries through BenchSubset: $FLAGS" >&2
+  SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.BenchSubset $FLAGS" \
+    2>/dev/null | grep -o '\[benchsub\] .*' > "$TMP/rerun.txt" || true
+fi
+touch "$TMP/rerun.txt"
+
+# Phase 3: the adjudication table.
+python3 - "$TMP" <<'PYEOF'
+import json, re, sys
+tmp = sys.argv[1]
+rows = json.load(open(f"{tmp}/rows.json"))
+rerun = {}
+for line in open(f"{tmp}/rerun.txt"):
+    m = re.search(r"\[benchsub\] (\S+) .*min=([0-9.]+)", line)
+    if m: rerun[m.group(1)] = float(m.group(2))
+print("| entry | old (s) | new artifact (s) | isolated re-run min (s) | verdict |")
+print("|---|---|---|---|---|")
+n_noise = n_real = 0
+for name, ov, nv, verdict in rows:
+    rr = rerun.get(name)
+    if verdict == "FLAGGED":
+        if rr is None: verdict = "FLAGGED (no re-run)"
+        elif rr <= 1.2 * ov: verdict = "LOAD-NOISE"; n_noise += 1
+        else: verdict = "REPRODUCIBLE"; n_real += 1
+    o = "-" if ov is None else f"{ov:.2f}"
+    r = "-" if rr is None else f"{rr:.2f}"
+    print(f"| {name} | {o} | {nv:.2f} | {r} | {verdict} |")
+print()
+print(f"adjudicated: {n_noise} load-noise, {n_real} reproducible (regression or machine shift); "
+      f"rows shown are new/changed/flagged entries only (unflagged "
+      f"unchanged entries are within threshold and omitted)")
+PYEOF
+rm -rf "$TMP"

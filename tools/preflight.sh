@@ -27,5 +27,15 @@ if [[ "${1:-}" != "--fast" ]]; then
     echo "PREFLIGHT FAIL: oracle compare has failures" >&2; exit 1; }
 fi
 
+# README states the spec count; a stale claim fails the gate (the r14
+# nit: README said 534 while the measured count was 548 — "re-counts"
+# meant nothing if nobody compared)
+readme=$(grep -oE "[0-9]+ specs" README.md | head -1 | awk '{print $1}')
+if [[ -n "$readme" && "$readme" != "$tests" ]]; then
+  echo "PREFLIGHT FAIL: README.md claims $readme specs, measured $tests" \
+    "— update README.md" >&2
+  exit 1
+fi
+
 echo "PREFLIGHT OK: $tests tests green$( [[ "${1:-}" != "--fast" ]] \
   && echo ", oracle: $(cat "$out/check.txt")" )"

@@ -315,70 +315,93 @@ object StreamingBench {
     // the transformWithState requirement). Per batch: 70% fresh pages,
     // 30% SYNDICATED copies (same-batch body re-published under a
     // distinct url with a fresh 3-token header) — unique canonical urls
-    // pass the seen-set, ~51 fetches/host/window against a budget of 40
-    // denies ~20% at stage 2, and stage 3 must suppress every body chunk
-    // of the syndicated copies despite the header shift. The metric is
-    // input docs/s through the WHOLE chain; state splits per stage prove
-    // each operator holds its own shape (urls / live hosts / chunk
-    // hashes), not the batch.
-    val frRows = batchRows / 10
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      graft.streaming.Frontier.RocksDbProvider)
-    val fin = MemoryStream[(Long, String, String, Timestamp)]
-    val fr = graft.streaming.Frontier.crawlFrontier(
-      fin.toDF().toDF("fetch_id", "url", "text", "ts"), "url", "text", "ts",
-      watermark = "1 hour", windowSeconds = 1800, maxPerWindow = 40,
-      k = 3, divisor = 4, maxLen = 8)
-    val q9 = fr.writeStream.outputMode(OutputMode.Append())
-      .format("noop").start()
-    def frontierBatch(b: Int): Seq[(Long, String, String, Timestamp)] = {
-      val start = (b.toLong * 7 * frRows) / 10
-      val dup = (3 * frRows) / 10
-      def body(k: Long): String =
-        (0 until 40).map(j => "w" + ((k * 131 + j * 7) % 99991)).mkString(" ")
-      (0 until frRows).map { i =>
-        val k = start + i
-        // syndicated copies live in a batch-namespaced /synd/ path: their
-        // leading-30% k range overlaps the PREVIOUS batch's keys (start
-        // advances by 0.7·frRows), so a /d/$k spelling would canonicalize
-        // to an already-seen url and die at stage 1 — measured in r14 as
-        // zero stage-2 denials and an untouched stage-3 (frontier_state_
-        // urls = 4×3500, the fresh-row count). The fresh namespace keeps
-        // all frRows rows flowing past the seen-set: ~frRows/97 ≈ 51
-        // fetches/host/window against budget 40 (~20% denied), and the
-        // syndicated bodies genuinely reach the chunk-dedup stage.
-        val path = if (i < dup) s"synd/$b/$k" else s"d/$k"
-        val u = ((k + b) % 4) match {
-          case 0 => s"http://host${k % 97}.example.com/$path?a=1&b=2"
-          case 1 => s"HTTP://Host${k % 97}.Example.COM:80/$path?b=2&a=1"
-          case 2 => s"http://host${k % 97}.example.com/$path?a=1&b=2&utm_source=x"
-          case _ => s"http://host${k % 97}.example.com/$path?a=1&b=2#frag"
+    // pass the seen-set, fetches/host/window above the budget deny at
+    // stage 2, and stage 3 must suppress every body chunk of the
+    // syndicated copies despite the header shift. The metric is input
+    // docs/s through the WHOLE chain; state splits per stage prove each
+    // operator holds its own shape (urls / live hosts / chunk hashes),
+    // not the batch. Parameterized by rows/batch so the same harness
+    // produces the 1x row and the 10x-state scale evidence
+    // (SPARK_GRAFT_FRONTIER_10X=1); per-host budget and host count scale
+    // WITH the rows so the denial mix stays comparable while total state
+    // grows 10x. RocksDB footprint evidence = the store's own custom
+    // metrics summed over the three stages: rocksdbSstFileSize (bytes on
+    // disk) + rocksdbPinnedBlocksMemoryUsage (resident block memory) —
+    // Spark 4.1 exposes no single total-memory metric.
+    case class FrontierResult(docsPerSec: Double, rowsPerBatch: Int,
+                              hosts: Long, urls: Long, chunks: Long,
+                              sstBytes: Long, pinnedBytes: Long)
+    def frontierRun(frRows: Int, hosts: Int, budget: Int): FrontierResult = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.Frontier.RocksDbProvider)
+      val fin = MemoryStream[(Long, String, String, Timestamp)]
+      val fr = graft.streaming.Frontier.crawlFrontier(
+        fin.toDF().toDF("fetch_id", "url", "text", "ts"), "url", "text", "ts",
+        watermark = "1 hour", windowSeconds = 1800, maxPerWindow = budget,
+        k = 3, divisor = 4, maxLen = 8)
+      val q9 = fr.writeStream.outputMode(OutputMode.Append())
+        .format("noop").start()
+      def frontierBatch(b: Int): Seq[(Long, String, String, Timestamp)] = {
+        val start = (b.toLong * 7 * frRows) / 10
+        val dup = (3 * frRows) / 10
+        def body(k: Long): String =
+          (0 until 40).map(j => "w" + ((k * 131 + j * 7) % 99991)).mkString(" ")
+        (0 until frRows).map { i =>
+          val k = start + i
+          // syndicated copies live in a batch-namespaced /synd/ path:
+          // their leading-30% k range overlaps the PREVIOUS batch's keys
+          // (start advances by 0.7·frRows), so a /d/$k spelling would
+          // canonicalize to an already-seen url and die at stage 1 —
+          // measured in r14 as zero stage-2 denials and an untouched
+          // stage-3 (frontier_state_urls = 4×3500, the fresh-row count).
+          // The fresh namespace keeps all frRows rows flowing past the
+          // seen-set: ~frRows/hosts fetches/host/window against the
+          // budget, and the syndicated bodies genuinely reach the
+          // chunk-dedup stage.
+          val path = if (i < dup) s"synd/$b/$k" else s"d/$k"
+          val u = ((k + b) % 4) match {
+            case 0 => s"http://host${k % hosts}.example.com/$path?a=1&b=2"
+            case 1 => s"HTTP://Host${k % hosts}.Example.COM:80/$path?b=2&a=1"
+            case 2 => s"http://host${k % hosts}.example.com/$path?a=1&b=2&utm_source=x"
+            case _ => s"http://host${k % hosts}.example.com/$path?a=1&b=2#frag"
+          }
+          // leading 30%: a syndicated copy of a LATER same-batch body
+          // under this distinct url — novel header, duplicate body spans
+          val txt = if (i < dup) s"hdr$b fresh update " + body(k + dup)
+            else body(k)
+          (k, u, txt, new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
         }
-        // leading 30%: a syndicated copy of a LATER same-batch body under
-        // this distinct url — novel header, duplicate body spans
-        val txt = if (i < dup) s"hdr$b fresh update " + body(k + dup)
-          else body(k)
-        (k, u, txt, new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
       }
+      (0 until warm).foreach { b => fin.addData(frontierBatch(b)); q9.processAllAvailable() }
+      val t9 = System.nanoTime()
+      (warm until total).foreach { b => fin.addData(frontierBatch(b)); q9.processAllAvailable() }
+      val fSec = (System.nanoTime() - t9) / 1e9
+      val fRows = (total - warm).toLong * frRows
+      val fOps = Option(q9.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val fHosts = fOps.filter(_.operatorName.contains("transformWithState"))
+        .map(_.numRowsTotal).sum
+      // two dedupe operators: the url seen-set is the smaller (urls within
+      // horizon), the chunk seen-set the larger (~6-8 chunks per doc)
+      val fDedups = fOps.filter(_.operatorName.contains("dedupe"))
+        .map(_.numRowsTotal).sorted
+      def metric(name: String): Long = fOps.flatMap(o =>
+        Option(o.customMetrics.get(name)).map(_.toLong)).sum
+      val fSst = metric("rocksdbSstFileSize")
+      val fPinned = metric("rocksdbPinnedBlocksMemoryUsage")
+      q9.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      FrontierResult(fRows / fSec, frRows, fHosts,
+        fDedups.headOption.getOrElse(0L), fDedups.lastOption.getOrElse(0L),
+        fSst, fPinned)
     }
-    (0 until warm).foreach { b => fin.addData(frontierBatch(b)); q9.processAllAvailable() }
-    val t9 = System.nanoTime()
-    (warm until total).foreach { b => fin.addData(frontierBatch(b)); q9.processAllAvailable() }
-    val fSec = (System.nanoTime() - t9) / 1e9
-    val fRows = (total - warm).toLong * frRows
-    val fOps = Option(q9.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
-    val fHosts = fOps.filter(_.operatorName.contains("transformWithState"))
-      .map(_.numRowsTotal).sum
-    // two dedupe operators: the url seen-set is the smaller (urls within
-    // horizon), the chunk seen-set the larger (~6-8 chunks per doc)
-    val fDedups = fOps.filter(_.operatorName.contains("dedupe"))
-      .map(_.numRowsTotal).sorted
-    val (fUrls, fChunks) = (fDedups.headOption.getOrElse(0L),
-      fDedups.lastOption.getOrElse(0L))
-    q9.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val f1 = frontierRun(batchRows / 10, hosts = 97, budget = 40)
+    val f10 = if (sys.env.get("SPARK_GRAFT_FRONTIER_10X").contains("1"))
+      Some(frontierRun(batchRows, hosts = 970, budget = 40)) else None
+    val f10Json = f10.map(f =>
+      f""","frontier10x_docs_per_sec":${f.docsPerSec}%.0f,"frontier10x_doc_rows_per_batch":${f.rowsPerBatch},"frontier10x_state_hosts":${f.hosts},"frontier10x_state_urls":${f.urls},"frontier10x_state_chunks":${f.chunks},"frontier10x_rocksdb_sst_bytes":${f.sstBytes},"frontier10x_rocksdb_pinned_bytes":${f.pinnedBytes}""")
+      .getOrElse("")
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"frontier_docs_per_sec":${fRows / fSec}%.0f,"frontier_doc_rows_per_batch":$frRows,"frontier_state_hosts":$fHosts,"frontier_state_urls":$fUrls,"frontier_state_chunks":$fChunks,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"frontier_docs_per_sec":${f1.docsPerSec}%.0f,"frontier_doc_rows_per_batch":${f1.rowsPerBatch},"frontier_state_hosts":${f1.hosts},"frontier_state_urls":${f1.urls},"frontier_state_chunks":${f1.chunks},"frontier_rocksdb_sst_bytes":${f1.sstBytes},"frontier_rocksdb_pinned_bytes":${f1.pinnedBytes}$f10Json,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

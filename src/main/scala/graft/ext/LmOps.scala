@@ -25,8 +25,9 @@ object LmOps {
   /** (tok, cnt) unigram occurrence counts over the reference slice. One
     * partial-aggregated shuffle on the token — the map side collapses
     * repeats before the exchange. */
-  def unigramCounts(ref: DataFrame, text: Column): DataFrame =
-    TextOps.withTokens(ref, Seq.empty, text)
+  def unigramCounts(ref: DataFrame, text: Column,
+                    tokenizer: Column => Column = TextOps.tokens): DataFrame =
+    TextOps.withTokens(ref, Seq.empty, text, tokenizer = tokenizer)
       .select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
@@ -60,9 +61,11 @@ object LmOps {
     * boundary could in principle round differently (same approx-vs-exact
     * contract as quantileBucketsApprox vs its ntile oracle). */
   def lmScore(docs: DataFrame, key: Column, text: Column,
-              refCounts: DataFrame, alpha: Double = 0.1): DataFrame = {
+              refCounts: DataFrame, alpha: Double = 0.1,
+              tokenizer: Column => Column = TextOps.tokens): DataFrame = {
     require(alpha > 0, "alpha must be positive (zero breaks OOV smoothing)")
-    val toks = TextOps.withTokens(docs, Seq(key.as("doc_id")), text)
+    val toks = TextOps.withTokens(docs, Seq(key.as("doc_id")), text,
+        tokenizer = tokenizer)
       .select(col("doc_id"), explode(col("__tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("__occ"))
     val totals = refCounts.agg(sum("cnt").cast("double").as("__T"),

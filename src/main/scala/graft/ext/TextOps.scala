@@ -79,8 +79,9 @@ object TextOps {
   /** (doc key, shingle) pairs, distinct per document. The token array is
     * materialised in its own projection so Catalyst does not inline (and
     * thus re-evaluate) the tokeniser at every shingle position. */
-  def explodeShingles(df: DataFrame, key: Column, text: Column, k: Int): DataFrame =
-    withTokens(df, Seq(key.as("doc_id")), text, "__toks")
+  def explodeShingles(df: DataFrame, key: Column, text: Column, k: Int,
+                      tokenizer: Column => Column = tokens): DataFrame =
+    withTokens(df, Seq(key.as("doc_id")), text, "__toks", tokenizer)
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("__toks"), k))).as("shingle"))
 

@@ -197,19 +197,60 @@ object ExtQueries {
     * must land in one content group (keep_id = the lower variant id).
     * A byte-level content hash fundamentally lacks this property; the
     * operator shape stays [[DedupOps.exact]]'s one hash-groupBy. */
-  val xDedupExactUni: Q = (s, dir) => {
+  /** The NFC-variant planted corpus: every doc_id % 17 == 0 document gets
+    * two extra copies suffixed with [[UniVariantA]]/[[UniVariantB]] —
+    * different BYTES, same NFC form. Shared by [[xDedupExactUni]] and
+    * [[xDedupMinhashUni]]. */
+  private def uniVariantDocs(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
     val sel = base.where(col("doc_id") % 17 === 0)
     val v1 = sel.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
       concat(col("text"), lit(UniVariantA)).as("text"))
     val v2 = sel.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
       concat(col("text"), lit(UniVariantB)).as("text"))
-    TextOps.withTokens(base.unionByName(v1).unionByName(v2),
+    base.unionByName(v1).unionByName(v2)
+  }
+
+  val xDedupExactUni: Q = (s, dir) =>
+    TextOps.withTokens(uniVariantDocs(s, dir),
         Seq(col("doc_id")), col("text"), tokenizer = TextOps.tokensUnicode)
       .select(col("doc_id"),
         md5(array_join(col("__tk"), " ")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash-LSH candidate generation over the UNICODE shingle stream:
+    * the NFC-variant copies tokenize to IDENTICAL streams, so their
+    * shingle sets, signatures and every band key coincide — each planted
+    * (v1, v2) pair is a GUARANTEED candidate, and v↔base pairs collide at
+    * the usual near-dup rate (the copies differ from their base by two
+    * appended tokens). A byte-level shingle hash would see different
+    * shingles for v1 vs v2 and could only ever find them probabilistically
+    * — the property NFC-first buys the banded pipeline. Same
+    * signature/band/candidate machinery and scale shape as
+    * x_dedup_minhash (banded, never all-pairs). */
+  val xDedupMinhashUni: Q = (s, dir) => {
+    val sh = TextOps.explodeShingles(uniVariantDocs(s, dir), col("doc_id"),
+      col("text"), k = 3, tokenizer = TextOps.tokensUnicode)
+    DedupOps.lshCandidates(DedupOps.lshBands(
+      DedupOps.minhashSignature(sh, NumHashes), NumHashes, NumBands))
+  }
+
+  /** CCNet-style unigram LM scoring with the MULTILINGUAL stream on both
+    * sides: the reference model trains on the en-language slice of the
+    * fixture corpus (whose residue-class docs carry non-Latin suffixes, so
+    * the vocabulary itself contains Cyrillic/CJK/accented tokens), and
+    * every document scores through [[TextOps.tokensUnicode]] — in-vocab
+    * non-Latin tokens get real probabilities, out-of-vocab ones the
+    * smoothed OOV mass. On the ASCII path none of that text reaches the
+    * scorer at all; here the fixture classes measurably shift avg_logp,
+    * and the oracle re-derives every probability over utf8proc's NFC. */
+  val xLmScoreUni: Q = (s, dir) => {
+    val d = multiDocs(s, dir)
+    LmOps.lmScore(d, col("doc_id"), col("mtext"),
+      LmOps.unigramCounts(d.where(col("lang") === "en"), col("mtext"),
+        tokenizer = TextOps.tokensUnicode),
+      tokenizer = TextOps.tokensUnicode)
   }
 
   /** TRUE subword counts over the UNICODE token stream: non-Latin

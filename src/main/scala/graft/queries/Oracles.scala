@@ -272,8 +272,11 @@ object Oracles {
 
   // shingle CTEs shared by minhash/jaccard (k=3, 12 hashes via
   // Kirsch–Mitzenmacher double hashing, 4 bands) — mirrors DedupOps
-  private val SHINGLE_CTES =
-    s"""toks AS (SELECT doc_id, $TOK AS tk FROM documents WHERE text IS NOT NULL),
+  /** The 3-shingle → 12-minhash → 4-band → candidate-pair chain over an
+    * arbitrary tokenizer expression and source relation (mirrors
+    * DedupOps.minhashSignature/lshBands/lshCandidates). */
+  private def shingleCtes(tokExpr: String, src: String): String =
+    s"""toks AS (SELECT doc_id, $tokExpr AS tk FROM $src),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM
        |  (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
        |     i -> array_to_string(tk[i:i+2], ' '))) AS shingle FROM toks)),
@@ -288,6 +291,21 @@ object Oracles {
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |""".stripMargin
+
+  private val SHINGLE_CTES =
+    shingleCtes(TOK, "documents WHERE text IS NOT NULL")
+
+  /** The NFC-variant planted corpus (mirrors ExtQueries.uniVariantDocs) —
+    * shared by x_dedup_exact_uni and x_dedup_minhash_uni. */
+  private lazy val UNI_ALLV: String = {
+    val a = graft.queries.ExtQueries.UniVariantA
+    val b = graft.queries.ExtQueries.UniVariantB
+    s"""base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |sel AS (SELECT doc_id, text FROM base WHERE doc_id % 17 = 0),
+       |allv AS (SELECT doc_id, text FROM base
+       |  UNION ALL SELECT doc_id + 1000000000, text || '$a' FROM sel
+       |  UNION ALL SELECT doc_id + 2000000000, text || '$b' FROM sel)""".stripMargin
+  }
 
   // simhash CTEs: 32-bit signature from md5 hex nibbles (mirrors DedupOps.simhash)
   private val SIMHASH_SQL: String = {
@@ -1340,19 +1358,39 @@ object Oracles {
          |     FROM documents WHERE text IS NOT NULL)))""".stripMargin
     },
 
-    "x_dedup_exact_uni" -> {
-      val a = graft.queries.ExtQueries.UniVariantA
-      val b = graft.queries.ExtQueries.UniVariantB
-      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |sel AS (SELECT doc_id, text FROM base WHERE doc_id % 17 = 0),
-         |allv AS (SELECT doc_id, text FROM base
-         |  UNION ALL SELECT doc_id + 1000000000, text || '$a' FROM sel
-         |  UNION ALL SELECT doc_id + 2000000000, text || '$b' FROM sel)
+    "x_dedup_exact_uni" ->
+      s"""WITH $UNI_ALLV
          |SELECT md5(array_to_string(tk, ' ')) AS content_hash,
          |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          |FROM (SELECT doc_id, ${tokUni("text")} AS tk FROM allv)
-         |GROUP BY 1""".stripMargin
-    },
+         |GROUP BY 1""".stripMargin,
+
+    // banded MinHash over the unicode shingle stream of the NFC-variant
+    // corpus — the same signature/band machinery, tokenized NFC-first so
+    // variant spellings shingle identically
+    "x_dedup_minhash_uni" ->
+      s"""WITH $UNI_ALLV,
+         |${shingleCtes(tokUni("text"), "allv")}
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // add-alpha unigram LM over the multilingual stream, reference = the
+    // en-language slice (whose fixture suffixes put non-Latin tokens IN
+    // the vocabulary); per-occurrence avg ≡ the Spark side's weighted
+    // form after 6-dp rounding
+    "x_lm_score_uni" ->
+      s"""WITH toks AS (SELECT doc_id, lang, ${tokUni(MULTI_TEXT)} AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |cnts AS (SELECT tok, count(*) AS cnt FROM
+         |  (SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en') GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T,
+         |  CAST(count(*) AS DOUBLE) AS V FROM cnts),
+         |lp AS (SELECT doc_id, ln((coalesce(cnt, 0) + 0.1) / (T + 0.1 * (V + 1))) AS lp
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) dtok
+         |  LEFT JOIN cnts USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(lp), 6) AS avg_logp,
+         |  round(exp(-round(avg(lp), 6)), 4) AS ppl
+         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "x_subword_uni" ->
       s"""WITH RECURSIVE ${bpeSegCtes(tokUni(MULTI_TEXT))}

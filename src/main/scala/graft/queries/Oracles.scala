@@ -712,6 +712,37 @@ object Oracles {
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
 
+    // same adaptation as the Spark side: late line = shipment-lag proxy
+    "q_tpch4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // same adaptations: cntrycode = custkey % 10, dormant-since-2000
+    // anti-join, exact-integer cents threshold (no float avg)
+    "q_tpch22" ->
+      """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS totacctbal
+        |FROM (
+        |  SELECT c_custkey % 10 AS cntrycode,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer c,
+        |       (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+        |               count(*) AS n
+        |        FROM customer WHERE c_acctbal > 0.0) t
+        |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n > t.s
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
+
     "q_tpch18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
         |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem

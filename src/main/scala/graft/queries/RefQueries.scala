@@ -192,6 +192,62 @@ object RefQueries {
       LIMIT 100""")
   }
 
+  /** TPC-H Q4 shape — correlated EXISTS decorrelated into ONE semi-join
+    * feeding a rollup (the "waiting orders by priority" report; public
+    * spec: TPC-H v3 Q4). Adaptation, documented: the testdata lineitem
+    * carries neither l_commitdate nor l_receiptdate, so the late-line
+    * predicate is the shipment-lag proxy l_shipdate > o_orderdate + 60
+    * days — same correlated non-equi shape (equi on the order key PLUS a
+    * correlated comparison against an outer column), which is what makes
+    * this an optimizer anchor: the decorrelation must carry the non-equi
+    * conjunct into the semi-join condition, not re-scan per row. Verbatim
+    * SQL on both engines. */
+  val tpch4: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch4_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("tpch4_orders")
+    s.sql("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM tpch4_orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM tpch4_lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q22 shape — scalar-subquery threshold + correlated NOT EXISTS
+    * into a rollup (the "global sales opportunity" report; public spec:
+    * TPC-H v3 Q22). Adaptations, documented: cntrycode = c_custkey % 10
+    * (the testdata customer has no c_phone to substring), the anti-join
+    * is "no order since 2000-01-01" (every synthetic customer has SOME
+    * order, so the verbatim no-orders-ever form is empty), and the
+    * above-average-balance threshold is EXACT-INTEGER — balances compare
+    * as cents × count > sum-of-cents, because a float avg() differs in
+    * the last ulp between engines and would knife-edge the qualifying
+    * set. Verbatim SQL on both engines. */
+  val tpch22: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("tpch22_customer")
+    t(s, dir, "orders").createOrReplaceTempView("tpch22_orders")
+    s.sql("""
+      SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS totacctbal
+      FROM (
+        SELECT c_custkey % 10 AS cntrycode,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM tpch22_customer c,
+             (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM tpch22_customer WHERE c_acctbal > 0.0) t
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n > t.s
+          AND NOT EXISTS (SELECT 1 FROM tpch22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+      GROUP BY cntrycode
+      ORDER BY cntrycode""")
+  }
+
   /** TPC-H Q18 shape: group-having on the fact table, then join back. */
   val tpch18: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")

@@ -52,6 +52,45 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_tpch4: the correlated non-equi EXISTS decorrelates to ONE semi " +
+    "join carrying the shipdate comparison as a residual — sort-merge " +
+    "under disabled broadcasting, no per-row re-scan") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch4")
+      assert(countIn(p, "LeftSemi") === 1,
+        s"EXISTS did not decorrelate to one semi join:\n$p")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert(countIn(p, "SortMergeJoin") === 1, p)
+      assert(!p.contains("exists-subquery"), p)
+    }
+  }
+
+  test("q_tpch22: the NOT EXISTS decorrelates to ONE anti join with the " +
+    "dormancy filter pushed INTO the orders side (pre-join, not residual); " +
+    "the scalar threshold is a one-row join, never a per-row re-aggregate") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch22")
+      assert(countIn(p, "LeftAnti") === 1,
+        s"NOT EXISTS did not decorrelate to one anti join:\n$p")
+      // the o_orderdate >= bound is uncorrelated, so it must reach the
+      // orders scan as a pushed filter, shrinking the anti-join build side
+      assert(p.contains("PushedFilters") &&
+        "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+          .findFirstIn(p).isDefined,
+        s"dormancy bound did not reach the orders scan:\n$p")
+      // the cents-threshold aggregate is ONE one-row side, computed once
+      // — never re-aggregated per customer row. With broadcasting FORCED
+      // off it legitimately plans as a cartesian against that single
+      // aggregate row; at most one such join, and nothing else non-equi
+      assert(countIn(p, "CartesianProduct") +
+        countIn(p, "BroadcastNestedLoopJoin") <= 1, p)
+    }
+    // under normal planning the one-row side broadcasts: zero cartesians
+    val p0 = plan("q_tpch22")
+    assert(countIn(p0, "CartesianProduct") === 0, p0)
+  }
+
   test("q28 lookup join keeps its explicit broadcast") {
     assert(countIn(plan("q28_lookup_join"), "BroadcastHashJoin") >= 1)
   }

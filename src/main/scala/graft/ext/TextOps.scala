@@ -198,8 +198,10 @@ object TextOps {
     * IN-ROW over the token positions (tokenize-once barrier, zero
     * shuffles, map-only at any corpus size). */
   def cdcChunks(df: DataFrame, key: Column, text: Column, k: Int,
-                divisor: Int, maxLen: Int): DataFrame =
-    cdcChunksKeys(df, Seq("doc_id" -> key), text, k, divisor, maxLen)
+                divisor: Int, maxLen: Int,
+                tokenizer: Column => Column = tokens): DataFrame =
+    cdcChunksKeys(df, Seq("doc_id" -> key), text, k, divisor, maxLen,
+      tokenizer)
 
   /** [[cdcChunks]] with several key columns carried through as TOP-LEVEL
     * attributes instead of one `doc_id`. Identical boundaries and digests;
@@ -211,8 +213,9 @@ object TextOps {
     * stateful operator. Output: (keys…, chunk_id, start_tok, n_tokens,
     * chunk_md5). */
   def cdcChunksKeys(df: DataFrame, keys: Seq[(String, Column)], text: Column,
-                    k: Int, divisor: Int, maxLen: Int): DataFrame =
-    cdcStructRows(df, keys, text, k, divisor, maxLen)
+                    k: Int, divisor: Int, maxLen: Int,
+                    tokenizer: Column => Column = tokens): DataFrame =
+    cdcStructRows(df, keys, text, k, divisor, maxLen, tokenizer)
       .select(keys.map(kv => col(kv._1)) ++ Seq(col("chunk_id"),
         col("__c.s").as("start_tok"),
         col("__c.len").cast("long").as("n_tokens"),
@@ -234,7 +237,8 @@ object TextOps {
   /** Shared CDC derivation: (keys…, chunk_id, __c = (s, len), __tk2). */
   private def cdcStructRows(df: DataFrame, keys: Seq[(String, Column)],
                             text: Column, k: Int,
-                            divisor: Int, maxLen: Int): DataFrame = {
+                            divisor: Int, maxLen: Int,
+                            tokenizer: Column => Column = tokens): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(divisor >= 2, "divisor must be >= 2")
     require(maxLen >= 2, "maxLen must be >= 2 (1 degenerates to one-token chunks)")
@@ -254,7 +258,8 @@ object TextOps {
       (st, i) => when(n >= 2 && (gate(i) || i - element_at(st, -1) + 1 >= maxLen),
         concat(st, array(i + 1))).otherwise(st))
     val keep = keys.map(kv => col(kv._1))
-    withTokens(df, keys.map(kv => kv._2.as(kv._1)), text)
+    withTokens(df, keys.map(kv => kv._2.as(kv._1)), text,
+        tokenizer = tokenizer)
       .where(n > 0)
       .select(keep ++ Seq(toks, starts.as("__starts")): _*)
       .select(keep ++ Seq(

@@ -438,6 +438,17 @@ object ExtQueries {
     TextOps.cdcChunks(docs(s, dir), col("doc_id"), col("text"),
       k = 3, divisor = 8, maxLen = 20)
 
+  /** Content-defined chunking over the MULTILINGUAL stream — the web
+    * family's last ASCII tokenization closed: gate hashes are md5 over
+    * k-shingles of UNICODE tokens, so chunk boundaries on
+    * Cyrillic/CJK/NFC-variant text are deterministic and cross-engine
+    * (both engines hash the identical NFC-normalized shingle bytes). The
+    * fixture suffixes shift every affected document's tail boundaries,
+    * which is exactly what the digests lock. */
+  val xCdcChunksUni: Q = (s, dir) =>
+    TextOps.cdcChunks(multiDocs(s, dir), col("doc_id"), col("mtext"),
+      k = 3, divisor = 8, maxLen = 20, tokenizer = TextOps.tokensUnicode)
+
   /** Shift-resistant span dedup: [[RepetitionOps.cdcChunkDedup]] —
     * C4-style first-occurrence-wins over CONTENT-DEFINED chunks, catching
     * offset-shifted duplicated passages a fixed chunk grid misses, at

@@ -191,8 +191,8 @@ object Oracles {
   // gates over k=3 shingles, sequential start selection (first gate vs the
   // forced maxLen=20 split) as a recursive CTE. Shared by x_cdc_chunks,
   // x_cdc_dedup, and (over the frontier-survivor subset) x_web_pipeline.
-  private def cdcSegCtes(src: String): String =
-    s"""toksc AS (SELECT doc_id, $TOK AS tk FROM $src),
+  private def cdcSegCtes(src: String, tokExpr: String = TOK): String =
+    s"""toksc AS (SELECT doc_id, $tokExpr AS tk FROM $src),
        |dc AS (SELECT doc_id, tk, len(tk) AS n FROM toksc WHERE len(tk) > 0),
        |gh AS (SELECT doc_id, i AS p,
        |    md5(array_to_string(tk[i-2:i], ' ')) AS h
@@ -3179,6 +3179,20 @@ object Oracles {
     // vs forced maxLen split), chunk text digested from the same slice
     "x_cdc_chunks" ->
       s"""WITH RECURSIVE $CDC_SEG_CTES
+         |SELECT e.doc_id, CAST(e.chunk_id AS INT) AS chunk_id,
+         |  CAST(e.s AS INT) AS start_tok,
+         |  CAST(e.e - e.s + 1 AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(t.tk[e.s:e.e], ' ')) AS chunk_md5
+         |FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
+         |    ORDER BY chunk_id) - 1, n) AS e FROM seg) e
+         |JOIN toksc t USING (doc_id)""".stripMargin,
+
+    // CDC chunking over the unicode token stream of the multilingual
+    // fixture — same recursive boundary selection, gate hashes over
+    // NFC-normalized shingles
+    "x_cdc_chunks_uni" ->
+      s"""WITH RECURSIVE ${cdcSegCtes("documents WHERE text IS NOT NULL",
+           tokUni(MULTI_TEXT))}
          |SELECT e.doc_id, CAST(e.chunk_id AS INT) AS chunk_id,
          |  CAST(e.s AS INT) AS start_tok,
          |  CAST(e.e - e.s + 1 AS BIGINT) AS n_tokens,

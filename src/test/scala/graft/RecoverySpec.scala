@@ -60,7 +60,21 @@ class RecoverySpec extends SparkTestBase {
     "suppresses, per-stage state counts restored") {
     withSQLConf(
       "spark.sql.streaming.stateStore.providerClass"
-        -> Frontier.RocksDbProvider) {
+        -> Frontier.RocksDbProvider) { frontierRestartParity() }
+  }
+
+  test("crawlFrontier restart under RocksDB CHANGELOG checkpointing: the " +
+    "restore path is changelog replay over the last snapshot (the " +
+    "production low-commit-latency mode), same parity obligations") {
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true") { frontierRestartParity() }
+  }
+
+  private def frontierRestartParity(): Unit = {
+    {
       implicit val sqlCtx = spark.sqlContext
       val docA = doc("a"); val docB = doc("b"); val docC = doc("c")
       val docD = doc("d"); val docE = doc("e"); val docF = doc("f")
@@ -156,6 +170,7 @@ class RecoverySpec extends SparkTestBase {
           (cA ++ chunksOf(docB) ++ chunksOf(docD) ++ chunksOf(docE) ++
             chunksOf(docF) ++ cH).size.toLong).sorted)
     }
+    ()
   }
 
   test("perHostAdmit restart (flatMapGroupsWithState, default state store): " +

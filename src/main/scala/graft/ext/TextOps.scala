@@ -228,8 +228,10 @@ object TextOps {
     * boundaries (shared derivation), chunk = space-joined token slice, so
     * md5(chunk) equals [[cdcChunks]]'s chunk_md5 row for row. */
   def cdcChunkRows(df: DataFrame, key: Column, text: Column, k: Int,
-                   divisor: Int, maxLen: Int): DataFrame =
-    cdcStructRows(df, Seq("doc_id" -> key), text, k, divisor, maxLen)
+                   divisor: Int, maxLen: Int,
+                   tokenizer: Column => Column = tokens): DataFrame =
+    cdcStructRows(df, Seq("doc_id" -> key), text, k, divisor, maxLen,
+        tokenizer)
       .select(col("doc_id"), col("chunk_id").as("chunk_idx"),
         concat_ws(" ",
           slice(col("__tk2"), col("__c.s"), col("__c.len"))).as("chunk"))

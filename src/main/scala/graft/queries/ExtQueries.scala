@@ -524,7 +524,23 @@ object ExtQueries {
     * Scale shape: map-side canonicalization, one min aggregate + join on
     * the canonical key, the cdc-dedup shuffles over the SURVIVOR subset,
     * one scalar-broadcast max — nothing quadratic, nothing collected. */
-  val xWebPipeline: Q = (s, dir) => {
+  val xWebPipeline: Q = (s, dir) =>
+    webPipeline(docs(s, dir).select(col("doc_id"), col("n_chars"),
+      col("text")), TextOps.tokens)
+
+  /** The composed web pipeline with the MULTILINGUAL stream through its
+    * chunk-dedup stage: same canonicalization/first-win/stats/Bernoulli
+    * chain, but the CDC chunker tokenizes NFC-first — the boundary
+    * selection (and therefore n_chunks/n_kept, and through them the
+    * sample's stats) depends on the non-Latin text the ASCII chunker
+    * deletes. One oracle covers the whole chain, differing from
+    * x_web_pipeline's ONLY in the text expression and token stream. */
+  val xWebPipelineUni: Q = (s, dir) =>
+    webPipeline(multiDocs(s, dir).select(col("doc_id"), col("n_chars"),
+      col("mtext").as("text")), TextOps.tokensUnicode)
+
+  private def webPipeline(d: DataFrame,
+                          tokenizer: Column => Column): DataFrame = {
     val url = concat(
       when(col("doc_id") % 4 === 1, lit("HTTPS://WWW.Site.Example.COM:443"))
         .otherwise(lit("https://www.site.example.com")),
@@ -533,7 +549,7 @@ object ExtQueries {
       when(col("doc_id") % 4 === 2, lit("&utm_campaign=x")).otherwise(lit("")),
       when(col("doc_id") % 4 === 3, lit("#top")).otherwise(lit("")))
     val canon = WebOps.canonicalized(
-      docs(s, dir).select(col("doc_id"), col("n_chars"), col("text"),
+      d.select(col("doc_id"), col("n_chars"), col("text"),
         url.as("url")), col("url"))
     val first = canon.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
     // survivors feed the cdc dedup (twice via its persist), the stats
@@ -541,7 +557,7 @@ object ExtQueries {
     val surv = canon.join(first, Seq("canon_url", "doc_id")).persist()
     val stats = RepetitionOps.dedupFromChunks(
         TextOps.cdcChunkRows(surv, col("doc_id"), col("text"),
-          k = 3, divisor = 8, maxLen = 20).persist())
+          k = 3, divisor = 8, maxLen = 20, tokenizer).persist())
       .select(col("doc_id"), col("n_chunks"), col("n_kept"))
     CorpusOps.weightedBernoulli(
       surv.join(stats, "doc_id")

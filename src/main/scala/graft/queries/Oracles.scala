@@ -295,6 +295,45 @@ object Oracles {
   private val SHINGLE_CTES =
     shingleCtes(TOK, "documents WHERE text IS NOT NULL")
 
+  /** The composed web pipeline (url canon → first-win → CDC-chunk
+    * dedup stats → weighted Bernoulli) over an arbitrary text expression
+    * and token stream — `x_web_pipeline` (ASCII) and
+    * `x_web_pipeline_uni` (multilingual) share everything but those. */
+  private def webPipelineSql(textExpr: String, tokExpr: String): String =
+    s"""WITH RECURSIVE uw AS (SELECT doc_id, n_chars, $textExpr AS text,
+      |    ((CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.Site.Example.COM:443'
+      |           ELSE 'https://www.site.example.com' END) ||
+      |     '/page/' || (doc_id % 250) ||
+      |     CASE WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
+      |     CASE WHEN doc_id % 4 = 2 THEN '&utm_campaign=x' ELSE '' END ||
+      |     CASE WHEN doc_id % 4 = 3 THEN '#top' ELSE '' END) AS url
+      |  FROM documents WHERE text IS NOT NULL),
+      |${urlCanonCtes("uw", "doc_id, n_chars, text")}
+      |, fwin AS (SELECT canon_url, min(doc_id) AS doc_id
+      |  FROM canon GROUP BY canon_url),
+      |surv AS (SELECT c.doc_id, c.n_chars, c.text, c.canon_url
+      |  FROM canon c JOIN fwin USING (canon_url, doc_id)),
+      |${cdcSegCtes("surv", tokExpr)},
+      |chw AS (SELECT e.doc_id, e.chunk_id AS chunk_idx,
+      |    array_to_string(t.tk[e.s:e.e], ' ') AS chunk
+      |  FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
+      |      ORDER BY chunk_id) - 1, n) AS e FROM seg) e
+      |  JOIN toksc t USING (doc_id)),
+      |wwin AS (SELECT chunk, min(doc_id*1048576 + chunk_idx) AS w
+      |  FROM chw GROUP BY chunk),
+      |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN doc_id*1048576 + chunk_idx = w
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM chw JOIN wwin USING (chunk) GROUP BY doc_id),
+      |joined AS (SELECT s.doc_id, s.canon_url, st.n_chunks, st.n_kept,
+      |    s.n_chars, md5(CAST(s.doc_id AS VARCHAR)) AS h
+      |  FROM surv s JOIN stats st USING (doc_id)),
+      |m AS (SELECT max(n_chars) AS wmax FROM joined)
+      |SELECT doc_id, canon_url, n_chunks, n_kept, n_chars
+      |FROM joined, m
+      |WHERE n_chars > 0
+      |  AND ${hex32("h", 1)} * wmax < n_chars * 4294967296""".stripMargin
+
   /** The NFC-variant planted corpus (mirrors ExtQueries.uniVariantDocs) —
     * shared by x_dedup_exact_uni and x_dedup_minhash_uni. */
   private lazy val UNI_ALLV: String = {
@@ -3284,40 +3323,12 @@ object Oracles {
     // canonicalize (shared CTEs), keep the FIRST fetch per canonical URL,
     // CDC-chunk-dedup the survivors (shared recursion, over the subset),
     // weighted-Bernoulli sample by n_chars over the stats-joined set
-    "x_web_pipeline" ->
-      s"""WITH RECURSIVE uw AS (SELECT doc_id, n_chars, text,
-        |    ((CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.Site.Example.COM:443'
-        |           ELSE 'https://www.site.example.com' END) ||
-        |     '/page/' || (doc_id % 250) ||
-        |     CASE WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
-        |     CASE WHEN doc_id % 4 = 2 THEN '&utm_campaign=x' ELSE '' END ||
-        |     CASE WHEN doc_id % 4 = 3 THEN '#top' ELSE '' END) AS url
-        |  FROM documents WHERE text IS NOT NULL),
-        |${urlCanonCtes("uw", "doc_id, n_chars, text")}
-        |, fwin AS (SELECT canon_url, min(doc_id) AS doc_id
-        |  FROM canon GROUP BY canon_url),
-        |surv AS (SELECT c.doc_id, c.n_chars, c.text, c.canon_url
-        |  FROM canon c JOIN fwin USING (canon_url, doc_id)),
-        |${cdcSegCtes("surv")},
-        |chw AS (SELECT e.doc_id, e.chunk_id AS chunk_idx,
-        |    array_to_string(t.tk[e.s:e.e], ' ') AS chunk
-        |  FROM (SELECT seg.*, coalesce(lead(s) OVER (PARTITION BY doc_id
-        |      ORDER BY chunk_id) - 1, n) AS e FROM seg) e
-        |  JOIN toksc t USING (doc_id)),
-        |wwin AS (SELECT chunk, min(doc_id*1048576 + chunk_idx) AS w
-        |  FROM chw GROUP BY chunk),
-        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |    CAST(sum(CASE WHEN doc_id*1048576 + chunk_idx = w
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |  FROM chw JOIN wwin USING (chunk) GROUP BY doc_id),
-        |joined AS (SELECT s.doc_id, s.canon_url, st.n_chunks, st.n_kept,
-        |    s.n_chars, md5(CAST(s.doc_id AS VARCHAR)) AS h
-        |  FROM surv s JOIN stats st USING (doc_id)),
-        |m AS (SELECT max(n_chars) AS wmax FROM joined)
-        |SELECT doc_id, canon_url, n_chunks, n_kept, n_chars
-        |FROM joined, m
-        |WHERE n_chars > 0
-        |  AND ${hex32("h", 1)} * wmax < n_chars * 4294967296""".stripMargin,
+    "x_web_pipeline" -> webPipelineSql("text", TOK),
+
+    // identical chain over the multilingual stream: only the text
+    // expression and the chunker's token stream differ
+    "x_web_pipeline_uni" -> webPipelineSql(MULTI_TEXT, tokUni("text")),
+
 
     // weighted Bernoulli: identical integer comparison h*W < w*2^32 —
     // no float anywhere, exact agreement by construction

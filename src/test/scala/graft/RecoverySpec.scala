@@ -173,6 +173,71 @@ class RecoverySpec extends SparkTestBase {
     ()
   }
 
+  test("decayed-leaderboard TWS restart (TimeMode.None, no watermark): the " +
+    "(score, ref) ValueState restores, so post-restart emissions equal the " +
+    "uninterrupted run's — including re-aging a key untouched since before " +
+    "the stop") {
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider) {
+      import graft.streaming.DecayedLeaderboard
+      import graft.streaming.DecayedLeaderboard.{KeyScore, ScoredEvent}
+      implicit val sqlCtx = spark.sqlContext
+      val hl = 1000000L
+      // batch 2 (post-restart) re-touches k two half-lives after its last
+      // event AND first-touches q: k's correct score NEEDS the restored
+      // (score=6, ref=1s) state — lost state would emit score=1
+      val b0 = Seq(ScoredEvent("k", 1000000L, 4.0), ScoredEvent("k", 1000000L, 2.0))
+      val b1 = Seq(ScoredEvent("other", 2000000L, 1.0))
+      val b2 = Seq(ScoredEvent("k", 3000000L, 1.0), ScoredEvent("q", 3000000L, 8.0))
+
+      val tmp = java.nio.file.Files.createTempDirectory("decay_rec").toString
+      // the memory sink does not support checkpoint recovery; foreachBatch
+      // does — each query object gets its own sink buffer, so the second
+      // object's buffer holds exactly the post-restart emissions
+      def start(in: MemoryStream[ScoredEvent], ckpt: String,
+                sink: scala.collection.mutable.Set[KeyScore]) =
+        DecayedLeaderboard.runTws(in.toDS(), hl)
+          .writeStream.outputMode(OutputMode.Update)
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyScore],
+                           _: Long) =>
+            sink.synchronized { sink ++= batch.collect() }; ()
+          }.start()
+
+      // run A: uninterrupted; keep only batch-2's emissions for compare
+      val inA = MemoryStream[ScoredEvent]
+      val sinkA = scala.collection.mutable.Set.empty[KeyScore]
+      val qA = start(inA, s"$tmp/ckpt_a", sinkA)
+      Seq(b0, b1).foreach { b => inA.addData(b); qA.processAllAvailable() }
+      val preA = sinkA.toSet
+      inA.addData(b2); qA.processAllAvailable()
+      val lastA = sinkA.toSet -- preA
+      qA.stop()
+
+      // run B: stop after b1, b2 arrives while down, restart into a FRESH
+      // sink buffer so it holds exactly the post-restart emissions
+      val inB = MemoryStream[ScoredEvent]
+      val sinkB1 = scala.collection.mutable.Set.empty[KeyScore]
+      val qB1 = start(inB, s"$tmp/ckpt_b", sinkB1)
+      Seq(b0, b1).foreach { b => inB.addData(b); qB1.processAllAvailable() }
+      qB1.stop()
+      inB.addData(b2)
+      val sinkB2 = scala.collection.mutable.Set.empty[KeyScore]
+      val qB2 = start(inB, s"$tmp/ckpt_b", sinkB2)
+      qB2.processAllAvailable()
+      qB2.stop()
+      val lastB = sinkB2.toSet
+
+      assert(lastB === lastA,
+        "post-restart emissions must equal the uninterrupted run's")
+      // the restored-state arithmetic, explicitly: 6 aged 1s->3s (two
+      // half-lives) = 1.5, plus the fresh 1.0
+      assert(lastB === Set(KeyScore("k", 2.5, 3000000L),
+        KeyScore("q", 8.0, 3000000L)))
+    }
+  }
+
   test("perHostAdmit restart (flatMapGroupsWithState, default state store): " +
     "a window half-spent before the stop denies after the restart; output " +
     "parity with the uninterrupted run") {

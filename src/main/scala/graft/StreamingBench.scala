@@ -77,10 +77,13 @@ object StreamingBench {
     // bound both state stores
     val ls = MemoryStream[(Long, Timestamp)]
     val rs = MemoryStream[(Long, Timestamp, Double)]
-    val left = ls.toDF().toDF("k", "lts").withWatermark("lts", "2 hours")
-    val right = rs.toDF().toDF("rk", "rts", "v").withWatermark("rts", "2 hours")
-    val joined = left.join(right,
-      expr("k = rk AND rts BETWEEN lts - INTERVAL 1 HOUR AND lts"))
+    // the library operator (StreamJoin.attributeClicks) with the right side
+    // as the "impression": lts ∈ [rts, rts + 1 h] ⟺ rts ∈ [lts - 1 h, lts],
+    // so this measures the spec-locked operator, not a bench-local join
+    val joined = graft.streaming.StreamJoin.attributeClicks(
+      rs.toDF().toDF("rk", "rts", "v"), ls.toDF().toDF("k", "lts"),
+      impKey = "rk", clickKey = "k", impTs = "rts", clickTs = "lts",
+      watermark = "2 hours", maxDelaySeconds = 3600L)
     val q2 = joined.select("k", "lts", "v").writeStream
       .outputMode(OutputMode.Append()).format("noop").start()
     val half = batchRows / 2

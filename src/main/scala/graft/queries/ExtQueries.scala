@@ -2522,6 +2522,29 @@ object ExtQueries {
     CorpusOps.winsorize(t(s, dir, "documents"), col("doc_id"), col("source"),
       col("n_chars"), pLo = 0.05, pHi = 0.95, exact = true)
 
+  /** The stream-stream attribution join's BATCH form — the SAME
+    * [[graft.streaming.StreamJoin.attributeClicks]] definition (withWatermark
+    * is a no-op on static inputs) over the events table: every (view, click)
+    * pair of one user where the click lands within 10 minutes of the view.
+    * Plans as ONE equi join on user_id with the time range as a residual —
+    * the exact condition whose streaming execution
+    * (StreamingSymmetricHashJoinExec) StreamJoinSpec locks batch-parity
+    * against, so the oracle here transitively checks the streaming
+    * semantics too. */
+  val xClickAttrib: Q = (s, dir) => {
+    val e = RefQueries.events(s, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    graft.streaming.StreamJoin.attributeClicks(views, clicks,
+        "view_user", "click_user", "view_ts", "click_ts",
+        watermark = "1 hour", maxDelaySeconds = 600)
+      .select(col("view_id"), col("click_id"), col("view_user").as("user_id"))
+  }
+
   /** Batch-GD logistic regression (3 iterations, lr 0.5) trained in-engine
     * on (token count, stop ratio) → P(English), then scored map-side with
     * the literal-bound weights. The oracle unrolls the identical rounded

@@ -782,6 +782,88 @@ object Oracles {
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
 
+    // verbatim Q13 shape: ON-clause filter, count(col) null semantics
+    "q_tpch13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // verbatim Q19 shape: disjunctive join condition, common-factor equi key
+    "q_tpch19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |       AND p_size BETWEEN 1 AND 5  AND l_quantity >= 1  AND l_quantity <= 11)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |       AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#15'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    // verbatim Q15 shape: CTE referenced twice, exact-integer revenue so the
+    // max equality can't knife-edge between engines
+    "q_tpch15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       round(CAST(total_rev_e4 AS DOUBLE) / 10000, 2) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // verbatim Q16 shape: NOT IN (three-valued) + count(DISTINCT)
+    "q_tpch16" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // verbatim Q2 shape: correlated `= min` with tie preservation
+    "q_tpch2" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey
+        |  AND s_suppkey = l_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    // verbatim Q20 shape: IN inside IN with a correlated scalar threshold
+    "q_tpch20" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'red%')
+        |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l1.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l1.l_quantity > (SELECT 0.5 * avg(l2.l_quantity)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
+
     "q_tpch18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
         |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
@@ -2084,6 +2166,16 @@ object Oracles {
         |SELECT tag, CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN dim d ON d.event_type = e.event_type
         |GROUP BY tag""".stripMargin,
+
+    // the stream-stream attribution condition, verbatim as a batch join
+    "x_click_attrib" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+        |       v.user_id AS user_id
+        |FROM events v, events c
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND v.user_id = c.user_id
+        |  AND c.ts >= v.ts
+        |  AND c.ts <= v.ts + INTERVAL 600 SECOND""".stripMargin,
 
     // plain inequality join — bucketing + first-common-bucket dedup are
     // result-invariant

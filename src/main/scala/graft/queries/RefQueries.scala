@@ -248,6 +248,183 @@ object RefQueries {
       ORDER BY cntrycode""")
   }
 
+  /** TPC-H Q13 shape — the LEFT OUTER JOIN anchor (customer order-count
+    * distribution; public spec: TPC-H v3 Q13). The optimizer property: the
+    * priority predicate lives in the join CONDITION, not the WHERE — so the
+    * join must stay LeftOuter (a WHERE-side filter on the right table would
+    * let Catalyst convert it to inner and silently lose zero-order
+    * customers), while the right-side-only conjunct is still pushed into
+    * the orders SCAN (legal for the preserved-row side's opposite table,
+    * visible in PushedFilters). count(o_orderkey) — not count(*) — carries
+    * the null-extension semantics: non-matched customers count 0. Two
+    * aggregation levels (per-customer, then distribution). Adaptation,
+    * documented: the testdata orders has no o_comment, so the excluded
+    * class is o_orderpriority <> '1-URGENT'. Verbatim SQL on both engines. */
+  val tpch13: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("tpch13_customer")
+    t(s, dir, "orders").createOrReplaceTempView("tpch13_orders")
+    s.sql("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM tpch13_customer LEFT OUTER JOIN tpch13_orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q19 shape — the DISJUNCTIVE-PREDICATE anchor (discounted
+    * revenue; public spec: TPC-H v3 Q19). The join condition is an OR of
+    * three conjunctions that each repeat the p_partkey = l_partkey equi
+    * conjunct: BooleanSimplification must factor it out so the join plans
+    * as an ordinary equi join (sort-merge at scale) carrying the
+    * brand/size/quantity OR as a residual — a planner that fails to factor
+    * gets a cartesian, the difference between O(n) and O(n²) at 100 TB.
+    * The per-side disjunct implications (p_brand IN (...) on the part
+    * scan) are what CNF pushdown buys; PlanSpec locks the equi-join shape.
+    * Adaptation, documented: the testdata part has no p_container and
+    * lineitem no l_shipmode/l_shipinstruct, so the bands are
+    * brand × p_size × l_quantity. Verbatim SQL on both engines. */
+  val tpch19: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch19_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("tpch19_part")
+    s.sql("""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM tpch19_lineitem, tpch19_part
+      WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+             AND p_size BETWEEN 1 AND 5  AND l_quantity >= 1  AND l_quantity <= 11)
+         OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+             AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+         OR (p_partkey = l_partkey AND p_brand = 'Brand#15'
+             AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""")
+  }
+
+  /** TPC-H Q15 shape — the MAX-OVER-AGGREGATE anchor (top supplier by
+    * quarterly revenue; public spec: TPC-H v3 Q15, the `revenue` view
+    * written as a CTE referenced twice: once joined to supplier, once
+    * under the scalar max). The optimizer property: the uncorrelated max
+    * is ONE scalar-subquery execution over the aggregated (per-supplier,
+    * tiny) relation — never a re-aggregation of lineitem per probe row —
+    * and the supplier join is an equi join against the same aggregate.
+    * Revenue is EXACT-INTEGER (price-cents × discount-complement-cents,
+    * both BIGINT) because the view's `total_revenue = max(total_revenue)`
+    * equality is a knife edge: a float sum differs in the last ulp between
+    * engines/summation orders and would flip the argmax set. Verbatim SQL
+    * on both engines. */
+  val tpch15: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch15_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("tpch15_supplier")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_rev_e4
+        FROM tpch15_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             round(CAST(total_rev_e4 AS DOUBLE) / 10000, 2) AS total_revenue
+      FROM tpch15_supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+      ORDER BY s_suppkey""")
+  }
+
+  /** TPC-H Q16 shape — the NULL-AWARE NOT-IN anchor (supplier counts by
+    * part class, excluding flagged suppliers; public spec: TPC-H v3 Q16).
+    * Two distinct mechanisms: (1) `NOT IN (subquery)` has three-valued
+    * semantics — one NULL on either side empties/flips the result — so
+    * Spark must plan a null-aware anti join (BroadcastHashJoin LeftAnti
+    * with isNullAwareAntiJoin=true; the ONLY physical strategy that
+    * implements NOT IN without a per-row re-scan, and it is
+    * broadcast-only — at 100 TB the flagged-supplier side must be the
+    * small one, which it structurally is); (2) count(DISTINCT l_suppkey)
+    * plans the two-level distinct aggregate. Adaptations, documented:
+    * lineitem stands in for partsupp (no partsupp table), and the flagged
+    * set is s_acctbal < 0 (no s_comment to LIKE against). Verbatim SQL on
+    * both engines. */
+  val tpch16: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch16_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("tpch16_part")
+    t(s, dir, "supplier").createOrReplaceTempView("tpch16_supplier")
+    s.sql("""
+      SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM tpch16_lineitem, tpch16_part
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#5'
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM tpch16_supplier
+                              WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_size""")
+  }
+
+  /** TPC-H Q2 shape — the CORRELATED `= min` anchor (minimum-cost
+    * supplier; public spec: TPC-H v3 Q2). Q17 proved `<` against a
+    * correlated aggregate; this is the EQUALITY form, which additionally
+    * requires the decorrelated aggregate to join back WITHOUT losing
+    * min-ties (every supplier at the minimum survives), over a 5-way join
+    * with a region gate. The equality is portable because min() SELECTS a
+    * stored double — no arithmetic, so both engines compare the identical
+    * bit pattern parquet stored. Adaptations, documented: lineitem stands
+    * in for partsupp and l_extendedprice for ps_supplycost (no partsupp
+    * table); no LIMIT (a tie at the 100th rank would make the kept set
+    * nondeterministic across engines); p_name replaces p_mfgr in the
+    * projection. Verbatim SQL on both engines. */
+  val tpch2: Q = (s, dir) => {
+    t(s, dir, "part").createOrReplaceTempView("tpch2_part")
+    t(s, dir, "supplier").createOrReplaceTempView("tpch2_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch2_lineitem")
+    t(s, dir, "nation").createOrReplaceTempView("tpch2_nation")
+    t(s, dir, "region").createOrReplaceTempView("tpch2_region")
+    s.sql("""
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      FROM tpch2_part, tpch2_supplier, tpch2_lineitem, tpch2_nation, tpch2_region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND p_size = 15
+        AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM tpch2_lineitem l2
+                               WHERE l2.l_partkey = p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+  }
+
+  /** TPC-H Q20 shape — the NESTED-SEMI-JOIN anchor (suppliers with excess
+    * shipments of a part class; public spec: TPC-H v3 Q20). Three stacked
+    * subqueries: an IN inside an IN, with a correlated scalar threshold at
+    * the bottom — Catalyst must decorrelate inside-out into two left-semi
+    * joins over a per-part aggregate join, never a per-row re-scan at any
+    * level. The threshold average is exact cross-engine for the q_tpch17
+    * reason: quantities are integral, sum/count stays inside double's
+    * 2⁵³, and 0.5 × is the same IEEE value everywhere. Adaptation,
+    * documented: lineitem stands in for partsupp, so "available quantity"
+    * is the shipped l_quantity and the inner threshold compares each
+    * shipment against half the part's average shipment. Verbatim SQL on
+    * both engines. */
+  val tpch20: Q = (s, dir) => {
+    t(s, dir, "supplier").createOrReplaceTempView("tpch20_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch20_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("tpch20_part")
+    s.sql("""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM tpch20_supplier
+      WHERE s_suppkey IN (
+        SELECT l1.l_suppkey FROM tpch20_lineitem l1
+        WHERE l1.l_partkey IN (SELECT p_partkey FROM tpch20_part
+                               WHERE p_name LIKE 'red%')
+          AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l1.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l1.l_quantity > (SELECT 0.5 * avg(l2.l_quantity)
+                               FROM tpch20_lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey))
+      ORDER BY s_suppkey""")
+  }
+
   /** TPC-H Q18 shape: group-having on the fact table, then join back. */
   val tpch18: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")

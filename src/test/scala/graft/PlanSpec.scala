@@ -141,6 +141,120 @@ class PlanSpec extends SparkTestBase {
       s"expected the decorrelated per-part aggregate:\n$p")
   }
 
+  test("q_tpch13: the join stays LeftOuter (the ON-clause filter must not " +
+    "license an inner conversion) while the right-side conjunct is still " +
+    "pushed into the orders scan; two aggregation levels") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch13")
+      assert(countIn(p, "LeftOuter") === 1,
+        s"expected exactly one preserved left-outer join:\n$p")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      // the o_orderpriority <> '1-URGENT' conjunct references only the
+      // null-extending side, so it is legal (and required at scale) to
+      // push it below the join into the orders scan
+      assert("PushedFilters: \\[[^\\]]*Not\\(EqualTo\\(o_orderpriority".r
+        .findFirstIn(p).isDefined,
+        s"ON-clause priority filter did not reach the orders scan:\n$p")
+      // per-customer count, then the distribution over counts
+      assert(countIn(p, "HashAggregate") + countIn(p, "SortAggregate") >= 4, p)
+    }
+  }
+
+  test("q_tpch19: the repeated p_partkey = l_partkey conjunct is FACTORED " +
+    "out of the OR — the join plans equi (sort-merge under disabled " +
+    "broadcasting) with the brand/size/quantity disjunction as a residual, " +
+    "never a cartesian") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch19")
+      assert(countIn(p, "SortMergeJoin") === 1,
+        s"common-factor extraction failed — no equi join:\n$p")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0,
+        s"disjunctive condition fell back to a product join:\n$p")
+    }
+  }
+
+  test("q_tpch15: the revenue aggregate feeds BOTH the supplier join and " +
+    "the scalar max without re-aggregating lineitem per probe row — " +
+    "lineitem is scanned a bounded number of times, no product joins") {
+    val p = plan("q_tpch15")
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    // the uncorrelated max executes ONCE as a (possibly reused) subquery
+    // over the aggregated per-supplier relation — both CTE references may
+    // inline (two lineitem scans), but a per-probe re-aggregation would
+    // show up as more
+    assert(countIn(p, "Scan parquet") <= 3,
+      s"lineitem re-scanned beyond the two CTE references:\n$p")
+    assert(countIn(p, "HashAggregate") + countIn(p, "SortAggregate") >= 2, p)
+  }
+
+  test("q_tpch16: NOT IN plans as the null-aware anti join (broadcast-only " +
+    "strategy — the flagged-supplier side is structurally the small one) " +
+    "and count(DISTINCT) plans the two-level distinct aggregate") {
+    val p = plan("q_tpch16")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti[^\\n]*true".r
+      .findFirstIn(p).isDefined,
+      s"NOT IN did not plan as a null-aware broadcast anti join:\n$p")
+    assert(countIn(p, "CartesianProduct") === 0, p)
+    // distinct-aggregate: partial/final over (p_brand, p_size, l_suppkey)
+    // below the count — at least three aggregate operators
+    assert(countIn(p, "HashAggregate") + countIn(p, "SortAggregate") >= 3, p)
+  }
+
+  test("q_tpch2: the correlated `= min` DECORRELATES — per-part min " +
+    "aggregate equi-joined back (ties preserved), no per-probe re-scan, " +
+    "no product joins") {
+    val p = plan("q_tpch2")
+    assert(!p.contains("scalar-subquery"),
+      s"correlated subquery survived to the physical plan:\n$p")
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(countIn(p, "HashAggregate") + countIn(p, "SortAggregate") >= 1,
+      s"expected the decorrelated per-part min aggregate:\n$p")
+  }
+
+  test("q_tpch20: the nested IN-inside-IN decorrelates to TWO left-semi " +
+    "joins with the correlated threshold as a per-part aggregate join — " +
+    "sort-merge throughout under disabled broadcasting") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch20")
+      // THREE semis, not two: the outer supplier IN, the part-class IN,
+      // and the part-class semi REPLICATED into the threshold-aggregate
+      // branch — Catalyst narrows the per-part avg to candidate parts
+      // before aggregating, exactly the pushdown a 100-TB plan wants
+      // (aggregating all of lineitem to then discard non-red parts at the
+      // join would be the naive shape)
+      assert(countIn(p, "LeftSemi") === 3,
+        s"expected both IN levels (+ the replicated class semi) as semi joins:\n$p")
+      // the correlated threshold rides the per-part equi join as a residual
+      assert(p.contains("Inner, (l_quantity"),
+        s"threshold did not decorrelate to a residual on the equi join:\n$p")
+      assert(!p.contains("scalar-subquery") && !p.contains("list-subquery"),
+        s"subquery marker survived to the physical plan:\n$p")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert(countIn(p, "SortMergeJoin") >= 4, p)
+    }
+  }
+
+  test("x_click_attrib: the attribution condition plans as ONE equi join " +
+    "on the user key with the time range as a residual — sort-merge under " +
+    "disabled broadcasting, never a product join over the event pairs") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("x_click_attrib")
+      assert(countIn(p, "SortMergeJoin") === 1,
+        s"expected the user-key equi join:\n$p")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      // the event_type gates reach both scans
+      assert(countIn(p, "EqualTo(event_type,view)") >= 1 &&
+        countIn(p, "EqualTo(event_type,click)") >= 1,
+        s"side filters did not reach the scans:\n$p")
+    }
+  }
+
   test("per-row batteries are map-only (no Exchange at all)") {
     Seq("x_quality_gopher", "x_pii_scrub", "x_strat_sample", "x_mm_features",
       "x_skipgram")

@@ -296,6 +296,72 @@ class RecoverySpec extends SparkTestBase {
     assert(shapeA.map(_._2).sum === 2L, "state is two live hosts")
   }
 
+  test("stream-stream join restart: BOTH sides' buffered state restores — " +
+    "an impression buffered before the stop matches a click that arrives " +
+    "while the query is down; output parity, no re-emitted pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 0: two impressions, no clicks — both must be BUFFERED, and that
+    // buffer is exactly what the restart has to restore
+    val i0 = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 2L, ts("2024-01-01 00:00:10")))
+    // arrives while run B is down: click 100 falls inside imp 1's window —
+    // lost join state would never emit the (1, 100) pair; click 101 is a
+    // pre-restart click the post-restart imp 3 must match the OTHER way
+    val c1 = Seq((100L, 1L, ts("2024-01-01 00:05:00")),
+      (101L, 3L, ts("2024-01-01 00:06:00")))
+    // after the restart: imp 3 matches the buffered click 101 (click-side
+    // state restored too); imp 4 matches nothing
+    val i2 = Seq((3L, 3L, ts("2024-01-01 00:04:00")),
+      (4L, 9L, ts("2024-01-01 00:07:00")))
+
+    val tmp = java.nio.file.Files.createTempDirectory("ssj_rec").toString
+    def start(iIn: MemoryStream[(Long, Long, Timestamp)],
+              cIn: MemoryStream[(Long, Long, Timestamp)], tag: String) =
+      graft.streaming.StreamJoin.attributeClicks(
+          iIn.toDF().toDF("imp_id", "imp_key", "imp_ts"),
+          cIn.toDF().toDF("click_id", "click_key", "click_ts"),
+          "imp_key", "click_key", "imp_ts", "click_ts",
+          watermark = "1 hour", maxDelaySeconds = 600)
+        .select(col("imp_id"), col("click_id"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", s"$tmp/out_$tag")
+        .option("checkpointLocation", s"$tmp/ckpt_$tag").start()
+
+    // run A: uninterrupted
+    val iA = MemoryStream[(Long, Long, Timestamp)]
+    val cA = MemoryStream[(Long, Long, Timestamp)]
+    val qA = start(iA, cA, "a")
+    iA.addData(i0); qA.processAllAvailable()
+    cA.addData(c1); qA.processAllAvailable()
+    iA.addData(i2); qA.processAllAvailable()
+    val shapeA = stateShape(qA)
+    qA.stop()
+
+    // run B: stop after the impressions batch; the clicks land while down
+    val iB = MemoryStream[(Long, Long, Timestamp)]
+    val cB = MemoryStream[(Long, Long, Timestamp)]
+    val qB1 = start(iB, cB, "b")
+    iB.addData(i0); qB1.processAllAvailable()
+    qB1.stop()
+    cB.addData(c1) // no query running
+    val qB2 = start(iB, cB, "b") // SAME checkpoint, SAME sink
+    qB2.processAllAvailable()    // drains c1 against the RESTORED imp buffer
+    iB.addData(i2); qB2.processAllAvailable()
+    val shapeB = stateShape(qB2)
+    qB2.stop()
+
+    def out(tag: String): Seq[(Long, Long)] =
+      spark.read.parquet(s"$tmp/out_$tag").select("imp_id", "click_id")
+        .as[(Long, Long)].collect().toSeq
+    val a = out("a"); val b = out("b")
+    assert(b.size === b.toSet.size, "restart must not re-emit any pair")
+    assert(b.toSet === a.toSet,
+      "restarted output must equal the uninterrupted run's")
+    // the two restored-state matches, asserted directly
+    assert(b.toSet === Set((1L, 100L), (3L, 101L)))
+    assert(shapeB === shapeA, s"join state differs: A=$shapeA B=$shapeB")
+  }
+
   test("SCD2 foreachBatch merge restart: batchIds continue from the " +
     "checkpoint (no duplicate store version, no re-merged batch) and the " +
     "dimension converges to the batch rebuild") {

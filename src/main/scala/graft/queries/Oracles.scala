@@ -864,6 +864,104 @@ object Oracles {
         |                         WHERE l2.l_partkey = l1.l_partkey))
         |ORDER BY s_suppkey""".stripMargin,
 
+    // verbatim Q7 shape: OR over BOTH nation copies rides above the joins
+    "q_tpch7" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             year(l_shipdate) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // verbatim Q8 shape: 8-relation join, exact-integer share
+    "q_tpch8" ->
+      """SELECT o_year,
+        |       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(v) AS DOUBLE), 4) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+        |             n2.n_name AS nation
+        |      FROM part, supplier, lineitem, orders, customer,
+        |           nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |        AND p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    // verbatim Q10 shape: exact-integer top-k with a total-order tiebreak
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name,
+        |       round(CAST(rev_e4 AS DOUBLE) / 10000, 2) AS revenue, n_name
+        |FROM (SELECT c_custkey, c_name, n_name,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_e4
+        |      FROM customer, orders, lineitem, nation
+        |      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |        AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |      GROUP BY c_custkey, c_name, n_name) t
+        |ORDER BY rev_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // verbatim Q11 shape: exact cross-multiplied mean threshold
+    "q_tpch11" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS v
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3'
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
+        |SELECT l_partkey, round(CAST(v AS DOUBLE) / 100, 2) AS stock_value
+        |FROM val, tot
+        |WHERE v * tot.n > tot.s
+        |ORDER BY v DESC, l_partkey""".stripMargin,
+
+    // verbatim Q12 shape: cross-side 90-day residual + CASE counts
+    "q_tpch12" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // verbatim Q14 shape: exact-integer promo share
+    "q_tpch14" ->
+      """SELECT round(100.0
+        |         * CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(v) AS DOUBLE), 4) AS promo_revenue
+        |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+        |             l_partkey
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00') l, part
+        |WHERE l_partkey = p_partkey""".stripMargin,
+
     "q_tpch18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, round(b.sq,2) AS sum_qty
         |FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem

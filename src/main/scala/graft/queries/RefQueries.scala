@@ -425,6 +425,192 @@ object RefQueries {
       ORDER BY s_suppkey""")
   }
 
+  /** TPC-H Q7 shape — the CROSS-DIMENSION DISJUNCTION anchor (volume
+    * shipped between two nations; public spec: TPC-H v3 Q7). Two copies of
+    * the nation dimension join the supplier and customer sides, and the
+    * qualifying condition is an OR over BOTH copies' names — unlike Q19's
+    * single-join OR this disjunction cannot be factored into either scan,
+    * so it must ride ABOVE both equi joins as a filter while the joins
+    * themselves stay equi (no product fallback). Nations chosen from the
+    * supplier coverage at the smallest test SF (10 suppliers at sf0.001 —
+    * NATION_3/NATION_8 both exist there); 4-year window. Verbatim SQL on
+    * both engines. */
+  val tpch7: Q = (s, dir) => {
+    t(s, dir, "supplier").createOrReplaceTempView("tpch7_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch7_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("tpch7_orders")
+    t(s, dir, "customer").createOrReplaceTempView("tpch7_customer")
+    t(s, dir, "nation").createOrReplaceTempView("tpch7_nation")
+    s.sql("""
+      SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM tpch7_supplier, tpch7_lineitem, tpch7_orders,
+                 tpch7_customer, tpch7_nation n1, tpch7_nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00') shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+  }
+
+  /** TPC-H Q8 shape — the CONDITIONAL-AGGREGATE RATIO anchor (national
+    * market share; public spec: TPC-H v3 Q8): the widest join in the
+    * family (part, supplier, lineitem, orders, customer, nation ×2,
+    * region — 8 relations) feeding sum(CASE)/sum per year. The volumes are
+    * EXACT-INTEGER (price-cents × discount-complement-cents) so both
+    * engines divide the identical integers — a float sum's last-ulp wobble
+    * would knife-edge the 4-dp share. The sums stay < 2⁵³, so the
+    * HUGEINT(DuckDB)/BIGINT(Spark)→DOUBLE casts agree exactly.
+    * Adaptation, documented: market = customers of region AMERICA, product
+    * class p_type = 'ECONOMY' (no p_type '%ANODIZED%' classes in the
+    * testdata), share measured for supplier nation NATION_3. Verbatim SQL
+    * on both engines. */
+  val tpch8: Q = (s, dir) => {
+    t(s, dir, "part").createOrReplaceTempView("tpch8_part")
+    t(s, dir, "supplier").createOrReplaceTempView("tpch8_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch8_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("tpch8_orders")
+    t(s, dir, "customer").createOrReplaceTempView("tpch8_customer")
+    t(s, dir, "nation").createOrReplaceTempView("tpch8_nation")
+    t(s, dir, "region").createOrReplaceTempView("tpch8_region")
+    s.sql("""
+      SELECT o_year,
+             round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(v) AS DOUBLE), 4) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+                   n2.n_name AS nation
+            FROM tpch8_part, tpch8_supplier, tpch8_lineitem, tpch8_orders,
+                 tpch8_customer, tpch8_nation n1, tpch8_nation n2, tpch8_region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+              AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND p_type = 'ECONOMY') all_nations
+      GROUP BY o_year
+      ORDER BY o_year""")
+  }
+
+  /** TPC-H Q10 shape — the TOP-K-AFTER-JOIN-AGGREGATE anchor (returned-item
+    * customers; public spec: TPC-H v3 Q10): join-aggregate per customer,
+    * then ORDER BY revenue LIMIT 20 — Spark must plan TakeOrderedAndProject
+    * (per-partition heaps merged on the driver), never a global sort, the
+    * difference between O(n log k) and a full-shuffle sort at 100 TB.
+    * Revenue is EXACT-INTEGER with c_custkey as the total-order tiebreak,
+    * because a LIMIT at a float tie keeps an engine-dependent subset — the
+    * q_tpch15 lesson applied to top-k. Verbatim SQL on both engines. */
+  val tpch10: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("tpch10_customer")
+    t(s, dir, "orders").createOrReplaceTempView("tpch10_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch10_lineitem")
+    t(s, dir, "nation").createOrReplaceTempView("tpch10_nation")
+    s.sql("""
+      SELECT c_custkey, c_name,
+             round(CAST(rev_e4 AS DOUBLE) / 10000, 2) AS revenue, n_name
+      FROM (SELECT c_custkey, c_name, n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_e4
+            FROM tpch10_customer, tpch10_orders, tpch10_lineitem, tpch10_nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name) t
+      ORDER BY rev_e4 DESC, c_custkey
+      LIMIT 20""")
+  }
+
+  /** TPC-H Q11 shape — the HAVING-VS-GLOBAL-SCALAR anchor (important stock
+    * value; public spec: TPC-H v3 Q11): per-part value aggregate filtered
+    * against a threshold computed from the SAME aggregate's global total —
+    * the one-row side must be computed once and joined, never re-aggregated
+    * per group. The comparison is exact-integer cross-multiplication
+    * (v × n > s, i.e. value > mean) because a float fraction of the total
+    * would knife-edge the qualifying set. Adaptations, documented: lineitem
+    * stands in for partsupp (value = price-cents × quantity), supplier
+    * nation NATION_3 (exists at every test SF), and the threshold is the
+    * per-part MEAN rather than a scale-factor-dependent fraction of the
+    * total (the spec's 0.0001/SF constant has no meaning across our SF
+    * range). Verbatim SQL on both engines. */
+  val tpch11: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch11_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("tpch11_supplier")
+    t(s, dir, "nation").createOrReplaceTempView("tpch11_nation")
+    s.sql("""
+      WITH val AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS v
+        FROM tpch11_lineitem, tpch11_supplier, tpch11_nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+        GROUP BY l_partkey),
+      tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
+      SELECT l_partkey, round(CAST(v AS DOUBLE) / 100, 2) AS stock_value
+      FROM val, tot
+      WHERE v * tot.n > tot.s
+      ORDER BY v DESC, l_partkey""")
+  }
+
+  /** TPC-H Q12 shape — the JOIN-RESIDUAL CONDITIONAL-COUNT anchor (late
+    * shipments by priority class; public spec: TPC-H v3 Q12): an equi join
+    * on the order key carrying a cross-side comparison
+    * (l_shipdate > o_orderdate + 90 days) as a RESIDUAL — it references
+    * both sides, so it can neither push into a scan nor become a join key —
+    * feeding two CASE-conditional counts per group. Adaptations,
+    * documented: no l_shipmode/l_commitdate/l_receiptdate in the testdata,
+    * so groups are l_returnflag, "late" is the 90-day shipment lag, and the
+    * priority classes split on o_orderpriority. Verbatim SQL on both
+    * engines. */
+  val tpch12: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("tpch12_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch12_lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM tpch12_orders, tpch12_lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  /** TPC-H Q14 shape — the SINGLE-ROW RATIO anchor (promotion revenue
+    * share; public spec: TPC-H v3 Q14): one month of lineitem joined to
+    * part, collapsing to one sum(CASE)/sum row. Exact-integer volumes (the
+    * q_tpch8 reason); the testdata's p_type domain has a literal 'PROMO'
+    * class, so the promo predicate needs no LIKE adaptation. Verbatim SQL
+    * on both engines. */
+  val tpch14: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("tpch14_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("tpch14_part")
+    s.sql("""
+      SELECT round(100.0
+               * CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS DOUBLE)
+               / CAST(sum(v) AS DOUBLE), 4) AS promo_revenue
+      FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+                   l_partkey
+            FROM tpch14_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00') l, tpch14_part
+      WHERE l_partkey = p_partkey""")
+  }
+
   /** TPC-H Q18 shape: group-having on the fact table, then join back. */
   val tpch18: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")

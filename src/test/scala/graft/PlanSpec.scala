@@ -239,6 +239,77 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_tpch7: the cross-dimension nation-pair OR rides ABOVE the equi " +
+    "joins as a filter — every join stays equi, no product fallback") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch7")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0,
+        s"cross-dimension OR forced a product join:\n$p")
+      assert(countIn(p, "SortMergeJoin") >= 5, p)
+    }
+  }
+
+  test("q_tpch8: the 8-relation market-share join plans products-free " +
+    "with the date window pushed into the orders scan") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch8")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+        .findFirstIn(p).isDefined,
+        s"order-date window did not reach the orders scan:\n$p")
+    }
+  }
+
+  test("q_tpch10: the top-k plans TakeOrderedAndProject (per-partition " +
+    "heaps), never a global sort of the aggregate") {
+    val p = plan("q_tpch10")
+    assert(countIn(p, "TakeOrderedAndProject") === 1,
+      s"LIMIT after ORDER BY did not plan as top-k:\n$p")
+    assert(countIn(p, "CartesianProduct") === 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("q_tpch11: the global mean threshold is computed ONCE as a one-row " +
+    "side — under normal planning zero product joins, and the per-part " +
+    "aggregate appears once (never re-aggregated per group)") {
+    val p = plan("q_tpch11")
+    assert(countIn(p, "CartesianProduct") === 0, p)
+    // per-part partial+final, the one-row total, and no third derivation
+    // of the val aggregate
+    assert(countIn(p, "HashAggregate") + countIn(p, "SortAggregate") >= 3, p)
+  }
+
+  test("q_tpch12: the 90-day lag is a cross-side RESIDUAL on the order-key " +
+    "equi join (it can neither push into a scan nor become a key); the " +
+    "ship-date window DOES push") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch12")
+      assert(countIn(p, "SortMergeJoin") === 1, p)
+      assert(p.contains("Inner, (l_shipdate"),
+        s"the lag comparison did not ride the join as a residual:\n$p")
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+        .findFirstIn(p).isDefined,
+        s"ship-date window did not reach the lineitem scan:\n$p")
+    }
+  }
+
+  test("q_tpch14: one equi join on the part key; the one-month window " +
+    "reaches the lineitem scan") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tpch14")
+      assert(countIn(p, "SortMergeJoin") === 1, p)
+      assert(countIn(p, "CartesianProduct") === 0 &&
+        countIn(p, "BroadcastNestedLoopJoin") === 0, p)
+      assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+        .findFirstIn(p).isDefined,
+        s"month window did not reach the lineitem scan:\n$p")
+    }
+  }
+
   test("x_click_attrib: the attribution condition plans as ONE equi join " +
     "on the user key with the time range as a residual — sort-merge under " +
     "disabled broadcasting, never a product join over the event pairs") {

@@ -362,6 +362,63 @@ class RecoverySpec extends SparkTestBase {
     assert(shapeB === shapeA, s"join state differs: A=$shapeA B=$shapeB")
   }
 
+  test("TWS session restart: the ListState buffer AND the registered close " +
+    "timer restore — a key untouched after the restart still closes from " +
+    "its restored timer with its pre-stop membership; output parity") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass"
+        -> graft.streaming.Frontier.RocksDbProvider) {
+      import graft.streaming.TwsSessions
+      import graft.streaming.TwsSessions.Session
+      implicit val sqlCtx = spark.sqlContext
+      // pre-stop: k has an open 2-event session, q an open 1-event session
+      val b0 = Seq(("k", ts("2024-01-01 00:00:00")),
+        ("k", ts("2024-01-01 00:00:04")),
+        ("q", ts("2024-01-01 00:00:02")))
+      // arrives while run B is down: k extends (needs the restored buffer);
+      // q gets NOTHING ever again — its close can only come from the
+      // RESTORED timer firing, there is no input row to re-arm it
+      val b1 = Seq(("k", ts("2024-01-01 00:00:08")),
+        ("zz", ts("2024-01-01 01:00:00")))
+      val b2 = Seq(("zz", ts("2024-01-01 01:00:01")))
+      val b3 = Seq(("zz", ts("2024-01-01 01:00:02")))
+
+      val tmp = java.nio.file.Files.createTempDirectory("tws_sess_rec").toString
+      def start(in: MemoryStream[(String, Timestamp)], tag: String) =
+        TwsSessions.sessions(
+            in.toDF().toDF("key", "ts").withWatermark("ts", "1 second"),
+            "key", "ts", gapSeconds = 10)
+          .writeStream.outputMode(OutputMode.Append)
+          .format("parquet").option("path", s"$tmp/out_$tag")
+          .option("checkpointLocation", s"$tmp/ckpt_$tag").start()
+
+      val inA = MemoryStream[(String, Timestamp)]
+      val qA = start(inA, "a")
+      Seq(b0, b1, b2, b3).foreach { b => inA.addData(b); qA.processAllAvailable() }
+      qA.stop()
+
+      val inB = MemoryStream[(String, Timestamp)]
+      val qB1 = start(inB, "b")
+      inB.addData(b0); qB1.processAllAvailable()
+      qB1.stop()
+      inB.addData(b1) // lands while down
+      val qB2 = start(inB, "b")
+      qB2.processAllAvailable()
+      Seq(b2, b3).foreach { b => inB.addData(b); qB2.processAllAvailable() }
+      qB2.stop()
+
+      def out(tag: String): Set[Session] =
+        spark.read.parquet(s"$tmp/out_$tag").as[Session].collect().toSet
+      val a = out("a"); val b = out("b")
+      assert(b === a, "restarted sessions must equal the uninterrupted run's")
+      assert(b.contains(Session("k", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:18"), 3L)),
+        "k must close with the restored pre-stop buffer + the extension")
+      assert(b.contains(Session("q", ts("2024-01-01 00:00:02"),
+        ts("2024-01-01 00:00:12"), 1L)),
+        "q never saw another row — only the RESTORED timer can close it")
+    }
+  }
+
   test("SCD2 foreachBatch merge restart: batchIds continue from the " +
     "checkpoint (no duplicate store version, no re-merged batch) and the " +
     "dimension converges to the batch rebuild") {

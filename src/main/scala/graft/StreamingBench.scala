@@ -397,14 +397,17 @@ object StreamingBench {
         fDedups.headOption.getOrElse(0L), fDedups.lastOption.getOrElse(0L),
         fSst, fPinned)
     }
-    // ---- timer-emitted TWS session windows ----
-    // 5k live keys, ~10 events/key/batch jittered across a 30 min span,
-    // 10 min gap, 1 h watermark: most keys close one session per batch
-    // roughly two batches after it ends, so the steady state is "every
-    // batch appends to ~5k ListStates and a tranche of timers fires" —
-    // the operator's real production rhythm (RocksDB store, the TWS
-    // requirement)
-    val (sessRate, sessState) = {
+    // ---- TWS session windows (input-path close under steady traffic) ----
+    // 5k live keys, ~10 events/key/batch clustered in the first 10 min of
+    // each 30 min batch window (so the 20 min quiet tail EXCEEDS the
+    // 10 min gap: one session per key per batch), 1 h watermark: every
+    // batch appends to ~5k ListStates and closes each key's
+    // two-batches-old session on the INPUT path — the steady-traffic
+    // rhythm; the timer path only covers keys that go quiet. (The first
+    // fixture spread events 200 s apart across the whole window — under
+    // the gap, so every key was ONE endless session and nothing ever
+    // closed; caught in review.) RocksDB store, the TWS requirement.
+    val (sessRate, sessState, sessClosed) = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         graft.streaming.Frontier.RocksDbProvider)
       val sin = MemoryStream[(String, Timestamp)]
@@ -415,7 +418,7 @@ object StreamingBench {
       def sessBatch(b: Int): Seq[(String, Timestamp)] =
         (0 until batchRows).map { i =>
           ("u" + (i % 5000),
-            new Timestamp(base + b * 30L * 60000 + (i % 1800) * 1000L))
+            new Timestamp(base + b * 30L * 60000 + (i % 600) * 1000L))
         }
       (0 until warm).foreach { b => sin.addData(sessBatch(b)); q10.processAllAvailable() }
       val t10 = System.nanoTime()
@@ -423,9 +426,14 @@ object StreamingBench {
       val sSec = (System.nanoTime() - t10) / 1e9
       val sRows = (total - warm).toLong * batchRows
       val sState = stateRows(q10)
+      // total sink rows = sessions CLOSED over the run (lastProgress alone
+      // is a trailing no-data batch with 0 output) — the honesty row that
+      // the close path actually runs under steady traffic
+      val sClosed = q10.recentProgress.map(_.sink.numOutputRows)
+        .filter(_ > 0).sum
       q10.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      (sRows / sSec, sState)
+      (sRows / sSec, sState, sClosed)
     }
 
     val f1 = frontierRun(batchRows / 10, hosts = 97, budget = 40)
@@ -435,7 +443,7 @@ object StreamingBench {
       f""","frontier10x_docs_per_sec":${f.docsPerSec}%.0f,"frontier10x_doc_rows_per_batch":${f.rowsPerBatch},"frontier10x_state_hosts":${f.hosts},"frontier10x_state_urls":${f.urls},"frontier10x_state_chunks":${f.chunks},"frontier10x_rocksdb_sst_bytes":${f.sstBytes},"frontier10x_rocksdb_pinned_bytes":${f.pinnedBytes}""")
       .getOrElse("")
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"sess_rows_per_sec":$sessRate%.0f,"sess_state_rows":$sessState,"frontier_docs_per_sec":${f1.docsPerSec}%.0f,"frontier_doc_rows_per_batch":${f1.rowsPerBatch},"frontier_state_hosts":${f1.hosts},"frontier_state_urls":${f1.urls},"frontier_state_chunks":${f1.chunks},"frontier_rocksdb_sst_bytes":${f1.sstBytes},"frontier_rocksdb_pinned_bytes":${f1.pinnedBytes}$f10Json,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"sess_rows_per_sec":$sessRate%.0f,"sess_state_rows":$sessState,"sess_closed_total":$sessClosed,"frontier_docs_per_sec":${f1.docsPerSec}%.0f,"frontier_doc_rows_per_batch":${f1.rowsPerBatch},"frontier_state_hosts":${f1.hosts},"frontier_state_urls":${f1.urls},"frontier_state_chunks":${f1.chunks},"frontier_rocksdb_sst_bytes":${f1.sstBytes},"frontier_rocksdb_pinned_bytes":${f1.pinnedBytes}$f10Json,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

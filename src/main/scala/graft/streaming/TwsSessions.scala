@@ -7,35 +7,46 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Session windows as a `transformWithState` StatefulProcessor — the
-  * EMIT-ON-TIMER form of [[graft.ext.EventWindows.session]]'s built-in
+  * EMIT-ON-CLOSE form of [[graft.ext.EventWindows.session]]'s built-in
   * `session_window` aggregation, and the operator that exercises the two
   * TWS mechanisms the other processors don't: ListState (the budget and
   * leaderboard keep one ValueState row per key; a session must buffer its
   * member event TIMES) and an OUTPUT-PRODUCING timer
   * ([[CrawlBudget.BudgetProcessor]]'s timer only clears state — here the
-  * expiry IS the emission point, the "key went quiet" callback a
+  * expiry IS an emission point, the "key went quiet" callback a
   * production sessionizer is built on).
   *
   * Semantics match `session_window(ts, gap)` exactly: a session is a
   * maximal run of same-key events where consecutive gaps are ≤ `gap`
   * (the built-in's merge rule is "new start ≤ existing end", so an
   * exact-gap successor MERGES — locked against the built-in in spec);
-  * start = first event time, end = last event time + gap. A key's close
-  * timer always sits at (max buffered time + gap) clamped above the
-  * watermark; when the watermark passes it, no future on-time event can
-  * merge with anything buffered (a non-late arrival has ts ≥ watermark ≥
-  * last + gap, and the boundary ts = last + gap case is safe because a
-  * micro-batch processes input rows BEFORE expired timers — the merge
-  * lands and re-arms the timer before the close could fire), so the
-  * expiry emits EVERY buffered session at once and clears the buffer.
-  * Emission is therefore exactly-once per session (append semantics),
-  * the same close discipline the built-in aggregation gets from its
-  * watermark.
+  * start = first event time, end = last event time + gap.
   *
-  * State per key: the buffered event times of the OPEN sessions only —
-  * cleared wholesale at each close, so state is bounded by the watermark
-  * horizon exactly like the built-in operator, plus one timer per live
-  * key. Requires the RocksDB state store provider (the TWS contract). */
+  * A session is CLOSED once the watermark reaches its end — no future
+  * on-time event can merge with it (a non-late arrival has
+  * ts ≥ watermark ≥ last + gap; the boundary ts = last + gap case is
+  * safe because a micro-batch processes input rows BEFORE expired
+  * timers, so the merge lands and re-arms the close before it could
+  * fire). Closure happens on BOTH paths:
+  *
+  *   - input path: each batch first emits and evicts every buffered
+  *     session the watermark has passed — so a CONTINUOUSLY ACTIVE key
+  *     drains its closed sessions batch by batch and its buffer holds
+  *     only the watermark horizon (the first implementation closed on
+  *     the timer alone, which a steadily-arriving key re-arms forever:
+  *     its state grew without bound and nothing ever emitted — caught
+  *     in review, locked by spec);
+  *   - timer path: the close timer sits at (max buffered + gap) clamped
+  *     above the watermark, and covers the key that goes QUIET — no
+  *     further input means no input-path close; expiry emits every
+  *     buffered session and clears the key's state.
+  *
+  * Emission is exactly-once per session (append semantics), the same
+  * close discipline the built-in aggregation gets from its watermark.
+  * The min/max trackers keep the common no-close batch O(batch): the
+  * full buffer is only scanned when the watermark has actually passed
+  * the earliest possible close point. Requires the RocksDB state store
+  * provider (the TWS contract). */
 object TwsSessions {
 
   case class Session(key: String, session_start: Timestamp,
@@ -44,34 +55,83 @@ object TwsSessions {
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[String, (String, Timestamp), Session] {
     @transient private var buf: ListState[Long] = _
-    // running max of the buffer, so re-arming the close timer is O(batch)
-    // per batch instead of a full buffer scan (long sessions stay cheap)
+    // running min/max of the buffer: max re-arms the close timer O(batch);
+    // min gates the input-path close scan (skip the buffer read entirely
+    // while watermark < earliest + gap — the common case)
     @transient private var maxTs: ValueState[Long] = _
+    @transient private var minTs: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[Long]("event_times",
         Encoders.scalaLong, TTLConfig.NONE)
       maxTs = getHandle.getValueState[Long]("max_ts",
         Encoders.scalaLong, TTLConfig.NONE)
+      minTs = getHandle.getValueState[Long]("min_ts",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Split the sorted buffer at gaps STRICTLY greater than gapMs —
+      * session_window's merge rule is "new start <= existing end", so an
+      * exact-gap successor MERGES (verified against the built-in
+      * aggregation in TwsSessionsSpec). */
+    private def split(key: String, times: Seq[Long]): Seq[Session] = {
+      val sessions = Seq.newBuilder[Session]
+      var start = times.head; var last = times.head; var n = 1L
+      times.tail.foreach { t =>
+        if (t - last > gapMs) {
+          sessions += Session(key, new Timestamp(start),
+            new Timestamp(last + gapMs), n)
+          start = t; n = 0L
+        }
+        last = t; n += 1
+      }
+      sessions += Session(key, new Timestamp(start),
+        new Timestamp(last + gapMs), n)
+      sessions.result()
     }
 
     override def handleInputRows(key: String,
         rows: Iterator[(String, Timestamp)],
         timerValues: TimerValues): Iterator[Session] = {
       var mx = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      var mn = if (minTs.exists()) minTs.get() else Long.MaxValue
       rows.foreach { r =>
         val t = r._2.getTime
         buf.appendValue(t)
         if (t > mx) mx = t
+        if (t < mn) mn = t
       }
+      val wm = timerValues.getCurrentWatermarkInMs()
+      // input-path close: emit every session the watermark already passed,
+      // keep the open tail. The tail is never empty here — this batch just
+      // appended on-time rows (ts ≥ wm), whose session ends after wm.
+      val closed: Seq[Session] =
+        if (mn + gapMs <= wm) {
+          // session ends are strictly increasing, so the closed set is a
+          // PREFIX and `open` keeps the order
+          val (done, open) =
+            split(key, buf.get().toSeq.sorted)
+              .partition(_.session_end.getTime <= wm)
+          // this batch just appended rows with ts ≥ wm, whose session ends
+          // after wm — so the newest session is always open
+          require(open.nonEmpty, "the newest session cannot be closed")
+          if (done.nonEmpty) {
+            val keepTimes = buf.get().toSeq.sorted
+              .dropWhile(_ < open.head.session_start.getTime)
+            buf.clear()
+            keepTimes.foreach(buf.appendValue)
+            mn = keepTimes.head
+          }
+          done
+        } else Seq.empty
       maxTs.update(mx)
+      minTs.update(mn)
       // one live close timer per key at (max buffered + gap); the clamp
       // above the current watermark keeps a timer that would already have
       // expired schedulable (the BudgetProcessor clamp)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(math.max(mx + gapMs,
-        timerValues.getCurrentWatermarkInMs() + 1))
-      Iterator.empty
+      getHandle.registerTimer(math.max(mx + gapMs, wm + 1))
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
@@ -79,26 +139,9 @@ object TwsSessions {
       val times = buf.get().toSeq.sorted
       buf.clear()
       maxTs.clear()
+      minTs.clear()
       if (times.isEmpty) Iterator.empty
-      else {
-        // split the buffer at gaps STRICTLY greater than gapMs —
-        // session_window's merge rule is "new start <= existing end", so
-        // an exact-gap successor MERGES (verified against the built-in
-        // aggregation in TwsSessionsSpec)
-        val sessions = Seq.newBuilder[Session]
-        var start = times.head; var last = times.head; var n = 1L
-        times.tail.foreach { t =>
-          if (t - last > gapMs) {
-            sessions += Session(key, new Timestamp(start),
-              new Timestamp(last + gapMs), n)
-            start = t; n = 0L
-          }
-          last = t; n += 1
-        }
-        sessions += Session(key, new Timestamp(start),
-          new Timestamp(last + gapMs), n)
-        sessions.result().iterator
-      }
+      else split(key, times).iterator
     }
   }
 

@@ -121,6 +121,40 @@ class TwsSessionsSpec extends SparkTestBase {
     }
   }
 
+  test("a CONTINUOUSLY ACTIVE key drains its closed sessions on the INPUT " +
+    "path, batch by batch — the timer (always re-armed ahead of a lagging " +
+    "watermark) never fires, yet emissions flow and the buffer stays at " +
+    "the watermark horizon (the review-caught unbounded-state case)") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider) {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Timestamp)]
+      val q = TwsSessions.sessions(
+          in.toDF().toDF("key", "ts").withWatermark("ts", "1 second"),
+          "key", "ts", gapSeconds = 600)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_active").start()
+      // one event every 15 min (> the 10 min gap): every event is its own
+      // session, and the key is touched EVERY batch so handleExpiredTimer
+      // can never be the emission path (each batch re-arms the timer at
+      // last + gap, which always leads the 1 s-lagging watermark)
+      val mins = Seq(0, 15, 30, 45, 60)
+      mins.foreach { m =>
+        in.addData(("k", ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("tws_active").as[Session].collect().toSet
+      // the watermark lags one batch, so after the 01:00 batch the closed
+      // prefix is the 00:00/00:15/00:30 sessions — emitted WHILE the key
+      // stayed active, exactly once each
+      assert(got === Set(0, 15, 30).map(m =>
+        Session("k", ts(f"2024-01-01 00:$m%02d:00"),
+          ts(f"2024-01-01 00:${m + 10}%02d:00"), 1L)),
+        s"input-path close must drain the active key's closed sessions, got $got")
+    }
+  }
+
   test("guards: non-positive gap") {
     intercept[IllegalArgumentException] {
       TwsSessions.sessions(Seq(("k", ts("2024-01-01 00:00:00")))

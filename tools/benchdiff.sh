@@ -31,6 +31,8 @@
 #                    regression OR a machine-state shift; needs a look
 #   CODE-CHANGED     entry was in --changed (not re-run)
 #   NEW              entry absent from OLD (not re-run)
+#   MISSING-FROM-NEW entry existed in OLD but vanished from NEW — an
+#                    errored run or a dropped registry entry; never silent
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -85,8 +87,12 @@ for name, nv in sorted(new.items()):
         rows.append((name, ov, nv, "CODE-CHANGED")); continue
     if ratio > thr and (nv - ov) > floor:
         rows.append((name, ov, nv, "FLAGGED")); flags.append(name)
+# an entry that EXISTED in OLD but vanished from NEW is the regression
+# class this tool exists to surface (errored run, dropped registry entry)
+# — never let it disappear from the table silently
+for name in sorted(set(old) - set(new)):
+    rows.append((name, old[name], None, "MISSING-FROM-NEW"))
 json.dump(rows, open(f"{tmp}/rows.json", "w"))
-print("\n".join(flags))
 PYEOF
 FLAGS="$(python3 -c "
 import json
@@ -121,7 +127,8 @@ for name, ov, nv, verdict in rows:
         else: verdict = "REPRODUCIBLE"; n_real += 1
     o = "-" if ov is None else f"{ov:.2f}"
     r = "-" if rr is None else f"{rr:.2f}"
-    print(f"| {name} | {o} | {nv:.2f} | {r} | {verdict} |")
+    nvs = "-" if nv is None else f"{nv:.2f}"
+    print(f"| {name} | {o} | {nvs} | {r} | {verdict} |")
 print()
 print(f"adjudicated: {n_noise} load-noise, {n_real} reproducible (regression or machine shift); "
       f"rows shown are new/changed/flagged entries only (unflagged "

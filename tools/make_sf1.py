@@ -74,18 +74,15 @@ copy(f"""SELECT event_id + rep*{SHIFT} AS event_id, ts,
 # rep 0 keeps the original text byte-for-byte; reps 1-9 salt every
 # non-stopword token so replicas share no vocabulary but every replica
 # keeps the original stop-ratio statistics
-copy(f"""SELECT doc_id + rep*{SHIFT} AS doc_id,
-                CASE WHEN rep = 0 THEN text ELSE array_to_string(
-                  list_transform(string_split(text, ' '),
-                    tok -> CASE WHEN lower(tok) IN {STOPS} THEN tok
-                                ELSE tok || 'r' || rep END), ' ') END AS text,
-                lang, source,
-                CAST(length(CASE WHEN rep = 0 THEN text ELSE array_to_string(
-                  list_transform(string_split(text, ' '),
-                    tok -> CASE WHEN lower(tok) IN {STOPS} THEN tok
-                                ELSE tok || 'r' || rep END), ' ') END)
-                  AS BIGINT) AS n_chars
-         FROM '{SRC}/documents.parquet', {REPS}""", "documents")
+copy(f"""SELECT doc_id, text, lang, source,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM (SELECT doc_id + rep*{SHIFT} AS doc_id,
+                      CASE WHEN rep = 0 THEN text ELSE array_to_string(
+                        list_transform(string_split(text, ' '),
+                          tok -> CASE WHEN lower(tok) IN {STOPS} THEN tok
+                                      ELSE tok || 'r' || rep END), ' ') END AS text,
+                      lang, source
+               FROM '{SRC}/documents.parquet', {REPS})""", "documents")
 copy(f"""SELECT vec_id + rep*{SHIFT} AS vec_id,
                 list_transform(embedding,
                   x -> CAST(x + rep*0.0001 AS FLOAT)) AS embedding,

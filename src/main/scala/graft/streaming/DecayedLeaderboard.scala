@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming half-life-decayed leaderboard: the stateful surface of
   * [[graft.ext.EventWindows.decayedScore]]. State per key is ONE pair
@@ -92,5 +92,49 @@ object DecayedLeaderboard {
     events.groupByKey(_.key)
       .transformWithState(new DecayProcessor(halfLifeMicros),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[DecayProcessor]] with a WARM START: `handleInitialState` seeds each
+    * key's (score, ref) before the first micro-batch touches it. The
+    * emitted KeyScore IS the state, so a running leaderboard exports by
+    * snapshotting its latest emissions and a successor query resumes from
+    * them — the batch→streaming (or cluster-migration) handoff that
+    * otherwise needs a checkpoint copy. Same [[foldGroup]], so a
+    * warm-started query's emissions are BITWISE those of a query that saw
+    * the whole history (locked by StreamDecaySpec). */
+  class DecayProcessorWithInit(halfLifeMicros: Long)
+      extends StatefulProcessorWithInitialState[String, ScoredEvent,
+        KeyScore, KeyScore] {
+    @transient private var st: ValueState[DecayState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DecayState]("decay",
+        Encoders.product[DecayState], TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: KeyScore,
+        timerValues: TimerValues): Unit =
+      st.update(DecayState(initial.score, initial.refMicros))
+
+    override def handleInputRows(key: String, rows: Iterator[ScoredEvent],
+        timerValues: TimerValues): Iterator[KeyScore] = {
+      val s = foldGroup(rows.toSeq,
+        if (st.exists()) Some(st.get()) else None, halfLifeMicros)
+      st.update(s)
+      Iterator.single(KeyScore(key, s.score, s.refMicros))
+    }
+  }
+
+  /** [[runTws]] warm-started from an exported leaderboard (one KeyScore
+    * per key — duplicate keys are rejected by the engine's initial-state
+    * contract). Keys present only in `initial` emit nothing until first
+    * touched, then fold on top of their seeded (score, ref) exactly as if
+    * the query had seen their history. */
+  def runTwsWarm(events: Dataset[ScoredEvent], halfLifeMicros: Long,
+                 initial: Dataset[KeyScore]): Dataset[KeyScore] = {
+    require(halfLifeMicros > 0, "halfLifeMicros must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new DecayProcessorWithInit(halfLifeMicros),
+        TimeMode.None(), OutputMode.Update(), initial.groupByKey(_.key))
   }
 }

@@ -76,6 +76,55 @@ class StreamDecaySpec extends SparkTestBase {
     }
   }
 
+  test("warm start from an exported leaderboard: a successor query seeded " +
+    "with the predecessor's latest emissions produces BITWISE the " +
+    "emissions of a query that saw the whole history; an exported-only " +
+    "key re-ages from its seed on first touch") {
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass"
+        -> graft.streaming.Frontier.RocksDbProvider) {
+      implicit val sqlCtx = spark.sqlContext
+      val history = Seq(ScoredEvent("k", 1000000L, 4.0),
+        ScoredEvent("k", 1000000L, 2.0),
+        ScoredEvent("idle", 1000000L, 8.0))
+      val s1 = Seq(ScoredEvent("k", 2000000L, 1.0))
+      // idle touched two half-lives after its exported ref; fresh is new
+      val s2 = Seq(ScoredEvent("idle", 3000000L, 1.0),
+        ScoredEvent("fresh", 3000000L, 2.0))
+
+      // control: ONE query sees history + stream; keep the stream-era
+      // emissions separately from the history batch's
+      val inA = MemoryStream[ScoredEvent]
+      val qA = DecayedLeaderboard.runTws(inA.toDS(), hl)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("warm_ctl").start()
+      inA.addData(history); qA.processAllAvailable()
+      val exported = spark.table("warm_ctl").as[KeyScore].collect().toSet
+      Seq(s1, s2).foreach { b => inA.addData(b); qA.processAllAvailable() }
+      qA.stop()
+      val streamEraCtl =
+        spark.table("warm_ctl").as[KeyScore].collect().toSet -- exported
+
+      // successor: a FRESH query warm-started from the export (the emitted
+      // KeyScore IS the state), seeing only the stream era
+      val inB = MemoryStream[ScoredEvent]
+      val qB = DecayedLeaderboard.runTwsWarm(inB.toDS(), hl,
+          exported.toSeq.toDS())
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("warm_succ").start()
+      Seq(s1, s2).foreach { b => inB.addData(b); qB.processAllAvailable() }
+      qB.stop()
+      val got = spark.table("warm_succ").as[KeyScore].collect().toSet
+
+      assert(got === streamEraCtl,
+        "warm-started emissions must be bitwise the full-history query's")
+      // the seeded arithmetic, explicitly: k = 6 aged 1s->2s (3) + 1;
+      // idle = 8 aged two half-lives (2) + 1; fresh = plain 2
+      assert(got === Set(KeyScore("k", 4.0, 2000000L),
+        KeyScore("idle", 3.0, 3000000L), KeyScore("fresh", 2.0, 3000000L)))
+    }
+  }
+
   test("a key untouched by a batch keeps its state and re-ages correctly " +
     "when it reappears") {
     val batches = Seq(

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming per-key heavy hitters with BOUNDED memory — Misra–Gries
+  * (Misra & Gries 1982, "Finding repeated elements"; the Space-Saving /
+  * frequent-items family) as a `transformWithState` StatefulProcessor,
+  * and the operator that exercises MapState, the one TWS state type the
+  * rest of the streaming surface doesn't touch (budget/leaderboard:
+  * ValueState; sessions: ListState + timers).
+  *
+  * Per key (e.g. host, language, source) the processor keeps at most
+  * `capacity` item counters. Each arriving item increments its counter,
+  * claims a free slot, or — when the summary is full — decrements EVERY
+  * counter by one (dropping zeros), which is the step that buys the
+  * guarantee: a decrement round co-spends one occurrence of `capacity+1`
+  * DISTINCT items, so there can be at most N/(capacity+1) rounds over N
+  * items. Hence, with `dec` = rounds so far:
+  *
+  *   est ≤ true ≤ est + dec      and      dec ≤ N/(capacity+1),
+  *
+  * so every item with true frequency > N/(capacity+1) is GUARANTEED to
+  * be in the summary — the "which domains/tokens dominate this stream"
+  * question answered in capacity-bounded state no matter how many
+  * distinct items flow (an exact groupBy count is unbounded state; this
+  * is its streaming-budget replacement, with the error bound carried in
+  * the output rather than hidden).
+  *
+  * Each micro-batch emits the key's full summary (Update semantics:
+  * latest row per (key, item) wins; an item that later falls out of the
+  * summary simply stops being re-emitted — readers of the table keep
+  * only each key's newest batch, which [[hitsOf]] does). A batch whose
+  * churn empties the summary emits NOTHING for the key — correct, since
+  * an empty summary certifies no item exceeds the threshold; each
+  * emission's interval brackets the true count AS OF that emission.
+  * State per key: the MapState (≤ capacity entries) + two Long
+  * ValueStates (n, dec). Requires the RocksDB state store provider (the
+  * TWS contract). */
+object StreamHeavyHitters {
+
+  /** `min_count` = the guaranteed LOWER bound (the raw MG counter);
+    * `max_count` = min_count + the key's decrement rounds so far — the
+    * certified interval around the true count at emission time. */
+  case class Hit(key: String, item: String, min_count: Long,
+                 max_count: Long, n_seen: Long)
+
+  class MgProcessor(capacity: Int)
+      extends StatefulProcessor[String, (String, String), Hit] {
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var nItems: ValueState[Long] = _
+    @transient private var decRounds: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long]("counters",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      nItems = getHandle.getValueState[Long]("n_items",
+        Encoders.scalaLong, TTLConfig.NONE)
+      decRounds = getHandle.getValueState[Long]("dec_rounds",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, String)],
+        timerValues: TimerValues): Iterator[Hit] = {
+      // fold the batch through a LOCAL map (one state read, one write) —
+      // per-row MapState round-trips would hit RocksDB 3x per item
+      val local = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      counters.iterator().foreach { case (k, v) => local.put(k, v) }
+      var n = if (nItems.exists()) nItems.get() else 0L
+      var dec = if (decRounds.exists()) decRounds.get() else 0L
+      rows.foreach { r =>
+        val item = r._2
+        n += 1
+        local.get(item) match {
+          case Some(c) => local.put(item, c + 1)
+          case None if local.size < capacity => local.put(item, 1L)
+          case None =>
+            // the Misra–Gries step: the new item and `capacity` stored
+            // ones each give up one occurrence
+            dec += 1
+            val dead = Seq.newBuilder[String]
+            local.mapValuesInPlace { (k, c) => if (c == 1) dead += k; c - 1 }
+            dead.result().foreach(local.remove)
+        }
+      }
+      counters.clear()
+      local.foreach { case (k, v) => counters.updateValue(k, v) }
+      nItems.update(n)
+      decRounds.update(dec)
+      val d = dec
+      val total = n
+      local.iterator.map { case (item, c) =>
+        Hit(key, item, c, c + d, total)
+      }
+    }
+  }
+
+  /** Track the heavy hitters of `itemCol` per `keyCol` with at most
+    * `capacity` counters per key. Update output mode; see [[hitsOf]] for
+    * reading the memory/table sink. */
+  def heavyHitters(events: DataFrame, keyCol: String, itemCol: String,
+                   capacity: Int): Dataset[Hit] = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col(keyCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(keyCol).as("key"), col(itemCol).as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new MgProcessor(capacity),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The CURRENT summary from an emissions table: each key's rows from
+    * its newest batch (largest n_seen) — items that fell out of the
+    * summary in a later batch are discarded with their stale rows. */
+  def hitsOf(emitted: Seq[Hit]): Map[String, Map[String, (Long, Long)]] =
+    emitted.groupBy(_.key).map { case (k, hs) =>
+      val latest = hs.map(_.n_seen).max
+      k -> hs.filter(_.n_seen == latest)
+        .map(h => h.item -> (h.min_count, h.max_count)).toMap
+    }
+}

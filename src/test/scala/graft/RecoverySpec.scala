@@ -296,6 +296,61 @@ class RecoverySpec extends SparkTestBase {
     assert(shapeA.map(_._2).sum === 2L, "state is two live hosts")
   }
 
+  test("heavy-hitters MapState restart: the per-item counters AND the " +
+    "(n, dec) ValueStates restore — post-restart increments continue from " +
+    "the pre-stop summary, completing the per-state-type recovery matrix") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass"
+        -> graft.streaming.Frontier.RocksDbProvider) {
+      import graft.streaming.StreamHeavyHitters
+      import graft.streaming.StreamHeavyHitters.Hit
+      implicit val sqlCtx = spark.sqlContext
+      val b0 = Seq(("h", "big"), ("h", "big"), ("h", "big"), ("h", "x"))
+      val b1 = Seq(("h", "big"), ("h", "big")) // arrives while down
+
+      val tmp = java.nio.file.Files.createTempDirectory("mg_rec").toString
+      def start(in: MemoryStream[(String, String)], ckpt: String,
+                sink: scala.collection.mutable.Set[Hit]) =
+        StreamHeavyHitters.heavyHitters(
+            in.toDF().toDF("key", "item"), "key", "item", capacity = 4)
+          .writeStream.outputMode(OutputMode.Update)
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Hit],
+                           _: Long) =>
+            sink.synchronized { sink ++= batch.collect() }; ()
+          }.start()
+
+      // run A: uninterrupted; keep only the final batch's emissions
+      val inA = MemoryStream[(String, String)]
+      val sinkA = scala.collection.mutable.Set.empty[Hit]
+      val qA = start(inA, s"$tmp/ckpt_a", sinkA)
+      inA.addData(b0); qA.processAllAvailable()
+      val preA = sinkA.toSet
+      inA.addData(b1); qA.processAllAvailable()
+      val lastA = sinkA.toSet -- preA
+      qA.stop()
+
+      // run B: stop after b0; b1 lands while down; restart into a fresh
+      // sink buffer holding exactly the post-restart emissions
+      val inB = MemoryStream[(String, String)]
+      val sinkB1 = scala.collection.mutable.Set.empty[Hit]
+      val qB1 = start(inB, s"$tmp/ckpt_b", sinkB1)
+      inB.addData(b0); qB1.processAllAvailable()
+      qB1.stop()
+      inB.addData(b1)
+      val sinkB2 = scala.collection.mutable.Set.empty[Hit]
+      val qB2 = start(inB, s"$tmp/ckpt_b", sinkB2)
+      qB2.processAllAvailable()
+      qB2.stop()
+
+      assert(sinkB2.toSet === lastA,
+        "post-restart emissions must equal the uninterrupted run's")
+      // the restored arithmetic: big = 3 (restored) + 2, n = 6; x's
+      // restored counter re-emits unchanged at the new n
+      assert(sinkB2.toSet === Set(Hit("h", "big", 5L, 5L, 6L),
+        Hit("h", "x", 1L, 1L, 6L)))
+    }
+  }
+
   test("stream-stream join restart: BOTH sides' buffered state restores — " +
     "an impression buffered before the stop matches a click that arrives " +
     "while the query is down; output parity, no re-emitted pairs") {

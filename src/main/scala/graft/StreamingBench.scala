@@ -436,6 +436,37 @@ object StreamingBench {
       (sRows / sSec, sState, sClosed)
     }
 
+    // ---- Misra–Gries heavy hitters (MapState, capacity-bounded) ----
+    // 97 keys × capacity 50 against ~5000 distinct items/key over the run
+    // (an exact count would hold ~500k state rows); items are skewed so
+    // the summaries keep real heavy hitters while the tail churns the
+    // decrement path every batch
+    val (hhRate, hhState) = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.Frontier.RocksDbProvider)
+      val hin = MemoryStream[(String, String)]
+      val q11 = graft.streaming.StreamHeavyHitters.heavyHitters(
+          hin.toDF().toDF("key", "item"), "key", "item", capacity = 50)
+        .writeStream.outputMode(OutputMode.Update()).format("noop").start()
+      def hhBatch(b: Int): Seq[(String, String)] =
+        (0 until batchRows).map { i =>
+          // ~30% of traffic concentrates on 10 hot items; the rest is a
+          // churning distinct tail (fresh ids every batch)
+          val item = if (i % 3 == 0) "hot" + (i % 10)
+            else "t" + (b.toLong * batchRows + i)
+          ("h" + (i % 97), item)
+        }
+      (0 until warm).foreach { b => hin.addData(hhBatch(b)); q11.processAllAvailable() }
+      val t11 = System.nanoTime()
+      (warm until total).foreach { b => hin.addData(hhBatch(b)); q11.processAllAvailable() }
+      val hSec = (System.nanoTime() - t11) / 1e9
+      val hRows = (total - warm).toLong * batchRows
+      val hState = stateRows(q11)
+      q11.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      (hRows / hSec, hState)
+    }
+
     val f1 = frontierRun(batchRows / 10, hosts = 97, budget = 40)
     val f10 = if (sys.env.get("SPARK_GRAFT_FRONTIER_10X").contains("1"))
       Some(frontierRun(batchRows, hosts = 970, budget = 40)) else None
@@ -443,7 +474,7 @@ object StreamingBench {
       f""","frontier10x_docs_per_sec":${f.docsPerSec}%.0f,"frontier10x_doc_rows_per_batch":${f.rowsPerBatch},"frontier10x_state_hosts":${f.hosts},"frontier10x_state_urls":${f.urls},"frontier10x_state_chunks":${f.chunks},"frontier10x_rocksdb_sst_bytes":${f.sstBytes},"frontier10x_rocksdb_pinned_bytes":${f.pinnedBytes}""")
       .getOrElse("")
 
-    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"sess_rows_per_sec":$sessRate%.0f,"sess_state_rows":$sessState,"sess_closed_total":$sessClosed,"frontier_docs_per_sec":${f1.docsPerSec}%.0f,"frontier_doc_rows_per_batch":${f1.rowsPerBatch},"frontier_state_hosts":${f1.hosts},"frontier_state_urls":${f1.urls},"frontier_state_chunks":${f1.chunks},"frontier_rocksdb_sst_bytes":${f1.sstBytes},"frontier_rocksdb_pinned_bytes":${f1.pinnedBytes}$f10Json,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
+    println(f"""{"metric":"streaming","dedup_rows_per_sec":${dRows / dSec}%.0f,"dedup_state_rows":$dState,"join_rows_per_sec":${jRows / jSec}%.0f,"join_state_rows":$jState,"neardup_rows_per_sec":${nRows / nSec}%.0f,"neardup_state_rows":$nState,"neardup_batch_rows":$nddRowsPerBatch,"ep3_sec_per_batch":${eSec / (ep3Total - ep3Warm)}%.2f,"ep3_state_rows":$eState,"ep3_measured_batches":${ep3Total - ep3Warm},"drift_rows_per_sec":${pRows / pSec}%.0f,"drift_state_rows":$pState,"drift_psi_frames":$psiFrames,"url_rows_per_sec":${uRows / uSec}%.0f,"url_state_rows":$uState,"cdc_docs_per_sec":${cRows / cSec}%.0f,"cdc_doc_rows_per_batch":$cdcRows,"cdc_state_rows":$cState,"budget_rows_per_sec":${bRows / bSec}%.0f,"budget_state_rows":$bState,"sess_rows_per_sec":$sessRate%.0f,"sess_state_rows":$sessState,"sess_closed_total":$sessClosed,"hh_rows_per_sec":$hhRate%.0f,"hh_state_rows":$hhState,"frontier_docs_per_sec":${f1.docsPerSec}%.0f,"frontier_doc_rows_per_batch":${f1.rowsPerBatch},"frontier_state_hosts":${f1.hosts},"frontier_state_urls":${f1.urls},"frontier_state_chunks":${f1.chunks},"frontier_rocksdb_sst_bytes":${f1.sstBytes},"frontier_rocksdb_pinned_bytes":${f1.pinnedBytes}$f10Json,"batch_rows":$batchRows,"measured_batches":${total - warm}}""")
     spark.stop()
   }
 }

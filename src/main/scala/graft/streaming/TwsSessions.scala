@@ -103,34 +103,42 @@ object TwsSessions {
       }
       val wm = timerValues.getCurrentWatermarkInMs()
       // input-path close: emit every session the watermark already passed,
-      // keep the open tail. The tail is never empty here — this batch just
-      // appended on-time rows (ts ≥ wm), whose session ends after wm.
+      // keep the open tail. The tail CAN be empty: late-row admission uses
+      // the PREVIOUS batch's watermark while timerValues carries the
+      // CURRENT (eviction) one, so when the watermark advances more than
+      // gap between micro-batches (bursty source, backlog catch-up) an
+      // accepted event's session may already end at or below wm — then
+      // everything is closed and the key drains completely.
+      var drained = false
       val closed: Seq[Session] =
         if (mn + gapMs <= wm) {
+          val sortedTimes = buf.get().toSeq.sorted
           // session ends are strictly increasing, so the closed set is a
           // PREFIX and `open` keeps the order
           val (done, open) =
-            split(key, buf.get().toSeq.sorted)
-              .partition(_.session_end.getTime <= wm)
-          // this batch just appended rows with ts ≥ wm, whose session ends
-          // after wm — so the newest session is always open
-          require(open.nonEmpty, "the newest session cannot be closed")
-          if (done.nonEmpty) {
-            val keepTimes = buf.get().toSeq.sorted
-              .dropWhile(_ < open.head.session_start.getTime)
+            split(key, sortedTimes).partition(_.session_end.getTime <= wm)
+          if (open.isEmpty) {
+            buf.clear(); maxTs.clear(); minTs.clear()
+            drained = true
+          } else if (done.nonEmpty) {
+            val keepTimes =
+              sortedTimes.dropWhile(_ < open.head.session_start.getTime)
             buf.clear()
             keepTimes.foreach(buf.appendValue)
             mn = keepTimes.head
           }
           done
         } else Seq.empty
-      maxTs.update(mx)
-      minTs.update(mn)
       // one live close timer per key at (max buffered + gap); the clamp
       // above the current watermark keeps a timer that would already have
-      // expired schedulable (the BudgetProcessor clamp)
+      // expired schedulable (the BudgetProcessor clamp). A fully drained
+      // key keeps no state and no timer.
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(math.max(mx + gapMs, wm + 1))
+      if (!drained) {
+        maxTs.update(mx)
+        minTs.update(mn)
+        getHandle.registerTimer(math.max(mx + gapMs, wm + 1))
+      }
       closed.iterator
     }
 

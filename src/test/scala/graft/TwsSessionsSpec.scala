@@ -155,6 +155,47 @@ class TwsSessionsSpec extends SparkTestBase {
     }
   }
 
+  test("a watermark jump LARGER than the gap between micro-batches closes " +
+    "even the newest session gracefully — late-band admission uses the " +
+    "previous batch's watermark while eviction uses the current one, so an " +
+    "accepted event's session can already be past close in the batch that " +
+    "created it (the review-caught require-crash case)") {
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider,
+      // a no-data batch between addData calls would advance the LATE
+      // watermark too and simply drop the 10:30 row; disabling it keeps the
+      // two watermarks one batch apart — the production bursty-source shape
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Timestamp)]
+      val q = TwsSessions.sessions(
+          in.toDF().toDF("key", "ts").withWatermark("ts", "1 second"),
+          "key", "ts", gapSeconds = 10)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_jump").start()
+      in.addData(("zz", ts("2024-01-01 10:00:00"))); q.processAllAvailable()
+      in.addData(("zz", ts("2024-01-01 12:00:00"))); q.processAllAvailable()
+      // batch 3: late filter = 09:59:59 (batch-1 max − delay) ADMITS the
+      // 10:30 row; TimerValues eviction watermark = 11:59:59 (batch-2 max
+      // − delay) already passed its session end 10:30:10
+      in.addData(("k", ts("2024-01-01 10:30:00"))); q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"query must survive the watermark jump: ${q.exception}")
+      // the drained key holds no state: a later event opens a FRESH session
+      in.addData(("k", ts("2024-01-01 12:30:00"))); q.processAllAvailable()
+      in.addData(("zz", ts("2024-01-01 14:00:00"))); q.processAllAvailable()
+      in.addData(("zz", ts("2024-01-01 14:00:01"))); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_jump").as[Session].collect()
+        .filter(_.key == "k").toSet
+      assert(got === Set(
+        Session("k", ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:10"), 1L),
+        Session("k", ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:10"), 1L)),
+        s"the jump-closed session must emit once and leave no state, got $got")
+    }
+  }
+
   test("guards: non-positive gap") {
     intercept[IllegalArgumentException] {
       TwsSessions.sessions(Seq(("k", ts("2024-01-01 00:00:00")))

@@ -30,11 +30,16 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   *
   * Each micro-batch emits the key's full summary (Update semantics:
   * latest row per (key, item) wins; an item that later falls out of the
-  * summary simply stops being re-emitted — readers of the table keep
-  * only each key's newest batch, which [[hitsOf]] does). A batch whose
-  * churn empties the summary emits NOTHING for the key — correct, since
-  * an empty summary certifies no item exceeds the threshold; each
-  * emission's interval brackets the true count AS OF that emission.
+  * summary simply stops being re-emitted). SINK CONTRACT: a generic
+  * (key, item)-upsert sink would retain stale hitters forever — a
+  * correct reader must group by key and keep ONLY the rows of the
+  * newest batch (max `n_seen`), which [[hitsOf]] does. A batch whose
+  * churn empties a previously non-empty summary emits one TOMBSTONE row
+  * (`item = null`, `min_count = 0`, `max_count = dec`, the interval
+  * certified for EVERY absent item) so the emptying still advances
+  * `n_seen` and the reader sees the empty summary instead of the stale
+  * pre-churn one — an empty summary is a real answer (no item exceeds
+  * the guarantee threshold), distinguishable from "no traffic".
   * State per key: the MapState (≤ capacity entries) + two Long
   * ValueStates (n, dec). Requires the RocksDB state store provider (the
   * TWS contract). */
@@ -68,6 +73,7 @@ object StreamHeavyHitters {
       // per-row MapState round-trips would hit RocksDB 3x per item
       val local = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       counters.iterator().foreach { case (k, v) => local.put(k, v) }
+      val wasNonEmpty = local.nonEmpty
       var n = if (nItems.exists()) nItems.get() else 0L
       var dec = if (decRounds.exists()) decRounds.get() else 0L
       rows.foreach { r =>
@@ -91,9 +97,14 @@ object StreamHeavyHitters {
       decRounds.update(dec)
       val d = dec
       val total = n
-      local.iterator.map { case (item, c) =>
-        Hit(key, item, c, c + d, total)
-      }
+      if (local.isEmpty && wasNonEmpty)
+        // tombstone: the churn emptied a summary the sink has rows for;
+        // [0, dec] is the certified interval for every absent item
+        Iterator.single(Hit(key, null, 0L, d, total))
+      else
+        local.iterator.map { case (item, c) =>
+          Hit(key, item, c, c + d, total)
+        }
     }
   }
 
@@ -115,11 +126,13 @@ object StreamHeavyHitters {
 
   /** The CURRENT summary from an emissions table: each key's rows from
     * its newest batch (largest n_seen) — items that fell out of the
-    * summary in a later batch are discarded with their stale rows. */
+    * summary in a later batch are discarded with their stale rows, and a
+    * tombstone batch (the null-item row an emptying churn emits) reads
+    * as the EMPTY summary it certifies. */
   def hitsOf(emitted: Seq[Hit]): Map[String, Map[String, (Long, Long)]] =
     emitted.groupBy(_.key).map { case (k, hs) =>
       val latest = hs.map(_.n_seen).max
-      k -> hs.filter(_.n_seen == latest)
+      k -> hs.filter(h => h.n_seen == latest && h.item != null)
         .map(h => h.item -> (h.min_count, h.max_count)).toMap
     }
 }

@@ -93,9 +93,8 @@ class StreamHeavyHittersSpec extends SparkTestBase {
     withSQLConf("spark.sql.streaming.stateStore.providerClass"
         -> Frontier.RocksDbProvider) {
       // key a: "x" dominates; key b: all-distinct churn through capacity 2
-      // (an ODD churn count — an even one empties the summary entirely and
-      // the batch emits nothing for the key, which is correct MG behavior:
-      // with N=9 the guarantee threshold is 4 and no item qualifies)
+      // (an ODD churn count keeps the summary non-empty — the emptying
+      // churn's tombstone path has its own test below)
       val b0 = Seq.fill(5)(("a", "x")) ++ Seq(("b", "p"), ("b", "p"), ("b", "q"))
       val b1 = Seq(("a", "x")) ++ (0 until 5).map(i => ("b", s"z$i"))
       val hits = run(Seq(b0, b1), capacity = 2, "mg_keys")
@@ -110,6 +109,33 @@ class StreamHeavyHittersSpec extends SparkTestBase {
       got("b").foreach { case (item, (mn, mx)) =>
         assert(mn <= truthB(item) && truthB(item) <= mx)
       }
+    }
+  }
+
+  test("a churn that EMPTIES a previously non-empty summary emits a " +
+    "tombstone, so the reader sees the empty summary (a real answer: no " +
+    "item exceeds the threshold) instead of the stale pre-churn rows") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider) {
+      // batch 0 fills capacity 2 with {p:2, q:1}; batch 1's three distinct
+      // items run dec/insert/dec and leave the summary EMPTY:
+      //   z0 → dec {p:1}; z1 → insert {p:1,z1:1}; z2 → dec {}
+      val b0 = Seq(("b", "p"), ("b", "p"), ("b", "q"))
+      val b1 = Seq(("b", "z0"), ("b", "z1"), ("b", "z2"))
+      // batch 2 repopulates: the tombstone must not mask later summaries
+      val b2 = Seq(("b", "w"), ("b", "w"), ("b", "w"))
+      val hits01 = run(Seq(b0, b1), capacity = 2, "mg_tomb")
+      val tomb = hits01.filter(h => h.key == "b" && h.item == null)
+      assert(tomb.map(h => (h.min_count, h.max_count, h.n_seen))
+        === Seq((0L, 2L, 6L)),
+        s"one tombstone carrying n_seen=6 and the absent-item interval " +
+          s"[0, dec=2], got $hits01")
+      assert(hitsOf(hits01) === Map("b" -> Map.empty),
+        "the reader must see the EMPTY summary, not the stale {p, q} batch")
+      val hits012 = run(Seq(b0, b1, b2), capacity = 2, "mg_tomb3")
+      val summary = hitsOf(hits012)("b")
+      assert(summary.contains("w") && !summary.contains("p"),
+        s"a later non-empty summary supersedes the tombstone, got $summary")
     }
   }
 

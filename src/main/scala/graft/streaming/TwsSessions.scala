@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Session windows as a `transformWithState` StatefulProcessor — the
   * EMIT-ON-CLOSE form of [[graft.ext.EventWindows.session]]'s built-in
@@ -52,16 +52,27 @@ object TwsSessions {
   case class Session(key: String, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
 
-  class SessionProcessor(gapMs: Long)
-      extends StatefulProcessor[String, (String, Timestamp), Session] {
-    @transient private var buf: ListState[Long] = _
+  /** One key's exportable state: the event times of its OPEN (not yet
+    * emitted) sessions. [[exportSeeds]] derives these from a batch event
+    * history; [[sessionsWarm]] seeds a fresh query from them. */
+  case class SessionSeed(key: String, event_times: Seq[Long])
+
+  /** The session algorithm, shared verbatim by the cold
+    * ([[SessionProcessor]]) and warm-start ([[SessionProcessorWithInit]])
+    * forms — one implementation, two operator APIs, so the warm-start
+    * migration cannot drift (the foldGroup pattern from
+    * [[DecayedLeaderboard]]). */
+  private[streaming] trait SessionCore {
+    self: StatefulProcessor[String, (String, Timestamp), Session] =>
+    protected def gapMs: Long
+    @transient protected var buf: ListState[Long] = _
     // running min/max of the buffer: max re-arms the close timer O(batch);
     // min gates the input-path close scan (skip the buffer read entirely
     // while watermark < earliest + gap — the common case)
-    @transient private var maxTs: ValueState[Long] = _
-    @transient private var minTs: ValueState[Long] = _
+    @transient protected var maxTs: ValueState[Long] = _
+    @transient protected var minTs: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    protected def openStates(): Unit = {
       buf = getHandle.getListState[Long]("event_times",
         Encoders.scalaLong, TTLConfig.NONE)
       maxTs = getHandle.getValueState[Long]("max_ts",
@@ -74,7 +85,7 @@ object TwsSessions {
       * session_window's merge rule is "new start <= existing end", so an
       * exact-gap successor MERGES (verified against the built-in
       * aggregation in TwsSessionsSpec). */
-    private def split(key: String, times: Seq[Long]): Seq[Session] = {
+    protected def split(key: String, times: Seq[Long]): Seq[Session] = {
       val sessions = Seq.newBuilder[Session]
       var start = times.head; var last = times.head; var n = 1L
       times.tail.foreach { t =>
@@ -90,7 +101,7 @@ object TwsSessions {
       sessions.result()
     }
 
-    override def handleInputRows(key: String,
+    protected def onRows(key: String,
         rows: Iterator[(String, Timestamp)],
         timerValues: TimerValues): Iterator[Session] = {
       var mx = if (maxTs.exists()) maxTs.get() else Long.MinValue
@@ -142,8 +153,7 @@ object TwsSessions {
       closed.iterator
     }
 
-    override def handleExpiredTimer(key: String, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+    protected def onTimer(key: String): Iterator[Session] = {
       val times = buf.get().toSeq.sorted
       buf.clear()
       maxTs.clear()
@@ -151,6 +161,55 @@ object TwsSessions {
       if (times.isEmpty) Iterator.empty
       else split(key, times).iterator
     }
+
+    /** Warm-start seeding: load an exported open-buffer and arm its close
+      * timer, exactly the state an uninterrupted query would hold. */
+    protected def seed(seed: SessionSeed, timerValues: TimerValues): Unit =
+      if (seed.event_times.nonEmpty) {
+        seed.event_times.foreach(buf.appendValue)
+        maxTs.update(seed.event_times.max)
+        minTs.update(seed.event_times.min)
+        getHandle.registerTimer(math.max(seed.event_times.max + gapMs,
+          timerValues.getCurrentWatermarkInMs() + 1))
+      }
+  }
+
+  class SessionProcessor(val gapMs: Long)
+      extends StatefulProcessor[String, (String, Timestamp), Session]
+      with SessionCore {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      openStates()
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Timestamp)],
+        timerValues: TimerValues): Iterator[Session] =
+      onRows(key, rows, timerValues)
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
+      onTimer(key)
+  }
+
+  /** [[SessionProcessor]] with a WARM START: `handleInitialState` seeds a
+    * key's open buffer (and arms its close timer) before the first
+    * micro-batch touches it. Unlike the leaderboard, a sessionizer's state
+    * is NOT its emissions (open buffers are precisely what was never
+    * emitted) — the export comes from [[exportSeeds]] over the
+    * predecessor's event history instead, the batch→streaming handoff. */
+  class SessionProcessorWithInit(val gapMs: Long)
+      extends StatefulProcessorWithInitialState[String, (String, Timestamp),
+        Session, SessionSeed]
+      with SessionCore {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      openStates()
+    override def handleInitialState(key: String, initial: SessionSeed,
+        timerValues: TimerValues): Unit =
+      seed(initial, timerValues)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Timestamp)],
+        timerValues: TimerValues): Iterator[Session] =
+      onRows(key, rows, timerValues)
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
+      onTimer(key)
   }
 
   /** Sessionize `events` by `keyCol` with `gapSeconds`, emitting each
@@ -167,5 +226,67 @@ object TwsSessions {
       .groupByKey(_._1)
       .transformWithState(new SessionProcessor(gapSeconds * 1000L),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[sessions]] WARM-STARTED from exported open buffers: the
+    * batch→streaming (or cluster-migration) handoff without a checkpoint
+    * copy. The handoff contract: the predecessor has emitted exactly the
+    * sessions closed as of watermark W (a batch job: the complete-history
+    * sessions with `session_end <= W`); `initial` = [[exportSeeds]] of the
+    * history at W. The successor then emits exactly the REMAINING sessions
+    * — including sessions that span the handoff (seeded times merge with
+    * new arrivals inside the gap) and seeded keys never touched again
+    * (closed by the timer armed at seeding) — so predecessor ∪ successor
+    * emissions equal a query that saw the whole history (locked by
+    * WarmStartSpec). */
+  def sessionsWarm(events: DataFrame, keyCol: String, tsCol: String,
+                   gapSeconds: Int,
+                   initial: Dataset[SessionSeed]): Dataset[Session] = {
+    require(gapSeconds >= 1, "gapSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessorWithInit(gapSeconds * 1000L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        initial.filter(_.event_times.nonEmpty).groupByKey(_.key))
+  }
+
+  /** The OPEN session buffers of a batch event history as of watermark
+    * `asOfMs`: per key, the event times of every session whose end
+    * (last + gap) is still above `asOfMs` — exactly the state an
+    * uninterrupted streaming query at watermark `asOfMs` would hold, and
+    * the `initial` input of [[sessionsWarm]]. Session ends are increasing,
+    * so the open set is the buffer's TAIL: the per-key work is one sort +
+    * one scan, distributed by key (`mapGroups`). Feed a BOUNDED history
+    * slice (events newer than `asOfMs` minus the longest session span you
+    * retain) — closed-prefix events are dropped here anyway. */
+  def exportSeeds(events: DataFrame, keyCol: String, tsCol: String,
+                  gapSeconds: Int, asOfMs: Long): Dataset[SessionSeed] = {
+    require(gapSeconds >= 1, "gapSeconds must be >= 1")
+    val gapMs = gapSeconds * 1000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val times = it.map(_._2.getTime).toArray.sorted
+        // keepFrom = first event of the first OPEN session (end > asOfMs);
+        // every strictly-greater-than-gap boundary before it whose session
+        // already closed advances the cut
+        var keepFrom = 0
+        var i = 1
+        while (i <= times.length) {
+          val boundary = i == times.length || times(i) - times(i - 1) > gapMs
+          if (boundary && times(i - 1) + gapMs <= asOfMs) keepFrom = i
+          i += 1
+        }
+        SessionSeed(k, times.drop(keepFrom).toSeq)
+      }
+      .filter(_.event_times.nonEmpty)
   }
 }

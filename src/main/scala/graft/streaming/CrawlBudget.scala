@@ -206,7 +206,15 @@ object CrawlBudget {
     * stateful operators chain AFTER it ([[Frontier.crawlFrontier]]'s
     * whole reason to exist; `flatMapGroupsWithState` output drops the
     * event-time tag, so nothing stateful can follow it). Requires the
-    * RocksDB state store provider. */
+    * RocksDB state store provider.
+    *
+    * STATE-SCHEMA MIGRATION POLICY: a widened [[BudgetState]] fails the
+    * restart loudly under the default encoding, on BOTH operator APIs
+    * (StateSchemaEvolutionSpec pins the fMGWS path too). The budget
+    * window is short-lived by construction — the cheapest migration is
+    * a fresh checkpoint after a window-length quiet-down (every window
+    * expires within `winMs`); avro in-place field-add is available for
+    * the TWS form if zero-downtime is required. */
   class BudgetProcessor(winMs: Long, maxPerWindow: Int)
       extends StatefulProcessor[String, (String, String, Timestamp, String),
         DocAdmission] {

@@ -19,6 +19,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State size: one row per key, forever — the leaderboard IS the state.
   * Keys that must expire should use a timeout; scores themselves age to
   * irrelevance by construction.
+  *
+  * STATE-SCHEMA MIGRATION POLICY: under the default (unsaferow)
+  * encoding a [[DecayState]] that gains a field fails the restart
+  * loudly — migrate via [[runTwsWarm]] (the emissions ARE the state).
+  * Under `spark.sql.streaming.stateStore.encodingFormat=avro` (choose
+  * at FIRST start; it is recorded in the checkpoint) adding a nullable
+  * field is a supported in-place evolution: restored rows carry null
+  * for the new field. Both behaviors pinned in
+  * StateSchemaEvolutionSpec.
   */
 object DecayedLeaderboard {
 

@@ -46,7 +46,15 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * successor and the absent-item bound would under-certify.
   * State per key: the MapState (≤ capacity entries) + two Long
   * ValueStates (n, dec). Requires the RocksDB state store provider (the
-  * TWS contract). */
+  * TWS contract).
+  *
+  * STATE-SCHEMA MIGRATION POLICY: widening the counters' map value is a
+  * type change the engine rejects loudly at restart
+  * (StateSchemaEvolutionSpec). Migrate by export: [[seedsFromEmissions]]
+  * over the old query's emissions table (complete thanks to the
+  * tombstone), then [[heavyHittersWarm]] — which also permits GROWING
+  * `capacity` (a narrower seed is a valid summary at any larger
+  * capacity; shrinking is rejected by the seed contract). */
 object StreamHeavyHitters {
 
   /** `min_count` = the guaranteed LOWER bound (the raw MG counter);

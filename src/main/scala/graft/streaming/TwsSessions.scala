@@ -46,7 +46,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * The min/max trackers keep the common no-close batch O(batch): the
   * full buffer is only scanned when the watermark has actually passed
   * the earliest possible close point. Requires the RocksDB state store
-  * provider (the TWS contract). */
+  * provider (the TWS contract).
+  *
+  * STATE-SCHEMA MIGRATION POLICY: the buffer element is a bare Long —
+  * any widening (e.g. carrying a weight per event) is a TYPE change the
+  * engine rejects loudly at restart under every encoding
+  * (StateSchemaEvolutionSpec). Migrate by handoff, not checkpoint:
+  * [[exportSeeds]] over the retained event history at the old query's
+  * final watermark, then [[sessionsWarm]] on the new shape. */
 object TwsSessions {
 
   case class Session(key: String, session_start: Timestamp,

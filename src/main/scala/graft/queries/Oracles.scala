@@ -513,11 +513,17 @@ object Oracles {
   /** Centroid-sample + Lloyd-round + final-assignment CTE chain over the
     * CTE named `src`; leaves `ctr<iters>` (final centroids) and `asgF`
     * (final assignment) defined. */
-  private def ivfChainCtes(src: String, kmeansIters: Int, nlist: Int): String = {
+  private def ivfChainCtes(src: String, kmeansIters: Int, nlist: Int): String =
+    ivfChainCtes(src, kmeansIters, nlist.toString)
+
+  /** `nlistSql` may be any LIMIT-legal scalar expression — the auto-sized
+    * oracle derives it from count(*) so it tracks the corpus at every SF. */
+  private def ivfChainCtes(src: String, kmeansIters: Int,
+                           nlistSql: String): String = {
     val sb = new StringBuilder
     sb.append(
       s"""ctr0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS c FROM
-         |  (SELECT vec_id, v FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)),
+         |  (SELECT vec_id, v FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlistSql)),
          |""".stripMargin)
     for (it <- 1 to kmeansIters) {
       val prev = s"ctr${it - 1}"
@@ -1037,11 +1043,15 @@ object Oracles {
         |THEN CAST(substr(cleaned,1,2) AS BIGINT)*60 + CAST(substr(cleaned,4,2) AS BIGINT) END AS minutes FROM c""".stripMargin,
 
     "q22_guarded_parse" ->
+      // TRY_CAST in the guard conjuncts, not CAST: DuckDB does not
+      // guarantee AND short-circuit order (adaptive expression reordering
+      // flipped it at sf0.1 row counts and evaluated CAST('ju') first);
+      // identical semantics since the regexp admits only digits
       """WITH r AS (SELECT event_id, CASE WHEN event_id%5=0 THEN NULL WHEN event_id%5=1 THEN 'junk'
         |WHEN event_id%5=2 THEN '7:30' WHEN event_id%5=3 THEN '25:99'
         |ELSE lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR),2,'0') || ':' || lpad(CAST(EXTRACT(minute FROM ts) AS VARCHAR),2,'0') END AS raw FROM events)
         |SELECT event_id, raw, CASE WHEN regexp_matches(raw,'^[0-9]{2}:[0-9]{2}$')
-        |AND CAST(substr(raw,1,2) AS INT) <= 23 AND CAST(substr(raw,4,2) AS INT) <= 59
+        |AND TRY_CAST(substr(raw,1,2) AS INT) <= 23 AND TRY_CAST(substr(raw,4,2) AS INT) <= 59
         |THEN CAST(substr(raw,1,2) AS BIGINT)*60 + CAST(substr(raw,4,2) AS BIGINT) END AS minutes FROM r""".stripMargin,
 
     "q23_combine_datetime" ->
@@ -4243,10 +4253,13 @@ object Oracles {
          |  (round(1 / (1 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))), 6) >= 0.5) AS pred
          |FROM f CROSS JOIN wc""".stripMargin,
 
-    // the auto-sized form lands on the identical nlist at this corpus size
-    // (see ExtQueries.xSemDedupAuto), so it shares x_semdedup's mirror
+    // the auto-sized form derives nlist from the corpus count EXACTLY as
+    // the operator does (max(1, ceil(n/34)) in integer arithmetic), so the
+    // oracle tracks every SF — at sf0.01 (540 vectors) it lands on the
+    // same nlist=16 as x_semdedup; at sf0.1 it grows with the corpus
     "x_semdedup_auto" ->
-      s"""WITH $PLANTED_CTES, ${ivfChainCtes("corpus", kmeansIters = 2, nlist = 16)}dup AS (
+      s"""WITH $PLANTED_CTES, ${ivfChainCtes("corpus", kmeansIters = 2,
+            nlistSql = "(SELECT GREATEST(1, (count(*) + 33) // 34) FROM corpus)")}dup AS (
          |  SELECT DISTINCT a.vec_id FROM asgF a JOIN asgF b
          |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
          |  WHERE ${cosSql("a.v", "b.v")} >= 0.99)

@@ -474,7 +474,17 @@ object TextOps {
     * (applying a KNOWN table is expressible — x_bpe_merge_encode's
     * delimited-replace oracle — but the argmax chain is not; unrolling it
     * per word is a second engine, not an oracle). */
-  def bpeLearnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+  def bpeLearnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame =
+    bpeLearnMerges(df, text, nMerges, (_, _) => ())
+
+  /** [[bpeLearnMerges]] with a per-round instrumentation hook
+    * `(rank, nanos)` — the BpeScaleProbe evidence that per-round cost
+    * stays FLAT to vocabulary scale (thousands of merges): each round is
+    * one bounded-frame aggregate + a 1-row collect + an in-row rewrite,
+    * and the eager localCheckpoint keeps round N's plan the same size as
+    * round 1's. */
+  def bpeLearnMerges(df: DataFrame, text: Column, nMerges: Int,
+                     roundHook: (Int, Long) => Unit): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -488,6 +498,7 @@ object TextOps {
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
+      val t0 = System.nanoTime()
       val nsyms = org.apache.spark.sql.functions.size(col("syms"))
       val top = words
         .where(nsyms >= 2)
@@ -509,6 +520,7 @@ object TextOps {
         words = words
           .select(mergePair(col("syms"), a, b).as("syms"), col("n"))
           .localCheckpoint(true)
+        roundHook(rank, System.nanoTime() - t0)
         rank += 1
       }
     }

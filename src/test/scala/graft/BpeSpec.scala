@@ -192,6 +192,41 @@ class BpeSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("VOCABULARY DEPTH: bpeLearnMerges equals the in-JVM reference for " +
+    "300 consecutive merges over the identifier corpus (customer names — " +
+    "the highest-cardinality string corpus in the testdata), and the " +
+    "closed-vocabulary documents corpus EXHAUSTS early with the full " +
+    "collapse, stopping before the requested depth") {
+    // depth: the argmax-then-rewrite chain must hold rank by rank — one
+    // wrong tie-break or skip anywhere reorders everything after it
+    val cust = spark.read.parquet(sf("sf0.01") + "/customer.parquet")
+    val custCounts = TextOps.withTokens(cust, Seq.empty, col("c_name"))
+      .select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val expected = refLearn(custCounts, nMerges = 300)
+    assert(expected.size === 300, "the identifier corpus must carry the depth")
+    val got = TextOps.bpeLearnMerges(cust, col("c_name"), nMerges = 300)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+
+    // exhaustion: ~31 distinct tokens collapse completely well before the
+    // requested depth; the loop must stop at the same rank as the
+    // reference with the same final merges (BpeScaleProbe documents the
+    // same boundary at bench scale)
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("text").isNotNull)
+    val docCounts = TextOps.withTokens(docs, Seq.empty, col("text"))
+      .select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val expectedEx = refLearn(docCounts, nMerges = 500)
+    assert(expectedEx.size < 500, "the closed vocabulary must exhaust")
+    val gotEx = TextOps.bpeLearnMerges(docs, col("text"), nMerges = 500)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(gotEx === expectedEx)
+  }
+
   test("learned merge table composes with bpe_encode: flattened pieces " +
     "keep segmentation total and use the merges") {
     val df = Seq("banana bandana").toDF("text")

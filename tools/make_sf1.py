@@ -31,8 +31,12 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else \
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "tmp", "sf1")
+# optional 3rd arg: replica count (default 10 = the sf1 fixture); e.g.
+#   tools/make_sf1.py /root/testdata/sf0.1 tmp/sf5 50
+# derives the 50x fixture for single-anchor growth-curve points
+N_REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 SHIFT = 10_000_000
-REPS = "range(10) t(rep)"
+REPS = f"range({N_REPS}) t(rep)"
 # graft.ext's English stopword set (ExtQueries langProfiles / quality gates)
 STOPS = "('the','and','of','to','in','is','that','with')"
 

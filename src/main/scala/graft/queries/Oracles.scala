@@ -2203,6 +2203,14 @@ object Oracles {
       s"""WITH $PLANTED_CTES, ${srpCtes(16)}, $LSH_BATCH_CTES
          |SELECT qid, vec_id, cos_sim FROM topk WHERE rn <= 10""".stripMargin,
 
+    // corpus-sized banded probe: same lshsz sizing CTE as x_ann_lsh_auto
+    "x_ann_lsh_batch_auto" ->
+      s"""WITH $PLANTED_CTES,
+         |lshsz AS (SELECT min(b) AS bits FROM range(1, 33) t(b)
+         |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
+         |${srpCtes("((SELECT bits FROM lshsz) * 4)", "(SELECT bits FROM lshsz)")}, $LSH_BATCH_CTES
+         |SELECT qid, vec_id, cos_sim FROM topk WHERE rn <= 10""".stripMargin,
+
     "x_ann_lsh_recall" ->
       s"""WITH $PLANTED_CTES, ${srpCtes(16)}, $LSH_BATCH_CTES,
          |lsh AS (SELECT qid, vec_id FROM topk WHERE rn <= 10),

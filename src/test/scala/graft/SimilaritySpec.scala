@@ -98,6 +98,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(auto.nonEmpty) // the identical pair (0,1) must be found
   }
 
+  test("annTopKBatchAuto is row-identical to annTopKBatch at the derived " +
+    "planes (corpus count drives the sizing)") {
+    val qs = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q"))
+    val auto = SimilarityOps.annTopKBatchAuto(vecs, "vec_id", "embedding",
+      qs, k = 3, numBands = 4, dim = 3)
+      .orderBy("qid", "vec_id").collect().toSeq
+    val explicit = SimilarityOps.annTopKBatch(vecs, "vec_id", "embedding",
+      qs, k = 3, numPlanes = 4, numBands = 4, dim = 3)
+      .orderBy("qid", "vec_id").collect().toSeq
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
+
   test("annTopKBatch: banded probe finds near-duplicates per query; " +
     "agrees with brute force on the planted family") {
     // corpus: 3 tight clusters of 5 jittered copies each + noise axes;

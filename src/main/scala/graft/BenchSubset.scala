@@ -35,9 +35,12 @@ object BenchSubset {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up: codegen + JIT, unmeasured (the Bench convention)
+      val la = try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
       val ts = (1 to reps).map(_ => once())
       println(f"[benchsub] $name reps=${ts.map(t => f"$t%.2f").mkString(",")} " +
-        f"min=${ts.min}%.2f")
+        f"min=${ts.min}%.2f la=$la%.1f " +
+        f"spread=${if (ts.size >= 2) ts.max / ts.min else 1.0}%.2f")
     }
     spark.stop()
   }

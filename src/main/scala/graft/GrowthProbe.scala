@@ -68,10 +68,14 @@ object GrowthProbe {
         }
       }
     })
-    // the listener bus is async — poll until counters hold for 500 ms
+    // the listener bus is async — poll until counters hold for THREE
+    // consecutive 500 ms windows (1.5 s quiet). One stable window was not
+    // enough on a loaded machine: a bus-delivery stall longer than 500 ms
+    // read as "stable" and silently truncated the final rep's counters —
+    // the exact attribution signal this tool exists to make reliable.
     def drain(): Unit = {
       var snap = (-1L, -1L, -1L); var same = 0
-      while (same < 1) {
+      while (same < 3) {
         Thread.sleep(500)
         val cur = (shufRec.get, shufBytes.get, inBytes.get)
         if (cur == snap) same += 1 else { same = 0; snap = cur }

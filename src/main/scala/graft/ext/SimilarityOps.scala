@@ -152,26 +152,27 @@ object SimilarityOps {
     * n / 2^b <= targetBucket. The DuckDB oracle derives b with the same
     * shift-and-compare over its own count(*), so one oracle text tracks
     * every scale — the x_semdedup_auto lesson (its first oracle hardcoded
-    * the sf0.01 sizing and broke at sf0.1). */
+    * the sf0.01 sizing and broke at sf0.1).
+    *
+    * No persist bracket around the count(): unlike [[semDedupAuto]]
+    * (whose callee makes eager centroid passes that REUSE a cache before
+    * returning), this function is fully lazy — the returned frame executes
+    * after we return, so a persist/count/unpersist bracket here would pay
+    * a full-corpus cache write that nothing ever reads back. Callers that
+    * want the source scanned once across sizing + LSH own the persist
+    * (the selfJoin caller-owned-cache convention). */
   def annPairsAuto(df: DataFrame, idCol: String, vecCol: String,
                    numBands: Int, dim: Int, threshold: Double,
                    targetBucket: Int = 64,
                    maxBucket: Int = 100000): DataFrame = {
     require(numBands > 0, "numBands must be positive")
     require(targetBucket > 0, "targetBucket must be positive")
-    val alreadyCached =
-      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (!alreadyCached) df.persist()
-    try {
-      val n = df.count()
-      require(n > 0, "annPairsAuto: empty corpus")
-      annPairs(df, idCol, vecCol,
-        numPlanes = numBands * autoBandBits(n, targetBucket),
-        numBands = numBands, dim = dim, threshold = threshold,
-        maxBucket = maxBucket)
-    } finally {
-      if (!alreadyCached) df.unpersist(blocking = false)
-    }
+    val n = df.count()
+    require(n > 0, "annPairsAuto: empty corpus")
+    annPairs(df, idCol, vecCol,
+      numPlanes = numBands * autoBandBits(n, targetBucket),
+      numBands = numBands, dim = dim, threshold = threshold,
+      maxBucket = maxBucket)
   }
 
   /** [[annTopKBatch]] with corpus-sized banding — the [[annPairsAuto]]
@@ -179,24 +180,20 @@ object SimilarityOps {
     * count, one driver-side count()) applied to the query-workload form:
     * per-query candidates ≈ numBands × bucket, and buckets are
     * corpus-side, so the CORPUS count drives the sizing (query-set size
-    * only multiplies the probe fan-out linearly). */
+    * only multiplies the probe fan-out linearly). Lazy like
+    * [[annPairsAuto]], so same rule: no persist bracket around the
+    * sizing count — a cache written before the caller ever executes the
+    * result is pure overhead. */
   def annTopKBatchAuto(corpus: DataFrame, idCol: String, vecCol: String,
                        queries: DataFrame, k: Int, numBands: Int, dim: Int,
                        targetBucket: Int = 64): DataFrame = {
     require(numBands > 0, "numBands must be positive")
     require(targetBucket > 0, "targetBucket must be positive")
-    val alreadyCached =
-      corpus.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (!alreadyCached) corpus.persist()
-    try {
-      val n = corpus.count()
-      require(n > 0, "annTopKBatchAuto: empty corpus")
-      annTopKBatch(corpus, idCol, vecCol, queries, k,
-        numPlanes = numBands * autoBandBits(n, targetBucket),
-        numBands = numBands, dim = dim)
-    } finally {
-      if (!alreadyCached) corpus.unpersist(blocking = false)
-    }
+    val n = corpus.count()
+    require(n > 0, "annTopKBatchAuto: empty corpus")
+    annTopKBatch(corpus, idCol, vecCol, queries, k,
+      numPlanes = numBands * autoBandBits(n, targetBucket),
+      numBands = numBands, dim = dim)
   }
 
   /** Smallest b in [1, 32] with targetBucket * 2^b >= n (pure integer

@@ -2185,10 +2185,13 @@ object Oracles {
 
     // corpus-sized banding: bits/band = smallest b with 64*2^b >= n
     // (integer shift-and-compare on BOTH engines — no float log2
-    // knife-edge), planes = 4*bits; otherwise the x_ann_lsh mirror
+    // knife-edge), planes = 4*bits; otherwise the x_ann_lsh mirror.
+    // coalesce(min(b), 32) mirrors Scala autoBandBits' b<=32 cap: with no
+    // satisfying b in [1,32] (n > 64*2^32) min() would be NULL and the
+    // oracle SQL would break exactly where the engine caps instead.
     "x_ann_lsh_auto" ->
       s"""WITH $PLANTED_CTES,
-         |lshsz AS (SELECT min(b) AS bits FROM range(1, 33) t(b)
+         |lshsz AS (SELECT coalesce(min(b), 32) AS bits FROM range(1, 33) t(b)
          |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
          |${srpCtes("((SELECT bits FROM lshsz) * 4)", "(SELECT bits FROM lshsz)")},
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2206,7 +2209,7 @@ object Oracles {
     // corpus-sized banded probe: same lshsz sizing CTE as x_ann_lsh_auto
     "x_ann_lsh_batch_auto" ->
       s"""WITH $PLANTED_CTES,
-         |lshsz AS (SELECT min(b) AS bits FROM range(1, 33) t(b)
+         |lshsz AS (SELECT coalesce(min(b), 32) AS bits FROM range(1, 33) t(b)
          |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
          |${srpCtes("((SELECT bits FROM lshsz) * 4)", "(SELECT bits FROM lshsz)")}, $LSH_BATCH_CTES
          |SELECT qid, vec_id, cos_sim FROM topk WHERE rn <= 10""".stripMargin,

@@ -29,6 +29,13 @@
 #   LOAD-NOISE       rerun <= 1.2 x old  — the artifact number was load
 #   REPRODUCIBLE     rerun >  1.2 x old  — survives isolation: a real
 #                    regression OR a machine-state shift; needs a look
+#   LOAD-SUSPECT     NEW's own telemetry convicts the measurement without
+#                    any re-run: the entry's recorded 1-min loadavg
+#                    exceeded 1.25x the bench's cpus (foreign processes on
+#                    top of a saturated bench) or its reps disagreed >1.5x
+#                    (deterministic work timed inconsistently). Upgraded
+#                    to LOAD-NOISE/REPRODUCIBLE when the re-run phase
+#                    runs; stands alone under --no-rerun.
 #   CODE-CHANGED     entry was in --changed (not re-run)
 #   NEW              entry absent from OLD (not re-run)
 #   MISSING-FROM-NEW entry existed in OLD but vanished from NEW — an
@@ -75,6 +82,22 @@ def load(p):
     raise SystemExit(f"{p}: no queries found (driver artifact with parsed:null? "
                      "use that round's committed BENCH_LAST.json)")
 old, new = load(f"{tmp}/old.json"), load(f"{tmp}/new.json")
+# telemetry (r17+ artifacts): per-entry 1-min loadavg + rep spread let a
+# spiked entry convict its own measurement without a re-run
+def tele(p):
+    d = json.load(open(p))
+    if "telemetry" in d: return d.get("telemetry", {}), d.get("cpus")
+    if d.get("parsed"): return d["parsed"].get("telemetry", {}), d["parsed"].get("cpus")
+    return {}, None
+ntele, ncpus = tele(f"{tmp}/new.json")
+def load_suspect(name):
+    t = ntele.get(name)
+    if not t: return None
+    la, sp = t.get("la", -1), t.get("spread", 1.0)
+    reasons = []
+    if ncpus and la > 1.25 * float(ncpus): reasons.append(f"la={la}")
+    if sp > 1.5: reasons.append(f"spread={sp}")
+    return ",".join(reasons) or None
 rows, flags = [], []
 for name, nv in sorted(new.items()):
     ov = old.get(name)
@@ -86,7 +109,9 @@ for name, nv in sorted(new.items()):
     if name in changed:
         rows.append((name, ov, nv, "CODE-CHANGED")); continue
     if ratio > thr and (nv - ov) > floor:
-        rows.append((name, ov, nv, "FLAGGED")); flags.append(name)
+        sus = load_suspect(name)
+        verdict = f"LOAD-SUSPECT({sus})" if sus else "FLAGGED"
+        rows.append((name, ov, nv, verdict)); flags.append(name)
 # an entry that EXISTED in OLD but vanished from NEW is the regression
 # class this tool exists to surface (errored run, dropped registry entry)
 # — never let it disappear from the table silently
@@ -97,7 +122,8 @@ PYEOF
 FLAGS="$(python3 -c "
 import json
 rows = json.load(open('$TMP/rows.json'))
-print(' '.join(n for n,_,_,v in rows if v=='FLAGGED'))")"
+print(' '.join(n for n,_,_,v in rows
+               if v=='FLAGGED' or v.startswith('LOAD-SUSPECT')))")"
 
 # Phase 2: isolated re-runs of the flagged entries.
 if [ -n "$FLAGS" ] && [ "$RERUN" = "1" ]; then
@@ -118,19 +144,27 @@ for line in open(f"{tmp}/rerun.txt"):
     if m: rerun[m.group(1)] = float(m.group(2))
 print("| entry | old (s) | new artifact (s) | isolated re-run min (s) | verdict |")
 print("|---|---|---|---|---|")
-n_noise = n_real = 0
+n_noise = n_real = n_sus = 0
 for name, ov, nv, verdict in rows:
     rr = rerun.get(name)
-    if verdict == "FLAGGED":
-        if rr is None: verdict = "FLAGGED (no re-run)"
-        elif rr <= 1.2 * ov: verdict = "LOAD-NOISE"; n_noise += 1
-        else: verdict = "REPRODUCIBLE"; n_real += 1
+    if verdict == "FLAGGED" or verdict.startswith("LOAD-SUSPECT"):
+        suspect = verdict if verdict.startswith("LOAD-SUSPECT") else None
+        if rr is None:
+            if suspect: n_sus += 1      # telemetry verdict stands alone
+            else: verdict = "FLAGGED (no re-run)"
+        elif rr <= 1.2 * ov:
+            verdict = "LOAD-NOISE" + (f" [{suspect}]" if suspect else "")
+            n_noise += 1
+        else:
+            verdict = "REPRODUCIBLE" + (f" [despite {suspect}]" if suspect else "")
+            n_real += 1
     o = "-" if ov is None else f"{ov:.2f}"
     r = "-" if rr is None else f"{rr:.2f}"
     nvs = "-" if nv is None else f"{nv:.2f}"
     print(f"| {name} | {o} | {nvs} | {r} | {verdict} |")
 print()
-print(f"adjudicated: {n_noise} load-noise, {n_real} reproducible (regression or machine shift); "
+print(f"adjudicated: {n_noise} load-noise, {n_real} reproducible (regression or machine shift), "
+      f"{n_sus} load-suspect from artifact telemetry alone; "
       f"rows shown are new/changed/flagged entries only (unflagged "
       f"unchanged entries are within threshold and omitted)")
 PYEOF

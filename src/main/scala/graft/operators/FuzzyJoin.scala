@@ -125,14 +125,40 @@ object FuzzyJoin {
     * run, so each check is a broadcast left join, never a second shuffle of
     * the gram table. Highly repetitive corpora (shared prefixes,
     * low-entropy keys) should key on a more selective field. NULL strings
-    * never match. */
+    * never match.
+    *
+    * Saturated-keyspace guard (`maxAvgFanout`): the per-bucket guard above
+    * cannot fire on UNIFORM growth — the gram-tier key space is fixed at
+    * |Σ|^q × bands (hex names at q=3: ~16k keys), so once the corpus
+    * outgrows it every bucket grows together, candidates grow
+    * O(n²/keyspace), and no single bucket ever crosses `maxBucket`. Unlike
+    * LSH (whose annPairsAuto widens its key space with the corpus), q
+    * CANNOT be widened here: the count-filter threshold len−q+1−k·q must
+    * stay positive, so large k pins q small. The guard therefore
+    * pre-estimates TOTAL candidate volume Σ_key |L_key|·|R_key| from the
+    * same per-key size aggregates the bucket guard already builds, and
+    * raises when it exceeds `maxAvgFanout` candidates per gram row —
+    * measured on the entity-like fixture: 0.7 at 1×, 4.6 at 10×, 44 at
+    * 100× corpus (the regime where wall went 29× for 10× data), so the
+    * default 16 is silent with >3× headroom on legal runs and fires well
+    * before a cluster melts. The raise routes to the LINEAR linkage
+    * tiers, which this guard exists to hand off to — an auto-dispatch
+    * would silently change RESULTS (sorted-neighborhood is a bounded-
+    * recall heuristic, not a lev ≤ k join), so refusing loudly is the
+    * correct form. The estimate costs no extra scan: both inputs are the
+    * bucket-guard aggregates (exchange-reused), outer-joined
+    * small-on-small and summed to one row that enters the gram join as a
+    * poison union row whose join key IS the raise — evaluated first,
+    * unprunable, and free when the bound holds (the branch is empty). */
   def qgramJoin(left: DataFrame, leftId: Column, leftStr: Column,
                 right: DataFrame, rightId: Column, rightStr: Column,
                 maxDist: Int, q: Int = 2,
-                maxBucket: Int = 100000): DataFrame = {
+                maxBucket: Int = 100000,
+                maxAvgFanout: Int = 16): DataFrame = {
     require(maxDist >= 1, "qgramJoin needs maxDist >= 1")
     require(q >= 1, "qgramJoin needs q >= 1")
     require(maxBucket > 0, "maxBucket must be positive")
+    require(maxAvgFanout > 0, "maxAvgFanout must be positive")
     val k = maxDist
     val thresh = q * (k + 1)
     val bw = k + 1
@@ -177,10 +203,52 @@ object FuzzyJoin {
               "selective field or raise maxBucket; group size = "),
               col("__gsz").cast("string")))))
         .drop("__gsz")
-    val rGuarded = guardGrams(rg,
-      rg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz")), "indexed")
-    val lGuarded = guardGrams(lg,
-      lg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz")), "probe")
+    val rSizes = rg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz"))
+    val lSizes = lg.groupBy("__g", "__band").agg(count(lit(1)).as("__gsz"))
+    val rGuarded = guardGrams(rg, rSizes, "indexed")
+    val lGuarded0 = guardGrams(lg, lSizes, "probe")
+    // saturated-keyspace estimate (scaladoc): Σ_key lc·rc over the SAME
+    // size aggregates the bucket guards consume (identical subplans →
+    // exchange reuse). All three scalars (candidate volume + both gram
+    // totals) come out of ONE aggregate over a full-outer key join —
+    // never a crossJoin of single-row frames, which plans as the
+    // BroadcastNestedLoopJoin the operator's plan lock forbids.
+    val volOffender = lSizes.select(col("__g"), col("__band"),
+        col("__gsz").as("__lc"))
+      .join(rSizes.select(col("__g"), col("__band"), col("__gsz").as("__rc")),
+        Seq("__g", "__band"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("__lc"), lit(0L)) *
+          coalesce(col("__rc"), lit(0L))), lit(0L)).as("__cand"),
+        coalesce(sum(coalesce(col("__lc"), lit(0L))), lit(0L)).as("__lt"),
+        coalesce(sum(coalesce(col("__rc"), lit(0L))), lit(0L)).as("__rt"))
+      .where(col("__cand") >
+        lit(maxAvgFanout.toLong) * (col("__lt") + col("__rt")))
+    // The 0-or-1-row offender is injected as a POISON UNION ROW, not a
+    // join: its `__g` carries the raise (inside a when() on a real column
+    // so ConstantFolding cannot detonate it at planning time), every
+    // other field is a non-null literal (the inner join's inferred
+    // isnotnull filters must never drop the row before `__g` evaluates),
+    // and the row enters the gram join as one more probe row — the first
+    // thing execution does with it is evaluate the join key, which
+    // raises. Empty offender → empty union branch → zero cost.
+    val poisonMsg = concat(lit("qgramJoin: estimated candidate volume "),
+      col("__cand").cast("string"), lit(" over "),
+      (col("__lt") + col("__rt")).cast("string"),
+      lit(s" gram rows exceeds maxAvgFanout=$maxAvgFanout — the " +
+        "(gram, band) key space is saturated (uniform growth, " +
+        "O(n^2/keyspace) candidates; q cannot widen under this " +
+        "maxDist). Use a linear tier instead: " +
+        "FuzzyJoin.deletionJoin (FastSS, exact for maxDist <= 2), " +
+        "Blocking.sortedNeighborhood (bounded-recall heuristic, " +
+        "any distance), or key on a more selective field."))
+    val poison = volOffender.select(lGuarded0.schema.fields.toSeq.map { f =>
+      if (f.name == "__g")
+        when(col("__cand").isNotNull, raise_error(poisonMsg))
+          .cast("string").as("__g")
+      else lit(0).cast(f.dataType).as(f.name)
+    }: _*)
+    val lGuarded = lGuarded0.unionByName(poison)
     // count filter (Gravano et al.): a true pair at distance ≤ k shares at
     // least max(lenL,lenR) − q + 1 − k·q positional grams (each edit
     // destroys ≤ q of the longer side's grams), so candidate pairs below

@@ -92,6 +92,33 @@ class GuardSpec extends SparkTestBase {
       ex.getMessage.contains("maxBucket=3"), ex.getMessage)
   }
 
+  test("qgramJoin saturated keyspace: uniform growth with NO hot bucket " +
+    "trips the volume guard and routes to the linear tiers") {
+    // 200 DISTINCT binary-alphabet strings (8-bit representations): the
+    // (gram, band) key space is 4 gram values x 4 bands, so every bucket
+    // grows together as the corpus grows — each stays well under the
+    // default maxBucket=100000 (the per-bucket guards CANNOT fire), while
+    // total candidate volume Σ lc·rc is ~65 per gram row > maxAvgFanout.
+    // This is the uniform-growth regime the per-bucket guard is blind to.
+    def bin(i: Long): String =
+      (7 to 0 by -1).map(b => if (((i >> b) & 1) == 1) 'b' else 'a').mkString
+    val l = (0L until 200L).map(i => (i, bin(i))).toDF("id", "s")
+    val r = (0L until 200L).map(i => (i + 1000L, bin(i))).toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.qgramJoin(l, col("id"), col("s"), r, col("id"), col("s"),
+        maxDist = 1, q = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxAvgFanout=16") &&
+      ex.getMessage.contains("saturated") &&
+      ex.getMessage.contains("deletionJoin") &&
+      ex.getMessage.contains("sortedNeighborhood"), ex.getMessage)
+    // same corpus, bound raised: results flow (the guard is a refusal of
+    // the REGIME, not a correctness fence — candidates verify exactly)
+    val ok = FuzzyJoin.qgramJoin(l, col("id"), col("s"), r, col("id"), col("s"),
+      maxDist = 1, q = 2, maxAvgFanout = 1000)
+    assert(ok.count() >= 200) // every string meets its own copy at dist 0
+  }
+
   test("guards are silent on a legal (bounded-bucket) run") {
     // same shapes, buckets under the limit — results flow, no raise
     val ok = SetSimJoin.rsJoin(hotShingleSets(3), hotShingleSets(3),

@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   * join with the range as a residual ([[attributeClicks]] is what
   * x_click_attrib runs against the DuckDB oracle); `withWatermark` is a
   * no-op on batch inputs, so ONE definition serves both engines' forms.
+  *
+  * Schema-evolution / migration policy (pinned by
+  * StateSchemaEvolutionSpec's stream-stream row): the symmetric-hash
+  * buffers store each side's FULL row, and that schema is frozen at first
+  * start. Widening an input (one added nullable column) does NOT fail the
+  * restart itself — it fails LOUDLY on the first batch that touches the
+  * widened store (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE), so a deploy
+  * can look healthy until a matching key arrives. Unlike the TWS
+  * processors there is NO evolving encoding: Spark statically refuses
+  * `encodingFormat=avro` for the join operator, and — unlike sessions or
+  * heavy hitters — the emissions are NOT a complete export (unmatched
+  * in-interval rows live only in the buffers), so no warm-start rebuild
+  * exists. CHECKPOINT-COPY IS THE ONLY MIGRATION: stop at a quiet point,
+  * copy the checkpoint, restart the widened query against the copy only
+  * after the watermark has flushed the old-schema buffers (i.e. drain
+  * `maxDelaySeconds + watermark` of event time through the OLD query
+  * first), or replay both sources from `maxDelaySeconds + watermark`
+  * before the cutover into a fresh checkpoint.
   */
 object StreamJoin {
 

@@ -44,6 +44,11 @@ object StateSchemaEvolutionSpec {
   /** The sessionizer's buffer element widened from a bare Long to a
     * struct — a TYPE change, not a field-add: no encoding can evolve it. */
   case class TimedEvent(tsMs: Long, weight: Double)
+
+  // ---- stream-stream join input shapes (v1 + one added nullable field) --
+  case class Imp(ik: String, its: Timestamp)
+  case class ImpV2(ik: String, its: Timestamp, campaign: Option[Long])
+  case class Click(ck: String, cts: Timestamp)
   class SessionProcessorV2(gapMs: Long)
       extends StatefulProcessor[String, (String, Timestamp),
         graft.streaming.TwsSessions.Session] {
@@ -326,5 +331,74 @@ class StateSchemaEvolutionSpec extends SparkTestBase {
     val all = messages(ex).mkString(" | ").toLowerCase
     assert(all.contains("schema"),
       s"the widened GroupState must fail loudly, got: $all")
+  }
+
+  test("stream-stream join (symmetric hash): widening one side's row " +
+    "schema against a live checkpoint fails LOUDLY on the first batch " +
+    "that touches the widened store — and avro (the only evolving " +
+    "encoding) is refused for joins at query start, so checkpoint-copy " +
+    "is the ONLY migration (join state is not reconstructible from " +
+    "emissions)") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider) {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("sse_ssj").toString
+      val imps = MemoryStream[Imp]
+      val impsV2 = MemoryStream[ImpV2]
+      val clicks = MemoryStream[Click]
+      def run(impDf: org.apache.spark.sql.DataFrame) = graft.streaming
+        .StreamJoin.attributeClicks(impDf, clicks.toDF(),
+          "ik", "ck", "its", "cts", "10 seconds", 60)
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); () }.start()
+
+      val qA = run(imps.toDF())
+      imps.addData(Imp("k", ts("2024-01-01 00:00:00")))
+      clicks.addData(Click("k", ts("2024-01-01 00:00:30")))
+      qA.processAllAvailable()
+      qA.stop()
+
+      // the restart itself does NOT fail — the value-schema check runs
+      // when a batch opens the store. A click that must probe the
+      // V1-buffered impression through the widened reader forces it.
+      clicks.addData(Click("k", ts("2024-01-01 00:00:50")))
+      val ex = intercept[Exception] {
+        val qB = run(impsV2.toDF())
+        qB.processAllAvailable()
+        qB.stop()
+      }
+      val all = messages(ex).mkString(" | ")
+      assert(all.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+        s"widened join input must fail the batch loudly, got: $all")
+    }
+    // avro — the one encoding that can evolve a ValueState field — is
+    // statically REFUSED for the join operator, so no in-place evolution
+    // path exists at all: unsaferow + loud failure is the complete policy
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass"
+        -> Frontier.RocksDbProvider,
+      "spark.sql.streaming.stateStore.encodingFormat" -> "avro") {
+      implicit val sqlCtx = spark.sqlContext
+      val imps = MemoryStream[Imp]
+      val clicks = MemoryStream[Click]
+      val ex = intercept[Exception] {
+        val q = graft.streaming.StreamJoin.attributeClicks(
+          imps.toDF(), clicks.toDF(), "ik", "ck", "its", "cts",
+          "10 seconds", 60)
+          .writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("sse_ssj_avro").toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.count(); () }.start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      val all = messages(ex).mkString(" | ").toLowerCase
+      assert(all.contains("avro") && all.contains("not supported"),
+        s"avro encoding must be refused for the join operator, got: $all")
+    }
   }
 }

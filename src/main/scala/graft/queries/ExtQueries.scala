@@ -942,6 +942,26 @@ object ExtQueries {
         round(count(col("__f")) / count(lit(1)).cast("double"), 4).as("recall"))
   }
 
+  /** recall@10 of the CORPUS-SIZED banding vs brute force — the honesty
+    * row for the auto forms: [[SimilarityOps.annTopKBatchAuto]] RAISES
+    * bits/band with corpus count, explicitly trading candidate volume
+    * against recall, so the recall must be measured wherever the auto
+    * forms are benched (1x AND the 10x fixture), not assumed from the
+    * fixed-plane row. The oracle derives the identical sizing from its
+    * own count(*). */
+  val xAnnLshAutoRecall: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val brute = SimilarityOps.cosineTopKBatch(emb, "vec_id", "embedding", queries, 10)
+    val lsh = SimilarityOps.annTopKBatchAuto(emb, "vec_id", "embedding",
+        queries, k = 10, numBands = 4, dim = 64, targetBucket = 64)
+      .select(col("qid"), col("vec_id").as("__f"))
+    brute.join(lsh, brute("qid") === lsh("qid") && col("vec_id") === col("__f"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__f")).as("n_found"),
+        round(count(col("__f")) / count(lit(1)).cast("double"), 4).as("recall"))
+  }
+
   /** IVF recall vs the brute-force top-k, driver-checked: one row
     * (n_true, n_found, recall). The planted near-clones of vector 0 make the
     * true top-20 non-trivial, and recall is 1.0 by measurement (asserted

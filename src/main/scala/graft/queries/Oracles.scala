@@ -2227,6 +2227,24 @@ object Oracles {
          |round(count(l.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
          |FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id""".stripMargin,
 
+    // the x_ann_lsh_recall mirror with the corpus-sized banding (lshsz
+    // CTE) — the recall-honesty row for the auto forms
+    "x_ann_lsh_auto_recall" ->
+      s"""WITH $PLANTED_CTES,
+         |lshsz AS (SELECT coalesce(min(b), 32) AS bits FROM range(1, 33) t(b)
+         |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
+         |${srpCtes("((SELECT bits FROM lshsz) * 4)", "(SELECT bits FROM lshsz)")}, $LSH_BATCH_CTES,
+         |lsh AS (SELECT qid, vec_id FROM topk WHERE rn <= 10),
+         |bscored AS (SELECT q.qid, b.vec_id, ${cosSql("a.v", "b.v")} AS cos_sim
+         |  FROM qids q JOIN corpus a ON a.vec_id = q.qid, corpus b
+         |  WHERE b.vec_id <> q.qid),
+         |brute AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM bscored) WHERE rn <= 10)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(count(l.vec_id) AS BIGINT) AS n_found,
+         |round(count(l.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id""".stripMargin,
+
     "x_ann_ivf" ->
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
          |SELECT vec_id, cos_sim FROM ivf""".stripMargin,

@@ -27,6 +27,27 @@ if [[ "${1:-}" != "--fast" ]]; then
     echo "PREFLIGHT FAIL: oracle compare has failures" >&2; exit 1; }
 fi
 
+# CORRECTNESS_SF01.json must cover the FULL declared surface — the r16
+# lesson: it silently lagged at 264/266 because nothing compared its
+# query count to the surface. The declared surface is the oracle map the
+# fresh Verify dump just wrote (oracleSql keys); regenerate with
+# tools/make_sf01_artifact.sh on drift.
+if [[ "${1:-}" != "--fast" ]]; then
+  python3 - "$out/verify/oracle_sql.json" <<'PYEOF'
+import json, sys
+declared = len(json.load(open(sys.argv[1])))
+art = json.load(open("CORRECTNESS_SF01.json"))
+got = len(art.get("queries", {}))
+fails = art.get("failed", -1)
+if got != declared or fails != 0:
+    print(f"PREFLIGHT FAIL: CORRECTNESS_SF01.json covers {got} queries "
+          f"({fails} failed) but the declared surface is {declared} — "
+          "run tools/make_sf01_artifact.sh", file=sys.stderr)
+    sys.exit(1)
+print(f"sf0.1 artifact: {got}/{declared} queries, 0 failed")
+PYEOF
+fi
+
 # README states the spec count; a stale claim fails the gate (the r14
 # nit: README said 534 while the measured count was 548 — "re-counts"
 # meant nothing if nobody compared)

@@ -691,20 +691,20 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q_tpch1" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-        |round(sum(l_extendedprice),2) AS sum_base_price,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+        |round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
         |round(avg(l_quantity),4) AS avg_qty, CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_tpch3" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT l_orderkey, round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
         |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_tpch5" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         |JOIN supplier ON l_suppkey=s_suppkey
         |JOIN nation ON s_nationkey=n_nationkey
@@ -716,7 +716,7 @@ object Oracles {
         |GROUP BY n_name""".stripMargin,
 
     "q_tpch6" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+      """SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -725,7 +725,7 @@ object Oracles {
 
     "q_tpch9" ->
       """SELECT n_name, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS profit
+        |  round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0, 2) AS profit
         |FROM lineitem JOIN part ON p_partkey=l_partkey
         |JOIN orders ON o_orderkey=l_orderkey
         |JOIN supplier ON s_suppkey=l_suppkey
@@ -737,7 +737,7 @@ object Oracles {
     // its own rewrite, so the agreement checks Spark's
     // RewriteCorrelatedScalarSubqueries end to end
     "q_tpch17" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      """SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 700.0, 2) AS avg_yearly,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey AND p_brand = 'Brand#17' AND p_size < 15
@@ -808,7 +808,8 @@ object Oracles {
 
     // verbatim Q19 shape: disjunctive join condition, common-factor equi key
     "q_tpch19" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem, part
         |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
@@ -823,8 +824,8 @@ object Oracles {
     "q_tpch15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_rev_e4
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_rev_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -880,10 +881,11 @@ object Oracles {
 
     // verbatim Q7 shape: OR over BOTH nation copies rides above the joins
     "q_tpch7" ->
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      """SELECT supp_nation, cust_nation, l_year, round(CAST(sum(volume) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |             year(l_shipdate) AS l_year,
-        |             l_extendedprice * (1 - l_discount) AS volume
+        |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS volume
         |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
         |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -901,8 +903,8 @@ object Oracles {
         |       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
         |             / CAST(sum(v) AS DOUBLE), 4) AS mkt_share
         |FROM (SELECT year(o_orderdate) AS o_year,
-        |             CAST(round(l_extendedprice * 100) AS BIGINT)
-        |               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+        |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS v,
         |             n2.n_name AS nation
         |      FROM part, supplier, lineitem, orders, customer,
         |           nation n1, nation n2, region
@@ -921,8 +923,8 @@ object Oracles {
       """SELECT c_custkey, c_name,
         |       round(CAST(rev_e4 AS DOUBLE) / 10000, 2) AS revenue, n_name
         |FROM (SELECT c_custkey, c_name, n_name,
-        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_e4
+        |             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                 * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_e4
         |      FROM customer, orders, lineitem, nation
         |      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |        AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
@@ -936,7 +938,7 @@ object Oracles {
     "q_tpch11" ->
       """WITH val AS (
         |  SELECT l_partkey,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
         |             * CAST(l_quantity AS BIGINT)) AS v
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -968,8 +970,8 @@ object Oracles {
       """SELECT round(100.0
         |         * CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS DOUBLE)
         |         / CAST(sum(v) AS DOUBLE), 4) AS promo_revenue
-        |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-        |               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+        |FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS v,
         |             l_partkey
         |      FROM lineitem
         |      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'

@@ -42,15 +42,40 @@ object RefQueries {
 
   // ---- headline analytics (bench workload; scans+aggs+joins at scale) ----
 
-  /** TPC-H Q1 shape: one scan, map-side partial agg, tiny shuffle. */
+  /** Exact-cents money arithmetic for the float-sum aggregates — the
+    * q_tpch8 pattern, completed across the family in r17 after the 10x
+    * multi-executor sweep caught q_tpch9 flipping its last cent between
+    * local[32] and local-cluster: a DOUBLE sum is order-dependent
+    * (non-associative), and partial-agg combine order changes with
+    * topology, partition count, AND task retries — so a money sum near a
+    * half-cent boundary is nondeterministic at exactly the scale that
+    * matters. Per-row conversion is a fixed sequence of IEEE ops
+    * (identical on both engines); the BIGINT/HUGEINT sums are exact, so
+    * combine order cannot matter; sums stay far under 2^53, so the final
+    * double division is one deterministic rounding. */
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long") // floor(x+.5): HALF_UP for the
+  // non-negative money domain WITHOUT Round's per-row BigDecimal (the
+  // round() form measured 2x wall on q_tpch1 — floor stays in native
+  // codegen); same IEEE op sequence on both engines
+  private def priceCents: Column = cents(col("l_extendedprice"))
+  private def discCents: Column = cents(col("l_discount"))
+  /** price x (1 - discount) in 1e-4 units, exact. */
+  private def discVolume: Column =
+    priceCents * cents(lit(1) - col("l_discount"))
+
+  /** TPC-H Q1 shape: one scan, map-side partial agg, tiny shuffle.
+    * Quantities are integral doubles (every partial sum an exact integer
+    * < 2^53, order-independent already); prices go through the
+    * exact-cents path above. */
   val tpch1: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     li.where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(priceCents) / 100.0, 2).as("sum_base_price"),
+        round(sum(discVolume) / 10000.0, 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
@@ -64,7 +89,7 @@ object RefQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(discVolume) / 10000.0, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -90,7 +115,7 @@ object RefQueries {
       .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum(discVolume) / 10000.0, 2)
         .as("revenue"))
   }
 
@@ -101,7 +126,7 @@ object RefQueries {
       .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg(round(sum(priceCents * discCents) / 10000.0, 2)
         .as("revenue"), count(lit(1)).as("n_rows"))
 
   /** TPC-H Q9 shape (product-line profit): the SHUFFLE-HEAVY anchor — a
@@ -127,7 +152,7 @@ object RefQueries {
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum(discVolume) / 10000.0, 2)
         .as("profit"))
   }
 
@@ -145,7 +170,7 @@ object RefQueries {
     t(s, dir, "lineitem").createOrReplaceTempView("tpch17_lineitem")
     t(s, dir, "part").createOrReplaceTempView("tpch17_part")
     s.sql("""
-      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 700.0, 2) AS avg_yearly,
              count(*) AS n_rows
       FROM tpch17_lineitem, tpch17_part
       WHERE p_partkey = l_partkey AND p_brand = 'Brand#17' AND p_size < 15
@@ -289,7 +314,8 @@ object RefQueries {
     t(s, dir, "lineitem").createOrReplaceTempView("tpch19_lineitem")
     t(s, dir, "part").createOrReplaceTempView("tpch19_part")
     s.sql("""
-      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
              CAST(count(*) AS BIGINT) AS n_rows
       FROM tpch19_lineitem, tpch19_part
       WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
@@ -318,8 +344,8 @@ object RefQueries {
     s.sql("""
       WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_rev_e4
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_rev_e4
         FROM tpch15_lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -442,10 +468,11 @@ object RefQueries {
     t(s, dir, "customer").createOrReplaceTempView("tpch7_customer")
     t(s, dir, "nation").createOrReplaceTempView("tpch7_nation")
     s.sql("""
-      SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      SELECT supp_nation, cust_nation, l_year, round(CAST(sum(volume) AS DOUBLE) / 10000.0, 2) AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
-                   l_extendedprice * (1 - l_discount) AS volume
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS volume
             FROM tpch7_supplier, tpch7_lineitem, tpch7_orders,
                  tpch7_customer, tpch7_nation n1, tpch7_nation n2
             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -484,8 +511,8 @@ object RefQueries {
              round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
                    / CAST(sum(v) AS DOUBLE), 4) AS mkt_share
       FROM (SELECT year(o_orderdate) AS o_year,
-                   CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS v,
                    n2.n_name AS nation
             FROM tpch8_part, tpch8_supplier, tpch8_lineitem, tpch8_orders,
                  tpch8_customer, tpch8_nation n1, tpch8_nation n2, tpch8_region
@@ -517,8 +544,8 @@ object RefQueries {
       SELECT c_custkey, c_name,
              round(CAST(rev_e4 AS DOUBLE) / 10000, 2) AS revenue, n_name
       FROM (SELECT c_custkey, c_name, n_name,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_e4
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_e4
             FROM tpch10_customer, tpch10_orders, tpch10_lineitem, tpch10_nation
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
@@ -548,7 +575,7 @@ object RefQueries {
     s.sql("""
       WITH val AS (
         SELECT l_partkey,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                    * CAST(l_quantity AS BIGINT)) AS v
         FROM tpch11_lineitem, tpch11_supplier, tpch11_nation
         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -602,8 +629,8 @@ object RefQueries {
       SELECT round(100.0
                * CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS DOUBLE)
                / CAST(sum(v) AS DOUBLE), 4) AS promo_revenue
-      FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v,
+      FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS v,
                    l_partkey
             FROM tpch14_lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'

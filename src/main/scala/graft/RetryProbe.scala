@@ -112,6 +112,36 @@ object RetryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Speculation is UNSCHEDULABLE on a one-host topology:
+    // TaskSetManager.dequeueSpeculativeTask refuses any host that already
+    // runs a live attempt of the task, and every local-cluster executor
+    // reports the same host — so running the bait query would only ever
+    // end in NO-SPECULATION-RECORDED after paying the full query. Detect
+    // the topology up front (a tiny job forces executor registration) and
+    // fail fast with the scheduler-source explanation instead.
+    if (speculate) {
+      spark.range(1000).count() // forces all executors to register
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def infos() = spark.sparkContext.statusTracker.getExecutorInfos
+      while (infos().length < 2 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val hosts = infos().map(_.host()).toSet
+      if (hosts.size <= 1) {
+        System.err.println(
+          s"[retry] SPECULATION-UNSCHEDULABLE: all ${infos().length} " +
+            s"executors report one host (${hosts.mkString}). " +
+            "TaskSetManager.dequeueSpeculativeTask refuses hosts with a " +
+            "live attempt of the task, so a speculative clone can never " +
+            "be scheduled on a single-box topology — run this mode on a " +
+            "real multi-host cluster. The determinism property it would " +
+            "prove is covered in-sandbox by the fail-first-attempt mode " +
+            "(a clone is a second attempt of the same deterministic " +
+            "partition with one commit winner).")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
+
     val taskFailures = new AtomicInteger
     val speculativeLaunches = new AtomicInteger
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -161,16 +191,22 @@ object RetryProbe {
 
     // kill-mode: SIGKILL one CoarseGrainedExecutorBackend child a beat
     // into the chaos run; the standalone master replaces it, tasks and
-    // lost shuffle outputs reschedule/rerun on the survivors
-    def killOneExecutor(delayMs: Long): Thread = {
+    // lost shuffle outputs reschedule/rerun on the survivors. The pgrep
+    // is scoped to THIS probe's executors via the applicationId that the
+    // backend carries on its command line (--app-id app-...) — an
+    // unscoped match could SIGKILL an executor of an unrelated concurrent
+    // Spark job on the same machine.
+    def killOneExecutor(delayMs: Long, signal: String = "-9"): Thread = {
+      val appId = spark.sparkContext.applicationId
       val t = new Thread(() => {
         Thread.sleep(delayMs)
         val pids = scala.sys.process.Process(
-          Seq("pgrep", "-f", "CoarseGrainedExecutorBackend")).!!
+          Seq("pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId")).!!
           .split("\n").filter(_.nonEmpty)
         pids.headOption.foreach { pid =>
-          System.err.println(s"[retry] killing executor pid $pid")
-          scala.sys.process.Process(Seq("kill", "-9", pid)).!
+          System.err.println(s"[retry] sending $signal to executor pid $pid" +
+            s" (app $appId)")
+          scala.sys.process.Process(Seq("kill", signal, pid)).!
         }
       })
       t.setDaemon(true); t.start(); t

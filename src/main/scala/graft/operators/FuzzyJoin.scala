@@ -242,10 +242,25 @@ object FuzzyJoin {
         "FuzzyJoin.deletionJoin (FastSS, exact for maxDist <= 2), " +
         "Blocking.sortedNeighborhood (bounded-recall heuristic, " +
         "any distance), or key on a more selective field."))
+    // Non-null is required for every column that feeds a NULL-INTOLERANT
+    // predicate between the union and the raise — InferFiltersFromConstraints
+    // derives isnotnull not only from the join keys (__band) but from the
+    // post-join filters (abs(__li−__ri) ≤ k → isnotnull(__li);
+    // abs(length(l_str)−length(r_str)) ≤ k → isnotnull(l_str)) and pushes
+    // those below the union, where a null would drop the poison row before
+    // __g ever evaluates (verified: nulling __li/l_str makes GuardSpec's
+    // volume fixture pass silently). Only l_id is constraint-free, and
+    // l_id is exactly the column with an ARBITRARY user type — a typed
+    // NULL there keeps the guard working for id schemas with no INT cast
+    // (date, struct, array), where the old lit(0).cast failed analysis
+    // on legal joins. l_str is string by the operator's contract
+    // (length/substr are applied to it), so lit("") always casts.
     val poison = volOffender.select(lGuarded0.schema.fields.toSeq.map { f =>
       if (f.name == "__g")
         when(col("__cand").isNotNull, raise_error(poisonMsg))
           .cast("string").as("__g")
+      else if (f.name == "l_id") lit(null).cast(f.dataType).as(f.name)
+      else if (f.name == "l_str") lit("").cast(f.dataType).as(f.name)
       else lit(0).cast(f.dataType).as(f.name)
     }: _*)
     val lGuarded = lGuarded0.unionByName(poison)

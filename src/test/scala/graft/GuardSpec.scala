@@ -130,4 +130,30 @@ class GuardSpec extends SparkTestBase {
       maxDist = 1, q = 2, maxBucket = 100).count()
     assert(fj === 3)
   }
+
+  test("qgramJoin: an id type with no INT cast (date) analyzes and runs — " +
+    "the volume-guard poison row must not force a castable id") {
+    // the poison union row nulls l_id (the only constraint-free column),
+    // so arbitrary id types survive analysis on legal joins...
+    val l = Seq(("2024-01-01", "abcdef"), ("2024-01-02", "abcdxf"))
+      .toDF("d", "s").select(to_date(col("d")).as("id"), col("s"))
+    val r = Seq(("2024-02-01", "abcdef")).toDF("d", "s")
+      .select(to_date(col("d")).as("id"), col("s"))
+    val got = FuzzyJoin.qgramJoin(l, col("id"), col("s"),
+      r, col("id"), col("s"), maxDist = 1, q = 2).count()
+    assert(got === 2) // exact match + one-edit match
+    // ...and the guard still FIRES with a date id (the raise must not
+    // depend on the id being castable either)
+    def bin(i: Long): String =
+      (7 to 0 by -1).map(b => if (((i >> b) & 1) == 1) 'b' else 'a').mkString
+    val ld = (0L until 200L).map(i => (java.sql.Date.valueOf("2024-01-01"), bin(i)))
+      .toDF("id", "s")
+    val rd = (0L until 200L).map(i => (java.sql.Date.valueOf("2024-02-01"), bin(i)))
+      .toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.qgramJoin(ld, col("id"), col("s"), rd, col("id"), col("s"),
+        maxDist = 1, q = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxAvgFanout=16"), ex.getMessage)
+  }
 }

@@ -31,28 +31,36 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // Load telemetry: the driver bench runs on a shared machine, and every
     // round since r14 has carried phantom spikes that a judge adjudicated
-    // by hand with isolated re-runs. Capturing the machine's 1-min loadavg
-    // per entry plus the max/min spread across that entry's measured reps
-    // makes the artifact SELF-adjudicating: a spiked entry whose recorded
-    // loadavg far exceeds the bench's own `cpus` threads, or whose reps
-    // disagree >1.5x, was measured on a polluted machine — no re-run
-    // needed to say so (benchdiff emits LOAD-SUSPECT from these fields).
-    def la1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    // by hand with isolated re-runs. Three per-entry fields make the
+    // artifact SELF-adjudicating, one per pollution signature (see
+    // BenchTelemetry's scaladoc): `la` (foreign load: 1-min loadavg far
+    // above the bench's own cpus), `spread` (inconsistent reps:
+    // deterministic work timed >1.5x apart), and `cw` (CPU STEAL: the
+    // quoted rep's process-CPU/wall ratio — a local-mode noop-sink query
+    // keeps >= 1 core busy, so cw << 1 means the JVM wasn't scheduled for
+    // most of the wall; the r17 x_rollup 16x spike sat at la=1.3,
+    // spread=1.08 and ONLY this field would have flagged it). Run-level
+    // steal/iowait percent from /proc/stat corroborate machine-wide.
+    // benchdiff emits LOAD-SUSPECT from these fields alone.
+    import BenchTelemetry.{la1, procCpuNanos, fmt}
     val loadStart = la1()
+    val jiffiesStart = BenchTelemetry.cpuJiffies()
     val results = SparkEntry.benchNames.map { name =>
       val fn = SparkEntry.queries(name)
       // None on failure: a transiently failing rep returns FAST, and under
       // min-of-reps a failed-but-timed rep would silently LOWER the
       // headline min for an otherwise-healthy entry — failures must be
       // excluded from the min, not blended into it.
-      def once(): Option[Double] = {
+      def once(): Option[(Double, Double)] = {
         val t0 = System.nanoTime()
+        val c0 = procCpuNanos()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val c1 = procCpuNanos()
+          val cw = if (c0 >= 0 && c1 >= c0 && wall > 0)
+            (c1 - c0) / 1e9 / wall else -1.0
+          Some((wall, cw))
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); None
         }
@@ -64,12 +72,15 @@ object Bench {
         System.err.println(
           s"[bench] $name: ${reps - times.size}/$reps measured reps FAILED")
       // -1 is the explicit error marker when no rep succeeded — never a
-      // fabricated elapsed time.
-      val dt = if (times.nonEmpty) times.min else -1.0
+      // fabricated elapsed time. cw is the MIN rep's ratio: the min is the
+      // quoted number, so its own rep must be the one to self-convict.
+      val (dt, cw) =
+        if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0)
       // spread = max/min across measured reps: reps of the same lazy plan
       // are deterministic work, so reps that disagree badly were timed on
       // a machine doing something else
-      val spread = if (times.size >= 2) times.max / times.min else 1.0
+      val walls = times.map(_._1)
+      val spread = if (walls.size >= 2) walls.max / walls.min else 1.0
       // isolation between entries: several queries persist() intermediate
       // frames (their results stay lazy, so the operator cannot unpersist)
       // — without this, pinned blocks accumulate across the 80+ entries
@@ -78,17 +89,23 @@ object Bench {
       // isolation). Clearing between entries makes each number the
       // query's own.
       spark.catalog.clearCache()
-      (name, dt, laBefore, spread)
+      (name, dt, laBefore, spread, cw)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val tel = results.map { case (k, _, la, sp) =>
-      "\"" + k + "\":{\"la\":" + f"$la%.1f" + ",\"spread\":" + f"$sp%.2f" + "}"
+    val tel = results.map { case (k, _, la, sp, cw) =>
+      "\"" + k + "\":{\"la\":" + fmt(la, 1) + ",\"spread\":" + fmt(sp, 2) +
+        ",\"cw\":" + fmt(cw, 2) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // skip -1 error markers
+    val (stealPct, iowaitPct) =
+      BenchTelemetry.stealIowaitPct(jiffiesStart, BenchTelemetry.cpuJiffies())
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""telemetry":$tel,"load_start":$loadStart,"load_end":${la1()},""" +
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+        s""""queries":$qs,"telemetry":$tel,""" +
+        s""""load_start":${fmt(loadStart, 2)},"load_end":${fmt(la1(), 2)},""" +
+        s""""steal_pct":${fmt(stealPct, 2)},""" +
+        s""""iowait_pct":${fmt(iowaitPct, 2)},""" +
         s""""cpus":$cpus,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // stdout under sbt carries an "[info] " prefix and can defeat naive

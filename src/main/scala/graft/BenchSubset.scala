@@ -26,20 +26,34 @@ object BenchSubset {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // cw (process-CPU/wall of the min rep) is only meaningful when the
+    // executor pool lives in THIS JVM — under SPARK_GRAFT_MASTER=
+    // local-cluster the work happens in separate executor processes and
+    // the driver's own CPU ratio says nothing about the query.
+    val inProcessExecutors = !sys.env.get("SPARK_GRAFT_MASTER")
+      .exists(_.startsWith("local-cluster"))
+    import BenchTelemetry.{la1, procCpuNanos, fmt}
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): (Double, Double) = {
         val t0 = System.nanoTime()
+        val c0 = procCpuNanos()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val c1 = procCpuNanos()
+        val cw = if (c0 >= 0 && c1 >= c0 && wall > 0)
+          (c1 - c0) / 1e9 / wall else -1.0
+        (wall, cw)
       }
       once() // warm-up: codegen + JIT, unmeasured (the Bench convention)
-      val la = try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+      val la = la1()
       val ts = (1 to reps).map(_ => once())
-      println(f"[benchsub] $name reps=${ts.map(t => f"$t%.2f").mkString(",")} " +
-        f"min=${ts.min}%.2f la=$la%.1f " +
-        f"spread=${if (ts.size >= 2) ts.max / ts.min else 1.0}%.2f")
+      val walls = ts.map(_._1)
+      val (mn, cwMin) = ts.minBy(_._1)
+      println(s"[benchsub] $name reps=${walls.map(fmt(_, 2)).mkString(",")} " +
+        s"min=${fmt(mn, 2)} la=${fmt(la, 1)} " +
+        s"spread=${fmt(if (walls.size >= 2) walls.max / walls.min else 1.0, 2)}" +
+        (if (inProcessExecutors) s" cw=${fmt(cwMin, 2)}" else ""))
     }
     spark.stop()
   }

@@ -97,6 +97,19 @@ def load_suspect(name):
     reasons = []
     if ncpus and la > 1.25 * float(ncpus): reasons.append(f"la={la}")
     if sp > 1.5: reasons.append(f"spread={sp}")
+    # cw = process-CPU/wall of the quoted (min) rep. A local-mode
+    # noop-sink query keeps >= 1 core busy end-to-end, so cw << 1 means
+    # the JVM was descheduled for most of the wall — the CPU-STEAL
+    # signature that la (empty runqueue) and spread (sustained slowness)
+    # are both blind to: r17's x_rollup ran 16x slow at la=1.3,
+    # spread=1.08 (cw would have read ~0.1). Threshold 0.6: the measured
+    # healthy floor across all 176 entries is 0.73 (x_host_stats, many
+    # tiny stages; full-surface sweep, r18), while a 2x+ steal episode
+    # halves any entry's cw (fixed CPU work, doubled wall) — and this
+    # rule only sees entries ALREADY >1.5x over their old number, so a
+    # false suspect costs one BenchSubset re-run, not a verdict.
+    cw = t.get("cw")
+    if cw is not None and 0 <= cw < 0.6: reasons.append(f"cw={cw}")
     return ",".join(reasons) or None
 rows, flags = [], []
 for name, nv in sorted(new.items()):
@@ -148,7 +161,11 @@ n_noise = n_real = n_sus = 0
 for name, ov, nv, verdict in rows:
     rr = rerun.get(name)
     if verdict == "FLAGGED" or verdict.startswith("LOAD-SUSPECT"):
-        suspect = verdict if verdict.startswith("LOAD-SUSPECT") else None
+        # keep only the telemetry REASONS (la=../spread=../cw=..) so an
+        # upgraded verdict reads 'LOAD-NOISE [la=41.2]', never the nested
+        # 'LOAD-NOISE [LOAD-SUSPECT(la=41.2)]'
+        m = re.match(r"LOAD-SUSPECT\((.*)\)", verdict)
+        suspect = m.group(1) if m else None
         if rr is None:
             if suspect: n_sus += 1      # telemetry verdict stands alone
             else: verdict = "FLAGGED (no re-run)"
@@ -163,6 +180,19 @@ for name, ov, nv, verdict in rows:
     nvs = "-" if nv is None else f"{nv:.2f}"
     print(f"| {name} | {o} | {nvs} | {r} | {verdict} |")
 print()
+# run-level machine state (r18+ artifacts): a nonzero steal percent
+# convicts the whole run's machine, not just individual entries
+try:
+    nd = json.load(open(f"{tmp}/new.json"))
+    nd = nd.get("parsed") or nd
+    sp, iw = nd.get("steal_pct"), nd.get("iowait_pct")
+    if sp is not None and sp >= 0:
+        note = " — MACHINE-SUSPECT (steal >= 1% of run)" if sp >= 1.0 else ""
+        print(f"machine over the NEW run: steal={sp}% iowait={iw}% "
+              f"load_start={nd.get('load_start')} load_end={nd.get('load_end')}{note}")
+        print()
+except Exception:
+    pass
 print(f"adjudicated: {n_noise} load-noise, {n_real} reproducible (regression or machine shift), "
       f"{n_sus} load-suspect from artifact telemetry alone; "
       f"rows shown are new/changed/flagged entries only (unflagged "

@@ -101,6 +101,27 @@ object SimilarityOps {
   def annPairs(df: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, numBands: Int, dim: Int,
                threshold: Double, maxBucket: Int = 100000): DataFrame = {
+    val cand = annCandidates(df, idCol, vecCol, numPlanes, numBands, dim,
+      maxBucket)
+    val withVec = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
+    cand
+      .join(withVec.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("__nrm").as("nrm_a")), "id_a")
+      .join(withVec.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("__nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** The candidate stage of [[annPairs]] — (id_a, id_b) distinct pairs
+    * sharing any band key, BEFORE exact-cosine verification. Exposed so
+    * recall/volume measurement queries can count the candidates an LSH
+    * sizing actually paid for without re-deriving the bucket pipeline. */
+  private[graft] def annCandidates(df: DataFrame, idCol: String,
+      vecCol: String, numPlanes: Int, numBands: Int, dim: Int,
+      maxBucket: Int = 100000): DataFrame = {
     val bands = srpBands(df, idCol, vecCol, numPlanes, numBands, dim)
     // Bucket population is n / 2^(numPlanes/numBands) per band ON AVERAGE:
     // with too few planes for the corpus size, buckets grow O(n) and the
@@ -121,19 +142,9 @@ object SimilarityOps {
     val pairsExpr = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
       j => transform(sequence(lit(0), j - 1),
         i => struct(col("ids")(i).as("id_a"), col("ids")(j).as("id_b")))))
-    val cand = buckets.select(explode(pairsExpr).as("p"))
+    buckets.select(explode(pairsExpr).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val withVec = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
-    cand
-      .join(withVec.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-        col("__nrm").as("nrm_a")), "id_a")
-      .join(withVec.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-        col("__nrm").as("nrm_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6)
-          .as("cos_sim"))
-      .where(col("cos_sim") >= threshold)
   }
 
   /** [[annPairs]] with the planes-per-band SIZED TO THE CORPUS — the form
@@ -202,6 +213,81 @@ object SimilarityOps {
     var b = 1
     while (b < 32 && (targetBucket.toLong << b) < n) b += 1
     b
+  }
+
+  /** Per-plane SRP agreement probability at cosine `theta`, in 6-dp
+    * fixed-point micro-units: round((1 − acos(theta)/π)·1e6). The ONLY
+    * float step in the recall sizing — everything downstream is exact
+    * integer arithmetic, so the oracle reproduces the sizing bit-for-bit
+    * as long as its acos agrees to 6 dp (cross-engine acos divergence is
+    * ≤ 1 ulp, so this can only matter when the true value sits within
+    * ~1e-10 of a .5e-6 rounding boundary — at theta = 0.9 the fraction
+    * is .707, nowhere near it). */
+  private[graft] def agreeMicro(theta: Double): Long =
+    math.round((1.0 - math.acos(theta) / math.Pi) * 1e6)
+
+  /** Smallest band count r in [1, maxBands] with expected recall
+    * 1 − (1 − q^bits)^r >= targetRecall for pairs at per-plane agreement
+    * q (micro-units), evaluated ENTIRELY in 6-dp fixed-point integers:
+    * q^bits and (1−q^bits)^r are built by iterated
+    * (x·y + 500000) / 1000000 multiply-rounds, never Math.pow — IEEE
+    * multiplication is deterministic but pow is only within-1-ulp, and a
+    * 1-ulp disagreement at the comparison boundary would make the two
+    * engines size DIFFERENT geometries (the x_semdedup_auto float-knife-
+    * edge lesson). The DuckDB oracle replays the identical integer
+    * recurrence in a recursive CTE. Raises when the target is
+    * unreachable within maxBands — at low theta the required band count
+    * grows like ln(1−target)/q^bits and the "LSH" would cost more than
+    * brute force; refusing loudly beats silently shipping it. */
+  private[graft] def recallBands(bits: Int, qMicro: Long,
+      targetRecall: Double, maxBands: Int = 64): Int = {
+    require(bits >= 1 && qMicro > 0 && qMicro < 1000000L,
+      "recallBands: need bits >= 1 and 0 < qMicro < 1e6")
+    require(targetRecall > 0 && targetRecall < 1,
+      "recallBands: targetRecall must be in (0, 1)")
+    val M = 1000000L
+    var pb = M
+    (1 to bits).foreach(_ => pb = (pb * qMicro + M / 2) / M)
+    val missBand = M - pb
+    val missTarget = M - math.round(targetRecall * 1e6)
+    var r = 1
+    var miss = missBand
+    while (miss > missTarget && r < maxBands) {
+      miss = (miss * missBand + M / 2) / M
+      r += 1
+    }
+    require(miss <= missTarget,
+      s"recallBands: recall $targetRecall unreachable within $maxBands " +
+        s"bands at $bits bits/band (per-band hit ${pb / 1e6}) — at this " +
+        "theta the banded LSH would cost more than brute force; lower " +
+        "targetBucket (fewer bits/band), lower the target, or verify " +
+        "exactly with bruteForcePairs")
+    r
+  }
+
+  /** [[annPairsAuto]] with the band COUNT derived from a recall target —
+    * the sizing that makes the auto forms' recall trade EXPLICIT at the
+    * call site instead of a benched honesty row: bits/band still comes
+    * from the corpus count (targetBucket-bounded buckets → linear
+    * candidate volume), and the number of bands is then the smallest r
+    * with S-curve recall 1−(1−q^bits)^r >= targetRecall for pairs at
+    * cosine >= theta (q evaluated AT theta is the minimum over the
+    * reported range, so the guarantee holds for every emitted pair).
+    * Candidate volume scales linearly in r — the price of the target,
+    * and the x_ann_lsh_recall_target query reports it next to the
+    * measured recall. Sizing is [[agreeMicro]] + [[recallBands]]:
+    * integer-exact, oracle-replayable. */
+  def annPairsAutoRecall(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, theta: Double, targetRecall: Double,
+                         targetBucket: Int = 64,
+                         maxBucket: Int = 100000): DataFrame = {
+    require(theta > -1 && theta < 1, "theta must be in (-1, 1)")
+    val n = df.count()
+    require(n > 0, "annPairsAutoRecall: empty corpus")
+    val bits = autoBandBits(n, targetBucket)
+    val bands = recallBands(bits, agreeMicro(theta), targetRecall)
+    annPairs(df, idCol, vecCol, numPlanes = bands * bits,
+      numBands = bands, dim = dim, threshold = theta, maxBucket = maxBucket)
   }
 
   /** SRP-LSH top-k for a SET of query vectors (`queries`: qid, q) — the

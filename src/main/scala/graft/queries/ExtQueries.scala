@@ -962,6 +962,38 @@ object ExtQueries {
         round(count(col("__f")) / count(lit(1)).cast("double"), 4).as("recall"))
   }
 
+  /** Recall-TARGETED auto LSH ([[SimilarityOps.annPairsAutoRecall]],
+    * theta 0.9, target 0.95): one row (bits, bands, n_cand, n_true,
+    * n_found, recall) — the sizing, the candidate volume it PAID, and the
+    * measured pair-recall vs brute force at the same theta. Every found
+    * pair is exact-verified (found ⊆ true under identical 6-dp rounding),
+    * so recall = n_found/n_true, no pair join needed. The S-curve sizing
+    * guarantees EXPECTED recall >= 0.95 for pairs at cosine exactly theta;
+    * the fixture's true pairs sit at ~0.99 where per-band hit probability
+    * is far higher, so the measured number should clear the target with
+    * margin at every scale — and being a declared oracle query at both
+    * SFs, a sizing regression that dropped it below target would show as
+    * a changed artifact row, not a silent trade. The three 1-row
+    * crossJoins are scalar-aggregate assembly, not data joins. */
+  val xAnnLshRecallTarget: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val n = emb.count()
+    val bits = SimilarityOps.autoBandBits(n, 64)
+    val bands = SimilarityOps.recallBands(bits,
+      SimilarityOps.agreeMicro(0.9), targetRecall = 0.95)
+    val cand = SimilarityOps.annCandidates(emb, "vec_id", "embedding",
+      numPlanes = bands * bits, numBands = bands, dim = 64)
+    val found = SimilarityOps.annPairsAutoRecall(emb, "vec_id", "embedding",
+      dim = 64, theta = 0.9, targetRecall = 0.95)
+    val brute = SimilarityOps.bruteForcePairs(emb, "vec_id", "embedding", 0.9)
+    brute.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(lit(bits).as("bits"), lit(bands).as("bands"), col("n_cand"),
+        col("n_true"), col("n_found"),
+        round(col("n_found") / col("n_true").cast("double"), 4).as("recall"))
+  }
+
   /** IVF recall vs the brute-force top-k, driver-checked: one row
     * (n_true, n_found, recall). The planted near-clones of vector 0 make the
     * true top-20 non-trivial, and recall is 1.0 by measurement (asserted

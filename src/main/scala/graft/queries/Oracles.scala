@@ -2247,6 +2247,51 @@ object Oracles {
          |round(count(l.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
          |FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id""".stripMargin,
 
+    // recall-TARGETED auto sizing: bits from the lshsz shift-and-compare,
+    // then the band count r is the smallest with S-curve recall
+    // 1-(1-q^bits)^r >= 0.95 at theta=0.9, replayed in the SAME 6-dp
+    // fixed-point integer recurrence as Scala recallBands — two recursive
+    // CTEs of (x*y + 500000) // 1000000 multiply-rounds, never power()
+    // (pow is only within-1-ulp cross-engine; a last-ulp disagreement at
+    // the miss <= 50000 boundary would size DIFFERENT geometries). The
+    // only float is round(acos*1e6) where the fraction sits at .707,
+    // nowhere near the rounding boundary. Verified bit-identical to the
+    // Scala recurrence at both fixture scales: (bits 5, pb 460754,
+    // bands 5) at n=2000, (9, 247881, 11) at n=20000.
+    "x_ann_lsh_recall_target" ->
+      s"""WITH RECURSIVE $PLANTED_CTES,
+         |lshsz AS (SELECT coalesce(min(b), 32) AS bits FROM range(1, 33) t(b)
+         |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
+         |qmic AS (SELECT CAST(round((1 - acos(0.9)/pi()) * 1000000) AS BIGINT) AS q),
+         |pbit(i, pb) AS (
+         |  SELECT 0, CAST(1000000 AS BIGINT)
+         |  UNION ALL
+         |  SELECT i + 1, (pb * (SELECT q FROM qmic) + 500000) // 1000000
+         |  FROM pbit WHERE i < (SELECT bits FROM lshsz)),
+         |pbv AS (SELECT pb FROM pbit WHERE i = (SELECT bits FROM lshsz)),
+         |bandit(r, miss) AS (
+         |  SELECT 1, 1000000 - (SELECT pb FROM pbv)
+         |  UNION ALL
+         |  SELECT r + 1, (miss * (1000000 - (SELECT pb FROM pbv)) + 500000) // 1000000
+         |  FROM bandit WHERE miss > 50000 AND r < 64),
+         |bandsz AS (SELECT min(r) AS r FROM bandit WHERE miss <= 50000),
+         |${srpCtes("((SELECT bits FROM lshsz) * (SELECT r FROM bandsz))", "(SELECT bits FROM lshsz)")},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |found AS (SELECT id_a, id_b FROM
+         |  (SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos_sim
+         |   FROM cand JOIN corpus a ON a.vec_id = id_a JOIN corpus b ON b.vec_id = id_b)
+         |  WHERE cos_sim >= 0.9),
+         |brute AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id
+         |    AND ${cosSql("a.v", "b.v")} >= 0.9)
+         |SELECT CAST((SELECT bits FROM lshsz) AS INT) AS bits,
+         |  CAST((SELECT r FROM bandsz) AS INT) AS bands,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM brute) AS n_true,
+         |  (SELECT count(*) FROM found) AS n_found,
+         |  round((SELECT count(*) FROM found) / CAST((SELECT count(*) FROM brute) AS DOUBLE), 4) AS recall""".stripMargin,
+
     "x_ann_ivf" ->
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
          |SELECT vec_id, cos_sim FROM ivf""".stripMargin,

@@ -98,6 +98,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(auto.nonEmpty) // the identical pair (0,1) must be found
   }
 
+  test("recallBands: fixed-point S-curve sizing matches the hand-computed " +
+    "recurrence at both fixture scales, monotone in the target, and raises " +
+    "when the target is unreachable") {
+    val q9 = SimilarityOps.agreeMicro(0.9)
+    assert(q9 == 856434L) // round((1 - acos(0.9)/pi) * 1e6), fraction .707
+    // the exact integers the DuckDB oracle reproduces (verified there):
+    // bits=5 -> pb=460754 -> 5 bands; bits=9 -> pb=247881 -> 11 bands
+    assert(SimilarityOps.recallBands(5, q9, 0.95) == 5)
+    assert(SimilarityOps.recallBands(9, q9, 0.95) == 11)
+    // more bits per band -> lower per-band hit -> more bands needed
+    assert(SimilarityOps.recallBands(9, q9, 0.99) >
+      SimilarityOps.recallBands(9, q9, 0.95))
+    assert(SimilarityOps.recallBands(12, q9, 0.95) >
+      SimilarityOps.recallBands(9, q9, 0.95))
+    // weak similarity + many bits: the band count explodes past maxBands
+    // and the sizing REFUSES (an LSH costlier than brute force is a bug,
+    // not a setting)
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.recallBands(20, SimilarityOps.agreeMicro(0.3), 0.95)
+    }
+    assert(ex.getMessage.contains("unreachable"), ex.getMessage)
+  }
+
+  test("annPairsAutoRecall: finds the identical pair, is row-identical to " +
+    "annPairs at the derived geometry, and measured recall on the planted " +
+    "sf0.001 corpus meets the target") {
+    val n = vecs.count()
+    val bits = SimilarityOps.autoBandBits(n, 64)
+    val bands = SimilarityOps.recallBands(bits,
+      SimilarityOps.agreeMicro(0.9), 0.95)
+    val auto = SimilarityOps.annPairsAutoRecall(vecs, "vec_id", "embedding",
+      dim = 3, theta = 0.9, targetRecall = 0.95)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val explicit = SimilarityOps.annPairs(vecs, "vec_id", "embedding",
+      numPlanes = bands * bits, numBands = bands, dim = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(auto == explicit)
+    assert(auto.nonEmpty) // the identical pair (0,1) must be found
+    // measured pair-recall >= target on the planted embeddings fixture —
+    // the regression floor behind the x_ann_lsh_recall_target query
+    val emb = graft.queries.ExtQueries.plantedEmbeddings(spark,
+      "/root/testdata/sf0.001")
+    val t = SimilarityOps.bruteForcePairs(emb, "vec_id", "embedding", 0.9)
+      .count()
+    val f = SimilarityOps.annPairsAutoRecall(emb, "vec_id", "embedding",
+      dim = 64, theta = 0.9, targetRecall = 0.95).count()
+    assert(t > 0, "fixture must plant pairs above theta")
+    assert(f.toDouble / t >= 0.95, s"recall ${f.toDouble / t} < 0.95 ($f/$t)")
+  }
+
   test("annTopKBatchAuto is row-identical to annTopKBatch at the derived " +
     "planes (corpus count drives the sizing)") {
     val qs = vecs.where($"vec_id" === 0)

@@ -56,22 +56,45 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *     produces identical bytes" is what the fail-first-attempt mode
   *     proves directly.
   *
+  *   - SPARK_GRAFT_DECOM=1 (requires local-cluster): GRACEFUL
+  *     decommission — the spot-instance/scale-down path. One executor
+  *     gets SIGPWR (spark.executor.decommission.signal default) with
+  *     spark.decommission.enabled + storage/shuffle block migration on:
+  *     it reports ExecutorDecommissioning to the driver, migrates its
+  *     shuffle+RDD blocks to surviving peers, and exits; downstream
+  *     stages fetch from the migrated homes. Success is the COMPLEMENT
+  *     of kill mode: >= 1 decommission removal recorded AND ZERO task
+  *     failures AND byte-identical output (a graceful departure that
+  *     costs recomputes is just a slow kill). Migrated shuffle-block
+  *     registrations are counted as corroborating evidence that data
+  *     moved (shuffle_* ids only reach the block-manager master via the
+  *     migration path — normal shuffles are MapOutputTracker-only).
+  *
   * Usage:
   *   sbt "runMain graft.RetryProbe x_weighted_sample x_strat_sample ..."
   *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   *     SPARK_GRAFT_MASTER=local-cluster[4,8,4096] SPARK_GRAFT_KILL_EXEC=1 \
   *     sbt "runMain graft.RetryProbe x_setsim_join"
-  * Exits non-zero on any hash mismatch or on zero recorded failures. */
+  *   ... SPARK_GRAFT_DECOM=1 sbt "runMain graft.RetryProbe x_dedup_minhash"
+  * Exits non-zero on any hash mismatch or on zero recorded failures
+  * (zero decommissions / nonzero failures in decom mode). */
 object RetryProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "pass query names")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val killMode = sys.env.contains("SPARK_GRAFT_KILL_EXEC")
+    val decomMode = sys.env.contains("SPARK_GRAFT_DECOM")
     require(!killMode || sys.env.get("SPARK_GRAFT_MASTER")
       .exists(_.startsWith("local-cluster")),
       "SPARK_GRAFT_KILL_EXEC needs SPARK_GRAFT_MASTER=local-cluster[...] " +
         "(local-mode executors are the driver; killing them kills the probe)")
+    require(!decomMode || sys.env.get("SPARK_GRAFT_MASTER")
+      .exists(_.startsWith("local-cluster")),
+      "SPARK_GRAFT_DECOM needs SPARK_GRAFT_MASTER=local-cluster[...] " +
+        "(decommission is an executor-process event; local mode has none)")
+    require(!(killMode && decomMode),
+      "SPARK_GRAFT_KILL_EXEC and SPARK_GRAFT_DECOM are exclusive modes")
     require(!sys.env.contains("SPARK_GRAFT_SPECULATE") ||
       sys.env.get("SPARK_GRAFT_MASTER")
         .exists(_.startsWith("local-cluster")),
@@ -102,7 +125,23 @@ object RetryProbe {
       // lags the average — a SLEEPING task processes no data, so the
       // gate must be off for the duration threshold to act alone
       .config("spark.speculation.efficiency.enabled", "false")
-    val spark = builder
+    // decommission mode: the GRACEFUL executor-departure path a 100-TB
+    // spot-instance fleet lives on — the victim gets SIGPWR (the default
+    // spark.executor.decommission.signal), tells the driver it is
+    // leaving, and MIGRATES its shuffle+RDD blocks to surviving peers
+    // before exiting, so downstream stages fetch from the new homes
+    // instead of recomputing. The success criteria are the OPPOSITE of
+    // kill mode's: zero task failures (kill mode REQUIRES >= 1).
+    val builder1 = if (!decomMode) builder else builder
+      .config("spark.decommission.enabled", "true")
+      .config("spark.storage.decommission.enabled", "true")
+      .config("spark.storage.decommission.shuffleBlocks.enabled", "true")
+      .config("spark.storage.decommission.rddBlocks.enabled", "true")
+      // give the migrator time: the default force-kill is immediate-ish;
+      // the probe's queries finish in seconds, so a 120s grace means the
+      // executor only exits when migration is DONE
+      .config("spark.executor.decommission.forceKillTimeout", "120s")
+    val spark = builder1
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -143,13 +182,42 @@ object RetryProbe {
     }
 
     val taskFailures = new AtomicInteger
+    val taskStarts = new AtomicInteger
     val speculativeLaunches = new AtomicInteger
+    val decomRemovals = new AtomicInteger
+    val migratedShuffleBlocks = new AtomicInteger
+    // live tasks per executor id — the kill/decom victim must be an
+    // executor that is actually RUNNING work (killing an idle one is
+    // absorbed invisibly by the scheduler and proves nothing)
+    val runningByExec = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         if (te.reason != TaskSuccess) taskFailures.incrementAndGet()
+        if (te.taskInfo != null)
+          runningByExec.merge(te.taskInfo.executorId, -1, (a, b) => a + b)
+      }
       override def onTaskStart(
-          ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        taskStarts.incrementAndGet()
+        runningByExec.merge(ts.taskInfo.executorId, 1, (a, b) => a + b)
         if (ts.taskInfo.speculative) speculativeLaunches.incrementAndGet()
+      }
+      // decommission surfaces as an ExecutorRemoved whose loss reason is
+      // ExecutorDecommission ("Executor decommission...") — there is no
+      // dedicated listener event class in the public API
+      override def onExecutorRemoved(
+          er: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+        if (er.reason != null &&
+          er.reason.toLowerCase.contains("decommission"))
+          decomRemovals.incrementAndGet()
+      // migrated shuffle blocks re-register with the block manager master
+      // under their shuffle_* ids on the RECEIVING executor — counted as
+      // corroborating evidence that migration MOVED data, not just that
+      // the executor left quietly
+      override def onBlockUpdated(
+          bu: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+        if (bu.blockUpdatedInfo.blockId.name.startsWith("shuffle_"))
+          migratedShuffleBlocks.incrementAndGet()
     })
 
     // canonical result hash: sorted stringified rows — the flakehunt
@@ -189,25 +257,54 @@ object RetryProbe {
       }(Encoders.row(df.schema))
     }
 
-    // kill-mode: SIGKILL one CoarseGrainedExecutorBackend child a beat
-    // into the chaos run; the standalone master replaces it, tasks and
-    // lost shuffle outputs reschedule/rerun on the survivors. The pgrep
-    // is scoped to THIS probe's executors via the applicationId that the
+    // kill-mode: SIGKILL one CoarseGrainedExecutorBackend child once the
+    // chaos run has tasks RUNNING; the standalone master replaces it,
+    // tasks and lost shuffle outputs reschedule/rerun on the survivors.
+    // Task-aware, not a fixed delay: a wall-clock timer can land in the
+    // driver-side planning window (Catalyst on the wide dedup plans runs
+    // 1-2 s with zero live tasks), where killing an IDLE executor with no
+    // state proves nothing — the scheduler replaces it invisibly and the
+    // probe reports NO-RETRY-RECORDED on a healthy build. The pgrep is
+    // scoped to THIS probe's executors via the applicationId that the
     // backend carries on its command line (--app-id app-...) — an
     // unscoped match could SIGKILL an executor of an unrelated concurrent
     // Spark job on the same machine.
-    def killOneExecutor(delayMs: Long, signal: String = "-9"): Thread = {
+    def killOneExecutor(minTaskStarts: Int, signal: String = "-9"): Thread = {
       val appId = spark.sparkContext.applicationId
+      val baseline = taskStarts.get
       val t = new Thread(() => {
-        Thread.sleep(delayMs)
-        val pids = scala.sys.process.Process(
-          Seq("pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId")).!!
-          .split("\n").filter(_.nonEmpty)
-        pids.headOption.foreach { pid =>
-          System.err.println(s"[retry] sending $signal to executor pid $pid" +
-            s" (app $appId)")
-          scala.sys.process.Process(Seq("kill", signal, pid)).!
+        import scala.jdk.CollectionConverters._
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        // wait for a stage in full flight AND a specific busy executor
+        def busiest(): Option[String] = runningByExec.entrySet.asScala
+          .filter(e => e.getValue > 0 && e.getKey != "driver")
+          .toSeq.sortBy(-_.getValue).headOption.map(_.getKey)
+        var victim: Option[String] = None
+        while ({
+          victim = if (taskStarts.get - baseline >= minTaskStarts)
+            busiest() else None
+          victim.isEmpty && System.nanoTime() < deadline
+        }) Thread.sleep(50)
+        victim.foreach { execId =>
+          // executor id -> pid via the --executor-id arg on the backend's
+          // command line, scoped to this app
+          val procs = scala.sys.process.Process(
+            Seq("pgrep", "-af", s"CoarseGrainedExecutorBackend.*$appId")).!!
+          val pid = procs.split("\n")
+            .find(_.contains(s"--executor-id $execId "))
+            .map(_.trim.split("\\s+")(0))
+          pid match {
+            case Some(p) =>
+              System.err.println(s"[retry] sending $signal to executor " +
+                s"id=$execId pid=$p (app $appId, " +
+                s"${runningByExec.getOrDefault(execId, 0)} tasks running)")
+              scala.sys.process.Process(Seq("kill", signal, p)).!
+            case None => System.err.println(
+              s"[retry] no pid found for executor $execId (app $appId)")
+          }
         }
+        if (victim.isEmpty) System.err.println(
+          "[retry] no busy executor observed within 30s — nothing killed")
       })
       t.setDaemon(true); t.start(); t
     }
@@ -218,22 +315,67 @@ object RetryProbe {
       val (cleanHash, cleanRows) = hashOf(fn(spark, sfDir))
       spark.catalog.clearCache() // a cache would mask the recompute path
       taskFailures.set(0); speculativeLaunches.set(0)
+      decomRemovals.set(0); migratedShuffleBlocks.set(0)
       val (chaosHash, chaosRows) =
-        if (killMode) { killOneExecutor(2000); hashOf(fn(spark, sfDir)) }
+        if (killMode) {
+          // best-effort injection: on a fast machine the observed-busy
+          // executor can drain its short tasks in the observe->signal
+          // gap and die idle (absorbed invisibly). Repeat the chaos run
+          // until the loss is actually RECORDED — the assertion below
+          // still demands the event, this only retries the attempt.
+          var h = { killOneExecutor(8); hashOf(fn(spark, sfDir)) }
+          var tries = 1
+          while (taskFailures.get == 0 && tries < 3) {
+            System.err.println(s"[retry] kill attempt $tries absorbed " +
+              "invisibly (victim drained before signal) — retrying")
+            spark.catalog.clearCache()
+            killOneExecutor(8)
+            h = hashOf(fn(spark, sfDir))
+            tries += 1
+          }
+          h
+        }
+        else if (decomMode) {
+          killOneExecutor(8, signal = "-PWR")
+          val h = hashOf(fn(spark, sfDir))
+          // the victim exits (and the driver posts ExecutorRemoved with
+          // the decommission reason) only AFTER its migration drains —
+          // usually moments after the query that raced it finishes, so
+          // the event is polled for, not demanded instantly
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (decomRemovals.get < 1 && System.nanoTime() < deadline)
+            Thread.sleep(250)
+          h
+        }
         else if (speculate) hashOf(withSlowFirstAttempts(fn(spark, sfDir)))
         else hashOf(withInjectedFailures(fn(spark, sfDir)))
       spark.catalog.clearCache()
-      // the event that must have HAPPENED, not just been configured
-      val events = if (speculate) speculativeLaunches.get else taskFailures.get
-      val ok = cleanHash == chaosHash && events >= 1
+      // the event that must have HAPPENED, not just been configured —
+      // and for decommission, the event that must NOT have: a graceful
+      // departure that costs task failures is just a slow kill, so the
+      // mode asserts decom recorded AND zero failures AND identical
+      // bytes (kill mode asserts failures >= 1; this is its complement)
+      val ok =
+        if (decomMode)
+          cleanHash == chaosHash && decomRemovals.get >= 1 &&
+            taskFailures.get == 0
+        else {
+          val events =
+            if (speculate) speculativeLaunches.get else taskFailures.get
+          cleanHash == chaosHash && events >= 1
+        }
       if (!ok) bad += 1
       println(s"[retry] $name rows=$cleanRows clean=$cleanHash " +
         s"chaos=$chaosHash failures=${taskFailures.get} " +
         s"speculative=${speculativeLaunches.get} " +
+        s"decommissioned=${decomRemovals.get} " +
+        s"migrated_shuffle_blocks=${migratedShuffleBlocks.get} " +
         (if (ok) "OK"
-         else if (events == 0)
-           (if (speculate) "NO-SPECULATION-RECORDED" else "NO-RETRY-RECORDED")
-         else "HASH-MISMATCH"))
+         else if (cleanHash != chaosHash) "HASH-MISMATCH"
+         else if (decomMode && decomRemovals.get == 0) "NO-DECOM-RECORDED"
+         else if (decomMode) "TASKS-FAILED-DURING-DECOM"
+         else if (speculate) "NO-SPECULATION-RECORDED"
+         else "NO-RETRY-RECORDED"))
     }
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -111,9 +111,13 @@ object Bench {
     // stdout under sbt carries an "[info] " prefix and can defeat naive
     // parsers (the r9 driver artifact recorded "parsed": null with the
     // numbers marooned in a log tail); persist the same line as a file so
-    // the latest run is always machine-readable
+    // the latest run is always machine-readable. SPARK_GRAFT_BENCH_OUT
+    // redirects non-headline runs (e.g. the 10x fixture -> BENCH_SF1.json)
+    // so they cannot clobber the committed sf0.1 snapshot.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      line + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the run
     spark.stop()
   }

@@ -34,12 +34,16 @@ object BenchTelemetry {
     } catch { case _: Throwable => -1L }
 
   /** Machine-wide (steal, iowait, total) jiffies from /proc/stat line 1:
-    * cpu user nice system idle iowait irq softirq steal ... */
+    * cpu user nice system idle iowait irq softirq steal guest guest_nice.
+    * Total sums only user..steal (first 8 fields): the kernel already
+    * folds guest/guest_nice into user, so summing all fields would
+    * double-count guest time and understate steal%/iowait% on hosts
+    * running nested guests. */
   def cpuJiffies(): Option[(Long, Long, Long)] =
     try {
       val f = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      Some((f.lift(7).getOrElse(0L), f.lift(4).getOrElse(0L), f.sum))
+      Some((f.lift(7).getOrElse(0L), f.lift(4).getOrElse(0L), f.take(8).sum))
     } catch { case _: Throwable => None }
 
   /** steal%/iowait% of total machine jiffies between two cpuJiffies()

@@ -45,6 +45,15 @@ object Bench {
     import BenchTelemetry.{la1, procCpuNanos, fmt}
     val loadStart = la1()
     val jiffiesStart = BenchTelemetry.cpuJiffies()
+    // Steal-immune per-entry axes (the r18 verdict's binding gap: wall
+    // comparison across rounds is noise-bound both ways on a machine
+    // with persistent hypervisor steal): cpu_s = process-CPU seconds of
+    // the quoted min rep, plus per-entry shuffle-write records and
+    // executor-CPU seconds from stage metrics. Records are a plan
+    // property (bit-identical for unchanged code+data); CPU seconds
+    // don't grow when the JVM is descheduled. benchdiff adjudicates
+    // round-over-round on cpu_s FIRST, wall second.
+    val counters = new BenchTelemetry.EntryCounters(spark.sparkContext)
     val results = SparkEntry.benchNames.map { name =>
       val fn = SparkEntry.queries(name)
       // None on failure: a transiently failing rep returns FAST, and under
@@ -58,24 +67,34 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
           val c1 = procCpuNanos()
-          val cw = if (c0 >= 0 && c1 >= c0 && wall > 0)
-            (c1 - c0) / 1e9 / wall else -1.0
-          Some((wall, cw))
+          val cpuS = if (c0 >= 0 && c1 >= c0) (c1 - c0) / 1e9 else -1.0
+          Some((wall, cpuS))
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); None
         }
       }
       once() // warm-up: codegen + JIT
+      // entry boundary for the stage counters: let the async listener bus
+      // settle so warm-up events can't leak into the measured window,
+      // then count across the measured reps (the per-rep record count is
+      // deterministic — same plan, same data — so total/nOk attributes
+      // exactly without per-rep drains)
+      counters.drain(); counters.reset()
       val laBefore = la1() // sampled between entries: foreign load >> cpus
       val times = (1 to reps).flatMap(_ => once())
-      if (times.size < reps)
+      counters.drain()
+      val nOk = times.size
+      if (nOk < reps)
         System.err.println(
-          s"[bench] $name: ${reps - times.size}/$reps measured reps FAILED")
+          s"[bench] $name: ${reps - nOk}/$reps measured reps FAILED")
+      val shufRec = if (nOk > 0) counters.shufRec / nOk else -1L
+      val xcpuS = if (nOk > 0) counters.execCpuS / nOk else -1.0
       // -1 is the explicit error marker when no rep succeeded — never a
-      // fabricated elapsed time. cw is the MIN rep's ratio: the min is the
-      // quoted number, so its own rep must be the one to self-convict.
-      val (dt, cw) =
+      // fabricated elapsed time. cpu_s/cw are the MIN rep's: the min is
+      // the quoted number, so its own rep must be the one to self-convict.
+      val (dt, cpuS) =
         if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0)
+      val cw = if (dt > 0 && cpuS >= 0) cpuS / dt else -1.0
       // spread = max/min across measured reps: reps of the same lazy plan
       // are deterministic work, so reps that disagree badly were timed on
       // a machine doing something else
@@ -89,13 +108,15 @@ object Bench {
       // isolation). Clearing between entries makes each number the
       // query's own.
       spark.catalog.clearCache()
-      (name, dt, laBefore, spread, cw)
+      (name, dt, laBefore, spread, cw, cpuS, xcpuS, shufRec)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v, 3) }
-      .mkString("{", ",", "}")
-    val tel = results.map { case (k, _, la, sp, cw) =>
+    val qs = results.map { case (k, v, _, _, _, _, _, _) =>
+      "\"" + k + "\":" + fmt(v, 3)
+    }.mkString("{", ",", "}")
+    val tel = results.map { case (k, _, la, sp, cw, cpuS, xcpuS, shufRec) =>
       "\"" + k + "\":{\"la\":" + fmt(la, 1) + ",\"spread\":" + fmt(sp, 2) +
-        ",\"cw\":" + fmt(cw, 2) + "}"
+        ",\"cw\":" + fmt(cw, 2) + ",\"cpu_s\":" + fmt(cpuS, 3) +
+        ",\"xcpu_s\":" + fmt(xcpuS, 3) + ",\"shuf_rec\":" + shufRec + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // skip -1 error markers
     val (stealPct, iowaitPct) =

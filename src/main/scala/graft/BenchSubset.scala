@@ -33,6 +33,13 @@ object BenchSubset {
     val inProcessExecutors = !sys.env.get("SPARK_GRAFT_MASTER")
       .exists(_.startsWith("local-cluster"))
     import BenchTelemetry.{la1, procCpuNanos, fmt}
+    // xcpu_s (executor CPU from stage metrics) + shuf_rec are the
+    // steal-immune axes, and — unlike the driver-process cw — xcpu_s is
+    // measured executor-side, so it carries the steal signal for
+    // local-cluster rows too (xcw = xcpu_s/wall_min plays cw's role
+    // there: a busy query keeps >= 1 executor core busy, so xcw << 1
+    // means the executors weren't scheduled for most of the wall).
+    val counters = new BenchTelemetry.EntryCounters(spark.sparkContext)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Double) = {
@@ -41,19 +48,27 @@ object BenchSubset {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val c1 = procCpuNanos()
-        val cw = if (c0 >= 0 && c1 >= c0 && wall > 0)
-          (c1 - c0) / 1e9 / wall else -1.0
-        (wall, cw)
+        val cpuS = if (c0 >= 0 && c1 >= c0) (c1 - c0) / 1e9 else -1.0
+        (wall, cpuS)
       }
       once() // warm-up: codegen + JIT, unmeasured (the Bench convention)
+      counters.drain(); counters.reset()
       val la = la1()
       val ts = (1 to reps).map(_ => once())
+      counters.drain()
+      val shufRec = counters.shufRec / reps
+      val xcpuS = counters.execCpuS / reps
       val walls = ts.map(_._1)
-      val (mn, cwMin) = ts.minBy(_._1)
+      val (mn, cpuMin) = ts.minBy(_._1)
       println(s"[benchsub] $name reps=${walls.map(fmt(_, 2)).mkString(",")} " +
         s"min=${fmt(mn, 2)} la=${fmt(la, 1)} " +
         s"spread=${fmt(if (walls.size >= 2) walls.max / walls.min else 1.0, 2)}" +
-        (if (inProcessExecutors) s" cw=${fmt(cwMin, 2)}" else ""))
+        (if (inProcessExecutors)
+          s" cw=${fmt(if (mn > 0 && cpuMin >= 0) cpuMin / mn else -1.0, 2)}" +
+            s" cpu_s=${fmt(cpuMin, 2)}"
+        else "") +
+        s" xcpu_s=${fmt(xcpuS, 2)} xcw=${fmt(xcpuS / mn, 2)} " +
+        s"shuf_rec=$shufRec")
     }
     spark.stop()
   }

@@ -25,7 +25,22 @@
 #   reported but never adjudicated as noise (a real regression there is
 #   the author's to explain in BENCHNOTES).
 #
+# Adjudication order: cpu_s FIRST, wall second. Wall comparison across
+# rounds is noise-bound both ways on a machine with persistent
+# hypervisor steal (r18: q_tpch1 committed 1.39 s vs 0.79 s isolated on
+# unchanged code); cpu_s (process-CPU seconds of the quoted min rep) is
+# steal-immune — a descheduled JVM accrues wall but no CPU. When both
+# artifacts carry cpu_s (or cw, from which cpu_s = cw x wall is
+# reconstructed — same numbers, r18-era artifacts), a wall-flagged entry
+# whose CPU held still is classified MACHINE-WINDOW from the artifacts
+# alone, no re-run needed. shuf_rec (per-entry shuffle records, a plan
+# property) corroborates: a changed count is a PLAN-SHIFT, never noise.
+#
 # Verdicts (rerun = min of SPARK_GRAFT_REPS isolated reps, default 3):
+#   MACHINE-WINDOW   wall moved >thr but cpu_s held within 1.2x — the
+#                    measurement window, not the code; artifact-only
+#   CPU-REGRESSED    wall within thr but cpu_s grew >thr — real added
+#                    work hidden by a fast machine window; reported
 #   LOAD-NOISE       rerun <= 1.2 x old  — the artifact number was load
 #   REPRODUCIBLE     rerun >  1.2 x old  — survives isolation: a real
 #                    regression OR a machine-state shift; needs a look
@@ -90,6 +105,23 @@ def tele(p):
     if d.get("parsed"): return d["parsed"].get("telemetry", {}), d["parsed"].get("cpus")
     return {}, None
 ntele, ncpus = tele(f"{tmp}/new.json")
+otele, _ = tele(f"{tmp}/old.json")
+def cpu_of(tel, name, wall):
+    # cpu_s directly (r19+), else reconstructed from cw (r17/r18
+    # artifacts: cw = cpu_s/wall of the SAME min rep, so cw*wall IS the
+    # min rep's cpu_s — the axis existed, it just wasn't emitted)
+    t = tel.get(name)
+    if not t or wall is None or wall <= 0: return None
+    c = t.get("cpu_s")
+    if c is not None and c >= 0: return c
+    cw = t.get("cw")
+    if cw is not None and cw >= 0: return cw * wall
+    return None
+def shuf_of(tel, name):
+    t = tel.get(name)
+    if not t: return None
+    s = t.get("shuf_rec")
+    return s if s is not None and s >= 0 else None
 def load_suspect(name):
     t = ntele.get(name)
     if not t: return None
@@ -121,10 +153,38 @@ for name, nv in sorted(new.items()):
     ratio = nv / ov
     if name in changed:
         rows.append((name, ov, nv, "CODE-CHANGED")); continue
+    oc, nc = cpu_of(otele, name, ov), cpu_of(ntele, name, nv)
+    os_, ns_ = shuf_of(otele, name), shuf_of(ntele, name)
+    plan = ""
+    if os_ is not None and ns_ is not None and os_ != ns_ and \
+            max(os_, ns_) > 1.05 * max(min(os_, ns_), 1):
+        plan = f" PLAN-SHIFT(shuf_rec {os_}->{ns_})"
     if ratio > thr and (nv - ov) > floor:
+        # cpu_s first: a wall spike whose CPU held still is the
+        # measurement window, adjudicated from the artifacts alone
+        if oc is not None and nc is not None and oc > 0 and nc <= 1.2 * oc:
+            rows.append((name, ov, nv,
+                         f"MACHINE-WINDOW(cpu {oc:.2f}->{nc:.2f}){plan}"))
+            continue
+        # CPU moved too (or is unavailable): not an artifact-alone
+        # acquittal — fall to the la/spread/cw ladder + isolated re-run,
+        # but always show the cpu trajectory alongside
         sus = load_suspect(name)
-        verdict = f"LOAD-SUSPECT({sus})" if sus else "FLAGGED"
+        cpunote = (f"cpu {oc:.2f}->{nc:.2f}"
+                   if oc is not None and nc is not None and oc > 0 else None)
+        if sus:
+            verdict = f"LOAD-SUSPECT({sus}" + \
+                (f"; {cpunote}" if cpunote else "") + f"){plan}"
+        else:
+            verdict = "FLAGGED" + (f" [{cpunote}]" if cpunote else "") + plan
         rows.append((name, ov, nv, verdict)); flags.append(name)
+    elif oc is not None and nc is not None and oc > 0 and \
+            nc / oc > thr and (nc - oc) > floor:
+        # wall looked fine but the CPU work grew: real added work hidden
+        # by a favorable machine window (the inverse failure of the
+        # steal era) — surfaced, never re-run (a re-run measures wall)
+        rows.append((name, ov, nv,
+                     f"CPU-REGRESSED(cpu {oc:.2f}->{nc:.2f}){plan}"))
 # an entry that EXISTED in OLD but vanished from NEW is the regression
 # class this tool exists to surface (errored run, dropped registry entry)
 # — never let it disappear from the table silently
@@ -136,7 +196,7 @@ FLAGS="$(python3 -c "
 import json
 rows = json.load(open('$TMP/rows.json'))
 print(' '.join(n for n,_,_,v in rows
-               if v=='FLAGGED' or v.startswith('LOAD-SUSPECT')))")"
+               if v.startswith('FLAGGED') or v.startswith('LOAD-SUSPECT')))")"
 
 # Phase 2: isolated re-runs of the flagged entries.
 if [ -n "$FLAGS" ] && [ "$RERUN" = "1" ]; then
@@ -157,23 +217,26 @@ for line in open(f"{tmp}/rerun.txt"):
     if m: rerun[m.group(1)] = float(m.group(2))
 print("| entry | old (s) | new artifact (s) | isolated re-run min (s) | verdict |")
 print("|---|---|---|---|---|")
-n_noise = n_real = n_sus = 0
+n_noise = n_real = n_sus = n_win = 0
 for name, ov, nv, verdict in rows:
     rr = rerun.get(name)
-    if verdict == "FLAGGED" or verdict.startswith("LOAD-SUSPECT"):
+    if verdict.startswith("MACHINE-WINDOW"):
+        n_win += 1                      # cpu_s acquitted it, artifact-only
+    elif verdict.startswith("FLAGGED") or verdict.startswith("LOAD-SUSPECT"):
         # keep only the telemetry REASONS (la=../spread=../cw=..) so an
         # upgraded verdict reads 'LOAD-NOISE [la=41.2]', never the nested
         # 'LOAD-NOISE [LOAD-SUSPECT(la=41.2)]'
-        m = re.match(r"LOAD-SUSPECT\((.*)\)", verdict)
+        m = re.match(r"LOAD-SUSPECT\((.*?)\)", verdict)
         suspect = m.group(1) if m else None
+        plan = " " + p.group(0) if (p := re.search(r"PLAN-SHIFT\([^)]*\)", verdict)) else ""
         if rr is None:
             if suspect: n_sus += 1      # telemetry verdict stands alone
-            else: verdict = "FLAGGED (no re-run)"
+            else: verdict = "FLAGGED (no re-run)" + plan
         elif rr <= 1.2 * ov:
-            verdict = "LOAD-NOISE" + (f" [{suspect}]" if suspect else "")
+            verdict = "LOAD-NOISE" + (f" [{suspect}]" if suspect else "") + plan
             n_noise += 1
         else:
-            verdict = "REPRODUCIBLE" + (f" [despite {suspect}]" if suspect else "")
+            verdict = "REPRODUCIBLE" + (f" [despite {suspect}]" if suspect else "") + plan
             n_real += 1
     o = "-" if ov is None else f"{ov:.2f}"
     r = "-" if rr is None else f"{rr:.2f}"
@@ -193,7 +256,8 @@ try:
         print()
 except Exception:
     pass
-print(f"adjudicated: {n_noise} load-noise, {n_real} reproducible (regression or machine shift), "
+print(f"adjudicated: {n_win} machine-window (cpu_s stable, artifact-only), "
+      f"{n_noise} load-noise, {n_real} reproducible (regression or machine shift), "
       f"{n_sus} load-suspect from artifact telemetry alone; "
       f"rows shown are new/changed/flagged entries only (unflagged "
       f"unchanged entries are within threshold and omitted)")

@@ -40,7 +40,19 @@ class HttpPageFetcher(
     maxRetries: Int = 3,
     backoffMs: Long = 1000L,
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 30000) extends RestSource.PageFetcher {
+    readTimeoutMs: Int = 30000,
+    // Sent on EVERY request, continuations included — the reference
+    // passes credentials + an OData Accept header on each page request
+    // (ServiceAlertConnector.py:44-47, 57), so a fetcher that only
+    // authenticated the first URL would 401 on page 2. Map keys are
+    // header names; see [[HttpPageFetcher.basicAuth]] for the
+    // Authorization convenience.
+    headers: Map[String, String] = Map("Accept" -> "application/json"),
+    // Server-controlled Retry-After is honored but BOUNDED: an
+    // unbounded sleep hands a hostile/misconfigured endpoint the power
+    // to stall the sync for days (Retry-After: 999999 ~ 11 days), the
+    // exact opposite of this class's fail-loudly design goal.
+    maxRetryAfterMs: Long = 60000L) extends RestSource.PageFetcher {
 
   override def fetch(token: Option[String])
       : (Seq[Map[String, Any]], Option[String]) = {
@@ -83,7 +95,7 @@ class HttpPageFetcher(
         .asInstanceOf[HttpURLConnection]
       conn.setConnectTimeout(connectTimeoutMs)
       conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestProperty("Accept", "application/json")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       val code = conn.getResponseCode
       if (code / 100 == 2) {
         val is = conn.getInputStream
@@ -92,8 +104,15 @@ class HttpPageFetcher(
       }
       Option(conn.getErrorStream).foreach(_.close())
       if ((code == 429 || code == 503) && attempt < maxRetries) {
+        // Retry-After is seconds; cap BEFORE converting to millis so a
+        // huge value can neither stall the fetch (bounded by
+        // maxRetryAfterMs) nor overflow to a negative waitMs that would
+        // silently skip backoff entirely. Unparseable or non-positive
+        // values fall back to the fetcher's own backoff.
         val waitMs = Option(conn.getHeaderField("Retry-After"))
-          .flatMap(s => scala.util.Try(s.trim.toLong * 1000L).toOption)
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .filter(_ > 0)
+          .map(sec => math.min(sec, maxRetryAfterMs / 1000L) * 1000L)
           .getOrElse(backoffMs)
         attempt += 1
         if (waitMs > 0) Thread.sleep(waitMs)
@@ -111,6 +130,43 @@ object HttpPageFetcher {
   // ints as Long so JSON numbers land in LongType columns without a cast
   private val mapper = new ObjectMapper()
     .configure(DeserializationFeature.USE_LONG_FOR_INTS, true)
+
+  /** Basic-auth convenience: the `Authorization` header pair for
+    * `headers`. (The reference authenticates with NTLM, a challenge-
+    * response scheme a stateless per-request header cannot express;
+    * Basic over TLS is the standard public equivalent for pre-shared
+    * credentials, and any other scheme is just another header entry.) */
+  def basicAuth(user: String, password: String): (String, String) =
+    "Authorization" -> ("Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes(StandardCharsets.UTF_8)))
+
+  /** Build a fetcher from DataSourceV2 options (all keys lowercased by
+    * CaseInsensitiveStringMap): `url` (required), `resultspath` /
+    * `nextpath` (comma-separated), `maxretries`, `backoffms`,
+    * `maxretryafterms`, `header.<name>` entries (sent on every request,
+    * continuations included), and `basicuser`/`basicpass` (folded into
+    * an Authorization header). Header NAMES arrive lowercased, which
+    * HTTP treats as equivalent. */
+  def fromOptions(opts: Map[String, String]): HttpPageFetcher = {
+    val url = opts.getOrElse("url",
+      throw new IllegalArgumentException("option 'url' required"))
+    val custom = opts.collect {
+      case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
+    }
+    val auth = for (u <- opts.get("basicuser"); p <- opts.get("basicpass"))
+      yield basicAuth(u, p)
+    new HttpPageFetcher(
+      firstUrl = url,
+      resultsPath = opts.get("resultspath").map(_.split(',').toSeq)
+        .getOrElse(Seq("d", "results")),
+      nextPath = opts.get("nextpath").map(_.split(',').toSeq)
+        .getOrElse(Seq("d", "__next")),
+      maxRetries = opts.get("maxretries").map(_.toInt).getOrElse(3),
+      backoffMs = opts.get("backoffms").map(_.toLong).getOrElse(1000L),
+      headers = Map("Accept" -> "application/json") ++ custom ++ auth,
+      maxRetryAfterMs =
+        opts.get("maxretryafterms").map(_.toLong).getOrElse(60000L))
+  }
 
   /** Jackson's java.util tree → immutable Scala Map/Seq (recursive). */
   private def toScala(v: Any): Any = v match {

@@ -69,8 +69,13 @@ object RestSourceV2 {
     }.orElse(opts.get("fetcherclass").map { cn =>
       Class.forName(cn).getDeclaredConstructor().newInstance()
         .asInstanceOf[RestSource.PageFetcher]
+    }).orElse(opts.get("url").map { _ =>
+      // config-only HTTP path: options serialize to executors, so the
+      // reader builds the transport (headers/credentials included) on
+      // whichever JVM walks the chain — no registry, no custom class
+      HttpPageFetcher.fromOptions(opts): RestSource.PageFetcher
     }).getOrElse(throw new IllegalArgumentException(
-      "option 'fetcher' (registry key) or 'fetcherClass' required"))
+      "option 'fetcher' (registry key), 'fetcherClass', or 'url' required"))
 
   private class RestTable(tableSchema: StructType, props: Map[String, String])
       extends Table with SupportsRead {

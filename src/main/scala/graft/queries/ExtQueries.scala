@@ -2427,6 +2427,61 @@ object ExtQueries {
     IvfPqIndex.topK(s, st, "vec_id", query, k = 10, nprobe = 4)
   }
 
+  /** Build-only stored-index entry: train + bucketed write + artefact
+    * write, every invocation, nothing served back. Exists because the
+    * retired x_ivfpq_stored/x_ivfpq_stored_batch bench rows timed BUILD +
+    * bucketed WRITE + read-back in one number, which made them the two
+    * most disk-state-sensitive entries in the set (r18: committed 2.59 s
+    * vs 5.5–6.7 s in two isolated sessions, cw healthy throughout — the
+    * variance was page-cache/write-back state, not steal). Every written
+    * file is fsync'd before the entry returns, so each rep pays the real
+    * flush instead of a number that depends on how much dirty page cache
+    * the previous rep left behind. Returns the code-row count (one row):
+    * every corpus vector is encoded exactly once, so n_codes must equal
+    * the planted-corpus cardinality — the oracle checks that without
+    * replaying the quantizers. */
+  val xIvfPqBuild: Q = (s, dir) => {
+    import s.implicits._
+    val (corpus, _) = pqParts(s, dir)
+    val table = "graft_ivfpq_codes_build"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_build"
+    IvfPqIndex.build(corpus, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 1, m = 4, ksub = 16, pqIters = 1,
+      codesTable = table, basePath = base)
+    fsyncTree(java.nio.file.Paths.get(base))
+    Seq(s.table(table).count()).toDF("n_codes")
+  }
+
+  private def fsyncTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
+    if (!Files.exists(root)) return
+    val walk = Files.walk(root)
+    try walk.filter(p => Files.isRegularFile(p)).forEach { p =>
+      val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+    } finally walk.close()
+  }
+
+  /** Cold serve: the x_ivfpq_serve workload with the Spark-side metadata
+    * caches dropped first — cached relation, file listing, and the
+    * in-memory catalog entry for the codes table plus the
+    * centroids/codebook paths — so every rep pays listing + parquet
+    * footer reads + relation resolution, the first-query cost on a
+    * serving node that just mounted the store. Deliberately NOT an OS
+    * page-cache drop: that would be machine-global and poison every
+    * other entry in the bench sequence. Same oracle as x_ivfpq_res
+    * (cold vs warm must be a latency difference, never an answer
+    * difference). */
+  val xIvfPqServeCold: Q = (s, dir) => {
+    val (corpus, query) = pqParts(s, dir)
+    val st = servedIndex(s, dir, corpus, "s")
+    s.catalog.refreshTable(st.codesTable)
+    s.catalog.refreshByPath(st.centroidsPath)
+    s.catalog.refreshByPath(st.codebookPath)
+    IvfPqIndex.topK(s, st, "vec_id", query, k = 10, nprobe = 4)
+  }
+
   /** Serve-only batch form: the x_ivfpq_batch workload from warm stored
     * artefacts. Same oracle as x_ivfpq_batch. */
   val xIvfPqServeBatch: Q = (s, dir) => {

@@ -4136,6 +4136,19 @@ object Oracles {
     "x_ivfpq_serve" -> ivfPqResSql,
     "x_ivfpq_serve_batch" -> ivfPqBatchSql,
 
+    // cold serve: metadata caches dropped before serving — a latency
+    // difference, never an answer difference, so the oracle is shared
+    "x_ivfpq_serve_cold" -> ivfPqResSql,
+
+    // build-only: every corpus vector (vec 0, the query, excluded — the
+    // pqParts convention) is encoded exactly ONCE into the codes table,
+    // so the row count equals the planted-corpus cardinality; checked
+    // without replaying the quantizers (the serve oracles above already
+    // hash-check the stored codes end-to-end)
+    "x_ivfpq_build" ->
+      s"""WITH $PLANTED_CTES
+         |SELECT count(*) AS n_codes FROM corpus WHERE vec_id <> 0""".stripMargin,
+
     "x_pq_recall" ->
       s"""WITH $PLANTED_CTES, $PQ_CTES,
          |pq AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),

@@ -258,6 +258,145 @@ class IoSpec extends SparkTestBase {
     } finally stop()
   }
 
+  /** Header-aware loopback: `handler(path, requestHeaders) -> (status,
+    * body, responseHeaders)`. Logs (path, Authorization) per request. */
+  private def loopbackServerHdr(
+      handler: (String, com.sun.net.httpserver.Headers) => (Int, String, Map[String, String]))
+      : (String, scala.collection.mutable.Buffer[(String, String)], () => Unit) = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val log = scala.collection.mutable.Buffer.empty[(String, String)]
+    val srv = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.toString
+        log.synchronized {
+          log += path -> Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .getOrElse("")
+        }
+        val (status, body, hdrs) = handler(path, ex.getRequestHeaders)
+        hdrs.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    srv.start()
+    (s"http://127.0.0.1:${srv.getAddress.getPort}", log, () => srv.stop(0))
+  }
+
+  test("Op-1 HTTP fetcher: custom headers + basic auth are sent on EVERY " +
+    "request, continuations included; missing credentials 401 loudly") {
+    // the reference sends credentials + an OData Accept header on every
+    // page request including continuations (ServiceAlertConnector.py:44-47,
+    // 57) — a fetcher that authenticated only the first URL would die on
+    // page 2 of any real sync
+    val expectAuth = graft.io.HttpPageFetcher.basicAuth("svc", "s3cret")._2
+    var base = ""
+    val (b, log, stop) = loopbackServerHdr { (path, hdrs) =>
+      if (Option(hdrs.getFirst("Authorization")) != Some(expectAuth))
+        (401, "auth required", Map.empty)
+      else if (Option(hdrs.getFirst("X-Api-Extra")) != Some("v1"))
+        (400, "missing extra header", Map.empty)
+      else path match {
+        case "/sec" => (200, odataPage(Seq("""{"Id":1,"Title":"t1"}"""),
+          Some(s"$base/sec?page=2")), Map.empty)
+        case "/sec?page=2" =>
+          (200, odataPage(Seq("""{"Id":2,"Title":"t2"}"""), None), Map.empty)
+        case p => (404, s"no route $p", Map.empty)
+      }
+    }
+    base = b
+    try {
+      val fetcher = new graft.io.HttpPageFetcher(s"$base/sec",
+        headers = Map("Accept" -> "application/json", "X-Api-Extra" -> "v1",
+          graft.io.HttpPageFetcher.basicAuth("svc", "s3cret")))
+      val (p1, next1) = fetcher.fetch(None)
+      val (p2, next2) = fetcher.fetch(next1)
+      assert(p1.map(_("Id")) == Seq(1L) && p2.map(_("Id")) == Seq(2L)
+        && next2.isEmpty)
+      // both requests — head AND continuation — carried the credential
+      assert(log.toSeq == Seq("/sec" -> expectAuth, "/sec?page=2" -> expectAuth))
+      val ex = intercept[RuntimeException] {
+        new graft.io.HttpPageFetcher(s"$base/sec").fetch(None)
+      }
+      assert(ex.getMessage.contains("HTTP 401"), ex.getMessage)
+    } finally stop()
+  }
+
+  test("Op-1 HTTP fetcher: hostile Retry-After values are bounded — huge " +
+    "waits cap at maxRetryAfterMs, garbage/negative fall back to backoffMs") {
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val ok = (p: String) => (200, odataPage(Seq("""{"Id":1}"""), None),
+      Map.empty[String, String])
+    val (base, _, stop) = loopbackServerHdr { (path, _) =>
+      val n = hits.merge(path, 1, (a, b) => a + b)
+      path match {
+        // ~11.6 days if honored; also the value whose naive s.toLong*1000
+        // overflow once skipped backoff entirely (the r18 advice finding)
+        case "/huge" if n == 1 => (429, "", Map("Retry-After" -> "999999999"))
+        case "/huge" => ok(path)
+        case "/overflow" if n == 1 =>
+          (429, "", Map("Retry-After" -> "99999999999999999999")) // > Long.Max
+        case "/overflow" => ok(path)
+        case "/negative" if n == 1 => (429, "", Map("Retry-After" -> "-7"))
+        case "/negative" => ok(path)
+        case p => (404, s"no route $p", Map.empty)
+      }
+    }
+    try {
+      val t0 = System.nanoTime()
+      // cap 1000 ms: the huge header must wait ~1 s, not ~11 days
+      val (r1, _) = new graft.io.HttpPageFetcher(s"$base/huge",
+        backoffMs = 0, maxRetryAfterMs = 1000L).fetch(None)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(r1.map(_("Id")) == Seq(1L))
+      assert(elapsed >= 0.9 && elapsed < 30, s"elapsed $elapsed")
+      // unparseable (overflows Long) and negative both take backoffMs=0:
+      // instant retries, still succeed
+      val (r2, _) = new graft.io.HttpPageFetcher(s"$base/overflow",
+        backoffMs = 0).fetch(None)
+      val (r3, _) = new graft.io.HttpPageFetcher(s"$base/negative",
+        backoffMs = 0).fetch(None)
+      assert(r2.map(_("Id")) == Seq(1L) && r3.map(_("Id")) == Seq(1L))
+      assert(hits.get("/overflow") == 2 && hits.get("/negative") == 2)
+    } finally stop()
+  }
+
+  test("Op-1 DataSourceV2 config-only path: option('url') + header.* + " +
+    "basic auth build the transport executor-side, headers on every page") {
+    val expectAuth = graft.io.HttpPageFetcher.basicAuth("svc", "pw")._2
+    var base = ""
+    val (b, log, stop) = loopbackServerHdr { (path, hdrs) =>
+      if (Option(hdrs.getFirst("Authorization")) != Some(expectAuth) ||
+          Option(hdrs.getFirst("x-api-key")) != Some("k1"))
+        (401, "auth required", Map.empty)
+      else path match {
+        case "/v2" => (200, odataPage(
+          Seq("""{"Id":1,"Title":"t1"}""", """{"Id":2,"Title":"t2"}"""),
+          Some(s"$base/v2?page=2")), Map.empty)
+        case "/v2?page=2" =>
+          (200, odataPage(Seq("""{"Id":3}"""), None), Map.empty)
+        case p => (404, s"no route $p", Map.empty)
+      }
+    }
+    base = b
+    try {
+      val df = spark.read.format(classOf[graft.io.RestSourceV2].getName)
+        .schema(restSchema)
+        .option("url", s"$base/v2")
+        .option("header.x-api-key", "k1")
+        .option("basicUser", "svc").option("basicPass", "pw")
+        .load()
+      val got = df.as[(Option[Long], Option[String])].collect().toSeq.sortBy(_._1)
+      assert(got == Seq((Some(1L), Some("t1")), (Some(2L), Some("t2")),
+        (Some(3L), None)))
+      assert(log.map(_._1).toSeq == Seq("/v2", "/v2?page=2") &&
+        log.forall(_._2 == expectAuth))
+    } finally stop()
+  }
+
   test("Op-1 HTTP fetcher through the DataSourceV2 path: executor-side " +
     "paging over the real socket") {
     var base = ""

@@ -48,6 +48,21 @@ print(f"sf0.1 artifact: {got}/{declared} queries, 0 failed")
 PYEOF
 fi
 
+# a BENCHNOTES promise of content "appended below" must not dangle: the
+# r18 file ended at "flakehunt @bench at sf0.1: see the line appended
+# below after the run" with nothing following — either the run never
+# happened or the append was forgotten, and nothing caught it
+bn=$(ls BENCHNOTES_r*.md 2>/dev/null | sort -V | tail -1)
+if [[ -n "$bn" ]] && grep -q "appended below" "$bn"; then
+  last=$(grep -n "appended below" "$bn" | tail -1 | cut -d: -f1)
+  after=$(tail -n +$((last + 1)) "$bn" | grep -cve '^[[:space:]]*$' || true)
+  if [[ "$after" -eq 0 ]]; then
+    echo "PREFLIGHT FAIL: $bn promises content 'appended below' but ends" \
+      "at the promise — run it and append, or drop the promise" >&2
+    exit 1
+  fi
+fi
+
 # README states the spec count; a stale claim fails the gate (the r14
 # nit: README said 534 while the measured count was 548 — "re-counts"
 # meant nothing if nobody compared)

@@ -173,13 +173,29 @@ object RetryProbe {
     if (speculate) {
       spark.range(1000).count() // forces all executors to register
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      def infos() = spark.sparkContext.statusTracker.getExecutorInfos
-      while (infos().length < 2 && System.nanoTime() < deadline)
-        Thread.sleep(200)
-      val hosts = infos().map(_.host()).toSet
+      // distinct EXECUTOR hosts, driver excluded: statusTracker's
+      // getExecutorInfos includes the driver's own entry, so a cluster
+      // whose executors all share one host but whose driver runs
+      // elsewhere read as hosts.size==2 and sailed past this check into
+      // the full-query NO-SPECULATION path. Ask the executors
+      // themselves — a tiny job reports (executorId, host) from inside
+      // each task, and anything the driver ran is filtered by id.
+      def execHosts(): Set[String] = {
+        val ids: Array[String] = spark.range(0, 256, 1, 32).rdd
+          .mapPartitions { _ =>
+            val env = org.apache.spark.SparkEnv.get
+            Iterator(env.executorId + "|" +
+              java.net.InetAddress.getLocalHost.getHostAddress)
+          }.collect()
+        ids.filterNot(_.startsWith("driver|")).map(_.split('|')(1)).toSet
+      }
+      var hosts = execHosts()
+      while (hosts.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(200); hosts = execHosts()
+      }
       if (hosts.size <= 1) {
         System.err.println(
-          s"[retry] SPECULATION-UNSCHEDULABLE: all ${infos().length} " +
+          s"[retry] SPECULATION-UNSCHEDULABLE: all " +
             s"executors report one host (${hosts.mkString}). " +
             "TaskSetManager.dequeueSpeculativeTask refuses hosts with a " +
             "live attempt of the task, so a speculative clone can never " +
@@ -288,11 +304,21 @@ object RetryProbe {
     // backend carries on its command line (--app-id app-...) — an
     // unscoped match could SIGKILL an executor of an unrelated concurrent
     // Spark job on the same machine.
+    //
+    // Returns (fired, cancel): `fired` reports signal delivery; `cancel`
+    // aborts the 30 s busy-executor poll. A stale killer thread from a
+    // retried attempt could otherwise fire DURING a later query's
+    // clean-hash run — hash still converges (that is the probe's whole
+    // claim) but the unplanned loss injects nondeterministic
+    // failure/event counts into that query's report.
+    case class Injector(fired: java.util.concurrent.atomic.AtomicBoolean,
+                        cancel: java.util.concurrent.atomic.AtomicBoolean)
     def killOneExecutor(minTaskStarts: Int, signal: String = "-9")
-        : java.util.concurrent.atomic.AtomicBoolean = {
+        : Injector = {
       val appId = spark.sparkContext.applicationId
       val baseline = taskStarts.get
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val cancel = new java.util.concurrent.atomic.AtomicBoolean(false)
       val t = new Thread(() => {
         import scala.jdk.CollectionConverters._
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
@@ -304,8 +330,9 @@ object RetryProbe {
         while ({
           victim = if (taskStarts.get - baseline >= minTaskStarts)
             busiest() else None
-          victim.isEmpty && System.nanoTime() < deadline
+          victim.isEmpty && !cancel.get && System.nanoTime() < deadline
         }) Thread.sleep(20)
+        if (cancel.get) victim = None
         victim.foreach { execId =>
           // executor id -> pid via the --executor-id arg on the backend's
           // command line, scoped to this app
@@ -325,10 +352,10 @@ object RetryProbe {
               s"[retry] no pid found for executor $execId (app $appId)")
           }
         }
-        if (victim.isEmpty) System.err.println(
+        if (victim.isEmpty && !cancel.get) System.err.println(
           "[retry] no busy executor observed within 30s — nothing killed")
       })
-      t.setDaemon(true); t.start(); fired
+      t.setDaemon(true); t.start(); Injector(fired, cancel)
     }
 
     var bad = 0
@@ -345,24 +372,32 @@ object RetryProbe {
           // gap and die idle (absorbed invisibly). Repeat the chaos run
           // until the loss is actually RECORDED — the assertion below
           // still demands the event, this only retries the attempt.
-          var h = { killOneExecutor(8); hashOf(fn(spark, sfDir)) }
+          // Each retry CANCELS the previous attempt's killer thread
+          // first: a stale 30 s poll could otherwise fire mid-way
+          // through a later query's clean-hash run.
+          var inj = killOneExecutor(8)
+          var h = hashOf(fn(spark, sfDir))
           var tries = 1
           while (taskFailures.get == 0 && tries < 3) {
             System.err.println(s"[retry] kill attempt $tries absorbed " +
               "invisibly (victim drained before signal) — retrying")
+            inj.cancel.set(true)
             spark.catalog.clearCache()
-            killOneExecutor(8)
+            inj = killOneExecutor(8)
             h = hashOf(fn(spark, sfDir))
             tries += 1
           }
+          inj.cancel.set(true) // nothing outlives this query's runs
           h
         }
         else if (decomMode) {
           // same best-effort injection as kill mode: retry a chaos run
           // whose signal found no busy executor (fast warm stages can
           // drain between observation and delivery)
+          var lastInj: Option[Injector] = None
           def oneDecomRun(): (String, Long) = {
-            val fired = killOneExecutor(8, signal = "-PWR")
+            val inj = killOneExecutor(8, signal = "-PWR")
+            lastInj = Some(inj)
             val h = hashOf(fn(spark, sfDir))
             // the victim exits (and the driver posts ExecutorRemoved with
             // the decommission reason) only AFTER its migration drains —
@@ -370,7 +405,7 @@ object RetryProbe {
             // the event is polled for, not demanded instantly. No signal
             // delivered -> nothing to wait for (the retry loop re-runs).
             val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-            while (fired.get && decomRemovals.get < 1 &&
+            while (inj.fired.get && decomRemovals.get < 1 &&
               System.nanoTime() < deadline) Thread.sleep(250)
             h
           }
@@ -380,10 +415,12 @@ object RetryProbe {
             tries < 3) {
             System.err.println(s"[retry] decom attempt $tries never " +
               "delivered (no busy executor) — retrying")
+            lastInj.foreach(_.cancel.set(true))
             spark.catalog.clearCache()
             h = oneDecomRun()
             tries += 1
           }
+          lastInj.foreach(_.cancel.set(true))
           h
         }
         else if (speculate) hashOf(withSlowFirstAttempts(fn(spark, sfDir)))

@@ -309,11 +309,9 @@ object SimilarityOps {
   def annTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, k: Int,
                    numPlanes: Int, numBands: Int, dim: Int): DataFrame = {
-    val cb = srpBands(corpus, idCol, vecCol, numPlanes, numBands, dim)
-    val qb = srpBands(queries, "qid", "q", numPlanes, numBands, dim)
-    val cand = qb.join(cb, Seq("band", "bkey"))
-      .where(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol)).distinct()
+    val cand =
+      annTopKBatchCandidates(corpus, idCol, vecCol, queries,
+        numPlanes, numBands, dim)
     val qn = queries.select(col("qid"), col("q"), norm(col("q")).as("__qnrm"))
     val cn = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
     val scored = cand.join(cn, idCol).join(qn, "qid")
@@ -323,6 +321,46 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select(col("qid"), col(idCol), col("cos_sim"))
+  }
+
+  /** The candidate set behind [[annTopKBatch]] — (qid, id) pairs sharing
+    * any band key, self-matches excluded. Public so a recall row can
+    * report the candidate volume PAID for a sizing next to the recall it
+    * bought (the annPairsAutoRecall reporting convention). */
+  def annTopKBatchCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                             queries: DataFrame, numPlanes: Int,
+                             numBands: Int, dim: Int): DataFrame = {
+    val cb = srpBands(corpus, idCol, vecCol, numPlanes, numBands, dim)
+    val qb = srpBands(queries, "qid", "q", numPlanes, numBands, dim)
+    qb.join(cb, Seq("band", "bkey"))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol)).distinct()
+  }
+
+  /** [[annTopKBatch]] with the band COUNT derived from a recall target —
+    * the query-side symmetric of [[annPairsAutoRecall]], completing the
+    * family (pairs/topk × corpus-sized/recall-targeted). Same sizing:
+    * bits/band from the corpus count (targetBucket-bounded buckets),
+    * band count the smallest r with S-curve recall
+    * 1−(1−q^bits)^r >= targetRecall at per-plane agreement q = q(theta)
+    * — all integer fixed-point ([[agreeMicro]] + [[recallBands]]),
+    * oracle-replayable. The guarantee is per NEIGHBOR AT COSINE >= theta:
+    * each such neighbor of a query enters the candidate set with
+    * probability >= targetRecall; choose k >= the neighbor count you
+    * care about or the top-k truncation, not the LSH, bounds what you
+    * see. Unreachable targets raise with the arithmetic in the message
+    * (the recallBands contract). */
+  def annTopKBatchAutoRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                             queries: DataFrame, k: Int, dim: Int,
+                             theta: Double, targetRecall: Double,
+                             targetBucket: Int = 64): DataFrame = {
+    require(theta > -1 && theta < 1, "theta must be in (-1, 1)")
+    val n = corpus.count()
+    require(n > 0, "annTopKBatchAutoRecall: empty corpus")
+    val bits = autoBandBits(n, targetBucket)
+    val bands = recallBands(bits, agreeMicro(theta), targetRecall)
+    annTopKBatch(corpus, idCol, vecCol, queries, k,
+      numPlanes = bands * bits, numBands = bands, dim = dim)
   }
 
   /** Brute-force per-query top-k for a batch of queries — the ground truth

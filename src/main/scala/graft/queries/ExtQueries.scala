@@ -994,6 +994,46 @@ object ExtQueries {
         round(col("n_found") / col("n_true").cast("double"), 4).as("recall"))
   }
 
+  /** Query-side recall-targeted LSH (the [[xAnnLshRecallTarget]] row's
+    * batch-serve symmetric): queries are the original every-50th vectors
+    * (each has a planted exact copy at +10000; vector 0 additionally its
+    * 20 near-clones), sized by the same integer S-curve for recall >= 0.95
+    * at cosine >= 0.9. n_true counts (query, neighbor>=theta) pairs from
+    * brute force, n_found those surfaced in the per-query top-25 (k = 25
+    * exceeds the largest neighbor family, so truncation cannot mask an
+    * LSH miss), n_cand the candidate volume PAID for the sizing. */
+  val xAnnTopkRecallTarget: Q = (s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val queries = emb
+      .where(col("vec_id") % 50 === 0 && col("vec_id") < 10000)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("q"))
+    val n = emb.count()
+    val bits = SimilarityOps.autoBandBits(n, 64)
+    val bands = SimilarityOps.recallBands(bits,
+      SimilarityOps.agreeMicro(0.9), targetRecall = 0.95)
+    val cand = SimilarityOps.annTopKBatchCandidates(emb, "vec_id",
+      "embedding", queries, numPlanes = bands * bits, numBands = bands,
+      dim = 64)
+    val topk = SimilarityOps.annTopKBatchAutoRecall(emb, "vec_id",
+      "embedding", queries, k = 25, dim = 64, theta = 0.9,
+      targetRecall = 0.95)
+    val qids = queries.select(col("qid"))
+    val bf = SimilarityOps.bruteForcePairs(emb, "vec_id", "embedding", 0.9)
+    val truePairs = bf.join(qids, bf("id_a") === qids("qid"))
+        .select(col("qid"), col("id_b").as("nid"))
+      .unionByName(bf.join(qids, bf("id_b") === qids("qid"))
+        .select(col("qid"), col("id_a").as("nid")))
+    val found = truePairs
+      .join(topk.select(col("qid"), col("vec_id").as("nid")), Seq("qid", "nid"))
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(lit(bits).as("bits"), lit(bands).as("bands"), col("n_cand"),
+        col("n_true"), col("n_found"),
+        round(col("n_found") / col("n_true").cast("double"), 4).as("recall"))
+  }
+
   /** IVF recall vs the brute-force top-k, driver-checked: one row
     * (n_true, n_found, recall). The planted near-clones of vector 0 make the
     * true top-20 non-trivial, and recall is 1.0 by measurement (asserted

@@ -2292,6 +2292,53 @@ object Oracles {
          |  (SELECT count(*) FROM found) AS n_found,
          |  round((SELECT count(*) FROM found) / CAST((SELECT count(*) FROM brute) AS DOUBLE), 4) AS recall""".stripMargin,
 
+    // query-side recall target (the batch-serve symmetric of the pairs
+    // row): identical integer sizing recurrences, then the batch
+    // candidate join + per-query top-25 window; truth is (query,
+    // neighbor>=theta) pairs from brute force, both directions of the
+    // id_a<id_b pair table
+    "x_ann_topk_recall_target" ->
+      s"""WITH RECURSIVE $PLANTED_CTES,
+         |lshsz AS (SELECT coalesce(min(b), 32) AS bits FROM range(1, 33) t(b)
+         |  WHERE (CAST(64 AS BIGINT) << b) >= (SELECT count(*) FROM corpus)),
+         |qmic AS (SELECT CAST(round((1 - acos(0.9)/pi()) * 1000000) AS BIGINT) AS q),
+         |pbit(i, pb) AS (
+         |  SELECT 0, CAST(1000000 AS BIGINT)
+         |  UNION ALL
+         |  SELECT i + 1, (pb * (SELECT q FROM qmic) + 500000) // 1000000
+         |  FROM pbit WHERE i < (SELECT bits FROM lshsz)),
+         |pbv AS (SELECT pb FROM pbit WHERE i = (SELECT bits FROM lshsz)),
+         |bandit(r, miss) AS (
+         |  SELECT 1, 1000000 - (SELECT pb FROM pbv)
+         |  UNION ALL
+         |  SELECT r + 1, (miss * (1000000 - (SELECT pb FROM pbv)) + 500000) // 1000000
+         |  FROM bandit WHERE miss > 50000 AND r < 64),
+         |bandsz AS (SELECT min(r) AS r FROM bandit WHERE miss <= 50000),
+         |${srpCtes("((SELECT bits FROM lshsz) * (SELECT r FROM bandsz))", "(SELECT bits FROM lshsz)")},
+         |qset AS (SELECT vec_id AS qid FROM corpus
+         |  WHERE vec_id % 50 = 0 AND vec_id < 10000),
+         |brute AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id
+         |    AND round(${cosSql("a.v", "b.v")}, 6) >= 0.9),
+         |truep AS (SELECT qid, id_b AS nid FROM brute JOIN qset ON id_a = qid
+         |  UNION ALL SELECT qid, id_a AS nid FROM brute JOIN qset ON id_b = qid),
+         |qb AS (SELECT qid, band, bkey FROM bands JOIN qset ON bands.vec_id = qset.qid),
+         |cand AS (SELECT DISTINCT qid, c.vec_id AS nid
+         |  FROM qb JOIN bands c USING (band, bkey) WHERE c.vec_id <> qid),
+         |scored AS (SELECT cand.qid, cand.nid, round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM cand JOIN corpus a ON a.vec_id = cand.qid
+         |  JOIN corpus b ON b.vec_id = cand.nid),
+         |topk AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+         |  FROM scored) WHERE rn <= 25),
+         |found AS (SELECT t.qid, t.nid FROM truep t JOIN topk ON topk.qid = t.qid AND topk.nid = t.nid)
+         |SELECT CAST((SELECT bits FROM lshsz) AS INT) AS bits,
+         |  CAST((SELECT r FROM bandsz) AS INT) AS bands,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM truep) AS n_true,
+         |  (SELECT count(*) FROM found) AS n_found,
+         |  round((SELECT count(*) FROM found) / CAST((SELECT count(*) FROM truep) AS DOUBLE), 4) AS recall""".stripMargin,
+
     "x_ann_ivf" ->
       s"""WITH $PLANTED_CTES, ${ivfCtes(kmeansIters = 2, nlist = 16, nprobe = 4, k = 20)}
          |SELECT vec_id, cos_sim FROM ivf""".stripMargin,

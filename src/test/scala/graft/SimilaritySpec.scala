@@ -148,6 +148,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(f.toDouble / t >= 0.95, s"recall ${f.toDouble / t} < 0.95 ($f/$t)")
   }
 
+  test("annTopKBatchAutoRecall: row-identical to annTopKBatch at the " +
+    "derived geometry; measured neighbor-recall on the planted sf0.001 " +
+    "corpus meets the target") {
+    val qs = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q"))
+    val n = vecs.count()
+    val bits = SimilarityOps.autoBandBits(n, 64)
+    val bands = SimilarityOps.recallBands(bits,
+      SimilarityOps.agreeMicro(0.9), 0.95)
+    val auto = SimilarityOps.annTopKBatchAutoRecall(vecs, "vec_id",
+      "embedding", qs, k = 3, dim = 3, theta = 0.9, targetRecall = 0.95)
+      .orderBy("qid", "vec_id").collect().toSeq
+    val explicit = SimilarityOps.annTopKBatch(vecs, "vec_id", "embedding",
+      qs, k = 3, numPlanes = bands * bits, numBands = bands, dim = 3)
+      .orderBy("qid", "vec_id").collect().toSeq
+    assert(auto == explicit)
+    assert(auto.nonEmpty) // the identical twin of vector 0 must surface
+    // neighbor-recall floor behind the x_ann_topk_recall_target query:
+    // every (query, neighbor >= theta) pair must surface in the top-25
+    val emb = graft.queries.ExtQueries.plantedEmbeddings(spark,
+      "/root/testdata/sf0.001")
+    val queries = emb
+      .where($"vec_id" % 50 === 0 && $"vec_id" < 10000)
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("q"))
+    val qids = queries.select($"qid")
+    val bf = SimilarityOps.bruteForcePairs(emb, "vec_id", "embedding", 0.9)
+    val truePairs = bf.join(qids, bf("id_a") === qids("qid"))
+        .select($"qid", $"id_b".as("nid"))
+      .unionByName(bf.join(qids, bf("id_b") === qids("qid"))
+        .select($"qid", $"id_a".as("nid")))
+    val topk = SimilarityOps.annTopKBatchAutoRecall(emb, "vec_id",
+      "embedding", queries, k = 25, dim = 64, theta = 0.9,
+      targetRecall = 0.95)
+    val t = truePairs.count()
+    val f = truePairs
+      .join(topk.select($"qid", $"vec_id".as("nid")), Seq("qid", "nid"))
+      .count()
+    assert(t > 0, "fixture must plant query neighbors above theta")
+    assert(f.toDouble / t >= 0.95, s"recall ${f.toDouble / t} < 0.95 ($f/$t)")
+  }
+
   test("annTopKBatchAuto is row-identical to annTopKBatch at the derived " +
     "planes (corpus count drives the sizing)") {
     val qs = vecs.where($"vec_id" === 0)

@@ -100,9 +100,15 @@ object DedupOps {
     * closure, in SQL, at oracle scale). */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10,
                   strict: Boolean = true): DataFrame = {
+    // localCheckpoint, not persist: the candidate-pair lineage (LSH
+    // banding over the whole corpus) is expensive plan state, and a
+    // persist would ship it inside every propagation-round task's binary
+    // (the GraphOps.pageRank task-binary finding — ~100 ms CPU per
+    // cache-scanning task); the checkpoint stores the same rows behind a
+    // flat LogicalRDD scan
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     // the propagation universe must cover every node the PAIRS mention, not
     // just `docs`: an edge through a doc absent from `docs` still connects
     // its endpoints, and a universe smaller than the message set would let
@@ -142,7 +148,6 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     // partially-propagated labels are WRONG labels; by default refuse to
     // return them (a pathological path component deeper than maxIters).
     // strict=false is for callers that explicitly want the bounded

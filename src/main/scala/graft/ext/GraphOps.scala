@@ -50,15 +50,24 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("__w"))
     val outw = e.groupBy("src").agg(sum("__w").as("__ow"))
-    // per-edge transition probability; reused every round → persisted
+    // per-edge transition probability; reused every round → materialised
+    // via localCheckpoint, not persist: an InMemoryRelation would embed the
+    // edge-derivation lineage (scan + window + two aggregates) in the
+    // cached plan, and every task of every round stage that scans the
+    // cache pays to deserialize that plan inside its task binary —
+    // measured (StageProbe, sf0.1) at ~100 ms CPU per TASK, ~3 CPU-seconds
+    // per 32-task round stage on a 100-node graph. The checkpoint stores
+    // the same rows but plans as a flat LogicalRDD scan, so round closures
+    // stay constant-size however expensive the caller's edge derivation
+    // was.
     val norm = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("__w") / col("__ow")).as("__p"))
-      .persist()
+      .localCheckpoint(true)
     val nodes = norm.select(col("src").as("node"))
       .unionByName(norm.select(col("dst").as("node")))
-      .distinct().persist()
+      .distinct()
     // dangling-ness rides the rank rows as a flag (joined ONCE here, from
-    // the PERSISTED norm), so the per-round dangling-mass is a pure
+    // the CHECKPOINTED norm), so the per-round dangling-mass is a pure
     // scan-aggregate of the previous checkpoint — no per-round join, and
     // nothing in the dm branch reaches back through the caller's edge
     // derivation lineage
@@ -66,7 +75,7 @@ object GraphOps {
       .join(norm.select(col("src").as("node")).distinct()
         .withColumn("__out", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__out"), lit(false)).as("__has_out"))
-      .persist()
+      .localCheckpoint(true)
     val n = nodesF.count().toDouble // the single driver scalar
     var ranks = nodesF
       .select(col("node"), lit(1.0 / n).as("rank"), col("__has_out"))
@@ -86,7 +95,8 @@ object GraphOps {
           col("__has_out"))
         .localCheckpoint(true)
     }
-    norm.unpersist(); nodes.unpersist(); nodesF.unpersist()
+    // checkpoint blocks are dropped by the ContextCleaner once these
+    // references go out of scope (the dupClusters convention)
     ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
   }
 
@@ -122,28 +132,35 @@ object GraphOps {
                        iters: Int = 3): DataFrame = {
     require(iters >= 1, "labelPropagation: iters must be >= 1")
     val und = simpleUndirected(edges, src, dst)
+    // localCheckpoint, not persist: sym is scanned by every round, and an
+    // InMemoryRelation would carry the whole edge-derivation lineage in
+    // every cache-scanning task's binary (the [[pageRank]] norm finding —
+    // ~100 ms CPU per task at sf0.1); the checkpoint plans as a flat
+    // LogicalRDD scan
     val sym = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .persist()
-    val nodes = sym.select("node").distinct().persist()
-    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var labels = sym.select("node").distinct()
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val votes = sym
         .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
         .groupBy("node", "label").agg(count(lit(1)).as("__n"))
       // argmax count, ties to the smallest label (ids are non-negative so
-      // the -label struct-order trick is safe)
+      // the -label struct-order trick is safe). `winners` is TOTAL over the
+      // node universe — the universe is exactly sym's `node` side (isolated
+      // nodes never enter it), sym is symmetric so every universe node has
+      // >= 1 nbr row, and `labels` covers the universe by induction — so
+      // the old per-round universe left-join + previous-labels coalesce
+      // join were 1:1 no-ops (two joins per round, removed; the
+      // keep-current-label clause in the contract only ever applied to
+      // isolated nodes, which are outside the universe by construction).
       val winners = votes.groupBy("node")
         .agg(max(struct(col("__n"), (-col("label")).as("__neg"))).as("__w"))
         .select(col("node"), (-col("__w.__neg")).as("label"))
-      labels = nodes
-        .join(winners, Seq("node"), "left")
-        .join(labels.withColumnRenamed("label", "__prev"), Seq("node"))
-        .select(col("node"), coalesce(col("label"), col("__prev")).as("label"))
-        .localCheckpoint(true)
+      labels = winners.localCheckpoint(true)
     }
-    sym.unpersist(); nodes.unpersist()
     labels.select(col("node"), col("label").as("community"))
   }
 
@@ -168,23 +185,27 @@ object GraphOps {
                           rounds: Int = 5): DataFrame = {
     require(rounds >= 1, "connectedComponents: rounds must be >= 1")
     val und = simpleUndirected(edges, src, dst)
+    // localCheckpoint, not persist — the [[pageRank]]/[[labelPropagation]]
+    // task-binary reasoning
     val sym = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .persist()
-    val nodes = sym.select("node").distinct().persist()
-    var comp = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    var comp = sym.select("node").distinct()
+      .select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val nbrMin = sym
+      // min over {own component} ∪ {neighbours' components} in ONE
+      // aggregate: the old shape joined the neighbour-min frame back to
+      // comp (join + agg + join per round); unioning comp's own rows into
+      // the aggregate computes the identical least(own, nbr-min) with the
+      // join removed — one shuffle feeds both roles
+      comp = sym
         .join(comp.select(col("node").as("nbr"), col("component")), "nbr")
-        .groupBy("node").agg(min("component").as("__nm"))
-      comp = comp.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("__nm"), col("component")))
-            .as("component"))
+        .select(col("node"), col("component"))
+        .unionByName(comp)
+        .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint(true)
     }
-    sym.unpersist(); nodes.unpersist()
     comp
   }
 
@@ -209,22 +230,24 @@ object GraphOps {
                                maxRounds: Int = 40): DataFrame = {
     require(maxRounds >= 1, "connectedComponentsExact: maxRounds must be >= 1")
     val und = simpleUndirected(edges, src, dst)
+    // localCheckpoint, not persist — the [[pageRank]]/[[labelPropagation]]
+    // task-binary reasoning
     val sym = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .persist()
-    val nodes = sym.select("node").distinct().persist()
-    var comp = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    var comp = sym.select("node").distinct()
+      .select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val nbrMin = sym
+      // one-aggregate neighbour-min (the [[connectedComponents]] union
+      // fusion: min over own ∪ neighbours' components, join removed)
+      val stepped = sym
         .join(comp.select(col("node").as("nbr"), col("component")), "nbr")
-        .groupBy("node").agg(min("component").as("__nm"))
-      val stepped = comp.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("__nm"), col("component")))
-            .as("component"))
+        .select(col("node"), col("component"))
+        .unionByName(comp)
+        .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint(true)
       // pointer jump against the JUST-stepped mapping: c ← c(c)
       val jumped = stepped
@@ -239,7 +262,6 @@ object GraphOps {
       comp = jumped
       round += 1
     }
-    sym.unpersist(); nodes.unpersist()
     comp
   }
 
@@ -310,10 +332,14 @@ object GraphOps {
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy("nbr")
+    // localCheckpoint, not persist: both frames are scanned every step,
+    // and the persist form ships the window-over-edge-derivation lineage
+    // in each step task's binary (the [[pageRank]] norm finding)
     val adj = sym.select(col("node"), col("nbr"),
-      (row_number().over(w) - 1).cast("long").as("__rk")).persist()
+      (row_number().over(w) - 1).cast("long").as("__rk"))
+      .localCheckpoint(true)
     val degrees = sym.groupBy("node")
-      .agg(count(lit(1)).cast("long").as("__deg")).persist()
+      .agg(count(lit(1)).cast("long").as("__deg")).localCheckpoint(true)
     var frontier = degrees.select("node")
       .select(col("node"),
         explode(array((0 until walksPerNode).map(lit): _*)).as("__w"))
@@ -334,7 +360,6 @@ object GraphOps {
       acc += frontier.select(col("walk_id"), lit(t).as("step"),
         col("cur").as("node"))
     }
-    adj.unpersist(); degrees.unpersist()
     acc.reduce(_ unionByName _)
   }
 
@@ -359,7 +384,7 @@ object GraphOps {
     * and a 0 is signal). Composition of [[triangleCount]] with the degree
     * aggregate; one extra left join on the node key. */
   def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = simpleUndirected(edges, src, dst).persist()
+    val und = simpleUndirected(edges, src, dst).localCheckpoint(true)
     val deg = degreesOf(und)
     deg.join(triangleCore(und, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
@@ -385,7 +410,7 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
   def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = simpleUndirected(edges, src, dst).persist()
+    val und = simpleUndirected(edges, src, dst).localCheckpoint(true)
     triangleCore(und, degreesOf(und))
   }
 
@@ -410,7 +435,7 @@ object GraphOps {
             struct(col("b").as("u"), col("a").as("v"), col("__da").as("dv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .persist()
+      .localCheckpoint(true)
     val wedges = orient.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
       .join(orient.select(col("u"), col("v").as("v2"), col("dv").as("d2")),
         Seq("u"))

@@ -164,8 +164,16 @@ object RepetitionOps {
   private def spanDedup(df: DataFrame, key: Column, text: Column, k: Int,
                         hashKey: Boolean, op: String): DataFrame = {
     require(k > 0, "shingle width must be positive")
+    // run-scoped persist: the tokenized base feeds BOTH the shingle
+    // occurrence derivation and the final reassembly join-back, so an
+    // uncached base tokenizes the corpus twice (measured: ~40% of the
+    // operator's executor CPU at sf0.1). Narrow projection (doc_id +
+    // token array) caches compactly; lifecycle follows the
+    // dedupFromChunks/boilerplate convention (session-scoped, Bench
+    // clears per entry).
     val base = TextOps.withTokens(df, Seq(key.as("doc_id")), text, "__toks")
       .where(size(col("__toks")) > 0)
+      .persist()
     val shingleKey =
       if (hashKey) transform(TextOps.shingles(col("__toks"), k), s => md5(s))
       else TextOps.shingles(col("__toks"), k)

@@ -628,6 +628,13 @@ object ExtQueries {
     * different algorithm, so agreement checks the prefix filter's
     * completeness, not a mirror of it. */
   val xSetsimJoin: Q = (s, dir) =>
+    // elems deliberately NOT persisted: measured this round (BenchSubset,
+    // sf0.1), caching the exploded shingle frame makes the query 3x SLOWER
+    // (3.7 -> 12.3 s; shuffle records 99.5k -> 542k) — the stats-less
+    // InMemoryRelation demotes the prefix-join broadcasts to sort-merge
+    // joins and the concurrent candidate branches race to fill the cache.
+    // The recompute-per-branch form keeps parquet statistics visible and
+    // every small side broadcast — the selfJoin scaladoc's measured call.
     SetSimJoin.selfJoin(
       shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
 
@@ -637,11 +644,16 @@ object ExtQueries {
     * the two pair sets come from INDEPENDENT algorithms, so the ratio
     * measures the banding's real miss rate, not a self-comparison. */
   val xMinhashRecall: Q = (s, dir) => {
-    val cand = candidates(s, dir).select("doc_a", "doc_b")
+    // ONE persisted shingle frame feeds both the LSH candidate side and
+    // the exact join's ~5 selfJoin branches (the x_setsim_join reasoning)
+    val sh = shingleDf(s, dir).persist()
+    val cand = DedupOps.lshCandidates(DedupOps.lshBands(
+        DedupOps.minhashSignature(sh, NumHashes), NumHashes, NumBands))
+      .select("doc_a", "doc_b")
     // the exact join (the dominant cost) feeds both the denominator and
     // the semi-join — run-scoped persist so it is computed once
     val exact = SetSimJoin.selfJoin(
-        shingleDf(s, dir).withColumnRenamed("shingle", "elem"), theta = 0.6)
+        sh.withColumnRenamed("shingle", "elem"), theta = 0.6)
       .select("doc_a", "doc_b").persist()
     val found = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -697,6 +709,7 @@ object ExtQueries {
     * x_incr_dedup — the no-false-negatives alternative to its LSH near
     * tier. Oracle is again the naive cross-split join. */
   val xSetsimRs: Q = (s, dir) => {
+    // NOT persisted — the x_setsim_join broadcast-demotion measurement
     val sh = shingleDf(s, dir).withColumnRenamed("shingle", "elem")
     SetSimJoin.rsJoin(sh.where(col("doc_id") % 5 === 3),
       sh.where(col("doc_id") % 5 =!= 3), theta = 0.5)
@@ -707,6 +720,7 @@ object ExtQueries {
     * wrapper/quote detector Jaccard thresholds miss. Oracle is the naive
     * cross-split intersection-over-|x| join. */
   val xContainJoin: Q = (s, dir) => {
+    // NOT persisted — the x_setsim_join broadcast-demotion measurement
     val sh = shingleDf(s, dir).withColumnRenamed("shingle", "elem")
     SetSimJoin.containJoin(sh.where(col("doc_id") % 5 === 3),
       sh.where(col("doc_id") % 5 =!= 3), theta = 0.7)

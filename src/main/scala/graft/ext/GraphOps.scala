@@ -332,9 +332,11 @@ object GraphOps {
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy("nbr")
-    // localCheckpoint, not persist: both frames are scanned every step,
-    // and the persist form ships the window-over-edge-derivation lineage
-    // in each step task's binary (the [[pageRank]] norm finding)
+    // localCheckpoint, not persist (measured both ways, r19): the frames
+    // are scanned every step, so the persist form ships the
+    // window-over-edge-derivation lineage in each step task's binary (the
+    // [[pageRank]] norm finding) — isolated min-of-3 at sf0.1: 3.05 s /
+    // 2.32 executor-CPU-s persisted vs 2.28 s / 1.44 s checkpointed
     val adj = sym.select(col("node"), col("nbr"),
       (row_number().over(w) - 1).cast("long").as("__rk"))
       .localCheckpoint(true)
@@ -384,7 +386,7 @@ object GraphOps {
     * and a 0 is signal). Composition of [[triangleCount]] with the degree
     * aggregate; one extra left join on the node key. */
   def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = simpleUndirected(edges, src, dst).localCheckpoint(true)
+    val und = simpleUndirected(edges, src, dst).persist()
     val deg = degreesOf(und)
     deg.join(triangleCore(und, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
@@ -410,7 +412,7 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
   def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val und = simpleUndirected(edges, src, dst).localCheckpoint(true)
+    val und = simpleUndirected(edges, src, dst).persist()
     triangleCore(und, degreesOf(und))
   }
 
@@ -435,7 +437,10 @@ object GraphOps {
             struct(col("b").as("u"), col("a").as("v"), col("__da").as("dv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .localCheckpoint(true)
+      // persist (not checkpoint): one-shot three-branch consumer — the
+      // randomWalks trade, measured; wedge/close stages are the cost, not
+      // the cache-scan task binaries
+      .persist()
     val wedges = orient.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
       .join(orient.select(col("u"), col("v").as("v2"), col("dv").as("d2")),
         Seq("u"))

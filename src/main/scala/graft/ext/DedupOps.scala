@@ -196,6 +196,13 @@ object DedupOps {
       .select("doc_id")
     // near tier: per-side signatures, bands joined ACROSS sides only —
     // no side ever self-joins, so registry cost is linear in registry size
+    // each side's shingles feed the band signature AND the Jaccard verify
+    // union; persisting them was MEASURED this round (r19) and rejected:
+    // the warm-cache min only matched the uncached wall (1.97 vs 1.98 s at
+    // sf0.1) while cold reps were 2x worse and shuffle records ROSE
+    // 15k → 20k (a join-strategy shift off the cached stats) — the
+    // recompute keeps source statistics visible, the spanDedup trade
+    // reversed
     val shN = TextOps.explodeShingles(n, col("doc_id"), col("text"), k)
     val shR = TextOps.explodeShingles(r, col("doc_id"), col("text"), k)
     def bandsOf(sh: DataFrame) =

@@ -63,8 +63,7 @@ object GraphOps {
     val norm = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("__w") / col("__ow")).as("__p"))
       .localCheckpoint(true)
-    val nodes = norm.select(col("src").as("node"))
-      .unionByName(norm.select(col("dst").as("node")))
+    val nodes = norm.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
     // dangling-ness rides the rank rows as a flag (joined ONCE here, from
     // the CHECKPOINTED norm), so the per-round dangling-mass is a pure
@@ -137,9 +136,7 @@ object GraphOps {
     // every cache-scanning task's binary (the [[pageRank]] norm finding —
     // ~100 ms CPU per task at sf0.1); the checkpoint plans as a flat
     // LogicalRDD scan
-    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
+    val sym = symmetrized(und).localCheckpoint(true)
     var labels = sym.select("node").distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -187,9 +184,7 @@ object GraphOps {
     val und = simpleUndirected(edges, src, dst)
     // localCheckpoint, not persist — the [[pageRank]]/[[labelPropagation]]
     // task-binary reasoning
-    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
+    val sym = symmetrized(und).localCheckpoint(true)
     var comp = sym.select("node").distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
@@ -232,9 +227,7 @@ object GraphOps {
     val und = simpleUndirected(edges, src, dst)
     // localCheckpoint, not persist — the [[pageRank]]/[[labelPropagation]]
     // task-binary reasoning
-    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
+    val sym = symmetrized(und).localCheckpoint(true)
     var comp = sym.select("node").distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
@@ -285,8 +278,7 @@ object GraphOps {
     require(rounds >= 1, "kCore: rounds must be >= 1")
     var e = simpleUndirected(edges, src, dst).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val deg = e.select(col("a").as("node"))
-        .unionByName(e.select(col("b").as("node")))
+      val deg = symmetrized(e).select("node")
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select("node")
       e = e
@@ -294,8 +286,7 @@ object GraphOps {
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .localCheckpoint(true)
     }
-    e.select(col("a").as("node"))
-      .unionByName(e.select(col("b").as("node")))
+    symmetrized(e).select("node")
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
@@ -328,8 +319,7 @@ object GraphOps {
     require(steps >= 1, "randomWalks: steps must be >= 1")
     require(walksPerNode >= 1, "randomWalks: walksPerNode must be >= 1")
     val und = simpleUndirected(edges, src, dst)
-    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val sym = symmetrized(und)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy("nbr")
     // localCheckpoint, not persist (measured both ways, r19): the frames
@@ -397,6 +387,17 @@ object GraphOps {
           .otherwise(lit(0.0)).as("clustering_coef"))
   }
 
+  /** Both orientations of an undirected edge list in ONE pass: explode to
+    * (node=a,nbr=b) and (node=b,nbr=a) from each row. Identical multiset
+    * to the union-of-two-selects form, but the `und` subtree appears ONCE
+    * in the plan — the union form evaluates the (window-derived, distinct)
+    * edge derivation twice before any checkpoint truncates it. */
+  private def symmetrized(und: DataFrame): DataFrame =
+    und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nbr")),
+        struct(col("b").as("node"), col("a").as("nbr")))).as("__e"))
+      .select(col("__e.node").as("node"), col("__e.nbr").as("nbr"))
+
   private def simpleUndirected(edges: DataFrame, src: Column,
                                dst: Column): DataFrame =
     edges.select(src.as("__s"), dst.as("__d"))
@@ -407,8 +408,7 @@ object GraphOps {
       .distinct()
 
   private def degreesOf(und: DataFrame): DataFrame =
-    und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node")))
+    symmetrized(und).select("node")
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
   def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {

@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries against
   * `SPARK_GRAFT_SF_DIR`, forcing full materialisation through the noop sink
   * (a bare .count() would let Catalyst prune the whole projection), and
-  * prints one JSON line for the driver.
+  * prints one COMPACT JSON line for the driver (r19 lesson: the driver's
+  * tail capture truncated a ~25 KB telemetry-bearing line into
+  * `parsed: null` for BOTH rounds — the printed line now carries only
+  * {metric,value,queries,...} (~5 KB) and the full per-entry telemetry
+  * lives in BENCH_LAST.json, which is also rewritten INCREMENTALLY after
+  * every entry so a killed run leaves a per-entry trail instead of
+  * nothing).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,9 +48,11 @@ object Bench {
     // spread=1.08 and ONLY this field would have flagged it). Run-level
     // steal/iowait percent from /proc/stat corroborate machine-wide.
     // benchdiff emits LOAD-SUSPECT from these fields alone.
-    import BenchTelemetry.{la1, procCpuNanos, fmt}
+    import BenchTelemetry.{la1, procCpuNanos, fmt, freeCachedBlocks}
     val loadStart = la1()
     val jiffiesStart = BenchTelemetry.cpuJiffies()
+    val runT0 = System.nanoTime()
+    def elapsed(): String = fmt((System.nanoTime() - runT0) / 1e9, 1)
     // Steal-immune per-entry axes (the r18 verdict's binding gap: wall
     // comparison across rounds is noise-bound both ways on a machine
     // with persistent hypervisor steal): cpu_s = process-CPU seconds of
@@ -54,7 +62,39 @@ object Bench {
     // don't grow when the JVM is descheduled. benchdiff adjudicates
     // round-over-round on cpu_s FIRST, wall second.
     val counters = new BenchTelemetry.EntryCounters(spark.sparkContext)
-    val results = SparkEntry.benchNames.map { name =>
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    // Accumulated per-entry rows; BENCH_LAST.json is rewritten from these
+    // after EVERY entry (a 60-min-killed run must leave a trail — the r19
+    // driver's rc=124 run was unattributable because the only artifacts
+    // were stderr cache warnings).
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double, Double, Double, Double, Long, Double)]
+    def writeSnapshot(partial: Boolean): Unit = {
+      val qs = done.map { case (k, v, _, _, _, _, _, _, _) =>
+        "\"" + k + "\":" + fmt(v, 3)
+      }.mkString("{", ",", "}")
+      val tel = done.map { case (k, _, la, sp, cw, cpuS, xcpuS, shufRec, coldS) =>
+        "\"" + k + "\":{\"la\":" + fmt(la, 1) + ",\"spread\":" + fmt(sp, 2) +
+          ",\"cw\":" + fmt(cw, 2) + ",\"cpu_s\":" + fmt(cpuS, 3) +
+          ",\"xcpu_s\":" + fmt(xcpuS, 3) + ",\"shuf_rec\":" + shufRec +
+          ",\"cold_s\":" + fmt(coldS, 3) + "}"
+      }.mkString("{", ",", "}")
+      val total = done.map(_._2).filter(_ >= 0).sum // skip -1 error markers
+      val (stealPct, iowaitPct) = BenchTelemetry.stealIowaitPct(
+        jiffiesStart, BenchTelemetry.cpuJiffies())
+      val line =
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+          s""""queries":$qs,"telemetry":$tel,""" +
+          s""""load_start":${fmt(loadStart, 2)},"load_end":${fmt(la1(), 2)},""" +
+          s""""steal_pct":${fmt(stealPct, 2)},""" +
+          s""""iowait_pct":${fmt(iowaitPct, 2)},""" +
+          s""""wall_s":${elapsed()},"partial":$partial,""" +
+          s""""cpus":$cpus,"reps":$reps,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(outPath, line + "\n")
+      catch { case _: Throwable => () } // read-only cwd must not fail the run
+    }
+    SparkEntry.benchNames.foreach { name =>
       val fn = SparkEntry.queries(name)
       // None on failure: a transiently failing rep returns FAST, and under
       // min-of-reps a failed-but-timed rep would silently LOWER the
@@ -73,13 +113,25 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); None
         }
       }
-      once() // warm-up: codegen + JIT
+      val warm = once() // warm-up: codegen + JIT
       // entry boundary for the stage counters: let the async listener bus
       // settle so warm-up events can't leak into the measured window,
       // then count across the measured reps (the per-rep record count is
       // deterministic — same plan, same data — so total/nOk attributes
       // exactly without per-rep drains)
       counters.drain(); counters.reset()
+      // Cold/warm split (r19 verdict #3): the warm-up rep fills
+      // operator-internal persist() caches (CacheManager dedupes by
+      // logical plan, so fresh frames in later reps scan the warm-up's
+      // InMemoryRelation) and nothing used to clear them — min-of-reps
+      // for persist-using entries quoted a warm-cache scan while
+      // checkpoint-based entries rebuilt per rep. Dropping ALL cached
+      // blocks here (catalog cache AND persistent RDD blocks — catalog
+      // clearCache() cannot free localCheckpoint blocks) makes rep 1 a
+      // true cold run, reported as cold_s; reps 2..n are warm and the
+      // headline stays min-of-reps (comparable with prior rounds, whose
+      // min was in practice a warm rep for these entries).
+      freeCachedBlocks(spark)
       val laBefore = la1() // sampled between entries: foreign load >> cpus
       val times = (1 to reps).flatMap(_ => once())
       counters.drain()
@@ -94,52 +146,44 @@ object Bench {
       // the quoted number, so its own rep must be the one to self-convict.
       val (dt, cpuS) =
         if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0)
+      val coldS = times.headOption.map(_._1).getOrElse(-1.0)
       val cw = if (dt > 0 && cpuS >= 0) cpuS / dt else -1.0
       // spread = max/min across measured reps: reps of the same lazy plan
       // are deterministic work, so reps that disagree badly were timed on
       // a machine doing something else
       val walls = times.map(_._1)
       val spread = if (walls.size >= 2) walls.max / walls.min else 1.0
-      // isolation between entries: several queries persist() intermediate
-      // frames (their results stay lazy, so the operator cannot unpersist)
-      // — without this, pinned blocks accumulate across the 80+ entries
-      // and later queries pay eviction pressure for earlier ones' caches
-      // (measured: x_setsim_join 7.2 s late in the sequence vs 3.2 s in
-      // isolation). Clearing between entries makes each number the
-      // query's own.
-      spark.catalog.clearCache()
-      (name, dt, laBefore, spread, cw, cpuS, xcpuS, shufRec)
+      // isolation between entries: several queries persist() or
+      // localCheckpoint() intermediate frames (their results stay lazy, so
+      // the operator cannot unpersist) — without this, pinned blocks
+      // accumulate across the 178 entries x 4 executions and later
+      // queries pay eviction pressure for earlier ones' caches (measured:
+      // x_setsim_join 7.2 s late in the sequence vs 3.2 s in isolation).
+      // catalog.clearCache() alone does NOT free localCheckpoint RDD
+      // blocks (the r19 32-core-timeout suspect), so both are dropped.
+      freeCachedBlocks(spark)
+      done += ((name, dt, laBefore, spread, cw, cpuS, xcpuS, shufRec, coldS))
+      writeSnapshot(partial = true)
+      // timestamped per-entry trail (r19 verdict #1): a killed run's
+      // stderr says exactly which entry it died in and what each rep cost
+      System.err.println(
+        s"[bench] t=${elapsed()}s $name warm=" +
+          warm.map(w => fmt(w._1, 2)).getOrElse("FAIL") +
+          s" reps=${walls.map(fmt(_, 2)).mkString(",")} min=${fmt(dt, 2)}" +
+          s" cold=${fmt(coldS, 2)} blocks=${BenchTelemetry.storageBlocks(spark)}")
     }
-    val qs = results.map { case (k, v, _, _, _, _, _, _) =>
+    writeSnapshot(partial = false)
+    // The printed line is COMPACT (queries only, no telemetry): the driver
+    // tails stdout and a ~25 KB line was truncated past recognition in r19
+    // (parsed: null on a COMPLETED run). Full telemetry is in
+    // BENCH_LAST.json.
+    val qs = done.map { case (k, v, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + fmt(v, 3)
     }.mkString("{", ",", "}")
-    val tel = results.map { case (k, _, la, sp, cw, cpuS, xcpuS, shufRec) =>
-      "\"" + k + "\":{\"la\":" + fmt(la, 1) + ",\"spread\":" + fmt(sp, 2) +
-        ",\"cw\":" + fmt(cw, 2) + ",\"cpu_s\":" + fmt(cpuS, 3) +
-        ",\"xcpu_s\":" + fmt(xcpuS, 3) + ",\"shuf_rec\":" + shufRec + "}"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // skip -1 error markers
-    val (stealPct, iowaitPct) =
-      BenchTelemetry.stealIowaitPct(jiffiesStart, BenchTelemetry.cpuJiffies())
-    val line =
+    val total = done.map(_._2).filter(_ >= 0).sum
+    println(
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
-        s""""queries":$qs,"telemetry":$tel,""" +
-        s""""load_start":${fmt(loadStart, 2)},"load_end":${fmt(la1(), 2)},""" +
-        s""""steal_pct":${fmt(stealPct, 2)},""" +
-        s""""iowait_pct":${fmt(iowaitPct, 2)},""" +
-        s""""cpus":$cpus,"reps":$reps,"sf":"$sfDir"}"""
-    println(line)
-    // stdout under sbt carries an "[info] " prefix and can defeat naive
-    // parsers (the r9 driver artifact recorded "parsed": null with the
-    // numbers marooned in a log tail); persist the same line as a file so
-    // the latest run is always machine-readable. SPARK_GRAFT_BENCH_OUT
-    // redirects non-headline runs (e.g. the 10x fixture -> BENCH_SF1.json)
-    // so they cannot clobber the committed sf0.1 snapshot.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
-      line + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not fail the run
+        s""""queries":$qs,"cpus":$cpus,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,6 +62,29 @@ object BenchTelemetry {
   def fmt(v: Double, places: Int): String =
     String.format(Locale.ROOT, s"%.${places}f", Double.box(v))
 
+  /** Drop EVERY cached block in the session: the catalog cache (persist()
+    * frames, freed by clearCache) AND directly-persisted RDD blocks —
+    * localCheckpoint() pins its partitions as storage blocks that
+    * clearCache cannot see, so a long entry sequence accumulates them
+    * until GC/ContextCleaner gets around to it (the r19 32-core-timeout
+    * suspect). Safe at an entry boundary: every bench rep rebuilds its
+    * frames from scratch, so no live computation references the dropped
+    * blocks. Unpersist is non-blocking — the subsequent listener drain /
+    * query start gives the cleanup time to land. */
+  def freeCachedBlocks(spark: org.apache.spark.sql.SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+  }
+
+  /** Number of RDDs currently holding storage blocks — the per-entry
+    * trail for the block-accumulation failure mode: if this climbs
+    * monotonically across entries, cleanup is not keeping up. */
+  def storageBlocks(spark: org.apache.spark.sql.SparkSession): Int =
+    try spark.sparkContext.getPersistentRDDs.size
+    catch { case _: Throwable => -1 }
+
   /** Per-entry stage-metric counters for the two axes that survive both
     * CPU steal and foreign load — the r18 verdict's binding gap was that
     * the committed artifact had no way to COMPARE rounds through a steal

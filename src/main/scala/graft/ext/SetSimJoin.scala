@@ -197,6 +197,19 @@ object SetSimJoin {
     // race to fill the cache). Callers who find the balance flipped (very
     // expensive upstream `elems`) should persist `elems` — cache lifecycle
     // belongs to the caller (the boilerplate convention).
+    //
+    // r20 addendum: a stats-preserving PARQUET ROUND-TRIP of the sets table
+    // (the r19 verdict's remaining idea for this family) was measured and
+    // rejected too — x_setsim_join 3.87 -> 5.64 s / shuf_rec 99.5k -> 163k
+    // at local[32] (x_setsim_rs 2.25 -> 4.28, x_contain_join 2.01 -> 3.33,
+    // back-to-back same-session runs): the broadcasts DO survive, but the
+    // read-back scan loses the sets aggregate's doc_id hash-partitioning,
+    // so the pair aggregate and both verify joins re-exchange what the
+    // recompute form gets for free, and the serialized write+read job adds
+    // ~1 s of wall. The r19 "197 executor-CPU-s at 8 cores" that motivated
+    // materializing was a bench-harness artifact (accumulated storage
+    // blocks; isolated c8 xcpu is ~5 s — see OPTIMIZATION_r20.md), so the
+    // recompute CPU was never the binding cost.
     val sets = sortedSets(elems, freq(elems))
     val g = guarded(prefixOf(sets, theta), "self", maxBucket)
     val a = g.select(col("elem"), col("doc_id").as("doc_a"),

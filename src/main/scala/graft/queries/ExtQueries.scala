@@ -459,7 +459,13 @@ object ExtQueries {
         k = 3, divisor = 8, maxLen = 20)
         // run-scoped persist (the xDedupJaccard convention): the winner
         // aggregate and the join-back both consume the chunk rows, and the
-        // CDC fold is too expensive to derive twice per scan
+        // CDC fold is too expensive to derive twice per scan. Measured
+        // against localCheckpoint(true) r20 (local[32], back-to-back):
+        // persist 1.27 s min / 0.30 xcpu_s vs checkpoint 2.58 s / 1.34
+        // (x_web_pipeline 1.54 vs 2.97) — a one-shot two-branch consumer
+        // has no per-round task-binary amplification, so the r19 graph
+        // lesson does not transfer; cold cost is equal (both materialize
+        // once: cold_s 1.65 vs min 0.47 in the r20 cold-split bench).
         .persist())
 
   /** URL canonicalization over deterministically-planted crawl URLs
@@ -1034,6 +1040,14 @@ object ExtQueries {
       targetRecall = 0.95)
     val qids = queries.select(col("qid"))
     val bf = SimilarityOps.bruteForcePairs(emb, "vec_id", "embedding", 0.9)
+    // union-of-two-joins on purpose, NOT the one-explode symmetrization
+    // (measured r20, back-to-back at local[32]): each branch's qid
+    // equi-join pushes BELOW bruteForcePairs' cross join, pruning one
+    // side to the ~80 query vectors (2 x 80 x n dot products), while the
+    // explode form must materialize the full n^2/2 pair space first —
+    // explode measured 2.63 s / 4.03 xcpu_s vs 1.52 s / 1.08 xcpu_s here.
+    // "Evaluated twice" is cheaper when the duplicated subtree carries a
+    // pushed-down pruning predicate the fused form loses.
     val truePairs = bf.join(qids, bf("id_a") === qids("qid"))
         .select(col("qid"), col("id_b").as("nid"))
       .unionByName(bf.join(qids, bf("id_b") === qids("qid"))

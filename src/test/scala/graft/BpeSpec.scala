@@ -196,7 +196,7 @@ class BpeSpec extends SparkTestBase {
     "300 consecutive merges over the identifier corpus (customer names — " +
     "the highest-cardinality string corpus in the testdata), and the " +
     "closed-vocabulary documents corpus EXHAUSTS early with the full " +
-    "collapse, stopping before the requested depth") {
+    "collapse, stopping before the requested depth", LongRun) {
     // depth: the argmax-then-rewrite chain must hold rank by rank — one
     // wrong tie-break or skip anywhere reorders everything after it
     val cust = spark.read.parquet(sf("sf0.01") + "/customer.parquet")

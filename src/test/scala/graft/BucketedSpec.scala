@@ -44,7 +44,8 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
-  test("compact merges many small files into few sorted ones, data intact") {
+  test("compact merges many small files into few sorted ones, data intact",
+      LongRun) {
     val dir = Files.createTempDirectory("compact").toFile.getAbsolutePath
     // 64 tiny files
     (1L to 1024L).map(i => (i, s"v$i")).toDF("id", "v")
@@ -65,7 +66,7 @@ class BucketedSpec extends SparkTestBase {
   }
 
   test("z-order layout clusters file stats on BOTH columns; a linear sort " +
-    "only on its leading key (pruning selectivity, measured)") {
+    "only on its leading key (pruning selectivity, measured)", LongRun) {
     val dir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
     // 16k points on a 128×128 grid, in hash order (no accidental locality)
     val pts = (0 until 16384)
@@ -104,7 +105,7 @@ class BucketedSpec extends SparkTestBase {
 
   test("a stored-index serve call leaves the session planning untouched: " +
     "the autoBucketedScan override is scoped, so an unrelated bucketed " +
-    "read plans identically before and after the serve") {
+    "read plans identically before and after the serve", LongRun) {
     import graft.ext.IvfPqIndex
     val dir = Files.createTempDirectory("servescope").toFile.getAbsolutePath
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

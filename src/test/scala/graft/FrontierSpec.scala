@@ -31,7 +31,7 @@ class FrontierSpec extends SparkTestBase {
 
   test("crawlFrontier: dedup shields the budget, denial shields the chunk " +
     "state, chunk emissions match the batch derivation, all three states " +
-    "bounded and evicted") {
+    "bounded and evicted", LongRun) {
     withSQLConf(
       "spark.sql.streaming.stateStore.providerClass"
         -> Frontier.RocksDbProvider) {

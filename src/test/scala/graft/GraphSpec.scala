@@ -278,7 +278,7 @@ class GraphSpec extends SparkTestBase with TableDrivenPropertyChecks {
   }
 
   test("connectedComponentsExact: matches the fixed-horizon form and " +
-    "union-find on random graphs") {
+    "union-find on random graphs", LongRun) {
     val rnd = new scala.util.Random(31)
     for (trial <- 1 to 3) {
       val n = 12 + rnd.nextInt(20)

@@ -412,7 +412,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("WHOLE SURFACE: no declared query plans a single-partition " +
-    "WindowExec (the global-scan class is retired engine-wide)") {
+    "WindowExec (the global-scan class is retired engine-wide)", LongRun) {
     // After ScanOps.cumSum took over negativeSamples/aucRoc/
     // averagePrecision/ksTest, NO declared query should funnel rows
     // through an unpartitioned window. The one allowlisted exception is

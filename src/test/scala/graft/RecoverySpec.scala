@@ -65,7 +65,7 @@ class RecoverySpec extends SparkTestBase {
 
   test("crawlFrontier restart under RocksDB CHANGELOG checkpointing: the " +
     "restore path is changelog replay over the last snapshot (the " +
-    "production low-commit-latency mode), same parity obligations") {
+    "production low-commit-latency mode), same parity obligations", LongRun) {
     withSQLConf(
       "spark.sql.streaming.stateStore.providerClass"
         -> Frontier.RocksDbProvider,
@@ -419,7 +419,8 @@ class RecoverySpec extends SparkTestBase {
 
   test("TWS session restart: the ListState buffer AND the registered close " +
     "timer restore — a key untouched after the restart still closes from " +
-    "its restored timer with its pre-stop membership; output parity") {
+    "its restored timer with its pre-stop membership; output parity",
+    LongRun) {
     withSQLConf("spark.sql.streaming.stateStore.providerClass"
         -> graft.streaming.Frontier.RocksDbProvider) {
       import graft.streaming.TwsSessions

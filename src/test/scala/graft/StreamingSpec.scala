@@ -188,7 +188,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming EP-3: the composed Augmenter job — over-limit run emits " +
     "exactly q_ep3_pipeline's work set, the rollback retry run enriches the " +
-    "deferred remainder, and the cache store converges") {
+    "deferred remainder, and the cache store converges", LongRun) {
     import graft.streaming.StreamingAugmenter
     val dir = sf("sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("ep3stream").toString

@@ -194,7 +194,7 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
   }
 
-  test("dupClusters: maxIters bounds a pathological path graph") {
+  test("dupClusters: maxIters bounds a pathological path graph", LongRun) {
     val n = 8 // diameter 7: converges within the default bound
     val docs = (1L to n.toLong).toDF("doc_id")
     val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
@@ -211,7 +211,8 @@ class TextOpsSpec extends SparkTestBase {
     assert(truncated(n.toLong) != 1L)
   }
 
-  test("simhash: identical docs equal, near-identical docs within hamming 3") {
+  test("simhash: identical docs equal, near-identical docs within hamming 3",
+      LongRun) {
     val df = Seq(
       1L -> "spark catalyst optimizer rewrites logical plans into physical plans",
       2L -> "spark catalyst optimizer rewrites logical plans into physical plans",
